@@ -1,0 +1,206 @@
+"""Compaction: merge N sorted files of one partition into 1, applying the
+table's filters + aggregation, then atomically swap the file references.
+
+Reference (O1: JavaCompactionRunner.java:69-166, compact.rs:61-140): a
+compaction job reads its partition's file references filtered to the
+partition region, runs the iterator chain, writes one sorted file + sketch
+sidecar, and commits a REPLACE_FILE_REFERENCES transaction.
+
+Spark-first shape — and our scale-out advantage over the reference's
+one-ECS-task-per-job model: MANY jobs batch into ONE Spark action. Every
+job's input scan is tagged with its job id, the union is processed in one
+plan, and ``partitionBy(tag)`` writes one sorted file per job. Disjoint
+partition regions guarantee per-job key spaces never collide, so a single
+``groupBy(tag, keys)`` collapses all jobs at once. 1000 pending
+compactions = one Spark job with 1000 write partitions, not 1000 task
+submissions.
+
+Job creation strategies (O3):
+- ``basic`` — batch leaf files in creation order, size
+  ``compaction_files_batch_size`` (BasicLeafStrategy.java:39-47).
+- ``size_ratio`` — compact a candidate set only if
+  sum(sizes of all but largest) >= ratio * largest, Accumulo-style
+  (SizeRatioLeafStrategy.java:36-121).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sleeper_spark.iterators import parse_aggregations, parse_filters
+from sleeper_spark.partitions import PartitionTree
+from sleeper_spark.processing import apply_filters, apply_aggregations
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.ranges import Region
+from sleeper_spark.schema import Schema
+from sleeper_spark.statestore import FileReference, StateStore
+
+JOB_COL = "__sleeper_job__"
+
+
+@dataclass(frozen=True)
+class CompactionJob:
+    job_id: str
+    partition_id: str
+    input_files: tuple[str, ...]
+    partition_region: Region
+
+
+# ---------------------------------------------------------------------------
+# job creation (O3)
+# ---------------------------------------------------------------------------
+
+def create_jobs(store: StateStore, props: TableProperties) -> list[CompactionJob]:
+    """Plan compaction jobs over leaf partitions per the configured strategy."""
+    tree = store.tree
+    assert tree is not None
+    jobs: list[CompactionJob] = []
+    for leaf in tree.leaves():
+        refs = [
+            r for r in store.references_for_partition(leaf.id)
+            if r.job_id is None
+        ]
+        # a single file still needs compacting when it is a split reference
+        # (holds other partitions' rows too) — compaction is what pulls the
+        # leaf's subset down into its own file
+        needs_pull_down = any(not r.only_contains_data_for_this_partition for r in refs)
+        if len(refs) < 2 and not needs_pull_down:
+            continue
+        refs.sort(key=lambda r: r.last_update_time)  # creation order
+        if props.compaction_strategy == "size_ratio":
+            batches = _size_ratio_batches(refs, props.size_ratio,
+                                          props.compaction_files_batch_size)
+        else:
+            batches = _basic_batches(refs, props.compaction_files_batch_size)
+        for batch in batches:
+            jobs.append(CompactionJob(
+                job_id=f"compact-{uuid.uuid4().hex[:12]}",
+                partition_id=leaf.id,
+                input_files=tuple(r.filename for r in batch),
+                partition_region=leaf.region,
+            ))
+    return jobs
+
+
+def _basic_batches(refs: list[FileReference], batch_size: int) -> list[list[FileReference]]:
+    """Full batches in creation order (BasicLeafStrategy.java:39-47)."""
+    out = []
+    for i in range(0, len(refs), batch_size):
+        batch = refs[i:i + batch_size]
+        if len(batch) >= 2 or any(
+            not r.only_contains_data_for_this_partition for r in batch
+        ):
+            out.append(batch)
+    return out
+
+
+def _size_ratio_batches(refs: list[FileReference], ratio: int,
+                        max_batch: int) -> list[list[FileReference]]:
+    """Accumulo-style: smallest-first, emit a batch when
+    sum(all but largest) >= ratio * largest (SizeRatioLeafStrategy.java:36-121)."""
+    ordered = sorted(refs, key=lambda r: r.number_of_rows)
+    out: list[list[FileReference]] = []
+    batch: list[FileReference] = []
+    for r in ordered:
+        batch.append(r)
+        if len(batch) < 2:
+            continue
+        largest = batch[-1].number_of_rows
+        rest = sum(x.number_of_rows for x in batch[:-1])
+        if rest >= ratio * largest or len(batch) >= max_batch:
+            out.append(batch)
+            batch = []
+    return out
+
+
+# ---------------------------------------------------------------------------
+# job execution (O1, batched)
+# ---------------------------------------------------------------------------
+
+def run_jobs(
+    spark: SparkSession,
+    jobs: list[CompactionJob],
+    store: StateStore,
+    data_dir: str,
+    props: TableProperties,
+    now_millis: int | None = None,
+) -> list[FileReference]:
+    """Execute many compaction jobs as ONE Spark action; commit each job's
+    REPLACE_FILE_REFERENCES transaction afterwards."""
+    if not jobs:
+        return []
+    schema = store.schema
+    now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
+
+    # mark inputs as owned by their job (AssignJobIdsTransaction) so a
+    # concurrent planner cannot double-compact them
+    for job in jobs:
+        refs = [store.files[fn][job.partition_id] for fn in job.input_files]
+        store.assign_job_ids(job.job_id, refs)
+
+    out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
+    struct = schema.to_struct_type()
+
+    # tagged union of every job's scan; the per-job partition-region filter
+    # is the dedup guard for ancestor files shared across jobs
+    union: DataFrame | None = None
+    for job in jobs:
+        part = (
+            spark.read.schema(struct).parquet(*job.input_files)
+            .where(job.partition_region.to_column())
+            .withColumn(JOB_COL, F.lit(job.job_id))
+        )
+        union = part if union is None else union.unionByName(part)
+    assert union is not None
+
+    filters = parse_filters(props.filters)
+    aggs = parse_aggregations(props.aggregations)
+    df = apply_filters(union, filters, now_millis)
+    if aggs:
+        df = apply_aggregations(df, schema, aggs, extra_group_cols=[JOB_COL])
+
+    (
+        df.repartition(len(jobs), F.col(JOB_COL))
+        .sortWithinPartitions(JOB_COL, *schema.key_names)
+        .write.option("compression", props.compression)
+        .option("parquet.block.size", str(props.row_group_bytes))
+        .option("parquet.page.size", str(props.page_bytes))
+        .partitionBy(JOB_COL)
+        .parquet(out_dir)
+    )
+
+    # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199)
+    out_refs: list[FileReference] = []
+    for job in jobs:
+        jdir = os.path.join(out_dir, f"{JOB_COL}={job.job_id}")
+        files = [fn for fn in sorted(os.listdir(jdir))] if os.path.isdir(jdir) else []
+        parquets = [os.path.join(jdir, f) for f in files if f.endswith(".parquet")]
+        if parquets:
+            path = parquets[0]
+            n = pq.ParquetFile(path).metadata.num_rows
+        else:
+            # every input row was filtered/aged off — write nothing, but the
+            # swap still needs an output ref; use an empty marker file
+            path = os.path.join(out_dir, f"{JOB_COL}={job.job_id}", "empty.parquet")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            spark.createDataFrame([], struct).coalesce(1).write.mode("overwrite").parquet(
+                os.path.dirname(path))
+            written = [f for f in os.listdir(os.path.dirname(path)) if f.endswith(".parquet")]
+            path = os.path.join(os.path.dirname(path), written[0])
+            n = 0
+        ref = FileReference(
+            filename=path,
+            partition_id=job.partition_id,
+            number_of_rows=n,
+            only_contains_data_for_this_partition=True,
+        )
+        store.replace_file_references(job.partition_id, list(job.input_files), ref)
+        out_refs.append(ref)
+    return out_refs

@@ -1,0 +1,98 @@
+"""Ingest: sort a batch into one sorted Parquet file per leaf partition and
+commit the file references.
+
+This is the reference's bulk-import "local sort" strategy, which is itself
+a Spark job (BulkImportDataframeLocalSortDriver.java:49-72;
+RepartitionRowsBySleeperPartition.java): tag each row with its leaf
+partition id, ``repartition`` on the tag so each leaf lands in exactly one
+task, ``sortWithinPartitions(tag, row keys..., sort keys...)``, and write
+with ``partitionBy(tag)`` so every leaf becomes one sorted file. Spark's
+external sorter replaces the reference's hand-rolled spill-and-merge
+ingest batches (ArrayListRowBatch.java:49-53, ArrowRowBatch.java).
+
+Scale notes (100 TB):
+- The partition-id tag is a pure Column expression (nested CASE over leaf
+  boundaries) — JVM-side, codegen'd, no Python in the hot path.
+- ``repartition(num_leaves, tag)`` gives one task per leaf; a hot leaf is
+  a skew problem exactly as in the reference, whose remedy is the same as
+  ours: split the partition (O5) so ingest fans out wider.
+- Files are written with zstd + 8 MiB row groups + 128 KiB pages to match
+  the reference's point-lookup-friendly layout (ParquetRowWriterFactory.java:74-77).
+- Row counts for the manifest come from Parquet footers (no second pass
+  over the data).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sleeper_spark.partitions import PartitionTree
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.statestore import FileReference, StateStore
+
+PARTITION_COL = "__sleeper_partition__"
+
+
+def ingest_dataframe(
+    df: DataFrame,
+    tree: PartitionTree,
+    store: StateStore,
+    data_dir: str,
+    props: TableProperties,
+) -> list[FileReference]:
+    """Write ``df`` as one sorted file per overlapping leaf partition and
+    commit an ADD_FILES transaction (O7: IngestCoordinator.java:17-58).
+
+    Returns the committed file references.
+    """
+    schema = store.schema
+    job_id = f"ingest-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(data_dir, job_id)
+    leaves = tree.leaves()
+
+    tagged = df.select(*[f.name for f in schema.all_fields()]).withColumn(
+        PARTITION_COL, tree.leaf_id_column()
+    )
+    (
+        tagged.repartition(max(len(leaves), 1), F.col(PARTITION_COL))
+        .sortWithinPartitions(PARTITION_COL, *schema.key_names)
+        .write.option("compression", props.compression)
+        .option("parquet.block.size", str(props.row_group_bytes))
+        .option("parquet.page.size", str(props.page_bytes))
+        .partitionBy(PARTITION_COL)
+        .parquet(out_dir)
+    )
+
+    refs = _manifest_from_written_dir(out_dir)
+    store.add_files(refs)
+    return refs
+
+
+def _manifest_from_written_dir(out_dir: str) -> list[FileReference]:
+    """Build FileReferences from the partitionBy output layout, taking row
+    counts from Parquet footers."""
+    refs: list[FileReference] = []
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith(PARTITION_COL + "="):
+            continue
+        pid = entry.split("=", 1)[1]
+        pdir = os.path.join(out_dir, entry)
+        for fn in sorted(os.listdir(pdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(pdir, fn)
+            n = pq.ParquetFile(path).metadata.num_rows
+            refs.append(
+                FileReference(
+                    filename=path,
+                    partition_id=pid,
+                    number_of_rows=n,
+                    only_contains_data_for_this_partition=True,
+                )
+            )
+    return refs

@@ -1,0 +1,128 @@
+"""Table-processing config: filters + aggregations parsed from strings.
+
+Grammar parity with the reference's config strings
+(rust/sleeper_core/src/filter_aggregation_config/{filter.rs,aggregate.rs};
+docs/usage/data-processing.md):
+
+- filters:       ``ageOff(timestamp, 1209600000)``
+- aggregations:  ``sum(count), max(last_seen), map_sum(tags)``
+
+Supported aggregation ops: sum, min, max, map_sum, map_min, map_max
+(aggregate.rs:70-103). Supported filter: ageOff(column, max_age_millis)
+(filter.rs:23-27).
+
+Validation mirrors Aggregation.java:56-147 / validate_aggregations:
+- no aggregation of row/sort key columns;
+- every non-key value column has exactly one aggregation (when any are
+  configured);
+- no duplicate aggregations;
+- no aggregation of nullable value fields (Aggregation.java:108-116).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from sleeper_spark.schema import Schema
+
+AGG_OPS = {"sum", "min", "max", "map_sum", "map_min", "map_max"}
+
+_CALL = re.compile(r"\s*(\w+)\s*\(\s*([^)]*)\s*\)\s*")
+
+
+def _parse_calls(config: str) -> list[tuple[str, list[str]]]:
+    """Parse ``name(arg, ...), name(arg)`` into [(name, [args...])]."""
+    out = []
+    pos = 0
+    s = config.strip()
+    if not s:
+        return out
+    while pos < len(s):
+        m = _CALL.match(s, pos)
+        if not m:
+            raise ValueError(f"cannot parse config at {s[pos:]!r}")
+        name = m.group(1)
+        args = [a.strip() for a in m.group(2).split(",")] if m.group(2).strip() else []
+        out.append((name, args))
+        pos = m.end()
+        if pos < len(s):
+            if s[pos] != ",":
+                raise ValueError(f"expected ',' between calls at {s[pos:]!r}")
+            pos += 1
+    return out
+
+
+@dataclass(frozen=True)
+class AgeOffFilter:
+    """Drop rows where now - col >= max_age OR col is null
+    (AgeOffFilter.java:82-85, ageoff.rs:40-52)."""
+
+    column: str
+    max_age_millis: int
+
+
+@dataclass(frozen=True)
+class Aggregation:
+    """One value-column aggregation (Aggregate in aggregate.rs:23-27)."""
+
+    column: str
+    op: str  # one of AGG_OPS
+
+
+def parse_filters(config: str | None) -> list[AgeOffFilter]:
+    if not config:
+        return []
+    out = []
+    for name, args in _parse_calls(config):
+        if name.lower() != "ageoff":
+            raise ValueError(f"unrecognised filter function {name!r}")
+        if len(args) != 2:
+            raise ValueError(f"ageOff takes (column, max_age_millis), got {args}")
+        out.append(AgeOffFilter(args[0], int(args[1])))
+    return out
+
+
+def parse_aggregations(config: str | None) -> list[Aggregation]:
+    if not config:
+        return []
+    out = []
+    for name, args in _parse_calls(config):
+        op = name.lower()
+        if op not in AGG_OPS:
+            raise ValueError(f"unrecognised aggregation function {name!r}")
+        if len(args) != 1:
+            raise ValueError(f"{name} takes (column), got {args}")
+        out.append(Aggregation(args[0], op))
+    return out
+
+
+def validate_aggregations(schema: Schema, aggs: list[Aggregation]) -> None:
+    """Aggregation.java:56-147 / filter_aggregation_config.rs validate_aggregations."""
+    if not aggs:
+        return
+    key_names = set(schema.key_names)
+    seen: set[str] = set()
+    for a in aggs:
+        if a.column in key_names:
+            raise ValueError(f"cannot aggregate key column {a.column!r}")
+        if a.column in seen:
+            raise ValueError(f"duplicate aggregation for column {a.column!r}")
+        f = schema.field(a.column)  # KeyError if unknown
+        if f.nullable:
+            raise ValueError(f"cannot aggregate nullable column {a.column!r}")
+        seen.add(a.column)
+    missing = [v for v in schema.value_names if v not in seen]
+    if missing:
+        raise ValueError(
+            f"every value column needs an aggregation when any are configured; missing {missing}"
+        )
+
+
+def validate_filters(schema: Schema, filters: list[AgeOffFilter]) -> None:
+    from pyspark.sql import types as T
+
+    for f in filters:
+        fld = schema.field(f.column)
+        if not isinstance(fld.dtype, (T.LongType, T.IntegerType)):
+            raise ValueError(f"ageOff column {f.column!r} must be int/long epoch millis")

@@ -1,0 +1,53 @@
+"""Table properties: the subset of the reference's table configuration that
+affects query/compaction semantics, plus Parquet layout defaults.
+
+Reference: java/core/src/main/java/sleeper/core/properties/table/TableProperty.java
+and instance defaults (TableDefaultProperty.java:45-58 — zstd compression,
+8 MiB row groups, 128 KiB pages; PartitionSplittingProperty.java:97 —
+1e9-row split threshold; compaction batch size COMPACTION_FILES_BATCH_SIZE).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from sleeper_spark.iterators import (
+    parse_aggregations,
+    parse_filters,
+    validate_aggregations,
+    validate_filters,
+)
+from sleeper_spark.schema import Schema
+
+
+@dataclass
+class TableProperties:
+    table_name: str = "table"
+    # iterator configs, reference grammar (docs/usage/data-processing.md)
+    filters: str = ""              # e.g. "ageOff(timestamp, 1209600000)"
+    aggregations: str = ""         # e.g. "sum(count), max(last_seen), map_sum(tags)"
+    # parquet layout (S4: ParquetRowWriterFactory.java:74-77)
+    compression: str = "zstd"
+    row_group_bytes: int = 8 * 1024 * 1024
+    page_bytes: int = 128 * 1024
+    # maintenance knobs
+    partition_split_threshold: int = 1_000_000_000  # PartitionSplittingProperty.java:97
+    compaction_files_batch_size: int = 11           # matches baseline job shape
+    compaction_strategy: str = "basic"              # "basic" | "size_ratio"
+    size_ratio: int = 3                             # SizeRatioCompactionStrategy
+    gc_delay_seconds: float = 600.0                 # docs/design.md:331-343
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def validate(self, schema: Schema) -> None:
+        validate_filters(schema, parse_filters(self.filters))
+        validate_aggregations(schema, parse_aggregations(self.aggregations))
+
+    def to_json(self) -> str:
+        d = dict(self.__dict__)
+        return json.dumps(d)
+
+    @staticmethod
+    def from_json(s: str) -> "TableProperties":
+        return TableProperties(**json.loads(s))

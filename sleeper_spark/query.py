@@ -1,0 +1,171 @@
+"""Query path: driver-side planning (partition pruning + file collection)
+and a single declarative Spark scan.
+
+Mirrors the reference lifecycle (SURVEY §3.1; QueryPlanner.java:160-237;
+LeafPartitionQueryExecutor.java:73-131) re-shaped for Spark:
+
+1. Prune: leaves whose region overlaps any query region.
+2. Collect files: each pruned leaf's files plus its ancestors' files (a
+   row may still live in an ancestor-partition file before compaction).
+3. Scan ONCE over the distinct file set with the predicate
+   ``(OR query regions) AND (OR selected leaf regions)``.
+
+Step 3 is the Spark-shaped dedup guard. The reference reads each leaf
+separately, ANDing that leaf's region so a row in a shared ancestor file
+is returned by exactly one leaf (RangeQueryUtils.java:49-56). Reading each
+distinct physical file exactly once and ORing the selected leaf regions is
+equivalent — leaf regions are disjoint, so every matching row passes for
+exactly the one leaf that owns it — and it collapses N per-leaf scans into
+one Catalyst scan node: one pass over the data, full predicate pushdown to
+Parquet row groups/pages, no union of hundreds of subplans at 100 TB.
+
+Query-time vs table-time processing split follows
+LeafPartitionQueryExecutor.java:80-99: table iterators (filters +
+aggregation) are ALWAYS applied; an extra query-time config may add more.
+The SQL stage (Q1, rust/query_sql/src/lib.rs:28-55) registers results as
+``query_results`` and accepts a SELECT-only statement.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sleeper_spark.iterators import parse_aggregations, parse_filters
+from sleeper_spark.partitions import Partition
+from sleeper_spark.processing import apply_processing
+from sleeper_spark.ranges import Region, regions_to_column
+from sleeper_spark.schema import Schema
+from sleeper_spark.statestore import FileReference, StateStore
+
+
+@dataclass
+class Query:
+    """Top-level query IR (Query.java:30-46, QueryJson.java:38-54)."""
+
+    regions: list[Region]
+    requested_value_fields: list[str] | None = None  # None = all value fields
+    query_time_filters: str = ""       # extra ageOff(...) applied at query only
+    sql: str | None = None             # post-query SQL stage (Q1)
+    query_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "queryId": self.query_id,
+            "regions": [r.to_json() for r in self.regions],
+            "requestedValueFields": self.requested_value_fields,
+            "queryTimeFilters": self.query_time_filters,
+            "sql": self.sql,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any], schema: Schema | None = None) -> "Query":
+        return Query(
+            regions=[Region.from_json(r, schema) for r in d["regions"]],
+            requested_value_fields=d.get("requestedValueFields"),
+            query_time_filters=d.get("queryTimeFilters", ""),
+            sql=d.get("sql"),
+            query_id=d.get("queryId", uuid.uuid4().hex[:12]),
+        )
+
+
+@dataclass(frozen=True)
+class LeafPartitionQuery:
+    """Per-leaf sub-query IR (LeafPartitionQuery in QueryJson.java:38-54)."""
+
+    leaf: Partition
+    files: tuple[FileReference, ...]
+
+
+class QueryPlanner:
+    """Prune partitions and collect files (QueryPlanner.java:160-237)."""
+
+    def __init__(self, store: StateStore):
+        self.store = store
+
+    def split_into_leaf_queries(self, query: Query) -> list[LeafPartitionQuery]:
+        tree = self.store.tree
+        assert tree is not None, "table not initialised"
+        out = []
+        for leaf in tree.leaves_overlapping(query.regions):
+            files = tuple(self.store.files_for_leaf_query(leaf.id))
+            if files:
+                out.append(LeafPartitionQuery(leaf, files))
+        return out
+
+
+class QueryExecutor:
+    """Build the (single) Spark plan for a query."""
+
+    def __init__(self, spark: SparkSession, store: StateStore, schema: Schema,
+                 table_filters: str = "", table_aggregations: str = ""):
+        self.spark = spark
+        self.store = store
+        self.schema = schema
+        self.table_filters = table_filters
+        self.table_aggregations = table_aggregations
+
+    def execute(self, query: Query, now_millis: int) -> DataFrame:
+        leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
+        if not leaf_queries:
+            return self.spark.createDataFrame([], self.schema.to_struct_type())
+
+        # one scan over the distinct physical files (see module docstring)
+        files = sorted({f.filename for lq in leaf_queries for f in lq.files})
+        df = self.spark.read.schema(self.schema.to_struct_type()).parquet(*files)
+
+        # predicate: (OR regions) AND (OR selected leaf regions) — both push
+        # to Parquet row groups via Catalyst
+        pred = regions_to_column(query.regions)
+        leaf_guard = regions_to_column([lq.leaf.region for lq in leaf_queries])
+        df = df.where(pred & leaf_guard)
+
+        # table-time processing always applies (compaction-config iterators)
+        df = apply_processing(
+            df,
+            self.schema,
+            parse_filters(self.table_filters),
+            parse_aggregations(self.table_aggregations),
+            now_millis,
+        )
+        # query-time extra filters
+        qf = parse_filters(query.query_time_filters)
+        if qf:
+            df = apply_processing(df, self.schema, qf, [], now_millis)
+
+        # projection: keys always returned; value fields as requested
+        # (LeafPartitionQueryExecutor.java:105-131)
+        if query.requested_value_fields is not None:
+            cols = self.schema.key_names + [
+                v for v in self.schema.value_names if v in set(query.requested_value_fields)
+            ]
+            df = df.select(*cols)
+
+        if query.sql:
+            df = run_sql_stage(self.spark, df, query.sql)
+        return df
+
+
+_FORBIDDEN_SQL = (
+    "insert", "update", "delete", "create", "drop", "alter", "merge",
+    "truncate", "grant", "revoke", "copy", "set", "call", "show",
+)
+
+
+def run_sql_stage(spark: SparkSession, results: DataFrame, sql: str) -> DataFrame:
+    """SELECT-only SQL over query results registered as ``query_results``
+    (Q1: rust/query_sql/src/lib.rs:28-55 — DDL/DML rejected)."""
+    head = sql.lstrip().split(None, 1)
+    if not head or head[0].lower() not in ("select", "with"):
+        raise ValueError("SQL stage accepts SELECT statements only")
+    low = sql.lower()
+    for kw in _FORBIDDEN_SQL:
+        if low.lstrip().startswith(kw):
+            raise ValueError(f"SQL stage rejects {kw.upper()} statements")
+    view = "query_results"
+    results.createOrReplaceTempView(view)
+    return spark.sql(sql)

@@ -1,0 +1,302 @@
+"""Transaction-log state store: table metadata (partitions + file refs).
+
+Reference semantics (docs/design.md:135-199; core/statestore/):
+- Table state = the partition tree + file references. A ``FileReference``
+  points a physical file at one partition with a row count; one physical
+  file may be referenced by several partitions (after a split, before
+  compaction) (FileReference.java:29-35).
+- All mutations are transactions appended to a log; state is rebuilt by
+  replaying the log (snapshots make that O(1)). Transaction types mirror
+  core/statestore/transactionlog/transaction/impl/: ADD_FILES,
+  REPLACE_FILE_REFERENCES (compaction commit), SPLIT_PARTITION,
+  ASSIGN_JOB_IDS, SPLIT_FILE_REFERENCES, INITIALISE_PARTITIONS,
+  DELETE_FILES, CLEAR_FILES.
+
+Implementation: each transaction is one JSON file
+``<table>/statestore/transactions/{seq:012d}.json`` created with
+O_CREAT|O_EXCL — an atomic "put-if-absent", the same single-writer
+optimistic-concurrency primitive the reference gets from DynamoDB
+conditional writes and Delta Lake gets from its log. A writer that loses
+the race re-reads and retries. Snapshots are written every
+``SNAPSHOT_EVERY`` transactions so cold loads replay a bounded suffix.
+
+This is driver-side metadata only — it never touches row data and is
+deliberately tiny; at 100 TB the log holds O(#files) entries, not O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, replace
+from typing import Any, Iterable
+
+from sleeper_spark.partitions import Partition, PartitionTree
+from sleeper_spark.schema import Schema
+
+SNAPSHOT_EVERY = 100
+
+
+@dataclass(frozen=True)
+class FileReference:
+    """A file's membership in one partition (FileReference.java:29-35)."""
+
+    filename: str
+    partition_id: str
+    number_of_rows: int
+    job_id: str | None = None
+    count_approximate: bool = False
+    only_contains_data_for_this_partition: bool = True
+    last_update_time: float = 0.0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "filename": self.filename,
+            "partitionId": self.partition_id,
+            "numberOfRows": self.number_of_rows,
+            "jobId": self.job_id,
+            "countApproximate": self.count_approximate,
+            "onlyContainsDataForThisPartition": self.only_contains_data_for_this_partition,
+            "lastUpdateTime": self.last_update_time,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "FileReference":
+        return FileReference(
+            d["filename"], d["partitionId"], d["numberOfRows"], d.get("jobId"),
+            d.get("countApproximate", False),
+            d.get("onlyContainsDataForThisPartition", True),
+            d.get("lastUpdateTime", 0.0),
+        )
+
+
+class StateStoreException(Exception):
+    pass
+
+
+class TransactionConflict(StateStoreException):
+    """Another writer committed this sequence number first — reload and retry."""
+
+
+class StateStore:
+    """Append-only transaction log over a local/posix directory.
+
+    In-memory state: ``tree`` (PartitionTree) and ``files``:
+    {filename: {partition_id: FileReference}}. ``gc_queue`` holds filenames
+    with zero references awaiting garbage collection (docs/design.md:331-343).
+    """
+
+    def __init__(self, path: str, schema: Schema):
+        self.path = path
+        self.schema = schema
+        self.tx_dir = os.path.join(path, "transactions")
+        self.snap_dir = os.path.join(path, "snapshots")
+        os.makedirs(self.tx_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+        self.tree: PartitionTree | None = None
+        self.files: dict[str, dict[str, FileReference]] = {}
+        self.gc_queue: dict[str, float] = {}  # filename -> time dereferenced
+        self._seq = 0
+        self._load()
+
+    # ------------------------------------------------------------------
+    # log machinery
+    # ------------------------------------------------------------------
+    def _load(self) -> None:
+        self.tree = None
+        self.files = {}
+        self.gc_queue = {}
+        self._seq = 0
+        snaps = sorted(os.listdir(self.snap_dir)) if os.path.isdir(self.snap_dir) else []
+        if snaps:
+            with open(os.path.join(self.snap_dir, snaps[-1])) as f:
+                snap = json.load(f)
+            self._restore_snapshot(snap)
+            self._seq = snap["seq"]
+        for name in sorted(os.listdir(self.tx_dir)):
+            seq = int(name.split(".")[0])
+            if seq <= self._seq:
+                continue
+            with open(os.path.join(self.tx_dir, name)) as f:
+                tx = json.load(f)
+            self._apply(tx)
+            self._seq = seq
+
+    def _commit(self, tx: dict[str, Any]) -> None:
+        """Atomic append at seq+1 via exclusive create; retries are the
+        caller's job on TransactionConflict."""
+        seq = self._seq + 1
+        path = os.path.join(self.tx_dir, f"{seq:012d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise TransactionConflict(f"transaction {seq} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(tx, f)
+        self._apply(tx)
+        self._seq = seq
+        if seq % SNAPSHOT_EVERY == 0:
+            self._write_snapshot()
+
+    def _write_snapshot(self) -> None:
+        snap = {
+            "seq": self._seq,
+            "partitions": self.tree.to_json() if self.tree else None,
+            "files": [r.to_json() for refs in self.files.values() for r in refs.values()],
+            "gcQueue": self.gc_queue,
+        }
+        tmp = os.path.join(self.snap_dir, f".tmp-{self._seq:012d}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{self._seq:012d}.json"))
+
+    def _restore_snapshot(self, snap: dict[str, Any]) -> None:
+        if snap.get("partitions"):
+            self.tree = PartitionTree.from_json(snap["partitions"], self.schema)
+        for d in snap.get("files", []):
+            r = FileReference.from_json(d)
+            self.files.setdefault(r.filename, {})[r.partition_id] = r
+        self.gc_queue = dict(snap.get("gcQueue", {}))
+
+    # ------------------------------------------------------------------
+    # transaction application (replay)
+    # ------------------------------------------------------------------
+    def _apply(self, tx: dict[str, Any]) -> None:
+        t = tx["type"]
+        if t == "INITIALISE_PARTITIONS":
+            self.tree = PartitionTree.from_json(tx["partitions"], self.schema)
+        elif t == "ADD_FILES":
+            for d in tx["files"]:
+                r = FileReference.from_json(d)
+                self.files.setdefault(r.filename, {})[r.partition_id] = r
+        elif t == "REPLACE_FILE_REFERENCES":
+            # compaction commit: remove input refs in this partition, add output
+            pid = tx["partitionId"]
+            for fn in tx["inputFiles"]:
+                refs = self.files.get(fn, {})
+                refs.pop(pid, None)
+                if not refs:
+                    self.files.pop(fn, None)
+                    self.gc_queue[fn] = tx.get("time", 0.0)
+            out = FileReference.from_json(tx["outputFile"])
+            self.files.setdefault(out.filename, {})[out.partition_id] = out
+        elif t == "SPLIT_PARTITION":
+            assert self.tree is not None
+            self.tree.apply_split(
+                Partition.from_json(tx["parent"], self.schema),
+                Partition.from_json(tx["left"], self.schema),
+                Partition.from_json(tx["right"], self.schema),
+            )
+        elif t == "SPLIT_FILE_REFERENCES":
+            # move a file ref one level down the tree: remove parent ref, add
+            # child refs with halved (approximate) counts (docs/design.md:293-299)
+            for mv in tx["moves"]:
+                fn, parent = mv["filename"], mv["fromPartition"]
+                old = self.files[fn].pop(parent)
+                for cid in mv["toPartitions"]:
+                    self.files[fn][cid] = replace(
+                        old, partition_id=cid,
+                        number_of_rows=max(1, old.number_of_rows // len(mv["toPartitions"])),
+                        count_approximate=True,
+                        only_contains_data_for_this_partition=False,
+                        job_id=None,
+                    )
+        elif t == "ASSIGN_JOB_IDS":
+            for a in tx["assignments"]:
+                ref = self.files[a["filename"]][a["partitionId"]]
+                if ref.job_id is not None:
+                    raise StateStoreException(
+                        f"file {a['filename']} already assigned to job {ref.job_id}")
+                self.files[a["filename"]][a["partitionId"]] = replace(ref, job_id=a["jobId"])
+        elif t == "DELETE_FILES":
+            for fn in tx["filenames"]:
+                self.gc_queue.pop(fn, None)
+        elif t == "CLEAR_FILES":
+            self.files = {}
+            self.gc_queue = {}
+        else:
+            raise StateStoreException(f"unknown transaction type {t}")
+
+    # ------------------------------------------------------------------
+    # public API (one method per transaction type)
+    # ------------------------------------------------------------------
+    def initialise_partitions(self, tree: PartitionTree) -> None:
+        self._commit({"type": "INITIALISE_PARTITIONS", "partitions": tree.to_json()})
+
+    def add_files(self, refs: Iterable[FileReference]) -> None:
+        now = time.time()
+        self._commit({
+            "type": "ADD_FILES",
+            "files": [replace(r, last_update_time=now).to_json() for r in refs],
+        })
+
+    def replace_file_references(self, partition_id: str, input_files: list[str],
+                                output: FileReference) -> None:
+        now = time.time()
+        for fn in input_files:
+            ref = self.files.get(fn, {}).get(partition_id)
+            if ref is None:
+                raise StateStoreException(f"{fn} not referenced in {partition_id}")
+        self._commit({
+            "type": "REPLACE_FILE_REFERENCES",
+            "partitionId": partition_id,
+            "inputFiles": input_files,
+            "outputFile": replace(output, last_update_time=now).to_json(),
+            "time": now,
+        })
+
+    def split_partition(self, parent: Partition, left: Partition, right: Partition) -> None:
+        self._commit({
+            "type": "SPLIT_PARTITION",
+            "parent": parent.to_json(),
+            "left": left.to_json(),
+            "right": right.to_json(),
+        })
+
+    def split_file_references(self, moves: list[dict[str, Any]]) -> None:
+        self._commit({"type": "SPLIT_FILE_REFERENCES", "moves": moves})
+
+    def assign_job_ids(self, job_id: str, refs: list[FileReference]) -> None:
+        self._commit({
+            "type": "ASSIGN_JOB_IDS",
+            "assignments": [
+                {"filename": r.filename, "partitionId": r.partition_id, "jobId": job_id}
+                for r in refs
+            ],
+        })
+
+    def delete_files(self, filenames: list[str]) -> None:
+        self._commit({"type": "DELETE_FILES", "filenames": filenames})
+
+    def clear_files(self) -> None:
+        self._commit({"type": "CLEAR_FILES"})
+
+    # ------------------------------------------------------------------
+    # queries over state
+    # ------------------------------------------------------------------
+    def all_references(self) -> list[FileReference]:
+        return [r for refs in self.files.values() for r in refs.values()]
+
+    def references_for_partition(self, pid: str) -> list[FileReference]:
+        return [refs[pid] for refs in self.files.values() if pid in refs]
+
+    def files_for_leaf_query(self, leaf_id: str) -> list[FileReference]:
+        """Files of the leaf AND all its ancestors — a row may still live in
+        a parent-partition file before compaction pulls it down
+        (QueryPlanner.java:222-237)."""
+        assert self.tree is not None
+        pids = [leaf_id] + [p.id for p in self.tree.ancestors(leaf_id)]
+        out: list[FileReference] = []
+        for pid in pids:
+            out.extend(self.references_for_partition(pid))
+        return out
+
+    def gc_candidates(self, min_age_seconds: float = 600.0) -> list[str]:
+        """Files with zero references, dereferenced > N seconds ago
+        (docs/design.md:331-343; default 10 min protects in-flight queries)."""
+        cutoff = time.time() - min_age_seconds
+        return [fn for fn, t in self.gc_queue.items() if t <= cutoff]
+
+    def reload(self) -> None:
+        self._load()

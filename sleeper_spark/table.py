@@ -1,0 +1,146 @@
+"""SleeperTable: the user-facing facade over schema + state store + data.
+
+Layout of a table directory::
+
+    <path>/table.json            # schema + properties
+    <path>/statestore/           # transaction log + snapshots
+    <path>/data/<job>/...        # sorted parquet, one file per partition
+
+Lifecycle mirrors the reference's table API surface: create/init, ingest,
+query (exact key / ranges / SQL stage), compact, split partitions, GC
+(SURVEY §1-3). All data-plane work is Spark; all metadata is the
+transaction log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sleeper_spark import compaction as compaction_mod
+from sleeper_spark import maintenance
+from sleeper_spark.ingest import ingest_dataframe
+from sleeper_spark.partitions import PartitionTree
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.query import Query, QueryExecutor
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.schema import Schema
+from sleeper_spark.statestore import FileReference, StateStore
+
+
+class SleeperTable:
+    def __init__(self, spark: SparkSession, path: str, schema: Schema,
+                 props: TableProperties, store: StateStore):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.props = props
+        self.store = store
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------------
+    # create / load
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: Schema,
+        props: TableProperties | None = None,
+        split_points: list[Any] | None = None,
+    ) -> "SleeperTable":
+        props = props or TableProperties()
+        props.validate(schema)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "table.json"), "w") as f:
+            json.dump({"schema": json.loads(schema.to_json()),
+                       "properties": json.loads(props.to_json())}, f)
+        store = StateStore(os.path.join(path, "statestore"), schema)
+        store.initialise_partitions(PartitionTree.initial(schema, split_points))
+        t = SleeperTable(spark, path, schema, props, store)
+        os.makedirs(t.data_dir, exist_ok=True)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "SleeperTable":
+        with open(os.path.join(path, "table.json")) as f:
+            d = json.load(f)
+        schema = Schema.from_json(d["schema"])
+        props = TableProperties(**d["properties"])
+        store = StateStore(os.path.join(path, "statestore"), schema)
+        return SleeperTable(spark, path, schema, props, store)
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def ingest(self, df: DataFrame) -> list[FileReference]:
+        """O7/J4: one sorted file per leaf partition + ADD_FILES commit."""
+        assert self.store.tree is not None
+        return ingest_dataframe(df, self.store.tree, self.store, self.data_dir, self.props)
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+    def query(self, query: Query, now_millis: int | None = None) -> DataFrame:
+        now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
+        ex = QueryExecutor(
+            self.spark, self.store, self.schema,
+            table_filters=self.props.filters,
+            table_aggregations=self.props.aggregations,
+        )
+        return ex.execute(query, now_millis)
+
+    def exact_key_query(self, now_millis: int | None = None, **keys: Any) -> DataFrame:
+        """Point lookup: min=max inclusive on each given row key
+        (SleeperClient.exact_key_query, python/src/sleeper/client.py:221-260)."""
+        return self.query(Query([Region.exact(self.schema, **keys)]), now_millis)
+
+    def range_key_query(
+        self,
+        ranges: list[tuple[str, Any, Any]] | list[Range],
+        now_millis: int | None = None,
+    ) -> DataFrame:
+        """Each entry is one region; tuples are (field, min_incl, max_excl)."""
+        regions = []
+        for r in ranges:
+            if isinstance(r, Range):
+                regions.append(Region.of(r))
+            else:
+                field, mn, mx = r
+                regions.append(Region.of(Range(field, mn, mx)))
+        return self.query(Query(regions))
+
+    def full_scan(self, now_millis: int | None = None) -> DataFrame:
+        full = Region(tuple(Range(f.name, None, None) for f in self.schema.row_key_fields))
+        return self.query(Query([full]), now_millis)
+
+    def sql(self, sql: str, regions: list[Region] | None = None,
+            now_millis: int | None = None) -> DataFrame:
+        """Q1 SQL stage over (optionally region-restricted) query results."""
+        if regions is None:
+            full = Region(tuple(Range(f.name, None, None) for f in self.schema.row_key_fields))
+            regions = [full]
+        return self.query(Query(regions, sql=sql), now_millis)
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact(self, now_millis: int | None = None) -> list[FileReference]:
+        """Plan + run all pending compactions as one batched Spark action."""
+        jobs = compaction_mod.create_jobs(self.store, self.props)
+        return compaction_mod.run_jobs(
+            self.spark, jobs, self.store, self.data_dir, self.props, now_millis
+        )
+
+    def split_partitions(self) -> list[str]:
+        return maintenance.split_partitions_if_needed(self.spark, self.store, self.props)
+
+    def split_file_references(self) -> int:
+        return maintenance.split_file_references(self.store)
+
+    def collect_garbage(self, now: float | None = None) -> list[str]:
+        return maintenance.collect_garbage(self.store, self.props, now)

@@ -1,0 +1,236 @@
+"""Unit tests for the pure-Python core: schema, ranges, partitions, state
+store, config parsing. Modeled on the reference's BDD unit layer
+(SURVEY §5: SchemaTest, RangeCanonicaliserTest, PartitionTree tests,
+AggregationOpTest)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from sleeper_spark.iterators import (
+    AgeOffFilter, Aggregation, parse_aggregations, parse_filters,
+    validate_aggregations,
+)
+from sleeper_spark.partitions import PartitionTree, sorted_leaves_dim0
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.schema import Field, Schema
+from sleeper_spark.statestore import FileReference, StateStore
+
+
+def kv_schema():
+    return Schema(
+        row_key_fields=(Field("key", T.StringType()),),
+        sort_key_fields=(Field("timestamp", T.LongType()),),
+        value_fields=(Field("value", T.StringType()),
+                      Field("nullable_value", T.StringType(), nullable=True)),
+    )
+
+
+class TestSchema:
+    def test_round_trip_json(self):
+        s = kv_schema()
+        assert Schema.from_json(s.to_json()) == s
+
+    def test_rejects_nullable_key(self):
+        with pytest.raises(ValueError, match="non-nullable"):
+            Schema(row_key_fields=(Field("k", T.StringType(), nullable=True),))
+
+    def test_rejects_map_key(self):
+        with pytest.raises(ValueError, match="primitive"):
+            Schema(row_key_fields=(
+                Field("k", T.MapType(T.StringType(), T.LongType())),))
+
+    def test_rejects_duplicate_names(self):
+        with pytest.raises(ValueError, match="duplicate"):
+            Schema(row_key_fields=(Field("k", T.StringType()),),
+                   value_fields=(Field("k", T.LongType()),))
+
+    def test_key_order(self):
+        assert kv_schema().key_names == ["key", "timestamp"]
+
+    def test_struct_type(self):
+        st = kv_schema().to_struct_type()
+        assert [f.name for f in st.fields] == ["key", "timestamp", "value", "nullable_value"]
+        assert not st.fields[0].nullable and st.fields[3].nullable
+
+
+class TestRange:
+    def test_canonicalise_max_inclusive_int(self):
+        assert Range("k", 1, 5, True, True).canonicalise() == Range("k", 1, 6)
+
+    def test_canonicalise_max_inclusive_string(self):
+        assert Range("k", "a", "b", True, True).canonicalise() == Range("k", "a", "b\x00")
+
+    def test_canonicalise_bytes(self):
+        r = Range("k", b"\x80", b"\xff", True, True).canonicalise()
+        assert r.max == b"\xff\x00"
+
+    def test_canonicalise_exclusive_min(self):
+        assert Range("k", 1, 5, False, False).canonicalise() == Range("k", 2, 5)
+
+    def test_contains_default_bounds(self):
+        r = Range("k", 10, 20)
+        assert r.contains(10) and r.contains(19)
+        assert not r.contains(20) and not r.contains(9)
+
+    def test_unbounded(self):
+        assert Range("k", None, None).contains(123)
+
+    def test_overlaps(self):
+        assert Range("k", 0, 10).overlaps(Range("k", 9, 20))
+        assert not Range("k", 0, 10).overlaps(Range("k", 10, 20))
+        assert Range("k", None, 10).overlaps(Range("k", 5, None))
+
+    def test_bytes_unsigned_order(self):
+        # 0x80 > 0x7f unsigned — python bytes compare unsigned, like Spark
+        assert Range("k", b"\x7f", None).contains(b"\x80")
+
+    def test_json_round_trip_bytes(self):
+        s = Schema(row_key_fields=(Field("k", T.BinaryType()),))
+        r = Range("k", b"\x00a", b"\xff")
+        assert Range.from_json(r.to_json(), s) == r
+
+
+class TestRegion:
+    def test_overlap_multi_dim(self):
+        a = Region.of(Range("a", 0, 10), Range("b", 0, 10))
+        b = Region.of(Range("a", 5, 15), Range("b", 5, 15))
+        c = Region.of(Range("a", 5, 15), Range("b", 20, 30))
+        assert a.overlaps(b)
+        assert not a.overlaps(c)
+
+    def test_exact(self):
+        s = kv_schema()
+        reg = Region.exact(s, key="row-17")
+        assert reg.ranges[0].canonicalise() == Range("key", "row-17", "row-17\x00")
+
+
+class TestPartitionTree:
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def test_initial_root_only(self):
+        t = PartitionTree.initial(self.schema())
+        assert len(t.leaves()) == 1
+        assert t.leaves()[0].id == "root"
+
+    def test_initial_with_split_points(self):
+        t = PartitionTree.initial(self.schema(), [100, 200])
+        leaves = sorted_leaves_dim0(t)
+        assert len(leaves) == 3
+        rngs = [p.region.range_for("key") for p in leaves]
+        assert (rngs[0].min, rngs[0].max) == (None, 100)
+        assert (rngs[1].min, rngs[1].max) == (100, 200)
+        assert (rngs[2].min, rngs[2].max) == (200, None)
+
+    def test_leaf_for_row(self):
+        t = PartitionTree.initial(self.schema(), [100])
+        assert t.leaf_for_row({"key": 5}).region.range_for("key").max == 100
+        assert t.leaf_for_row({"key": 100}).region.range_for("key").min == 100
+
+    def test_split_rejects_out_of_range(self):
+        t = PartitionTree.initial(self.schema(), [100])
+        left = t.leaf_for_row({"key": 0})
+        with pytest.raises(ValueError):
+            t.split(left.id, 0, 500)
+
+    def test_ancestors(self):
+        t = PartitionTree.initial(self.schema(), [100])
+        leaf = t.leaf_for_row({"key": 0})
+        assert [p.id for p in t.ancestors(leaf.id)] == ["root"]
+
+    def test_prune_by_region(self):
+        t = PartitionTree.initial(self.schema(), [100, 200])
+        hits = t.leaves_overlapping([Region.of(Range("key", 150, 160))])
+        assert len(hits) == 1
+        assert hits[0].region.range_for("key").min == 100
+
+    def test_json_round_trip(self):
+        t = PartitionTree.initial(self.schema(), [100])
+        t2 = PartitionTree.from_json(t.to_json(), self.schema())
+        assert {p.id for p in t2.all_partitions()} == {p.id for p in t.all_partitions()}
+
+
+class TestConfigParsing:
+    def test_filters(self):
+        assert parse_filters("ageOff(timestamp, 1209600000)") == [
+            AgeOffFilter("timestamp", 1209600000)]
+
+    def test_aggregations(self):
+        assert parse_aggregations("sum(count), max(last_seen), map_sum(tags)") == [
+            Aggregation("count", "sum"), Aggregation("last_seen", "max"),
+            Aggregation("tags", "map_sum")]
+
+    def test_rejects_unknown(self):
+        with pytest.raises(ValueError):
+            parse_aggregations("median(x)")
+        with pytest.raises(ValueError):
+            parse_filters("dropAll()")
+
+    def test_validate_rejects_key_agg(self):
+        s = Schema(row_key_fields=(Field("id", T.StringType()),),
+                   value_fields=(Field("count", T.LongType()),))
+        with pytest.raises(ValueError, match="key column"):
+            validate_aggregations(s, [Aggregation("id", "sum"),
+                                      Aggregation("count", "sum")])
+
+    def test_validate_requires_all_values(self):
+        s = Schema(row_key_fields=(Field("id", T.StringType()),),
+                   value_fields=(Field("count", T.LongType()),
+                                 Field("other", T.LongType())))
+        with pytest.raises(ValueError, match="missing"):
+            validate_aggregations(s, [Aggregation("count", "sum")])
+
+    def test_validate_rejects_nullable(self):
+        s = Schema(row_key_fields=(Field("id", T.StringType()),),
+                   value_fields=(Field("count", T.LongType(), nullable=True),))
+        with pytest.raises(ValueError, match="nullable"):
+            validate_aggregations(s, [Aggregation("count", "sum")])
+
+
+class TestStateStore:
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def test_add_and_reload(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s, [100]))
+        st.add_files([FileReference("/f1.parquet", "rootL", 10)])
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert len(st2.all_references()) == 1
+        assert len(st2.tree.leaves()) == 2
+
+    def test_replace_file_references_moves_to_gc(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        st.add_files([FileReference("/f1", "root", 10),
+                      FileReference("/f2", "root", 5)])
+        st.replace_file_references("root", ["/f1", "/f2"],
+                                   FileReference("/out", "root", 12))
+        assert {r.filename for r in st.all_references()} == {"/out"}
+        assert set(st.gc_queue) == {"/f1", "/f2"}
+
+    def test_assign_job_ids_conflict(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        ref = FileReference("/f1", "root", 10)
+        st.add_files([ref])
+        st.assign_job_ids("job1", [st.files["/f1"]["root"]])
+        from sleeper_spark.statestore import StateStoreException
+        with pytest.raises(StateStoreException):
+            st.assign_job_ids("job2", [st.files["/f1"]["root"]])
+
+    def test_ancestor_files_included_in_leaf_query(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        tree = PartitionTree.initial(s)
+        st.initialise_partitions(tree)
+        st.add_files([FileReference("/froot", "root", 10)])
+        left, right = st.tree.split("root", 0, 100)
+        st.split_partition(st.tree["root"], left, right)
+        files = st.files_for_leaf_query(left.id)
+        assert [f.filename for f in files] == ["/froot"]

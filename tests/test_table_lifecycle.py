@@ -1,0 +1,248 @@
+"""End-to-end table lifecycle: create -> ingest -> query -> compact -> GC.
+
+Modeled on the reference's system tests (QueryST.java:58-84: ingest 100
+numbered rows, range query [10,20) u [30,40), assert exact rows) and the
+compaction-equivalence invariant query(t) == query(compact(t))."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.query import Query
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.schema import Field, Schema
+from sleeper_spark.table import SleeperTable
+
+
+def numbered_schema():
+    # F1 kv_default (SystemTestSchema.java:37-43)
+    return Schema(
+        row_key_fields=(Field("key", T.StringType()),),
+        sort_key_fields=(Field("timestamp", T.LongType()),),
+        value_fields=(Field("value", T.StringType()),),
+    )
+
+
+def numbered_rows(spark, n=100):
+    return spark.range(n).select(
+        F.format_string("row-%019d", F.col("id")).alias("key"),
+        F.col("id").alias("timestamp"),
+        F.format_string("value-%d", F.col("id")).alias("value"),
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SleeperTable.create(spark, str(tmp_path / "t"), numbered_schema(),
+                            split_points=["row-%019d" % 50])
+    t.ingest(numbered_rows(spark))
+    return t
+
+
+class TestQuery:
+    def test_range_query_two_regions(self, table):
+        # QueryST.java:58-74: [row-10,row-20) u [row-30,row-40)
+        df = table.range_key_query([
+            ("key", "row-%019d" % 10, "row-%019d" % 20),
+            ("key", "row-%019d" % 30, "row-%019d" % 40),
+        ])
+        keys = sorted(r.key for r in df.collect())
+        expect = sorted(["row-%019d" % i for i in list(range(10, 20)) + list(range(30, 40))])
+        assert keys == expect
+
+    def test_exact_key_query(self, table):
+        rows = table.exact_key_query(key="row-%019d" % 17).collect()
+        assert len(rows) == 1
+        assert rows[0].value == "value-17"
+
+    def test_exact_key_missing(self, table):
+        assert table.exact_key_query(key="nope").count() == 0
+
+    def test_projection(self, table):
+        df = table.query(Query(
+            [Region.of(Range("key", None, None))], requested_value_fields=[]))
+        assert df.columns == ["key", "timestamp"]
+
+    def test_full_scan(self, table):
+        assert table.full_scan().count() == 100
+
+    def test_query_straddles_split_point(self, table):
+        df = table.range_key_query([("key", "row-%019d" % 45, "row-%019d" % 55)])
+        assert df.count() == 10
+
+    def test_sql_stage(self, table):
+        out = table.sql(
+            "SELECT count(*) AS n FROM query_results WHERE key >= 'row-0000000000000000050'")
+        assert out.collect()[0].n == 50
+
+    def test_sql_stage_rejects_dml(self, table):
+        with pytest.raises(ValueError):
+            table.sql("DROP TABLE query_results")
+
+    def test_multiple_ingests_accumulate(self, spark, table):
+        table.ingest(numbered_rows(spark))
+        assert table.full_scan().count() == 200
+
+    def test_empty_table_query(self, spark, tmp_path):
+        t = SleeperTable.create(spark, str(tmp_path / "empty"), numbered_schema())
+        assert t.full_scan().count() == 0
+
+
+class TestCompaction:
+    def test_compaction_preserves_query_results(self, spark, table):
+        table.ingest(numbered_rows(spark))
+        table.ingest(numbered_rows(spark))
+        before = sorted((r.key, r.timestamp, r.value)
+                        for r in table.full_scan().collect())
+        out = table.compact()
+        assert out  # jobs ran
+        after = sorted((r.key, r.timestamp, r.value)
+                       for r in table.full_scan().collect())
+        assert before == after
+        # each leaf now has exactly 1 unowned reference
+        for leaf in table.store.tree.leaves():
+            refs = table.store.references_for_partition(leaf.id)
+            assert len(refs) == 1
+
+    def test_compacted_files_are_sorted(self, spark, table):
+        import pyarrow.parquet as pq
+        table.ingest(numbered_rows(spark))
+        refs = table.compact()
+        for ref in refs:
+            pdf = pq.read_table(ref.filename).to_pandas()
+            keys = list(zip(pdf["key"], pdf["timestamp"]))
+            assert keys == sorted(keys)
+
+    def test_gc_after_compaction(self, spark, table):
+        import os
+        table.ingest(numbered_rows(spark))
+        old_files = [r.filename for r in table.store.all_references()]
+        table.compact()
+        deleted = table.collect_garbage(now=time.time() + 10_000)
+        assert set(deleted) == set(old_files)
+        assert all(not os.path.exists(f) for f in deleted)
+
+    def test_gc_respects_delay(self, spark, table):
+        table.ingest(numbered_rows(spark))
+        table.compact()
+        assert table.collect_garbage() == []  # too recent
+
+
+class TestAggregationTable:
+    def agg_table(self, spark, tmp_path):
+        # F3 agg_counts (docs/usage/data-processing.md:37-44)
+        schema = Schema(
+            row_key_fields=(Field("id", T.StringType()),),
+            value_fields=(Field("count", T.LongType()),
+                          Field("last_seen", T.LongType()),
+                          Field("tags", T.MapType(T.StringType(), T.LongType()))),
+        )
+        props = TableProperties(
+            aggregations="sum(count), max(last_seen), map_sum(tags)")
+        t = SleeperTable.create(spark, str(tmp_path / "agg"), schema, props)
+        rows = [
+            ("a", 1, 100, {"x": 1}),
+            ("a", 2, 200, {"x": 2, "y": 5}),
+            ("b", 10, 50, {"z": 1}),
+        ]
+        df = spark.createDataFrame(rows, schema.to_struct_type())
+        t.ingest(df)
+        return t
+
+    def test_query_collapses_duplicates(self, spark, tmp_path):
+        t = self.agg_table(spark, tmp_path)
+        got = {r.id: r for r in t.full_scan().collect()}
+        assert got["a"]["count"] == 3
+        assert got["a"]["last_seen"] == 200
+        assert got["a"]["tags"] == {"x": 3, "y": 5}
+        assert got["b"]["count"] == 10
+
+    def test_sum_int_stays_int(self, spark, tmp_path):
+        t = self.agg_table(spark, tmp_path)
+        dtypes = dict(t.full_scan().dtypes)
+        assert dtypes["count"] == "bigint"
+
+    def test_query_equals_query_after_compaction(self, spark, tmp_path):
+        t = self.agg_table(spark, tmp_path)
+        df2 = spark.createDataFrame(
+            [("a", 5, 500, {"y": 1}), ("c", 1, 1, {"w": 2})],
+            t.schema.to_struct_type())
+        t.ingest(df2)
+        before = sorted((r.id, r["count"], r.last_seen, tuple(sorted(r.tags.items())))
+                        for r in t.full_scan().collect())
+        t.compact()
+        after = sorted((r.id, r["count"], r.last_seen, tuple(sorted(r.tags.items())))
+                       for r in t.full_scan().collect())
+        assert before == after
+        assert before[0] == ("a", 8, 500, (("x", 3), ("y", 6)))
+
+
+class TestAgeOffTable:
+    def test_age_off_at_query_and_compaction(self, spark, tmp_path):
+        # F4 ageoff_events
+        schema = Schema(
+            row_key_fields=(Field("key", T.StringType()),),
+            sort_key_fields=(Field("timestamp", T.LongType()),),
+            value_fields=(Field("payload", T.StringType()),),
+        )
+        props = TableProperties(filters="ageOff(timestamp, 1000)")
+        t = SleeperTable.create(spark, str(tmp_path / "age"), schema, props)
+        now = 100_000
+        df = spark.createDataFrame(
+            [("k1", now - 2000, "old"), ("k2", now - 500, "fresh"),
+             ("k3", now - 999, "fresh2"), ("k4", now - 1000, "boundary")],
+            schema.to_struct_type())
+        t.ingest(df)
+        got = {r.key for r in t.full_scan(now_millis=now).collect()}
+        assert got == {"k2", "k3"}  # drop when now - ts >= maxAge
+        # compaction with the same pinned now also drops them physically
+        t.ingest(df)  # second file so a job is created
+        t.compact(now_millis=now)
+        got2 = {r.key for r in t.full_scan(now_millis=now).collect()}
+        assert got2 == {"k2", "k3"}
+        total = sum(r.number_of_rows for r in t.store.all_references())
+        assert total == 4  # 2 keys x 2 ingests, old rows physically gone
+
+
+class TestPartitionSplitting:
+    def test_split_and_requery(self, spark, tmp_path):
+        schema = Schema(row_key_fields=(Field("key", T.LongType()),),
+                        value_fields=(Field("value", T.LongType()),))
+        props = TableProperties(partition_split_threshold=100)
+        t = SleeperTable.create(spark, str(tmp_path / "sp"), schema, props)
+        df = spark.range(1000).select(F.col("id").alias("key"),
+                                      (F.col("id") * 2).alias("value"))
+        t.ingest(df)
+        split = t.split_partitions()
+        assert split == ["root"]
+        leaves = t.store.tree.leaves()
+        assert len(leaves) == 2
+        # data didn't move, queries still exact
+        assert t.full_scan().count() == 1000
+        assert t.exact_key_query(key=777).collect()[0].value == 1554
+        # pre-split refs down + compact pulls data into leaves
+        moved = t.split_file_references()
+        assert moved == 1
+        t.compact()
+        assert t.full_scan().count() == 1000
+        for leaf in t.store.tree.leaves():
+            for r in t.store.references_for_partition(leaf.id):
+                assert r.only_contains_data_for_this_partition
+
+
+class TestByteArrayKeys:
+    def test_unsigned_ordering_range_query(self, spark, tmp_path):
+        # F5 bytes_kv: high-bit keys catch signed-comparison bugs
+        schema = Schema(row_key_fields=(Field("key", T.BinaryType()),),
+                        value_fields=(Field("value", T.BinaryType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "b"), schema)
+        rows = [(bytes([b]), bytes([b, b])) for b in [0x00, 0x7F, 0x80, 0xFF]]
+        t.ingest(spark.createDataFrame(rows, schema.to_struct_type()))
+        got = [r.key for r in
+               t.range_key_query([("key", b"\x7f", None)]).collect()]
+        assert sorted(got) == [b"\x7f", b"\x80", b"\xff"]
+        got2 = t.exact_key_query(key=b"\x80").collect()
+        assert got2[0].value == b"\x80\x80"
