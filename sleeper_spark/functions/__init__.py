@@ -1,0 +1,17 @@
+"""Beyond-reference operator library: the operations a large-scale
+training-data pipeline needs, designed 100 TB-first.
+
+The reference engine has no scalar/join/window surface (SURVEY §2.3-2.8) —
+Spark provides those natively. This package adds the non-trivial pieces:
+
+- ``dedup``       exact + MinHash-LSH + SimHash + n-gram Jaccard dedup
+- ``text``        language ID, quality scoring, token counting, fingerprints
+- ``similarity``  brute-force and LSH-bucketed cosine ANN over embeddings
+- ``multimodal``  binary-column plumbing for image/audio payloads (decode
+                  stubbed — libs not in this container)
+
+Design rules applied throughout: built-in ``pyspark.sql.functions`` and
+higher-order functions first (JVM-side, codegen'd); every operator is
+partition-parallel with no driver-side data; shuffles only on declared
+keys; Pandas UDFs only where vectorized Python genuinely wins.
+"""

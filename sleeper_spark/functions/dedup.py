@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each choice):
+
+- **Exact** dedup is a hash-aggregate on a content hash — one shuffle on
+  md5(text), no driver data, AQE handles skew from giant duplicate
+  clusters.
+- **MinHash+LSH** avoids the O(n²) pair space: shingle -> K minhashes via
+  ``xxhash64(shingle, seed)`` (JVM-side, per-row, no UDF) -> group the
+  signature into B bands -> explode to (band_id, band_hash) -> self-join
+  on the band bucket. Only documents sharing a band bucket are candidate
+  pairs, so the join cardinality tracks true duplicate density, not n².
+- **SimHash** is a 64-bit weighted-bit-vote fingerprint; near-duplicates
+  differ in few bits. Banding the 64 bits into 4 x 16-bit keys finds all
+  pairs within Hamming distance 3 via equi-joins (pigeonhole) — again no
+  n² pair space.
+- **n-gram Jaccard** verifies candidate pairs exactly; it only ever runs
+  on the (small) candidate set produced by LSH/SimHash.
+
+Everything is expressed with built-in functions + higher-order functions;
+no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sleeper_spark.functions.text import content_md5, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (content hash, canonical keeper id, count).
+    One hash-agg shuffle; keeper = min id for determinism."""
+    return (
+        df.groupBy(content_md5(text_col).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each identical-text group.
+    min_by avoids a self-join: single aggregation, then semi-join back."""
+    keep = (
+        df.groupBy(content_md5(text_col).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings (token n-grams), distinct.
+
+    Guarded with when(): Spark's sequence() runs DESCENDING when start >
+    stop, so short documents need an explicit empty array, not sequence(1,0).
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed s in 0..K-1, min over shingles of
+    xxhash64(shingle, s). Pure higher-order expressions."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s))))
+        for s in range(num_hashes)
+    ])
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate duplicate pairs (id_a < id_b, band-bucket collision).
+
+    rows_per_band = num_hashes / bands sets the similarity knee:
+    P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_k), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig")
+    ).select(
+        "__id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.array_join(
+                    F.transform(F.slice(F.col("__sig"), b * r + 1, r),
+                                lambda x: x.cast("string")), ",")).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify of candidates)
+# ---------------------------------------------------------------------------
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (arrays already distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def verified_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates filtered by exact n-gram Jaccard >= threshold.
+    The expensive exact measure touches only LSH survivors."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(id_col).alias("__id"),
+                   shingles(text_col, shingle_k).alias("__sh"))
+    out = (
+        cand.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("sh_a"), F.col("sh_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def _bit64(i: int) -> int:
+    """Bit i as a SIGNED 64-bit literal — 1<<63 overflows a Java Long, so
+    the top bit is Long.MIN_VALUE's bit pattern."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
+def simhash(col: Column | str, k_shingle: int = 2) -> Column:
+    """64-bit SimHash: per-bit majority vote over shingle hashes.
+
+    For each bit i, count shingles whose hash has bit i set vs unset; the
+    fingerprint's bit i = 1 iff the vote is positive. Implemented with
+    higher-order functions over the shingle array — per-row, no shuffle.
+    """
+    hashes = F.transform(shingles(col, k_shingle), lambda sh: F.xxhash64(sh))
+    n = F.size(hashes)
+    bits = F.array(*[
+        (
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(_bit64(i))) != 0)) * 2 > n
+        ).cast("long") * F.lit(_bit64(i))
+        for i in range(64)
+    ])
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k_shingle: int = 2,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of each other's SimHash.
+
+    Pigeonhole banding: split 64 bits into max_hamming+1 blocks; any pair
+    within the distance agrees exactly on >= 1 block, so equi-joining on
+    (block_id, block_value) finds all such pairs without an n² cross join.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    fp = df.select(F.col(id_col).alias("__id"),
+                   simhash(text_col, k_shingle).alias("__fp"))
+    blocks = fp.select(
+        "__id", "__fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftrightunsigned(F.col("__fp"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
+            )
+            for b in range(nblocks)
+        ])).alias("bb"),
+    ).select("__id", "__fp", "bb.block", "bb.bval")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(r, ["block", "bval"])
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+            hamming_distance64(F.col("l.__fp"), F.col("r.__fp")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The Spark-side architecture is real and tested — schemas, batch shapes,
+``mapInPandas`` signatures, partition sizing — while the codec step is
+stubbed (PIL/librosa/ffmpeg are not in this container): ``decode_image``
+raises NotImplementedError unless given the deterministic fake decoder,
+which produces stable pseudo-pixels from the payload hash so the plumbing
+can be exercised end-to-end.
+
+Scale notes: binary payloads ride in the same Parquet row as their
+metadata; ``spark.sql.files.maxPartitionBytes`` bounds task input so a
+task's Arrow batches fit executor memory; per-batch processing in
+``mapInPandas`` streams record batches instead of materialising a
+partition. Feature extraction emits fixed-size vectors so downstream
+similarity search (``similarity.py``) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried alongside every binary payload
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("format", T.StringType(), True),        # png|wav|mp4|...
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+IMAGE_FEATURE_DIM = 16
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str, media_type: str,
+                          fmt: str | None = None) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def fake_image_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image codec: 8x8 grayscale derived
+    from the payload's sha256 — stable across runs and processes."""
+    h = hashlib.sha256(payload or b"").digest()
+    arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).astype(np.float32)
+    return arr.reshape(8, 8)
+
+
+def real_image_decoder(payload: bytes) -> np.ndarray:
+    """Real codec hook. The container has no imaging libraries; plug PIL in
+    here when available."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library (e.g. PIL); "
+        "not present in this environment — use fake_image_decoder for tests"
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], "np.ndarray"] = real_image_decoder,
+) -> DataFrame:
+    """payload binary -> fixed-size feature vector via mapInPandas.
+
+    Feature = per-row means of the decoded 8x8 grid + global stats, giving
+    a IMAGE_FEATURE_DIM-wide ``array<float>`` column compatible with the
+    similarity operators.
+    """
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf[payload_col]:
+                img = decoder(bytes(payload) if payload is not None else b"")
+                v = np.concatenate([
+                    img.mean(axis=1),                      # 8 row means
+                    img.mean(axis=0)[:6],                  # 6 col means
+                    [float(img.mean()), float(img.std())], # global stats
+                ]).astype(np.float32)
+                feats.append(v.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_nth: int = 10,
+) -> DataFrame:
+    """Frame-sampling plumbing: emits (id, frame_index, frame_payload) rows.
+    The splitter is a deterministic fake (chunks the payload); a real
+    demuxer slots into the same mapInPandas shape."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                chunks = [data[i:i + 32] for i in range(0, max(len(data), 1), 32)]
+                for j in range(0, len(chunks), every_nth):
+                    ids.append(rid)
+                    idxs.append(j)
+                    frames.append(chunks[j])
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs,
+                                "frame_payload": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

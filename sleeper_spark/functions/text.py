@@ -1,0 +1,107 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen): no Python in
+the hot path, so these run at scan speed over 100 TB of documents and
+every derived column is prunable/pushable by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small portable token pattern: runs identically in Spark and ANSI-SQL
+# engines (the oracle uses the same regex) — word chars incl. apostrophes.
+TOKEN_PATTERN = "[A-Za-z0-9']+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and hard-coded: language ID here is a
+# scoring heuristic, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans", "est", "les"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "für", "auf"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Array of word tokens (BPE-ish regex split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punctuation/stopword
+    ratios. Each is a single codegen'd expression over the scan."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_toks = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.lit(STOPWORDS["en"]).cast("array<string>")))
+    return df.withColumns({
+        "n_chars_computed": n_chars,
+        "n_tokens": n_toks,
+        "mean_token_len": F.when(
+            n_toks > 0,
+            F.round(F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                    .cast("double") / n_toks, 4)
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
+        "distinct_stopwords": stop_hits,
+    })
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts over the token multiset."""
+    toks = tokens(col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        out[lang] = F.size(
+            F.filter(toks, lambda t: t.isin(words))  # noqa: B023 — words bound per iteration
+        )
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "predicted_lang") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when no list scores > 0. Pure expressions —
+    no UDF, no shuffle."""
+    scores = language_scores(F.col(text_col))
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # later langs win ties in reverse build order; iterate reversed so that
+    # earlier (more common) languages take precedence on equal score
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """Document fingerprint: 64-bit hash of normalized text (rolling-hash
+    equivalent for exact/near-exact duplicate detection). xxhash64 is
+    Spark-native and stable across runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def content_md5(col: Column | str) -> Column:
+    """Portable content hash (md5 exists in every SQL engine — used where
+    the oracle must reproduce the hash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)

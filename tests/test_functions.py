@@ -1,0 +1,166 @@
+"""Tests for the beyond-reference operator library (dedup, text,
+similarity, multimodal plumbing) on the real documents/embeddings
+testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestText:
+    def test_token_count_matches_python(self, docs):
+        import re
+        from sleeper_spark.functions.text import token_count
+        rows = (docs.limit(20)
+                .withColumn("n", token_count("text"))
+                .select("text", "n").collect())
+        for r in rows:
+            assert r.n == len(re.findall(r"[A-Za-z0-9']+", r.text.lower()))
+
+    def test_quality_features(self, docs):
+        from sleeper_spark.functions.text import quality_features
+        out = quality_features(docs).limit(5).collect()
+        for r in out:
+            assert r.n_chars_computed == len(r.text)
+            assert 0.0 <= r.punct_ratio <= 1.0
+            assert r.n_tokens > 0
+
+    def test_language_id_returns_known_labels(self, docs):
+        from sleeper_spark.functions.text import language_id, STOPWORDS
+        out = language_id(docs).groupBy("predicted_lang").count().collect()
+        labels = {r.predicted_lang for r in out}
+        assert labels <= set(STOPWORDS) | {"und"}
+
+    def test_fingerprint_stable_and_normalizing(self, spark):
+        from sleeper_spark.functions.text import fingerprint
+        df = spark.createDataFrame(
+            [("a", "Hello  World"), ("b", "hello world")], ["id", "text"])
+        fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1]  # case + whitespace normalized
+
+
+class TestDedup:
+    def test_exact_duplicates_on_constructed(self, spark):
+        from sleeper_spark.functions.dedup import exact_duplicates, drop_exact_duplicates
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"])
+        groups = {r.keep_id: r.n_copies for r in exact_duplicates(df).collect()}
+        assert groups == {1: 2, 3: 1}
+        kept = sorted(r.doc_id for r in drop_exact_duplicates(df).collect())
+        assert kept == [1, 3]
+
+    def test_shingles(self, spark):
+        from sleeper_spark.functions.dedup import shingles
+        df = spark.createDataFrame([("a b c d",), ("x",)], ["text"])
+        out = df.select(shingles("text", 3).alias("s")).collect()
+        assert out[0].s == ["a b c", "b c d"]
+        assert out[1].s == []  # shorter than k -> empty, not descending-sequence junk
+
+    def test_minhash_finds_planted_near_dup(self, spark):
+        from sleeper_spark.functions.dedup import verified_near_duplicates
+        base = ("spark is a distributed engine for large scale data "
+                "processing with dataframes and sql abstractions")
+        near = base.replace("large scale", "massive scale")
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, "completely unrelated short doc about cats")],
+            ["doc_id", "text"])
+        pairs = verified_near_duplicates(df, threshold=0.5, num_hashes=32, bands=16)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert all(p == (1, 2) for p in got)
+
+    def test_simhash_near_duplicates(self, spark):
+        from sleeper_spark.functions.dedup import simhash_near_duplicates
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill in the sun")
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("warm", "cold")),
+             (3, "totally different content about spark executors and shuffles")],
+            ["doc_id", "text"])
+        got = {(r.id_a, r.id_b) for r in
+               simhash_near_duplicates(df, max_hamming=8).collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_minhash_scales_on_real_docs(self, docs):
+        from sleeper_spark.functions.dedup import minhash_candidate_pairs
+        pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4)
+        n_docs = docs.count()
+        n_pairs = pairs.count()
+        assert n_pairs < n_docs * n_docs / 4  # not a cross join
+
+
+class TestSimilarity:
+    def test_cosine_against_numpy(self, embeddings):
+        import numpy as np
+        from sleeper_spark.functions.similarity import brute_force_topk
+        corpus = embeddings
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        got = brute_force_topk(corpus, queries, k=3).collect()
+        # verify with numpy
+        data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in embeddings.collect()}
+        for qid in {r.query_id for r in got}:
+            q = data[qid]
+            sims = sorted(
+                ((np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)), -i)
+                 for i, v in data.items() if i != qid),
+                reverse=True)
+            want_top = [-s[1] for s in sims[:3]]
+            got_top = [r.vec_id for r in sorted(
+                (x for x in got if x.query_id == qid), key=lambda r: r.rank)]
+            assert got_top == want_top
+
+    def test_lsh_topk_subset_of_bucket(self, embeddings):
+        from sleeper_spark.functions.similarity import lsh_topk
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        out = lsh_topk(embeddings, queries, dim=dim, k=5, bits=4)
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(r.cosine <= 1.0001 for r in rows)
+
+
+class TestMultimodal:
+    def test_image_feature_plumbing(self, spark):
+        from sleeper_spark.functions.multimodal import (
+            IMAGE_FEATURE_DIM, extract_image_features, fake_image_decoder)
+        df = spark.createDataFrame(
+            [(1, b"payload-one"), (2, b"payload-two"), (3, None)],
+            "doc_id long, payload binary")
+        out = extract_image_features(df, decoder=fake_image_decoder).collect()
+        assert len(out) == 3
+        for r in out:
+            assert len(r.features) == IMAGE_FEATURE_DIM
+        # deterministic across runs
+        out2 = extract_image_features(df, decoder=fake_image_decoder).collect()
+        assert sorted((r.doc_id, tuple(r.features)) for r in out) == \
+               sorted((r.doc_id, tuple(r.features)) for r in out2)
+
+    def test_real_decoder_is_stubbed(self, spark):
+        from sleeper_spark.functions.multimodal import extract_image_features
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        from py4j.protocol import Py4JJavaError
+        with pytest.raises(Exception):  # NotImplementedError inside the UDF
+            extract_image_features(df).collect()
+
+    def test_video_frame_sampling(self, spark):
+        from sleeper_spark.functions.multimodal import sample_video_frames
+        df = spark.createDataFrame(
+            [(1, bytes(range(256)) * 4)], "doc_id long, payload binary")
+        out = sample_video_frames(df, every_nth=2).collect()
+        assert len(out) > 1
+        assert all(r.frame_index % 2 == 0 for r in out)
