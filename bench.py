@@ -1,0 +1,124 @@
+"""Benchmark harness: runs the engine's query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "ingest_rows_per_sec": N, "compaction_rows_per_sec": N}
+
+The per-query timings cover the full SURVEY §2 inventory (each query is
+executed with a no-op sink so results are materialized but never
+collected).  ingest/compaction throughput mirror the reference's headline
+baseline metrics (BASELINE.md: ingest 160k rows/s/process, Java compaction
+211k rows/s/process, DataFusion 3.5M rows/s @4cores) — measured here as a
+real SleeperTable ingest + full compaction of the lineitem table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.schema import Field, Schema
+from sleeper_spark.table import SleeperTable
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_query(spark, name, fn, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def bench_lifecycle(spark, sf_dir) -> tuple[float, float, int]:
+    """Ingest lineitem into a real SleeperTable (2 files/partition), then
+    compact. Returns (ingest_s, compaction_s, n_rows)."""
+    li = entry_mod._load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    n_rows = li.count()
+    maxkey = li.agg(F.max("l_orderkey")).collect()[0][0]
+    nsplits = 15
+    splits = [int(maxkey * (i + 1) / (nsplits + 1)) for i in range(nsplits)]
+    schema = Schema(
+        (Field("l_orderkey", T.LongType()),),
+        (Field("l_linenumber", T.IntegerType()),),
+        (Field("quantity", T.DoubleType(), nullable=True),
+         Field("price", T.DoubleType(), nullable=True),
+         Field("n", T.LongType()),),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_lifecycle_")
+    table = SleeperTable.create(
+        spark, os.path.join(tmp, "t"), schema, TableProperties(), splits)
+    half = (maxkey or 0) // 2
+    t0 = time.perf_counter()
+    table.ingest(li.where(F.col("l_orderkey") <= half))
+    table.ingest(li.where(F.col("l_orderkey") > half))
+    ingest_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    table.compact()
+    compaction_s = time.perf_counter() - t0
+    return ingest_s, compaction_s, n_rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sleeper_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            timings[name] = round(time_query(spark, name, fn, sf_dir), 3)
+            log(f"{name}: {timings[name]:.2f}s")
+        except Exception as e:  # noqa: BLE001
+            log(f"{name}: FAILED {type(e).__name__}: {e}")
+            timings[name] = -1.0
+
+    ingest_s, compaction_s, n_rows = bench_lifecycle(spark, sf_dir)
+    log(f"lifecycle: ingest {ingest_s:.2f}s, compaction {compaction_s:.2f}s, {n_rows} rows")
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ingest_rows_per_sec": round(n_rows / ingest_s) if ingest_s > 0 else 0,
+        "compaction_rows_per_sec": round(n_rows / compaction_s) if compaction_s > 0 else 0,
+        "n_lifecycle_rows": n_rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

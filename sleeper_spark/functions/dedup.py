@@ -5,15 +5,20 @@ Scale design (the point of each choice):
 - **Exact** dedup is a hash-aggregate on a content hash — one shuffle on
   md5(text), no driver data, AQE handles skew from giant duplicate
   clusters.
-- **MinHash+LSH** avoids the O(n²) pair space: shingle -> K minhashes via
-  ``xxhash64(shingle, seed)`` (JVM-side, per-row, no UDF) -> group the
-  signature into B bands -> explode to (band_id, band_hash) -> self-join
-  on the band bucket. Only documents sharing a band bucket are candidate
-  pairs, so the join cardinality tracks true duplicate density, not n².
+- **MinHash+LSH** avoids the O(n²) pair space: tokenize ONCE, explode
+  shingles to (doc, shingle-hash) rows, derive the K per-seed minhashes as
+  K partial-aggregated ``min()`` columns (map-side combine — the shuffle
+  carries K longs per doc, not the shingles), band the signature, and
+  self-join on the band bucket. Only documents sharing a band bucket are
+  candidate pairs, so the join cardinality tracks true duplicate density,
+  not n². The explode→agg shape (rather than K nested array traversals
+  per row) keeps per-row work linear in |shingles| and spreads it across
+  all cores regardless of input file layout.
 - **SimHash** is a 64-bit weighted-bit-vote fingerprint; near-duplicates
-  differ in few bits. Banding the 64 bits into 4 x 16-bit keys finds all
-  pairs within Hamming distance 3 via equi-joins (pigeonhole) — again no
-  n² pair space.
+  differ in few bits. The per-bit votes are 64 partial-aggregated sums
+  over the exploded shingle hashes; banding the 64 bits into
+  (max_hamming+1) blocks finds all pairs within the distance via
+  equi-joins (pigeonhole) — again no n² pair space.
 - **n-gram Jaccard** verifies candidate pairs exactly; it only ever runs
   on the (small) candidate set produced by LSH/SimHash.
 
@@ -23,10 +28,23 @@ no Python UDFs anywhere.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sleeper_spark.functions.text import content_md5, tokens
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the source is coarser
+    (e.g. one small parquet file → one task). CPU-bound derivations would
+    otherwise run on a single core; at real scale the input already has
+    ≥parallelism partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +106,31 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     ])
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh0..mhK-1) MinHash signature table via explode → K min-aggs.
+
+    Tokenization/shingling runs exactly once per document; each seed's
+    minhash is ``min(xxhash64(shingle_hash, seed))`` — a map-side partial
+    aggregation, so the shuffle carries K longs per document. Documents
+    with no shingles (shorter than k words) produce no signature and are
+    never candidates.
+    """
+    sh = _spread(df.select(F.col(id_col).alias("__id"),
+                           shingles(text_col, shingle_k).alias("__sh")))
+    exploded = sh.select("__id", F.explode("__sh").alias("__s")) \
+                 .select("__id", F.xxhash64("__s").alias("__h"))
+    return exploded.groupBy("__id").agg(*[
+        F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ])
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -103,17 +146,15 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_k), num_hashes)
-    banded = df.select(
-        F.col(id_col).alias("__id"), sig.alias("__sig")
-    ).select(
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
         "__id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.array_join(
-                    F.transform(F.slice(F.col("__sig"), b * r + 1, r),
-                                lambda x: x.cast("string")), ",")).alias("bucket"),
+                # band bucket = one hash over the band's r signature values
+                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+                 .alias("bucket"),
             )
             for b in range(bands)
         ])).alias("bb"),
@@ -196,6 +237,38 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 2,
+) -> DataFrame:
+    """(id, fingerprint) via explode → 64 per-bit vote sums.
+
+    The per-bit majority votes are partial-aggregated ``sum()`` columns
+    over the exploded shingle hashes (one tokenization pass, map-side
+    combine), then the 64 vote outcomes assemble into the fingerprint with
+    bitwise ORs. Same semantics as the Column-level :func:`simhash`, but
+    linear work per row and parallel regardless of input file layout.
+    """
+    sh = _spread(df.select(F.col(id_col).alias("__id"),
+                           shingles(text_col, k_shingle).alias("__sh")))
+    exploded = sh.select("__id", F.explode("__sh").alias("__s")) \
+                 .select("__id", F.xxhash64("__s").alias("__h"))
+    votes = exploded.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)))
+          .alias(f"b{i}") for i in range(64)],
+    )
+    bit_cols = [
+        F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit(_bit64(i)))
+         .otherwise(F.lit(0)).cast("long")
+        for i in range(64)
+    ]
+    fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+    return votes.select("__id", fp.alias("__fp"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -211,8 +284,7 @@ def simhash_near_duplicates(
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    fp = df.select(F.col(id_col).alias("__id"),
-                   simhash(text_col, k_shingle).alias("__fp"))
+    fp = simhash_fingerprints(df, text_col, id_col, k_shingle)
     blocks = fp.select(
         "__id", "__fp",
         F.explode(F.array(*[

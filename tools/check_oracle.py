@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry and its oracle_sql() side-by-side at sf0.01 and compare
+(row count, column names, order-insensitive multiset of values).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entry_mod
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return str(v)
+
+
+def row_key(row, names_sorted, name_to_idx):
+    return tuple(norm(row[name_to_idx[n]]) for n in names_sorted)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            failures += 1
+            continue
+        names_sorted = sorted(scols)
+        s_idx = {c: i for i, c in enumerate(scols)}
+        o_idx = {c: i for i, c in enumerate(ocols)}
+        sc = Counter(row_key(r, names_sorted, s_idx) for r in srows)
+        oc = Counter(row_key(r, names_sorted, o_idx) for r in orows)
+        if sc != oc:
+            diff_s = list((sc - oc).items())[:3]
+            diff_o = list((oc - sc).items())[:3]
+            print(f"FAIL  {name}: value mismatch ({sum((sc - oc).values())} rows differ)")
+            print(f"      cols={names_sorted}")
+            for r, _ in diff_s:
+                print(f"      spark-only : {r}")
+            for r, _ in diff_o:
+                print(f"      oracle-only: {r}")
+            failures += 1
+            continue
+        print(f"ok    {name}: {len(srows)} rows hash-match")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
