@@ -394,6 +394,128 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("o_orderkey", "o_custkey", "o_totalprice"))
 
 
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI join (Q4 shape): orders with >=1 deep-discount lineitem,
+    counted by priority. Catalyst plans the IN-subquery as a semi join."""
+    o = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem").where(F.col("l_discount") > 0.09)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no URGENT order."""
+    c = _load(spark, sf, "customer")
+    o = _load(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (Q17 shape) through the SQL parser:
+    parts priced above their brand's average."""
+    _load(spark, sf, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        "SELECT p_partkey, p_brand FROM part p WHERE p_retailprice > "
+        "(SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)")
+
+
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS subquery through the SQL parser (decorrelated to a semi
+    join by Catalyst)."""
+    _load(spark, sf, "orders").createOrReplaceTempView("orders")
+    _load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders WHERE EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) "
+        "GROUP BY o_orderstatus")
+
+
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ... HAVING: users with more than 80 events."""
+    ev = _load(spark, sf, "events")
+    return (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+            .where(F.col("n_events") > 80))
+
+
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (Q14 promo-share shape): one-row global
+    ratio of promo revenue, decimal-exact."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                     / F.sum(rev).cast("double"), 4).alias("promo_share"))
+    )
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-user event-type totals as columns (fixed pivot value
+    list → stable schema)."""
+    ev = _load(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4))
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL parser."""
+    _load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())")
+
+
+def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL with a provenance tag (J6 concatenation analog)."""
+    ev = _load(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.lit("c").alias("src"))
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("p").alias("src"))
+    return a.unionAll(b)
+
+
+def q_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct): users who both clicked and purchased."""
+    ev = _load(spark, sf, "events")
+    return (ev.where(F.col("event_type") == "click").select("user_id")
+            .intersect(ev.where(F.col("event_type") == "purchase").select("user_id")))
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window (1 day) via F.window — the batch form of
+    the Structured Streaming windowed aggregation (SURVEY §2.10)."""
+    ev = _load(spark, sf, "events")
+    w = ev.groupBy(F.window(F.col("ts"), "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4)
+        .alias("sum_value"),
+    )
+    return w.select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
+
+
+def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (avg/stddev/variance) per event type."""
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (beyond-reference, BASELINE.json north star)
 # ---------------------------------------------------------------------------
@@ -558,6 +680,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "distinct_count": q_distinct_count,
         "topk": q_topk,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "having": q_having,
+        "conditional_agg": q_conditional_agg,
+        "pivot": q_pivot,
+        "grouping_sets": q_grouping_sets,
+        "union_all": q_union_all,
+        "intersect": q_intersect,
+        "tumbling_window": q_tumbling_window,
+        "stats_agg": q_stats_agg,
         # training-data pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -689,6 +823,56 @@ def oracle_sql() -> dict[str, str]:
         "topk":
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+        "semi_join":
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09) "
+            "GROUP BY o_orderpriority",
+        "anti_join":
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')",
+        "correlated_subquery":
+            "SELECT p_partkey, p_brand FROM part p WHERE p_retailprice > "
+            "(SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)",
+        "exists_subquery":
+            "SELECT o_orderstatus, count(*) AS n FROM orders WHERE EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) "
+            "GROUP BY o_orderstatus",
+        "having":
+            "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id "
+            "HAVING count(*) > 80",
+        "conditional_agg":
+            "SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) "
+            "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) "
+            "AS promo_share FROM lineitem JOIN part ON l_partkey = p_partkey",
+        "pivot":
+            "SELECT user_id, "
+            "round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS click, "
+            "round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS view, "
+            "round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS purchase, "
+            "round(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS signup, "
+            "round(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS error "
+            "FROM events GROUP BY user_id",
+        "grouping_sets":
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        "union_all":
+            "SELECT event_id, user_id, 'c' AS src FROM events WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT event_id, user_id, 'p' AS src FROM events WHERE event_type = 'purchase'",
+        "intersect":
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "tumbling_window":
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "
+            "FROM events GROUP BY date_trunc('day', ts)",
+        "stats_agg":
+            "SELECT event_type, round(avg(value), 4) AS avg_value, "
+            "round(stddev_samp(value), 4) AS sd_value, "
+            "round(var_samp(value), 4) AS var_value FROM events GROUP BY event_type",
         "dedup_exact_groups":
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)",
