@@ -645,6 +645,65 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming operators run to completion (availableNow) and hash-checked
+# ---------------------------------------------------------------------------
+
+_EVENTS_READ_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),          # nanos via nanosAsLong
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    import shutil
+    shutil.copy(os.path.join(sf, "events.parquet"), os.path.join(d, "events.parquet"))
+    return spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(d)
+
+
+def _run_stream_to_view(out: DataFrame, name: str, mode: str) -> None:
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name).outputMode(mode)
+         .trigger(availableNow=True).option("checkpointLocation", ckpt).start())
+    q.awaitTermination(300)
+
+
+def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (SURVEY §2.10
+    parity-plus), run to completion with availableNow and hash-checked
+    against the batch SQL oracle."""
+    from sleeper_spark import streaming as streaming_mod
+    stream = _events_stream(spark, sf).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = streaming_mod.windowed_aggregate(stream, "ts", window="1 day",
+                                           watermark="1 hour")
+    _run_stream_to_view(out, "q_streaming_window", "complete")
+    return spark.sql(
+        "SELECT CAST(window_start AS DATE) AS day, n_events "
+        "FROM q_streaming_window")
+
+
+def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): final
+    per-user running totals equal the batch aggregate."""
+    from sleeper_spark import streaming as streaming_mod
+    stream = _events_stream(spark, sf)
+    out = streaming_mod.stateful_running_totals(stream, "user_id", "value")
+    _run_stream_to_view(out, "q_streaming_running", "update")
+    # updates are monotone; the final state per key is the max
+    return (spark.sql("SELECT * FROM q_streaming_running")
+            .groupBy(F.col("key").alias("user_id"))
+            .agg(F.max("n_total").alias("n_total"),
+                 F.round(F.max("value_total"), 4).alias("value_total")))
+
+
+# ---------------------------------------------------------------------------
 # the driver contract
 # ---------------------------------------------------------------------------
 
@@ -708,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # streaming (availableNow, hash-checked against batch SQL)
+        "streaming_window": q_streaming_window,
+        "streaming_running_totals": q_streaming_running_totals,
     }
 
 
@@ -923,6 +985,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, "
             "round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) "
             "AS l2_norm FROM embeddings",
+        "streaming_window":
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events "
+            "FROM events GROUP BY date_trunc('day', ts)",
+        "streaming_running_totals":
+            "SELECT user_id, count(*) AS n_total, "
+            "round(sum(value), 4) AS value_total FROM events GROUP BY user_id",
         "ann_brute_force":
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "

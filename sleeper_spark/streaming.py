@@ -1,0 +1,147 @@
+"""Structured Streaming surface: continuous ingest + streaming analogs of
+the table-processing operators.
+
+The reference has no streaming operators in the watermark/window sense
+(SURVEY §2.10) — its streaming-shaped machinery is:
+
+- the **ingest batcher**, which groups incoming file-ingest requests into
+  jobs by size/age thresholds (IngestBatcher.java, docs/design.md:261-272)
+  — exactly Structured Streaming's micro-batch trigger; and
+- **continual aggregation** (docs/usage/data-processing.md:33-48), the
+  same commutative/associative algebra as a streaming
+  ``groupBy().agg()`` with state collapsed at compaction instead of at a
+  watermark.
+
+This module provides the parity-plus mapping:
+
+- :func:`stream_ingest` — ``writeStream.foreachBatch`` into a
+  ``SleeperTable``: each micro-batch becomes one ingest job (sorted
+  partition files + ADD_FILES transaction), so the LSM machinery
+  (compaction, splitting, GC) runs unchanged underneath a live stream.
+- :func:`windowed_aggregate` — event-time tumbling/sliding windows with a
+  watermark for late data.
+- :func:`ageoff_stream` — the P3 ageOff filter applied on a stream
+  (state-TTL analog).
+- :func:`stateful_running_totals` — ``applyInPandasWithState`` custom
+  stateful operator (the U1 custom-iterator analog for streams).
+
+Scale notes: foreachBatch ingest inherits the batch ingest path's
+``repartitionByRange + sortWithinPartitions`` — each micro-batch is one
+Spark job whose parallelism is the partition tree's leaf count; watermarked
+aggs keep per-key state in the state store (RocksDB-backed on a real
+cluster via ``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.query import StreamingQuery
+from pyspark.sql import types as T
+
+from sleeper_spark.processing import age_off_condition
+from sleeper_spark.iterators import AgeOffFilter
+from sleeper_spark.table import SleeperTable
+
+
+def stream_ingest(
+    table: SleeperTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest a stream into a SleeperTable.
+
+    Each micro-batch runs the standard ingest path (O7: one sorted file
+    per overlapping leaf partition + atomic ADD_FILES commit), mirroring
+    the reference's ingest batcher turning a request stream into ingest
+    jobs (IngestBatcher.java). Exactly-once within a batch comes from the
+    checkpoint + the transaction log's idempotent append.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.ingest(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark.
+
+    Defaults to counting; pass ``aggs`` for custom aggregate columns.
+    Works identically on batch DataFrames (no watermark applied there).
+    """
+    cols = group_cols or []
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out_aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    agged = df.groupBy(w.alias("w"), *cols).agg(*out_aggs)
+    rest = [c for c in agged.columns if c != "w"]
+    return agged.select(F.col("w.start").alias("window_start"),
+                        F.col("w.end").alias("window_end"), *rest)
+
+
+def ageoff_stream(stream_df: DataFrame, f: AgeOffFilter, now_millis: int) -> DataFrame:
+    """P3 ageOff on a stream: drop expired/null rows (state-TTL analog).
+    ``now`` is fixed per trigger for determinism, as in the batch path."""
+    return stream_df.where(age_off_condition(f, now_millis))
+
+
+_RUNNING_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("n_total", T.LongType()),
+    T.StructField("value_total", T.DoubleType()),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+def stateful_running_totals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum) that survives across micro-batches — the
+    streaming analog of the reference's custom-iterator surface (U1,
+    ConfigStringIterator) where state lives in files between compactions."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf[value_col].sum())
+        state.update((n, v))
+        yield pd.DataFrame({"key": [key[0]], "n_total": [n], "value_total": [v]})
+
+    grouped = stream_df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias(value_col)
+    ).groupBy("key")
+    return grouped.applyInPandasWithState(
+        fn, _RUNNING_SCHEMA, _STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout,
+    )

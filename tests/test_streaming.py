@@ -1,0 +1,135 @@
+"""Structured Streaming surface: stream ingest into a SleeperTable,
+watermarked windowed aggregation, stateful running totals.
+
+All tests drive real file-source streams over the driver testdata with
+``availableNow`` triggers so they are deterministic and terminate."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sleeper_spark import Field, Schema, SleeperTable
+from sleeper_spark.iterators import AgeOffFilter
+from sleeper_spark.properties import TableProperties
+from sleeper_spark import streaming
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENTS_READ_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),          # nanos (nanosAsLong)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """A directory the stream source watches, seeded with the events file."""
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def _read_stream(spark, path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.readStream.schema(EVENTS_READ_SCHEMA).parquet(path)
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir).select(
+        "event_id", "user_id", "event_type", F.col("value"))
+    schema = Schema(
+        (Field("event_id", T.LongType()),),
+        (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)),
+    )
+    table = SleeperTable.create(
+        spark, str(tmp_path / "t"), schema, TableProperties(),
+        split_points=[400])
+    q = streaming.stream_ingest(table, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    assert table.full_scan().count() == batch.count()
+    got = {r.event_id for r in table.range_key_query([("event_id", 0, 100)]).collect()}
+    want = {r.event_id for r in batch.where("event_id < 100").collect()}
+    assert got == want
+
+
+def test_stream_ingest_multiple_batches_accumulate(spark, tmp_path, events_stream_dir):
+    """A second file arriving later lands as a second ingest commit."""
+    stream = _read_stream(spark, events_stream_dir).select("event_id", "user_id")
+    schema = Schema((Field("event_id", T.LongType()),), (),
+                    (Field("user_id", T.LongType(), True),))
+    table = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                                TableProperties())
+    streaming.stream_ingest(table, stream, str(tmp_path / "ckpt")).awaitTermination(120)
+    n1 = table.full_scan().count()
+
+    # drop a second (small) file into the watched dir, run the stream again
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    more = spark.read.parquet(events_stream_dir).limit(10) \
+        .withColumn("event_id", F.col("event_id") + 1_000_000)
+    more.write.mode("append").parquet(events_stream_dir)
+    stream2 = _read_stream(spark, events_stream_dir).select("event_id", "user_id")
+    streaming.stream_ingest(table, stream2, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    assert table.full_scan().count() == n1 + 10
+    # the checkpoint prevented re-ingesting the first file
+    assert table.range_key_query([("event_id", 1_000_000, 2_000_000)]).count() == 10
+
+
+def test_windowed_aggregate_stream_matches_batch(spark, tmp_path, events_stream_dir):
+    to_ts = F.timestamp_micros(F.expr("ts div 1000"))
+    stream = _read_stream(spark, events_stream_dir).withColumn("ts", to_ts)
+    out = streaming.windowed_aggregate(stream, "ts", window="1 day",
+                                       watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("winagg")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.n_events)
+           for r in spark.sql("SELECT * FROM winagg").collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_stream_dir).withColumn("ts", to_ts)
+    want = {(r.window_start, r.n_events)
+            for r in streaming.windowed_aggregate(batch, "ts").collect()}
+    assert got == want
+    assert len(got) > 1
+
+
+def test_ageoff_stream_filters(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir) \
+        .withColumn("ts_ms", F.expr("ts div 1000000"))
+    now_ms = 1706140800000  # 2024-01-25 UTC
+    out = streaming.ageoff_stream(stream, AgeOffFilter("ts_ms", 1209600000), now_ms)
+    assert out.isStreaming
+
+
+def test_stateful_running_totals(spark, tmp_path, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    out = streaming.stateful_running_totals(stream, "user_id", "value")
+    q = (out.writeStream.format("memory").queryName("running")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = {r.key: (r.n_total, round(r.value_total, 4))
+           for r in spark.sql("SELECT * FROM running").collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_stream_dir)
+    want = {r.user_id: (r.n, round(r.v, 4)) for r in
+            batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()}
+    assert got == want
