@@ -34,7 +34,11 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sleeper_spark.iterators import parse_aggregations, parse_filters
+from sleeper_spark.iterators import (
+    apply_custom_iterators,
+    parse_aggregations,
+    parse_filters,
+)
 from sleeper_spark.partitions import PartitionTree
 from sleeper_spark.processing import apply_filters, apply_aggregations
 from sleeper_spark.properties import TableProperties
@@ -165,6 +169,9 @@ def run_jobs(
     df = apply_filters(union, filters, now_millis)
     if aggs:
         df = apply_aggregations(df, schema, aggs, extra_group_cols=[JOB_COL])
+    # table-level custom iterators run at compaction too (U1: table
+    # iterators are applied on every read path; must preserve the schema)
+    df = apply_custom_iterators(df, props.iterators, schema)
 
     (
         df.repartition(len(jobs), F.col(JOB_COL))

@@ -126,3 +126,98 @@ def validate_filters(schema: Schema, filters: list[AgeOffFilter]) -> None:
         fld = schema.field(f.column)
         if not isinstance(fld.dtype, (T.LongType, T.IntegerType)):
             raise ValueError(f"ageOff column {f.column!r} must be int/long epoch millis")
+
+
+# ---------------------------------------------------------------------------
+# custom iterators (U1/U2): the user-transform surface
+# ---------------------------------------------------------------------------
+#
+# The reference lets users plug a ConfigStringIterator — a Java class
+# transforming a sorted row stream, configured by a string, applied
+# table-level (compaction + query) or query-level, composed in order
+# (SortedRowIterators.java:1-53; IteratorFactory.java:76-99;
+# docs/usage/data-processing.md:69-98). The Spark-native equivalent is a
+# registry of named DataFrame -> DataFrame transforms built from the same
+# ``name(args)`` config grammar. Constraints carried over: a custom
+# iterator must preserve the table schema (so compaction output stays
+# valid) and must be a per-row/streaming transform (no global reordering).
+#
+# Built-ins mirror the reference's example iterators
+# (java/example-iterators/src/main/java/sleeper/example/iterator/):
+# - securityFilter(column, auth...) — SecurityFilteringIterator.java: keep
+#   rows whose security-label value field is one of the user's auths.
+# - addition(out_col, col_a, col_b) — AdditionIterator-style derived sum.
+#
+# Python transforms that need imperative logic register a factory taking
+# (args, schema) and returning a DataFrame transform — typically built on
+# ``mapInPandas`` (the direct analog of an iterator transform).
+
+from typing import Callable, TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+IteratorFactory = Callable[[list[str], Schema], Callable[["DataFrame"], "DataFrame"]]
+
+_ITERATOR_REGISTRY: dict[str, IteratorFactory] = {}
+
+
+def register_iterator(name: str, factory: IteratorFactory) -> None:
+    """Register a custom iterator under a config-string name."""
+    _ITERATOR_REGISTRY[name.lower()] = factory
+
+
+def _security_filter(args: list[str], schema: Schema):
+    if len(args) < 1:
+        raise ValueError("securityFilter takes (column, auth...)")
+    column, auths = args[0], args[1:]
+
+    def apply(df: "DataFrame") -> "DataFrame":
+        from pyspark.sql import functions as F
+        # null/empty label = visible to all (SecurityFilteringIterator.java)
+        return df.where(F.col(column).isNull() | (F.col(column) == "")
+                        | F.col(column).isin(auths))
+
+    return apply
+
+
+def _addition(args: list[str], schema: Schema):
+    if len(args) != 3:
+        raise ValueError("addition takes (out_col, col_a, col_b)")
+    out, a, b = args
+
+    def apply(df: "DataFrame") -> "DataFrame":
+        from pyspark.sql import functions as F
+        return df.withColumn(out, F.col(a) + F.col(b))
+
+    return apply
+
+
+register_iterator("securityFilter", _security_filter)
+register_iterator("addition", _addition)
+
+
+def parse_custom_iterators(
+    config: str | None, schema: Schema
+) -> list[Callable[["DataFrame"], "DataFrame"]]:
+    """Build the composed transform chain from a config string like
+    ``securityFilter(label, public, secret), addition(total, a, b)``.
+    Chain order = config order (SortedRowIterators composition)."""
+    if not config:
+        return []
+    out = []
+    for name, args in _parse_calls(config):
+        factory = _ITERATOR_REGISTRY.get(name.lower())
+        if factory is None:
+            raise ValueError(
+                f"unknown custom iterator {name!r}; register it with "
+                f"register_iterator() (known: {sorted(_ITERATOR_REGISTRY)})")
+        out.append(factory(args, schema))
+    return out
+
+
+def apply_custom_iterators(df: "DataFrame", config: str | None,
+                           schema: Schema) -> "DataFrame":
+    for fn in parse_custom_iterators(config, schema):
+        df = fn(df)
+    return df

@@ -28,6 +28,7 @@ class TableProperties:
     # iterator configs, reference grammar (docs/usage/data-processing.md)
     filters: str = ""              # e.g. "ageOff(timestamp, 1209600000)"
     aggregations: str = ""         # e.g. "sum(count), max(last_seen), map_sum(tags)"
+    iterators: str = ""            # custom chain, e.g. "securityFilter(label, public)"
     # parquet layout (S4: ParquetRowWriterFactory.java:74-77)
     compression: str = "zstd"
     row_group_bytes: int = 8 * 1024 * 1024
@@ -41,8 +42,11 @@ class TableProperties:
     extra: dict[str, Any] = field(default_factory=dict)
 
     def validate(self, schema: Schema) -> None:
+        from sleeper_spark.iterators import parse_custom_iterators
+
         validate_filters(schema, parse_filters(self.filters))
         validate_aggregations(schema, parse_aggregations(self.aggregations))
+        parse_custom_iterators(self.iterators, schema)  # raises on unknown names
 
     def to_json(self) -> str:
         d = dict(self.__dict__)

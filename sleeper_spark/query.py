@@ -35,7 +35,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sleeper_spark.iterators import parse_aggregations, parse_filters
+from sleeper_spark.iterators import (
+    apply_custom_iterators,
+    parse_aggregations,
+    parse_filters,
+)
 from sleeper_spark.partitions import Partition
 from sleeper_spark.processing import apply_processing
 from sleeper_spark.ranges import Region, regions_to_column
@@ -50,6 +54,7 @@ class Query:
     regions: list[Region]
     requested_value_fields: list[str] | None = None  # None = all value fields
     query_time_filters: str = ""       # extra ageOff(...) applied at query only
+    query_time_iterators: str = ""     # extra custom iterator chain (U1 query-level)
     sql: str | None = None             # post-query SQL stage (Q1)
     query_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -59,6 +64,7 @@ class Query:
             "regions": [r.to_json() for r in self.regions],
             "requestedValueFields": self.requested_value_fields,
             "queryTimeFilters": self.query_time_filters,
+            "queryTimeIterators": self.query_time_iterators,
             "sql": self.sql,
         }
 
@@ -68,6 +74,7 @@ class Query:
             regions=[Region.from_json(r, schema) for r in d["regions"]],
             requested_value_fields=d.get("requestedValueFields"),
             query_time_filters=d.get("queryTimeFilters", ""),
+            query_time_iterators=d.get("queryTimeIterators", ""),
             sql=d.get("sql"),
             query_id=d.get("queryId", uuid.uuid4().hex[:12]),
         )
@@ -102,12 +109,14 @@ class QueryExecutor:
     """Build the (single) Spark plan for a query."""
 
     def __init__(self, spark: SparkSession, store: StateStore, schema: Schema,
-                 table_filters: str = "", table_aggregations: str = ""):
+                 table_filters: str = "", table_aggregations: str = "",
+                 table_iterators: str = ""):
         self.spark = spark
         self.store = store
         self.schema = schema
         self.table_filters = table_filters
         self.table_aggregations = table_aggregations
+        self.table_iterators = table_iterators
 
     def execute(self, query: Query, now_millis: int) -> DataFrame:
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
@@ -132,10 +141,15 @@ class QueryExecutor:
             parse_aggregations(self.table_aggregations),
             now_millis,
         )
-        # query-time extra filters
+        # custom iterator chains: table-level, then query-level
+        # (IteratorFactory.java:79-91 — filters -> aggregation -> custom)
+        df = apply_custom_iterators(df, self.table_iterators, self.schema)
+
+        # query-time extra filters + iterators
         qf = parse_filters(query.query_time_filters)
         if qf:
             df = apply_processing(df, self.schema, qf, [], now_millis)
+        df = apply_custom_iterators(df, query.query_time_iterators, self.schema)
 
         # projection: keys always returned; value fields as requested
         # (LeafPartitionQueryExecutor.java:105-131)

@@ -91,6 +91,7 @@ class SleeperTable:
             self.spark, self.store, self.schema,
             table_filters=self.props.filters,
             table_aggregations=self.props.aggregations,
+            table_iterators=self.props.iterators,
         )
         return ex.execute(query, now_millis)
 
