@@ -37,6 +37,12 @@ class TableProperties:
     partition_split_threshold: int = 1_000_000_000  # PartitionSplittingProperty.java:97
     compaction_files_batch_size: int = 11           # matches baseline job shape
     compaction_strategy: str = "basic"              # "basic" | "size_ratio"
+    # engine selection mirrors the reference's Java vs DataFusion split
+    # (QueryEngineSelector.java:49-57): "spark" = shared-shuffle Spark SQL
+    # plan (full algebra incl. concat-sum/map_*/custom iterators); "arrow" =
+    # one vectorized zero-shuffle task per job; "auto" = arrow when the
+    # table's processing config is arrow-expressible
+    compaction_engine: str = "auto"                 # "auto" | "spark" | "arrow"
     size_ratio: int = 3                             # SizeRatioCompactionStrategy
     gc_delay_seconds: float = 600.0                 # docs/design.md:331-343
     extra: dict[str, Any] = field(default_factory=dict)
