@@ -77,6 +77,25 @@ def _dec_sum(col, scale: int = 2, round_to: int | None = None):
     return F.round(d, round_to if round_to is not None else scale)
 
 
+def _revenue_dec():
+    """Exact decimal l_extendedprice * (1 - l_discount): base columns hold
+    clean 2-decimal values, so the double->decimal casts are unambiguous;
+    the products/sums are then exact and engine-independent."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")))
+
+
+def _charge_dec():
+    return _revenue_dec() * (F.lit(1).cast("decimal(4,2)")
+                             + F.col("l_tax").cast("decimal(4,2)"))
+
+
+def rev_type() -> str:
+    """Decimal type used for the zero literal paired with _revenue_dec in
+    conditional aggregation (coerced to the revenue decimal by when/otherwise)."""
+    return "decimal(18,4)"
+
+
 _EVENTS_COLS = ["event_id", "ts_us", "user_id", "event_type", "value", "props"]
 
 
@@ -232,13 +251,16 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     (beyond-reference SQL stage, SURVEY §2.9/§7 phase 4)."""
     li = _load(spark, sf, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # exact decimal arithmetic on the (2-decimal) base columns: decimalizing
+    # the double PRODUCT instead would round near-midpoint mantissas
+    # differently across engines
+    disc_price = _revenue_dec()
+    charge = _charge_dec()
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
         _dec_sum("l_quantity", 2).alias("sum_qty"),
         _dec_sum("l_extendedprice", 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price.cast("decimal(18,4)")).cast("double"), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge.cast("decimal(18,4)")).cast("double"), 2).alias("sum_charge"),
+        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
         F.round((F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
                  / F.count(F.lit(1))), 4).alias("avg_qty"),
         F.round((F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
@@ -256,13 +278,13 @@ def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     s = _load(spark, sf, "supplier")
     n = _load(spark, sf, "nation")
     r = _load(spark, sf, "region")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _revenue_dec()
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
-        .agg(F.round(F.sum(revenue.cast("decimal(18,4)")).cast("double"), 2).alias("revenue"),
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -275,13 +297,13 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
     li = _load(spark, sf, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _revenue_dec()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
                  "o_orderpriority")
-        .agg(F.round(F.sum(revenue.cast("decimal(18,4)")).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -448,8 +470,8 @@ def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
     ratio of promo revenue, decimal-exact."""
     li = _load(spark, sf, "lineitem")
     p = _load(spark, sf, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    rev = _revenue_dec()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast(rev_type()))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
@@ -824,7 +846,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus",
         "join_agg":
             "SELECT n_name, r_name, "
-            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue, "
             "count(*) AS n_items "
             "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
@@ -832,7 +854,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n_name, r_name",
         "tpch_q3":
             "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority, "
-            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' "

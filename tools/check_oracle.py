@@ -25,7 +25,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # full round-trip precision: only bit-identical doubles compare
+        # equal, mimicking the driver's value hash
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
