@@ -141,11 +141,17 @@ def minhash_signatures(
     """
     sh = _spread(df.select(F.col(id_col).alias("__id"),
                            shingle_hashes(text_col, shingle_k).alias("__sh")))
-    exploded = sh.select("__id", F.explode("__sh").alias("__h"))
-    return exploded.groupBy("__id").agg(*[
-        F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"mh{s}")
+    # per-row signature: K array_min/transform passes over the (distinct)
+    # shingle-hash column — no shuffle at all. The projection boundary
+    # keeps __sh materialised once (CollapseProject declines to inline a
+    # non-cheap expression referenced K times); rows with no shingles get
+    # null mins and are dropped — never candidates.
+    out = sh.select("__id", *[
+        F.array_min(F.transform(F.col("__sh"),
+                                lambda h: F.xxhash64(h, F.lit(s)))).alias(f"mh{s}")
         for s in range(num_hashes)
     ])
+    return out.where(F.col("mh0").isNotNull())
 
 
 def minhash_candidate_pairs(
@@ -176,6 +182,10 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ])).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
+    # materialise one exchange on the join keys: both sides of the
+    # self-join reuse it (ReuseExchange), so the signature pipeline runs
+    # once, and the join is co-partitioned. B rows per doc — tiny shuffle.
+    banded = banded.repartition("band", "bucket")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
