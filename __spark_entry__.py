@@ -245,6 +245,48 @@ def q_sleeper_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_bulk_export(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 bulk export: whole table through the compaction read path, one
+    sorted file per leaf, re-read for the oracle compare."""
+    from sleeper_spark import output as output_mod
+    ev = _load(spark, sf, "events").select(
+        F.col("user_id"), F.col("event_type"), F.lit(1).cast("long").alias("n"))
+    schema = Schema(
+        (Field("user_id", T.LongType()),),
+        (Field("event_type", T.StringType()),),
+        (Field("n", T.LongType()),),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_export_")
+    table = SleeperTable.create(
+        spark, os.path.join(tmp, "t"), schema,
+        TableProperties(aggregations="sum(n)"), split_points=[250, 500, 750])
+    table.ingest(ev)
+    files = output_mod.bulk_export(table, os.path.join(tmp, "export"))
+    return spark.read.schema(schema.to_struct_type()).parquet(*files.values())
+
+
+def q_security_iterator(spark: SparkSession, sf: str) -> DataFrame:
+    """U1/P5 custom iterator at query time: securityFilter keeps only the
+    caller's authorised label values (event_type standing in for the
+    security label; SecurityFilteringIterator.java)."""
+    from sleeper_spark.query import Query as SQuery
+    ev = _load(spark, sf, "events").select(
+        F.col("event_id"), F.col("event_type"), F.col("user_id"))
+    schema = Schema(
+        (Field("event_id", T.LongType()),),
+        (),
+        (Field("event_type", T.StringType(), True),
+         Field("user_id", T.LongType(), True)),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_security_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(), split_points=[5000])
+    table.ingest(ev)
+    q = SQuery([Region.of(Range("event_id", 0, 6000))],
+               query_time_iterators="securityFilter(event_type, click, purchase)")
+    return table.query(q)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface: joins / windows / set ops / scalars (SURVEY §2.3, 2.6-2.9)
 # ---------------------------------------------------------------------------
@@ -751,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregation_map_sum": q_aggregation_map_sum,
         "string_concat_sum": q_string_concat_sum,
         "sleeper_lifecycle": q_sleeper_lifecycle,
+        "bulk_export": q_bulk_export,
+        "security_iterator": q_security_iterator,
         # SQL surface: joins / windows / set ops / scalars
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -836,6 +880,13 @@ def oracle_sql() -> dict[str, str]:
         "sleeper_lifecycle":
             "SELECT user_id, event_type, count(*) AS n "
             "FROM events GROUP BY user_id, event_type",
+        "bulk_export":
+            "SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY user_id, event_type",
+        "security_iterator":
+            "SELECT event_id, event_type, user_id FROM events "
+            "WHERE event_id >= 0 AND event_id < 6000 "
+            "AND event_type IN ('click', 'purchase')",
         "tpch_q1":
             "SELECT l_returnflag, l_linestatus, "
             "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
