@@ -1,0 +1,41 @@
+"""Driver-contract regression net: entry/queries/oracle_sql stay
+importable, aligned, and runnable. The full oracle comparison lives in
+tools/check_oracle.py (run it before shipping operator changes)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    qk = set(em.queries())
+    ok = set(em.oracle_sql())
+    assert ok <= qk, f"oracle-only keys: {ok - qk}"
+    # rows-only queries are the documented non-SQL-expressible set
+    rows_only = qk - ok
+    assert rows_only == {"minhash_lsh_pairs", "simhash_pairs",
+                         "near_dup_verified", "ann_lsh",
+                         "multimodal_features", "multimodal_frames"}
+
+
+def test_entry_smoke(spark):
+    df = em.entry(spark)
+    assert df.schema.simpleString() == \
+        "struct<user_id:bigint,event_type:string,n:bigint>"
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", [
+    "range_query", "aggregation_sum_min_max", "tpch_q1", "join_agg",
+    "window_topn", "dedup_exact_groups", "ann_brute_force",
+])
+def test_representative_queries_run(spark, name):
+    df = em.queries()[name](spark, SF)
+    assert df.columns  # resolvable plan
+    df.limit(5).collect()  # executable
