@@ -245,6 +245,28 @@ def q_sleeper_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_sql_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1 post-query SQL stage: user SELECT over ``query_results``
+    (rust/query_sql/src/lib.rs:28-55), end-to-end through a SleeperTable."""
+    ev = _load(spark, sf, "events").select(
+        F.col("event_id"), F.col("event_type"), F.col("value"))
+    schema = Schema(
+        (Field("event_id", T.LongType()),),
+        (),
+        (Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_sql_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(), split_points=[5000])
+    table.ingest(ev)
+    return table.sql(
+        "SELECT event_type, count(*) AS n, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total "
+        "FROM query_results WHERE event_id < 4000 GROUP BY event_type",
+        regions=[Region.of(Range("event_id", 0, 8000))])
+
+
 def q_bulk_export(spark: SparkSession, sf: str) -> DataFrame:
     """S6 bulk export: whole table through the compaction read path, one
     sorted file per leaf, re-read for the oracle compare."""
@@ -795,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sleeper_lifecycle": q_sleeper_lifecycle,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
+        "sql_stage": q_sql_stage,
         # SQL surface: joins / windows / set ops / scalars
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -887,6 +910,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, user_id FROM events "
             "WHERE event_id >= 0 AND event_id < 6000 "
             "AND event_type IN ('click', 'purchase')",
+        "sql_stage":
+            "SELECT event_type, count(*) AS n, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total "
+            "FROM events WHERE event_id < 4000 GROUP BY event_type",
         "tpch_q1":
             "SELECT l_returnflag, l_linestatus, "
             "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "

@@ -164,6 +164,126 @@ class QueryExecutor:
         return df
 
 
+def _merge_scalar(op: str, a, b):
+    if op == "sum":
+        if isinstance(a, (bytes, str)):
+            return a + b
+        return a + b
+    if op == "min":
+        return b if (a is None or (b is not None and b < a)) else a
+    if op == "max":
+        return b if (a is None or (b is not None and b > a)) else a
+    if op in ("map_sum", "map_min", "map_max"):
+        out = dict(a or {})
+        for k, v in (b or {}).items():
+            if k in out:
+                if op == "map_sum":
+                    out[k] = out[k] + v
+                elif op == "map_min":
+                    out[k] = min(out[k], v)
+                else:
+                    out[k] = max(out[k], v)
+            else:
+                out[k] = v
+        return out
+    raise ValueError(op)
+
+
+def sorted_row_iterator(store: StateStore, schema: Schema,
+                        query: Query, batch_size: int = 8192,
+                        filters=None, aggs=None, now_millis: int = 0):
+    """J1 k-way sorted merge: stream query results in total table order
+    (row keys..., sort keys...) WITHOUT a global Spark sort.
+
+    The reference's read path returns a sorted iterator by heap-merging
+    each leaf's sorted files and concatenating leaves (MergingIterator
+    .java:37-114 + ConcatenatingIterator.java:28-85 — leaf key ranges are
+    disjoint, so leaf-order concat of sorted runs is globally sorted).
+    This is the same shape driver-side: leaves in key order, per-leaf
+    ``heapq.merge`` over pyarrow batch readers, O(merge-width) memory.
+
+    Use when a consumer needs ordered streaming (export to a
+    sorted-input system, head-k in key order). For distributed consumers
+    prefer ``output.bulk_export`` (per-leaf sorted files, one Spark job);
+    this iterator is single-reader by design, like the reference's.
+    """
+    import heapq
+
+    import pyarrow.parquet as pq_mod
+
+    tree = store.tree
+    assert tree is not None
+    key_names = schema.key_names
+    col_names = [f.name for f in schema.all_fields()]
+
+    def file_rows(filename, leaf):
+        pf = pq_mod.ParquetFile(filename)
+        for batch in pf.iter_batches(batch_size=batch_size, columns=col_names):
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            pydict = {n: c.to_pylist() for n, c in zip(batch.schema.names, cols)}
+            for i in range(batch.num_rows):
+                row = {n: pydict[n][i] for n in col_names}
+                yield row
+
+    pred_regions = query.regions
+
+    def row_matches(row):
+        return any(
+            all(r.contains(row[r.field]) for r in region.ranges)
+            for region in pred_regions
+        )
+
+    agg_ops = {a.column: a.op for a in (aggs or [])}
+
+    def stream():
+        leaves = [lf for lf in tree.leaves_overlapping(query.regions)]
+        # key order: unbounded-below (min=None) sorts first per dimension
+        leaves.sort(key=lambda lf: [
+            (0,) if r.min is None else (1, r.min) for r in lf.region.ranges])
+        for leaf in leaves:
+            refs = store.files_for_leaf_query(leaf.id)
+            if not refs:
+                continue
+            runs = [file_rows(fn, leaf)
+                    for fn in sorted({r.filename for r in refs})]
+            merged = heapq.merge(
+                *runs, key=lambda row: tuple(row[k] for k in key_names))
+            for row in merged:
+                # leaf region is the dedup guard for shared ancestor files
+                if not all(r.contains(row[r.field]) for r in leaf.region.ranges):
+                    continue
+                if not row_matches(row):
+                    continue
+                ok = True
+                for f in (filters or []):
+                    v = row.get(f.column)
+                    if v is None or now_millis - v >= f.max_age_millis:
+                        ok = False
+                        break
+                if ok:
+                    yield row
+
+    if not agg_ops:
+        yield from stream()
+        return
+
+    # A4 streaming group-adjacent aggregation (AggregatorIteratorImpl
+    # .java:64-93): input is key-sorted, so equal-key rows are adjacent —
+    # O(1) state, emit on key change
+    current_key, acc = None, None
+    for row in stream():
+        k = tuple(row[n] for n in key_names)
+        if k != current_key:
+            if acc is not None:
+                yield acc
+            current_key, acc = k, dict(row)
+        else:
+            for col, op in agg_ops.items():
+                acc[col] = _merge_scalar(op, acc[col], row[col])
+    if acc is not None:
+        yield acc
+
+
 _FORBIDDEN_SQL = (
     "insert", "update", "delete", "create", "drop", "alter", "merge",
     "truncate", "grant", "revoke", "copy", "set", "call", "show",

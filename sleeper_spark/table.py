@@ -119,6 +119,26 @@ class SleeperTable:
         full = Region(tuple(Range(f.name, None, None) for f in self.schema.row_key_fields))
         return self.query(Query([full]), now_millis)
 
+    def sorted_rows(self, query: Query | None = None, batch_size: int = 8192,
+                    now_millis: int | None = None):
+        """Stream query results in total table key order (J1 k-way merge,
+        MergingIterator.java:37-114) with the table's filters and
+        group-adjacent aggregation applied — no global Spark sort;
+        single-reader streaming like the reference's query iterator."""
+        from sleeper_spark.iterators import parse_aggregations, parse_filters
+        from sleeper_spark.query import sorted_row_iterator
+        if query is None:
+            full = Region(tuple(Range(f.name, None, None)
+                                for f in self.schema.row_key_fields))
+            query = Query([full])
+        now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
+        return sorted_row_iterator(
+            self.store, self.schema, query, batch_size,
+            filters=parse_filters(self.props.filters),
+            aggs=parse_aggregations(self.props.aggregations),
+            now_millis=now_millis,
+        )
+
     def sql(self, sql: str, regions: list[Region] | None = None,
             now_millis: int | None = None) -> DataFrame:
         """Q1 SQL stage over (optionally region-restricted) query results."""
