@@ -208,6 +208,27 @@ def q_aggregation_map_sum(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "event_type", F.round(F.col("v"), 4).alias("sum_value"))
 
 
+def q_aggregation_map_min_max(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 map_min/map_max: point-wise map merges, exploded to rows for the
+    oracle (AggregationOp.java:144-215 handleMap)."""
+    ev = _load(spark, sf, "events").select(
+        "user_id",
+        F.create_map(F.col("event_type"), F.col("value")).alias("lo"),
+        F.create_map(F.col("event_type"), F.col("value")).alias("hi"),
+    )
+    schema = Schema(
+        (Field("user_id", T.LongType()),),
+        (),
+        (Field("lo", T.MapType(T.StringType(), T.DoubleType())),
+         Field("hi", T.MapType(T.StringType(), T.DoubleType()))),
+    )
+    out = apply_aggregations(ev, schema,
+                             parse_aggregations("map_min(lo), map_max(hi)"))
+    lo = out.select("user_id", F.explode("lo").alias("event_type", "min_value"))
+    hi = out.select("user_id", F.explode("hi").alias("event_type", "max_value"))
+    return lo.join(hi, ["user_id", "event_type"])
+
+
 def q_string_concat_sum(spark: SparkSession, sf: str) -> DataFrame:
     """A1 sum(string) = concatenation in table sort order
     (AggregationOp.java:25-47): deterministic given a total sort order —
@@ -813,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ageoff_filter": q_ageoff_filter,
         "aggregation_sum_min_max": q_aggregation_sum_min_max,
         "aggregation_map_sum": q_aggregation_map_sum,
+        "aggregation_map_min_max": q_aggregation_map_min_max,
         "string_concat_sum": q_string_concat_sum,
         "sleeper_lifecycle": q_sleeper_lifecycle,
         "bulk_export": q_bulk_export,
@@ -897,6 +919,9 @@ def oracle_sql() -> dict[str, str]:
         "aggregation_map_sum":
             "SELECT user_id, event_type, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY user_id, event_type",
+        "aggregation_map_min_max":
+            "SELECT user_id, event_type, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY user_id, event_type",
         "string_concat_sum":
             "SELECT user_id, string_agg(event_type, '' ORDER BY epoch_us(ts), event_id) "
             "AS type_concat FROM events WHERE user_id < 20 GROUP BY user_id",

@@ -81,7 +81,10 @@ def bench_lifecycle(spark, sf_dir) -> tuple[float, float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sleeper_spark_bench")
