@@ -15,10 +15,11 @@ Scale design (the point of each choice):
   per row) keeps per-row work linear in |shingles| and spreads it across
   all cores regardless of input file layout.
 - **SimHash** is a 64-bit weighted-bit-vote fingerprint; near-duplicates
-  differ in few bits. The per-bit votes are 64 partial-aggregated sums
-  over the exploded shingle hashes; banding the 64 bits into
-  (max_hamming+1) blocks finds all pairs within the distance via
-  equi-joins (pigeonhole) — again no n² pair space.
+  differ in few bits. The per-bit votes are computed per-row with
+  higher-order functions over the (distinct) shingle-hash array — one
+  tokenization pass, no shuffle at all for fingerprints; banding the 64
+  bits into (max_hamming+1) blocks finds all pairs within the distance
+  via equi-joins (pigeonhole) — again no n² pair space.
 - **n-gram Jaccard** verifies candidate pairs exactly; it only ever runs
   on the (small) candidate set produced by LSH/SimHash.
 
@@ -113,6 +114,22 @@ def shingle_hashes(col: Column | str, k: int = 3) -> Column:
     valid = F.slice(combined, 1, F.greatest(n - k + 1, F.lit(0)))
     return F.array_distinct(
         F.when(n >= k, valid).otherwise(F.array().cast("array<bigint>")))
+
+
+def portable_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-shingle hashes computed from md5 of the shingle STRING:
+    hash = (hi32 << 32) | lo32 from the first 16 hex chars of md5. Slower
+    than :func:`shingle_hashes` (materialises shingle strings + a crypto
+    hash) but reproducible in any SQL engine that has md5 — used by the
+    oracle-verified driver query so DuckDB can recompute identical SimHash
+    fingerprints. Production default stays the xxhash64 flavor."""
+    sh = shingles(col, k)
+    def _h(s: Column) -> Column:
+        hx = F.md5(s)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    return F.transform(sh, _h)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
@@ -269,48 +286,36 @@ def simhash_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 2,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """(id, fingerprint) via explode → 64 per-bit vote sums.
+    """(id, fingerprint) via per-row higher-order vote counting.
 
-    The per-bit majority votes are partial-aggregated ``sum()`` columns
-    over the exploded shingle hashes (one tokenization pass, map-side
-    combine), then the 64 vote outcomes assemble into the fingerprint with
-    bitwise ORs. Same semantics as the Column-level :func:`simhash`, but
-    linear work per row and parallel regardless of input file layout.
+    For each bit i, the vote is ``size(filter(shingle_hashes, bit i
+    set))`` — 64 codegen'd passes over the per-row (distinct) shingle-hash
+    array. One tokenization pass, NO shuffle at all: fingerprints are a
+    pure map, so this stage scales with input partitions like the MinHash
+    signature path (same migration, commit 54efbfd showed explode→agg is
+    ~3-8x slower). Vote counters are plain ints — no packed-lane overflow
+    concern at any document size.
+
+    ``portable_hash=True`` switches shingle hashing from xxhash64 chains
+    to :func:`portable_shingle_hashes` (md5-based) so an external SQL
+    engine can recompute identical fingerprints for verification.
     """
+    hasher = portable_shingle_hashes if portable_hash else shingle_hashes
     sh = _spread(df.select(F.col(id_col).alias("__id"),
-                           shingle_hashes(text_col, k_shingle).alias("__sh")))
-    exploded = sh.select("__id", F.explode("__sh").alias("__h"))
-    # pack 3 per-bit vote counters into each aggregated long (21-bit lanes,
-    # so up to 2^21 shingles/doc): 22 sum columns instead of 64 halves the
-    # aggregation-buffer work — the dominant cost of this stage
-    lanes, width = 3, 21
-    npacked = (64 + lanes - 1) // lanes
-    packed_cols = []
-    for j in range(npacked):
-        parts = []
-        for lane in range(lanes):
-            i = j * lanes + lane
-            if i >= 64:
-                break
-            parts.append(F.shiftleft(
-                F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)),
-                lane * width))
-        packed_cols.append(F.sum(reduce(lambda a, b: a.bitwiseOR(b), parts))
-                           .alias(f"p{j}"))
-    votes = exploded.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__n"), *packed_cols)
-    lane_mask = (1 << width) - 1
+                           hasher(text_col, k_shingle).alias("__sh")))
+    n = F.size("__sh")
     bit_cols = [
         F.when(
-            F.shiftrightunsigned(F.col(f"p{i // lanes}"), (i % lanes) * width)
-             .bitwiseAND(F.lit(lane_mask)) * 2 > F.col("__n"),
+            F.size(F.filter(F.col("__sh"),
+                            lambda h: h.bitwiseAND(F.lit(_bit64(i))) != 0)) * 2 > n,
             F.lit(_bit64(i)),
         ).otherwise(F.lit(0)).cast("long")
         for i in range(64)
     ]
     fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
-    return votes.select("__id", fp.alias("__fp"))
+    return sh.where(n > 0).select("__id", fp.alias("__fp"))
 
 
 def simhash_near_duplicates(
@@ -319,6 +324,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     k_shingle: int = 2,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of each other's SimHash.
 
@@ -328,7 +334,7 @@ def simhash_near_duplicates(
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    fp = simhash_fingerprints(df, text_col, id_col, k_shingle)
+    fp = simhash_fingerprints(df, text_col, id_col, k_shingle, portable_hash)
     blocks = fp.select(
         "__id", "__fp",
         F.explode(F.array(*[
@@ -340,6 +346,10 @@ def simhash_near_duplicates(
             for b in range(nblocks)
         ])).alias("bb"),
     ).select("__id", "__fp", "bb.block", "bb.bval")
+    # one exchange on the join keys, reused by both sides of the self-join
+    # (ReuseExchange): the fingerprint pipeline runs once and the join is
+    # co-partitioned — same shape as minhash_candidate_pairs
+    blocks = blocks.repartition("block", "bval")
     l, r = blocks.alias("l"), blocks.alias("r")
     return (
         l.join(r, ["block", "bval"])

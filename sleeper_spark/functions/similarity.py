@@ -3,11 +3,12 @@
 Two tiers, as a 100 TB engine needs both:
 
 - **Brute-force top-k** — exact baseline. The query set is small and
-  broadcast; the corpus is never shuffled: each partition scores its own
-  vectors against every query (map-side), and only the global top-k per
-  query crosses the wire via a window over (query, score). Cosine is
-  computed with ``zip_with`` + ``aggregate`` higher-order functions —
-  JVM-side, no Python.
+  broadcast; the corpus is never shuffled for scoring: each partition
+  scores its own vectors against every query (map-side), and a Partial
+  WindowGroupLimit prunes each partition to its local top-k per query
+  BEFORE the exchange, so no task ever sees more than partitions×k rows
+  (see ``_pruned_topk``). Cosine is computed with ``zip_with`` +
+  ``aggregate`` higher-order functions — JVM-side, no Python.
 - **LSH-bucketed (random hyperplanes)** — the scale path. Each vector gets
   a B-bit signature from the signs of dot products with B fixed random
   hyperplanes (seeded, reproducible). Vectors and queries join on the
@@ -42,6 +43,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _pruned_topk(scored: DataFrame, k: int, id_col: str,
+                 query_id_col: str) -> DataFrame:
+    """Global top-k per query without funnelling every scored corpus row
+    into one task per query.
+
+    The naive worry with ``Window.partitionBy(query_id)`` is Q tasks each
+    sorting n_corpus rows. Spark ≥3.5 eliminates it: the rank-limit filter
+    (``row_number() <= k``) triggers the InsertWindowGroupLimit rule,
+    which plans a **Partial WindowGroupLimit BEFORE the exchange** — each
+    map task streams its partition and keeps only its local top-k per
+    query, so the shuffle carries ≤ k rows per (input partition, query)
+    and the per-query reducer sees ≤ P×k rows, independent of corpus
+    size. ``tests/test_plans.py::test_ann_topk_partial_limit_before_
+    exchange`` pins this shape; an explicit two-window pre-prune would
+    duplicate the work and add a second shuffle.
+    """
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,7 +77,8 @@ def brute_force_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast queries, score map-side,
-    window-prune to k. Ties broken by corpus id for determinism."""
+    per-partition pre-prune then global top-k. Ties broken by corpus id
+    for determinism."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
@@ -66,13 +93,7 @@ def brute_force_topk(
         .withColumn("cosine",
                     F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _pruned_topk(scored, k, id_col, query_id_col)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -117,10 +138,4 @@ def lsh_topk(
         .withColumn("cosine",
                     F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _pruned_topk(scored, k, id_col, query_id_col)

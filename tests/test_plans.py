@@ -116,3 +116,54 @@ def test_ann_brute_force_broadcasts_queries(spark, entry):
     """The corpus must not shuffle: queries broadcast, scoring map-side."""
     plan = plan_of(entry.q_ann_brute_force(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_topk_partial_limit_before_exchange(spark, entry):
+    """No single post-scoring exchange may carry the full scored corpus
+    per query: the rank-limit must plan a Partial WindowGroupLimit on the
+    MAP side (before the exchange), so the shuffle carries <= k rows per
+    (input partition, query)."""
+    for q in (entry.q_ann_brute_force, entry.q_ann_lsh):
+        plan = plan_of(q(spark, SF))
+        ex = plan.index("Exchange hashpartitioning(query_id")
+        # textual plan is top-down: the map-side (pre-exchange) operators
+        # print BELOW the exchange, so Partial must appear after it
+        partial_line = [ln for ln in plan.splitlines()
+                        if "WindowGroupLimit" in ln and "Partial" in ln]
+        assert partial_line, plan
+        assert plan.index(partial_line[0].strip()) > ex, plan
+
+
+def test_simhash_fingerprints_no_shuffle(spark):
+    """Per-row HOF fingerprints are a pure map: no Exchange in the plan
+    before the block join (fingerprint stage alone plans shuffle-free,
+    modulo the input-spread repartition)."""
+    from sleeper_spark.functions import dedup
+    doc = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup.simhash_fingerprints(doc))
+    # only the _spread repartition may exchange; no hash-partitioned agg
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_simhash_block_join_reuses_exchange(spark):
+    """Both sides of the pigeonhole block self-join must reuse ONE
+    exchange on (block, bval) — the fingerprint pipeline runs once. At
+    sf0.01 the optimizer broadcasts one side instead (fine); disable
+    broadcast to see the at-scale shape, where neither side fits."""
+    from sleeper_spark.functions import dedup
+    doc = spark.read.parquet(f"{SF}/documents.parquet")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE reuses shuffle stages at runtime instead of printing
+        # ReusedExchange; pin the canonical rule with AQE off
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for build in (lambda: dedup.simhash_near_duplicates(doc, max_hamming=3),
+                      lambda: dedup.minhash_candidate_pairs(doc)):
+            plan = plan_of(build())
+            assert "ReusedExchange" in plan, plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
