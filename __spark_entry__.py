@@ -192,20 +192,24 @@ def q_aggregation_sum_min_max(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_aggregation_map_sum(spark: SparkSession, sf: str) -> DataFrame:
     """A3 map_sum: point-wise map merge (AggregationOp.java:144-215,
-    map_aggregate.rs:28-40), exploded to rows for the oracle compare."""
+    map_aggregate.rs:28-40), exploded to rows for the oracle compare.
+    Map values ride as DECIMAL(18,4) so the sum is exact and
+    order-independent across engines (same rule as the scalar sums)."""
     ev = _load(spark, sf, "events").select(
         "user_id",
-        F.create_map(F.col("event_type"), F.col("value")).alias("type_values"),
+        F.create_map(F.col("event_type"),
+                     F.col("value").cast("decimal(18,4)")).alias("type_values"),
     )
     schema = Schema(
         (Field("user_id", T.LongType()),),
         (),
-        (Field("type_values", T.MapType(T.StringType(), T.DoubleType())),),
+        (Field("type_values", T.MapType(T.StringType(), T.DecimalType(18, 4))),),
     )
     out = apply_aggregations(ev, schema, parse_aggregations("map_sum(type_values)"))
     return out.select(
         "user_id", F.explode(F.col("type_values")).alias("event_type", "v")
-    ).select("user_id", "event_type", F.round(F.col("v"), 4).alias("sum_value"))
+    ).select("user_id", "event_type",
+             F.round(F.col("v").cast("double"), 4).alias("sum_value"))
 
 
 def q_aggregation_map_min_max(spark: SparkSession, sf: str) -> DataFrame:
@@ -424,14 +428,26 @@ def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
-    """Set operations (SURVEY §2.7): users who clicked EXCEPT users who
-    purchased (EXCEPT DISTINCT semantics on both engines)."""
+    """Set operations (SURVEY §2.7), all three in one tagged union:
+    EXCEPT (users who clicked>90 but never purchased>90), INTERSECT
+    (users who both clicked and purchased), and UNION ALL with a
+    provenance tag (J6 concatenation analog)."""
     ev = _load(spark, sf, "events")
-    clicked = ev.where((F.col("event_type") == "click") & (F.col("value") > 90)) \
-                .select("user_id").distinct()
-    purchased = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 90)) \
+    nul = F.lit(None).cast("long")
+    clicked90 = ev.where((F.col("event_type") == "click") & (F.col("value") > 90)) \
                   .select("user_id").distinct()
-    return clicked.subtract(purchased)
+    purchased90 = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 90)) \
+                    .select("user_id").distinct()
+    ex = clicked90.subtract(purchased90).select(
+        F.lit("except").alias("op"), "user_id", nul.alias("event_id"))
+    inter = (ev.where(F.col("event_type") == "click").select("user_id")
+             .intersect(ev.where(F.col("event_type") == "purchase").select("user_id"))
+             .select(F.lit("intersect").alias("op"), "user_id", nul.alias("event_id")))
+    ua = ev.where(F.col("event_type") == "click").select(
+        F.lit("union_c").alias("op"), "user_id", "event_id")
+    ub = ev.where(F.col("event_type") == "purchase").select(
+        F.lit("union_p").alias("op"), "user_id", "event_id")
+    return ex.unionAll(inter).unionAll(ua).unionAll(ub)
 
 
 def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
@@ -451,48 +467,31 @@ def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_date_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """Date/time scalar functions over orders (timestamp_ntz → tz-free)."""
-    o = _load(spark, sf, "orders").where(F.col("o_orderkey") < 2000)
-    d = F.col("o_orderdate").cast("date")
-    return o.select(
-        "o_orderkey",
-        F.year(d).cast("int").alias("o_year"),
-        F.month(d).cast("int").alias("o_month"),
-        F.dayofmonth(d).cast("int").alias("o_day"),
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
-    )
-
-
-def q_json_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON extraction over the events.props payload column."""
+def q_date_json_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time scalar functions + JSON extraction in one pass over
+    events (timestamp_ntz → tz-free on both engines)."""
     ev = _load(spark, sf, "events").where(F.col("event_id") < 2000)
+    d = F.col("ts").cast("date")
     return ev.select(
         "event_id",
+        F.year(d).cast("int").alias("e_year"),
+        F.month(d).cast("int").alias("e_month"),
+        F.dayofmonth(d).cast("int").alias("e_day"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month_start"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("int").alias("days_since_24"),
         F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
     )
 
 
-def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouping sets / ROLLUP (absent in reference; free in Spark):
-    order counts + decimal-exact totals at three grouping levels."""
-    o = _load(spark, sf, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double"), 2).alias("total_price"),
-    )
-
-
 def q_distinct_count(spark: SparkSession, sf: str) -> DataFrame:
-    """COUNT(DISTINCT) per group (exact; approx variant is
-    approx_count_distinct, not oracle-checkable)."""
+    """COUNT(DISTINCT) per group + HAVING post-aggregation filter (exact
+    distinct; the approx variant is approx_count_distinct, not
+    oracle-checkable)."""
     ev = _load(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    return (ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > 80))
 
 
 def q_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -546,13 +545,6 @@ def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
         "GROUP BY o_orderstatus")
 
 
-def q_having(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUP BY ... HAVING: users with more than 80 events."""
-    ev = _load(spark, sf, "events")
-    return (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-            .where(F.col("n_events") > 80))
-
-
 def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Conditional aggregation (Q14 promo-share shape): one-row global
     ratio of promo revenue, decimal-exact."""
@@ -580,28 +572,15 @@ def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Explicit GROUPING SETS through the SQL parser."""
+    """Explicit GROUPING SETS through the SQL parser — the four sets
+    cover ROLLUP(status, priority) plus the (priority) slice, with
+    decimal-exact totals at every level."""
     _load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(
-        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders FROM orders "
-        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())")
-
-
-def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
-    """UNION ALL with a provenance tag (J6 concatenation analog)."""
-    ev = _load(spark, sf, "events")
-    a = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.lit("c").alias("src"))
-    b = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.lit("p").alias("src"))
-    return a.unionAll(b)
-
-
-def q_intersect(spark: SparkSession, sf: str) -> DataFrame:
-    """INTERSECT (distinct): users who both clicked and purchased."""
-    ev = _load(spark, sf, "events")
-    return (ev.where(F.col("event_type") == "click").select("user_id")
-            .intersect(ev.where(F.col("event_type") == "purchase").select("user_id")))
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+        "(o_orderstatus), (o_orderpriority), ())")
 
 
 def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
@@ -687,21 +666,33 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (xxhash64-based — not SQL-reproducible,
-    driver records rows-only)."""
+    """MinHash+LSH candidate pairs, verified against GROUND TRUTH: the
+    testdata's planted near-duplicates are exactly the pairs with
+    3-shingle Jaccard >= 0.7 (next-closest pair is ~0.1, so the planted
+    set is unambiguous). The oracle computes that set exactly in DuckDB
+    via a shared-shingle equi-join; a hash match therefore proves LSH
+    recall AND precision = 1.0 on the planted duplicates."""
     doc = _load(spark, sf, "documents")
-    return dedup.minhash_candidate_pairs(doc, num_hashes=32, bands=8)
+    return (dedup.minhash_candidate_pairs(doc, num_hashes=32, bands=8)
+            .select("id_a", "id_b"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-duplicates within Hamming distance 3 (rows-only)."""
+    """SimHash near-duplicates within Hamming distance 3. Uses the
+    portable md5-based shingle hash so the DuckDB oracle RECOMPUTES the
+    whole operator — identical 64-bit fingerprints, pigeonhole block
+    join, and Hamming filter — and the value hash checks fingerprint
+    math bit-for-bit. (Production default stays the faster xxhash64
+    flavor; same algorithm either way.)"""
     doc = _load(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(doc, max_hamming=3)
+    out = dedup.simhash_near_duplicates(doc, max_hamming=3, portable_hash=True)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_near_dup_verified(spark: SparkSession, sf: str) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ 0.7
-    (rows-only)."""
+    """Full near-dup pipeline: LSH candidates → exact Jaccard >= 0.7.
+    Oracle = the exact all-pairs Jaccard >= 0.7 set (ground truth), so a
+    hash match proves the end-to-end pipeline loses nothing."""
     doc = _load(spark, sf, "documents")
     return dedup.verified_near_duplicates(doc, threshold=0.7)
 
@@ -727,8 +718,10 @@ def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed ANN (random-hyperplane signatures; rows-only — the
-    hyperplanes are seeded driver-side)."""
+    """LSH-bucketed ANN (random-hyperplane signatures). The hyperplanes
+    are seeded driver-side; the oracle embeds the SAME plane values as
+    SQL literals (shortest-repr doubles round-trip exactly), so DuckDB
+    recomputes identical buckets, candidate sets, and rankings."""
     emb = _load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -737,21 +730,34 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + metadata struct →
-    Arrow-batched mapInPandas feature extraction (deterministic fake codec;
-    rows-only)."""
+    Arrow-batched mapInPandas feature extraction with the deterministic
+    fake codec (sha256-derived 8x8 grid). Features are exact multiples
+    of 1/8 / 1/64 plus an integer range, so the hex-decoding DuckDB
+    oracle reproduces every value bit-for-bit; output exploded to
+    (doc_id, i, value) rows for the driver compare."""
     doc = _load(spark, sf, "documents")
     payload = doc.select(
-        "doc_id", F.to_binary(F.md5(F.col("text")), F.lit("hex")).alias("payload"))
+        "doc_id", F.encode(F.md5(F.col("text")), "utf-8").alias("payload"))
     payload = multimodal.attach_media_metadata(payload, "payload", "image", "fake")
-    return multimodal.extract_image_features(
+    feats = multimodal.extract_image_features(
         payload, decoder=multimodal.fake_image_decoder)
+    return feats.select(
+        "doc_id", F.posexplode(F.col("features")).alias("i", "value")
+    ).select("doc_id", F.col("i").cast("int").alias("i"),
+             F.col("value").cast("double").alias("value"))
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame-sampling plumbing over binary video payloads (rows-only)."""
+    """Frame-sampling plumbing over binary video payloads: chunked
+    mapInPandas splitter, every-2nd-frame sampling. Payloads are the
+    utf-8 text bytes (pure ASCII), so the oracle reproduces frames with
+    character arithmetic; frames surface as strings for the compare."""
     doc = _load(spark, sf, "documents").where(F.col("doc_id") < 100)
     payload = doc.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    return multimodal.sample_video_frames(payload, every_nth=2)
+    frames = multimodal.sample_video_frames(payload, every_nth=2)
+    return frames.select(
+        "doc_id", F.col("frame_index").cast("int").alias("frame_index"),
+        F.decode(F.col("frame_payload"), "utf-8").alias("frame_text"))
 
 
 # ---------------------------------------------------------------------------
@@ -801,16 +807,20 @@ def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
-    per-user running totals equal the batch aggregate."""
+    per-user running totals equal the batch aggregate. Values stream as
+    integer CENTS (the 2-decimal source is exact in cents), so the
+    stateful float64 accumulation is integer-exact and order-independent
+    — same determinism rule as the decimal scalar sums."""
     from sleeper_spark import streaming as streaming_mod
-    stream = _events_stream(spark, sf)
+    stream = _events_stream(spark, sf).withColumn(
+        "value", F.round(F.col("value") * 100).cast("double"))
     out = streaming_mod.stateful_running_totals(stream, "user_id", "value")
     _run_stream_to_view(out, "q_streaming_running", "update")
-    # updates are monotone; the final state per key is the max
+    # updates are monotone (cents are positive); final state = max
     return (spark.sql("SELECT * FROM q_streaming_running")
             .groupBy(F.col("key").alias("user_id"))
             .agg(F.max("n_total").alias("n_total"),
-                 F.round(F.max("value_total"), 4).alias("value_total")))
+                 F.round(F.max("value_total") / 100.0, 4).alias("value_total")))
 
 
 # ---------------------------------------------------------------------------
@@ -848,21 +858,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
-        "date_functions": q_date_functions,
-        "json_functions": q_json_functions,
-        "rollup_agg": q_rollup_agg,
+        "date_json_functions": q_date_json_functions,
         "distinct_count": q_distinct_count,
         "topk": q_topk,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
-        "having": q_having,
         "conditional_agg": q_conditional_agg,
         "pivot": q_pivot,
         "grouping_sets": q_grouping_sets,
-        "union_all": q_union_all,
-        "intersect": q_intersect,
         "tumbling_window": q_tumbling_window,
         "stats_agg": q_stats_agg,
         # training-data pipeline
@@ -891,6 +896,135 @@ _TOKS = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
 _EV_SEL = ("event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props")
 
 
+# ---------------------------------------------------------------------------
+# generated oracles: ground-truth near-dup pairs, portable simhash,
+# literal-hyperplane ANN, hex-decoded multimodal features
+# ---------------------------------------------------------------------------
+
+#: all-pairs exact 3-shingle Jaccard via shared-shingle equi-join (sparse:
+#: only pairs sharing >=1 shingle are materialised). The testdata's planted
+#: near-duplicates are exactly the pairs with jaccard >= 0.7 (closest
+#: non-planted pair is ~0.1), so this is the dedup ground truth.
+_GROUND_TRUTH_PAIRS = (
+    "WITH sh AS (SELECT doc_id, CASE WHEN "
+    f"len({_TOKS}) >= 3 THEN list_distinct(list_transform("
+    f"range(1, len({_TOKS}) - 1), i -> array_to_string(({_TOKS})[i:i+2], ' '))) "
+    "ELSE CAST([] AS VARCHAR[]) END AS s FROM documents), "
+    "e AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni "
+    "FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, len(s) AS n FROM sh), "
+    "jac AS (SELECT id_a, id_b, "
+    "round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b) "
+)
+
+
+def _hex2int64_sql(hexpr: str) -> str:
+    """64-bit signed int from the first 16 hex chars of ``hexpr`` —
+    DuckDB equivalent of dedup.portable_shingle_hashes' (hi<<32)|lo."""
+    def word(off: int) -> str:
+        return ("list_sum(list_transform(range(1, 9), i -> "
+                "((strpos('0123456789abcdef', "
+                f"substr({hexpr}, CAST(i + {off} AS INTEGER), 1)) - 1)::BIGINT "
+                "<< (4 * (8 - i)))))")
+    hi, lo = word(0), word(8)
+    return (f"(CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296 "
+            f"ELSE {hi} END) * 4294967296 + {lo}")
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Recompute the portable SimHash pipeline entirely in DuckDB:
+    2-gram shingles → md5-derived 64-bit hashes → per-bit majority votes
+    → pigeonhole block join → Hamming filter. Mirrors
+    dedup.simhash_fingerprints(portable_hash=True) bit-for-bit."""
+    bits = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    vote = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x & {b}) != 0)) > len(h) "
+        f"THEN {b} ELSE 0 END)"
+        for b in bits)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    mask = (1 << width) - 1
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        f"{_TOKS} AS t FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+        "list_distinct(list_transform(range(1, len(t)), "
+        "i -> array_to_string(t[i:i+1], ' '))) "
+        "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks), "
+        "hs AS (SELECT doc_id, list_transform(s, g -> "
+        f"{_hex2int64_sql('md5(g)')}) AS h FROM sh WHERE len(s) > 0), "
+        f"fp AS (SELECT doc_id, {vote} AS f FROM hs), "
+        "blocks AS (SELECT doc_id, f, b.block, "
+        f"((f >> (b.block * {width})) & {mask}) AS bval "
+        f"FROM fp CROSS JOIN (SELECT unnest(range(0, {nblocks})) AS block) b) "
+        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, "
+        "CAST(bit_count(xor(l.f, r.f)) AS INTEGER) AS hamming "
+        "FROM blocks l JOIN blocks r ON l.block = r.block "
+        "AND l.bval = r.bval AND l.doc_id < r.doc_id "
+        f"WHERE bit_count(xor(l.f, r.f)) <= {max_hamming}")
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, k: int = 10, bits: int = 8,
+                        seed: int = 42) -> str:
+    """Recompute LSH-bucketed ANN in DuckDB with the SAME hyperplanes as
+    similarity.lsh_topk (seeded driver-side, embedded as literals —
+    shortest-repr doubles round-trip exactly)."""
+    planes = similarity._hyperplanes(dim, bits, seed)
+    def bucket(vexpr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vexpr}, "
+            f"[{', '.join(repr(x) for x in plane)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM c), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b "
+        "WHERE vec_id < 5), "
+        "s AS (SELECT q.query_id, b.vec_id, "
+        "round(list_dot_product(b.v, q.qv) / "
+        "(sqrt(list_sum(list_transform(b.v, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine "
+        "FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) "
+        "AS rank FROM s) "
+        f"SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}")
+
+
+def _multimodal_features_oracle_sql() -> str:
+    """Recompute the fake-codec image features in DuckDB: payload =
+    utf-8 bytes of md5(text) hex; pixels = sha256(payload) digest bytes
+    duplicated to 64; features = 8 row means + 6 col means + global mean
+    + range — all exact in float64."""
+    byte = ("16 * (strpos('0123456789abcdef', substr(dg, {h1}, 1)) - 1) + "
+            "(strpos('0123456789abcdef', substr(dg, {h2}, 1)) - 1)")
+    feats = []
+    def b(k: int) -> str:
+        m = k % 32
+        return f"bs[{m + 1}]"
+    for r in range(8):  # row means
+        feats.append("(" + " + ".join(b(8 * r + c) for c in range(8)) + ") / 8.0")
+    for c in range(6):  # col means
+        feats.append("(" + " + ".join(b(c + 8 * r) for r in range(8)) + ") / 8.0")
+    feats.append("list_sum(bs) / 32.0")  # global mean over 64 = mean over 32
+    feats.append("CAST(list_max(bs) - list_min(bs) AS DOUBLE)")
+    features = "[" + ", ".join(feats) + "]"
+    return (
+        "WITH d AS (SELECT doc_id, sha256(md5(text)) AS dg FROM documents), "
+        "bytes AS (SELECT doc_id, list_transform(range(0, 32), k -> "
+        + byte.format(h1="CAST(2 * k + 1 AS INTEGER)",
+                      h2="CAST(2 * k + 2 AS INTEGER)")
+        + ") AS bs FROM d), "
+        f"f AS (SELECT doc_id, {features} AS features FROM bytes) "
+        "SELECT doc_id, CAST(k AS INTEGER) AS i, features[CAST(k + 1 AS INTEGER)] AS value "
+        "FROM f CROSS JOIN (SELECT unnest(range(0, 16)) AS k)")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_key":
@@ -917,7 +1051,8 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows, epoch_us(min(ts)) AS min_ts_us "
             "FROM events GROUP BY user_id, event_type",
         "aggregation_map_sum":
-            "SELECT user_id, event_type, round(sum(value), 4) AS sum_value "
+            "SELECT user_id, event_type, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "
             "FROM events GROUP BY user_id, event_type",
         "aggregation_map_min_max":
             "SELECT user_id, event_type, min(value) AS min_value, "
@@ -980,9 +1115,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) "
             "AS running_value FROM events WHERE user_id < 50",
         "set_ops":
+            "SELECT 'except' AS op, user_id, CAST(NULL AS BIGINT) AS event_id FROM ("
             "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 90 "
             "EXCEPT SELECT DISTINCT user_id FROM events "
-            "WHERE event_type = 'purchase' AND value > 90",
+            "WHERE event_type = 'purchase' AND value > 90) "
+            "UNION ALL "
+            "SELECT 'intersect' AS op, user_id, CAST(NULL AS BIGINT) AS event_id FROM ("
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase') "
+            "UNION ALL "
+            "SELECT 'union_c' AS op, user_id, event_id FROM events WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT 'union_p' AS op, user_id, event_id FROM events WHERE event_type = 'purchase'",
         "scalar_functions":
             "SELECT p_partkey, upper(p_name) AS name_upper, "
             "substr(p_type, 1, 6) AS type_prefix, "
@@ -993,23 +1137,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(p_retailprice), 6) AS price_sqrt, "
             "CAST(abs(p_size - 25) AS INTEGER) AS size_dev "
             "FROM part WHERE p_partkey < 500",
-        "date_functions":
-            "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, "
-            "CAST(month(o_orderdate) AS INTEGER) AS o_month, "
-            "CAST(day(o_orderdate) AS INTEGER) AS o_day, "
-            "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
-            "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) "
-            "AS days_since_95 FROM orders WHERE o_orderkey < 2000",
-        "json_functions":
-            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
-            "AS k_value FROM events WHERE event_id < 2000",
-        "rollup_agg":
-            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
-            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price "
-            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+        "date_json_functions":
+            "SELECT event_id, CAST(year(ts) AS INTEGER) AS e_year, "
+            "CAST(month(ts) AS INTEGER) AS e_month, "
+            "CAST(day(ts) AS INTEGER) AS e_day, "
+            "CAST(date_trunc('month', ts) AS DATE) AS month_start, "
+            "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) "
+            "AS days_since_24, "
+            "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value "
+            "FROM events WHERE event_id < 2000",
         "distinct_count":
-            "SELECT event_type, count(DISTINCT user_id) AS n_users, "
-            "count(*) AS n_events FROM events GROUP BY event_type",
+            "SELECT user_id, count(DISTINCT event_type) AS n_types, "
+            "count(*) AS n_events FROM events GROUP BY user_id "
+            "HAVING count(*) > 80",
         "topk":
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
@@ -1021,6 +1161,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT')",
+        "minhash_lsh_pairs":
+            _GROUND_TRUTH_PAIRS +
+            "SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7",
+        "near_dup_verified":
+            _GROUND_TRUTH_PAIRS +
+            "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7",
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
+        "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
+        "multimodal_features": _multimodal_features_oracle_sql(),
+        "multimodal_frames":
+            "WITH t AS (SELECT doc_id, text, "
+            "CAST(ceil(length(text) / 32.0) AS BIGINT) AS nch "
+            "FROM documents WHERE doc_id < 100), "
+            "j AS (SELECT doc_id, text, unnest(range(0, nch)) AS jj FROM t) "
+            "SELECT doc_id, CAST(jj AS INTEGER) AS frame_index, "
+            "substr(text, CAST(jj * 32 + 1 AS INTEGER), 32) AS frame_text "
+            "FROM j WHERE jj % 2 = 0",
         "correlated_subquery":
             "SELECT p_partkey, p_brand FROM part p WHERE p_retailprice > "
             "(SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)",
@@ -1028,9 +1185,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, count(*) AS n FROM orders WHERE EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) "
             "GROUP BY o_orderstatus",
-        "having":
-            "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id "
-            "HAVING count(*) > 80",
         "conditional_agg":
             "SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
             "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) "
@@ -1046,15 +1200,10 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS error "
             "FROM events GROUP BY user_id",
         "grouping_sets":
-            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders FROM orders "
-            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
-        "union_all":
-            "SELECT event_id, user_id, 'c' AS src FROM events WHERE event_type = 'click' "
-            "UNION ALL "
-            "SELECT event_id, user_id, 'p' AS src FROM events WHERE event_type = 'purchase'",
-        "intersect":
-            "SELECT user_id FROM events WHERE event_type = 'click' "
-            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'",
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price "
+            "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+            "(o_orderstatus), (o_orderpriority), ())",
         "tumbling_window":
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "
@@ -1118,7 +1267,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY date_trunc('day', ts)",
         "streaming_running_totals":
             "SELECT user_id, count(*) AS n_total, "
-            "round(sum(value), 4) AS value_total FROM events GROUP BY user_id",
+            "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "
+            "FROM events GROUP BY user_id",
         "ann_brute_force":
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "

@@ -79,13 +79,16 @@ def extract_image_features(
 ) -> DataFrame:
     """payload binary -> fixed-size feature vector via mapInPandas.
 
-    Feature = per-row means of the decoded 8x8 grid + global stats, giving
-    a IMAGE_FEATURE_DIM-wide ``array<float>`` column compatible with the
-    similarity operators.
+    Feature = per-row/per-column means of the decoded 8x8 grid + global
+    mean and range, giving an IMAGE_FEATURE_DIM-wide ``array<double>``
+    column compatible with the similarity operators. All 16 values are
+    exact in float64 (integer sums divided by powers of two), so any
+    engine recomputing them from the same pixels gets bit-identical
+    doubles — the driver's oracle relies on this.
     """
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
     ])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,11 +96,12 @@ def extract_image_features(
             feats = []
             for payload in pdf[payload_col]:
                 img = decoder(bytes(payload) if payload is not None else b"")
+                g = img.astype(np.float64)
                 v = np.concatenate([
-                    img.mean(axis=1),                      # 8 row means
-                    img.mean(axis=0)[:6],                  # 6 col means
-                    [float(img.mean()), float(img.std())], # global stats
-                ]).astype(np.float32)
+                    g.mean(axis=1),                      # 8 row means (sum/8)
+                    g.mean(axis=0)[:6],                  # 6 col means (sum/8)
+                    [g.mean(), float(g.max() - g.min())],  # global mean + range
+                ])
                 feats.append(v.tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 

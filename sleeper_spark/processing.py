@@ -74,31 +74,32 @@ def _scalar_agg(col_name: str, op: str, dtype: T.DataType) -> Column:
     raise ValueError(f"unknown scalar op {op}")
 
 
-def _map_merge_expr(col_name: str, op: str) -> Column:
-    """Merge a collected array of maps point-wise with ``op``.
+_MAP_SCALAR_OP = {"map_sum": "sum", "map_min": "min", "map_max": "max"}
 
-    Uses higher-order functions only (JVM-side, no Python): fold the array
-    with ``F.aggregate``; each step unions keys via ``map_zip_with`` where
-    missing keys surface as null and ``coalesce`` keeps the present value.
-    Mirrors handleMap (AggregationOp.java:144-215) / the Rust map_aggregate
-    UDAF (rust/aggregator_udfs/src/map_aggregate.rs:28-40).
+
+def _merge_maps_exploded(df: DataFrame, group: list[str], col_name: str,
+                         op: str, value_type: T.DataType) -> DataFrame:
+    """Point-wise map merge via explode → hash-agg → reassemble.
+
+    Scale shape: exploding map entries to (group keys..., map_key, value)
+    rows keeps the merge a plain partial+final hash aggregation on
+    (keys..., map_key) — NO per-group buffering of whole maps, so a
+    billion duplicates of one key stream through map-side combine instead
+    of materialising in one aggregation buffer (the collect_list-fold
+    alternative buffers every duplicate map per group and dies on skewed
+    groups). Reassembly sorts entries for run-deterministic map order.
+    Mirrors handleMap (AggregationOp.java:144-215) / the Rust
+    map_aggregate UDAF (rust/aggregator_udfs/src/map_aggregate.rs:28-40).
     """
-    if op == "map_sum":
-        combine = lambda k, v1, v2: F.coalesce(v1 + v2, v1, v2)  # noqa: E731
-    elif op == "map_min":
-        combine = lambda k, v1, v2: F.coalesce(F.least(v1, v2), v1, v2)  # noqa: E731
-    elif op == "map_max":
-        combine = lambda k, v1, v2: F.coalesce(F.greatest(v1, v2), v1, v2)  # noqa: E731
-    else:
-        raise ValueError(f"unknown map op {op}")
-    maps = F.collect_list(F.col(col_name))
-    # fold tail onto head (groups are never empty; aggregated value columns
-    # are non-nullable, so collect_list drops nothing)
-    return F.aggregate(
-        F.slice(maps, F.lit(2), F.greatest(F.size(maps) - 1, F.lit(0))),
-        F.element_at(maps, 1),
-        lambda acc, m: F.map_zip_with(acc, m, combine),
-    ).alias(col_name)
+    scalar_op = _MAP_SCALAR_OP[op]
+    ex = df.select(*group, F.explode_outer(F.col(col_name)).alias("__mk", "__mv"))
+    per_key = ex.groupBy(*group, "__mk").agg(
+        getattr(F, scalar_op)("__mv").cast(value_type).alias("__mv"))
+    entries = F.array_sort(F.collect_list(
+        F.when(F.col("__mk").isNotNull(),
+               F.struct(F.col("__mk").alias("key"), F.col("__mv").alias("value")))))
+    return per_key.groupBy(*group).agg(
+        F.map_from_entries(entries).alias(col_name))
 
 
 def apply_aggregations(
@@ -117,17 +118,27 @@ def apply_aggregations(
     if not aggs:
         return df
     by_col = {a.column: a.op for a in aggs}
-    exprs: list[Column] = []
+    group = (extra_group_cols or []) + schema.key_names
+    scalar_exprs: list[Column] = []
+    map_fields = []
     for f in schema.value_fields:
         op = by_col.get(f.name)
         if op is None:
             continue
         if op.startswith("map_"):
-            exprs.append(_map_merge_expr(f.name, op))
+            map_fields.append((f, op))
         else:
-            exprs.append(_scalar_agg(f.name, op, f.dtype))
-    group = (extra_group_cols or []) + schema.key_names
-    out = df.groupBy(*group).agg(*exprs)
+            scalar_exprs.append(_scalar_agg(f.name, op, f.dtype))
+    if scalar_exprs:
+        out = df.groupBy(*group).agg(*scalar_exprs)
+    else:
+        out = df.select(*group).distinct()
+    # each map column merges via its own explode→agg pipeline, joined back
+    # on the group keys (co-partitioned: every branch shuffles on the same
+    # keys, so the exchanges line up / reuse)
+    for f, op in map_fields:
+        merged = _merge_maps_exploded(df, group, f.name, op, f.dtype.valueType)
+        out = out.join(merged, group, "left")
     keep = (extra_group_cols or []) + schema.key_names + [
         f.name for f in schema.value_fields if f.name in by_col
     ]
