@@ -197,6 +197,74 @@ register_iterator("securityFilter", _security_filter)
 register_iterator("addition", _addition)
 
 
+#: Row-wise twins of the DataFrame iterator registry, for the driver-side
+#: sorted stream (table.sorted_rows). The reference applies ONE iterator
+#: chain on every read path (IteratorFactory.getIterator); Spark reads use
+#: the DataFrame transforms above, the k-way-merge read uses these. A
+#: row transform takes a row dict and returns the (possibly modified) row
+#: or None to drop it.
+RowIteratorFactory = Callable[[list[str], Schema], Callable[[dict], "dict | None"]]
+
+_ROW_ITERATOR_REGISTRY: dict[str, RowIteratorFactory] = {}
+
+
+def register_row_iterator(name: str, factory: RowIteratorFactory) -> None:
+    """Register the row-wise form of a custom iterator (same config name
+    as :func:`register_iterator`)."""
+    _ROW_ITERATOR_REGISTRY[name.lower()] = factory
+
+
+def _security_filter_row(args: list[str], schema: Schema):
+    if len(args) < 1:
+        raise ValueError("securityFilter takes (column, auth...)")
+    column, auths = args[0], set(args[1:])
+
+    def apply(row: dict):
+        v = row.get(column)
+        return row if (v is None or v == "" or v in auths) else None
+
+    return apply
+
+
+def _addition_row(args: list[str], schema: Schema):
+    if len(args) != 3:
+        raise ValueError("addition takes (out_col, col_a, col_b)")
+    out, a, b = args
+
+    def apply(row: dict):
+        va, vb = row.get(a), row.get(b)
+        row[out] = None if (va is None or vb is None) else va + vb
+        return row
+
+    return apply
+
+
+register_row_iterator("securityFilter", _security_filter_row)
+register_row_iterator("addition", _addition_row)
+
+
+def parse_row_iterators(
+    config: str | None, schema: Schema
+) -> list[Callable[[dict], "dict | None"]]:
+    """Row-wise iterator chain for the driver-side sorted stream. Raises
+    if a configured iterator has no registered row-wise form — a table
+    whose iterator only exists as a DataFrame transform must not silently
+    skip it on one read path (ADVICE r1: sorted_rows leaked rows that
+    every other read path filtered)."""
+    if not config:
+        return []
+    out = []
+    for name, args in _parse_calls(config):
+        factory = _ROW_ITERATOR_REGISTRY.get(name.lower())
+        if factory is None:
+            raise ValueError(
+                f"custom iterator {name!r} has no row-wise form; register "
+                f"one with register_row_iterator() to use sorted_rows on "
+                f"this table (known: {sorted(_ROW_ITERATOR_REGISTRY)})")
+        out.append(factory(args, schema))
+    return out
+
+
 def parse_custom_iterators(
     config: str | None, schema: Schema
 ) -> list[Callable[["DataFrame"], "DataFrame"]]:

@@ -160,14 +160,18 @@ class QueryExecutor:
             df = df.select(*cols)
 
         if query.sql:
-            df = run_sql_stage(self.spark, df, query.sql)
+            df = run_sql_stage(self.spark, df, query.sql,
+                               sort_cols=self.schema.key_names)
         return df
 
 
 def _merge_scalar(op: str, a, b):
     if op == "sum":
-        if isinstance(a, (bytes, str)):
-            return a + b
+        # null-tolerant like Spark's sum: null input contributes nothing
+        if a is None:
+            return b
+        if b is None:
+            return a
         return a + b
     if op == "min":
         return b if (a is None or (b is not None and b < a)) else a
@@ -189,9 +193,16 @@ def _merge_scalar(op: str, a, b):
     raise ValueError(op)
 
 
+def _null_safe_key(values):
+    """Sort-key tuple matching Spark's NULLS FIRST default: None sorts
+    below every value and never reaches a Python ``<`` comparison."""
+    return tuple((v is not None, v if v is not None else 0) for v in values)
+
+
 def sorted_row_iterator(store: StateStore, schema: Schema,
                         query: Query, batch_size: int = 8192,
-                        filters=None, aggs=None, now_millis: int = 0):
+                        filters=None, aggs=None, row_iterators=None,
+                        now_millis: int = 0):
     """J1 k-way sorted merge: stream query results in total table order
     (row keys..., sort keys...) WITHOUT a global Spark sort.
 
@@ -247,7 +258,8 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
             runs = [file_rows(fn, leaf)
                     for fn in sorted({r.filename for r in refs})]
             merged = heapq.merge(
-                *runs, key=lambda row: tuple(row[k] for k in key_names))
+                *runs,
+                key=lambda row: _null_safe_key(row[k] for k in key_names))
             for row in merged:
                 # leaf region is the dedup guard for shared ancestor files
                 if not all(r.contains(row[r.field]) for r in leaf.region.ranges):
@@ -263,43 +275,121 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
                 if ok:
                     yield row
 
+    def apply_row_iterators(row):
+        # custom chain runs AFTER filters + aggregation, matching the
+        # reference's filters -> aggregation -> custom composition
+        # (IteratorFactory.java:79-91) and the Spark read path
+        for fn in (row_iterators or []):
+            row = fn(row)
+            if row is None:
+                return None
+        return row
+
+    def emit(rows):
+        for row in rows:
+            row = apply_row_iterators(row)
+            if row is not None:
+                yield row
+
     if not agg_ops:
-        yield from stream()
+        yield from emit(stream())
         return
 
     # A4 streaming group-adjacent aggregation (AggregatorIteratorImpl
     # .java:64-93): input is key-sorted, so equal-key rows are adjacent —
     # O(1) state, emit on key change
-    current_key, acc = None, None
-    for row in stream():
-        k = tuple(row[n] for n in key_names)
-        if k != current_key:
-            if acc is not None:
-                yield acc
-            current_key, acc = k, dict(row)
-        else:
-            for col, op in agg_ops.items():
-                acc[col] = _merge_scalar(op, acc[col], row[col])
-    if acc is not None:
-        yield acc
+    def aggregated():
+        current_key, acc = None, None
+        for row in stream():
+            k = tuple(row[n] for n in key_names)
+            if k != current_key:
+                if acc is not None:
+                    yield acc
+                current_key, acc = k, dict(row)
+            else:
+                for col, op in agg_ops.items():
+                    acc[col] = _merge_scalar(op, acc[col], row[col])
+        if acc is not None:
+            yield acc
+
+    yield from emit(aggregated())
 
 
-_FORBIDDEN_SQL = (
-    "insert", "update", "delete", "create", "drop", "alter", "merge",
-    "truncate", "grant", "revoke", "copy", "set", "call", "show",
-)
+#: parsed-plan node names that make a statement a command, not a query.
+#: Statement classes (InsertIntoStatement & co.) don't all extend Command,
+#: so the walk checks names as well as the Command trait.
+_COMMAND_NODE_NAMES = frozenset({
+    "InsertIntoStatement", "InsertIntoDir", "MergeIntoTable",
+    "DeleteFromTable", "UpdateTable", "TruncateTable", "LoadData",
+    "CreateTable", "CreateTableAsSelect", "ReplaceTable",
+    "ReplaceTableAsSelect", "CreateView", "CreateTempView",
+    "CreateNamespace", "CreateFunction", "DropTable", "DropView",
+    "DropNamespace", "DropFunction", "AlterTable", "AlterViewAs",
+    "AlterViewSchemaBinding", "SetCommand", "ResetCommand", "SetCatalog",
+    "SetNamespace", "SetTableProperties", "SetViewProperties",
+    "CacheTable", "UncacheTable", "RefreshTable", "RefreshFunction",
+    "AnalyzeTable", "AnalyzeTables", "AnalyzeColumn", "RepairTable",
+    "ExplainCommand", "Call",
+})
 
 
-def run_sql_stage(spark: SparkSession, results: DataFrame, sql: str) -> DataFrame:
+def _walk_logical_plan(jplan):
+    """Yield every node of a JVM LogicalPlan (children only — commands
+    cannot hide inside expression subqueries)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+
+
+def assert_query_only(spark: SparkSession, sql: str) -> None:
+    """Reject any statement whose PARSED plan contains a command node.
+
+    String sniffing is bypassable (``WITH t AS (SELECT 1) INSERT INTO x
+    SELECT * FROM t`` starts with WITH); parsing is not — every DML/DDL
+    form surfaces as a statement/command node somewhere in the tree, and
+    the walk inspects actual node classes so SQL literals can't
+    false-positive. Mirrors the reference's SELECT-only SQL stage
+    (rust/query_sql/src/lib.rs:28-55)."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        jplan = parser.parsePlan(sql)
+    except Exception as e:  # ParseException and friends
+        raise ValueError(f"SQL stage could not parse statement: {e}") from None
+    jvm = spark._jvm
+    command_cls = jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command")
+    for node in _walk_logical_plan(jplan):
+        name = node.getClass().getSimpleName()
+        if name in _COMMAND_NODE_NAMES or command_cls.isInstance(node):
+            raise ValueError(
+                f"SQL stage accepts queries only; rejected {name} node")
+
+
+def run_sql_stage(spark: SparkSession, results: DataFrame, sql: str,
+                  sort_cols: list[str] | None = None) -> DataFrame:
     """SELECT-only SQL over query results registered as ``query_results``
-    (Q1: rust/query_sql/src/lib.rs:28-55 — DDL/DML rejected)."""
-    head = sql.lstrip().split(None, 1)
-    if not head or head[0].lower() not in ("select", "with"):
-        raise ValueError("SQL stage accepts SELECT statements only")
-    low = sql.lower()
-    for kw in _FORBIDDEN_SQL:
-        if low.lstrip().startswith(kw):
-            raise ValueError(f"SQL stage rejects {kw.upper()} statements")
-    view = "query_results"
-    results.createOrReplaceTempView(view)
-    return spark.sql(sql)
+    (Q1: rust/query_sql/src/lib.rs:28-55 — DDL/DML rejected via the
+    parsed plan, see :func:`assert_query_only`).
+
+    ``sort_cols`` re-injects the table sort order after user SQL, like
+    the reference's sql_sort_fix (rust/query_sql/src/sql_sort_fix.rs):
+    the result is re-sorted by the longest prefix of (row keys + sort
+    keys) still present in the output, so SQL-stage results keep the
+    table's ordering guarantee whenever that is meaningful.
+    """
+    assert_query_only(spark, sql)
+    results.createOrReplaceTempView("query_results")
+    out = spark.sql(sql)
+    if sort_cols:
+        prefix = []
+        for c in sort_cols:
+            if c not in out.columns:
+                break
+            prefix.append(c)
+        if prefix:
+            out = out.orderBy(*prefix)
+    return out

@@ -125,7 +125,11 @@ class SleeperTable:
         MergingIterator.java:37-114) with the table's filters and
         group-adjacent aggregation applied — no global Spark sort;
         single-reader streaming like the reference's query iterator."""
-        from sleeper_spark.iterators import parse_aggregations, parse_filters
+        from sleeper_spark.iterators import (
+            parse_aggregations,
+            parse_filters,
+            parse_row_iterators,
+        )
         from sleeper_spark.query import sorted_row_iterator
         if query is None:
             full = Region(tuple(Range(f.name, None, None)
@@ -136,6 +140,7 @@ class SleeperTable:
             self.store, self.schema, query, batch_size,
             filters=parse_filters(self.props.filters),
             aggs=parse_aggregations(self.props.aggregations),
+            row_iterators=parse_row_iterators(self.props.iterators, self.schema),
             now_millis=now_millis,
         )
 

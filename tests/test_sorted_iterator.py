@@ -69,3 +69,63 @@ def test_ageoff_applies_in_stream(spark, tmp_path):
         (F.col("ts_ms").isNotNull())
         & (F.lit(now) - F.col("ts_ms") < 1209600000)).collect()}
     assert ids == want
+
+
+def test_custom_iterator_chain_applies_in_stream(spark, tmp_path):
+    """ADVICE r1: sorted_rows must apply props.iterators like every other
+    read path (IteratorFactory.getIterator applies filters -> aggregation
+    -> custom on all reads)."""
+    t, ev = _table(spark, tmp_path, TableProperties(
+        iterators="addition(n, user_id, ts_ms)"))
+    streamed = {r["event_id"]: r["n"] for r in t.sorted_rows(now_millis=0)}
+    spark_side = {r.event_id: r.n for r in t.full_scan(0).collect()}
+    assert streamed == spark_side
+
+
+def test_security_filter_drops_same_rows_in_stream(spark, tmp_path):
+    schema = Schema(
+        (Field("k", T.LongType()),),
+        (),
+        (Field("label", T.StringType(), nullable=True),),
+    )
+    t = SleeperTable.create(
+        spark, str(tmp_path / "sec"), schema,
+        TableProperties(iterators="securityFilter(label, public)"))
+    rows = [(1, "public"), (2, "secret"), (3, None), (4, ""), (5, "public")]
+    t.ingest(spark.createDataFrame(rows, schema.to_struct_type()))
+    streamed = [r["k"] for r in t.sorted_rows()]
+    spark_side = sorted(r.k for r in t.full_scan().collect())
+    assert streamed == spark_side == [1, 3, 4, 5]
+
+
+def test_unknown_row_iterator_raises(spark, tmp_path):
+    t, _ = _table(spark, tmp_path)
+    t.props.iterators = "someDataFrameOnlyThing(x)"
+    import pytest
+    with pytest.raises(ValueError, match="no row-wise form|unknown"):
+        next(iter(t.sorted_rows()))
+
+
+def test_null_sort_keys_and_null_sum(spark, tmp_path):
+    """ADVICE r1: null sort-key entries and null agg inputs must not
+    TypeError — match Spark's NULLS FIRST sort and null-skipping sum."""
+    schema = Schema(
+        (Field("k", T.StringType()),),
+        (Field("s", T.LongType()),),
+        (Field("v", T.LongType(), nullable=True),),
+    )
+    t = SleeperTable.create(spark, str(tmp_path / "n"), schema)
+    rows = [("a", 1, 1), ("a", 5, None), ("b", 1, None), ("b", 2, 7)]
+    t.ingest(spark.createDataFrame(rows, schema.to_struct_type()))
+    got = [(r["k"], r["s"], r["v"]) for r in t.sorted_rows()]
+    assert got == [("a", 1, 1), ("a", 5, None), ("b", 1, None), ("b", 2, 7)]
+    # null-tolerant streaming merge ops (nullable value columns are legal;
+    # Spark's sum/min/max skip nulls rather than raise)
+    from sleeper_spark.query import _merge_scalar, _null_safe_key
+    assert _merge_scalar("sum", None, 3) == 3
+    assert _merge_scalar("sum", 3, None) == 3
+    assert _merge_scalar("sum", None, None) is None
+    # defensive NULLS FIRST ordering for any null that reaches the merge key
+    assert _null_safe_key([None, 2]) < _null_safe_key([1, 2])
+    assert sorted([_null_safe_key(["b"]), _null_safe_key([None]),
+                   _null_safe_key(["a"])])[0] == _null_safe_key([None])

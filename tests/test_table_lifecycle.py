@@ -246,3 +246,45 @@ class TestByteArrayKeys:
         assert sorted(got) == [b"\x7f", b"\x80", b"\xff"]
         got2 = t.exact_key_query(key=b"\x80").collect()
         assert got2[0].value == b"\x80\x80"
+
+
+class TestSqlGuard:
+    """Q1 hardening (VERDICT r1 #1): parse-plan rejection, not string
+    sniffing, plus sql_sort_fix-style order re-injection."""
+
+    def test_with_cte_insert_bypass_rejected(self, table):
+        with pytest.raises(ValueError, match="queries only"):
+            table.sql("WITH t AS (SELECT 1 AS x) "
+                      "INSERT INTO query_results SELECT 'k', 0, 'v' FROM t")
+
+    def test_plain_dml_ddl_rejected(self, table):
+        for stmt in [
+            "INSERT INTO query_results VALUES ('k', 0, 'v')",
+            "CREATE TABLE t2 AS SELECT * FROM query_results",
+            "DROP TABLE query_results",
+            "SET spark.sql.shuffle.partitions=1",
+            "CACHE TABLE query_results",
+        ]:
+            with pytest.raises(ValueError):
+                table.sql(stmt)
+
+    def test_keyword_in_literal_not_false_positive(self, table):
+        out = table.sql(
+            "SELECT 'insert drop create' AS s, count(*) AS n FROM query_results")
+        assert out.collect()[0].n == 100
+
+    def test_cte_select_still_allowed(self, table):
+        out = table.sql(
+            "WITH t AS (SELECT key FROM query_results WHERE timestamp < 10) "
+            "SELECT count(*) AS n FROM t")
+        assert out.collect()[0].n == 10
+
+    def test_sort_order_reinjected(self, table):
+        """sql_sort_fix parity (rust/query_sql/src/sql_sort_fix.rs): when
+        output keeps the table key columns, results come back in table
+        key order despite user SQL that destroys ordering."""
+        out = table.sql(
+            "SELECT key, timestamp, value FROM query_results "
+            "DISTRIBUTE BY crc32(value)")
+        keys = [(r.key, r.timestamp) for r in out.collect()]
+        assert keys == sorted(keys)
