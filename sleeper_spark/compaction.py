@@ -39,6 +39,7 @@ from sleeper_spark.iterators import (
     parse_aggregations,
     parse_filters,
 )
+from sleeper_spark import sketches
 from sleeper_spark.partitions import PartitionTree
 from sleeper_spark.processing import apply_filters, apply_aggregations
 from sleeper_spark.properties import TableProperties
@@ -185,6 +186,7 @@ def run_jobs(
 
     # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199)
     out_refs: list[FileReference] = []
+    new_paths: list[str] = []
     for job in jobs:
         jdir = os.path.join(out_dir, f"{JOB_COL}={job.job_id}")
         files = [fn for fn in sorted(os.listdir(jdir))] if os.path.isdir(jdir) else []
@@ -208,8 +210,14 @@ def run_jobs(
             number_of_rows=n,
             only_contains_data_for_this_partition=True,
         )
-        store.replace_file_references(job.partition_id, list(job.input_files), ref)
+        new_paths.append(path)
         out_refs.append(ref)
+    # sketch sidecars before the reference swap, so a split planned right
+    # after commit sees them (compact.rs writes file + sketch together)
+    sketches.write_sidecars_distributed(
+        spark, new_paths, list(schema.key_names), props.sketch_size)
+    for job, ref in zip(jobs, out_refs):
+        store.replace_file_references(job.partition_id, list(job.input_files), ref)
     return out_refs
 
 
@@ -309,6 +317,16 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
         compression=desc["compression"],
         data_page_size=desc["page_bytes"],
     )
+    # sketch sidecar from the in-memory table — zero extra IO, like the
+    # reference computing sketches inside the compaction task
+    # (compact.rs writes file + sketch together)
+    from sleeper_spark import sketches as sk_mod
+    values_by_field = {}
+    for k in keys:
+        arr = t.column(k).combine_chunks()
+        values_by_field[k] = arr.take(pc.sort_indices(arr)).to_pylist()
+    sk_mod.write_sidecar(desc["out_path"], sk_mod.sketch_from_sorted_values(
+        values_by_field, t.num_rows, desc["sketch_k"]))
     return desc["job_id"], desc["out_path"], t.num_rows
 
 
@@ -352,6 +370,7 @@ def run_jobs_arrow(
             "compression": props.compression,
             "page_bytes": props.page_bytes,
             "now_millis": now_millis,
+            "sketch_k": props.sketch_size,
         })
 
     results = (

@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sleeper_spark import sketches
 from sleeper_spark.partitions import PartitionTree
 from sleeper_spark.properties import TableProperties
 from sleeper_spark.statestore import FileReference, StateStore
@@ -69,6 +70,11 @@ def ingest_dataframe(
     )
 
     refs = _manifest_from_written_dir(out_dir)
+    # quantile sketch sidecar per file (Sketches.java:45-62), computed on
+    # executors so splitting later never re-reads data
+    sketches.write_sidecars_distributed(
+        df.sparkSession, [r.filename for r in refs],
+        schema.key_names, props.sketch_size)
     store.add_files(refs)
     return refs
 

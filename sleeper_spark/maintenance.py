@@ -15,7 +15,12 @@ import time
 from pyspark.sql import SparkSession
 
 from sleeper_spark.properties import TableProperties
-from sleeper_spark.sketches import find_split_point
+from sleeper_spark.sketches import (
+    all_sidecars_present,
+    find_split_point,
+    find_split_point_from_sketches,
+    sidecar_path,
+)
 from sleeper_spark.statestore import StateStore
 
 
@@ -36,9 +41,16 @@ def split_partitions_if_needed(
         total = sum(r.number_of_rows for r in refs)
         if total < props.partition_split_threshold or not refs:
             continue
-        found = find_split_point(
-            spark, store.schema, [r.filename for r in refs], leaf.region
-        )
+        files = [r.filename for r in refs]
+        if all_sidecars_present(files):
+            # union the files' sketch sidecars — no data read at split
+            # time (FindPartitionSplitPoint.java:45-94)
+            found = find_split_point_from_sketches(
+                store.schema, files, leaf.region)
+        else:
+            # files predating sidecars: bounded scan of this partition
+            found = find_split_point(
+                spark, store.schema, files, leaf.region)
         if found is None:
             continue
         dim, point = found
@@ -82,10 +94,11 @@ def collect_garbage(store: StateStore, props: TableProperties,
     ]
     deleted = []
     for fn in candidates:
-        try:
-            os.remove(fn)
-        except FileNotFoundError:
-            pass
+        for path in (fn, sidecar_path(fn)):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
         deleted.append(fn)
     if deleted:
         store.delete_files(deleted)

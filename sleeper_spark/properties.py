@@ -45,6 +45,11 @@ class TableProperties:
     compaction_engine: str = "auto"                 # "auto" | "spark" | "arrow"
     size_ratio: int = 3                             # SizeRatioCompactionStrategy
     gc_delay_seconds: float = 600.0                 # docs/design.md:331-343
+    # per-file quantile sketch sidecar resolution (Sketches.java:45-62
+    # writes a DataSketches quantiles sketch per row-key field per file;
+    # ours stores the file's values at <= sketch_size+1 evenly spaced
+    # ranks, giving <= rows/sketch_size rank error per file on merge)
+    sketch_size: int = 1024
     extra: dict[str, Any] = field(default_factory=dict)
 
     def validate(self, schema: Schema) -> None:

@@ -1,20 +1,38 @@
-"""Quantile sketches for partition splitting.
+"""Per-file mergeable quantile sketch sidecars for partition splitting.
 
-The reference attaches a DataSketches quantiles sketch per row-key field to
-every data file (Sketches.java:45-62) and unions them to find a median
-split point (FindPartitionSplitPoint.java:45-94). Spark's
-``approxQuantile`` (Greenwald-Khanna) over the partition's files is the
-idiomatic equivalent: one distributed pass, driver gets one number back.
-For string/binary keys — which approxQuantile does not support — we take
-an exact distributed median via ``percentile-by-row-number``: sort-free
-``F.ntile`` would need a window over the full partition, so instead we
-count rows and pick the middle element with a range-partitioned sort
-limited to one column. At 100 TB a per-partition split scan touches only
-that partition's files (~1e9 rows by default threshold), not the table.
+The reference attaches a DataSketches quantiles sketch per row-key field
+to every data file (Sketches.java:45-62, SketchesSerDeToS3.java) and
+finds a partition's split median by UNIONING the files' sketches — never
+re-reading data (FindPartitionSplitPoint.java:45-94). This module is the
+Spark-native equivalent:
+
+- Every data file gets a ``<file>.sketch.json`` sidecar holding, per
+  row-key field, the file's values at <= K+1 evenly spaced ranks of that
+  field's sorted order (an equi-depth CDF). Rank estimates interpolate
+  between stored ranks, so each file contributes at most ``rows/K`` rank
+  error — with K=1024 that matches ``approxQuantile``'s default 1e-3
+  relative error.
+- Sketches are EXACTLY mergeable: the rank of ``x`` in a union of files
+  is the sum of per-file rank estimates. ``find_split_point`` unions
+  sidecars driver-side (tiny: K values x dims x files) and never opens a
+  data file; only files missing a sidecar fall back to a bounded Spark
+  scan of that partition.
+- Sidecar computation is distributed (one executor task per file at
+  ingest/compaction commit); the Arrow compaction engine computes the
+  sketch from the in-memory table with zero extra IO.
+
+Region clipping: a split file reference's sketch covers the whole file.
+Rank estimates are clipped to the partition's range on the dimension
+being split (the reference's sketch union has the same whole-file
+approximation for split references).
 """
 
 from __future__ import annotations
 
+import base64
+import json
+import os
+from bisect import bisect_left, bisect_right
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +42,197 @@ from pyspark.sql import types as T
 from sleeper_spark.ranges import Region
 from sleeper_spark.schema import Schema
 
+SKETCH_SUFFIX = ".sketch.json"
+
+
+def sidecar_path(data_path: str) -> str:
+    return data_path + SKETCH_SUFFIX
+
+
+# ---------------------------------------------------------------------------
+# serde — values are int / str / bytes (the legal key primitives)
+# ---------------------------------------------------------------------------
+
+def _enc(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return {"b64": base64.b64encode(v).decode("ascii")}
+    return v
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict) and "b64" in v:
+        return base64.b64decode(v["b64"])
+    return v
+
+
+# ---------------------------------------------------------------------------
+# per-file sketch build
+# ---------------------------------------------------------------------------
+
+def _spaced_ranks(n: int, k: int) -> list[int]:
+    """<= k+1 ranks covering [0, n-1] with both endpoints (exact min/max)."""
+    if n <= k + 1:
+        return list(range(n))
+    return sorted({round(i * (n - 1) / k) for i in range(k + 1)})
+
+
+def sketch_from_sorted_values(values_by_field: dict[str, list],
+                              n: int, k: int) -> dict:
+    """Build the sidecar dict given each key field's SORTED values."""
+    fields = {}
+    for name, vals in values_by_field.items():
+        ranks = _spaced_ranks(n, k)
+        fields[name] = {
+            "ranks": ranks,
+            "values": [_enc(vals[r]) for r in ranks],
+        }
+    return {"rows": n, "k": k, "fields": fields}
+
+
+def compute_file_sketch(path: str, key_names: list[str], k: int) -> dict:
+    """Read ONLY the key columns of one Parquet file and sketch them.
+    Runs on an executor; columnar projection keeps IO to the key bytes."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=list(key_names))
+    n = t.num_rows
+    values_by_field = {}
+    for name in key_names:
+        arr = t.column(name).combine_chunks()
+        order = pc.sort_indices(arr)
+        values_by_field[name] = arr.take(order).to_pylist()
+    return sketch_from_sorted_values(values_by_field, n, k)
+
+
+def write_sidecar(path: str, sketch: dict) -> None:
+    with open(sidecar_path(path), "w") as f:
+        json.dump(sketch, f)
+
+
+def load_sidecar(data_path: str) -> dict | None:
+    p = sidecar_path(data_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_sidecars_distributed(spark: SparkSession, paths: list[str],
+                               key_names: list[str], k: int) -> None:
+    """One executor task per new data file — sidecar building scales with
+    the cluster, like the reference computing sketches inside each ingest
+    /compaction task rather than centrally."""
+    if not paths:
+        return
+    names = list(key_names)
+
+    def build(path: str) -> str:
+        sk = compute_file_sketch(path, names, k)
+        write_sidecar(path, sk)
+        return path
+
+    done = (
+        spark.sparkContext.parallelize(paths, len(paths)).map(build).collect()
+    )
+    assert sorted(done) == sorted(paths)
+
+
+# ---------------------------------------------------------------------------
+# merge: rank arithmetic over sidecars
+# ---------------------------------------------------------------------------
+
+class _FieldSketch:
+    """One file's CDF for one field, rank-clipped to an optional range."""
+
+    def __init__(self, entry: dict, rows: int, lo=None, hi=None):
+        self.values = [_dec(v) for v in entry["values"]]
+        self.ranks = entry["ranks"]
+        self.rows = rows
+        # clip to [lo, hi): ranks outside the range contribute nothing
+        self.lo_rank = self._raw_rank(lo) if lo is not None else 0
+        self.hi_rank = self._raw_rank(hi) if hi is not None else rows
+        self.total = max(0, self.hi_rank - self.lo_rank)
+
+    def _raw_rank(self, x) -> int:
+        """Estimated #rows with value < x (interpolated between ranks)."""
+        vals, ranks = self.values, self.ranks
+        if not vals or x <= vals[0]:
+            return 0
+        if x > vals[-1]:
+            return self.rows
+        j = bisect_left(vals, x)
+        # vals[j-1] < x <= vals[j]; rows strictly below x lie in
+        # (ranks[j-1], ranks[j]] — take the known lower bound + 1
+        return min(ranks[j - 1] + 1, ranks[j])
+
+    def rank(self, x) -> int:
+        return min(max(self._raw_rank(x) - self.lo_rank, 0), self.total)
+
+    def clipped_values(self, lo, hi):
+        vals = self.values
+        i = bisect_left(vals, lo) if lo is not None else 0
+        j = bisect_left(vals, hi) if hi is not None else len(vals)
+        return vals[i:j]
+
+
+def find_split_point_from_sketches(
+    schema: Schema,
+    files: list[str],
+    region: Region,
+) -> tuple[int, Any] | None:
+    """Sketch-union split search (FindPartitionSplitPoint.java:45-94):
+    try row-key dimensions in order; a dimension is usable iff
+    min < median <= max within the partition region. Pure driver-side
+    arithmetic over sidecars — returns None-on-missing-sidecar is NOT
+    possible: caller must ensure all sidecars exist (see
+    ``all_sidecars_present``)."""
+    sidecars = []
+    for fn in files:
+        sk = load_sidecar(fn)
+        if sk is None:
+            raise FileNotFoundError(f"missing sketch sidecar for {fn}")
+        sidecars.append(sk)
+
+    bounds = {r.field: r.canonicalise() for r in region.ranges}
+    for dim, fld in enumerate(schema.row_key_fields):
+        rng = bounds.get(fld.name)
+        lo = rng.min if rng is not None else None
+        hi = rng.max if rng is not None else None
+        sketches = [
+            _FieldSketch(sk["fields"][fld.name], sk["rows"], lo, hi)
+            for sk in sidecars
+        ]
+        total = sum(s.total for s in sketches)
+        if total < 2:
+            continue
+        candidates = sorted({v for s in sketches
+                             for v in s.clipped_values(lo, hi)})
+        if len(candidates) < 2:
+            continue
+        mn, mx = candidates[0], candidates[-1]
+        if not mn < mx:
+            continue
+        target = total / 2
+        best, best_err = None, None
+        for c in candidates:
+            if not (mn < c <= mx):
+                continue
+            err = abs(sum(s.rank(c) for s in sketches) - target)
+            if best_err is None or err < best_err:
+                best, best_err = c, err
+        if best is not None:
+            return dim, best
+    return None
+
+
+def all_sidecars_present(files: list[str]) -> bool:
+    return all(os.path.exists(sidecar_path(fn)) for fn in files)
+
+
+# ---------------------------------------------------------------------------
+# scan fallback (pre-sidecar files)
+# ---------------------------------------------------------------------------
 
 def find_split_point(
     spark: SparkSession,
@@ -32,11 +241,9 @@ def find_split_point(
     region: Region,
     relative_error: float = 0.001,
 ) -> tuple[int, Any] | None:
-    """Median split point for a partition, trying row-key dimensions in
-    order (FindPartitionSplitPoint.java:52-57): usable iff
-    min < median < max within the partition region.
-
-    Returns (dimension, split_point) or None if no dimension splits.
+    """Median split point for a partition via a bounded data scan. Used
+    only when a file predates sketch sidecars; the sketch path above is
+    the normal route (the reference never re-reads data to split).
     """
     df = (
         spark.read.schema(schema.to_struct_type())

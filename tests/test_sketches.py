@@ -1,0 +1,186 @@
+"""O2: per-file mergeable quantile sketch sidecars.
+
+Reference parity: Sketches.java:45-62 (sketch per row-key field per data
+file) + FindPartitionSplitPoint.java:45-94 (split median from a UNION of
+sidecars, no data read)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sleeper_spark import Field, Schema, SleeperTable
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.sketches import (
+    all_sidecars_present,
+    compute_file_sketch,
+    find_split_point_from_sketches,
+    load_sidecar,
+    sidecar_path,
+)
+
+
+def long_schema():
+    return Schema((Field("key", T.LongType()),), (),
+                  (Field("value", T.LongType()),))
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SleeperTable.create(spark, str(tmp_path / "t"), long_schema())
+    df = spark.range(10_000).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("value"))
+    t.ingest(df)
+    return t
+
+
+class TestSidecarWriting:
+    def test_ingest_writes_sidecars(self, table):
+        refs = table.store.all_references()
+        assert refs
+        for r in refs:
+            sk = load_sidecar(r.filename)
+            assert sk is not None
+            assert sk["rows"] == r.number_of_rows
+            assert "key" in sk["fields"]
+            vals = sk["fields"]["key"]["values"]
+            assert vals == sorted(vals)
+
+    def test_spark_compaction_writes_sidecars(self, spark, table):
+        df = spark.range(10_000).select(
+            F.col("id").alias("key"), (F.col("id") * 3).alias("value"))
+        table.ingest(df)
+        table.props.compaction_engine = "spark"
+        out = table.compact()
+        assert out
+        for r in out:
+            sk = load_sidecar(r.filename)
+            assert sk is not None and sk["rows"] == r.number_of_rows
+
+    def test_arrow_compaction_writes_sidecars(self, spark, table):
+        df = spark.range(10_000).select(
+            F.col("id").alias("key"), (F.col("id") * 3).alias("value"))
+        table.ingest(df)
+        table.props.compaction_engine = "arrow"
+        out = table.compact()
+        assert out
+        for r in out:
+            sk = load_sidecar(r.filename)
+            assert sk is not None and sk["rows"] == r.number_of_rows
+            # exact endpoints: rank-0 and rank-(n-1) samples are min/max
+            ks = sk["fields"]["key"]
+            assert ks["ranks"][0] == 0
+            assert ks["ranks"][-1] == sk["rows"] - 1
+
+    def test_sidecar_is_small(self, table):
+        r = table.store.all_references()[0]
+        assert os.path.getsize(sidecar_path(r.filename)) < 64 * 1024
+
+
+class TestSplitFromSketches:
+    def test_split_without_reading_data(self, spark, table):
+        """The zero-data-read proof: spark=None would crash any scan."""
+        table.props.partition_split_threshold = 100
+        assert all_sidecars_present(
+            [r.filename for r in table.store.all_references()])
+        split = table.store  # keep ref
+        out = __import__("sleeper_spark.maintenance", fromlist=["m"]) \
+            .split_partitions_if_needed(None, table.store, table.props)
+        assert out == ["root"]
+        left, right = [p for p in table.store.tree.leaves()]
+        # median of 0..9999 ~ 5000; equi-depth sketch is exact at k>=n/1024
+        boundary = left.region.ranges[0].max or right.region.ranges[0].max
+        assert abs(boundary - 5000) <= 10
+        # queries still exact after metadata-only split
+        assert table.full_scan().count() == 10_000
+
+    def test_sketch_median_matches_exact_median_strings(self, spark, tmp_path):
+        schema = Schema((Field("key", T.StringType()),), (),
+                        (Field("v", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "s"), schema)
+        df = spark.range(5000).select(
+            F.format_string("k-%05d", F.col("id")).alias("key"),
+            F.col("id").alias("v"))
+        t.ingest(df)
+        files = [r.filename for r in t.store.all_references()]
+        region = Region((Range("key", None, None),))
+        found = find_split_point_from_sketches(schema, files, region)
+        assert found is not None
+        dim, point = found
+        assert dim == 0
+        assert point == "k-02500" or abs(int(point[2:]) - 2500) <= 5
+
+    def test_union_across_files_weights_by_rows(self, spark, tmp_path):
+        """A big and a small file: the merged median must reflect row
+        counts, not file counts — the whole point of a mergeable sketch."""
+        t = SleeperTable.create(spark, str(tmp_path / "u"), long_schema())
+        t.ingest(spark.range(9000).select(
+            F.col("id").alias("key"), F.col("id").alias("value")))
+        t.ingest(spark.range(9000, 10000).select(
+            F.col("id").alias("key"), F.col("id").alias("value")))
+        files = [r.filename for r in t.store.all_references()]
+        region = Region((Range("key", None, None),))
+        found = find_split_point_from_sketches(t.schema, files, region)
+        dim, point = found
+        assert abs(point - 5000) <= 20  # NOT (9000+9500)/2
+
+    def test_region_clipping_for_split_file_references(self, spark, tmp_path):
+        """A file overlapping [0,10000) queried for region [0,2000) must
+        split near 1000, not 5000 — rank clipping on the split dim."""
+        t = SleeperTable.create(spark, str(tmp_path / "c"), long_schema())
+        t.ingest(spark.range(10_000).select(
+            F.col("id").alias("key"), F.col("id").alias("value")))
+        files = [r.filename for r in t.store.all_references()]
+        region = Region((Range("key", 0, 2000),))
+        dim, point = find_split_point_from_sketches(t.schema, files, region)
+        assert abs(point - 1000) <= 20
+
+    def test_missing_sidecar_raises(self, table):
+        files = [r.filename for r in table.store.all_references()]
+        os.remove(sidecar_path(files[0]))
+        assert not all_sidecars_present(files)
+        with pytest.raises(FileNotFoundError):
+            find_split_point_from_sketches(
+                table.schema, files, Region((Range("key", None, None),)))
+
+    def test_small_file_no_split(self, spark, tmp_path):
+        t = SleeperTable.create(spark, str(tmp_path / "tiny"), long_schema())
+        t.ingest(spark.range(1).select(
+            F.col("id").alias("key"), F.col("id").alias("value")))
+        files = [r.filename for r in t.store.all_references()]
+        assert find_split_point_from_sketches(
+            t.schema, files, Region((Range("key", None, None),))) is None
+
+
+class TestSidecarLifecycle:
+    def test_gc_removes_sidecars(self, spark, table):
+        import time
+        df = spark.range(100).select(
+            F.col("id").alias("key"), F.col("id").alias("value"))
+        table.ingest(df)
+        old = [r.filename for r in table.store.all_references()]
+        table.compact()
+        deleted = table.collect_garbage(now=time.time() + 10_000)
+        assert set(deleted) == set(old)
+        for fn in deleted:
+            assert not os.path.exists(fn)
+            assert not os.path.exists(sidecar_path(fn))
+
+    def test_sketch_accuracy_bound(self, tmp_path):
+        """<= rows/k rank error per file: construct a skewed file and
+        check the estimated rank error bound directly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        vals = sorted([i * i % 7919 for i in range(20_000)])
+        path = str(tmp_path / "f.parquet")
+        pq.write_table(pa.table({"key": vals}), path)
+        sk = compute_file_sketch(path, ["key"], 1024)
+        from sleeper_spark.sketches import _FieldSketch
+        fs = _FieldSketch(sk["fields"]["key"], sk["rows"])
+        import bisect
+        for probe in [0, 100, 1234, 4000, 7918]:
+            true_rank = bisect.bisect_left(vals, probe)
+            assert abs(fs.rank(probe) - true_rank) <= 20_000 / 1024 + 1
