@@ -7,13 +7,14 @@ partition region, runs the iterator chain, writes one sorted file + sketch
 sidecar, and commits a REPLACE_FILE_REFERENCES transaction.
 
 Spark-first shape — and our scale-out advantage over the reference's
-one-ECS-task-per-job model: MANY jobs batch into ONE Spark action. Every
-job's input scan is tagged with its job id, the union is processed in one
-plan, and ``partitionBy(tag)`` writes one sorted file per job. Disjoint
-partition regions guarantee per-job key spaces never collide, so a single
+one-ECS-task-per-job model: MANY jobs batch into ONE Spark action. ONE
+scan over all jobs' distinct input files is joined to a broadcast
+``file -> (job id, region)`` map (see ``_tag_rows_with_jobs``), and
+``partitionBy(tag)`` writes one sorted file per job. Disjoint partition
+regions guarantee per-job key spaces never collide, so a single
 ``groupBy(tag, keys)`` collapses all jobs at once. 1000 pending
-compactions = one Spark job with 1000 write partitions, not 1000 task
-submissions.
+compactions = one Spark job with ONE scan node and 1000 write
+partitions, not 1000 task submissions or a 1000-branch union plan.
 
 Job creation strategies (O3):
 - ``basic`` — batch leaf files in creation order, size
@@ -33,6 +34,7 @@ from dataclasses import dataclass
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sleeper_spark.iterators import (
     apply_custom_iterators,
@@ -129,6 +131,65 @@ def _size_ratio_batches(refs: list[FileReference], ratio: int,
 # job execution (O1, batched)
 # ---------------------------------------------------------------------------
 
+_FILE_COL = "__sleeper_file__"
+
+
+def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
+                        schema: Schema) -> DataFrame:
+    """ONE scan of all jobs' distinct input files + a broadcast
+    (file -> job, job region) map join.
+
+    The naive shape — one scan branch per job unioned N ways — re-lists
+    files per branch and grows the Catalyst plan linearly in N, so 1000
+    pending jobs means a 1000-branch plan whose analysis time dominates.
+    This shape is N-invariant: a single Parquet scan node, one broadcast
+    hash join against a rows-sized-in-jobs map, and a codegen'd range
+    filter. A shared ancestor file feeding several jobs joins to each of
+    them, and the per-job partition region (the reference's dedup guard,
+    RangeQueryUtils.java:49-56) keeps exactly the rows the job owns.
+    """
+    struct = schema.to_struct_type()
+    all_files = sorted({fn for job in jobs for fn in job.input_files})
+
+    # broadcast map: file path -> (job id, canonical region bounds per dim)
+    map_fields = [T.StructField(_FILE_COL, T.StringType(), False),
+                  T.StructField(JOB_COL, T.StringType(), False)]
+    for f in schema.row_key_fields:
+        map_fields.append(T.StructField(f"__min_{f.name}__", f.dtype, True))
+        map_fields.append(T.StructField(f"__max_{f.name}__", f.dtype, True))
+    rows = []
+    for job in jobs:
+        bounds = {r.field: r.canonicalise() for r in job.partition_region.ranges}
+        for fn in job.input_files:
+            row = [fn, job.job_id]
+            for f in schema.row_key_fields:
+                rng = bounds.get(f.name)
+                row.append(rng.min if rng is not None else None)
+                row.append(rng.max if rng is not None else None)
+            rows.append(tuple(row))
+    mapping = spark.createDataFrame(rows, T.StructType(map_fields))
+
+    scan = (
+        spark.read.schema(struct).parquet(*all_files)
+        # input_file_name() is a percent-encoded file:// URI; decode and
+        # strip the scheme to recover the stored absolute path
+        .withColumn(_FILE_COL, F.expr(
+            "regexp_replace(url_decode(input_file_name()), '^file://', '')"))
+    )
+    joined = scan.join(F.broadcast(mapping), _FILE_COL, "inner")
+    region_pred = F.lit(True)
+    for f in schema.row_key_fields:
+        mn, mx = F.col(f"__min_{f.name}__"), F.col(f"__max_{f.name}__")
+        region_pred = (
+            region_pred
+            & (mn.isNull() | (F.col(f.name) >= mn))
+            & (mx.isNull() | (F.col(f.name) < mx))
+        )
+    drop = [_FILE_COL] + [c for f in schema.row_key_fields
+                          for c in (f"__min_{f.name}__", f"__max_{f.name}__")]
+    return joined.where(region_pred).drop(*drop)
+
+
 def run_jobs(
     spark: SparkSession,
     jobs: list[CompactionJob],
@@ -153,21 +214,11 @@ def run_jobs(
     out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
     struct = schema.to_struct_type()
 
-    # tagged union of every job's scan; the per-job partition-region filter
-    # is the dedup guard for ancestor files shared across jobs
-    union: DataFrame | None = None
-    for job in jobs:
-        part = (
-            spark.read.schema(struct).parquet(*job.input_files)
-            .where(job.partition_region.to_column())
-            .withColumn(JOB_COL, F.lit(job.job_id))
-        )
-        union = part if union is None else union.unionByName(part)
-    assert union is not None
+    tagged = _tag_rows_with_jobs(spark, jobs, schema)
 
     filters = parse_filters(props.filters)
     aggs = parse_aggregations(props.aggregations)
-    df = apply_filters(union, filters, now_millis)
+    df = apply_filters(tagged, filters, now_millis)
     if aggs:
         df = apply_aggregations(df, schema, aggs, extra_group_cols=[JOB_COL])
     # table-level custom iterators run at compaction too (U1: table

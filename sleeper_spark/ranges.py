@@ -200,10 +200,15 @@ class Region:
 
 
 def regions_to_column(regions: list[Region]) -> Column:
-    """(OR over regions) — the query predicate (RangeQueryUtils.java:48-56)."""
+    """(OR over regions) — the query predicate (RangeQueryUtils.java:48-56).
+
+    Balanced pairwise reduction: a left-deep ``a | b | c | ...`` chain
+    over 10^3+ selected leaves overflows the JVM stack converting the
+    Column tree; a balanced tree keeps depth O(log n)."""
     if not regions:
         return F.lit(True)
-    out = regions[0].to_column()
-    for reg in regions[1:]:
-        out = out | reg.to_column()
-    return out
+    terms = [reg.to_column() for reg in regions]
+    while len(terms) > 1:
+        terms = [terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    return terms[0]

@@ -167,3 +167,68 @@ def test_simhash_block_join_reuses_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+class TestBatchedCompactionPlan:
+    """VERDICT r1 #4: the batched compaction plan must be N-invariant —
+    one scan + broadcast map join, not an N-branch union."""
+
+    def _many_job_table(self, spark, tmp_path, n_leaves=200):
+        from sleeper_spark import Field, Schema, SleeperTable
+        from pyspark.sql import types as T
+        schema = Schema((Field("key", T.LongType()),), (),
+                        (Field("value", T.LongType()),))
+        splits = list(range(10, n_leaves * 10, 10))
+        t = SleeperTable.create(spark, str(tmp_path / "many"), schema,
+                                split_points=splits)
+        df = spark.range(n_leaves * 10).select(
+            F.col("id").alias("key"), (F.col("id") * 7).alias("value"))
+        t.ingest(df)
+        t.ingest(df)  # 2 files/leaf -> one job per leaf
+        return t
+
+    def test_200_jobs_single_scan_plan(self, spark, tmp_path):
+        from sleeper_spark import compaction as cm
+        t = self._many_job_table(spark, tmp_path, 200)
+        jobs = cm.create_jobs(t.store, t.props)
+        assert len(jobs) == 200
+        plan_df = cm._tag_rows_with_jobs(spark, jobs, t.schema)
+        plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+            plan_df._jdf.queryExecution(), "simple")
+        assert plan.count("Scan parquet") == 1
+        assert "BroadcastHashJoin" in plan
+        assert "Union" not in plan
+
+    def test_200_jobs_execute_in_one_action_correctly(self, spark, tmp_path):
+        t = self._many_job_table(spark, tmp_path, 200)
+        t.props.compaction_engine = "spark"
+        before = sorted((r.key, r.value) for r in t.full_scan().collect())
+        out = t.compact()
+        assert len(out) == 200
+        after = sorted((r.key, r.value) for r in t.full_scan().collect())
+        assert before == after
+        for leaf in t.store.tree.leaves():
+            refs = t.store.references_for_partition(leaf.id)
+            assert len(refs) == 1
+
+    def test_shared_ancestor_file_dedup_guard(self, spark, tmp_path):
+        """A file referenced by multiple jobs (post-split ancestor) must
+        contribute each row to exactly one job."""
+        from sleeper_spark import Field, Schema, SleeperTable
+        from pyspark.sql import types as T
+        schema = Schema((Field("key", T.LongType()),), (),
+                        (Field("value", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "sh"), schema)
+        props = t.props
+        props.partition_split_threshold = 100
+        df = spark.range(1000).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("value"))
+        t.ingest(df)
+        t.ingest(df)
+        t.split_partitions()
+        t.split_file_references()
+        props.compaction_engine = "spark"
+        t.compact()
+        got = sorted((r.key, r.value) for r in t.full_scan().collect())
+        assert got == sorted(
+            [(i, 2 * i) for i in range(1000)] + [(i, 2 * i) for i in range(1000)])

@@ -184,3 +184,81 @@ class TestSidecarLifecycle:
         for probe in [0, 100, 1234, 4000, 7918]:
             true_rank = bisect.bisect_left(vals, probe)
             assert abs(fs.rank(probe) - true_rank) <= 20_000 / 1024 + 1
+
+
+class TestLargeTreePartitionAssignment:
+    """VERDICT r1 #5: partition tagging must survive 10^4-leaf trees —
+    vectorized search above CASE_CHAIN_MAX_LEAVES, CASE chain below."""
+
+    def test_1000_leaf_ingest_lifecycle(self, spark, tmp_path):
+        splits = list(range(10, 10_000, 10))  # 1000 leaves
+        t = SleeperTable.create(spark, str(tmp_path / "big"), long_schema(),
+                                split_points=splits)
+        assert len(t.store.tree.leaves()) == 1000
+        df = spark.range(10_000).select(
+            F.col("id").alias("key"), (F.col("id") * 3).alias("value"))
+        refs = t.ingest(df)
+        assert len(refs) == 1000
+        # every file landed in the right leaf: its key range within bounds
+        for r in refs[::97]:
+            sk = load_sidecar(r.filename)
+            leaf = t.store.tree[r.partition_id]
+            rng = leaf.region.ranges[0]
+            vals = sk["fields"]["key"]["values"]
+            assert rng.min is None or vals[0] >= rng.min
+            assert rng.max is None or vals[-1] < rng.max
+        assert t.full_scan().count() == 10_000
+        assert t.exact_key_query(key=7777).collect()[0].value == 23331
+
+    def test_search_matches_case_chain(self, spark, tmp_path):
+        """Both strategies assign identical leaves on the same tree."""
+        from sleeper_spark.partitions import PartitionTree
+        splits = list(range(50, 10_000, 50))  # 200 leaves -> search path
+        tree = PartitionTree.initial(long_schema(), splits)
+        df = spark.range(0, 10_000, 7).select(F.col("id").alias("key"),
+                                              F.lit(0).alias("value"))
+        via_search = {r.key: r.pid for r in
+                      df.withColumn("pid", tree.leaf_id_column()).collect()}
+        saved = PartitionTree.CASE_CHAIN_MAX_LEAVES
+        try:
+            PartitionTree.CASE_CHAIN_MAX_LEAVES = 10_000
+            via_case = {r.key: r.pid for r in
+                        df.withColumn("pid", tree.leaf_id_column()).collect()}
+        finally:
+            PartitionTree.CASE_CHAIN_MAX_LEAVES = saved
+        assert via_search == via_case
+        # and both agree with the driver-side descent
+        for k in range(0, 10_000, 7 * 101):
+            assert via_search[k] == tree.leaf_for_row({"key": k}).id
+
+    def test_multidim_tree_descent(self, spark, tmp_path):
+        from pyspark.sql import types as T2
+        from sleeper_spark.partitions import PartitionTree
+        schema = Schema(
+            (Field("a", T2.LongType()), Field("b", T2.LongType())), (),
+            (Field("v", T2.LongType()),))
+        tree = PartitionTree.initial(schema, list(range(10, 2000, 10)))
+        # split some leaves on dimension 1 -> mixed-dimension tree
+        for leaf in list(tree.leaves())[:5]:
+            tree.split(leaf.id, 1, 500)
+        assert len(tree.leaves()) > PartitionTree.CASE_CHAIN_MAX_LEAVES
+        df = spark.range(4000).select(
+            (F.col("id") % 2000).alias("a"), (F.col("id") % 1000).alias("b"))
+        got = {(r.a, r.b): r.pid for r in
+               df.withColumn("pid", tree.leaf_id_column()).collect()}
+        for (a, b), pid in list(got.items())[::131]:
+            assert pid == tree.leaf_for_row({"a": a, "b": b}).id
+
+    def test_string_key_search(self, spark, tmp_path):
+        schema = Schema((Field("key", T.StringType()),), (),
+                        (Field("v", T.LongType()),))
+        from sleeper_spark.partitions import PartitionTree
+        splits = ["k-%05d" % i for i in range(10, 3000, 10)]  # 300 leaves
+        tree = PartitionTree.initial(schema, splits)
+        df = spark.range(3000).select(
+            F.format_string("k-%05d", F.col("id")).alias("key"))
+        got = {r.key: r.pid for r in
+               df.withColumn("pid", tree.leaf_id_column()).collect()}
+        for i in range(0, 3000, 271):
+            k = "k-%05d" % i
+            assert got[k] == tree.leaf_for_row({"key": k}).id
