@@ -147,6 +147,10 @@ class PartitionTree:
         self._by_id[left.id] = left
         self._by_id[right.id] = right
 
+    def put(self, partition: Partition) -> None:
+        """Insert or replace one partition (EXTEND_PARTITION_TREE replay)."""
+        self._by_id[partition.id] = partition
+
     # --- lookups ---------------------------------------------------------
     def __getitem__(self, pid: str) -> Partition:
         return self._by_id[pid]

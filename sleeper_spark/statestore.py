@@ -6,11 +6,12 @@ Reference semantics (docs/design.md:135-199; core/statestore/):
   file may be referenced by several partitions (after a split, before
   compaction) (FileReference.java:29-35).
 - All mutations are transactions appended to a log; state is rebuilt by
-  replaying the log (snapshots make that O(1)). Transaction types mirror
-  core/statestore/transactionlog/transaction/impl/: ADD_FILES,
-  REPLACE_FILE_REFERENCES (compaction commit), SPLIT_PARTITION,
+  replaying the log (snapshots make that O(1)). All 10 transaction types
+  of core/statestore/transactionlog/transaction/impl/ are implemented:
+  ADD_FILES, REPLACE_FILE_REFERENCES (compaction commit),
+  SPLIT_PARTITION, EXTEND_PARTITION_TREE (atomic multi-split),
   ASSIGN_JOB_IDS, SPLIT_FILE_REFERENCES, INITIALISE_PARTITIONS,
-  DELETE_FILES, CLEAR_FILES.
+  CLEAR_PARTITIONS, DELETE_FILES, CLEAR_FILES.
 
 Implementation: each transaction is one JSON file
 ``<table>/statestore/transactions/{seq:012d}.json`` created with
@@ -188,6 +189,16 @@ class StateStore:
                 Partition.from_json(tx["left"], self.schema),
                 Partition.from_json(tx["right"], self.schema),
             )
+        elif t == "EXTEND_PARTITION_TREE":
+            # atomic multi-split: updated leaves become internal, new
+            # partitions appear (ExtendPartitionTreeTransaction.java:89-93)
+            assert self.tree is not None
+            for d in tx["updatePartitions"] + tx["newPartitions"]:
+                self.tree.put(Partition.from_json(d, self.schema))
+        elif t == "CLEAR_PARTITIONS":
+            # invalidates everything; table must be re-initialised
+            # (ClearPartitionsTransaction.java:20-24)
+            self.tree = None
         elif t == "SPLIT_FILE_REFERENCES":
             # move a file ref one level down the tree: remove parent ref, add
             # child refs with halved (approximate) counts (docs/design.md:293-299)
@@ -245,6 +256,51 @@ class StateStore:
             "outputFile": replace(output, last_update_time=now).to_json(),
             "time": now,
         })
+
+    def extend_partition_tree(self, update_partitions: list[Partition],
+                              new_partitions: list[Partition]) -> None:
+        """Add any number of splits as ONE atomic transaction
+        (ExtendPartitionTreeTransaction.java:60-93): ``update_partitions``
+        are existing leaves that become internal, ``new_partitions`` are
+        their children. Validates like the reference before committing."""
+        assert self.tree is not None
+        for p in update_partitions:
+            if p.id not in self.tree:
+                raise StateStoreException(
+                    f"attempted to update a partition which does not exist: {p.id}")
+            if not self.tree[p.id].is_leaf:
+                raise StateStoreException(
+                    f"attempted to update a partition which has already been split: {p.id}")
+            if p.is_leaf:
+                raise StateStoreException(
+                    f"attempted to update a partition without splitting it: {p.id}")
+        for p in new_partitions:
+            if p.id in self.tree:
+                raise StateStoreException(
+                    f"attempted to add a partition which already exists: {p.id}")
+        # resulting tree must be valid: every new partition's parent must
+        # exist among updated/new/current partitions
+        ids = ({p.id for p in self.tree.all_partitions()}
+               | {p.id for p in new_partitions})
+        for p in new_partitions:
+            if p.parent_id not in ids:
+                raise StateStoreException(
+                    f"update results in invalid partition tree: "
+                    f"{p.id} has unknown parent {p.parent_id}")
+        self._commit({
+            "type": "EXTEND_PARTITION_TREE",
+            "updatePartitions": [p.to_json() for p in update_partitions],
+            "newPartitions": [p.to_json() for p in new_partitions],
+        })
+
+    def clear_partitions(self) -> None:
+        """Clear all partitions. Only legal when no file references exist
+        — they would dangle (ClearPartitionsTransaction.java:20-24); the
+        table must be re-initialised before use."""
+        if self.files:
+            raise StateStoreException(
+                "cannot clear partitions while file references are present")
+        self._commit({"type": "CLEAR_PARTITIONS"})
 
     def split_partition(self, parent: Partition, left: Partition, right: Partition) -> None:
         self._commit({

@@ -224,6 +224,104 @@ class TestStateStore:
         with pytest.raises(StateStoreException):
             st.assign_job_ids("job2", [st.files["/f1"]["root"]])
 
+    def test_extend_partition_tree_atomic_multi_split(self, tmp_path):
+        """EXTEND_PARTITION_TREE (ExtendPartitionTreeTransaction.java:60-93):
+        many splits committed atomically, replayed on reload + snapshot."""
+        from dataclasses import replace as dc_replace
+        from sleeper_spark.partitions import Partition
+        from sleeper_spark.ranges import Range, Region
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        root = st.tree["root"]
+        mk = lambda pid, mn, mx: Partition(
+            pid, Region((Range("key", mn, mx),)), parent_id="root")
+        kids = [mk("c1", None, 100), mk("c2", 100, None)]
+        updated = dc_replace(root, child_ids=("c1", "c2"), dimension=0)
+        st.extend_partition_tree([updated], kids)
+        assert {p.id for p in st.tree.leaves()} == {"c1", "c2"}
+        # grandchildren in the same style, then reload replays everything
+        g = [mk("g1", None, 50), mk("g2", 50, 100)]
+        g = [dc_replace(p, parent_id="c1") for p in g]
+        c1_updated = dc_replace(st.tree["c1"], child_ids=("g1", "g2"), dimension=0)
+        st.extend_partition_tree([c1_updated], g)
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert {p.id for p in st2.tree.leaves()} == {"g1", "g2", "c2"}
+
+    def test_extend_partition_tree_validation(self, tmp_path):
+        from dataclasses import replace as dc_replace
+        from sleeper_spark.partitions import Partition
+        from sleeper_spark.ranges import Range, Region
+        from sleeper_spark.statestore import StateStoreException
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        root = st.tree["root"]
+        mk = lambda pid, mn, mx, par: Partition(
+            pid, Region((Range("key", mn, mx),)), parent_id=par)
+        # updating a non-existent partition
+        ghost = dc_replace(root, id="nope", child_ids=("a", "b"))
+        with pytest.raises(StateStoreException, match="does not exist"):
+            st.extend_partition_tree([ghost], [])
+        # updating without splitting (still a leaf)
+        with pytest.raises(StateStoreException, match="without splitting"):
+            st.extend_partition_tree([root], [])
+        # new partition with unknown parent
+        with pytest.raises(StateStoreException, match="invalid partition tree"):
+            st.extend_partition_tree(
+                [dc_replace(root, child_ids=("x", "y"), dimension=0)],
+                [mk("x", None, 1, "root"), mk("y", 1, None, "missing-parent")])
+        # adding an id that already exists
+        with pytest.raises(StateStoreException, match="already exists"):
+            st.extend_partition_tree(
+                [dc_replace(root, child_ids=("root", "z"), dimension=0)],
+                [mk("root", None, 1, "root"), mk("z", 1, None, "root")])
+
+    def test_clear_partitions(self, tmp_path):
+        from sleeper_spark.statestore import StateStoreException
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s, [100]))
+        st.add_files([FileReference("/f1", "root", 10)])
+        # illegal while file references exist (ClearPartitionsTransaction
+        # javadoc: would invalidate file references)
+        with pytest.raises(StateStoreException, match="file references"):
+            st.clear_partitions()
+        st.replace_file_references("root", ["/f1"], FileReference("/o", "root", 10))
+        st.clear_files()
+        st.clear_partitions()
+        assert st.tree is None
+        # replay across reload preserves the cleared state
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert st2.tree is None
+        # re-initialise brings the table back
+        st2.initialise_partitions(PartitionTree.initial(s))
+        assert len(st2.tree.leaves()) == 1
+
+    def test_extend_survives_snapshot(self, tmp_path):
+        """Snapshot written mid-history restores EXTEND results."""
+        from dataclasses import replace as dc_replace
+        from sleeper_spark.partitions import Partition
+        from sleeper_spark.ranges import Range, Region
+        import sleeper_spark.statestore as ss_mod
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        root = st.tree["root"]
+        kids = [Partition("a", Region((Range("key", None, 7),)), parent_id="root"),
+                Partition("b", Region((Range("key", 7, None),)), parent_id="root")]
+        st.extend_partition_tree(
+            [dc_replace(root, child_ids=("a", "b"), dimension=0)], kids)
+        old = ss_mod.SNAPSHOT_EVERY
+        try:
+            ss_mod.SNAPSHOT_EVERY = 1
+            st.add_files([FileReference("/f", "a", 1)])  # forces snapshot
+        finally:
+            ss_mod.SNAPSHOT_EVERY = old
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert {p.id for p in st2.tree.leaves()} == {"a", "b"}
+        assert len(st2.all_references()) == 1
+
     def test_ancestor_files_included_in_leaf_query(self, tmp_path):
         s = self.schema()
         st = StateStore(str(tmp_path / "ss"), s)
