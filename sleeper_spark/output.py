@@ -67,23 +67,24 @@ def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:
     tree = table.store.tree
     assert tree is not None
     spark = table.spark
-    struct = table.schema.to_struct_type()
 
-    union: DataFrame | None = None
-    n_leaves = 0
+    # same N-invariant shape as batched compaction: ONE scan over the
+    # distinct files + broadcast file->(leaf, region) map, instead of an
+    # N-branch union that grows the plan linearly in leaf count
+    from sleeper_spark.compaction import CompactionJob, JOB_COL, _tag_rows_with_jobs
+    pseudo_jobs = []
     for leaf in tree.leaves():
         refs = table.store.files_for_leaf_query(leaf.id)
-        if not refs:
-            continue
-        n_leaves += 1
-        part = (
-            spark.read.schema(struct).parquet(*sorted({r.filename for r in refs}))
-            .where(leaf.region.to_column())        # dedup guard for shared files
-            .withColumn(EXPORT_COL, F.lit(leaf.id))
-        )
-        union = part if union is None else union.unionByName(part)
-    if union is None:
+        if refs:
+            pseudo_jobs.append(CompactionJob(
+                job_id=leaf.id, partition_id=leaf.id,
+                input_files=tuple(sorted({r.filename for r in refs})),
+                partition_region=leaf.region))
+    if not pseudo_jobs:
         return {}
+    n_leaves = len(pseudo_jobs)
+    union = _tag_rows_with_jobs(spark, pseudo_jobs, table.schema) \
+        .withColumnRenamed(JOB_COL, EXPORT_COL)
 
     from sleeper_spark.iterators import parse_aggregations, parse_filters
     from sleeper_spark.processing import apply_processing

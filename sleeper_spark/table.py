@@ -144,6 +144,16 @@ class SleeperTable:
             now_millis=now_millis,
         )
 
+    def query_tracked(self, query: Query, tracker,
+                      now_millis: int | None = None) -> DataFrame:
+        """Execute a query under status tracking (DynamoDBQueryTracker
+        analog): QUEUED -> IN_PROGRESS -> COMPLETED with row count, or
+        FAILED with the error message. Returns the result DataFrame."""
+        from sleeper_spark.tracker import run_tracked
+        tracker.query_queued(query.query_id)
+        return run_tracked(tracker, query.query_id,
+                           lambda: self.query(query, now_millis))
+
     def sql(self, sql: str, regions: list[Region] | None = None,
             now_millis: int | None = None) -> DataFrame:
         """Q1 SQL stage over (optionally region-restricted) query results."""
