@@ -78,6 +78,72 @@ def bench_lifecycle(spark, sf_dir) -> tuple[float, float, int]:
     return ingest_s, compaction_s, n_rows
 
 
+def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
+    """One compaction job at the reference's shape — 11 sorted files -> 1
+    (CompactionPerformanceST.java:59-83 runs 440M rows/job; default here
+    50M so the bench stays minutes, override with
+    $SPARK_GRAFT_LARGE_ROWS). Measures BOTH engines on identical inputs
+    so the Arrow-vs-Spark crossover is data, not extrapolation.
+
+    Input files are generated directly with Arrow (vectorized lpad'd
+    int->string keys, the reference system test's string-key/long-sort-key
+    shape, SystemTestSchema.java) — generation is not part of the timing.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sleeper_spark.statestore import FileReference
+
+    n_files = 11
+    per_file = n_rows // n_files
+    tmp = tempfile.mkdtemp(prefix="bench_large_")
+    schema = Schema(
+        (Field("key", T.StringType()),),
+        (Field("ts", T.LongType()),),
+        (Field("payload", T.StringType(), nullable=True),),
+    )
+    in_dir = os.path.join(tmp, "inputs")
+    os.makedirs(in_dir)
+    paths = []
+    t_gen = time.perf_counter()
+    for i in range(n_files):
+        # interleaved sorted runs: file i holds keys i, i+11, i+22, ...
+        ints = pa.array(range(i, per_file * n_files, n_files), type=pa.int64())
+        keys = pc.utf8_lpad(pc.cast(ints, pa.string()), 19, "0")
+        t = pa.table({
+            "key": keys,
+            "ts": ints,
+            "payload": pc.binary_join_element_wise(
+                pa.array(["v"] * per_file), pc.cast(ints, pa.string()), "-"),
+        })
+        p = os.path.join(in_dir, f"in-{i}.parquet")
+        pq.write_table(t, p, compression="zstd")
+        paths.append(p)
+    log(f"compaction_large: generated {per_file * n_files} rows in "
+        f"{time.perf_counter() - t_gen:.1f}s")
+
+    out: dict[str, float] = {}
+    for engine in ("arrow", "spark"):
+        props = TableProperties(compaction_files_batch_size=n_files,
+                                compaction_engine=engine)
+        table = SleeperTable.create(
+            spark, os.path.join(tmp, f"t_{engine}"), schema, props)
+        table.store.add_files([
+            FileReference(p, "root", pq.ParquetFile(p).metadata.num_rows)
+            for p in paths
+        ])
+        t0 = time.perf_counter()
+        refs = table.compact()
+        dt = time.perf_counter() - t0
+        assert len(refs) == 1 and refs[0].number_of_rows == per_file * n_files
+        out[engine] = dt
+        log(f"compaction_large[{engine}]: {dt:.1f}s "
+            f"({per_file * n_files / dt:,.0f} rows/s)")
+    out["rows"] = per_file * n_files
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -117,6 +183,9 @@ def main() -> None:
     ingest_s, compaction_s, n_rows = bench_lifecycle(spark, sf_dir)
     log(f"lifecycle: ingest {ingest_s:.2f}s, compaction {compaction_s:.2f}s, {n_rows} rows")
 
+    large_rows = int(os.environ.get("SPARK_GRAFT_LARGE_ROWS", "50000000"))
+    large = bench_compaction_large(spark, large_rows)
+
     total = round(sum(t for t in timings.values() if t > 0), 3)
     print(json.dumps({
         "metric": "total_query_wall_sec",
@@ -127,6 +196,9 @@ def main() -> None:
         "ingest_rows_per_sec": round(n_rows / ingest_s) if ingest_s > 0 else 0,
         "compaction_rows_per_sec": round(n_rows / compaction_s) if compaction_s > 0 else 0,
         "n_lifecycle_rows": n_rows,
+        "compaction_large_rows": int(large["rows"]),
+        "compaction_large_rows_per_sec": round(large["rows"] / large["arrow"]),
+        "compaction_large_spark_rows_per_sec": round(large["rows"] / large["spark"]),
     }))
 
 

@@ -319,6 +319,14 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     import pyarrow.compute as pc
     import pyarrow.parquet as _pq
 
+    # Spark pins python workers to OMP_NUM_THREADS=1; a lone huge job
+    # should use the cores its batch left idle (the reference's DataFusion
+    # containers get 4 vCPUs each, SystemTestInstance.java:202-218)
+    budget = desc.get("cpu_budget", 1)
+    if budget > pa.cpu_count():
+        pa.set_cpu_count(budget)
+        pa.set_io_thread_count(max(8, budget // 2))
+
     t = pa.concat_tables(
         [_pq.read_table(f) for f in desc["input_files"]],
     )
@@ -372,12 +380,8 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     # reference computing sketches inside the compaction task
     # (compact.rs writes file + sketch together)
     from sleeper_spark import sketches as sk_mod
-    values_by_field = {}
-    for k in keys:
-        arr = t.column(k).combine_chunks()
-        values_by_field[k] = arr.take(pc.sort_indices(arr)).to_pylist()
-    sk_mod.write_sidecar(desc["out_path"], sk_mod.sketch_from_sorted_values(
-        values_by_field, t.num_rows, desc["sketch_k"]))
+    sk_mod.write_sidecar(desc["out_path"], sk_mod.sketch_from_arrow_columns(
+        {k: t.column(k) for k in keys}, t.num_rows, desc["sketch_k"]))
     return desc["job_id"], desc["out_path"], t.num_rows
 
 
@@ -422,6 +426,8 @@ def run_jobs_arrow(
             "page_bytes": props.page_bytes,
             "now_millis": now_millis,
             "sketch_k": props.sketch_size,
+            "cpu_budget": max(
+                1, spark.sparkContext.defaultParallelism // len(jobs)),
         })
 
     results = (

@@ -25,6 +25,10 @@ from sleeper_spark.schema import Schema
 @dataclass
 class TableProperties:
     table_name: str = "table"
+    # sleeper.table.online (docs/design.md:68-71): offline tables are
+    # skipped by partition splitting and compaction job creation; ingest
+    # and queries still work
+    online: bool = True
     # iterator configs, reference grammar (docs/usage/data-processing.md)
     filters: str = ""              # e.g. "ageOff(timestamp, 1209600000)"
     aggregations: str = ""         # e.g. "sum(count), max(last_seen), map_sum(tags)"

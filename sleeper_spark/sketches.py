@@ -89,20 +89,33 @@ def sketch_from_sorted_values(values_by_field: dict[str, list],
     return {"rows": n, "k": k, "fields": fields}
 
 
+def sketch_from_arrow_columns(columns: dict, n: int, k: int) -> dict:
+    """Sketch Arrow key columns without materialising them to Python:
+    sort indices stay in C++, only the <=k+1 sampled rank values cross
+    into Python (a full ``to_pylist`` of a 50M-row key column costs tens
+    of seconds and gigabytes of PyObjects)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ranks = _spaced_ranks(n, k)
+    rank_idx = pa.array(ranks, type=pa.int64())
+    fields = {}
+    for name, col in columns.items():
+        arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        order = pc.sort_indices(arr)
+        sampled = arr.take(order.take(rank_idx)).to_pylist()
+        fields[name] = {"ranks": ranks, "values": [_enc(v) for v in sampled]}
+    return {"rows": n, "k": k, "fields": fields}
+
+
 def compute_file_sketch(path: str, key_names: list[str], k: int) -> dict:
     """Read ONLY the key columns of one Parquet file and sketch them.
     Runs on an executor; columnar projection keeps IO to the key bytes."""
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=list(key_names))
-    n = t.num_rows
-    values_by_field = {}
-    for name in key_names:
-        arr = t.column(name).combine_chunks()
-        order = pc.sort_indices(arr)
-        values_by_field[name] = arr.take(order).to_pylist()
-    return sketch_from_sorted_values(values_by_field, n, k)
+    return sketch_from_arrow_columns(
+        {name: t.column(name) for name in key_names}, t.num_rows, k)
 
 
 def write_sidecar(path: str, sketch: dict) -> None:
@@ -118,11 +131,17 @@ def load_sidecar(data_path: str) -> dict | None:
         return json.load(f)
 
 
+#: below this total input size, a Spark job's fixed cost (Python worker
+#: spin-up + scheduling, ~1-2 s) exceeds the work; use driver threads
+_DRIVER_SIDE_BYTES = 256 * 1024 * 1024
+
+
 def write_sidecars_distributed(spark: SparkSession, paths: list[str],
                                key_names: list[str], k: int) -> None:
-    """One executor task per new data file — sidecar building scales with
-    the cluster, like the reference computing sketches inside each ingest
-    /compaction task rather than centrally."""
+    """Sidecar per new data file. Small batches run on driver threads
+    (pyarrow releases the GIL; a Spark job's fixed overhead would
+    dominate); big batches fan out one executor task per file, like the
+    reference computing sketches inside each ingest/compaction task."""
     if not paths:
         return
     names = list(key_names)
@@ -132,9 +151,15 @@ def write_sidecars_distributed(spark: SparkSession, paths: list[str],
         write_sidecar(path, sk)
         return path
 
-    done = (
-        spark.sparkContext.parallelize(paths, len(paths)).map(build).collect()
-    )
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    if total_bytes < _DRIVER_SIDE_BYTES:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            done = list(ex.map(build, paths))
+    else:
+        done = (
+            spark.sparkContext.parallelize(paths, len(paths)).map(build).collect()
+        )
     assert sorted(done) == sorted(paths)
 
 

@@ -1,0 +1,258 @@
+"""S2: distributed sorted scan — merge-without-resort, zero shuffle.
+
+The reference's read path returns each leaf's rows by k-way-merging its
+sorted files (MergingIterator.java:37-114) and concatenates leaves in key
+order (ConcatenatingIterator.java:28-85). The Spark-native distributed
+form here:
+
+- ONE task per pruned leaf (``mapInPandas`` over a source DataFrame with
+  exactly one leaf descriptor per input partition — no exchange anywhere
+  in the plan).
+- Inside a task, a *vectorized* k-way merge over the leaf's sorted runs:
+  pull one Arrow batch per file, cut every buffer at the minimum of the
+  buffers' max keys (a lexicographic prefix count per buffer), sort the
+  bounded chunk, emit. Memory is O(n_files x batch_size) rows — never the
+  whole leaf. Equal keys can never straddle a chunk boundary (every row
+  <= bound is taken from every file), so group-adjacent aggregation per
+  chunk is exact.
+- Output partitions are ordered by leaf lower bound, rows sorted within
+  each partition, so concatenating partitions in index order is the total
+  table order — the property Spark's ``orderBy`` buys with a full
+  range-partition shuffle.
+
+Compared with the declarative path (scan + re-sort), this trades
+Catalyst-side codegen for an Arrow-batched Python pipe but removes BOTH
+the range-sampling pass and the whole-table exchange; at 100 TB the
+exchange is the dominant cost and this plan has none.
+
+Processing parity: leaf-region dedup guard + query regions + ageOff
+filters + scalar continual aggregation are applied inside the task with
+Arrow kernels (same semantics as the Arrow compaction engine,
+compact.rs:118-140). Leaf regions partition the row-key space, so
+per-leaf aggregation is complete — no cross-partition combine needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+from sleeper_spark.partitions import sorted_leaves_dim0
+from sleeper_spark.query import Query
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.schema import Schema
+
+_BATCH_ROWS = 65536
+
+
+def _leq_prefix_count(cols: list[np.ndarray], bound: tuple) -> int:
+    """#rows (a sorted prefix) lexicographically <= bound."""
+    n = len(cols[0])
+    lt = np.zeros(n, dtype=bool)
+    eq = np.ones(n, dtype=bool)
+    for arr, b in zip(cols, bound):
+        lt |= eq & (arr < b)
+        eq &= arr == b
+    return int((lt | eq).sum())
+
+
+def _filter_chunk(t: pa.Table, leaf_ranges, query_regions, filters,
+                  now_millis: int) -> pa.Table:
+    def range_mask(fld, mn, mx):
+        arr = t.column(fld)
+        m = None
+        if mn is not None:
+            m = pc.greater_equal(arr, pa.scalar(mn, arr.type))
+        if mx is not None:
+            c = pc.less(arr, pa.scalar(mx, arr.type))
+            m = c if m is None else pc.and_(m, c)
+        return m
+
+    mask = None
+    for fld, mn, mx in leaf_ranges:
+        m = range_mask(fld, mn, mx)
+        if m is not None:
+            mask = m if mask is None else pc.and_(mask, m)
+    qmask = None
+    for region in query_regions:
+        rmask = None
+        for fld, mn, mx in region:
+            m = range_mask(fld, mn, mx)
+            if m is not None:
+                rmask = m if rmask is None else pc.and_(rmask, m)
+        if rmask is None:
+            rmask = pa.array(np.ones(t.num_rows, dtype=bool))
+        qmask = rmask if qmask is None else pc.or_(qmask, rmask)
+    if qmask is not None:
+        mask = qmask if mask is None else pc.and_(mask, qmask)
+    if mask is not None:
+        t = t.filter(mask)
+    for col, max_age in filters:
+        arr = t.column(col)
+        keep = pc.and_(
+            pc.is_valid(arr),
+            pc.less(pc.subtract(pa.scalar(now_millis, pa.int64()),
+                                pc.cast(arr, pa.int64())),
+                    pa.scalar(max_age, pa.int64())))
+        t = t.filter(keep)
+    return t
+
+
+def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
+    """Vectorized k-way merge of one leaf's sorted runs, bounded memory."""
+    key_names = desc["key_names"]
+    col_order = desc["column_order"]
+    readers = []
+    for fn in desc["files"]:
+        pf = pq.ParquetFile(fn)
+        it = pf.iter_batches(batch_size=desc.get("batch_rows", _BATCH_ROWS),
+                             columns=col_order)
+        readers.append(it)
+    buffers: list[pa.Table | None] = [None] * len(readers)
+
+    def refill(i) -> None:
+        if buffers[i] is not None and buffers[i].num_rows:
+            return
+        buffers[i] = None
+        it = readers[i]
+        if it is None:
+            return
+        try:
+            batch = next(it)
+            buffers[i] = pa.Table.from_batches([batch]).select(col_order)
+        except StopIteration:
+            readers[i] = None
+
+    def keycols(t: pa.Table) -> list[np.ndarray]:
+        return [t.column(k).combine_chunks().to_numpy(zero_copy_only=False)
+                for k in key_names]
+
+    while True:
+        for i in range(len(readers)):
+            refill(i)
+        active = [i for i in range(len(readers)) if buffers[i] is not None]
+        if not active:
+            return
+        # bound = min over buffers of that buffer's LAST key (its max) —
+        # every row <= bound across all buffers is mergeable now
+        bounds = []
+        for i in active:
+            cols = keycols(buffers[i])
+            bounds.append(tuple(c[-1] for c in cols))
+        bound = min(bounds)
+        parts = []
+        for i in active:
+            t = buffers[i]
+            cnt = _leq_prefix_count(keycols(t), bound)
+            if cnt:
+                parts.append(t.slice(0, cnt))
+            buffers[i] = t.slice(cnt) if cnt < t.num_rows else None
+        chunk = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        chunk = chunk.sort_by([(k, "ascending") for k in key_names])
+        yield chunk
+
+
+def _process_chunk(chunk: pa.Table, desc: dict) -> pa.Table:
+    chunk = _filter_chunk(chunk, desc["leaf_ranges"], desc["query_regions"],
+                          desc["filters"], desc["now_millis"])
+    if desc["aggs"] and chunk.num_rows:
+        orig = {f.name: f for f in chunk.schema}
+        t = chunk.group_by(desc["key_names"]).aggregate(
+            [(c, op) for c, op in desc["aggs"]])
+        renames = {f"{c}_{op}": c for c, op in desc["aggs"]}
+        t = t.rename_columns([renames.get(n, n) for n in t.column_names])
+        t = t.select(desc["column_order"])
+        t = t.cast(pa.schema([orig[n] for n in desc["column_order"]]))
+        chunk = t.sort_by([(k, "ascending") for k in desc["key_names"]])
+    return chunk
+
+
+def distributed_sorted_scan(table, query: Query | None = None,
+                            now_millis: int | None = None,
+                            batch_rows: int = _BATCH_ROWS) -> DataFrame:
+    """Build the zero-shuffle sorted scan plan for a table (S2/J1/J6).
+
+    Requires the table's processing config to be Arrow-expressible
+    (scalar aggs + ageOff; same gate as the Arrow compaction engine);
+    custom iterators are applied afterwards as order-preserving
+    DataFrame transforms (they are row-wise by the U1 contract).
+    """
+    import time as _time
+
+    from sleeper_spark import compaction as compaction_mod
+    from sleeper_spark.iterators import (
+        apply_custom_iterators,
+        parse_aggregations,
+        parse_filters,
+    )
+
+    if not compaction_mod.arrow_engine_supported(table.schema, table.props) \
+            and parse_aggregations(table.props.aggregations):
+        raise ValueError(
+            "distributed_sorted_scan needs an Arrow-expressible processing "
+            "config (scalar sum/min/max + ageOff); use query() or "
+            "sorted_rows() for map_*/concat aggregations")
+    spark = table.spark
+    schema: Schema = table.schema
+    tree = table.store.tree
+    assert tree is not None
+    now_millis = now_millis if now_millis is not None else int(_time.time() * 1000)
+    if query is None:
+        query = Query([Region(tuple(
+            Range(f.name, None, None) for f in schema.row_key_fields))])
+
+    leaves = [lf for lf in sorted_leaves_dim0(tree)
+              if any(reg.overlaps(lf.region) for reg in query.regions)]
+    descs = []
+    for leaf in leaves:
+        refs = table.store.files_for_leaf_query(leaf.id)
+        if not refs:
+            continue
+        descs.append({
+            "files": sorted({r.filename for r in refs}),
+            "leaf_ranges": [(r.field, r.min, r.max) for r in
+                            (rr.canonicalise() for rr in leaf.region.ranges)],
+            "query_regions": [
+                [(r.field, r.min, r.max) for r in
+                 (rr.canonicalise() for rr in region.ranges)]
+                for region in query.regions],
+            "filters": [(f.column, f.max_age_millis)
+                        for f in parse_filters(table.props.filters)],
+            "aggs": [(a.column, a.op)
+                     for a in parse_aggregations(table.props.aggregations)],
+            "key_names": list(schema.key_names),
+            "column_order": [f.name for f in schema.all_fields()],
+            "now_millis": now_millis,
+            "batch_rows": batch_rows,
+        })
+    struct = schema.to_struct_type()
+    if not descs:
+        return spark.createDataFrame([], struct)
+
+    # exactly one leaf per input partition: parallelize(n items, n slices)
+    # puts item i in partition i, and mapInPandas preserves partitioning —
+    # the plan has NO exchange, so partition order remains leaf order.
+    # The descriptors travel in the function closure (pickled), so binary
+    # key bounds need no JSON encoding.
+    src = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i,) for i in range(len(descs))], len(descs)),
+        "task int")
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            for task in pdf["task"]:
+                desc = descs[int(task)]
+                for chunk in _merge_leaf(desc):
+                    out = _process_chunk(chunk, desc)
+                    if out.num_rows:
+                        yield out.to_pandas()
+
+    df = src.mapInPandas(run, struct)
+    return apply_custom_iterators(df, table.props.iterators, schema)

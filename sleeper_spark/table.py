@@ -144,6 +144,14 @@ class SleeperTable:
             now_millis=now_millis,
         )
 
+    def sorted_scan(self, query: Query | None = None,
+                    now_millis: int | None = None) -> DataFrame:
+        """S2 distributed merge-without-resort: zero-shuffle DataFrame,
+        one task per leaf, rows sorted within partitions and partitions
+        in leaf key order (see sorted_scan module docstring)."""
+        from sleeper_spark.sorted_scan import distributed_sorted_scan
+        return distributed_sorted_scan(self, query, now_millis)
+
     def query_tracked(self, query: Query, tracker,
                       now_millis: int | None = None) -> DataFrame:
         """Execute a query under status tracking (DynamoDBQueryTracker
@@ -168,7 +176,11 @@ class SleeperTable:
     def compact(self, now_millis: int | None = None) -> list[FileReference]:
         """Plan + run all pending compactions. Engine per table properties:
         Arrow (one vectorized zero-shuffle task per job) when the
-        processing config allows, else the batched Spark-SQL plan."""
+        processing config allows, else the batched Spark-SQL plan.
+
+        Offline tables are skipped (docs/design.md:68-71)."""
+        if not self.props.online:
+            return []
         jobs = compaction_mod.create_jobs(self.store, self.props)
         engine = self.props.compaction_engine
         if engine == "auto":
@@ -194,7 +206,24 @@ class SleeperTable:
         )
 
     def split_partitions(self) -> list[str]:
+        if not self.props.online:  # docs/design.md:68-71
+            return []
         return maintenance.split_partitions_if_needed(self.spark, self.store, self.props)
+
+    def take_offline(self) -> None:
+        """Pause background maintenance for this table (the reference's
+        take-offline script sets sleeper.table.online=false)."""
+        self.props.online = False
+        self._save_properties()
+
+    def put_online(self) -> None:
+        self.props.online = True
+        self._save_properties()
+
+    def _save_properties(self) -> None:
+        with open(os.path.join(self.path, "table.json"), "w") as f:
+            json.dump({"schema": json.loads(self.schema.to_json()),
+                       "properties": json.loads(self.props.to_json())}, f)
 
     def split_file_references(self) -> int:
         return maintenance.split_file_references(self.store)

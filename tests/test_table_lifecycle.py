@@ -288,3 +288,27 @@ class TestSqlGuard:
             "DISTRIBUTE BY crc32(value)")
         keys = [(r.key, r.timestamp) for r in out.collect()]
         assert keys == sorted(keys)
+
+
+class TestOnlineOffline:
+    """sleeper.table.online (docs/design.md:68-71): offline tables are
+    skipped by splitting + compaction; ingest and queries still work."""
+
+    def test_offline_skips_maintenance_but_serves_queries(self, spark, table):
+        table.ingest(numbered_rows(spark))
+        table.take_offline()
+        assert table.compact() == []
+        assert table.split_partitions() == []
+        assert table.full_scan().count() == 200  # queries fine
+        table.ingest(numbered_rows(spark))       # ingest fine
+        assert table.full_scan().count() == 300
+        table.put_online()
+        assert table.compact()  # now jobs run
+
+    def test_online_flag_persists(self, spark, table):
+        table.take_offline()
+        t2 = SleeperTable.load(spark, table.path)
+        assert t2.props.online is False
+        t2.put_online()
+        t3 = SleeperTable.load(spark, table.path)
+        assert t3.props.online is True
