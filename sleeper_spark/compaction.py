@@ -312,12 +312,22 @@ def arrow_engine_supported(schema: Schema, props: TableProperties) -> bool:
 def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     """Run one compaction job with Arrow kernels (executed on an executor).
 
-    Mirrors compact.rs:118-140: read → partition-region filter → ageOff →
-    group-by aggregate → sort by keys → write one file.
+    Mirrors compact.rs:118-140: merge sorted runs → partition-region
+    filter → ageOff → group-adjacent aggregate → write one sorted file.
+
+    Streaming shape: the inputs are SORTED runs, so instead of
+    concat+full-sort (which materialises the whole job — at the
+    reference's 440M-rows/job that is tens of GB per task) the job runs
+    the same vectorized bounded-memory k-way merge as sorted_scan and
+    appends each merged chunk to a ParquetWriter. Memory is
+    O(n_files x batch); chunk cuts never split an equal-key group, so
+    per-chunk group-by aggregation is exact (sorted_scan module doc).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as _pq
+
+    from sleeper_spark import sketches as sk_mod
+    from sleeper_spark.sorted_scan import _merge_leaf, _process_chunk
 
     # Spark pins python workers to OMP_NUM_THREADS=1; a lone huge job
     # should use the cores its batch left idle (the reference's DataFusion
@@ -327,62 +337,57 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
         pa.set_cpu_count(budget)
         pa.set_io_thread_count(max(8, budget // 2))
 
-    t = pa.concat_tables(
-        [_pq.read_table(f) for f in desc["input_files"]],
-    )
-    orig_fields = {f.name: f for f in t.schema}
-
-    # partition-region filter (canonical [min, max) per row-key dim)
-    mask = None
-    for fld, mn, mx in desc["ranges"]:
-        arr = t.column(fld)
-        conds = []
-        if mn is not None:
-            conds.append(pc.greater_equal(arr, pa.scalar(mn, arr.type)))
-        if mx is not None:
-            conds.append(pc.less(arr, pa.scalar(mx, arr.type)))
-        for c in conds:
-            mask = c if mask is None else pc.and_(mask, c)
-    if mask is not None:
-        t = t.filter(mask)
-
-    # ageOff filters: drop null-or-expired (AgeOffFilter.java:82-85)
-    for col, max_age in desc["filters"]:
-        arr = t.column(col)
-        keep = pc.and_(
-            pc.is_valid(arr),
-            pc.less(pc.subtract(pa.scalar(desc["now_millis"], pa.int64()),
-                                pc.cast(arr, pa.int64())),
-                    pa.scalar(max_age, pa.int64())),
-        )
-        t = t.filter(keep)
-
-    # continual aggregation: group by ALL keys, scalar agg per value column
     keys = desc["key_names"]
-    if desc["aggs"]:
-        t = t.group_by(keys).aggregate([(c, op) for c, op in desc["aggs"]])
-        renames = {f"{c}_{op}": c for c, op in desc["aggs"]}
-        t = t.rename_columns([renames.get(n, n) for n in t.column_names])
-        t = t.select(desc["column_order"])
-        # cast-back: arrow widens sum(int32)->int64; the reference keeps the
-        # input type (nonnull.rs:160-210) and so does our Spark engine
-        t = t.cast(pa.schema([orig_fields[n] for n in desc["column_order"]]))
-    else:
-        t = t.select(desc["column_order"])
-
-    t = t.sort_by([(k, "ascending") for k in keys])
-    _pq.write_table(
-        t, desc["out_path"],
-        compression=desc["compression"],
-        data_page_size=desc["page_bytes"],
-    )
-    # sketch sidecar from the in-memory table — zero extra IO, like the
-    # reference computing sketches inside the compaction task
+    merge_desc = {
+        "files": list(desc["input_files"]),
+        "key_names": keys,
+        "column_order": desc["column_order"],
+        "leaf_ranges": desc["ranges"],
+        "query_regions": [],
+        "filters": desc["filters"],
+        "aggs": desc["aggs"],
+        "now_millis": desc["now_millis"],
+        "batch_rows": desc.get("batch_rows", 131072),
+    }
+    writer = None
+    n_out = 0
+    key_chunks: list[list] = [[] for _ in keys]  # key cols only, for the sketch
+    try:
+        for chunk in _merge_leaf(merge_desc):
+            out = _process_chunk(chunk, merge_desc)
+            if not out.num_rows:
+                continue
+            if writer is None:
+                writer = _pq.ParquetWriter(
+                    desc["out_path"], out.schema,
+                    compression=desc["compression"],
+                    data_page_size=desc["page_bytes"])
+            writer.write_table(out)
+            n_out += out.num_rows
+            for i, k in enumerate(keys):
+                key_chunks[i].append(out.column(k).combine_chunks())
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        # all rows filtered: still write an empty file for the swap
+        in_schema = _pq.ParquetFile(desc["input_files"][0]).schema_arrow
+        empty = pa.table({
+            name: pa.array([], type=in_schema.field(name).type)
+            for name in desc["column_order"]})
+        _pq.write_table(empty, desc["out_path"],
+                        compression=desc["compression"])
+    # sketch sidecar from the buffered key columns — zero extra IO, like
+    # the reference computing sketches inside the compaction task
     # (compact.rs writes file + sketch together)
-    from sleeper_spark import sketches as sk_mod
+    cols = {
+        k: pa.chunked_array(key_chunks[i]) if key_chunks[i]
+        else pa.chunked_array([pa.array([], type=pa.int64())])
+        for i, k in enumerate(keys)
+    }
     sk_mod.write_sidecar(desc["out_path"], sk_mod.sketch_from_arrow_columns(
-        {k: t.column(k) for k in keys}, t.num_rows, desc["sketch_k"]))
-    return desc["job_id"], desc["out_path"], t.num_rows
+        cols, n_out, desc["sketch_k"]))
+    return desc["job_id"], desc["out_path"], n_out
 
 
 def run_jobs_arrow(

@@ -51,15 +51,20 @@ from sleeper_spark.schema import Schema
 _BATCH_ROWS = 65536
 
 
-def _leq_prefix_count(cols: list[np.ndarray], bound: tuple) -> int:
-    """#rows (a sorted prefix) lexicographically <= bound."""
-    n = len(cols[0])
-    lt = np.zeros(n, dtype=bool)
-    eq = np.ones(n, dtype=bool)
+def _leq_prefix_count(cols: list, bound: tuple) -> int:
+    """#rows (a sorted prefix) lexicographically <= bound — Arrow
+    kernels, so string/binary comparisons stay in C++ (a numpy
+    object-array compare would run Python per element)."""
+    lt = None
+    eq = None
     for arr, b in zip(cols, bound):
-        lt |= eq & (arr < b)
-        eq &= arr == b
-    return int((lt | eq).sum())
+        s = pa.scalar(b, arr.type)
+        clt = pc.less(arr, s)
+        ceq = pc.equal(arr, s)
+        lt = clt if lt is None else pc.or_(lt, pc.and_(eq, clt))
+        eq = ceq if eq is None else pc.and_(eq, ceq)
+    leq = pc.or_(lt, eq)
+    return int(pc.sum(pc.cast(leq, pa.int8())).as_py() or 0)
 
 
 def _filter_chunk(t: pa.Table, leaf_ranges, query_regions, filters,
@@ -105,7 +110,11 @@ def _filter_chunk(t: pa.Table, leaf_ranges, query_regions, filters,
 
 
 def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
-    """Vectorized k-way merge of one leaf's sorted runs, bounded memory."""
+    """Vectorized k-way merge of one leaf's sorted runs, bounded memory.
+
+    Fast path: one remaining run streams through untouched (no compare,
+    no re-sort) — after a compaction most leaves are a single file.
+    """
     key_names = desc["key_names"]
     col_order = desc["column_order"]
     readers = []
@@ -114,47 +123,55 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
         it = pf.iter_batches(batch_size=desc.get("batch_rows", _BATCH_ROWS),
                              columns=col_order)
         readers.append(it)
-    buffers: list[pa.Table | None] = [None] * len(readers)
+    # buffer per file: (table, key arrays) — key arrays cached with the
+    # buffer so they are converted once per batch, not once per round
+    buffers: list[tuple[pa.Table, list[pa.Array]] | None] = [None] * len(readers)
 
     def refill(i) -> None:
-        if buffers[i] is not None and buffers[i].num_rows:
+        if buffers[i] is not None:
             return
-        buffers[i] = None
         it = readers[i]
         if it is None:
             return
         try:
             batch = next(it)
-            buffers[i] = pa.Table.from_batches([batch]).select(col_order)
         except StopIteration:
             readers[i] = None
+            return
+        t = pa.Table.from_batches([batch]).select(col_order)
+        buffers[i] = (t, [t.column(k).combine_chunks() for k in key_names])
 
-    def keycols(t: pa.Table) -> list[np.ndarray]:
-        return [t.column(k).combine_chunks().to_numpy(zero_copy_only=False)
-                for k in key_names]
-
+    sort_spec = [(k, "ascending") for k in key_names]
     while True:
         for i in range(len(readers)):
             refill(i)
         active = [i for i in range(len(readers)) if buffers[i] is not None]
         if not active:
             return
+        if len(active) == 1 and all(r is None for j, r in enumerate(readers)
+                                    if j != active[0]):
+            # single surviving run: stream it through as-is
+            i = active[0]
+            t, _ = buffers[i]
+            buffers[i] = None
+            yield t
+            continue
         # bound = min over buffers of that buffer's LAST key (its max) —
         # every row <= bound across all buffers is mergeable now
-        bounds = []
-        for i in active:
-            cols = keycols(buffers[i])
-            bounds.append(tuple(c[-1] for c in cols))
-        bound = min(bounds)
+        bound = min(tuple(arr[len(arr) - 1].as_py() for arr in cols)
+                    for _, cols in (buffers[i] for i in active))
         parts = []
         for i in active:
-            t = buffers[i]
-            cnt = _leq_prefix_count(keycols(t), bound)
+            t, cols = buffers[i]
+            cnt = _leq_prefix_count(cols, bound)
             if cnt:
                 parts.append(t.slice(0, cnt))
-            buffers[i] = t.slice(cnt) if cnt < t.num_rows else None
+            if cnt < t.num_rows:
+                buffers[i] = (t.slice(cnt), [c.slice(cnt) for c in cols])
+            else:
+                buffers[i] = None
         chunk = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
-        chunk = chunk.sort_by([(k, "ascending") for k in key_names])
+        chunk = chunk.sort_by(sort_spec)
         yield chunk
 
 
