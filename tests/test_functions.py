@@ -166,3 +166,54 @@ class TestMultimodal:
         out = sample_video_frames(df, every_nth=2).collect()
         assert len(out) > 1
         assert all(r.frame_index % 2 == 0 for r in out)
+
+
+class TestSimhashVectorizedVotes:
+    def test_udf_matches_column_formula(self, spark):
+        """The numpy unpackbits/reduceat kernel must be bit-identical to
+        the pure-Column majority-vote definition (simhash())."""
+        from sleeper_spark.functions import dedup
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+            .limit(200)
+        via_udf = {r["__id"]: r["__fp"] for r in dedup.simhash_fingerprints(
+            df, portable_hash=True).collect()}
+        # recompute with the Column-expression majority formula over the
+        # same portable shingle hashes
+        from pyspark.sql import functions as F
+        sh = df.select("doc_id",
+                       dedup.portable_shingle_hashes("text", 2).alias("sh"))
+        sh = sh.where(F.size("sh") > 0)
+        n = F.size("sh")
+        bit_cols = [
+            F.when(
+                F.size(F.filter(F.col("sh"),
+                                lambda h: h.bitwiseAND(F.lit(dedup._bit64(i))) != 0)) * 2 > n,
+                F.lit(dedup._bit64(i)),
+            ).otherwise(F.lit(0)).cast("long")
+            for i in range(64)
+        ]
+        from functools import reduce
+        fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+        via_cols = {r.doc_id: r.fp for r in sh.select("doc_id", fp.alias("fp")).collect()}
+        assert via_udf == via_cols
+        assert len(via_udf) == 200
+
+    def test_batch_kernel_edges(self):
+        import numpy as np
+        from sleeper_spark.functions.dedup import _simhash_votes_batch
+        # single hash -> fingerprint equals the hash itself (every set
+        # bit wins its 1-0 vote; unset bits lose 0-1)
+        for h in [0, 1, -1, 2**62, -(2**63), 1234567890123456789]:
+            got, ne = _simhash_votes_batch([np.array([h], dtype=np.int64)])
+            assert got[0] == h and ne[0], (h, got[0])
+        # 2-1 majority
+        a, b = 0b1100, 0b0110
+        got, _ = _simhash_votes_batch([np.array([a, a, b], dtype=np.int64)])
+        assert got[0] == a  # strict majority keeps only a's bits
+        # tie (1 of 2) loses: strict majority
+        got, _ = _simhash_votes_batch([np.array([a, b], dtype=np.int64)])
+        assert got[0] == a & b
+        # empty array -> masked out (UDF surfaces it as null)
+        got, ne = _simhash_votes_batch(
+            [np.array([], dtype=np.int64), np.array([7], dtype=np.int64)])
+        assert not ne[0] and ne[1] and got[1] == 7
