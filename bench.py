@@ -164,10 +164,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM/codegen path so the first timed query isn't inflated
+    # warm up the JVM/codegen path AND the Arrow python-worker pool so the
+    # first timed query isn't charged worker spin-up (32 workers ~3-5s —
+    # it made whichever mapInPandas query ran first look 10x slower)
     try:
         entry_mod.q_range_query(spark, sf_dir).write.format("noop") \
             .mode("overwrite").save()
+        from pyspark.sql import types as WT
+
+        def _noop_batches(it):
+            yield from it
+
+        (spark.range(0, cpus_int := int(cpus), 1, cpus_int)
+         .mapInPandas(_noop_batches, WT.StructType(
+             [WT.StructField("id", WT.LongType())]))
+         .write.format("noop").mode("overwrite").save())
     except Exception:  # noqa: BLE001
         pass
 
