@@ -206,10 +206,12 @@ def run_jobs(
     now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
 
     # mark inputs as owned by their job (AssignJobIdsTransaction) so a
-    # concurrent planner cannot double-compact them
-    for job in jobs:
-        refs = [store.files[fn][job.partition_id] for fn in job.input_files]
-        store.assign_job_ids(job.job_id, refs)
+    # concurrent planner cannot double-compact them — one txn for the batch
+    store.assign_job_ids_batch([
+        (job.job_id,
+         [store.files[fn][job.partition_id] for fn in job.input_files])
+        for job in jobs
+    ])
 
     out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
     struct = schema.to_struct_type()
@@ -267,8 +269,12 @@ def run_jobs(
     # after commit sees them (compact.rs writes file + sketch together)
     sketches.write_sidecars_distributed(
         spark, new_paths, list(schema.key_names), props.sketch_size)
-    for job, ref in zip(jobs, out_refs):
-        store.replace_file_references(job.partition_id, list(job.input_files), ref)
+    # ONE transaction for the whole batch (the reference's transaction
+    # carries a job list; 1000 jobs != 1000 log appends)
+    store.replace_file_references_batch([
+        (job.partition_id, list(job.input_files), ref)
+        for job, ref in zip(jobs, out_refs)
+    ])
     return out_refs
 
 
@@ -404,9 +410,11 @@ def run_jobs_arrow(
         return []
     schema = store.schema
     now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
-    for job in jobs:
-        refs = [store.files[fn][job.partition_id] for fn in job.input_files]
-        store.assign_job_ids(job.job_id, refs)
+    store.assign_job_ids_batch([
+        (job.job_id,
+         [store.files[fn][job.partition_id] for fn in job.input_files])
+        for job in jobs
+    ])
 
     out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
     os.makedirs(out_dir, exist_ok=True)
@@ -444,12 +452,14 @@ def run_jobs_arrow(
     out_refs: list[FileReference] = []
     for job in jobs:
         path, n = by_job[job.job_id]
-        ref = FileReference(
+        out_refs.append(FileReference(
             filename=path,
             partition_id=job.partition_id,
             number_of_rows=n,
             only_contains_data_for_this_partition=True,
-        )
-        store.replace_file_references(job.partition_id, list(job.input_files), ref)
-        out_refs.append(ref)
+        ))
+    store.replace_file_references_batch([
+        (job.partition_id, list(job.input_files), ref)
+        for job, ref in zip(jobs, out_refs)
+    ])
     return out_refs

@@ -172,16 +172,25 @@ class StateStore:
                 r = FileReference.from_json(d)
                 self.files.setdefault(r.filename, {})[r.partition_id] = r
         elif t == "REPLACE_FILE_REFERENCES":
-            # compaction commit: remove input refs in this partition, add output
-            pid = tx["partitionId"]
-            for fn in tx["inputFiles"]:
-                refs = self.files.get(fn, {})
-                refs.pop(pid, None)
-                if not refs:
-                    self.files.pop(fn, None)
-                    self.gc_queue[fn] = tx.get("time", 0.0)
-            out = FileReference.from_json(tx["outputFile"])
-            self.files.setdefault(out.filename, {})[out.partition_id] = out
+            # compaction commit: remove input refs per partition, add the
+            # output. One transaction carries MANY jobs
+            # (ReplaceFileReferencesTransaction.java:54-59 holds a list);
+            # the legacy single-job shape is still replayed.
+            jobs = tx.get("jobs")
+            if jobs is None:
+                jobs = [{"partitionId": tx["partitionId"],
+                         "inputFiles": tx["inputFiles"],
+                         "outputFile": tx["outputFile"]}]
+            for job in jobs:
+                pid = job["partitionId"]
+                for fn in job["inputFiles"]:
+                    refs = self.files.get(fn, {})
+                    refs.pop(pid, None)
+                    if not refs:
+                        self.files.pop(fn, None)
+                        self.gc_queue[fn] = tx.get("time", 0.0)
+                out = FileReference.from_json(job["outputFile"])
+                self.files.setdefault(out.filename, {})[out.partition_id] = out
         elif t == "SPLIT_PARTITION":
             assert self.tree is not None
             self.tree.apply_split(
@@ -244,16 +253,31 @@ class StateStore:
 
     def replace_file_references(self, partition_id: str, input_files: list[str],
                                 output: FileReference) -> None:
+        self.replace_file_references_batch(
+            [(partition_id, input_files, output)])
+
+    def replace_file_references_batch(
+        self,
+        replacements: list[tuple[str, list[str], FileReference]],
+    ) -> None:
+        """Commit MANY compaction jobs' reference swaps as ONE
+        transaction (ReplaceFileReferencesTransaction.java:54-59 carries
+        a job list; the reference batches commits through its committer
+        queue). 1000 finished jobs = one log append, not 1000."""
         now = time.time()
-        for fn in input_files:
-            ref = self.files.get(fn, {}).get(partition_id)
-            if ref is None:
-                raise StateStoreException(f"{fn} not referenced in {partition_id}")
+        for partition_id, input_files, _ in replacements:
+            for fn in input_files:
+                ref = self.files.get(fn, {}).get(partition_id)
+                if ref is None:
+                    raise StateStoreException(
+                        f"{fn} not referenced in {partition_id}")
         self._commit({
             "type": "REPLACE_FILE_REFERENCES",
-            "partitionId": partition_id,
-            "inputFiles": input_files,
-            "outputFile": replace(output, last_update_time=now).to_json(),
+            "jobs": [{
+                "partitionId": pid,
+                "inputFiles": input_files,
+                "outputFile": replace(out, last_update_time=now).to_json(),
+            } for pid, input_files, out in replacements],
             "time": now,
         })
 
@@ -314,11 +338,19 @@ class StateStore:
         self._commit({"type": "SPLIT_FILE_REFERENCES", "moves": moves})
 
     def assign_job_ids(self, job_id: str, refs: list[FileReference]) -> None:
+        self.assign_job_ids_batch([(job_id, refs)])
+
+    def assign_job_ids_batch(
+        self, assignments: list[tuple[str, list[FileReference]]]
+    ) -> None:
+        """Assign many jobs' input ownership in ONE transaction
+        (AssignJobIdsTransaction carries a list of AssignJobIdRequest)."""
         self._commit({
             "type": "ASSIGN_JOB_IDS",
             "assignments": [
-                {"filename": r.filename, "partitionId": r.partition_id, "jobId": job_id}
-                for r in refs
+                {"filename": r.filename, "partitionId": r.partition_id,
+                 "jobId": job_id}
+                for job_id, refs in assignments for r in refs
             ],
         })
 

@@ -381,3 +381,70 @@ class TestStateStoreConcurrency:
         assert _os.listdir(s.snap_dir)  # a snapshot was written
         fresh = StateStore(str(tmp_path / "ss"), schema)
         assert len(fresh.all_references()) == ss_mod.SNAPSHOT_EVERY + 2
+
+
+class TestBatchedReplaceFileReferences:
+    """ReplaceFileReferencesTransaction carries a job LIST
+    (ReplaceFileReferencesTransaction.java:54-59): one log append for a
+    whole compaction batch."""
+
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def test_batch_commit_is_one_transaction(self, tmp_path):
+        import os
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s, [100]))
+        pids = [p.id for p in st.tree.leaves()]
+        st.add_files([FileReference(f"/in-{p}-{i}", p, 10)
+                      for p in pids for i in range(2)])
+        before = len(os.listdir(st.tx_dir))
+        st.replace_file_references_batch([
+            (p, [f"/in-{p}-0", f"/in-{p}-1"], FileReference(f"/out-{p}", p, 20))
+            for p in pids
+        ])
+        assert len(os.listdir(st.tx_dir)) == before + 1
+        assert {r.filename for r in st.all_references()} == \
+            {f"/out-{p}" for p in pids}
+        assert set(st.gc_queue) == {f"/in-{p}-{i}" for p in pids for i in range(2)}
+        # replay from disk
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert {r.filename for r in st2.all_references()} == \
+            {f"/out-{p}" for p in pids}
+
+    def test_legacy_single_job_txn_replays(self, tmp_path):
+        """Old logs with the single-job shape must still replay."""
+        import json as _json
+        import os
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        st.add_files([FileReference("/f1", "root", 10)])
+        legacy = {
+            "type": "REPLACE_FILE_REFERENCES",
+            "partitionId": "root",
+            "inputFiles": ["/f1"],
+            "outputFile": FileReference("/out", "root", 10).to_json(),
+            "time": 1.0,
+        }
+        path = os.path.join(st.tx_dir, f"{st._seq + 1:012d}.json")
+        with open(path, "w") as f:
+            _json.dump(legacy, f)
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert {r.filename for r in st2.all_references()} == {"/out"}
+
+    def test_batch_validates_all_before_commit(self, tmp_path):
+        from sleeper_spark.statestore import StateStoreException
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        st.add_files([FileReference("/f1", "root", 10)])
+        with pytest.raises(StateStoreException):
+            st.replace_file_references_batch([
+                ("root", ["/f1"], FileReference("/o1", "root", 10)),
+                ("root", ["/ghost"], FileReference("/o2", "root", 10)),
+            ])
+        # nothing applied
+        assert {r.filename for r in st.all_references()} == {"/f1"}
