@@ -110,6 +110,45 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, cosine) for
+    every pair with cosine >= threshold that shares an LSH bucket.
+
+    The scale shape mirrors the MinHash/SimHash band joins: bucket
+    assignment is a pure map (sign bits over seeded hyperplanes), the
+    self-join is co-partitioned on the bucket via one repartition so both
+    sides reuse a single exchange, and the pair space is bucket-local —
+    never O(n²). High-cosine pairs land in the same bucket with
+    probability (1 - theta/pi)^bits; raise recall with fewer bits or
+    multi-probe, precision is exact (cosine recomputed on candidates).
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__vec"), planes))
+    c = c.repartition("__bucket")
+    l, r = c.alias("l"), c.alias("r")
+    return (
+        l.join(r, "__bucket")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("cosine", F.round(
+            cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"), "cosine")
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

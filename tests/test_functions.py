@@ -136,6 +136,38 @@ class TestSimilarity:
         assert all(r.cosine <= 1.0001 for r in rows)
 
 
+    def test_embedding_near_duplicates_finds_planted(self, spark, embeddings):
+        """Plant two exact-duplicate vectors and a near-duplicate; the
+        LSH-bucketed pair finder must surface them with exact cosines."""
+        import numpy as np
+        from sleeper_spark.functions.similarity import embedding_near_duplicates
+        dim = len(embeddings.first().embedding)
+        base = np.array(embeddings.first().embedding, dtype=np.float64)
+        near = base.copy(); near[0] += 1e-4
+        extra = spark.createDataFrame(
+            [(90001, [float(x) for x in base]),
+             (90002, [float(x) for x in base]),
+             (90003, [float(x) for x in near])],
+            "vec_id long, embedding array<float>")
+        corpus = embeddings.select("vec_id", "embedding").unionByName(extra)
+        pairs = {(r.id_a, r.id_b): r.cosine
+                 for r in embedding_near_duplicates(
+                     corpus, dim=dim, threshold=0.999).collect()}
+        assert (90001, 90002) in pairs and pairs[(90001, 90002)] == 1.0
+        assert (90001, 90003) in pairs and pairs[(90001, 90003)] >= 0.999
+        # no self pairs, ordered ids
+        assert all(a < b for a, b in pairs)
+
+    def test_embedding_near_duplicates_no_cartesian(self, spark, embeddings):
+        from sleeper_spark.functions.similarity import embedding_near_duplicates
+        dim = len(embeddings.first().embedding)
+        df = embedding_near_duplicates(embeddings, dim=dim, threshold=0.9)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestMultimodal:
     def test_image_feature_plumbing(self, spark):
         from sleeper_spark.functions.multimodal import (
