@@ -136,6 +136,34 @@ class TestSimilarity:
         assert all(r.cosine <= 1.0001 for r in rows)
 
 
+    def test_ivf_topk_recall_vs_brute_force(self, spark, embeddings):
+        """IVF with full probe (nprobe=nlist) must equal brute force;
+        partial probe keeps most of the top-k (recall check)."""
+        from sleeper_spark.functions.similarity import brute_force_topk, ivf_topk
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = {(r.query_id, r.vec_id) for r in
+                 brute_force_topk(embeddings, queries, k=5).collect()}
+        full = {(r.query_id, r.vec_id) for r in ivf_topk(
+            embeddings, queries, dim=dim, k=5, nlist=8, nprobe=8).collect()}
+        assert full == exact  # probing every cell == exhaustive
+        part = {(r.query_id, r.vec_id) for r in ivf_topk(
+            embeddings, queries, dim=dim, k=5, nlist=8, nprobe=3).collect()}
+        assert len(part & exact) / len(exact) >= 0.5  # partial-probe recall
+
+    def test_ivf_no_cartesian_and_cell_pruning(self, spark, embeddings):
+        from sleeper_spark.functions.similarity import ivf_topk
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        df = ivf_topk(embeddings, queries, dim=dim, k=3, nlist=8, nprobe=1)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+        assert "CartesianProduct" not in plan
+        rows = df.collect()
+        assert rows and all(r.cosine <= 1.0001 for r in rows)
+
     def test_embedding_near_duplicates_finds_planted(self, spark, embeddings):
         """Plant two exact-duplicate vectors and a near-duplicate; the
         LSH-bucketed pair finder must surface them with exact cosines."""
