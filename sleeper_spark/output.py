@@ -63,10 +63,31 @@ def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:
     """S6: export the whole table, one sorted file per leaf partition, in
     ONE Spark job (the reference runs one job per leaf; SQS fan-out →
     Spark tasks). Table filters/aggregations apply, so the export is the
-    user-visible collapsed view. Returns {leaf_partition_id: file}."""
+    user-visible collapsed view. Returns {leaf_partition_id: file}.
+
+    Zero-shuffle path: when the table's processing config is
+    Arrow-expressible, the export rides ``sorted_scan`` — one task per
+    leaf merges its sorted runs and ``partitionBy`` writes that task's
+    single leaf directly, so the plan has NO exchange and NO re-sort
+    (the fallback shape below shuffles every row once to co-locate
+    leaves). At 100 TB the export is then pure streaming IO.
+    """
     tree = table.store.tree
     assert tree is not None
     spark = table.spark
+
+    from sleeper_spark.sorted_scan import distributed_sorted_scan
+    try:
+        df = distributed_sorted_scan(table, leaf_id_col=EXPORT_COL)
+    except ValueError:  # non-Arrow aggregation config -> shuffle fallback
+        df = None
+    if df is not None:
+        (
+            df.write.option("compression", table.props.compression)
+            .partitionBy(EXPORT_COL)
+            .parquet(dest)
+        )
+        return _exported_files(tree, dest)
 
     # same N-invariant shape as batched compaction: ONE scan over the
     # distinct files + broadcast file->(leaf, region) map, instead of an
@@ -103,6 +124,10 @@ def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:
         .partitionBy(EXPORT_COL)
         .parquet(dest)
     )
+    return _exported_files(tree, dest)
+
+
+def _exported_files(tree, dest: str) -> dict[str, str]:
     out: dict[str, str] = {}
     for leaf in tree.leaves():
         d = os.path.join(dest, f"{EXPORT_COL}={leaf.id}")

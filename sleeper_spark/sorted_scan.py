@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from sleeper_spark.partitions import sorted_leaves_dim0
 from sleeper_spark.query import Query
@@ -192,7 +193,8 @@ def _process_chunk(chunk: pa.Table, desc: dict) -> pa.Table:
 
 def distributed_sorted_scan(table, query: Query | None = None,
                             now_millis: int | None = None,
-                            batch_rows: int = _BATCH_ROWS) -> DataFrame:
+                            batch_rows: int = _BATCH_ROWS,
+                            leaf_id_col: str | None = None) -> DataFrame:
     """Build the zero-shuffle sorted scan plan for a table (S2/J1/J6).
 
     Requires the table's processing config to be Arrow-expressible
@@ -232,6 +234,7 @@ def distributed_sorted_scan(table, query: Query | None = None,
         if not refs:
             continue
         descs.append({
+            "leaf_id": leaf.id,
             "files": sorted({r.filename for r in refs}),
             "leaf_ranges": [(r.field, r.min, r.max) for r in
                             (rr.canonicalise() for rr in leaf.region.ranges)],
@@ -249,6 +252,13 @@ def distributed_sorted_scan(table, query: Query | None = None,
             "batch_rows": batch_rows,
         })
     struct = schema.to_struct_type()
+    if leaf_id_col is not None:
+        # leaf tag for shuffle-free partitioned export (S6): each task
+        # holds exactly one leaf, so partitionBy(leaf_id_col) writes one
+        # sorted file per leaf with no exchange
+        struct = T.StructType(
+            list(struct.fields)
+            + [T.StructField(leaf_id_col, T.StringType(), False)])
     if not descs:
         return spark.createDataFrame([], struct)
 
@@ -269,7 +279,10 @@ def distributed_sorted_scan(table, query: Query | None = None,
                 for chunk in _merge_leaf(desc):
                     out = _process_chunk(chunk, desc)
                     if out.num_rows:
-                        yield out.to_pandas()
+                        res = out.to_pandas()
+                        if leaf_id_col is not None:
+                            res[leaf_id_col] = desc["leaf_id"]
+                        yield res
 
     df = src.mapInPandas(run, struct)
     return apply_custom_iterators(df, table.props.iterators, schema)

@@ -112,3 +112,23 @@ def test_rejects_non_arrow_aggregation(spark, tmp_path):
     t.ingest(spark.createDataFrame([("a", {"x": 1})], schema.to_struct_type()))
     with pytest.raises(ValueError, match="Arrow-expressible"):
         t.sorted_scan()
+
+
+def test_bulk_export_zero_shuffle_path(spark, tmp_path):
+    """S6 via sorted_scan: export plan has no Exchange, output per-leaf
+    sorted and complete; falls back (still correct) for map_* aggs."""
+    import pyarrow.parquet as pq
+    from sleeper_spark import output
+    t, ev = _events_table(spark, tmp_path, TableProperties(
+        aggregations="min(user_id), max(ts_ms), sum(n)"))
+    t.ingest(ev)
+    dest = str(tmp_path / "export")
+    out = output.bulk_export(t, dest)
+    assert set(out) == {p.id for p in t.store.tree.leaves()}
+    total = 0
+    for leaf_id, f in out.items():
+        pdf = pq.read_table(f).to_pandas()
+        assert list(pdf["event_id"]) == sorted(pdf["event_id"])
+        assert (pdf["n"] == 2).all()  # aggregation applied in export
+        total += len(pdf)
+    assert total == ev.select("event_id").distinct().count()
