@@ -124,9 +124,29 @@ class StateStore:
             self._apply(tx)
             self._seq = seq
 
+    #: attempts before surfacing a conflict (the reference's
+    #: TransactionLogHead retries with exponential backoff; local file
+    #: races resolve immediately after a reload)
+    MAX_COMMIT_ATTEMPTS = 20
+
+    def _commit_with_retry(self, build) -> None:
+        """Optimistic-concurrency loop: build the transaction against
+        current state (validations raise BEFORE anything is written — a
+        post-write validation failure would poison the log), try to take
+        the next sequence number, and on losing the race reload and
+        retry. Mirrors the reference's transaction-log update loop."""
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            try:
+                self._commit(build())
+                return
+            except TransactionConflict:
+                self._load()
+        raise TransactionConflict(
+            f"gave up after {self.MAX_COMMIT_ATTEMPTS} attempts")
+
     def _commit(self, tx: dict[str, Any]) -> None:
-        """Atomic append at seq+1 via exclusive create; retries are the
-        caller's job on TransactionConflict."""
+        """Atomic append at seq+1 via exclusive create; use
+        :meth:`_commit_with_retry` for automatic conflict handling."""
         seq = self._seq + 1
         path = os.path.join(self.tx_dir, f"{seq:012d}.json")
         try:
@@ -245,10 +265,11 @@ class StateStore:
         self._commit({"type": "INITIALISE_PARTITIONS", "partitions": tree.to_json()})
 
     def add_files(self, refs: Iterable[FileReference]) -> None:
-        now = time.time()
-        self._commit({
+        refs = list(refs)
+        self._commit_with_retry(lambda: {
             "type": "ADD_FILES",
-            "files": [replace(r, last_update_time=now).to_json() for r in refs],
+            "files": [replace(r, last_update_time=time.time()).to_json()
+                      for r in refs],
         })
 
     def replace_file_references(self, partition_id: str, input_files: list[str],
@@ -264,22 +285,25 @@ class StateStore:
         transaction (ReplaceFileReferencesTransaction.java:54-59 carries
         a job list; the reference batches commits through its committer
         queue). 1000 finished jobs = one log append, not 1000."""
-        now = time.time()
-        for partition_id, input_files, _ in replacements:
-            for fn in input_files:
-                ref = self.files.get(fn, {}).get(partition_id)
-                if ref is None:
-                    raise StateStoreException(
-                        f"{fn} not referenced in {partition_id}")
-        self._commit({
-            "type": "REPLACE_FILE_REFERENCES",
-            "jobs": [{
-                "partitionId": pid,
-                "inputFiles": input_files,
-                "outputFile": replace(out, last_update_time=now).to_json(),
-            } for pid, input_files, out in replacements],
-            "time": now,
-        })
+        def build() -> dict[str, Any]:
+            now = time.time()
+            for partition_id, input_files, _ in replacements:
+                for fn in input_files:
+                    ref = self.files.get(fn, {}).get(partition_id)
+                    if ref is None:
+                        raise StateStoreException(
+                            f"{fn} not referenced in {partition_id}")
+            return {
+                "type": "REPLACE_FILE_REFERENCES",
+                "jobs": [{
+                    "partitionId": pid,
+                    "inputFiles": input_files,
+                    "outputFile": replace(out, last_update_time=now).to_json(),
+                } for pid, input_files, out in replacements],
+                "time": now,
+            }
+
+        self._commit_with_retry(build)
 
     def extend_partition_tree(self, update_partitions: list[Partition],
                               new_partitions: list[Partition]) -> None:
@@ -335,7 +359,8 @@ class StateStore:
         })
 
     def split_file_references(self, moves: list[dict[str, Any]]) -> None:
-        self._commit({"type": "SPLIT_FILE_REFERENCES", "moves": moves})
+        self._commit_with_retry(
+            lambda: {"type": "SPLIT_FILE_REFERENCES", "moves": moves})
 
     def assign_job_ids(self, job_id: str, refs: list[FileReference]) -> None:
         self.assign_job_ids_batch([(job_id, refs)])
@@ -345,20 +370,36 @@ class StateStore:
     ) -> None:
         """Assign many jobs' input ownership in ONE transaction
         (AssignJobIdsTransaction carries a list of AssignJobIdRequest)."""
-        self._commit({
-            "type": "ASSIGN_JOB_IDS",
-            "assignments": [
-                {"filename": r.filename, "partitionId": r.partition_id,
-                 "jobId": job_id}
-                for job_id, refs in assignments for r in refs
-            ],
-        })
+        def build() -> dict[str, Any]:
+            # validate BEFORE writing: a transaction that fails in
+            # _apply after its file exists would poison the log (every
+            # later load would crash replaying it)
+            for job_id, refs in assignments:
+                for r in refs:
+                    cur = self.files.get(r.filename, {}).get(r.partition_id)
+                    if cur is None:
+                        raise StateStoreException(
+                            f"{r.filename} not referenced in {r.partition_id}")
+                    if cur.job_id is not None:
+                        raise StateStoreException(
+                            f"file {r.filename} already assigned to job {cur.job_id}")
+            return {
+                "type": "ASSIGN_JOB_IDS",
+                "assignments": [
+                    {"filename": r.filename, "partitionId": r.partition_id,
+                     "jobId": job_id}
+                    for job_id, refs in assignments for r in refs
+                ],
+            }
+
+        self._commit_with_retry(build)
 
     def delete_files(self, filenames: list[str]) -> None:
-        self._commit({"type": "DELETE_FILES", "filenames": filenames})
+        self._commit_with_retry(
+            lambda: {"type": "DELETE_FILES", "filenames": filenames})
 
     def clear_files(self) -> None:
-        self._commit({"type": "CLEAR_FILES"})
+        self._commit_with_retry(lambda: {"type": "CLEAR_FILES"})
 
     # ------------------------------------------------------------------
     # queries over state

@@ -356,14 +356,36 @@ class TestStateStoreConcurrency:
         ref_a = FileReference("fa.parquet", a.tree.root_id, 10, True)
         ref_b = FileReference("fb.parquet", b.tree.root_id, 20, True)
         a.add_files([ref_a])
-        with _pytest.raises(TransactionConflict):
-            b.add_files([ref_b])
-        b.reload()
+        # b lost the sequence race; the commit loop reloads and retries
+        # transparently (the reference's TransactionLogHead update loop)
+        b.add_files([ref_b])
         assert any(r.filename == "fa.parquet" for r in b.all_references())
-        b.add_files([ref_b])  # retry succeeds at the next sequence number
         a.reload()
         names = {r.filename for r in a.all_references()}
         assert names == {"fa.parquet", "fb.parquet"}
+
+    def test_validation_failure_does_not_poison_log(self, tmp_path):
+        """A rejected transaction must leave NOTHING in the log: a
+        post-write validation failure would crash every future load."""
+        from pyspark.sql import types as T
+        from sleeper_spark import Field, PartitionTree, Schema
+        from sleeper_spark.statestore import (
+            FileReference, StateStore, StateStoreException)
+        import pytest as _pytest
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), True),))
+        s = StateStore(str(tmp_path / "ss"), schema)
+        s.initialise_partitions(PartitionTree.initial(schema, None))
+        s.add_files([FileReference("/f1", "root", 10)])
+        s.assign_job_ids("job1", [s.files["/f1"]["root"]])
+        import os as _os
+        n_tx = len(_os.listdir(s.tx_dir))
+        with _pytest.raises(StateStoreException):
+            s.assign_job_ids("job2", [s.files["/f1"]["root"]])
+        assert len(_os.listdir(s.tx_dir)) == n_tx  # nothing written
+        # the log stays fully replayable
+        s2 = StateStore(str(tmp_path / "ss"), schema)
+        assert s2.files["/f1"]["root"].job_id == "job1"
 
     def test_snapshot_restores_state(self, tmp_path):
         from pyspark.sql import types as T
