@@ -353,7 +353,10 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
         "filters": desc["filters"],
         "aggs": desc["aggs"],
         "now_millis": desc["now_millis"],
-        "batch_rows": desc.get("batch_rows", 131072),
+        # bigger merge batches than the query-latency-oriented
+        # sorted_scan default: fewer orchestration rounds (~10% at 50M),
+        # memory still bounded at n_files x batch x row-width
+        "batch_rows": desc.get("batch_rows", 524288),
     }
     writer = None
     n_out = 0
