@@ -10,11 +10,12 @@ DuckDB-equivalent ANSI SQL for every SQL-expressible one.
 Cross-engine determinism rules used throughout (and mirrored in each
 oracle):
 
-- The driver's testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS),
-  which Spark cannot read natively — ``_load`` flips
-  ``spark.sql.legacy.parquet.nanosAsLong`` and converts to epoch micros /
-  TIMESTAMP_NTZ. Orders/lineitem timestamps are micros → TIMESTAMP_NTZ
-  (tz-free on both engines; session tz pinned to UTC anyway).
+- ``events.ts`` is a high-resolution parquet TIMESTAMP whose physical
+  unit has varied across driver testdata generations (NANOS, now
+  MICROS) — ``_load`` normalises whatever arrives to epoch-micros longs
+  + TIMESTAMP_NTZ, matching DuckDB's ``epoch_us`` on the same column.
+  Orders/lineitem timestamps are micros → TIMESTAMP_NTZ (tz-free on
+  both engines; session tz pinned to UTC anyway).
 - Aggregated doubles are summed as DECIMAL (exact, order-independent),
   then cast back to double and rounded — float sums would differ between
   engines in the last ulps and break the value hash.
@@ -47,24 +48,30 @@ from pyspark.sql import types as T
 # loading helpers
 # ---------------------------------------------------------------------------
 
-#: tables whose timestamp columns are parquet TIMESTAMP(NANOS) → long
+#: tables with a high-resolution timestamp column to normalise
 _NANOS_TS = {"events": ["ts"]}
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with deterministic timestamp handling.
 
-    events.ts (nanos) surfaces as ``ts_us`` (epoch micros, long) and
-    ``ts`` (TIMESTAMP_NTZ); other tables pass through (their timestamps
-    load as TIMESTAMP_NTZ natively).
+    events.ts surfaces as ``ts_us`` (epoch micros, long), ``ts_ms``
+    (epoch millis, long) and ``ts`` (TIMESTAMP_NTZ) regardless of how
+    the column is physically stored: TIMESTAMP(MICROS/NANOS) loads as a
+    Spark timestamp (nanos floor to micros — same floor DuckDB's
+    ``epoch_us`` applies); a raw int64-nanos column (legacy
+    ``nanosAsLong`` readers) arrives as bigint and is divided down.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS.get(name, []):
-        df = df.withColumn(f"{c}_us", F.expr(f"{c} div 1000")) \
-               .withColumn(f"{c}_ms", F.expr(f"{c} div 1000000")) \
-               .withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+        if dict(df.dtypes)[c] == "bigint":  # raw nanos
+            us = F.expr(f"{c} div 1000")
+        else:
+            us = F.unix_micros(F.col(c).cast("timestamp"))
+        df = df.withColumn(f"{c}_us", us) \
+               .withColumn(f"{c}_ms", F.expr(f"{c}_us div 1000")) \
+               .withColumn(c, F.timestamp_micros(F.col(f"{c}_us"))
                               .cast("timestamp_ntz"))
     if name in ("documents", "embeddings"):
         # CPU-bound text/vector derivations over a single small parquet
@@ -766,7 +773,10 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 _EVENTS_READ_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),          # nanos via nanosAsLong
+    # raw int64 view of the parquet TIMESTAMP column (micros or nanos —
+    # see _events_ts_per_us); reading the physical int64 keeps the
+    # stream source schema static
+    T.StructField("ts", T.LongType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -774,13 +784,23 @@ _EVENTS_READ_SCHEMA = T.StructType([
 ])
 
 
+def _events_ts_per_us(sf: str) -> int:
+    """Stored ts units per microsecond (1 = TIMESTAMP(MICROS),
+    1000 = TIMESTAMP(NANOS) / int64 nanos), probed from the footer."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_schema(os.path.join(sf, "events.parquet")).field("ts").type
+    return 1 if "us" in str(t) else 1000
+
+
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     d = tempfile.mkdtemp(prefix="stream_src_")
     import shutil
     shutil.copy(os.path.join(sf, "events.parquet"), os.path.join(d, "events.parquet"))
-    return spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(d)
+    df = spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(d)
+    per_us = _events_ts_per_us(sf)
+    return df.withColumn("ts", F.expr(f"ts div {per_us}"))  # → epoch micros
 
 
 def _run_stream_to_view(out: DataFrame, name: str, mode: str) -> None:
@@ -796,7 +816,7 @@ def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
     against the batch SQL oracle."""
     from sleeper_spark import streaming as streaming_mod
     stream = _events_stream(spark, sf).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        "ts", F.timestamp_micros(F.col("ts")))
     out = streaming_mod.windowed_aggregate(stream, "ts", window="1 day",
                                            watermark="1 hour")
     _run_stream_to_view(out, "q_streaming_window", "complete")

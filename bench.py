@@ -118,7 +118,13 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
                 pa.array(["v"] * per_file), pc.cast(ints, pa.string()), "-"),
         })
         p = os.path.join(in_dir, f"in-{i}.parquet")
-        pq.write_table(t, p, compression="zstd")
+        # row-group size mirrors our ingest layout (8 MiB blocks ≈ 256k
+        # rows at this width) — the subrange engine prunes at row-group
+        # granularity, and 1M-row default groups would defeat it
+        pq.write_table(t, p, compression="zstd", row_group_size=262144)
+        from sleeper_spark import sketches as sk
+        sk.write_sidecar(p, sk.sketch_from_arrow_columns(
+            {"key": t.column("key")}, t.num_rows, 1024))
         paths.append(p)
     log(f"compaction_large: generated {per_file * n_files} rows in "
         f"{time.perf_counter() - t_gen:.1f}s")
@@ -136,9 +142,11 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
         t0 = time.perf_counter()
         refs = table.compact()
         dt = time.perf_counter() - t0
-        assert len(refs) == 1 and refs[0].number_of_rows == per_file * n_files
+        # the Arrow engine may emit one sorted file OR K disjoint sorted
+        # range-parts (subrange-parallel); rows must balance exactly
+        assert sum(r.number_of_rows for r in refs) == per_file * n_files
         out[engine] = dt
-        log(f"compaction_large[{engine}]: {dt:.1f}s "
+        log(f"compaction_large[{engine}]: {dt:.1f}s, {len(refs)} part(s) "
             f"({per_file * n_files / dt:,.0f} rows/s)")
     out["rows"] = per_file * n_files
     return out

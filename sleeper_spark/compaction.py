@@ -172,10 +172,26 @@ def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
     scan = (
         spark.read.schema(struct).parquet(*all_files)
         # input_file_name() is a percent-encoded file:// URI; decode and
-        # strip the scheme to recover the stored absolute path
+        # strip the scheme to recover the stored absolute path. url_decode
+        # has x-www-form-urlencoded semantics (a bare '+' becomes a
+        # space), but URI encoding never emits '+' for space — so protect
+        # literal '+' in paths by re-encoding it first, or a table under
+        # a '+' directory would silently drop every row.
         .withColumn(_FILE_COL, F.expr(
-            "regexp_replace(url_decode(input_file_name()), '^file://', '')"))
+            "regexp_replace(url_decode(replace(input_file_name(), '+', '%2B')),"
+            " '^file://', '')"))
     )
+    # accounting guard BEFORE the write: the decoded scan key must cover
+    # every input file, else the inner join below would silently drop a
+    # file's rows and the REPLACE commit would lose data. Zero data
+    # columns are read — this is a footer-only pass.
+    seen = {r[0] for r in scan.select(_FILE_COL).distinct().collect()}
+    missing = sorted(set(all_files) - seen)
+    if missing:
+        raise RuntimeError(
+            "compaction input files unmatched by scan file-name decoding "
+            f"(would lose their rows): {missing[:3]}"
+            f"{'...' if len(missing) > 3 else ''}")
     joined = scan.join(F.broadcast(mapping), _FILE_COL, "inner")
     region_pred = F.lit(True)
     for f in schema.row_key_fields:
@@ -188,6 +204,48 @@ def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
     drop = [_FILE_COL] + [c for f in schema.row_key_fields
                           for c in (f"__min_{f.name}__", f"__max_{f.name}__")]
     return joined.where(region_pred).drop(*drop)
+
+
+#: below this many jobs the broadcast file->job machinery's fixed cost
+#: (broadcast build + input_file_name decode + accounting action)
+#: dominates — tag via a direct per-job scan union instead. The union
+#: plan grows linearly in N, so the threshold stays well under the point
+#: where Catalyst analysis time matters (the 200-job plan tests pin the
+#: single-scan shape above it).
+SMALL_BATCH_JOBS = 32
+
+
+def _tag_rows_small_batch(spark: SparkSession, jobs: list[CompactionJob],
+                          schema: Schema) -> DataFrame:
+    """Small-N tagging: one scan branch per job, region filter pushed to
+    each branch, no join and no extra action. At N <= SMALL_BATCH_JOBS
+    this beats the N-invariant broadcast plan by ~2x (fixed costs)."""
+    struct = schema.to_struct_type()
+    parts = []
+    for job in jobs:
+        df = (
+            spark.read.schema(struct).parquet(*job.input_files)
+            .where(job.partition_region.to_column())
+            .withColumn(JOB_COL, F.lit(job.job_id))
+        )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _write_empty_parquet(out_path: str, sample_input: str,
+                         column_order: list[str], compression: str) -> None:
+    """Zero-row parquet with the table's column schema, cloned from an
+    input file's footer — pure Arrow, no Spark action."""
+    import pyarrow as pa
+
+    in_schema = pq.ParquetFile(sample_input).schema_arrow
+    empty = pa.table({
+        name: pa.array([], type=in_schema.field(name).type)
+        for name in column_order})
+    pq.write_table(empty, out_path, compression=compression)
 
 
 def run_jobs(
@@ -216,7 +274,10 @@ def run_jobs(
     out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
     struct = schema.to_struct_type()
 
-    tagged = _tag_rows_with_jobs(spark, jobs, schema)
+    if len(jobs) <= SMALL_BATCH_JOBS:
+        tagged = _tag_rows_small_batch(spark, jobs, schema)
+    else:
+        tagged = _tag_rows_with_jobs(spark, jobs, schema)
 
     filters = parse_filters(props.filters)
     aggs = parse_aggregations(props.aggregations)
@@ -240,6 +301,7 @@ def run_jobs(
     # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199)
     out_refs: list[FileReference] = []
     new_paths: list[str] = []
+    empty_template: str | None = None
     for job in jobs:
         jdir = os.path.join(out_dir, f"{JOB_COL}={job.job_id}")
         files = [fn for fn in sorted(os.listdir(jdir))] if os.path.isdir(jdir) else []
@@ -248,14 +310,21 @@ def run_jobs(
             path = parquets[0]
             n = pq.ParquetFile(path).metadata.num_rows
         else:
-            # every input row was filtered/aged off — write nothing, but the
-            # swap still needs an output ref; use an empty marker file
-            path = os.path.join(out_dir, f"{JOB_COL}={job.job_id}", "empty.parquet")
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            spark.createDataFrame([], struct).coalesce(1).write.mode("overwrite").parquet(
-                os.path.dirname(path))
-            written = [f for f in os.listdir(os.path.dirname(path)) if f.endswith(".parquet")]
-            path = os.path.join(os.path.dirname(path), written[0])
+            # every input row was filtered/aged off — the swap still needs
+            # an output ref. Write ONE empty template with Arrow (no Spark
+            # action) and copy it per empty job: a mass ageOff sweep over
+            # hundreds of expired partitions must not serialize hundreds
+            # of tiny Spark jobs.
+            if empty_template is None:
+                empty_template = os.path.join(out_dir, ".empty-template.parquet")
+                os.makedirs(out_dir, exist_ok=True)
+                _write_empty_parquet(empty_template, job.input_files[0],
+                                     [f.name for f in schema.all_fields()],
+                                     props.compression)
+            path = os.path.join(jdir, "empty.parquet")
+            os.makedirs(jdir, exist_ok=True)
+            import shutil
+            shutil.copyfile(empty_template, path)
             n = 0
         ref = FileReference(
             filename=path,
@@ -399,6 +468,37 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     return desc["job_id"], desc["out_path"], n_out
 
 
+#: minimum rows per subrange part — below this a part's fixed cost
+#: (Python worker handoff + k file opens) outweighs the parallelism
+SUBRANGE_MIN_ROWS = 1_000_000
+
+
+def _job_subrange_bounds(job: CompactionJob, schema: Schema,
+                         total_rows: int, budget: int) -> list[tuple]:
+    """Cut one job's dim-0 key space into <= budget equal-depth
+    [lo, hi) bounds pairs using metadata only (sketch sidecars, else
+    Parquet row-group stats). One big job then runs as K independent
+    range merges on K cores — the reference's DataFusion engine spreads
+    one job over a container's cores the same way
+    (rust/sleeper_core/src/datafusion.rs:105-110,
+    ``target_partitions >= #input_files``); a single Python-orchestrated
+    merge task is the scale ceiling for every lone hot partition."""
+    nparts = 1
+    if budget > 1 and total_rows >= 2 * SUBRANGE_MIN_ROWS:
+        nparts = min(budget, max(1, total_rows // SUBRANGE_MIN_ROWS))
+    key0 = schema.key_names[0]
+    rng = job.partition_region.range_for(key0)
+    crng = rng.canonicalise() if rng is not None else None
+    lo0 = crng.min if crng is not None else None
+    hi0 = crng.max if crng is not None else None
+    cuts: list = []
+    if nparts > 1:
+        cuts = sketches.find_subrange_cuts(
+            schema, list(job.input_files), job.partition_region, nparts)
+    bounds = [lo0] + cuts + [hi0]
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
 def run_jobs_arrow(
     spark: SparkSession,
     jobs: list[CompactionJob],
@@ -407,8 +507,16 @@ def run_jobs_arrow(
     props: TableProperties,
     now_millis: int | None = None,
 ) -> list[FileReference]:
-    """Execute compaction jobs on the Arrow engine: one executor task per
-    job, no shuffle; commit each REPLACE_FILE_REFERENCES afterwards."""
+    """Execute compaction jobs on the Arrow engine — no shuffle; commit
+    all REPLACE_FILE_REFERENCES afterwards in one transaction.
+
+    Task fan-out: small jobs run as one task each; a big job is cut into
+    K disjoint dim-0 subranges (sketch/row-group metadata, no data read)
+    and each subrange merges independently with row-group-pruned reads,
+    emitting one sorted range-part file. The job commits its parts as a
+    list of disjoint sorted FileReferences — together they ARE the
+    compacted partition, in key order, and every reader already treats a
+    partition's files as sorted runs."""
     if not jobs:
         return []
     schema = store.schema
@@ -422,47 +530,76 @@ def run_jobs_arrow(
     out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
     os.makedirs(out_dir, exist_ok=True)
     aggs = [(a.column, a.op) for a in parse_aggregations(props.aggregations)]
-    descs = []
+    filters = [(f.column, f.max_age_millis) for f in parse_filters(props.filters)]
+    key0 = schema.key_names[0]
+    budget = max(1, spark.sparkContext.defaultParallelism // len(jobs))
+
+    descs: list[dict] = []
+    job_part_paths: dict[str, list[str]] = {}
     for job in jobs:
         ranges = [
             (r.field, r.min, r.max)
             for r in (rr.canonicalise() for rr in job.partition_region.ranges)
         ]
-        descs.append({
-            "job_id": job.job_id,
-            "input_files": list(job.input_files),
-            "ranges": ranges,
-            "filters": [(f.column, f.max_age_millis)
-                        for f in parse_filters(props.filters)],
-            "aggs": aggs,
-            "key_names": list(schema.key_names),
-            "column_order": [f.name for f in schema.all_fields()],
-            "out_path": os.path.join(out_dir, f"{job.job_id}.parquet"),
-            "compression": props.compression,
-            "page_bytes": props.page_bytes,
-            "now_millis": now_millis,
-            "sketch_k": props.sketch_size,
-            "cpu_budget": max(
-                1, spark.sparkContext.defaultParallelism // len(jobs)),
-        })
+        total_rows = sum(store.files[fn][job.partition_id].number_of_rows
+                         for fn in job.input_files)
+        subs = _job_subrange_bounds(job, schema, total_rows, budget)
+        paths: list[str] = []
+        for si, (slo, shi) in enumerate(subs):
+            sub_ranges = [
+                (f, slo if f == key0 else mn, shi if f == key0 else mx)
+                for f, mn, mx in ranges
+            ]
+            out_path = os.path.join(
+                out_dir,
+                f"{job.job_id}.parquet" if len(subs) == 1
+                else f"{job.job_id}-p{si:04d}.parquet")
+            desc = {
+                "job_id": job.job_id,
+                "input_files": list(job.input_files),
+                "ranges": sub_ranges,
+                "filters": filters,
+                "aggs": aggs,
+                "key_names": list(schema.key_names),
+                "column_order": [f.name for f in schema.all_fields()],
+                "out_path": out_path,
+                "compression": props.compression,
+                "page_bytes": props.page_bytes,
+                "now_millis": now_millis,
+                "sketch_k": props.sketch_size,
+                "cpu_budget": max(1, budget // len(subs)),
+            }
+            if len(subs) > 1:
+                # row-group pruning: each range task reads ~1/K of every
+                # sorted input file (stats-based skip, exact filter after)
+                desc["prune_range"] = (key0, slo, shi)
+            descs.append(desc)
+            paths.append(out_path)
+        job_part_paths[job.job_id] = paths
 
     results = (
         spark.sparkContext.parallelize(descs, len(descs))
         .map(_arrow_compact_one)
         .collect()
     )
-    by_job = {job_id: (path, n) for job_id, path, n in results}
+    rows_by_path = {path: n for _, path, n in results}
+
     out_refs: list[FileReference] = []
+    replacements = []
     for job in jobs:
-        path, n = by_job[job.job_id]
-        out_refs.append(FileReference(
-            filename=path,
-            partition_id=job.partition_id,
-            number_of_rows=n,
-            only_contains_data_for_this_partition=True,
-        ))
-    store.replace_file_references_batch([
-        (job.partition_id, list(job.input_files), ref)
-        for job, ref in zip(jobs, out_refs)
-    ])
+        parts = [
+            FileReference(
+                filename=path,
+                partition_id=job.partition_id,
+                number_of_rows=rows_by_path[path],
+                only_contains_data_for_this_partition=True,
+            )
+            for path in job_part_paths[job.job_id]
+        ]
+        keep = [r for r in parts if r.number_of_rows > 0]
+        if not keep:
+            keep = parts[:1]  # fully-filtered job: one empty marker ref
+        out_refs.extend(keep)
+        replacements.append((job.partition_id, list(job.input_files), keep))
+    store.replace_file_references_batch(replacements)
     return out_refs

@@ -256,6 +256,135 @@ def all_sidecars_present(files: list[str]) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# subrange cuts: fan a single big compaction job out over many cores
+# ---------------------------------------------------------------------------
+
+def find_subrange_cuts(
+    schema: Schema,
+    files: list[str],
+    region: Region,
+    n_parts: int,
+) -> list[Any]:
+    """Cut the region's dim-0 key space into ``n_parts`` equal-depth
+    subranges using ONLY metadata (no data read): sketch-sidecar rank
+    arithmetic when every file has a sidecar, else Parquet row-group
+    min/max statistics (the files are sorted runs, so row-group stats
+    form an exact coarse CDF).
+
+    Returns <= n_parts - 1 strictly increasing cut values inside the
+    region's dim-0 range. Used by the Arrow compaction engine to run one
+    big job as K disjoint key-range merges — the reference's DataFusion
+    engine gets the same effect from ``target_partitions``
+    (rust/sleeper_core/src/datafusion.rs:105-110).
+    """
+    if n_parts <= 1:
+        return []
+    fld = schema.row_key_fields[0]
+    bounds = {r.field: r.canonicalise() for r in region.ranges}
+    rng = bounds.get(fld.name)
+    lo = rng.min if rng is not None else None
+    hi = rng.max if rng is not None else None
+
+    if all_sidecars_present(files):
+        sks = []
+        for fn in files:
+            sk = load_sidecar(fn)
+            sks.append(_FieldSketch(sk["fields"][fld.name], sk["rows"], lo, hi))
+        total = sum(s.total for s in sks)
+        candidates = sorted({v for s in sks for v in s.clipped_values(lo, hi)})
+        ranked = [(c, sum(s.rank(c) for s in sks)) for c in candidates]
+    else:
+        ranked = _ranked_candidates_from_row_groups(files, fld.name, lo, hi)
+        total = ranked[-1][1] if ranked else 0
+    if total < n_parts or len(ranked) < 2:
+        return []
+
+    cuts: list[Any] = []
+    ranks = [r for _, r in ranked]
+    for i in range(1, n_parts):
+        target = total * i / n_parts
+        j = bisect_left(ranks, target)
+        # nearest of the two bracketing candidates
+        best = None
+        if j < len(ranked) and (j == 0 or
+                                abs(ranked[j][1] - target) < abs(ranked[j - 1][1] - target)):
+            best = ranked[j][0]
+        elif j > 0:
+            best = ranked[j - 1][0]
+        if best is None:
+            continue
+        if (cuts and not best > cuts[-1]) or (lo is not None and not best > lo) \
+                or (hi is not None and not best < hi):
+            continue
+        cuts.append(best)
+    return cuts
+
+
+def _ranked_candidates_from_row_groups(files: list[str], key_name: str,
+                                       lo, hi) -> list[tuple[Any, int]]:
+    """(value, estimated #rows with key < value) pairs from row-group
+    max statistics. Files are sorted runs, so within a file the rank of
+    a row group's max is exact; across files ranks add. Footer-only IO."""
+    import pyarrow.parquet as pq
+
+    points: list[tuple[Any, int]] = []  # (rg max value, rows in rg)
+    for fn in files:
+        md = pq.ParquetFile(fn).metadata
+        ci = None
+        for i in range(md.row_group(0).num_columns):
+            if md.row_group(0).column(i).path_in_schema == key_name:
+                ci = i
+                break
+        if ci is None:
+            return []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return []  # can't cut safely without stats
+            points.append((st.max, rg.num_rows))
+    points.sort(key=lambda p: p[0])
+    out: list[tuple[Any, int]] = []
+    cum = 0
+    for v, n in points:
+        cum += n
+        if (lo is None or v > lo) and (hi is None or v < hi):
+            if out and out[-1][0] == v:
+                out[-1] = (v, cum)
+            else:
+                out.append((v, cum))
+    return out
+
+
+def row_groups_overlapping(pf, key_name: str, lo, hi) -> list[int] | None:
+    """Row-group indices whose [min, max] key statistics intersect
+    [lo, hi) — the Parquet predicate-pushdown primitive the subrange
+    merge uses so each of K range tasks reads ~1/K of every sorted input
+    file. Returns None when stats are unavailable (read everything)."""
+    md = pf.metadata
+    if md.num_row_groups == 0:
+        return []
+    ci = None
+    for i in range(md.row_group(0).num_columns):
+        if md.row_group(0).column(i).path_in_schema == key_name:
+            ci = i
+            break
+    if ci is None:
+        return None
+    keep: list[int] = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ci).statistics
+        if st is None or not st.has_min_max:
+            keep.append(g)
+            continue
+        if (hi is not None and not st.min < hi) or \
+                (lo is not None and not st.max >= lo):
+            continue
+        keep.append(g)
+    return keep
+
+
+# ---------------------------------------------------------------------------
 # scan fallback (pre-sidecar files)
 # ---------------------------------------------------------------------------
 

@@ -118,11 +118,22 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     """
     key_names = desc["key_names"]
     col_order = desc["column_order"]
+    prune = desc.get("prune_range")  # (key_name, lo, hi) -> row-group skip
     readers = []
     for fn in desc["files"]:
         pf = pq.ParquetFile(fn)
+        kwargs = {}
+        if prune is not None:
+            from sleeper_spark.sketches import row_groups_overlapping
+
+            rgs = row_groups_overlapping(pf, prune[0], prune[1], prune[2])
+            if rgs is not None:
+                if not rgs:
+                    readers.append(None)
+                    continue
+                kwargs["row_groups"] = rgs
         it = pf.iter_batches(batch_size=desc.get("batch_rows", _BATCH_ROWS),
-                             columns=col_order)
+                             columns=col_order, **kwargs)
         readers.append(it)
     # buffer per file: (table, key arrays) — key arrays cached with the
     # buffer so they are converted once per batch, not once per round

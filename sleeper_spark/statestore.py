@@ -209,8 +209,15 @@ class StateStore:
                     if not refs:
                         self.files.pop(fn, None)
                         self.gc_queue[fn] = tx.get("time", 0.0)
-                out = FileReference.from_json(job["outputFile"])
-                self.files.setdefault(out.filename, {})[out.partition_id] = out
+                # a job may emit several disjoint sorted range-parts (the
+                # subrange-parallel Arrow engine); legacy single-output
+                # shape still replays
+                outs = job.get("outputFiles")
+                if outs is None:
+                    outs = [job["outputFile"]]
+                for d in outs:
+                    out = FileReference.from_json(d)
+                    self.files.setdefault(out.filename, {})[out.partition_id] = out
         elif t == "SPLIT_PARTITION":
             assert self.tree is not None
             self.tree.apply_split(
@@ -279,12 +286,16 @@ class StateStore:
 
     def replace_file_references_batch(
         self,
-        replacements: list[tuple[str, list[str], FileReference]],
+        replacements: list[tuple[str, list[str],
+                                 "FileReference | list[FileReference]"]],
     ) -> None:
         """Commit MANY compaction jobs' reference swaps as ONE
         transaction (ReplaceFileReferencesTransaction.java:54-59 carries
         a job list; the reference batches commits through its committer
-        queue). 1000 finished jobs = one log append, not 1000."""
+        queue). 1000 finished jobs = one log append, not 1000.
+
+        A job's output may be one file or a list of disjoint sorted
+        range-part files (subrange-parallel compaction)."""
         def build() -> dict[str, Any]:
             now = time.time()
             for partition_id, input_files, _ in replacements:
@@ -293,15 +304,22 @@ class StateStore:
                     if ref is None:
                         raise StateStoreException(
                             f"{fn} not referenced in {partition_id}")
-            return {
-                "type": "REPLACE_FILE_REFERENCES",
-                "jobs": [{
+            jobs = []
+            for pid, input_files, out in replacements:
+                outs = out if isinstance(out, list) else [out]
+                if not outs:
+                    raise StateStoreException(
+                        f"job in {pid} committed no output files")
+                jobs.append({
                     "partitionId": pid,
                     "inputFiles": input_files,
-                    "outputFile": replace(out, last_update_time=now).to_json(),
-                } for pid, input_files, out in replacements],
-                "time": now,
-            }
+                    "outputFiles": [
+                        replace(o, last_update_time=now).to_json()
+                        for o in outs
+                    ],
+                })
+            return {"type": "REPLACE_FILE_REFERENCES", "jobs": jobs,
+                    "time": now}
 
         self._commit_with_retry(build)
 

@@ -13,10 +13,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{SF}/events.parquet").select(
         "event_id", "user_id", "event_type",
-        F.expr("ts div 1000000").alias("ts_ms"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ts_ms"),
         F.lit(1).cast("long").alias("n"))
 
 
@@ -96,3 +95,139 @@ def test_arrow_sum_int_cast_back(spark, tmp_path):
     out = t.full_scan()
     assert dict(out.dtypes)["v"] == "int"
     assert {(r.k, r.v) for r in out.collect()} == {(1, 10), (2, 10)}
+
+
+# ---------------------------------------------------------------------------
+# subrange-parallel single-job compaction
+# ---------------------------------------------------------------------------
+
+def test_subrange_compaction_equivalence(spark, tmp_path, monkeypatch):
+    """A big job cut into K dim-0 subranges must produce the same table
+    as the single-task merge: K disjoint sorted range-parts whose union
+    is the full compacted partition."""
+    from sleeper_spark import compaction
+
+    monkeypatch.setattr(compaction, "SUBRANGE_MIN_ROWS", 200)
+    props = TableProperties(compaction_engine="arrow",
+                            aggregations="min(event_id), max(ts_ms), sum(n)")
+    # single root partition -> ONE job over all files
+    ev = _events(spark)
+    schema = Schema(
+        (Field("user_id", T.LongType()),),
+        (Field("event_type", T.StringType()),),
+        (Field("event_id", T.LongType()), Field("ts_ms", T.LongType()),
+         Field("n", T.LongType())),
+    )
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema, props)
+    t.ingest(ev.where(F.col("event_id") % 2 == 0))
+    t.ingest(ev.where(F.col("event_id") % 2 == 1))
+    now = 1706140800000
+    before = _collect(t.full_scan(now))
+    refs = t.compact(now_millis=now)
+    assert len(refs) > 1  # actually fanned out
+    assert _collect(t.full_scan(now)) == before
+    # parts: sorted within, disjoint and ordered across, counts exact
+    seen_rows = 0
+    prev_max = None
+    for ref in refs:
+        df = spark.read.parquet(ref.filename)
+        keys = [(r.user_id, r.event_type) for r in df.collect()]
+        assert keys == sorted(keys)
+        assert len(keys) == ref.number_of_rows
+        seen_rows += len(keys)
+        if keys:
+            if prev_max is not None:
+                assert keys[0][0] > prev_max[0] or keys[0] > prev_max
+            prev_max = keys[-1]
+    agg_total = t.full_scan(now).count()
+    assert seen_rows == agg_total
+
+
+def test_subrange_cuts_equal_depth(spark, tmp_path):
+    """Sidecar-driven cuts split the key space into roughly equal-depth
+    parts, metadata-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sleeper_spark import sketches
+    from sleeper_spark.ranges import Range, Region
+    from sleeper_spark.schema import Field as SField, Schema as SSchema
+
+    paths = []
+    for i in range(3):
+        vals = list(range(i, 3000, 3))
+        t = pa.table({"k": pa.array(sorted(vals), type=pa.int64())})
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(t, p)
+        sketches.write_sidecar(p, sketches.sketch_from_arrow_columns(
+            {"k": t.column("k")}, t.num_rows, 128))
+        paths.append(p)
+    schema = SSchema((SField("k", T.LongType()),), (), ())
+    region = Region.of(Range("k", None, None))
+    cuts = sketches.find_subrange_cuts(schema, paths, region, 4)
+    assert len(cuts) == 3
+    assert cuts == sorted(cuts)
+    # equal depth within sketch resolution
+    for i, c in enumerate(cuts, start=1):
+        assert abs(c - 3000 * i / 4) < 150
+
+
+def test_subrange_cuts_row_group_fallback(spark, tmp_path):
+    """Without sidecars, cuts come from Parquet row-group statistics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sleeper_spark import sketches
+    from sleeper_spark.ranges import Range, Region
+    from sleeper_spark.schema import Field as SField, Schema as SSchema
+
+    t = pa.table({"k": pa.array(range(10000), type=pa.int64())})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p, row_group_size=500)
+    schema = SSchema((SField("k", T.LongType()),), (), ())
+    cuts = sketches.find_subrange_cuts(
+        schema, [p], Region.of(Range("k", None, None)), 4)
+    assert len(cuts) == 3 and cuts == sorted(cuts)
+    for i, c in enumerate(cuts, start=1):
+        assert abs(c - 10000 * i / 4) <= 500
+
+
+def test_row_group_pruning_indices(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sleeper_spark.sketches import row_groups_overlapping
+
+    t = pa.table({"k": pa.array(range(1000), type=pa.int64())})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p, row_group_size=100)  # groups: [0,99],[100,199],...
+    pf = pq.ParquetFile(p)
+    assert row_groups_overlapping(pf, "k", 250, 450) == [2, 3, 4]
+    assert row_groups_overlapping(pf, "k", None, 100) == [0]
+    assert row_groups_overlapping(pf, "k", 950, None) == [9]
+    assert row_groups_overlapping(pf, "k", 2000, 3000) == []
+
+
+def test_multi_output_replace_txn(spark, tmp_path):
+    """REPLACE_FILE_REFERENCES carrying several output parts per job:
+    applied, replayable from the log, inputs GC-queued."""
+    from sleeper_spark.partitions import PartitionTree
+    from sleeper_spark.statestore import FileReference, StateStore
+
+    schema = Schema((Field("k", T.LongType()),), (), ())
+    tree = PartitionTree.initial(schema)
+    store = StateStore(str(tmp_path / "ss"), schema)
+    store.initialise_partitions(tree)
+    root = tree.root_id if hasattr(tree, "root_id") else "root"
+    store.add_files([FileReference("/x/a.parquet", root, 10),
+                     FileReference("/x/b.parquet", root, 10)])
+    parts = [FileReference(f"/x/out-p{i}.parquet", root, 10) for i in range(2)]
+    store.replace_file_references_batch(
+        [(root, ["/x/a.parquet", "/x/b.parquet"], parts)])
+    assert {r.filename for r in store.references_for_partition(root)} == \
+        {"/x/out-p0.parquet", "/x/out-p1.parquet"}
+    assert set(store.gc_queue) == {"/x/a.parquet", "/x/b.parquet"}
+    # replay from the log reproduces the same state
+    store2 = StateStore(str(tmp_path / "ss"), schema)
+    assert {r.filename for r in store2.references_for_partition(root)} == \
+        {"/x/out-p0.parquet", "/x/out-p1.parquet"}

@@ -18,7 +18,6 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events_table(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF}/events.parquet").select(
         "event_id", "user_id", "event_type", "value")
     schema = Schema(
@@ -75,7 +74,6 @@ class TestBulkExport:
         assert total == ev.count()
 
     def test_export_applies_table_aggregation(self, spark, tmp_path):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{SF}/events.parquet").select(
             "user_id", F.lit(1).cast("long").alias("n"))
         schema = Schema((Field("user_id", T.LongType()),), (),

@@ -75,7 +75,6 @@ def test_topk_avoids_global_sort(spark, entry):
 def test_sleeper_query_scans_only_overlapping_partitions(spark, tmp_path):
     """Driver-side pruning: a range query touching one leaf partition
     must scan exactly that partition's file (of 4)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id")
     schema = Schema((Field("event_id", T.LongType()),), (),
                     (Field("user_id", T.LongType(), True),))
@@ -93,7 +92,6 @@ def test_sleeper_query_scans_only_overlapping_partitions(spark, tmp_path):
 
 
 def test_sleeper_full_scan_uses_all_files(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id")
     schema = Schema((Field("event_id", T.LongType()),), (),
                     (Field("user_id", T.LongType(), True),))

@@ -13,9 +13,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def _table(spark, tmp_path, props=None):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF}/events.parquet").select(
-        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms"),
+        "event_id", "user_id", F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ts_ms"),
         F.lit(1).cast("long").alias("n"))
     schema = Schema(
         (Field("event_id", T.LongType()),),

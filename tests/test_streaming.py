@@ -20,7 +20,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 EVENTS_READ_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),          # nanos (nanosAsLong)
+    T.StructField("ts", T.LongType()),          # raw int64 (micros or nanos)
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -37,8 +37,14 @@ def events_stream_dir(spark, tmp_path):
     return str(d)
 
 
+def _ts_per_us():
+    """Stored ts units per microsecond (1=TIMESTAMP(MICROS), 1000=nanos)."""
+    import pyarrow.parquet as pq
+    t = pq.read_schema(os.path.join(SF_DIR, "events.parquet")).field("ts").type
+    return 1 if "us" in str(t) else 1000
+
+
 def _read_stream(spark, path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.readStream.schema(EVENTS_READ_SCHEMA).parquet(path)
 
 
@@ -76,8 +82,7 @@ def test_stream_ingest_multiple_batches_accumulate(spark, tmp_path, events_strea
     n1 = table.full_scan().count()
 
     # drop a second (small) file into the watched dir, run the stream again
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    more = spark.read.parquet(events_stream_dir).limit(10) \
+    more = spark.read.schema(EVENTS_READ_SCHEMA).parquet(events_stream_dir).limit(10) \
         .withColumn("event_id", F.col("event_id") + 1_000_000)
     more.write.mode("append").parquet(events_stream_dir)
     stream2 = _read_stream(spark, events_stream_dir).select("event_id", "user_id")
@@ -89,7 +94,7 @@ def test_stream_ingest_multiple_batches_accumulate(spark, tmp_path, events_strea
 
 
 def test_windowed_aggregate_stream_matches_batch(spark, tmp_path, events_stream_dir):
-    to_ts = F.timestamp_micros(F.expr("ts div 1000"))
+    to_ts = F.timestamp_micros(F.expr(f"ts div {_ts_per_us()}"))
     stream = _read_stream(spark, events_stream_dir).withColumn("ts", to_ts)
     out = streaming.windowed_aggregate(stream, "ts", window="1 day",
                                        watermark="1 hour")
@@ -100,8 +105,8 @@ def test_windowed_aggregate_stream_matches_batch(spark, tmp_path, events_stream_
     got = {(r.window_start, r.n_events)
            for r in spark.sql("SELECT * FROM winagg").collect()}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(events_stream_dir).withColumn("ts", to_ts)
+    batch = spark.read.schema(EVENTS_READ_SCHEMA).parquet(events_stream_dir) \
+        .withColumn("ts", to_ts)
     want = {(r.window_start, r.n_events)
             for r in streaming.windowed_aggregate(batch, "ts").collect()}
     assert got == want
@@ -110,7 +115,7 @@ def test_windowed_aggregate_stream_matches_batch(spark, tmp_path, events_stream_
 
 def test_ageoff_stream_filters(spark, events_stream_dir):
     stream = _read_stream(spark, events_stream_dir) \
-        .withColumn("ts_ms", F.expr("ts div 1000000"))
+        .withColumn("ts_ms", F.expr(f"ts div {1000 * _ts_per_us()}"))
     now_ms = 1706140800000  # 2024-01-25 UTC
     out = streaming.ageoff_stream(stream, AgeOffFilter("ts_ms", 1209600000), now_ms)
     assert out.isStreaming
@@ -126,7 +131,6 @@ def test_stateful_running_totals(spark, tmp_path, events_stream_dir):
     got = {r.key: (r.n_total, round(r.value_total, 4))
            for r in spark.sql("SELECT * FROM running").collect()}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_stream_dir)
     want = {r.user_id: (r.n, round(r.v, 4)) for r in
             batch.groupBy("user_id")
