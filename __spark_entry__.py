@@ -735,6 +735,56 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=10, bits=8)
 
 
+#: IVF driver-entry parameters — shared verbatim by the Spark query and
+#: the DuckDB oracle builder so centroids match bit-for-bit
+_IVF = dict(dim=64, k=10, nlist=8, nprobe=2, seed=42, train_rows=2048)
+
+
+def _ivf_centroids_from_parquet(sf_dir: str) -> list[list[float]]:
+    """Recompute the EXACT centroids the Spark-side trainer produces:
+    the same train_rows lowest-vec_id sample (float32 values widen to
+    identical doubles on both readers) through the same numpy k-means
+    (similarity.kmeans_spherical). Lets the oracle embed centroids as
+    SQL literals without a Spark session."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {_IVF['train_rows']}").fetchall()
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cents = similarity.kmeans_spherical(X, _IVF["nlist"], _IVF["seed"])
+    return [[float(x) for x in c] for c in cents]
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN. The coarse quantizer trains on a BOUNDED sample
+    (train_rows lowest-id vectors via orderBy+limit — a
+    TakeOrderedAndProject, never a full-corpus collect); the oracle
+    recomputes identical centroids from the same sample with the same
+    numpy k-means and embeds them as SQL literals."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_ivf_centroids(
+        emb, _IVF["nlist"], seed=_IVF["seed"], train_rows=_IVF["train_rows"])
+    return similarity.ivf_topk(
+        emb, queries, dim=_IVF["dim"], k=_IVF["k"], nlist=_IVF["nlist"],
+        nprobe=_IVF["nprobe"], centroids=cents)
+
+
+def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+    The synthetic embeddings plant no >0.9-cosine twins, so the driver
+    entry runs at threshold 0.35 / 4 bits to produce a non-trivial pair
+    set; the oracle recomputes buckets from the same seeded hyperplane
+    literals and the exact cosine filter."""
+    emb = _load(spark, sf, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, dim=64, threshold=0.35, bits=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + metadata struct →
     Arrow-batched mapInPandas feature extraction with the deterministic
@@ -904,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ivf_topk": q_ivf_topk,
+        "embedding_near_duplicates": q_embedding_near_duplicates,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # streaming (availableNow, hash-checked against batch SQL)
@@ -1014,6 +1066,72 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 10, bits: int = 8,
         "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) "
         "AS rank FROM s) "
         f"SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}")
+
+
+_COS_SQL = ("round(list_dot_product({a}, {b}) / "
+            "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+            "sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
+
+
+def _ivf_oracle_sql() -> str:
+    """Recompute IVF-Flat ANN in DuckDB: centroids recomputed from the
+    identical bounded training sample (see _ivf_centroids_from_parquet)
+    and embedded as literals; cell assignment / probe ranking use the
+    same (dot DESC, cell ASC) tie rule as the numpy argmax/stable
+    argsort. Correctness runs at sf0.01 (TESTDATA.md); override with
+    $SPARK_GRAFT_ORACLE_SF for local checks at another scale."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _ivf_centroids_from_parquet(sf_dir)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    cos = _COS_SQL.format(a="cl.v", b="p.qv")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cents(ci, cv) AS (VALUES {values}), "
+        "a AS (SELECT c.vec_id, c.v, ci, list_dot_product(c.v, cv) AS d "
+        "FROM c CROSS JOIN cents), "
+        "cell AS (SELECT vec_id, v, ci AS cell FROM ("
+        "SELECT vec_id, v, ci, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d DESC, ci) AS rn FROM a) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5), "
+        "qa AS (SELECT query_id, qv, ci, list_dot_product(qv, cv) AS d "
+        "FROM q CROSS JOIN cents), "
+        "probe AS (SELECT query_id, qv, ci AS cell FROM ("
+        "SELECT query_id, qv, ci, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY d DESC, ci) AS rn FROM qa) "
+        f"WHERE rn <= {_IVF['nprobe']}), "
+        "s AS (SELECT p.query_id, cl.vec_id, "
+        f"{cos} AS cosine "
+        "FROM cell cl JOIN probe p ON cl.cell = p.cell "
+        "WHERE cl.vec_id <> p.query_id), "
+        "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) "
+        "AS rank FROM s) "
+        f"SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {_IVF['k']}")
+
+
+def _embedding_near_dup_oracle_sql(dim: int = 64, bits: int = 4,
+                                   threshold: float = 0.35,
+                                   seed: int = 42) -> str:
+    """Recompute embedding-cosine near-dup pairs in DuckDB with the SAME
+    seeded hyperplanes as similarity.embedding_near_duplicates."""
+    planes = similarity._hyperplanes(dim, bits, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes))
+    cos = _COS_SQL.format(a="l.v", b="r.v")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket} AS bucket FROM c), "
+        "s AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b, "
+        f"{cos} AS cosine "
+        "FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) "
+        f"SELECT DISTINCT id_a, id_b, cosine FROM s WHERE cosine >= {threshold}")
 
 
 def _multimodal_features_oracle_sql() -> str:
@@ -1189,6 +1307,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7",
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
+        "ivf_topk": _ivf_oracle_sql(),
+        "embedding_near_duplicates": _embedding_near_dup_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),
         "multimodal_frames":
             "WITH t AS (SELECT doc_id, text, "

@@ -215,24 +215,50 @@ def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
 SMALL_BATCH_JOBS = 32
 
 
+#: separator between job id and subrange part index in the write tag
+_PART_SEP = "@p"
+
+
 def _tag_rows_small_batch(spark: SparkSession, jobs: list[CompactionJob],
-                          schema: Schema) -> DataFrame:
-    """Small-N tagging: one scan branch per job, region filter pushed to
-    each branch, no join and no extra action. At N <= SMALL_BATCH_JOBS
-    this beats the N-invariant broadcast plan by ~2x (fixed costs)."""
+                          schema: Schema, store: StateStore,
+                          budget: int) -> tuple[DataFrame, dict[str, list[str]]]:
+    """Small-N tagging: one scan branch per (job, dim-0 subrange), region
+    + range filters pushed to each branch (Catalyst prunes parquet row
+    groups), no join and no extra action. At N <= SMALL_BATCH_JOBS this
+    beats the N-invariant broadcast plan by ~2x (fixed costs), and the
+    subrange tags let ONE big job sort in K reducers instead of one —
+    each tag becomes its own shuffle partition and output file, committed
+    as a list of disjoint sorted range-parts (same contract as the Arrow
+    engine's subrange merge).
+
+    Returns (tagged df, job id -> ordered list of write tags)."""
     struct = schema.to_struct_type()
-    parts = []
+    key0 = schema.key_names[0]
+    branches = []
+    job_tags: dict[str, list[str]] = {}
     for job in jobs:
-        df = (
-            spark.read.schema(struct).parquet(*job.input_files)
-            .where(job.partition_region.to_column())
-            .withColumn(JOB_COL, F.lit(job.job_id))
-        )
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
+        total_rows = sum(store.files[fn][job.partition_id].number_of_rows
+                         for fn in job.input_files)
+        subs = _job_subrange_bounds(job, schema, total_rows, budget)
+        tags = []
+        for si, (slo, shi) in enumerate(subs):
+            tag = job.job_id if len(subs) == 1 \
+                else f"{job.job_id}{_PART_SEP}{si:04d}"
+            pred = job.partition_region.to_column()
+            if slo is not None:
+                pred = pred & (F.col(key0) >= F.lit(slo))
+            if shi is not None:
+                pred = pred & (F.col(key0) < F.lit(shi))
+            branches.append(
+                spark.read.schema(struct).parquet(*job.input_files)
+                .where(pred)
+                .withColumn(JOB_COL, F.lit(tag)))
+            tags.append(tag)
+        job_tags[job.job_id] = tags
+    out = branches[0]
+    for p in branches[1:]:
         out = out.unionByName(p)
-    return out
+    return out, job_tags
 
 
 def _write_empty_parquet(out_path: str, sample_input: str,
@@ -274,10 +300,14 @@ def run_jobs(
     out_dir = os.path.join(data_dir, f"compaction-{uuid.uuid4().hex[:12]}")
     struct = schema.to_struct_type()
 
+    budget = max(1, spark.sparkContext.defaultParallelism // len(jobs))
     if len(jobs) <= SMALL_BATCH_JOBS:
-        tagged = _tag_rows_small_batch(spark, jobs, schema)
+        tagged, job_tags = _tag_rows_small_batch(
+            spark, jobs, schema, store, budget)
     else:
         tagged = _tag_rows_with_jobs(spark, jobs, schema)
+        job_tags = {job.job_id: [job.job_id] for job in jobs}
+    n_parts = sum(len(tags) for tags in job_tags.values())
 
     filters = parse_filters(props.filters)
     aggs = parse_aggregations(props.aggregations)
@@ -289,7 +319,7 @@ def run_jobs(
     df = apply_custom_iterators(df, props.iterators, schema)
 
     (
-        df.repartition(len(jobs), F.col(JOB_COL))
+        df.repartition(n_parts, F.col(JOB_COL))
         .sortWithinPartitions(JOB_COL, *schema.key_names)
         .write.option("compression", props.compression)
         .option("parquet.block.size", str(props.row_group_bytes))
@@ -298,18 +328,30 @@ def run_jobs(
         .parquet(out_dir)
     )
 
-    # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199)
+    # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199);
+    # a subrange-split job commits its ordered sorted range-parts as a
+    # list (same contract as the Arrow engine)
     out_refs: list[FileReference] = []
     new_paths: list[str] = []
+    replacements = []
     empty_template: str | None = None
     for job in jobs:
-        jdir = os.path.join(out_dir, f"{JOB_COL}={job.job_id}")
-        files = [fn for fn in sorted(os.listdir(jdir))] if os.path.isdir(jdir) else []
-        parquets = [os.path.join(jdir, f) for f in files if f.endswith(".parquet")]
-        if parquets:
+        part_refs: list[FileReference] = []
+        for tag in job_tags[job.job_id]:
+            jdir = os.path.join(out_dir, f"{JOB_COL}={tag}")
+            files = sorted(os.listdir(jdir)) if os.path.isdir(jdir) else []
+            parquets = [os.path.join(jdir, f) for f in files
+                        if f.endswith(".parquet")]
+            if not parquets:
+                continue
             path = parquets[0]
-            n = pq.ParquetFile(path).metadata.num_rows
-        else:
+            part_refs.append(FileReference(
+                filename=path,
+                partition_id=job.partition_id,
+                number_of_rows=pq.ParquetFile(path).metadata.num_rows,
+                only_contains_data_for_this_partition=True,
+            ))
+        if not part_refs:
             # every input row was filtered/aged off — the swap still needs
             # an output ref. Write ONE empty template with Arrow (no Spark
             # action) and copy it per empty job: a mass ageOff sweep over
@@ -321,29 +363,26 @@ def run_jobs(
                 _write_empty_parquet(empty_template, job.input_files[0],
                                      [f.name for f in schema.all_fields()],
                                      props.compression)
+            jdir = os.path.join(out_dir, f"{JOB_COL}={job.job_id}")
             path = os.path.join(jdir, "empty.parquet")
             os.makedirs(jdir, exist_ok=True)
             import shutil
             shutil.copyfile(empty_template, path)
-            n = 0
-        ref = FileReference(
-            filename=path,
-            partition_id=job.partition_id,
-            number_of_rows=n,
-            only_contains_data_for_this_partition=True,
-        )
-        new_paths.append(path)
-        out_refs.append(ref)
+            part_refs = [FileReference(
+                filename=path, partition_id=job.partition_id,
+                number_of_rows=0,
+                only_contains_data_for_this_partition=True,
+            )]
+        new_paths.extend(r.filename for r in part_refs)
+        out_refs.extend(part_refs)
+        replacements.append((job.partition_id, list(job.input_files), part_refs))
     # sketch sidecars before the reference swap, so a split planned right
     # after commit sees them (compact.rs writes file + sketch together)
     sketches.write_sidecars_distributed(
         spark, new_paths, list(schema.key_names), props.sketch_size)
     # ONE transaction for the whole batch (the reference's transaction
     # carries a job list; 1000 jobs != 1000 log appends)
-    store.replace_file_references_batch([
-        (job.partition_id, list(job.input_files), ref)
-        for job, ref in zip(jobs, out_refs)
-    ])
+    store.replace_file_references_batch(replacements)
     return out_refs
 
 
@@ -426,6 +465,8 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
         # sorted_scan default: fewer orchestration rounds (~10% at 50M),
         # memory still bounded at n_files x batch x row-width
         "batch_rows": desc.get("batch_rows", 524288),
+        # subrange jobs: row-group skip + exact batch trim at read time
+        "prune_range": desc.get("prune_range"),
     }
     writer = None
     n_out = 0
@@ -532,7 +573,8 @@ def run_jobs_arrow(
     aggs = [(a.column, a.op) for a in parse_aggregations(props.aggregations)]
     filters = [(f.column, f.max_age_millis) for f in parse_filters(props.filters)]
     key0 = schema.key_names[0]
-    budget = max(1, spark.sparkContext.defaultParallelism // len(jobs))
+    parallelism = spark.sparkContext.defaultParallelism
+    budget = max(1, parallelism // len(jobs))
 
     descs: list[dict] = []
     job_part_paths: dict[str, list[str]] = {}
@@ -569,13 +611,24 @@ def run_jobs_arrow(
                 "sketch_k": props.sketch_size,
                 "cpu_budget": max(1, budget // len(subs)),
             }
-            if len(subs) > 1:
-                # row-group pruning: each range task reads ~1/K of every
-                # sorted input file (stats-based skip, exact filter after)
+            if slo is not None or shi is not None:
+                # range-pruned read: row-group skip + exact batch trim,
+                # so a subrange task reads+merges ~1/K of every sorted
+                # input file, and a pull-down job over an ancestor split
+                # file reads only its partition's slice
                 desc["prune_range"] = (key0, slo, shi)
             descs.append(desc)
             paths.append(out_path)
         job_part_paths[job.job_id] = paths
+
+    # merge-batch sizing by concurrency: a lone task benefits from big
+    # batches (fewer orchestration rounds), but 32 concurrent Python
+    # workers each refilling n_files x 512k-row buffers stampede the
+    # kernel allocator (measured 12x slower at 32 tasks). Cap batches
+    # small whenever tasks actually run concurrently.
+    if min(len(descs), parallelism) > 4:
+        for d in descs:
+            d.setdefault("batch_rows", 131072)
 
     results = (
         spark.sparkContext.parallelize(descs, len(descs))

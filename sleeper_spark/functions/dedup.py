@@ -5,15 +5,17 @@ Scale design (the point of each choice):
 - **Exact** dedup is a hash-aggregate on a content hash — one shuffle on
   md5(text), no driver data, AQE handles skew from giant duplicate
   clusters.
-- **MinHash+LSH** avoids the O(n²) pair space: tokenize ONCE, explode
-  shingles to (doc, shingle-hash) rows, derive the K per-seed minhashes as
-  K partial-aggregated ``min()`` columns (map-side combine — the shuffle
-  carries K longs per doc, not the shingles), band the signature, and
-  self-join on the band bucket. Only documents sharing a band bucket are
-  candidate pairs, so the join cardinality tracks true duplicate density,
-  not n². The explode→agg shape (rather than K nested array traversals
-  per row) keeps per-row work linear in |shingles| and spreads it across
-  all cores regardless of input file layout.
+- **MinHash+LSH** avoids the O(n²) pair space: tokenize ONCE, compute
+  the K per-seed minhashes PER ROW with higher-order functions over the
+  (distinct) shingle-hash array (``minhash_signature`` — a pure map, NO
+  shuffle; each seed is one ``array_min`` over a cheap per-element
+  rehash), band the signature, and self-join on the band bucket with
+  both sides co-partitioned on (band, bucket) so one exchange is reused.
+  Only documents sharing a band bucket are candidate pairs, so the join
+  cardinality tracks true duplicate density, not n². (An earlier
+  explode→K-min-aggs draft shuffled K longs per doc; the per-row HOF
+  form eliminated that shuffle entirely — the band join's exchange is
+  the only one left.)
 - **SimHash** is a 64-bit weighted-bit-vote fingerprint; near-duplicates
   differ in few bits. The per-bit votes are computed per-row with
   higher-order functions over the (distinct) shingle-hash array — one
@@ -150,13 +152,13 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, mh0..mhK-1) MinHash signature table via explode → K min-aggs.
+    """(id, mh0..mhK-1) MinHash signature table, computed per row.
 
     Tokenization/shingling runs exactly once per document; each seed's
-    minhash is ``min(xxhash64(shingle_hash, seed))`` — a map-side partial
-    aggregation, so the shuffle carries K longs per document. Documents
-    with no shingles (shorter than k words) produce no signature and are
-    never candidates.
+    minhash is ``array_min(transform(shingles, xxhash64(_, seed)))`` —
+    a pure map with NO shuffle anywhere in the signature stage.
+    Documents with no shingles (shorter than k words) produce no
+    signature and are never candidates.
     """
     # spread the RAW input first: projected-then-repartitioned would put
     # the Project below the Exchange and hash every shingle on the

@@ -131,6 +131,50 @@ def _assign_cells_udf(centroids):
     return _udf
 
 
+def kmeans_spherical(X: np.ndarray, nlist: int, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd, fixed 10 iterations) on a
+    driver-sized sample matrix. Pure numpy so the DuckDB oracle can
+    recompute identical centroids from the identical sample."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
+    for _ in range(10):
+        assign = (Xn @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_rows: int | None = None,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer on a BOUNDED deterministic sample:
+    the ``train_rows`` lowest-id vectors (default ``nlist * 256``, the
+    classic FAISS sizing guide). The plan is a TakeOrderedAndProject —
+    driver transfer is capped at train_rows rows no matter how large the
+    corpus is, never a full-corpus collect."""
+    if train_rows is None:
+        train_rows = nlist * 256
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(train_rows)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cents = kmeans_spherical(X, nlist, seed)
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,13 +186,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    train_rows: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second classic ANN
     scale path next to hyperplane LSH.
 
-    Train: k-means over a (sampled) corpus gives ``nlist`` centroids —
-    the coarse quantizer. Index: every corpus vector is assigned to its
+    Train: k-means over a BOUNDED sample (``train_rows`` rows, never the
+    full corpus — see :func:`train_ivf_centroids`) gives ``nlist``
+    centroids — the coarse quantizer. Pre-trained ``centroids`` can be
+    passed instead. Index: every corpus vector is assigned to its
     nearest centroid's cell (one vectorized matmul per Arrow batch).
     Search: each query probes its ``nprobe`` nearest cells and scores
     only those cells' vectors — an equi-join on cell id, cutting
@@ -161,24 +208,11 @@ def ivf_topk(
     with the data, and recall/candidate-count trades via nlist/nprobe
     exactly as in FAISS-style IVF-Flat.
     """
-    sample = corpus.select(vec_col)
-    if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
-    X = np.stack([np.asarray(r[0], dtype=np.float64)
-                  for r in sample.collect()])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    # spherical k-means on the driver sample (Lloyd, fixed iterations,
-    # deterministic seed) — centroids are tiny (nlist x dim)
-    rng = np.random.RandomState(seed)
-    cents = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
-    for _ in range(10):
-        assign = (Xn @ cents.T).argmax(axis=1)
-        for c in range(len(cents)):
-            members = Xn[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
-    centroids = [[float(x) for x in c] for c in cents]
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, seed=seed,
+            train_rows=train_rows)
+    cents = np.asarray(centroids, dtype=np.float64)
     assign_udf = _assign_cells_udf(centroids)
 
     c = corpus.select(
@@ -193,7 +227,9 @@ def ivf_topk(
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
         qv = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(cents @ qv))[:nprobe]
+        # stable sort: equal dots break toward the lower cell id, the
+        # same tie rule a SQL (dot DESC, cell ASC) rank applies
+        order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
         for cell in order:
             probe_rows.append((r[0], int(cell), [float(x) for x in r[1]]))
     q = corpus.sparkSession.createDataFrame(

@@ -59,8 +59,15 @@ def ingest_dataframe(
     tagged = df.select(*[f.name for f in schema.all_fields()]).withColumn(
         PARTITION_COL, tree.leaf_id_column()
     )
+    # shuffle width tracks the CLUSTER, not the leaf count: partitionBy
+    # below already writes one file per leaf within a task, so a
+    # 10^4-leaf tree must not become 10^4 tiny shuffle partitions/tasks
+    # (task-launch overhead would dominate); it only needs enough
+    # partitions to spread the sort across cores.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(len(leaves), 2 * parallelism))
     (
-        tagged.repartition(max(len(leaves), 1), F.col(PARTITION_COL))
+        tagged.repartition(n_parts, F.col(PARTITION_COL))
         .sortWithinPartitions(PARTITION_COL, *schema.key_names)
         .write.option("compression", props.compression)
         .option("parquet.block.size", str(props.row_group_bytes))

@@ -54,6 +54,10 @@ class TableProperties:
     # ours stores the file's values at <= sketch_size+1 evenly spaced
     # ranks, giving <= rows/sketch_size rank error per file on merge)
     sketch_size: int = 1024
+    # query-planner metadata cache TTL, seconds
+    # (sleeper.table.query.processor.cache.timeout is minutes in the
+    # reference, QueryPlanner.java:111-149; default 1 minute)
+    query_cache_timeout_seconds: float = 60.0
     extra: dict[str, Any] = field(default_factory=dict)
 
     def validate(self, schema: Schema) -> None:

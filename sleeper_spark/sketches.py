@@ -157,8 +157,12 @@ def write_sidecars_distributed(spark: SparkSession, paths: list[str],
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
             done = list(ex.map(build, paths))
     else:
+        # slices track cores, not file count — 10^4 new files must not
+        # become 10^4 single-path tasks
+        slices = min(len(paths), 4 * spark.sparkContext.defaultParallelism)
         done = (
-            spark.sparkContext.parallelize(paths, len(paths)).map(build).collect()
+            spark.sparkContext.parallelize(paths, slices)
+            .map(build).collect()
         )
     assert sorted(done) == sorted(paths)
 

@@ -110,15 +110,28 @@ def _filter_chunk(t: pa.Table, leaf_ranges, query_regions, filters,
     return t
 
 
+def _count_below(col: pa.Array, bound) -> int:
+    return int(pc.sum(pc.cast(pc.less(col, pa.scalar(bound, col.type)),
+                              pa.int64())).as_py() or 0)
+
+
 def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     """Vectorized k-way merge of one leaf's sorted runs, bounded memory.
 
     Fast path: one remaining run streams through untouched (no compare,
     no re-sort) — after a compaction most leaves are a single file.
+
+    ``prune_range`` = (dim0_key, lo, hi): subrange merges (a) skip
+    row groups whose stats fall outside [lo, hi), and (b) trim each
+    batch to the exact range BEFORE it enters the merge — the runs are
+    sorted, so the trim is a head/tail slice, and a batch whose tail
+    passes ``hi`` ends its file's read early. Without the trim every
+    boundary row group's rows would flow through merge+sort just to be
+    filtered afterwards, costing more than the parallelism buys.
     """
     key_names = desc["key_names"]
     col_order = desc["column_order"]
-    prune = desc.get("prune_range")  # (key_name, lo, hi) -> row-group skip
+    prune = desc.get("prune_range")
     readers = []
     for fn in desc["files"]:
         pf = pq.ParquetFile(fn)
@@ -142,16 +155,31 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     def refill(i) -> None:
         if buffers[i] is not None:
             return
-        it = readers[i]
-        if it is None:
+        while True:
+            it = readers[i]
+            if it is None:
+                return
+            try:
+                batch = next(it)
+            except StopIteration:
+                readers[i] = None
+                return
+            t = pa.Table.from_batches([batch]).select(col_order)
+            if prune is not None:
+                key, lo, hi = prune
+                col = t.column(key).combine_chunks()
+                start = _count_below(col, lo) if lo is not None else 0
+                end = _count_below(col, hi) if hi is not None else t.num_rows
+                if end < t.num_rows:
+                    readers[i] = None  # sorted run: rest is past hi
+                if end <= start:
+                    if readers[i] is None:
+                        return
+                    continue
+                if start > 0 or end < t.num_rows:
+                    t = t.slice(start, end - start)
+            buffers[i] = (t, [t.column(k).combine_chunks() for k in key_names])
             return
-        try:
-            batch = next(it)
-        except StopIteration:
-            readers[i] = None
-            return
-        t = pa.Table.from_batches([batch]).select(col_order)
-        buffers[i] = (t, [t.column(k).combine_chunks() for k in key_names])
 
     sort_spec = [(k, "ascending") for k in key_names]
     while True:

@@ -99,6 +99,12 @@ class StateStore:
         self.files: dict[str, dict[str, FileReference]] = {}
         self.gc_queue: dict[str, float] = {}  # filename -> time dereferenced
         self._seq = 0
+        # query-planner caching (QueryPlanner.java:111-149): wall-clock of
+        # the last staleness check + a per-log-version partition->files
+        # index so repeated point queries plan in O(ancestors) dict hits
+        self._refreshed_at = time.time()
+        self._index_seq = -1
+        self._files_by_partition: dict[str, list[FileReference]] = {}
         self._load()
 
     # ------------------------------------------------------------------
@@ -425,8 +431,40 @@ class StateStore:
     def all_references(self) -> list[FileReference]:
         return [r for refs in self.files.values() for r in refs.values()]
 
+    def refresh_if_stale(self, ttl_seconds: float) -> bool:
+        """TTL-cached metadata for query planning, mirroring the
+        reference's ``sleeper.table.query.processor.cache.timeout``
+        (QueryPlanner.initIfNeeded, QueryPlanner.java:111-149): within
+        the TTL queries plan against cached state with ZERO IO; past it,
+        an O(1) probe for the next sequence number detects whether any
+        other writer committed, and only then is the log replayed.
+        Returns True when a reload happened."""
+        now = time.time()
+        if now - self._refreshed_at < ttl_seconds:
+            return False
+        self._refreshed_at = now
+        nxt = os.path.join(self.tx_dir, f"{self._seq + 1:012d}.json")
+        if not os.path.exists(nxt):
+            return False
+        self._load()
+        return True
+
+    def partition_files_index(self) -> dict[str, list[FileReference]]:
+        """partition id -> its references, memoised per log version —
+        invalidated automatically by any committed transaction (the
+        sequence number moves). Thousands-of-queries/s point lookups hit
+        this instead of rescanning the file map."""
+        if self._index_seq != self._seq:
+            idx: dict[str, list[FileReference]] = {}
+            for refs in self.files.values():
+                for pid, r in refs.items():
+                    idx.setdefault(pid, []).append(r)
+            self._files_by_partition = idx
+            self._index_seq = self._seq
+        return self._files_by_partition
+
     def references_for_partition(self, pid: str) -> list[FileReference]:
-        return [refs[pid] for refs in self.files.values() if pid in refs]
+        return list(self.partition_files_index().get(pid, []))
 
     def files_for_leaf_query(self, leaf_id: str) -> list[FileReference]:
         """Files of the leaf AND all its ancestors — a row may still live in

@@ -87,6 +87,10 @@ class SleeperTable:
     # ------------------------------------------------------------------
     def query(self, query: Query, now_millis: int | None = None) -> DataFrame:
         now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
+        # pick up other writers' commits at most every cache-TTL seconds
+        # (QueryPlanner.java:111-149); in-process commits are always
+        # visible immediately (they mutate this store directly)
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
         ex = QueryExecutor(
             self.spark, self.store, self.schema,
             table_filters=self.props.filters,

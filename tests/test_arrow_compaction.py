@@ -231,3 +231,41 @@ def test_multi_output_replace_txn(spark, tmp_path):
     store2 = StateStore(str(tmp_path / "ss"), schema)
     assert {r.filename for r in store2.references_for_partition(root)} == \
         {"/x/out-p0.parquet", "/x/out-p1.parquet"}
+
+
+def test_spark_engine_subrange_parts(spark, tmp_path, monkeypatch):
+    """The Spark engine also fans a single big job out: one scan branch
+    per dim-0 subrange (filters pushed down), one reducer per part, parts
+    committed as ordered disjoint sorted FileReferences."""
+    from sleeper_spark import compaction
+
+    monkeypatch.setattr(compaction, "SUBRANGE_MIN_ROWS", 200)
+    props = TableProperties(compaction_engine="spark")
+    ev = _events(spark)
+    schema = Schema(
+        (Field("user_id", T.LongType()),),
+        (Field("event_type", T.StringType()),),
+        (Field("event_id", T.LongType()), Field("ts_ms", T.LongType()),
+         Field("n", T.LongType())),
+    )
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema, props)
+    t.ingest(ev.where(F.col("event_id") % 2 == 0))
+    t.ingest(ev.where(F.col("event_id") % 2 == 1))
+    now = 1706140800000
+    before = _collect(t.full_scan(now))
+    refs = t.compact(now_millis=now)
+    assert len(refs) > 1
+    assert _collect(t.full_scan(now)) == before
+    prev_last = None
+    total = 0
+    for ref in refs:
+        df = spark.read.parquet(ref.filename)
+        keys = [(r.user_id, r.event_type) for r in df.collect()]
+        assert keys == sorted(keys)
+        assert len(keys) == ref.number_of_rows
+        total += len(keys)
+        if keys:
+            if prev_last is not None:
+                assert keys[0] >= prev_last
+            prev_last = keys[-1]
+    assert total == ev.count()

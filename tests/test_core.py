@@ -470,3 +470,77 @@ class TestBatchedReplaceFileReferences:
             ])
         # nothing applied
         assert {r.filename for r in st.all_references()} == {"/f1"}
+
+
+class TestQueryMetadataCache:
+    """TTL-cached planner metadata (QueryPlanner.java:111-149)."""
+
+    @staticmethod
+    def _schema():
+        return Schema((Field("k", T.LongType()),), (),
+                      (Field("v", T.LongType(), nullable=True),))
+
+    def _store(self, tmp_path, schema, sub="ss"):
+        return StateStore(str(tmp_path / sub), schema)
+
+    def test_within_ttl_no_reload(self, tmp_path):
+        kv_schema = self._schema()
+        a = self._store(tmp_path, kv_schema)
+        a.initialise_partitions(PartitionTree.initial(kv_schema))
+        b = StateStore(str(tmp_path / "ss"), kv_schema)
+        b.add_files([FileReference("/x/f1.parquet", b.tree.root_id, 5)])
+        # a hasn't seen b's commit and must NOT reload within the TTL
+        assert a.refresh_if_stale(3600) is False
+        assert not a.all_references()
+
+    def test_past_ttl_reloads_only_on_new_txn(self, tmp_path):
+        kv_schema = self._schema()
+        a = self._store(tmp_path, kv_schema)
+        a.initialise_partitions(PartitionTree.initial(kv_schema))
+        a._refreshed_at = 0.0
+        # no new transactions: probe is O(1), no reload
+        assert a.refresh_if_stale(1.0) is False
+        b = StateStore(str(tmp_path / "ss"), kv_schema)
+        b.add_files([FileReference("/x/f1.parquet", b.tree.root_id, 5)])
+        a._refreshed_at = 0.0
+        assert a.refresh_if_stale(1.0) is True
+        assert [r.filename for r in a.all_references()] == ["/x/f1.parquet"]
+
+    def test_index_invalidated_by_commit(self, tmp_path):
+        kv_schema = self._schema()
+        s = self._store(tmp_path, kv_schema)
+        s.initialise_partitions(PartitionTree.initial(kv_schema))
+        root = s.tree.root_id
+        assert s.references_for_partition(root) == []
+        s.add_files([FileReference("/x/f1.parquet", root, 5)])
+        # same object returns fresh view after the commit bumped the seq
+        assert [r.filename for r in s.references_for_partition(root)] == \
+            ["/x/f1.parquet"]
+        # warm path: repeated lookups reuse the memoised index
+        idx1 = s.partition_files_index()
+        idx2 = s.partition_files_index()
+        assert idx1 is idx2
+
+    def test_warm_planning_is_fast(self, tmp_path):
+        kv_schema = self._schema()
+        import time as _t
+
+        from sleeper_spark.query import Query, QueryPlanner
+        from sleeper_spark.ranges import Range, Region
+
+        s = self._store(tmp_path, kv_schema)
+        tree = PartitionTree.initial(
+            kv_schema, split_points=[i * 10 for i in range(1, 128)])
+        s.initialise_partitions(tree)
+        refs = [FileReference(f"/x/f{i}.parquet", leaf.id, 10)
+                for i, leaf in enumerate(tree.leaves())]
+        s.add_files(refs)
+        q = Query([Region.of(Range("k", 55, 56))])
+        planner = QueryPlanner(s)
+        planner.split_into_leaf_queries(q)  # warm the index
+        t0 = _t.perf_counter()
+        for _ in range(50):
+            out = planner.split_into_leaf_queries(q)
+        per_query = (_t.perf_counter() - t0) / 50
+        assert len(out) == 1
+        assert per_query < 0.010, f"warm planning {per_query*1000:.2f}ms"

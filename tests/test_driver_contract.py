@@ -21,7 +21,9 @@ def test_every_query_has_an_oracle():
     qk = set(em.queries())
     ok = set(em.oracle_sql())
     assert qk == ok, f"mismatch: {qk ^ ok}"
-    assert len(qk) == 50
+    # round 3 added ivf_topk + embedding_near_duplicates (the two round-2
+    # operators that lacked driver oracles)
+    assert len(qk) == 52
 
 
 def test_entry_smoke(spark):

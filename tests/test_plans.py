@@ -230,3 +230,19 @@ class TestBatchedCompactionPlan:
         got = sorted((r.key, r.value) for r in t.full_scan().collect())
         assert got == sorted(
             [(i, 2 * i) for i in range(1000)] + [(i, 2 * i) for i in range(1000)])
+
+
+def test_ivf_training_bounded_driver_transfer(spark, entry):
+    """The IVF trainer must never collect the corpus: its sample plan is
+    a TakeOrderedAndProject (orderBy+limit), capping driver transfer at
+    train_rows rows regardless of corpus size."""
+    from sleeper_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sample = (emb.select("vec_id", "embedding")
+              .orderBy("vec_id").limit(7 * 256))
+    plan = plan_of(sample)
+    assert "TakeOrderedAndProject" in plan, plan
+    # end-to-end: trainer returns nlist centroids of the right dim
+    cents = similarity.train_ivf_centroids(emb, nlist=4, train_rows=64)
+    assert len(cents) == 4 and len(cents[0]) == 64

@@ -262,3 +262,73 @@ class TestLargeTreePartitionAssignment:
         for i in range(0, 3000, 271):
             k = "k-%05d" % i
             assert got[k] == tree.leaf_for_row({"key": k}).id
+
+
+class TestMultiDimSplit:
+    def test_second_dimension_chosen_when_first_constant(self, tmp_path):
+        """FindPartitionSplitPoint.java:45-94 tries dimensions in order
+        and skips any whose values can't satisfy min < median <= max —
+        a constant dim 0 must fall through to dim 1."""
+        import pyarrow as pa
+
+        from sleeper_spark import sketches as sk
+
+        schema = Schema(
+            (Field("a", T.LongType()), Field("b", T.LongType())), (),
+            (Field("v", T.LongType()),))
+        paths = []
+        for i in range(2):
+            n = 500
+            cols = {
+                "a": pa.array([7] * n, type=pa.int64()),       # constant
+                "b": pa.array(range(i, 2 * n, 2), type=pa.int64()),
+            }
+            p = str(tmp_path / f"f{i}.parquet")
+            import pyarrow.parquet as pq
+            pq.write_table(pa.table({**cols, "v": cols["b"]}), p)
+            sk.write_sidecar(p, sk.sketch_from_arrow_columns(
+                cols, n, 128))
+            paths.append(p)
+        region = Region.of(Range("a", None, None), Range("b", None, None))
+        got = find_split_point_from_sketches(schema, paths, region)
+        assert got is not None
+        dim, point = got
+        assert dim == 1            # dim 0 constant -> split on dim 1
+        assert 300 < point <= 700  # near the median of 0..999
+
+
+class TestManyLeafScale:
+    @pytest.mark.slow
+    def test_10k_leaf_assignment_vectorized(self, spark, tmp_path):
+        """10^4-leaf tree: partition assignment must use the O(log n)
+        vectorized search (not a 10^4-branch CASE chain), and ingest into
+        it must assign every row to the right leaf."""
+        n_leaves = 10_000
+        splits = [i * 10 for i in range(1, n_leaves)]
+        schema = long_schema()
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                                TableProperties(), split_points=splits)
+        tree = t.store.tree
+        assert len(tree.leaves()) == n_leaves
+        col = tree.leaf_id_column()
+        # vectorized plan: a pandas UDF (ArrowEvalPython), not a CASE
+        probe = spark.range(5).select(F.col("id").alias("key"))
+        plan = probe.select(col.alias("p"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEvalPython" in plan, plan
+        assert "CASE WHEN" not in plan
+        # correctness on a sample covering first/middle/last leaves
+        df = spark.createDataFrame(
+            [(0,), (5,), (49_995,), (99_999_0,), (55_555,)], "key long")
+        got = {r.key: r.p for r in df.select(
+            "key", col.alias("p")).collect()}
+        for key, pid in got.items():
+            region = tree[pid].region
+            assert region.contains_point({"key": key}), (key, pid)
+        # end-to-end: a real ingest lands rows in per-leaf sorted files
+        data = spark.range(0, 100_000, 1, 8).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("value"))
+        refs = t.ingest(data)
+        assert sum(r.number_of_rows for r in refs) == 100_000
+        # split planning stays metadata-only: every new file has a sidecar
+        assert all_sidecars_present([r.filename for r in refs])

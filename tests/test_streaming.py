@@ -137,3 +137,76 @@ def test_stateful_running_totals(spark, tmp_path, events_stream_dir):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
             .collect()}
     assert got == want
+
+
+def test_append_mode_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation: a window is emitted exactly once
+    the watermark passes its end, and data arriving after that (behind
+    the operative watermark) is DROPPED — checked against a batch oracle
+    computed from only the on-time rows. Spark applies a batch's
+    event-time watermark from the NEXT micro-batch, so the late row
+    arrives two batches after the rows that advanced the watermark.
+    (complete/update modes are covered elsewhere; this pins the one
+    Structured-Streaming semantic they can't show.)"""
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000  # seconds
+    # 10s tumbling windows, 5s watermark delay. Batch timeline:
+    #   f1: fills window [base, base+10) and sets max event time base+60
+    #       -> watermark base+55 operative from the NEXT batch
+    #   f2: advances max event time to base+120 (wm base+115 next)
+    #   f3: a LATE row for window [base, base+10) — operative wm is
+    #       base+115, far past the window end -> dropped; plus one open
+    #       window row that must NOT be emitted (wm never passes it)
+    batches = [
+        [(1, base + 1), (2, base + 3), (3, base + 9), (4, base + 60)],
+        [(6, base + 120)],
+        [(5, base + 3), (7, base + 200)],
+    ]
+    dfs = [spark.createDataFrame(rows, "event_id long, ts_s long")
+           for rows in batches]
+    now = _time.time()
+    for i, df in enumerate(dfs):
+        d = src / f"f{i}"
+        df.coalesce(1).write.parquet(str(d))
+        for f in d.glob("*.parquet"):
+            os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_s long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    )
+    out = streaming.windowed_aggregate(stream, "ts", window="10 seconds",
+                                       watermark="5 seconds")
+    q = (out.writeStream.format("memory").queryName("appendwin")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    dropped = sum((p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                   if p["stateOperators"] else 0)
+                  for p in q.recentProgress)
+    got = {(r.window_start.timestamp(), r.n_events)
+           for r in spark.sql("SELECT * FROM appendwin").collect()}
+    # batch oracle over ON-TIME rows only (late event_id=5 excluded),
+    # restricted to windows the FINAL watermark closed (availableNow runs
+    # a trailing no-data batch that applies wm = base+200-5, so the
+    # base+120 window is emitted; only base+200's stays open, unemitted)
+    on_time = dfs[0].unionByName(dfs[1]).unionByName(
+        dfs[2].where("event_id != 5"))
+    want = {
+        (r.w.start.timestamp(), r.n)
+        for r in (on_time
+                  .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+                  .groupBy(F.window("ts", "10 seconds").alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .collect())
+        if r.w.end.timestamp() <= base + 200 - 5
+    }
+    assert got == want
+    assert dropped == 1  # exactly the late row
+    # [base,+10) with 4 on-time rows; [base+60,+70) and [base+120,+130)
+    assert len(got) == 3

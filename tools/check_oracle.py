@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from collections import Counter
 
@@ -42,6 +43,8 @@ def row_key(row, names_sorted, name_to_idx):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-derived oracles (IVF centroids) must read the same sf dir
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check_oracle")
