@@ -696,6 +696,17 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs resolved into keep-one clusters: distributed
+    min-label propagation over the LSH pair graph (the step a training
+    pipeline runs after pair-finding). Oracle = recursive-CTE transitive
+    closure over the same ground-truth pair set; component id = min
+    reachable doc id, so the hash match proves the clustering exactly."""
+    doc = _load(spark, sf, "documents")
+    pairs = dedup.minhash_candidate_pairs(doc, num_hashes=32, bands=8)
+    return dedup.connected_components(pairs)
+
+
 def q_near_dup_verified(spark: SparkSession, sf: str) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard >= 0.7.
     Oracle = the exact all-pairs Jaccard >= 0.7 set (ground truth), so a
@@ -949,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "near_dup_verified": q_near_dup_verified,
         "embedding_norms": q_embedding_norms,
@@ -1302,6 +1314,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs":
             _GROUND_TRUTH_PAIRS +
             "SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7",
+        "dedup_clusters":
+            _GROUND_TRUTH_PAIRS.replace("WITH sh", "WITH RECURSIVE sh")
+            .rstrip() + ", "
+            "pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS ("
+            "SELECT DISTINCT a, a FROM edges "
+            "UNION "
+            "SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node) "
+            "SELECT node AS doc_id, min(r) AS component_id "
+            "FROM reach GROUP BY node",
         "near_dup_verified":
             _GROUND_TRUTH_PAIRS +
             "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7",

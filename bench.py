@@ -67,14 +67,21 @@ def bench_lifecycle(spark, sf_dir) -> tuple[float, float, int]:
     tmp = tempfile.mkdtemp(prefix="bench_lifecycle_")
     table = SleeperTable.create(
         spark, os.path.join(tmp, "t"), schema, TableProperties(), splits)
-    half = (maxkey or 0) // 2
     t0 = time.perf_counter()
-    table.ingest(li.where(F.col("l_orderkey") <= half))
-    table.ingest(li.where(F.col("l_orderkey") > half))
+    # interleave the two ingests so EVERY leaf gets two overlapping files
+    # and compaction genuinely merges all n_rows. (The old low/high-half
+    # split aligned with the partition boundaries, so only the boundary
+    # leaf ever had two files — compaction then merged ~1/16 of the rows
+    # while the metric divided by all of them, inflating rows/s ~16x.)
+    table.ingest(li.where(F.col("l_orderkey") % 2 == 0))
+    table.ingest(li.where(F.col("l_orderkey") % 2 == 1))
     ingest_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    table.compact()
+    refs = table.compact()
     compaction_s = time.perf_counter() - t0
+    merged = sum(r.number_of_rows for r in refs)
+    log(f"lifecycle compaction merged {merged} rows in {len(refs)} outputs")
+    assert merged == n_rows, (merged, n_rows)
     return ingest_s, compaction_s, n_rows
 
 

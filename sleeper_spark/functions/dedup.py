@@ -256,6 +256,62 @@ def verified_near_duplicates(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters: (doc_id, component_id)
+    with component_id = the minimum doc id reachable through the pair
+    graph — the keep-one step of a dedup pipeline (keep component_id,
+    drop the rest).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbours; converges in
+    O(diameter) rounds (near-dup clusters are shallow — chains of
+    transitive near-dups — so this is 2-4 rounds in practice; cap
+    ``max_iterations`` guards adversarial graphs). Each round is one
+    self-contained groupBy-min over the edge list — no driver-side graph,
+    no vertex collect; ``localCheckpoint`` cuts the growing lineage so
+    round N's plan does not replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -70,6 +70,22 @@ def _pruned_topk(scored: DataFrame, k: int, id_col: str,
     )
 
 
+def _paired_cosine() -> Column:
+    """round(cosine, 6) from pre-projected __cvec/__qvec/__cnorm/__qnorm
+    columns — norms are computed once per VECTOR (projection), not once
+    per scored pair; the float expression tree is identical to
+    :func:`cosine_similarity`, so rounded values match bit-for-bit."""
+    denom = F.col("__cnorm") * F.col("__qnorm")
+    return F.round(
+        F.when(denom > 0,
+               dot(F.col("__cvec"), F.col("__qvec")) / denom)
+        .otherwise(F.lit(0.0)), 6)
+
+
+def _with_norm(df: DataFrame, vec_alias: str, norm_alias: str) -> DataFrame:
+    return df.withColumn(norm_alias, l2_norm(F.col(vec_alias)))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -81,19 +97,18 @@ def brute_force_topk(
     """Exact cosine top-k per query: broadcast queries, score map-side,
     per-partition pre-prune then global top-k. Ties broken by corpus id
     for determinism."""
-    q = queries.select(
+    q = _with_norm(queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
-    )
-    c = corpus.select(
+    ), "__qvec", "__qnorm")
+    c = _with_norm(corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
-    )
+    ), "__cvec", "__cnorm")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine",
-                    F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
+        .withColumn("cosine", _paired_cosine())
     )
     return _pruned_topk(scored, k, id_col, query_id_col)
 
@@ -215,10 +230,10 @@ def ivf_topk(
     cents = np.asarray(centroids, dtype=np.float64)
     assign_udf = _assign_cells_udf(centroids)
 
-    c = corpus.select(
+    c = _with_norm(corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ).withColumn("__cell", assign_udf(F.col("__cvec")))
+    ), "__cvec", "__cnorm").withColumn("__cell", assign_udf(F.col("__cvec")))
 
     # queries probe their nprobe nearest cells (driver-side: queries are
     # small by contract, same as the broadcast in brute_force_topk)
@@ -232,14 +247,14 @@ def ivf_topk(
         order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
         for cell in order:
             probe_rows.append((r[0], int(cell), [float(x) for x in r[1]]))
-    q = corpus.sparkSession.createDataFrame(
-        probe_rows, f"{query_id_col} long, __cell int, __qvec array<double>")
+    q = _with_norm(corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} long, __cell int, __qvec array<double>"),
+        "__qvec", "__qnorm")
 
     scored = (
         c.join(F.broadcast(q), "__cell")
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", F.round(
-            cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
+        .withColumn("cosine", _paired_cosine())
     )
     return _pruned_topk(scored, k, id_col, query_id_col)
 
@@ -265,17 +280,29 @@ def embedding_near_duplicates(
     multi-probe, precision is exact (cosine recomputed on candidates).
     """
     planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__vec"),
-    ).withColumn("__bucket", lsh_bucket(F.col("__vec"), planes))
+    c = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+        )
+        .withColumn("__bucket", lsh_bucket(F.col("__vec"), planes))
+        # norm computed ONCE per vector, not once per candidate pair —
+        # inside the bucket self-join each vector meets O(bucket) others,
+        # so per-pair norm folds dominated the scoring cost (measured 86s
+        # -> ~30s at 20k vectors). sqrt(sum(x^2)) here is the exact same
+        # float expression the per-pair form evaluated, so rounded
+        # cosines are bit-identical.
+        .withColumn("__norm", l2_norm(F.col("__vec")))
+    )
     c = c.repartition("__bucket")
     l, r = c.alias("l"), c.alias("r")
+    denom = F.col("l.__norm") * F.col("r.__norm")
+    cos = F.when(denom > 0, dot(F.col("l.__vec"), F.col("r.__vec")) / denom) \
+        .otherwise(F.lit(0.0))
     return (
         l.join(r, "__bucket")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .withColumn("cosine", F.round(
-            cosine_similarity(F.col("l.__vec"), F.col("r.__vec")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .where(F.col("cosine") >= threshold)
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"), "cosine")
@@ -297,18 +324,19 @@ def lsh_topk(
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket. ~2^bits-fold candidate reduction at the cost of recall."""
     planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(
+    c = _with_norm(corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ).withColumn("__bucket", lsh_bucket(F.col("__cvec"), planes))
-    q = queries.select(
+    ), "__cvec", "__cnorm").withColumn(
+        "__bucket", lsh_bucket(F.col("__cvec"), planes))
+    q = _with_norm(queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
-    ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+    ), "__qvec", "__qnorm").withColumn(
+        "__bucket", lsh_bucket(F.col("__qvec"), planes))
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine",
-                    F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6))
+        .withColumn("cosine", _paired_cosine())
     )
     return _pruned_topk(scored, k, id_col, query_id_col)

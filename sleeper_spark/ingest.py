@@ -45,9 +45,22 @@ def ingest_dataframe(
     store: StateStore,
     data_dir: str,
     props: TableProperties,
+    strategy: str = "local_sort",
 ) -> list[FileReference]:
-    """Write ``df`` as one sorted file per overlapping leaf partition and
-    commit an ADD_FILES transaction (O7: IngestCoordinator.java:17-58).
+    """Write ``df`` as sorted per-leaf-partition files and commit an
+    ADD_FILES transaction (O7: IngestCoordinator.java:17-58).
+
+    Strategies mirror the reference's bulk-import drivers:
+
+    - ``local_sort`` (J4, default, BulkImportDataframeLocalSortDriver):
+      hash-repartition on the leaf id + sort within partitions — no
+      global sampling pass, one file per leaf per ingest.
+    - ``global_sort`` (J3, BulkImportJobDataframeDriver.java:55-93): one
+      total ``orderBy(partition, row keys, sort keys)`` — Spark's range
+      partitioner samples bounds, so task outputs arrive in total order;
+      a leaf landing on a task boundary yields two DISJOINT sorted files
+      (still valid sorted runs). Useful when leaf-id hashing would skew
+      (few giant leaves) since ranges balance by rows, not by leaf.
 
     Returns the committed file references.
     """
@@ -66,9 +79,17 @@ def ingest_dataframe(
     # partitions to spread the sort across cores.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     n_parts = max(1, min(len(leaves), 2 * parallelism))
+    if strategy == "global_sort":
+        sorted_df = tagged.orderBy(PARTITION_COL, *schema.key_names)
+    elif strategy == "local_sort":
+        sorted_df = (
+            tagged.repartition(n_parts, F.col(PARTITION_COL))
+            .sortWithinPartitions(PARTITION_COL, *schema.key_names)
+        )
+    else:
+        raise ValueError(f"unknown ingest strategy {strategy!r}")
     (
-        tagged.repartition(n_parts, F.col(PARTITION_COL))
-        .sortWithinPartitions(PARTITION_COL, *schema.key_names)
+        sorted_df
         .write.option("compression", props.compression)
         .option("parquet.block.size", str(props.row_group_bytes))
         .option("parquet.page.size", str(props.page_bytes))

@@ -77,10 +77,14 @@ class SleeperTable:
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
-    def ingest(self, df: DataFrame) -> list[FileReference]:
-        """O7/J4: one sorted file per leaf partition + ADD_FILES commit."""
+    def ingest(self, df: DataFrame,
+               strategy: str = "local_sort") -> list[FileReference]:
+        """O7: sorted per-leaf files + ADD_FILES commit. ``strategy`` =
+        ``local_sort`` (J4) or ``global_sort`` (J3) — see
+        :func:`sleeper_spark.ingest.ingest_dataframe`."""
         assert self.store.tree is not None
-        return ingest_dataframe(df, self.store.tree, self.store, self.data_dir, self.props)
+        return ingest_dataframe(df, self.store.tree, self.store,
+                                self.data_dir, self.props, strategy)
 
     # ------------------------------------------------------------------
     # read path

@@ -269,3 +269,27 @@ def test_spark_engine_subrange_parts(spark, tmp_path, monkeypatch):
                 assert keys[0] >= prev_last
             prev_last = keys[-1]
     assert total == ev.count()
+
+
+def test_broadcast_tagging_survives_plus_in_path(spark, tmp_path):
+    """url_decode has x-www-form-urlencoded semantics ('+' -> space): a
+    table under a '+' directory used to silently drop every row from the
+    broadcast file->job join. The scan key must round-trip the stored
+    path exactly, and the accounting guard must see every input file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from sleeper_spark.compaction import CompactionJob, _tag_rows_with_jobs
+    from sleeper_spark.ranges import Range, Region
+
+    d = tmp_path / "data+dir with space"
+    d.mkdir()
+    p = str(d / "f.parquet")
+    pq_.write_table(pa.table({"k": pa.array(range(100), type=pa.int64()),
+                              "v": pa.array(range(100), type=pa.int64())}), p)
+    schema = Schema((Field("k", T.LongType()),), (),
+                    (Field("v", T.LongType()),))
+    job = CompactionJob("j1", "root", (p,),
+                        Region.of(Range("k", None, None)))
+    tagged = _tag_rows_with_jobs(spark, [job], schema)
+    assert tagged.count() == 100

@@ -22,8 +22,9 @@ def test_every_query_has_an_oracle():
     ok = set(em.oracle_sql())
     assert qk == ok, f"mismatch: {qk ^ ok}"
     # round 3 added ivf_topk + embedding_near_duplicates (the two round-2
-    # operators that lacked driver oracles)
-    assert len(qk) == 52
+    # operators that lacked driver oracles) and dedup_clusters
+    # (connected-components keep-one resolution)
+    assert len(qk) == 53
 
 
 def test_entry_smoke(spark):

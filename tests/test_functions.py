@@ -277,3 +277,29 @@ class TestSimhashVectorizedVotes:
         got, ne = _simhash_votes_batch(
             [np.array([], dtype=np.int64), np.array([7], dtype=np.int64)])
         assert not ne[0] and ne[1] and got[1] == 7
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from sleeper_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),        # a 4-chain -> component 1
+             (10, 11),                      # a pair -> component 10
+             (20, 22), (22, 21)],           # out-of-order labels -> 20
+            "id_a long, id_b long")
+        got = {(r.doc_id, r.component_id)
+               for r in connected_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                       (10, 10), (11, 10),
+                       (20, 20), (21, 20), (22, 20)}
+
+    def test_long_chain_converges(self, spark):
+        from sleeper_spark.functions.dedup import connected_components
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        got = {(r.doc_id, r.component_id)
+               for r in connected_components(pairs).collect()}
+        assert got == {(i, 0) for i in range(n + 1)}

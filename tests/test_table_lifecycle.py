@@ -312,3 +312,48 @@ class TestOnlineOffline:
         t2.put_online()
         t3 = SleeperTable.load(spark, table.path)
         assert t3.props.online is True
+
+
+def test_global_sort_ingest_equivalent(spark, tmp_path):
+    """J3 global-sort bulk import produces the same queryable table as
+    the J4 local-sort default: per-leaf files are sorted, a leaf's files
+    are disjoint ordered runs, and all queries agree."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sleeper_spark import Field, Schema, SleeperTable
+    from sleeper_spark.properties import TableProperties
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty"))
+    schema = Schema((Field("l_orderkey", T.LongType()),),
+                    (Field("l_linenumber", T.IntegerType()),),
+                    (Field("qty", T.DoubleType(), nullable=True),))
+    tables = {}
+    for strat in ("local_sort", "global_sort"):
+        t = SleeperTable.create(spark, str(tmp_path / strat), schema,
+                                TableProperties(), split_points=[2000, 4000])
+        t.ingest(li, strategy=strat)
+        tables[strat] = t
+    want = sorted(tuple(r) for r in tables["local_sort"].full_scan().collect())
+    got = sorted(tuple(r) for r in tables["global_sort"].full_scan().collect())
+    assert got == want and len(got) == li.count()
+    # per-file sorted; a leaf's files are pairwise disjoint sorted runs
+    t = tables["global_sort"]
+    for leaf in t.store.tree.leaves():
+        runs = []
+        for ref in t.store.references_for_partition(leaf.id):
+            keys = [tuple(r) for r in spark.read.parquet(ref.filename)
+                    .select("l_orderkey", "l_linenumber").collect()]
+            assert keys == sorted(keys)
+            if keys:
+                runs.append((keys[0], keys[-1], ref.filename))
+        runs.sort()
+        for (lo1, hi1, _), (lo2, _hi2, _f2) in zip(runs, runs[1:]):
+            assert hi1 <= lo2  # disjoint ordered runs
+    # range query parity against raw parquet
+    got_r = sorted(tuple(r) for r in
+                   t.range_key_query([("l_orderkey", 500, 1500)]).collect())
+    want_r = sorted(tuple(r) for r in
+                    li.where("l_orderkey >= 500 and l_orderkey < 1500").collect())
+    assert got_r == want_r
