@@ -82,6 +82,8 @@ def bench_lifecycle(spark, sf_dir) -> tuple[float, float, int]:
     merged = sum(r.number_of_rows for r in refs)
     log(f"lifecycle compaction merged {merged} rows in {len(refs)} outputs")
     assert merged == n_rows, (merged, n_rows)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)  # GBs per run; keep /tmp lean
     return ingest_s, compaction_s, n_rows
 
 
@@ -156,6 +158,8 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
         log(f"compaction_large[{engine}]: {dt:.1f}s, {len(refs)} part(s) "
             f"({per_file * n_files / dt:,.0f} rows/s)")
     out["rows"] = per_file * n_files
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)  # several GB of inputs+outputs
     return out
 
 
