@@ -707,6 +707,21 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_near_dup_keep_one(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's final act: the RETAINED corpus after keep-one
+    resolution — every document except non-canonical members of a
+    near-dup cluster (anti-join against the cluster table; the cluster
+    representative, min doc id, survives). This is the operator a
+    training-data pipeline actually feeds downstream."""
+    doc = _load(spark, sf, "documents")
+    pairs = dedup.minhash_candidate_pairs(doc, num_hashes=32, bands=8)
+    clusters = dedup.connected_components(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("component_id")) \
+        .select("doc_id")
+    return (doc.join(drop, "doc_id", "left_anti")
+            .select("doc_id", F.length("text").cast("int").alias("text_len")))
+
+
 def q_near_dup_verified(spark: SparkSession, sf: str) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard >= 0.7.
     Oracle = the exact all-pairs Jaccard >= 0.7 set (ground truth), so a
@@ -961,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "near_dup_keep_one": q_near_dup_keep_one,
         "simhash_pairs": q_simhash_pairs,
         "near_dup_verified": q_near_dup_verified,
         "embedding_norms": q_embedding_norms,
@@ -1326,6 +1342,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node) "
             "SELECT node AS doc_id, min(r) AS component_id "
             "FROM reach GROUP BY node",
+        "near_dup_keep_one":
+            _GROUND_TRUTH_PAIRS.replace("WITH sh", "WITH RECURSIVE sh")
+            .rstrip() + ", "
+            "pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS ("
+            "SELECT DISTINCT a, a FROM edges "
+            "UNION "
+            "SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node), "
+            "clusters AS (SELECT node, min(r) AS comp FROM reach GROUP BY node) "
+            "SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS text_len "
+            "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node "
+            "WHERE c.node IS NULL OR c.comp = d.doc_id",
         "near_dup_verified":
             _GROUND_TRUTH_PAIRS +
             "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7",

@@ -22,9 +22,10 @@ def test_every_query_has_an_oracle():
     ok = set(em.oracle_sql())
     assert qk == ok, f"mismatch: {qk ^ ok}"
     # round 3 added ivf_topk + embedding_near_duplicates (the two round-2
-    # operators that lacked driver oracles) and dedup_clusters
-    # (connected-components keep-one resolution)
-    assert len(qk) == 53
+    # operators that lacked driver oracles), dedup_clusters
+    # (connected-components resolution) and near_dup_keep_one (the
+    # retained corpus after keep-one dedup)
+    assert len(qk) == 54
 
 
 def test_entry_smoke(spark):
