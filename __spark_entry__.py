@@ -661,7 +661,12 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over consecutive doc pairs — the
     verify step of the dedup pipeline, oracle-checked."""
     doc = _load(spark, sf, "documents")
-    sh = doc.select(F.col("doc_id"), dedup.shingles("text", 3).alias("sh"))
+    # localCheckpoint: tokenize+shingle each document ONCE. Without it
+    # Catalyst recomputes the shingle projection on BOTH sides of the
+    # self-join (no ReusedExchange across the differing join keys), and
+    # tokenization is the dominant cost of this query.
+    sh = doc.select(F.col("doc_id"), dedup.shingles("text", 3).alias("sh")) \
+        .localCheckpoint()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -244,8 +244,14 @@ def verified_near_duplicates(
     """MinHash-LSH candidates filtered by exact n-gram Jaccard >= threshold.
     The expensive exact measure touches only LSH survivors."""
     cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    # localCheckpoint: the shingle table feeds BOTH join probes below;
+    # without materialisation Catalyst re-tokenizes every document twice
+    # (once per join side) — tokenization dominates, so this halves the
+    # query. Lineage truncation also keeps the plan small when this runs
+    # inside a larger pipeline.
     sh = df.select(F.col(id_col).alias("__id"),
-                   shingles(text_col, shingle_k).alias("__sh"))
+                   shingles(text_col, shingle_k).alias("__sh")) \
+        .localCheckpoint()
     out = (
         cand.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
@@ -270,11 +276,19 @@ def connected_components(
     Distributed min-label propagation: each round every node adopts the
     minimum label among itself and its neighbours; converges in
     O(diameter) rounds (near-dup clusters are shallow — chains of
-    transitive near-dups — so this is 2-4 rounds in practice; cap
-    ``max_iterations`` guards adversarial graphs). Each round is one
-    self-contained groupBy-min over the edge list — no driver-side graph,
-    no vertex collect; ``localCheckpoint`` cuts the growing lineage so
-    round N's plan does not replay rounds 1..N-1.
+    transitive near-dups — so this is 2-4 rounds in practice). Each
+    round is ONE Spark action: the new label table is marked for a LAZY
+    ``localCheckpoint`` and the changed-label count is aggregated in the
+    same job that materialises it — no standalone convergence-check
+    action, and the checkpoint still cuts the growing lineage so round
+    N's plan does not replay rounds 1..N-1.
+
+    Raises ``RuntimeError`` if the graph has not converged after
+    ``max_iterations`` rounds — one-hop-per-round propagation on a
+    deeper-diameter graph would otherwise silently return labels that
+    are NOT the transitive closure (corrupting keep-one dedup); callers
+    with adversarially deep chain graphs should raise the cap (rounds
+    are cheap) or pre-contract the graph.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -287,6 +301,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = None
     for _ in range(max_iterations):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -298,16 +313,24 @@ def connected_components(
                 "node",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                # a node's label only ever decreases; it changed this
+                # round iff a neighbour's label beat the current one
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .cast("int").alias("__chg"),
             )
-        )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels = new_labels
+        ).localCheckpoint(eager=False)
+        # ONE job: the aggregate both materialises the lazy checkpoint
+        # (every partition is computed and cached) and returns the
+        # changed count — no separate convergence-check action
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing); the pair graph's "
+            "diameter exceeds the cap — raise max_iterations")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component_id"))
 
