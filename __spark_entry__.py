@@ -52,18 +52,34 @@ from pyspark.sql import types as T
 _NANOS_TS = {"events": ["ts"]}
 
 
+def _ts_unit_is_nanos(path: str, col: str) -> bool:
+    """Probe the parquet footer for a timestamp column's physical unit."""
+    import pyarrow.parquet as _pq
+
+    return "ns" in str(_pq.read_schema(path).field(col).type)
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with deterministic timestamp handling.
 
     events.ts surfaces as ``ts_us`` (epoch micros, long), ``ts_ms``
     (epoch millis, long) and ``ts`` (TIMESTAMP_NTZ) regardless of how
-    the column is physically stored: TIMESTAMP(MICROS/NANOS) loads as a
-    Spark timestamp (nanos floor to micros — same floor DuckDB's
-    ``epoch_us`` applies); a raw int64-nanos column (legacy
-    ``nanosAsLong`` readers) arrives as bigint and is divided down.
+    the column is physically stored. The physical unit has drifted
+    across driver testdata generations (NANOS <-> MICROS), so the footer
+    is probed per read: TIMESTAMP(NANOS) would fail Spark's reader
+    outright (PARQUET_TYPE_ILLEGAL, verified on this build) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, under which the
+    column arrives as a raw int64-nanos bigint and is divided down;
+    TIMESTAMP(MICROS) loads as a Spark timestamp directly. Both routes
+    floor to micros — the same floor DuckDB's ``epoch_us`` applies.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANOS_TS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                       "true" if _ts_unit_is_nanos(path, _NANOS_TS[name][0])
+                       else "false")
+    df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, []):
         if dict(df.dtypes)[c] == "bigint":  # raw nanos
             us = F.expr(f"{c} div 1000")
@@ -879,8 +895,13 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_src_")
     import shutil
     shutil.copy(os.path.join(sf, "events.parquet"), os.path.join(d, "events.parquet"))
-    df = spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(d)
     per_us = _events_ts_per_us(sf)
+    # a NANOS-stored ts needs the legacy conf even under a forced
+    # LongType read schema (PARQUET_TYPE_ILLEGAL otherwise); harmless
+    # for MICROS, where the forced-long read works either way
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                   "true" if per_us == 1000 else "false")
+    df = spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(d)
     return df.withColumn("ts", F.expr(f"ts div {per_us}"))  # → epoch micros
 
 

@@ -652,6 +652,17 @@ def run_jobs_arrow(
         keep = [r for r in parts if r.number_of_rows > 0]
         if not keep:
             keep = parts[:1]  # fully-filtered job: one empty marker ref
+        kept_files = {r.filename for r in keep}
+        for r in parts:
+            # a dropped zero-row part is referenced by nothing, so it
+            # would never enter the GC queue — delete it (and its sketch
+            # sidecar) now, before the reference swap
+            if r.filename not in kept_files:
+                for p in (r.filename, sketches.sidecar_path(r.filename)):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
         out_refs.extend(keep)
         replacements.append((job.partition_id, list(job.input_files), keep))
     store.replace_file_references_batch(replacements)

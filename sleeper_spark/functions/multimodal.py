@@ -62,13 +62,27 @@ def fake_image_decoder(payload: bytes) -> np.ndarray:
     return arr.reshape(8, 8)
 
 
+try:  # import-guarded real codec: present on real clusters, not here
+    from PIL import Image as _PILImage  # noqa: N814
+except ImportError:
+    _PILImage = None
+
+
 def real_image_decoder(payload: bytes) -> np.ndarray:
-    """Real codec hook. The container has no imaging libraries; plug PIL in
-    here when available."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. PIL); "
-        "not present in this environment — use fake_image_decoder for tests"
-    )
+    """Real codec hook: decodes with PIL when the library is installed
+    (resized to the 8x8 grayscale grid the feature extractor expects),
+    else raises — this container has no imaging libraries, so tests use
+    ``fake_image_decoder`` and production clusters light this up by
+    installing Pillow; the Spark-side plumbing is identical either way."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decoding requires an imaging library (PIL/Pillow); "
+            "not present in this environment — use fake_image_decoder for tests"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    return np.asarray(img, dtype=np.float32)
 
 
 def extract_image_features(

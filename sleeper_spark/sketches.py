@@ -350,13 +350,22 @@ def _ranked_candidates_from_row_groups(files: list[str], key_name: str,
     points.sort(key=lambda p: p[0])
     out: list[tuple[Any, int]] = []
     cum = 0
+    base = 0  # rows at or below the region's lo bound — candidates'
+    #           ranks are baselined to the REGION, mirroring the
+    #           _FieldSketch lo_rank clipping, so a bounded pull-down
+    #           job's equal-depth targets aren't skewed low by rows the
+    #           job will never read
     for v, n in points:
         cum += n
-        if (lo is None or v > lo) and (hi is None or v < hi):
-            if out and out[-1][0] == v:
-                out[-1] = (v, cum)
-            else:
-                out.append((v, cum))
+        if lo is not None and not v > lo:
+            base = cum
+            continue
+        if hi is not None and not v < hi:
+            continue
+        if out and out[-1][0] == v:
+            out[-1] = (v, cum - base)
+        else:
+            out.append((v, cum - base))
     return out
 
 

@@ -293,3 +293,37 @@ def test_broadcast_tagging_survives_plus_in_path(spark, tmp_path):
                         Region.of(Range("k", None, None)))
     tagged = _tag_rows_with_jobs(spark, [job], schema)
     assert tagged.count() == 100
+
+def test_empty_subrange_parts_removed_from_disk(spark, tmp_path, monkeypatch):
+    """A subrange whose rows are entirely filtered writes a zero-row part
+    that is dropped from the commit — the file and its sketch sidecar
+    must also be deleted (they are referenced by nothing, so GC would
+    never find them)."""
+    import glob
+    import os
+
+    from sleeper_spark import compaction
+
+    monkeypatch.setattr(compaction, "SUBRANGE_MIN_ROWS", 200)
+    # low half ancient (aged off), high half recent -> low subranges empty
+    now = 1706140800000
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, F.lit(0))
+         .otherwise(F.lit(now - 1000)).alias("ts_ms"))
+    schema = Schema((Field("k", T.LongType()),), (),
+                    (Field("ts_ms", T.LongType()),))
+    props = TableProperties(compaction_engine="arrow",
+                            filters="ageOff(ts_ms, 1209600000)")
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema, props)
+    t.ingest(df.where(F.col("k") % 2 == 0))
+    t.ingest(df.where(F.col("k") % 2 == 1))
+    refs = t.compact(now_millis=now)
+    assert sum(r.number_of_rows for r in refs) == 500
+    # every parquet left in the compaction output dirs is referenced
+    referenced = {r.filename for r in t.store.all_references()}
+    on_disk = {p for p in glob.glob(str(tmp_path / "t" / "**" / "compaction-*" / "*.parquet"), recursive=True)}
+    assert on_disk, "compaction output dir not found — layout changed?"
+    assert on_disk == on_disk & referenced, on_disk - referenced
+    for p in on_disk:
+        assert os.path.exists(p + ".sketch.json")

@@ -303,3 +303,26 @@ class TestConnectedComponents:
         got = {(r.doc_id, r.component_id)
                for r in connected_components(pairs).collect()}
         assert got == {(i, 0) for i in range(n + 1)}
+
+
+class TestRealImageDecoder:
+    def test_raises_without_pil_or_decodes_with_it(self):
+        """Import-guarded codec hook: with Pillow absent the hook raises
+        NotImplementedError (tests use the fake codec); with Pillow
+        present it must decode a real PNG to the 8x8 float grid."""
+        import numpy as np
+        import pytest as _pytest
+
+        from sleeper_spark.functions import multimodal as mm
+
+        if mm._PILImage is None:
+            with _pytest.raises(NotImplementedError):
+                mm.real_image_decoder(b"not-an-image")
+        else:
+            import io
+            img = mm._PILImage.new("L", (32, 32), color=128)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            out = mm.real_image_decoder(buf.getvalue())
+            assert out.shape == (8, 8) and out.dtype == np.float32
+            assert np.allclose(out, 128.0)

@@ -332,3 +332,27 @@ class TestManyLeafScale:
         assert sum(r.number_of_rows for r in refs) == 100_000
         # split planning stays metadata-only: every new file has a sidecar
         assert all_sidecars_present([r.filename for r in refs])
+
+
+class TestRowGroupRankBaseline:
+    def test_bounded_region_ranks_baselined_at_lo(self, tmp_path):
+        """Candidate ranks from row-group stats must be relative to the
+        region's lo bound, not the file start — otherwise equal-depth
+        cut targets for a bounded (pull-down) job skew low."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sleeper_spark.sketches import _ranked_candidates_from_row_groups
+
+        p = str(tmp_path / "f.parquet")
+        t = pa.table({"k": pa.array(range(400), type=pa.int64())})
+        pq.write_table(t, p, row_group_size=100)
+        # unbounded: cumulative ranks over the whole file
+        assert _ranked_candidates_from_row_groups([p], "k", None, None) == \
+            [(99, 100), (199, 200), (299, 300), (399, 400)]
+        # bounded at lo=199: ranks relative to the region
+        assert _ranked_candidates_from_row_groups([p], "k", 199, None) == \
+            [(299, 100), (399, 200)]
+        # bounded both sides
+        assert _ranked_candidates_from_row_groups([p], "k", 99, 399) == \
+            [(199, 100), (299, 200)]
