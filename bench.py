@@ -223,6 +223,99 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
     return out
 
 
+def bench_compaction_mapagg(spark, n_rows: int) -> dict[str, float]:
+    """The full-algebra compaction shape: map_sum + numeric sum with a
+    4x duplicate factor, both engines on identical inputs. This is the
+    config that used to force the ~3x-slower Spark-SQL fallback — the
+    Arrow engine now runs the whole algebra group-adjacent
+    (sorted_scan._aggregate_chunk_sorted), and this metric keeps it
+    honest vs the reference's map-aggregating DataFusion engine
+    (rust/aggregator_udfs/src/map_aggregate.rs:28-40)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sleeper_spark import sketches as sk
+    from sleeper_spark.statestore import FileReference
+
+    n_files = 11
+    dup = 4
+    per_file = n_rows // n_files
+    tmp = tempfile.mkdtemp(prefix="bench_mapagg_")
+    schema = Schema(
+        (Field("key", T.StringType()),),
+        (Field("ts", T.LongType()),),
+        (Field("n", T.LongType()),
+         Field("tags", T.MapType(T.StringType(), T.LongType()))),
+    )
+    in_dir = os.path.join(tmp, "inputs")
+    os.makedirs(in_dir)
+    paths = []
+    t_gen = time.perf_counter()
+    all_keys = pa.array(["all"] * per_file)
+    ones2 = pa.array(np.ones(2 * per_file, dtype=np.int64))
+    offsets = pa.array(np.arange(0, 2 * per_file + 1, 2, dtype=np.int32))
+    interleave = np.empty(2 * per_file, dtype=np.int64)
+    interleave[0::2] = np.arange(per_file)
+    interleave[1::2] = per_file + np.arange(per_file)
+    interleave = pa.array(interleave)
+    for i in range(n_files):
+        # key = int // dup -> every group's 4 duplicates spread across
+        # files, so the merge genuinely collapses map entries
+        ints = pa.array(range(i, per_file * n_files, n_files), type=pa.int64())
+        gkey = pc.divide(ints, dup)
+        keys = pc.utf8_lpad(pc.cast(gkey, pa.string()), 19, "0")
+        tkeys = pc.binary_join_element_wise(
+            pa.array(["t"] * per_file),
+            pc.cast(pc.subtract(ints, pc.multiply(gkey, dup)), pa.string()), "")
+        tags = pa.MapArray.from_arrays(
+            offsets, pa.concat_arrays([all_keys, tkeys]).take(interleave),
+            ones2)
+        t = (pa.table({
+            "key": keys,
+            "ts": pc.multiply(gkey, pa.scalar(0, pa.int64())),
+            "n": pa.array(np.ones(per_file, dtype=np.int64)),
+            "tags": tags,
+        }).sort_by("key"))
+        p = os.path.join(in_dir, f"in-{i}.parquet")
+        pq.write_table(t, p, compression="zstd", row_group_size=262144)
+        sk.write_sidecar(p, sk.sketch_from_arrow_columns(
+            {"key": t.column("key")}, t.num_rows, 1024))
+        paths.append(p)
+    total = per_file * n_files
+    n_groups = -(-total // dup)
+    log(f"compaction_mapagg: generated {total} rows in "
+        f"{time.perf_counter() - t_gen:.1f}s")
+
+    props_base = dict(compaction_files_batch_size=n_files,
+                      aggregations="sum(n), map_sum(tags)")
+    out: dict[str, float] = {}
+    for engine, reps in (("arrow", 2), ("spark", 1)):
+        times = []
+        for rep in range(reps):
+            table = SleeperTable.create(
+                spark, os.path.join(tmp, f"t_{engine}_{rep}"), schema,
+                TableProperties(compaction_engine=engine, **props_base))
+            table.store.add_files([
+                FileReference(p, "root", pq.ParquetFile(p).metadata.num_rows)
+                for p in paths
+            ])
+            t0 = time.perf_counter()
+            refs = table.compact()
+            dt = time.perf_counter() - t0
+            got = sum(r.number_of_rows for r in refs)
+            assert got == n_groups, (got, n_groups)
+            times.append(dt)
+            log(f"compaction_mapagg[{engine}] run {rep + 1}: {dt:.1f}s "
+                f"({total / dt:,.0f} rows/s)")
+        out[engine] = min(times)
+    out["rows"] = total
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -295,6 +388,12 @@ def main() -> None:
     # timed once (it is 10x the cost and not the gated number).
     large_rows = int(os.environ.get("SPARK_GRAFT_LARGE_ROWS", "50000000"))
     large = bench_compaction_large(spark, large_rows)
+
+    # phase 4 (exclusive): the full-algebra (map_sum) compaction shape,
+    # both engines — smaller rowcount, the Spark engine is ~3x slower
+    # and it is the comparison, not the gate
+    mapagg_rows = int(os.environ.get("SPARK_GRAFT_MAPAGG_ROWS", "10000000"))
+    mapagg = bench_compaction_mapagg(spark, mapagg_rows)
     noise["loadavg_end"] = [round(v, 1) for v in os.getloadavg()]
     noise["spin_ms_end"] = spin_probe_ms()
     noise["sibling_spark_procs_end"] = sibling_spark_procs()
@@ -322,6 +421,9 @@ def main() -> None:
         # 3.5M rows/s on 4 cores = 875k/core)
         "compaction_large_rows_per_sec_per_core": round(arrow_rps / cores),
         "compaction_large_spark_rows_per_sec_per_core": round(spark_rps / cores),
+        "compaction_mapagg_rows": int(mapagg["rows"]),
+        "compaction_mapagg_rows_per_sec": round(mapagg["rows"] / mapagg["arrow"]),
+        "compaction_mapagg_spark_rows_per_sec": round(mapagg["rows"] / mapagg["spark"]),
         "noise": noise,
     }))
 

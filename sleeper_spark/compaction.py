@@ -401,25 +401,23 @@ def run_jobs(
 # parallel and the only cross-node traffic is the object-store read/write,
 # exactly like the reference's per-container DataFusion jobs.
 
-_ARROW_SCALAR_AGGS = {"sum", "min", "max"}
-
-
 def arrow_engine_supported(schema: Schema, props: TableProperties) -> bool:
-    """The Arrow engine covers ageOff + scalar sum/min/max (numeric sum;
-    min/max on any orderable). Concat-sum (string/binary), map_* merges,
-    and custom iterators need the Spark engine."""
+    """The Arrow engine covers ageOff + the FULL aggregation algebra:
+    scalar sum/min/max (numeric sum; min/max on any orderable),
+    string/binary concat-sum, and map_sum/map_min/map_max — the same
+    surface as the reference's DataFusion engine (aggregate.rs:70-103,
+    rust/aggregator_udfs/src/map_aggregate.rs:28-40). Only custom
+    iterators (arbitrary DataFrame transforms) need the Spark engine."""
     from pyspark.sql import types as T
 
     if props.iterators:
         return False
     for a in parse_aggregations(props.aggregations):
-        if a.op not in _ARROW_SCALAR_AGGS:
-            return False
         f = schema.field(a.column)
-        if isinstance(f.dtype, (T.ArrayType, T.MapType)):
-            return False
-        if a.op == "sum" and isinstance(f.dtype, (T.StringType, T.BinaryType)):
-            return False
+        if isinstance(f.dtype, T.ArrayType):
+            return False  # no array-valued aggregation in either engine
+        if a.op.startswith("map_") != isinstance(f.dtype, T.MapType):
+            return False  # map ops on map columns only, and vice versa
     return True
 
 

@@ -215,18 +215,130 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
         yield chunk
 
 
+def _sorted_group_starts(chunk: pa.Table, key_names: list[str]) -> np.ndarray:
+    """First-row index of each equal-key group in a chunk that is SORTED
+    on ``key_names`` — one vectorized neighbour-compare per key column,
+    no hashing. Null-safe: a null key equals a null key."""
+    n = chunk.num_rows
+    neq = None
+    for k in key_names:
+        col = chunk.column(k).combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        d = pc.fill_null(pc.not_equal(a, b), False)
+        d = pc.or_(d, pc.xor(pc.is_null(a), pc.is_null(b)))
+        neq = d if neq is None else pc.or_(neq, d)
+    bnd = np.empty(n, dtype=bool)
+    bnd[0] = True
+    if n > 1:
+        bnd[1:] = neq.to_numpy(zero_copy_only=False)
+    return np.flatnonzero(bnd)
+
+
+_MAP_OPS = {"map_sum": "sum", "map_min": "min", "map_max": "max"}
+
+
+def _agg_map_column(col, gid_per_row: np.ndarray, n_groups: int,
+                    op: str) -> pa.Array:
+    """Point-wise map merge per group (A3), vectorized: flatten entries
+    with their group id, one hash-agg on (group, map key), rebuild maps
+    with keys sorted ascending (matching the Spark engine's
+    array_sort(entries) in processing.py:_merge_maps_exploded and the
+    reference's map merge, AggregationOp.java:144-215 /
+    rust/aggregator_udfs/src/map_aggregate.rs:28-40)."""
+    m = col.combine_chunks()
+    off = m.offsets.to_numpy()          # may be shifted on a sliced array
+    base, total = int(off[0]), int(off[-1])
+    ekeys = m.keys.slice(base, total - base)
+    eitems = m.items.slice(base, total - base)
+    egid = np.repeat(gid_per_row, np.diff(off))
+    et = pa.table({"__g": egid, "__k": ekeys, "__v": eitems})
+    at = (et.group_by(["__g", "__k"])
+          .aggregate([("__v", op)])
+          .sort_by([("__g", "ascending"), ("__k", "ascending")]))
+    counts = np.bincount(at.column("__g").to_numpy(), minlength=n_groups)
+    moff = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    items = pc.cast(at.column(f"__v_{op}").combine_chunks(), m.type.item_type)
+    return pa.MapArray.from_arrays(
+        pa.array(moff, type=pa.int32()),
+        at.column("__k").combine_chunks(), items)
+
+
+def _aggregate_chunk_sorted(chunk: pa.Table, desc: dict) -> pa.Table:
+    """Collapse equal-(row key + sort key) rows of a key-sorted chunk —
+    the Arrow-engine realisation of the FULL aggregation algebra (A1-A5:
+    numeric sum, min/max on any orderable, string/binary concat-sum,
+    map_sum/map_min/map_max), group-adjacent like the reference's
+    streaming aggregator (AggregatorIteratorImpl.java:64-93).
+
+    Sorted input means group ids come from one neighbour-compare pass
+    (no hash of the key columns) and the output is ALREADY in key order —
+    no re-sort. Concat-sum is zero-copy: the group's values are a
+    contiguous run, so a ListArray over the group offsets + binary_join
+    does the whole column in C++."""
+    keys = desc["key_names"]
+    has_maps = any(op in _MAP_OPS for _, op in desc["aggs"])
+    n = chunk.num_rows
+    starts = _sorted_group_starts(chunk, keys)
+    ng = len(starts)
+    if ng == n and not has_maps:
+        # no duplicates — and no map columns, which must be rebuilt with
+        # sorted keys even when untouched so both engines emit one
+        # canonical map form (the Spark engine array_sorts every map)
+        return chunk
+    bounds = np.append(starts, n)
+    take_idx = pa.array(starts, type=pa.int64())
+    out_cols: dict = {k: chunk.column(k).take(take_idx) for k in keys}
+
+    scalars: list[tuple[str, str]] = []
+    concats: list[str] = []
+    maps: list[tuple[str, str]] = []
+    for c, op in desc["aggs"]:
+        typ = chunk.schema.field(c).type
+        if op in _MAP_OPS:
+            maps.append((c, _MAP_OPS[op]))
+        elif op == "sum" and (pa.types.is_string(typ)
+                              or pa.types.is_large_string(typ)
+                              or pa.types.is_binary(typ)
+                              or pa.types.is_large_binary(typ)):
+            concats.append(c)
+        else:
+            scalars.append((c, op))
+
+    gid_per_row = None
+    if scalars or maps:
+        gid_per_row = np.repeat(np.arange(ng, dtype=np.int64),
+                                np.diff(bounds))
+    if scalars:
+        gt = pa.table({"__g": gid_per_row,
+                       **{c: chunk.column(c) for c, _ in scalars}})
+        at = (gt.group_by("__g")
+              .aggregate([(c, op) for c, op in scalars])
+              .sort_by("__g"))
+        for c, op in scalars:
+            out_cols[c] = at.column(f"{c}_{op}")
+    for c in concats:
+        col = chunk.column(c).combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32), type=pa.int32()), col)
+        sep = pa.scalar("", type=col.type) if pa.types.is_string(col.type) \
+            or pa.types.is_large_string(col.type) \
+            else pa.scalar(b"", type=col.type)
+        out_cols[c] = pc.binary_join(lst, sep)
+    for c, op in maps:
+        out_cols[c] = _agg_map_column(chunk.column(c), gid_per_row, ng, op)
+
+    orig = pa.schema([chunk.schema.field(name)
+                      for name in desc["column_order"]])
+    t = pa.table(
+        {name: out_cols[name] for name in desc["column_order"]})
+    return t.cast(orig)  # cast-back keeps input types, per A5
+
+
 def _process_chunk(chunk: pa.Table, desc: dict) -> pa.Table:
     chunk = _filter_chunk(chunk, desc["leaf_ranges"], desc["query_regions"],
                           desc["filters"], desc["now_millis"])
     if desc["aggs"] and chunk.num_rows:
-        orig = {f.name: f for f in chunk.schema}
-        t = chunk.group_by(desc["key_names"]).aggregate(
-            [(c, op) for c, op in desc["aggs"]])
-        renames = {f"{c}_{op}": c for c, op in desc["aggs"]}
-        t = t.rename_columns([renames.get(n, n) for n in t.column_names])
-        t = t.select(desc["column_order"])
-        t = t.cast(pa.schema([orig[n] for n in desc["column_order"]]))
-        chunk = t.sort_by([(k, "ascending") for k in desc["key_names"]])
+        chunk = _aggregate_chunk_sorted(chunk, desc)
     return chunk
 
 
@@ -237,9 +349,10 @@ def distributed_sorted_scan(table, query: Query | None = None,
     """Build the zero-shuffle sorted scan plan for a table (S2/J1/J6).
 
     Requires the table's processing config to be Arrow-expressible
-    (scalar aggs + ageOff; same gate as the Arrow compaction engine);
-    custom iterators are applied afterwards as order-preserving
-    DataFrame transforms (they are row-wise by the U1 contract).
+    (full aggregation algebra + ageOff; same gate as the Arrow
+    compaction engine — only custom iterators are excluded, and those
+    are applied afterwards as order-preserving DataFrame transforms,
+    row-wise by the U1 contract).
     """
     import time as _time
 
@@ -254,8 +367,8 @@ def distributed_sorted_scan(table, query: Query | None = None,
             and parse_aggregations(table.props.aggregations):
         raise ValueError(
             "distributed_sorted_scan needs an Arrow-expressible processing "
-            "config (scalar sum/min/max + ageOff); use query() or "
-            "sorted_rows() for map_*/concat aggregations")
+            "config (sum/min/max, concat-sum, map_* + ageOff); use query() "
+            "or sorted_rows() for array-valued aggregations")
     spark = table.spark
     schema: Schema = table.schema
     tree = table.store.tree
@@ -318,7 +431,9 @@ def distributed_sorted_scan(table, query: Query | None = None,
                 for chunk in _merge_leaf(desc):
                     out = _process_chunk(chunk, desc)
                     if out.num_rows:
-                        res = out.to_pandas()
+                        # maps_as_pydicts: Spark's pandas->Row conversion
+                        # needs dicts for MapType, not (k, v) tuple lists
+                        res = out.to_pandas(maps_as_pydicts="strict")
                         if leaf_id_col is not None:
                             res[leaf_id_col] = desc["leaf_id"]
                         yield res

@@ -42,12 +42,16 @@ def test_engine_selection(spark):
     schema = Schema((Field("k", T.LongType()),), (),
                     (Field("v", T.LongType()), Field("s", T.StringType())))
     assert arrow_engine_supported(schema, TableProperties(aggregations="sum(v), min(s)"))
-    assert not arrow_engine_supported(schema, TableProperties(aggregations="sum(v), sum(s)"))
+    # concat-sum and map_* now run on the Arrow engine (full algebra)
+    assert arrow_engine_supported(schema, TableProperties(aggregations="sum(v), sum(s)"))
     assert not arrow_engine_supported(
         schema, TableProperties(iterators="securityFilter(s, public)"))
     m = Schema((Field("k", T.LongType()),), (),
                (Field("m", T.MapType(T.StringType(), T.LongType())),))
-    assert not arrow_engine_supported(m, TableProperties(aggregations="map_sum(m)"))
+    assert arrow_engine_supported(m, TableProperties(aggregations="map_sum(m)"))
+    a = Schema((Field("k", T.LongType()),), (),
+               (Field("arr", T.ArrayType(T.LongType())),))
+    assert not arrow_engine_supported(a, TableProperties(aggregations="sum(arr)"))
 
 
 @pytest.mark.parametrize("aggs", ["", "min(event_id), max(ts_ms), sum(n)"])
@@ -81,6 +85,91 @@ def test_arrow_compaction_invariance(spark, tmp_path):
         assert rows == sorted(rows)
         # sum(long) cast back to long, not widened
         assert dict(df.dtypes)["n"] == "bigint"
+
+
+def _full_algebra_table(spark, tmp_path, name, engine):
+    """Table exercising every aggregation class at once: numeric sum,
+    min/max, string concat-sum, binary concat-sum, map_sum, map_min."""
+    rows = []
+    for k in range(30):
+        for dup in range(3):
+            rows.append((
+                k % 10, f"s{k % 5}",
+                1, k, f"c{dup}", bytes([dup]),
+                {f"t{dup}": 1, "all": k}, {"m": dup},
+            ))
+    df = spark.createDataFrame(
+        rows,
+        "k long, sk string, n long, v long, c string, b binary, "
+        "ms map<string,long>, mm map<string,long>")
+    schema = Schema(
+        (Field("k", T.LongType()),),
+        (Field("sk", T.StringType()),),
+        (Field("n", T.LongType()), Field("v", T.LongType()),
+         Field("c", T.StringType()), Field("b", T.BinaryType()),
+         Field("ms", T.MapType(T.StringType(), T.LongType())),
+         Field("mm", T.MapType(T.StringType(), T.LongType()))),
+    )
+    props = TableProperties(
+        compaction_engine=engine,
+        aggregations="sum(n), max(v), sum(c), sum(b), map_sum(ms), map_min(mm)")
+    t = SleeperTable.create(spark, str(tmp_path / name), schema, props,
+                            split_points=[4])
+    t.ingest(df.where(F.col("v") % 2 == 0))
+    t.ingest(df.where(F.col("v") % 2 == 1))
+    return t
+
+
+def _rows_by_key(spark, refs):
+    out = {}
+    for ref in refs:
+        for r in spark.read.parquet(ref.filename).collect():
+            d = r.asDict()
+            out[(d["k"], d["sk"])] = (
+                d["n"], d["v"], sorted(d["c"]), sorted(d["b"]),
+                d["ms"], d["mm"], list(d["ms"]), list(d["mm"]))
+    return out
+
+
+def test_full_algebra_arrow_equals_spark(spark, tmp_path):
+    """concat-sum + map_sum/map_min compact identically on both engines
+    (concat order compared as multiset — it is documented order-unstable
+    across equal-key duplicates; map key order compared exactly: both
+    engines emit sorted-key canonical maps)."""
+    ta = _full_algebra_table(spark, tmp_path, "a", "arrow")
+    ts = _full_algebra_table(spark, tmp_path, "s", "spark")
+    ra = ta.compact()
+    rs = ts.compact()
+    da, ds = _rows_by_key(spark, ra), _rows_by_key(spark, rs)
+    assert set(da) == set(ds) and len(da) == 10
+    for key in da:
+        assert da[key] == ds[key], key
+    # and the compacted table queries identically on both
+    qa = sorted((r.k, r.sk, r.n, r.v) for r in ta.full_scan().collect())
+    qs = sorted((r.k, r.sk, r.n, r.v) for r in ts.full_scan().collect())
+    assert qa == qs
+
+
+def test_arrow_map_agg_values(spark, tmp_path):
+    """Exact map merge values on the Arrow engine: point-wise sum/min,
+    keys sorted, untouched singleton maps canonicalised too."""
+    t = _full_algebra_table(spark, tmp_path, "t", "arrow")
+    refs = t.compact()
+    rows = {}
+    for ref in refs:
+        for r in spark.read.parquet(ref.filename).collect():
+            rows[(r.k, r.sk)] = r.asDict()
+    # group (k=0, sk="s0"): source ks {0,10,20} (k%10==0 and k%5==0),
+    # each with dups 0,1,2 -> 9 rows collapse to one
+    d = rows[(0, "s0")]
+    assert d["n"] == 9
+    assert d["v"] == 20  # max of source k
+    # each dup row carries ms={"t{dup}":1, "all":k}
+    assert d["ms"]["t0"] == 3 and d["ms"]["t1"] == 3 and d["ms"]["t2"] == 3
+    assert d["ms"]["all"] == (0 + 10 + 20) * 3
+    assert d["mm"] == {"m": 0}  # map_min over dup 0,1,2
+    assert list(d["ms"]) == sorted(d["ms"])  # canonical sorted key order
+    assert sorted(d["c"]) == sorted("c0c1c2" * 3)  # concat multiset
 
 
 def test_arrow_sum_int_cast_back(spark, tmp_path):

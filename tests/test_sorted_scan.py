@@ -103,14 +103,21 @@ def test_custom_iterator_applied_after_merge(spark, tmp_path):
     assert got == want
 
 
-def test_rejects_non_arrow_aggregation(spark, tmp_path):
+def test_sorted_scan_map_aggregation(spark, tmp_path):
+    """map_* aggregation now runs inside the zero-shuffle sorted scan
+    (full Arrow algebra): point-wise merge, sorted canonical key order."""
     schema = Schema((Field("k", T.StringType()),), (),
                     (Field("tags", T.MapType(T.StringType(), T.LongType())),))
     t = SleeperTable.create(spark, str(tmp_path / "m"), schema,
                             TableProperties(aggregations="map_sum(tags)"))
-    t.ingest(spark.createDataFrame([("a", {"x": 1})], schema.to_struct_type()))
-    with pytest.raises(ValueError, match="Arrow-expressible"):
-        t.sorted_scan()
+    t.ingest(spark.createDataFrame(
+        [("a", {"x": 1, "b": 2}), ("a", {"x": 5}), ("c", {"y": 7})],
+        schema.to_struct_type()))
+    rows = {r.k: r.tags for r in t.sorted_scan().collect()}
+    # (key ORDER through Spark collect() is a Scala Map round-trip and
+    # not contractual; file-level canonical order is pinned in
+    # test_arrow_compaction.test_arrow_map_agg_values)
+    assert rows == {"a": {"b": 2, "x": 6}, "c": {"y": 7}}
 
 
 def test_bulk_export_zero_shuffle_path(spark, tmp_path):
