@@ -192,6 +192,12 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
         paths.append(p)
     log(f"compaction_large: generated {per_file * n_files} rows in "
         f"{time.perf_counter() - t_gen:.1f}s")
+    # flush the generator's ~2 GB of dirty pages BEFORE timing: kernel
+    # writeback running concurrently with the measured job is the single
+    # biggest noise source on this shape (measured 9.9s vs 26.9s for the
+    # same code with/without the sync)
+    os.sync()
+    time.sleep(2)
 
     out: dict[str, float] = {}
     # arrow (the gated metric) is min-of-2; spark fallback timed once
@@ -216,6 +222,7 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
             log(f"compaction_large[{engine}] run {rep + 1}: {dt:.1f}s, "
                 f"{len(refs)} part(s) "
                 f"({per_file * n_files / dt:,.0f} rows/s)")
+            os.sync()  # this run's output writeback must not bill the next
         out[engine] = min(times)
     out["rows"] = per_file * n_files
     import shutil
@@ -287,6 +294,8 @@ def bench_compaction_mapagg(spark, n_rows: int) -> dict[str, float]:
     n_groups = -(-total // dup)
     log(f"compaction_mapagg: generated {total} rows in "
         f"{time.perf_counter() - t_gen:.1f}s")
+    os.sync()  # flush gen writeback before timing (see compaction_large)
+    time.sleep(2)
 
     props_base = dict(compaction_files_batch_size=n_files,
                       aggregations="sum(n), map_sum(tags)")
@@ -309,6 +318,7 @@ def bench_compaction_mapagg(spark, n_rows: int) -> dict[str, float]:
             times.append(dt)
             log(f"compaction_mapagg[{engine}] run {rep + 1}: {dt:.1f}s "
                 f"({total / dt:,.0f} rows/s)")
+            os.sync()
         out[engine] = min(times)
     out["rows"] = total
     import shutil

@@ -135,7 +135,7 @@ _FILE_COL = "__sleeper_file__"
 
 
 def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
-                        schema: Schema) -> DataFrame:
+                        schema: Schema):
     """ONE scan of all jobs' distinct input files + a broadcast
     (file -> job, job region) map join.
 
@@ -181,17 +181,27 @@ def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
             "regexp_replace(url_decode(replace(input_file_name(), '+', '%2B')),"
             " '^file://', '')"))
     )
-    # accounting guard BEFORE the write: the decoded scan key must cover
-    # every input file, else the inner join below would silently drop a
-    # file's rows and the REPLACE commit would lose data. Zero data
-    # columns are read — this is a footer-only pass.
-    seen = {r[0] for r in scan.select(_FILE_COL).distinct().collect()}
-    missing = sorted(set(all_files) - seen)
-    if missing:
-        raise RuntimeError(
-            "compaction input files unmatched by scan file-name decoding "
-            f"(would lose their rows): {missing[:3]}"
-            f"{'...' if len(missing) > 3 else ''}")
+    # accounting guard as an OBSERVED METRIC on the main write action:
+    # the decoded scan key must cover every input file, else the inner
+    # join below silently drops a file's rows and the REPLACE commit
+    # loses data. observe() rides the write — no extra Spark action —
+    # and the caller checks it BEFORE committing the reference swap.
+    # The set is bounded by the batch's input-file count (not data).
+    from pyspark.sql import Observation
+
+    accounting = Observation("compaction-accounting")
+    scan = scan.observe(
+        accounting, F.collect_set(F.col(_FILE_COL)).alias("files_seen"))
+
+    def check_accounting() -> None:
+        seen = set(accounting.get["files_seen"])
+        missing = sorted(set(all_files) - seen)
+        if missing:
+            raise RuntimeError(
+                "compaction input files unmatched by scan file-name "
+                f"decoding (would lose their rows): {missing[:3]}"
+                f"{'...' if len(missing) > 3 else ''}")
+
     joined = scan.join(F.broadcast(mapping), _FILE_COL, "inner")
     region_pred = F.lit(True)
     for f in schema.row_key_fields:
@@ -203,7 +213,7 @@ def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
         )
     drop = [_FILE_COL] + [c for f in schema.row_key_fields
                           for c in (f"__min_{f.name}__", f"__max_{f.name}__")]
-    return joined.where(region_pred).drop(*drop)
+    return joined.where(region_pred).drop(*drop), check_accounting
 
 
 #: below this many jobs the broadcast file->job machinery's fixed cost
@@ -301,11 +311,12 @@ def run_jobs(
     struct = schema.to_struct_type()
 
     budget = max(1, spark.sparkContext.defaultParallelism // len(jobs))
+    check_accounting = None
     if len(jobs) <= SMALL_BATCH_JOBS:
         tagged, job_tags = _tag_rows_small_batch(
             spark, jobs, schema, store, budget)
     else:
-        tagged = _tag_rows_with_jobs(spark, jobs, schema)
+        tagged, check_accounting = _tag_rows_with_jobs(spark, jobs, schema)
         job_tags = {job.job_id: [job.job_id] for job in jobs}
     n_parts = sum(len(tags) for tags in job_tags.values())
 
@@ -327,6 +338,12 @@ def run_jobs(
         .partitionBy(JOB_COL)
         .parquet(out_dir)
     )
+    if check_accounting is not None:
+        # observed metric from the write above: every input file must have
+        # been matched by the file-name decode, or rows were lost — abort
+        # before the reference swap (the written outputs are orphaned and
+        # harmless; nothing references them)
+        check_accounting()
 
     # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199);
     # a subrange-split job commits its ordered sorted range-parts as a
@@ -468,7 +485,12 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     }
     writer = None
     n_out = 0
-    key_chunks: list[list] = [[] for _ in keys]  # key cols only, for the sketch
+    # dim-0 output is globally sorted -> streaming O(k)-memory sketch (no
+    # buffered copy, no re-sort of the key column the merge already
+    # ordered); secondary dims are not globally sorted by themselves, so
+    # they keep the buffer + sort_indices path (usually narrow numerics)
+    d0_sketch = sk_mod.SortedColumnSketch(desc["sketch_k"])
+    rest_chunks: list[list] = [[] for _ in keys[1:]]
     try:
         for chunk in _merge_leaf(merge_desc):
             out = _process_chunk(chunk, merge_desc)
@@ -481,8 +503,9 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
                     data_page_size=desc["page_bytes"])
             writer.write_table(out)
             n_out += out.num_rows
-            for i, k in enumerate(keys):
-                key_chunks[i].append(out.column(k).combine_chunks())
+            d0_sketch.update(out.column(keys[0]))
+            for i, k in enumerate(keys[1:]):
+                rest_chunks[i].append(out.column(k).combine_chunks())
     finally:
         if writer is not None:
             writer.close()
@@ -494,16 +517,18 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
             for name in desc["column_order"]})
         _pq.write_table(empty, desc["out_path"],
                         compression=desc["compression"])
-    # sketch sidecar from the buffered key columns — zero extra IO, like
-    # the reference computing sketches inside the compaction task
+    # sketch sidecar computed inside the task — zero extra IO, like the
+    # reference computing sketches inside the compaction job
     # (compact.rs writes file + sketch together)
-    cols = {
-        k: pa.chunked_array(key_chunks[i]) if key_chunks[i]
+    rest_cols = {
+        k: pa.chunked_array(rest_chunks[i]) if rest_chunks[i]
         else pa.chunked_array([pa.array([], type=pa.int64())])
-        for i, k in enumerate(keys)
+        for i, k in enumerate(keys[1:])
     }
-    sk_mod.write_sidecar(desc["out_path"], sk_mod.sketch_from_arrow_columns(
-        cols, n_out, desc["sketch_k"]))
+    sketch = sk_mod.sketch_from_arrow_columns(
+        rest_cols, n_out, desc["sketch_k"])
+    sketch["fields"][keys[0]] = d0_sketch.field_dict()
+    sk_mod.write_sidecar(desc["out_path"], sketch)
     return desc["job_id"], desc["out_path"], n_out
 
 

@@ -108,6 +108,57 @@ def sketch_from_arrow_columns(columns: dict, n: int, k: int) -> dict:
     return {"rows": n, "k": k, "fields": fields}
 
 
+class SortedColumnSketch:
+    """Streaming equi-depth sketch of a column that arrives in GLOBALLY
+    SORTED chunks — the Arrow compaction engine's output order for the
+    dim-0 key. Buffering the whole column and re-sorting it at job end
+    (``sketch_from_arrow_columns``) costs a second copy of all key data
+    plus an O(n log n) sort the merge already paid for; here each chunk
+    contributes every s-th value (plus its tail) with its global rank,
+    O(k) memory per chunk, and finalisation is a nearest-rank lookup.
+
+    Rank error: a stored sample sits at most ``s - 1 <= chunk_rows/(4k)``
+    ranks below the requested rank — strictly inside the sidecar's
+    existing ``rows/k`` per-file error budget (module doc)."""
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self._vals: list = []   # pa.Array per chunk (sampled)
+        self._ranks: list = []  # np.ndarray per chunk (global ranks)
+        self.n = 0
+
+    def update(self, arr) -> None:
+        """Feed the next sorted chunk's column (pa.Array/ChunkedArray)."""
+        import numpy as np
+        import pyarrow as pa
+
+        m = len(arr)
+        if m == 0:
+            return
+        s = max(1, m // (4 * self.k))
+        idx = np.arange(0, m, s, dtype=np.int64)
+        if idx[-1] != m - 1:
+            idx = np.append(idx, m - 1)
+        a = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+        self._vals.append(a.take(pa.array(idx)))
+        self._ranks.append(self.n + idx)
+        self.n += m
+
+    def field_dict(self) -> dict:
+        import numpy as np
+        import pyarrow as pa
+
+        ranks = _spaced_ranks(self.n, self.k)
+        if not ranks:
+            return {"ranks": [], "values": []}
+        allv = pa.chunked_array(self._vals)
+        all_ranks = np.concatenate(self._ranks)
+        pick = np.searchsorted(all_ranks, np.asarray(ranks, dtype=np.int64),
+                               side="right") - 1
+        vals = allv.take(pa.array(pick)).to_pylist()
+        return {"ranks": ranks, "values": [_enc(v) for v in vals]}
+
+
 def compute_file_sketch(path: str, key_names: list[str], k: int) -> dict:
     """Read ONLY the key columns of one Parquet file and sketch them.
     Runs on an executor; columnar projection keeps IO to the key bytes."""

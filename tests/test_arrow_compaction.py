@@ -380,8 +380,38 @@ def test_broadcast_tagging_survives_plus_in_path(spark, tmp_path):
                     (Field("v", T.LongType()),))
     job = CompactionJob("j1", "root", (p,),
                         Region.of(Range("k", None, None)))
-    tagged = _tag_rows_with_jobs(spark, [job], schema)
+    tagged, check_accounting = _tag_rows_with_jobs(spark, [job], schema)
     assert tagged.count() == 100
+    check_accounting()  # observed metric fired by the count() action
+
+
+def test_accounting_guard_fires_on_poisoned_path(spark, tmp_path):
+    """The observe()-based accounting guard must still catch a scan key
+    that fails to round-trip a stored path (here: a '//' the filesystem
+    accepts but the scan's file-name decode normalises away), BEFORE any
+    reference swap. One action total — the guard rides it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pytest
+
+    from sleeper_spark.compaction import CompactionJob, _tag_rows_with_jobs
+    from sleeper_spark.ranges import Range, Region
+
+    d = tmp_path / "data"
+    d.mkdir()
+    pq_.write_table(pa.table({"k": pa.array(range(50), type=pa.int64()),
+                              "v": pa.array(range(50), type=pa.int64())}),
+                    str(d / "f.parquet"))
+    poisoned = f"{d}//f.parquet"  # readable, but != input_file_name decode
+    schema = Schema((Field("k", T.LongType()),), (),
+                    (Field("v", T.LongType()),))
+    job = CompactionJob("j1", "root", (poisoned,),
+                        Region.of(Range("k", None, None)))
+    tagged, check_accounting = _tag_rows_with_jobs(spark, [job], schema)
+    # the broadcast join silently drops every row — the data-loss class
+    assert tagged.count() == 0
+    with pytest.raises(RuntimeError, match="unmatched"):
+        check_accounting()
 
 def test_empty_subrange_parts_removed_from_disk(spark, tmp_path, monkeypatch):
     """A subrange whose rows are entirely filtered writes a zero-row part

@@ -190,7 +190,7 @@ class TestBatchedCompactionPlan:
         t = self._many_job_table(spark, tmp_path, 200)
         jobs = cm.create_jobs(t.store, t.props)
         assert len(jobs) == 200
-        plan_df = cm._tag_rows_with_jobs(spark, jobs, t.schema)
+        plan_df, _ = cm._tag_rows_with_jobs(spark, jobs, t.schema)
         plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
             plan_df._jdf.queryExecution(), "simple")
         assert plan.count("Scan parquet") == 1

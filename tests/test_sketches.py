@@ -356,3 +356,45 @@ class TestRowGroupRankBaseline:
         # bounded both sides
         assert _ranked_candidates_from_row_groups([p], "k", 99, 399) == \
             [(199, 100), (299, 200)]
+
+
+class TestSortedColumnSketch:
+    def test_exact_match_at_small_scale(self):
+        """Stride 1 at small chunks -> identical to the buffered path."""
+        import pyarrow as pa
+        from sleeper_spark import sketches as sk
+
+        vals = sorted(f"{v:05d}" for v in range(3000))
+        s = sk.SortedColumnSketch(64)
+        for i in range(0, 3000, 200):  # chunk < 4k -> stride 1, exact
+            s.update(pa.array(vals[i:i + 200]))
+        exact = sk.sketch_from_arrow_columns(
+            {"k": pa.array(vals)}, 3000, 64)["fields"]["k"]
+        got = s.field_dict()
+        assert got == exact
+
+    def test_rank_error_within_budget_at_large_stride(self):
+        """Big chunks sample at stride chunk/(4k); every stored value
+        must sit within that stride of its claimed rank."""
+        import pyarrow as pa
+        from sleeper_spark import sketches as sk
+
+        n, k, chunk = 200_000, 32, 50_000
+        s = sk.SortedColumnSketch(k)
+        for i in range(0, n, chunk):
+            s.update(pa.array(range(i, min(n, i + chunk)), type=pa.int64()))
+        fd = s.field_dict()
+        assert s.n == n
+        stride = chunk // (4 * k)
+        for rank, val in zip(fd["ranks"], fd["values"]):
+            # identity data: value == its true rank
+            assert 0 <= rank - val < stride + 1, (rank, val)
+        # endpoints exact
+        assert fd["values"][0] == 0
+        assert fd["values"][-1] == n - 1
+
+    def test_empty(self):
+        from sleeper_spark import sketches as sk
+
+        s = sk.SortedColumnSketch(64)
+        assert s.field_dict() == {"ranks": [], "values": []}

@@ -48,11 +48,13 @@ def main():
     t0 = time.perf_counter()
     paths, total = gen(tmp, n_rows)
     print(f"gen: {total} rows in {time.perf_counter()-t0:.1f}s", flush=True)
-    for engine in engines:
+    os.sync()  # don't charge the engine for gen's dirty-page writeback
+    time.sleep(2)
+    for rep, engine in enumerate(engines):
         props = TableProperties(compaction_files_batch_size=11,
                                 compaction_engine=engine)
         table = SleeperTable.create(
-            spark, os.path.join(tmp, f"t_{engine}"), schema, props)
+            spark, os.path.join(tmp, f"t_{engine}_{rep}"), schema, props)
         table.store.add_files([
             FileReference(p, "root", pq.ParquetFile(p).metadata.num_rows)
             for p in paths
@@ -61,8 +63,10 @@ def main():
         refs = table.compact()
         dt = time.perf_counter() - t0
         assert sum(r.number_of_rows for r in refs) == total
-        print(f"compaction_large[{engine}]: {dt:.1f}s, {len(refs)} part(s) "
-              f"({total/dt:,.0f} rows/s)", flush=True)
+        print(f"compaction_large[{engine}] rep{rep}: {dt:.1f}s, "
+              f"{len(refs)} part(s) ({total/dt:,.0f} rows/s)", flush=True)
+        os.sync()
+        time.sleep(2)
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
 

@@ -59,7 +59,8 @@ def profile_task(paths, out_path, batch_rows, prune=None):
     ph = {"merge": 0.0, "process": 0.0, "write": 0.0, "sketch_buf": 0.0}
     writer = None
     n_out = 0
-    key_chunks = [[], []]
+    d0 = sk.SortedColumnSketch(1024)
+    ts_chunks = []
     t_all = time.perf_counter()
     gen_it = _merge_leaf(desc)
     while True:
@@ -84,16 +85,18 @@ def profile_task(paths, out_path, batch_rows, prune=None):
         ph["write"] += time.perf_counter() - t0
         n_out += out.num_rows
         t0 = time.perf_counter()
-        for i, k in enumerate(["key", "ts"]):
-            key_chunks[i].append(out.column(k).combine_chunks())
+        d0.update(out.column("key"))
+        ts_chunks.append(out.column("ts").combine_chunks())
         ph["sketch_buf"] += time.perf_counter() - t0
     t0 = time.perf_counter()
     if writer:
         writer.close()
     ph["close"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    cols = {k: pa.chunked_array(key_chunks[i]) for i, k in enumerate(["key", "ts"])}
-    sk.write_sidecar(out_path, sk.sketch_from_arrow_columns(cols, n_out, 1024))
+    sketch = sk.sketch_from_arrow_columns(
+        {"ts": pa.chunked_array(ts_chunks)} if ts_chunks else {}, n_out, 1024)
+    sketch["fields"]["key"] = d0.field_dict()
+    sk.write_sidecar(out_path, sketch)
     ph["sketch"] = time.perf_counter() - t0
     ph["TOTAL"] = time.perf_counter() - t_all
     return n_out, ph
