@@ -104,10 +104,15 @@ def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:
     if not pseudo_jobs:
         return {}
     n_leaves = len(pseudo_jobs)
-    union = _tag_rows_with_jobs(spark, pseudo_jobs, table.schema) \
-        .withColumnRenamed(JOB_COL, EXPORT_COL)
+    tagged, check_accounting = _tag_rows_with_jobs(
+        spark, pseudo_jobs, table.schema)
+    union = tagged.withColumnRenamed(JOB_COL, EXPORT_COL)
 
-    from sleeper_spark.iterators import parse_aggregations, parse_filters
+    from sleeper_spark.iterators import (
+        apply_custom_iterators,
+        parse_aggregations,
+        parse_filters,
+    )
     from sleeper_spark.processing import apply_processing
     import time as _time
     df = apply_processing(
@@ -117,6 +122,10 @@ def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:
         int(_time.time() * 1000),
         extra_group_cols=[EXPORT_COL],
     )
+    # iterator chain order parity: filters -> aggregation -> custom
+    # (IteratorFactory.java:79-91); custom iterators are column-wise
+    # transforms, so the leaf tag passes through untouched
+    df = apply_custom_iterators(df, table.props.iterators, table.schema)
     (
         df.repartition(n_leaves, F.col(EXPORT_COL))
         .sortWithinPartitions(EXPORT_COL, *table.schema.key_names)
@@ -124,6 +133,9 @@ def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:
         .partitionBy(EXPORT_COL)
         .parquet(dest)
     )
+    # observed on the write: every source file matched by the file-name
+    # decode, or rows are missing from the export
+    check_accounting()
     return _exported_files(tree, dest)
 
 

@@ -197,8 +197,9 @@ class SleeperTable:
             # ONE parallelize action (no shuffle, no scan planning), a
             # big job fans out over subranges, and measured small-many
             # shapes (16 x 37k rows) run 2-6x faster than the Spark-SQL
-            # plan. The Spark engine remains for the full algebra
-            # (map_*/concat-sum/custom iterators).
+            # plan, and the Arrow engine covers the full aggregation
+            # algebra (map_*/concat-sum included). The Spark engine
+            # remains only for custom iterators.
             engine = "arrow" if compaction_mod.arrow_engine_supported(
                 self.schema, self.props) else "spark"
         if engine == "arrow":

@@ -122,7 +122,7 @@ def test_sorted_scan_map_aggregation(spark, tmp_path):
 
 def test_bulk_export_zero_shuffle_path(spark, tmp_path):
     """S6 via sorted_scan: export plan has no Exchange, output per-leaf
-    sorted and complete; falls back (still correct) for map_* aggs."""
+    sorted and complete."""
     import pyarrow.parquet as pq
     from sleeper_spark import output
     t, ev = _events_table(spark, tmp_path, TableProperties(
@@ -138,3 +138,28 @@ def test_bulk_export_zero_shuffle_path(spark, tmp_path):
         assert (pdf["n"] == 2).all()  # aggregation applied in export
         total += len(pdf)
     assert total == ev.select("event_id").distinct().count()
+
+
+def test_bulk_export_fallback_custom_iterator_plus_aggs(spark, tmp_path):
+    """A custom iterator combined with aggregation is the one config the
+    zero-shuffle export can't run (the full algebra now can) — the
+    shuffle fallback must still apply filters -> aggs -> custom iterator
+    and export the same view full_scan serves."""
+    import pyarrow.parquet as pq
+    from sleeper_spark import output
+    t, ev = _events_table(spark, tmp_path, TableProperties(
+        aggregations="min(user_id), max(ts_ms), sum(n)",
+        iterators="addition(n, n, ts_ms)"))
+    t.ingest(ev)
+    dest = str(tmp_path / "export")
+    out = output.bulk_export(t, dest)
+    assert set(out) == {p.id for p in t.store.tree.leaves()}
+    got = []
+    for leaf_id, f in out.items():
+        pdf = pq.read_table(f).to_pandas()
+        got += [tuple(r) for r in
+                pdf[["event_id", "user_id", "ts_ms", "n"]].itertuples(
+                    index=False)]
+    want = sorted((r.event_id, r.user_id, r.ts_ms, r.n)
+                  for r in t.full_scan().collect())
+    assert sorted(got) == want and len(want) > 0
