@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sleeper_spark.functions import dedup, multimodal, similarity, text
+from sleeper_spark.functions import dedup, multimodal, sampling, similarity, text
 from sleeper_spark.iterators import parse_aggregations, parse_filters
 from sleeper_spark.processing import apply_aggregations, apply_filters
 from sleeper_spark.properties import TableProperties
@@ -673,6 +673,33 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return doc.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def q_sample_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~7% corpus sample (functions/sampling.py): pure
+    arithmetic bucket filter — no shuffle, reproducible across engines
+    (same rows in the DuckDB oracle)."""
+    doc = _load(spark, sf, "documents")
+    return sampling.sample_fraction(doc, "doc_id", 7) \
+        .select("doc_id", "lang", "source")
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed 5-docs-per-(lang, source) deterministic sample via ranked
+    window over the portable bucket; tie-broken by doc_id so the picked
+    set is total-order deterministic."""
+    doc = _load(spark, sf, "documents")
+    return sampling.stratified_sample(doc, ["lang", "source"], "doc_id", 5) \
+        .select("lang", "source", "doc_id")
+
+
+def q_sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Global fixed-size-100 deterministic sample: order by (bucket,
+    doc_id), limit 100 -> TakeOrderedAndProject (per-partition heads,
+    O(100) driver memory at any scale)."""
+    doc = _load(spark, sf, "documents")
+    return sampling.reservoir_sample(doc, "doc_id", 100) \
+        .select("doc_id", "lang")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over consecutive doc pairs — the
     verify step of the dedup pipeline, oracle-checked."""
@@ -999,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "sample_reservoir": q_sample_reservoir,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1468,6 +1498,22 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint":
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS fp FROM documents",
+        # the sampling oracles run the SAME congruential bucket formula
+        # ((id % 1000003) * 31 + 7) — portable arithmetic, so the exact
+        # row sets must match, not just the counts
+        "sample_fraction":
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE ((doc_id % 1000003) * 31 + 7) % 100 < 7",
+        "sample_stratified":
+            "SELECT lang, source, doc_id FROM ("
+            "SELECT lang, source, doc_id, row_number() OVER ("
+            "PARTITION BY lang, source "
+            "ORDER BY ((doc_id % 1000003) * 31 + 7) % 1000003, doc_id) AS rk "
+            "FROM documents) WHERE rk <= 5",
+        "sample_reservoir":
+            "SELECT doc_id, lang FROM documents "
+            "ORDER BY ((doc_id % 1000003) * 31 + 7) % 1000003, doc_id "
+            "LIMIT 100",
         "ngram_jaccard":
             "WITH sh AS (SELECT doc_id, CASE WHEN "
             f"len({_TOKS}) >= 3 THEN list_distinct(list_transform("

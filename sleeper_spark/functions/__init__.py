@@ -9,6 +9,8 @@ Spark provides those natively. This package adds the non-trivial pieces:
 - ``similarity``  brute-force and LSH-bucketed cosine ANN over embeddings
 - ``multimodal``  binary-column plumbing for image/audio payloads (decode
                   stubbed — libs not in this container)
+- ``sampling``    deterministic fraction / stratified / reservoir sampling
+                  (portable arithmetic bucket, reproducible across engines)
 
 Design rules applied throughout: built-in ``pyspark.sql.functions`` and
 higher-order functions first (JVM-side, codegen'd); every operator is

@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline needs samples that are (a) reproducible across
+runs and engines — a re-run of the pipeline must pick the SAME rows, or
+downstream dedup/eval splits churn — and (b) computable without a
+global pass. All three operators here key off a pure-arithmetic
+congruential bucket of a stable id column, so sampling is a codegen'd
+filter/limit with no RNG state, no seed plumbing, and bit-identical
+results in any SQL engine (the DuckDB oracles run the same formula).
+
+Beyond-reference surface (the reference engine has no sampling
+operator); shapes chosen for 100 TB:
+
+- ``sample_fraction``  — pure filter, predicate-pushdown friendly, no
+  shuffle: every executor gates its own rows.
+- ``stratified_sample`` — fixed N per stratum via ranked window;
+  Spark's WindowGroupLimit prunes each group to N before the final
+  sort, so the shuffle carries only strata keys worth of heads.
+- ``reservoir_sample``  — global fixed N as order-by-bucket + limit,
+  which Spark executes as TakeOrderedAndProject (per-partition top-N,
+  then a driver-side merge of N-row heads — never a full sort).
+
+The congruential bucket is intentionally simple (multiplicative hash on
+``key % 1000003``): portable, overflow-free under ANSI arithmetic, and
+uniform enough for sampling whole buckets. For adversarial key
+distributions swap ``bucket_expr`` for ``xxhash64`` — every operator
+takes the bucket column as an injectable expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: modulus for the congruential bucket — prime, small enough that
+#: (key % P) * 31 + salt never overflows int64 under ANSI mode
+_P = 1000003
+
+
+def bucket_expr(key: Column | str, n_buckets: int = 100,
+                salt: int = 7) -> Column:
+    """Portable deterministic bucket in [0, n_buckets): the same formula
+    is expressible in any SQL dialect, so oracles and cross-engine
+    pipelines reproduce the exact sample."""
+    k = F.col(key) if isinstance(key, str) else key
+    return ((k % _P) * 31 + salt) % n_buckets
+
+
+def sample_fraction(df: DataFrame, key: str, percent: int,
+                    n_buckets: int = 100, salt: int = 7) -> DataFrame:
+    """Keep rows whose bucket < ``percent`` — a deterministic ~percent%
+    sample. Pure filter: no shuffle, pushdown-eligible, and the SAME
+    rows survive on every run and engine."""
+    return df.where(bucket_expr(key, n_buckets, salt) < F.lit(percent))
+
+
+def stratified_sample(df: DataFrame, strata: list[str], key: str,
+                      n_per_stratum: int, salt: int = 7) -> DataFrame:
+    """Fixed-size deterministic sample per stratum: rank rows inside
+    each stratum by (bucket, key) — the key tie-break makes the rank
+    total and engine-independent — and keep the first N.
+
+    Scale shape: one shuffle on the strata columns; WindowGroupLimit
+    (pinned in tests/test_plans.py for the window queries) truncates
+    each group to N rows map-side before the exchange."""
+    w = Window.partitionBy(*strata).orderBy(
+        bucket_expr(key, _P, salt).asc(), F.col(key).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n_per_stratum)
+            .drop("__rk"))
+
+
+def reservoir_sample(df: DataFrame, key: str, n: int,
+                     salt: int = 7) -> DataFrame:
+    """Global fixed-size deterministic sample: the N rows with the
+    smallest (bucket, key). Spark executes orderBy+limit as
+    TakeOrderedAndProject — per-partition top-N heads merged on the
+    driver, O(N) driver memory, no full sort at any scale."""
+    return (df.orderBy(bucket_expr(key, _P, salt).asc(),
+                       F.col(key).asc())
+            .limit(n))

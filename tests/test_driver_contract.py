@@ -24,8 +24,9 @@ def test_every_query_has_an_oracle():
     # round 3 added ivf_topk + embedding_near_duplicates (the two round-2
     # operators that lacked driver oracles), dedup_clusters
     # (connected-components resolution) and near_dup_keep_one (the
-    # retained corpus after keep-one dedup)
-    assert len(qk) == 54
+    # retained corpus after keep-one dedup); round 4 added the three
+    # deterministic sampling operators (fraction/stratified/reservoir)
+    assert len(qk) == 57
 
 
 def test_entry_smoke(spark):

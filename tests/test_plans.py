@@ -72,6 +72,34 @@ def test_topk_avoids_global_sort(spark, entry):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_sample_fraction_is_pure_filter(spark, entry):
+    """Deterministic fraction sampling must stay a codegen'd filter —
+    no shuffle, no window, no RNG node."""
+    plan = plan_of(entry.q_sample_fraction(spark, SF))
+    # the bucket predicate reaches the scan node as a data filter (the
+    # only Exchange is _load's small-file repartition, present in every
+    # documents query)
+    assert re.search(r"DataFilters: \[[^\]]*% 100\) < 7", plan), plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_sample_reservoir_avoids_global_sort(spark, entry):
+    """Global fixed-N sampling = order-by-bucket + limit, which must
+    execute as TakeOrderedAndProject (per-partition heads), never a
+    full range-partition sort."""
+    plan = plan_of(entry.q_sample_reservoir(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_sample_stratified_prunes_groups(spark, entry):
+    """Per-stratum fixed-N sampling must carry a WindowGroupLimit so
+    each group is truncated to N before the final window evaluation."""
+    plan = plan_of(entry.q_sample_stratified(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
 def test_sleeper_query_scans_only_overlapping_partitions(spark, tmp_path):
     """Driver-side pruning: a range query touching one leaf partition
     must scan exactly that partition's file (of 4)."""
