@@ -700,6 +700,18 @@ def q_sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def q_pack_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous token-budget sharding per source (the training-data
+    sharding step before sequence packing): each doc goes to the shard
+    where its first token lands. Integer arithmetic, deterministic, one
+    shuffle on the strata."""
+    doc = _load(spark, sf, "documents").withColumn(
+        "n_tokens", text.token_count("text").cast("long"))
+    return sampling.pack_token_budget(
+        doc, "n_tokens", 2000, ["source"], "doc_id") \
+        .select("doc_id", "source", "n_tokens", "shard_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over consecutive doc pairs — the
     verify step of the dedup pipeline, oracle-checked."""
@@ -1029,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "sample_reservoir": q_sample_reservoir,
+        "pack_token_budget": q_pack_token_budget,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1514,6 +1527,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "ORDER BY ((doc_id % 1000003) * 31 + 7) % 1000003, doc_id "
             "LIMIT 100",
+        "pack_token_budget":
+            "SELECT doc_id, source, n_tokens, (cum - n_tokens) // 2000 AS shard_id "
+            "FROM (SELECT doc_id, source, "
+            f"CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
+            f"sum(CAST(len({_TOKS}) AS BIGINT)) OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS cum FROM documents)",
         "ngram_jaccard":
             "WITH sh AS (SELECT doc_id, CASE WHEN "
             f"len({_TOKS}) >= 3 THEN list_distinct(list_transform("

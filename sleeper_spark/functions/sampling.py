@@ -70,6 +70,29 @@ def stratified_sample(df: DataFrame, strata: list[str], key: str,
             .drop("__rk"))
 
 
+def pack_token_budget(df: DataFrame, token_col: str, budget: int,
+                      strata: list[str], order_col: str,
+                      shard_col: str = "shard_id") -> DataFrame:
+    """Contiguous token-budget sharding: within each stratum, documents
+    in ``order_col`` order are assigned to the shard where their first
+    token lands — ``(prefix_tokens_before_doc) div budget``. Every shard
+    holds ~budget tokens of contiguous documents (the standard
+    training-data sharding step before sequence packing), fully
+    deterministic, integer arithmetic only.
+
+    Scale shape: one shuffle on the strata columns, then a linear
+    running sum per stratum — no global sort; shards per stratum can be
+    computed independently on every executor that owns a stratum."""
+    w = Window.partitionBy(*strata).orderBy(F.col(order_col).asc())
+    cum = F.sum(token_col).over(w)
+    before = (cum - F.col(token_col)).cast("long")
+    # integer `div` (not floor of a double) keeps the assignment exact
+    # at any prefix-sum magnitude
+    return (df.withColumn("__before__", before)
+            .withColumn(shard_col, F.expr(f"__before__ div {budget}"))
+            .drop("__before__"))
+
+
 def reservoir_sample(df: DataFrame, key: str, n: int,
                      salt: int = 7) -> DataFrame:
     """Global fixed-size deterministic sample: the N rows with the

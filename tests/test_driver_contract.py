@@ -26,7 +26,8 @@ def test_every_query_has_an_oracle():
     # (connected-components resolution) and near_dup_keep_one (the
     # retained corpus after keep-one dedup); round 4 added the three
     # deterministic sampling operators (fraction/stratified/reservoir)
-    assert len(qk) == 57
+    # and contiguous token-budget sharding
+    assert len(qk) == 58
 
 
 def test_entry_smoke(spark):
