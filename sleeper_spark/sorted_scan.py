@@ -52,10 +52,11 @@ from sleeper_spark.schema import Schema
 _BATCH_ROWS = 65536
 
 
-def _leq_prefix_count(cols: list, bound: tuple) -> int:
-    """#rows (a sorted prefix) lexicographically <= bound — Arrow
-    kernels, so string/binary comparisons stay in C++ (a numpy
-    object-array compare would run Python per element)."""
+def _prefix_count(cols: list, bound: tuple, include_equal: bool) -> int:
+    """#rows (a sorted prefix) lexicographically <= bound (or < bound
+    when ``include_equal`` is False) — Arrow kernels, so string/binary
+    comparisons stay in C++ (a numpy object-array compare would run
+    Python per element)."""
     lt = None
     eq = None
     for arr, b in zip(cols, bound):
@@ -64,8 +65,12 @@ def _leq_prefix_count(cols: list, bound: tuple) -> int:
         ceq = pc.equal(arr, s)
         lt = clt if lt is None else pc.or_(lt, pc.and_(eq, clt))
         eq = ceq if eq is None else pc.and_(eq, ceq)
-    leq = pc.or_(lt, eq)
-    return int(pc.sum(pc.cast(leq, pa.int8())).as_py() or 0)
+    mask = pc.or_(lt, eq) if include_equal else lt
+    return int(pc.sum(pc.cast(mask, pa.int8())).as_py() or 0)
+
+
+def _leq_prefix_count(cols: list, bound: tuple) -> int:
+    return _prefix_count(cols, bound, True)
 
 
 def _filter_chunk(t: pa.Table, leaf_ranges, query_regions, filters,
@@ -151,6 +156,14 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     # buffer per file: (table, key arrays) — key arrays cached with the
     # buffer so they are converted once per batch, not once per round
     buffers: list[tuple[pa.Table, list[pa.Array]] | None] = [None] * len(readers)
+    # per-file carry: a buffer must always END at a group boundary of
+    # its run. A raw batch boundary may split an equal-key group (a
+    # user-supplied file is not guaranteed internally collapsed), and
+    # both cut rules — the multi-run min-of-max bound and the single-run
+    # stream-through — treat a buffer's last key as the run's last
+    # occurrence of that key. So refill withholds each batch's trailing
+    # equal-key group and prepends it to the file's next batch.
+    carries: list[pa.Table | None] = [None] * len(readers)
 
     def refill(i) -> None:
         if buffers[i] is not None:
@@ -158,12 +171,17 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
         while True:
             it = readers[i]
             if it is None:
+                if carries[i] is not None:  # final group of the run
+                    t = carries[i]
+                    carries[i] = None
+                    buffers[i] = (t, [t.column(k).combine_chunks()
+                                      for k in key_names])
                 return
             try:
                 batch = next(it)
             except StopIteration:
                 readers[i] = None
-                return
+                continue  # loop back to flush the carry, if any
             t = pa.Table.from_batches([batch]).select(col_order)
             if prune is not None:
                 key, lo, hi = prune
@@ -173,12 +191,25 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
                 if end < t.num_rows:
                     readers[i] = None  # sorted run: rest is past hi
                 if end <= start:
-                    if readers[i] is None:
-                        return
-                    continue
+                    continue  # nothing in range; flush carry via the loop
                 if start > 0 or end < t.num_rows:
                     t = t.slice(start, end - start)
-            buffers[i] = (t, [t.column(k).combine_chunks() for k in key_names])
+            if carries[i] is not None:
+                t = pa.concat_tables([carries[i], t])
+                carries[i] = None
+            cols = [t.column(k).combine_chunks() for k in key_names]
+            if readers[i] is not None:
+                # run continues: withhold the trailing equal-key group
+                last = tuple(c[len(c) - 1].as_py() for c in cols)
+                cnt_lt = _prefix_count(cols, last, False)
+                if cnt_lt == 0:
+                    carries[i] = t  # whole batch one group: keep growing
+                    continue
+                if cnt_lt < t.num_rows:
+                    carries[i] = t.slice(cnt_lt)
+                    t = t.slice(0, cnt_lt)
+                    cols = [c.slice(0, cnt_lt) for c in cols]
+            buffers[i] = (t, cols)
             return
 
     sort_spec = [(k, "ascending") for k in key_names]
@@ -190,7 +221,9 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
             return
         if len(active) == 1 and all(r is None for j, r in enumerate(readers)
                                     if j != active[0]):
-            # single surviving run: stream it through as-is
+            # single surviving run: stream it through as-is (refill
+            # guarantees the buffer ends at a group boundary of its run,
+            # so the chunk cannot split an equal-key group)
             i = active[0]
             t, _ = buffers[i]
             buffers[i] = None
