@@ -700,6 +700,25 @@ def q_sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (functions/timeseries.py): each click event
+    picks up the user's most recent at-or-before purchase value. Union +
+    sort + last-carry — one shuffle on user_id, no range join, no UDF;
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts_us")
+    # rights unique per (user_id, ts): deterministic winner
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .groupBy("user_id", "ts_us") \
+        .agg(F.round(F.max("value"), 4).alias("last_purchase_value"))
+    out = timeseries.asof_join(clicks, purchases, ["user_id"],
+                               "ts_us", "ts_us")
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
 def q_pack_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     """Contiguous token-budget sharding per source (the training-data
     sharding step before sequence packing): each doc goes to the shard
@@ -1042,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_reservoir": q_sample_reservoir,
         "pack_token_budget": q_pack_token_budget,
+        "asof_join": q_asof_join,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1533,6 +1553,15 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
             f"sum(CAST(len({_TOKS}) AS BIGINT)) OVER ("
             "PARTITION BY source ORDER BY doc_id) AS cum FROM documents)",
+        "asof_join":
+            "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "round(max(value), 4) AS last_purchase_value "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT c.event_id, c.user_id, p.last_purchase_value "
+            "FROM c ASOF LEFT JOIN p "
+            "ON c.user_id = p.user_id AND p.ts_us <= c.ts_us",
         "ngram_jaccard":
             "WITH sh AS (SELECT doc_id, CASE WHEN "
             f"len({_TOKS}) >= 3 THEN list_distinct(list_transform("

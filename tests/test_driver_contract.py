@@ -26,8 +26,8 @@ def test_every_query_has_an_oracle():
     # (connected-components resolution) and near_dup_keep_one (the
     # retained corpus after keep-one dedup); round 4 added the three
     # deterministic sampling operators (fraction/stratified/reservoir)
-    # and contiguous token-budget sharding
-    assert len(qk) == 58
+    # contiguous token-budget sharding, and the as-of join
+    assert len(qk) == 59
 
 
 def test_entry_smoke(spark):

@@ -1,0 +1,68 @@
+"""asof_join semantics (functions/timeseries.py): backward pick,
+exact-match toggle, missing-key nulls, multi-column payloads — vs
+hand-computed expectations and DuckDB's native ASOF JOIN."""
+
+import duckdb
+import pytest
+
+from sleeper_spark.functions.timeseries import asof_join
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d"), (3, 8, "e")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "x"), (1, 18, 200.0, "y"), (2, 1, 50.0, "z")],
+        "k long, t long, v double, s string")
+    return left, right
+
+
+def test_backward_exact(spark, frames):
+    left, right = frames
+    out = {(r.k, r.t): (r.v, r.s)
+           for r in asof_join(left, right, ["k"], "t", "t").collect()}
+    assert out == {
+        (1, 10): (100.0, "x"),   # exact ts match allowed
+        (1, 20): (200.0, "y"),
+        (1, 5): (None, None),    # nothing at-or-before
+        (2, 15): (50.0, "z"),
+        (3, 8): (None, None),    # key absent from right
+    }
+
+
+def test_backward_strict(spark, frames):
+    left, right = frames
+    out = {(r.k, r.t): r.v
+           for r in asof_join(left, right, ["k"], "t", "t",
+                              allow_exact=False).collect()}
+    assert out[(1, 10)] is None  # exact match excluded
+    assert out[(1, 20)] == 200.0
+
+
+def test_matches_duckdb_asof(spark, frames):
+    left, right = frames
+    got = sorted((r.k, r.t, r.v)
+                 for r in asof_join(left, right, ["k"], "t", "t").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, t BIGINT, tag VARCHAR)")
+    con.execute("CREATE TABLE r(k BIGINT, t BIGINT, v DOUBLE, s VARCHAR)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)",
+                    [tuple(r) for r in left.collect()])
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)",
+                    [tuple(r) for r in right.collect()])
+    want = sorted(con.execute(
+        "SELECT l.k, l.t, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND r.t <= l.t").fetchall())
+    assert got == want
+
+
+def test_plan_is_window_not_nested_loop(spark, frames):
+    left, right = frames
+    df = asof_join(left, right, ["k"], "t", "t")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
