@@ -719,6 +719,36 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_purchase_value")
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands sessionization (functions/timeseries.py): per
+    user, a new session when >30 min passes between events. One shuffle
+    on user_id, two window passes, no UDF."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events").select("event_id", "user_id", "ts_us")
+    out = timeseries.sessionize(ev, ["user_id"], "ts_us", 1_800_000_000)
+    return out.select("event_id", "user_id", "session_id")
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment join via bucketed equi-join: clicks falling inside
+    any [purchase, purchase + 1h) window of the same user. The bucket
+    trick keeps Catalyst on a hash join — a raw BETWEEN condition would
+    plan as a nested loop (plan-pinned in tests)."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts_us")
+    hour_us = 3_600_000_000
+    windows = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts_us").alias("w_start"),
+                (F.col("ts_us") + hour_us).alias("w_end")).distinct()
+    out = timeseries.range_join(clicks, windows, ["user_id"],
+                                "ts_us", "w_start", "w_end", hour_us)
+    return out.select("event_id", "user_id", "w_start")
+
+
 def q_pack_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     """Contiguous token-budget sharding per source (the training-data
     sharding step before sequence packing): each doc goes to the shard
@@ -1062,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir": q_sample_reservoir,
         "pack_token_budget": q_pack_token_budget,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1562,6 +1594,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, p.last_purchase_value "
             "FROM c ASOF LEFT JOIN p "
             "ON c.user_id = p.user_id AND p.ts_us <= c.ts_us",
+        "sessionize":
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t "
+            "FROM events), "
+            "s AS (SELECT event_id, user_id, t, CASE WHEN lag(t) OVER w "
+            "IS NULL OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END "
+            "AS st FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)) "
+            "SELECT event_id, user_id, CAST(sum(st) OVER ("
+            "PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1 "
+            "AS BIGINT) AS session_id FROM s",
+        "range_join":
+            "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'click'), "
+            "p AS (SELECT DISTINCT user_id, epoch_us(ts) AS w_start, "
+            "epoch_us(ts) + 3600000000 AS w_end "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT c.event_id, c.user_id, p.w_start FROM c JOIN p "
+            "ON c.user_id = p.user_id "
+            "AND c.ts_us >= p.w_start AND c.ts_us < p.w_end",
         "ngram_jaccard":
             "WITH sh AS (SELECT doc_id, CASE WHEN "
             f"len({_TOKS}) >= 3 THEN list_distinct(list_transform("

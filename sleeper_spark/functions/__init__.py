@@ -11,8 +11,9 @@ Spark provides those natively. This package adds the non-trivial pieces:
                   stubbed — libs not in this container)
 - ``sampling``    deterministic fraction / stratified / reservoir sampling
                   (portable arithmetic bucket, reproducible across engines)
-- ``timeseries``  as-of join (union + sort + last-carry; one shuffle,
-                  no range join, no UDF)
+- ``timeseries``  as-of join (union + sort + last-carry), sessionize
+                  (gaps-and-islands), interval containment join
+                  (bucketed equi-join) — one shuffle each, no UDFs
 
 Design rules applied throughout: built-in ``pyspark.sql.functions`` and
 higher-order functions first (JVM-side, codegen'd); every operator is

@@ -12,6 +12,19 @@ carry the latest right payload down the timeline with a running
 scan per key, O(1) running state — no range-condition join that Spark
 would plan as a broadcast-nested-loop, and no per-row Python. Skewed
 keys are ordinary window skew (AQE handles them like any hot key).
+
+``sessionize`` — gaps-and-islands session assignment: a new session
+starts where the gap to the previous event (per key) exceeds the
+threshold. One shuffle on the key, two window passes, no UDF.
+
+``range_join`` — events-to-intervals containment join realised as a
+BUCKETED EQUI-JOIN: intervals explode to the fixed-width buckets they
+cover, events map to their single bucket, and Catalyst plans a hash or
+sort-merge join on (keys, bucket) with the exact range predicate as a
+post-filter. A naive ``l.ts BETWEEN r.lo AND r.hi`` join condition has
+no equality component, so Spark would plan a broadcast-nested-loop /
+cartesian — quadratic at scale. Bucketing restores the equi-join at the
+cost of duplicating each interval row ~interval/width times.
 """
 
 from __future__ import annotations
@@ -69,3 +82,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *[F.col(f"{_LEFTROW}.{c}").alias(c) for c in l_cols],
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in r_payload_cols],
     )
+
+
+def sessionize(df: DataFrame, on: list[str], ts: str, gap,
+               session_col: str = "session_id") -> DataFrame:
+    """Assign a per-key session index (0-based, in time order): a new
+    session starts where the gap to the key's previous event exceeds
+    ``gap`` (same unit as ``ts``). Classic gaps-and-islands — lag to
+    flag session starts, running sum to number them. One shuffle on the
+    key columns, linear per key."""
+    w = Window.partitionBy(*on).orderBy(F.col(ts).asc())
+    is_start = F.when(
+        F.lag(ts).over(w).isNull()
+        | ((F.col(ts) - F.lag(ts).over(w)) > F.lit(gap)), 1).otherwise(0)
+    running = Window.partitionBy(*on).orderBy(F.col(ts).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__s__", is_start) \
+        .withColumn(session_col, (F.sum("__s__").over(running) - 1)
+                    .cast("long")) \
+        .drop("__s__")
+
+
+def range_join(left: DataFrame, right: DataFrame, on: list[str],
+               left_ts: str, r_start: str, r_end: str,
+               bucket_width: int) -> DataFrame:
+    """Containment join: left rows paired with every right interval
+    [r_start, r_end) of the same keys that contains ``left_ts`` — as a
+    bucketed EQUI-join (see module doc). ``bucket_width`` trades
+    interval-row duplication (~interval/width copies) against join
+    selectivity; pick it near the typical interval length."""
+    lb = left.withColumn(
+        "__b__", F.expr(f"{left_ts} div {bucket_width}"))
+    rb = right.withColumn(
+        "__b__",
+        F.explode(F.sequence(
+            F.expr(f"{r_start} div {bucket_width}"),
+            # end is exclusive: the last covered bucket is (end-1) div W
+            F.expr(f"({r_end} - 1) div {bucket_width}"))))
+    out = lb.join(rb, on + ["__b__"], "inner") \
+        .where((F.col(left_ts) >= F.col(r_start))
+               & (F.col(left_ts) < F.col(r_end)))
+    return out.drop("__b__")

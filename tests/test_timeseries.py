@@ -66,3 +66,34 @@ def test_plan_is_window_not_nested_loop(spark, frames):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_semantics(spark):
+    from sleeper_spark.functions.timeseries import sessionize
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 500), (1, 550), (2, 10)],
+        "k long, t long")
+    out = {(r.k, r.t): r.session_id
+           for r in sessionize(df, ["k"], "t", 200).collect()}
+    assert out == {(1, 0): 0, (1, 100): 0,   # gap 100 <= 200
+                   (1, 500): 1, (1, 550): 1,  # gap 400 > 200 -> new
+                   (2, 10): 0}
+
+
+def test_range_join_semantics_and_plan(spark):
+    from sleeper_spark.functions.timeseries import range_join
+    left = spark.createDataFrame(
+        [(1, 5), (1, 15), (1, 25), (2, 5)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 10, 20, "b"), (1, 14, 30, "c")],
+        "k long, lo long, hi long, tag string")
+    out = range_join(left, right, ["k"], "t", "lo", "hi", 10)
+    got = sorted((r.k, r.t, r.tag) for r in out.collect())
+    # t=15 falls in BOTH [10,20) and [14,30); t=25 only [14,30);
+    # hi is exclusive; k=2 has no intervals
+    assert got == [(1, 5, "a"), (1, 15, "b"), (1, 15, "c"), (1, 25, "c")]
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
