@@ -719,6 +719,24 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_purchase_value")
 
 
+def q_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-based rolling aggregate: per user, value-sum and count over
+    the trailing hour (RANGE frame on epoch micros). Decimal sum keeps
+    the result order-independent and engine-exact."""
+    from pyspark.sql import Window as W
+
+    ev = _load(spark, sf, "events").select("event_id", "user_id",
+                                           "ts_us", "value")
+    w = (W.partitionBy("user_id").orderBy(F.col("ts_us").asc())
+         .rangeBetween(-3_600_000_000, 0))
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum(dec).over(w).cast("double"), 2).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands sessionization (functions/timeseries.py): per
     user, a new session when >30 min passes between events. One shuffle
@@ -1094,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
+        "rolling_window": q_rolling_window,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1612,6 +1631,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, p.w_start FROM c JOIN p "
             "ON c.user_id = p.user_id "
             "AND c.ts_us >= p.w_start AND c.ts_us < p.w_end",
+        "rolling_window":
+            "SELECT event_id, user_id, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) "
+            "AS hour_sum, "
+            "count(*) OVER w AS hour_n "
+            "FROM (SELECT event_id, user_id, epoch_us(ts) AS t, value "
+            "FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY t "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
         "ngram_jaccard":
             "WITH sh AS (SELECT doc_id, CASE WHEN "
             f"len({_TOKS}) >= 3 THEN list_distinct(list_transform("

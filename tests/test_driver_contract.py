@@ -26,9 +26,9 @@ def test_every_query_has_an_oracle():
     # (connected-components resolution) and near_dup_keep_one (the
     # retained corpus after keep-one dedup); round 4 added the three
     # deterministic sampling operators (fraction/stratified/reservoir)
-    # contiguous token-budget sharding, and the time-series trio
-    # (as-of join, sessionize, bucketed range join)
-    assert len(qk) == 61
+    # contiguous token-budget sharding, and the time-series quartet
+    # (as-of join, sessionize, bucketed range join, rolling window)
+    assert len(qk) == 62
 
 
 def test_entry_smoke(spark):

@@ -97,3 +97,39 @@ def test_range_join_semantics_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_asof_property_vs_duckdb(spark):
+    """Randomized frames vs DuckDB's native ASOF LEFT JOIN (rights
+    unique per (k, t), as the operator contract requires). One Spark
+    round-trip over many generated cases — hypothesis's per-example
+    model is too slow with a live SparkSession."""
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(8):
+        nk = rng.randint(1, 4)
+        left = [(rng.randint(0, nk), rng.randint(0, 30), i)
+                for i in range(rng.randint(1, 25))]
+        seen = set()
+        right = []
+        for _ in range(rng.randint(0, 20)):
+            k, t = rng.randint(0, nk), rng.randint(0, 30)
+            if (k, t) not in seen:
+                seen.add((k, t))
+                right.append((k, t, float(rng.randint(0, 99))))
+        ldf = spark.createDataFrame(left, "k long, t long, lid long")
+        if not right:
+            right = [(999, 0, 0.0)]  # disjoint key; DuckDB needs rows
+        rdf = spark.createDataFrame(right, "k long, t long, v double")
+        got = sorted((r.k, r.t, r.lid, r.v)
+                     for r in asof_join(ldf, rdf, ["k"], "t", "t").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE l(k BIGINT, t BIGINT, lid BIGINT)")
+        con.execute("CREATE TABLE r(k BIGINT, t BIGINT, v DOUBLE)")
+        con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+        con.executemany("INSERT INTO r VALUES (?,?,?)", right)
+        want = sorted(con.execute(
+            "SELECT l.k, l.t, l.lid, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND r.t <= l.t").fetchall())
+        assert got == want, f"case {case}"
