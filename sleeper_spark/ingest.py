@@ -24,12 +24,14 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import bisect
 import os
 import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sleeper_spark import sketches
 from sleeper_spark.partitions import PartitionTree
@@ -61,6 +63,14 @@ def ingest_dataframe(
       a leaf landing on a task boundary yields two DISJOINT sorted files
       (still valid sorted runs). Useful when leaf-id hashing would skew
       (few giant leaves) since ranges balance by rows, not by leaf.
+    - ``rdd`` (J5, BulkImportJobRDDDriver.java:40-55): pair-RDD
+      ``repartitionAndSortWithinPartitions`` with an explicit
+      SleeperPartitioner analog (leaf-bounds binary search, exactly the
+      reference's ``SleeperPartitioner.java`` + ``WrappedKeyComparator``).
+      Same output contract as ``local_sort`` (one sorted file per leaf)
+      but rows cross the Python boundary, so the DataFrame routes are
+      preferred (SURVEY §2.4); kept for parity and for callers that need
+      a hand-supplied partitioner.
 
     Returns the committed file references.
     """
@@ -69,9 +79,6 @@ def ingest_dataframe(
     out_dir = os.path.join(data_dir, job_id)
     leaves = tree.leaves()
 
-    tagged = df.select(*[f.name for f in schema.all_fields()]).withColumn(
-        PARTITION_COL, tree.leaf_id_column()
-    )
     # shuffle width tracks the CLUSTER, not the leaf count: partitionBy
     # below already writes one file per leaf within a task, so a
     # 10^4-leaf tree must not become 10^4 tiny shuffle partitions/tasks
@@ -79,15 +86,21 @@ def ingest_dataframe(
     # partitions to spread the sort across cores.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     n_parts = max(1, min(len(leaves), 2 * parallelism))
-    if strategy == "global_sort":
-        sorted_df = tagged.orderBy(PARTITION_COL, *schema.key_names)
-    elif strategy == "local_sort":
-        sorted_df = (
-            tagged.repartition(n_parts, F.col(PARTITION_COL))
-            .sortWithinPartitions(PARTITION_COL, *schema.key_names)
-        )
+    if strategy == "rdd":
+        sorted_df = _rdd_sorted(df, tree, schema)
     else:
-        raise ValueError(f"unknown ingest strategy {strategy!r}")
+        tagged = df.select(*[f.name for f in schema.all_fields()]).withColumn(
+            PARTITION_COL, tree.leaf_id_column()
+        )
+        if strategy == "global_sort":
+            sorted_df = tagged.orderBy(PARTITION_COL, *schema.key_names)
+        elif strategy == "local_sort":
+            sorted_df = (
+                tagged.repartition(n_parts, F.col(PARTITION_COL))
+                .sortWithinPartitions(PARTITION_COL, *schema.key_names)
+            )
+        else:
+            raise ValueError(f"unknown ingest strategy {strategy!r}")
     (
         sorted_df
         .write.option("compression", props.compression)
@@ -105,6 +118,69 @@ def ingest_dataframe(
         schema.key_names, props.sketch_size)
     store.add_files(refs)
     return refs
+
+
+def _rdd_sorted(df: DataFrame, tree: PartitionTree, schema) -> DataFrame:
+    """J5: the RDD bulk-import strategy (BulkImportJobRDDDriver.java:40-55).
+
+    ``repartitionAndSortWithinPartitions`` with an explicit partitioner —
+    the PySpark analog of the reference's ``SleeperPartitioner`` (a range
+    partitioner that binary-searches the leaf split points) combined with
+    its ``WrappedKeyComparator`` (lexicographic compare over row keys then
+    sort keys; here the key IS the Python tuple, whose comparison is
+    exactly that).
+
+    Exactly one output partition per leaf, rows sorted within it, tagged
+    via ``mapPartitionsWithIndex`` (partition i == leaf i, so the tag is
+    attached from the partitioner's own mapping — no second assignment
+    pass). The closure carries only leaf bounds/ids (metadata-sized).
+
+    Scale/caveats vs the DataFrame routes: rows are pickled through the
+    Python workers both ways, and keys must be non-null (Python tuple
+    comparison has no null ordering) — which the reference also requires
+    of row keys. Preferred only when a caller needs partitioner-level
+    control; SURVEY §2.4 routes normal ingest to J3/J4.
+    """
+    from sleeper_spark.partitions import sorted_leaves_dim0
+
+    ordered = sorted_leaves_dim0(tree)
+    key_names = list(schema.key_names)
+    row_key_names = [f.name for f in schema.row_key_fields]
+    n_rk = len(row_key_names)
+    field_names = [f.name for f in schema.all_fields()]
+    leaf_ids = [p.id for p in ordered]
+    dims_used = {p.dimension for p in tree.all_partitions() if not p.is_leaf}
+
+    if dims_used <= {0}:
+        # every split on dimension 0 (the overwhelmingly common tree):
+        # leaf index = binary search of the sorted dim-0 lower bounds,
+        # the same O(log n) lookup as SleeperPartitioner.java
+        bounds = [p.region.range_for(row_key_names[0]).min
+                  for p in ordered[1:]]
+
+        def part_for_key(key: tuple) -> int:
+            return bisect.bisect_right(bounds, key[0])
+    else:
+        # multi-dimension tree: descend it (metadata-sized, pickled once
+        # per executor); index maps the landing leaf to its partition slot
+        index = {pid: i for i, pid in enumerate(leaf_ids)}
+
+        def part_for_key(key: tuple) -> int:
+            row = dict(zip(row_key_names, key[:n_rk]))
+            return index[tree.leaf_for_row(row).id]
+
+    pairs = df.rdd.map(
+        lambda r: (tuple(r[k] for k in key_names),
+                   tuple(r[f] for f in field_names)))
+    srt = pairs.repartitionAndSortWithinPartitions(
+        numPartitions=len(ordered), partitionFunc=part_for_key)
+    tagged = srt.mapPartitionsWithIndex(
+        lambda i, it: ((*row, leaf_ids[i]) for _key, row in it),
+        preservesPartitioning=True)
+    struct = T.StructType(
+        list(schema.to_struct_type().fields)
+        + [T.StructField(PARTITION_COL, T.StringType(), False)])
+    return df.sparkSession.createDataFrame(tagged, struct)
 
 
 def _manifest_from_written_dir(out_dir: str) -> list[FileReference]:

@@ -330,14 +330,25 @@ def test_global_sort_ingest_equivalent(spark, tmp_path):
                     (Field("l_linenumber", T.IntegerType()),),
                     (Field("qty", T.DoubleType(), nullable=True),))
     tables = {}
-    for strat in ("local_sort", "global_sort"):
+    # splits inside the sf0.001 key range [0, 1500) so every leaf is
+    # genuinely non-empty
+    for strat in ("local_sort", "global_sort", "rdd"):
         t = SleeperTable.create(spark, str(tmp_path / strat), schema,
-                                TableProperties(), split_points=[2000, 4000])
+                                TableProperties(), split_points=[500, 1000])
         t.ingest(li, strategy=strat)
         tables[strat] = t
     want = sorted(tuple(r) for r in tables["local_sort"].full_scan().collect())
-    got = sorted(tuple(r) for r in tables["global_sort"].full_scan().collect())
-    assert got == want and len(got) == li.count()
+    for strat in ("global_sort", "rdd"):
+        got = sorted(tuple(r) for r in tables[strat].full_scan().collect())
+        assert got == want and len(got) == li.count()
+    # J5 contract: exactly one sorted file per leaf (partition i == leaf i)
+    t_rdd = tables["rdd"]
+    for leaf in t_rdd.store.tree.leaves():
+        refs = t_rdd.store.references_for_partition(leaf.id)
+        assert len(refs) == 1
+        keys = [tuple(r) for r in spark.read.parquet(refs[0].filename)
+                .select("l_orderkey", "l_linenumber").collect()]
+        assert keys == sorted(keys)
     # per-file sorted; a leaf's files are pairwise disjoint sorted runs
     t = tables["global_sort"]
     for leaf in t.store.tree.leaves():
@@ -357,3 +368,38 @@ def test_global_sort_ingest_equivalent(spark, tmp_path):
     want_r = sorted(tuple(r) for r in
                     li.where("l_orderkey >= 500 and l_orderkey < 1500").collect())
     assert got_r == want_r
+
+
+def test_rdd_ingest_multidim_tree(spark, tmp_path):
+    """J5 partitioner on a tree split on BOTH key dimensions: the
+    partition function must descend the tree (no single dim-0 bound
+    list exists), and every leaf still gets exactly its region's rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sleeper_spark import Field, Schema, SleeperTable
+    from sleeper_spark.properties import TableProperties
+
+    schema = Schema((Field("a", T.LongType()), Field("b", T.LongType())),
+                    (),
+                    (Field("v", T.StringType(), nullable=True),))
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                            TableProperties())
+    tree = t.store.tree
+    root_id = tree.root_id
+    left, right = tree.split(root_id, 0, 50)
+    t.store.split_partition(tree[root_id], left, right)
+    l2, r2 = tree.split(left.id, 1, 10)
+    t.store.split_partition(tree[left.id], l2, r2)
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 20).alias("b"),
+        F.format_string("v-%d", F.col("id")).alias("v"))
+    t.ingest(df, strategy="rdd")
+    got = sorted(tuple(r) for r in t.full_scan().collect())
+    assert got == sorted((i, i % 20, f"v-{i}") for i in range(100))
+    for leaf in t.store.tree.leaves():
+        refs = t.store.references_for_partition(leaf.id)
+        assert len(refs) == 1
+        rows = spark.read.parquet(refs[0].filename).collect()
+        for r in rows:
+            assert leaf.region.contains_point({"a": r.a, "b": r.b})
