@@ -156,6 +156,12 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     # buffer per file: (table, key arrays) — key arrays cached with the
     # buffer so they are converted once per batch, not once per round
     buffers: list[tuple[pa.Table, list[pa.Array]] | None] = [None] * len(readers)
+    # canonical batch schema: a leaf's files may come from different
+    # writers (J4 DataFrame ingest emits nullable fields, J5 RDD ingest
+    # non-null ones) and concat_tables refuses mixed nullability — relax
+    # every batch to the first file's types with nullable fields (a
+    # metadata-only cast when only nullability differs)
+    canon: list[pa.Schema | None] = [None]
     # per-file carry: a buffer must always END at a group boundary of
     # its run. A raw batch boundary may split an equal-key group (a
     # user-supplied file is not guaranteed internally collapsed), and
@@ -183,6 +189,11 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
                 readers[i] = None
                 continue  # loop back to flush the carry, if any
             t = pa.Table.from_batches([batch]).select(col_order)
+            if canon[0] is None:
+                canon[0] = pa.schema(
+                    [pa.field(fld.name, fld.type) for fld in t.schema])
+            if t.schema != canon[0]:
+                t = t.cast(canon[0])
             if prune is not None:
                 key, lo, hi = prune
                 col = t.column(key).combine_chunks()

@@ -403,3 +403,28 @@ def test_rdd_ingest_multidim_tree(spark, tmp_path):
         rows = spark.read.parquet(refs[0].filename).collect()
         for r in rows:
             assert leaf.region.contains_point({"a": r.a, "b": r.b})
+
+
+def test_compact_mixed_ingest_strategies(spark, tmp_path):
+    """Files written by the J5 RDD route carry non-null parquet fields
+    while J4 DataFrame files are nullable; the Arrow merge must relax
+    nullability instead of refusing to concat mixed batches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sleeper_spark import Field, Schema, SleeperTable
+    from sleeper_spark.properties import TableProperties
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty"))
+    schema = Schema((Field("l_orderkey", T.LongType()),),
+                    (Field("l_linenumber", T.IntegerType()),),
+                    (Field("qty", T.DoubleType(), nullable=True),))
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                            TableProperties(), split_points=[750])
+    t.ingest(li, strategy="rdd")
+    t.ingest(li, strategy="local_sort")
+    before = sorted(tuple(r) for r in t.full_scan().collect())
+    t.compact()
+    after = sorted(tuple(r) for r in t.full_scan().collect())
+    assert before == after and len(after) == 2 * li.count()
