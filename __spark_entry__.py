@@ -1051,6 +1051,86 @@ def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
                  F.round(F.max("value_total") / 100.0, 4).alias("value_total")))
 
 
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/corpus.py): 40-token
+    chunks every 30 tokens, the pre-packing step of a training pipeline.
+    Zero shuffle (posexplode over a per-row transform); chunk text is
+    md5'd so the oracle's value hash checks content, not just counts."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    out = corpus.chunk_documents(doc, "text", "doc_id", window=40, stride=30)
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Integer tf/df into one ln() and
+    one multiply keeps the double bit-identical across engines; the
+    per-doc top-k is a WindowGroupLimit, not a global sort."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    return corpus.tfidf_top_terms(doc, "text", "doc_id", k=3)
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test contamination scan (functions/corpus.py): test split =
+    doc_id % 10 == 0, train = the rest; a test doc is contaminated when
+    it shares a 5-token shingle with any training doc. Shingle-bucketed
+    equi-join — never pairwise over the corpora."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    test = doc.where(F.col("doc_id") % 10 == 0)
+    train = doc.where(F.col("doc_id") % 10 != 0)
+    out = corpus.contamination_check(test, train, "text", "doc_id", ngram=5)
+    return out.select(
+        "test_id",
+        F.col("n_train_docs").cast("int").alias("n_train_docs"),
+        F.col("n_shared_shingles").cast("int").alias("n_shared_shingles"))
+
+
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (functions/similarity.py) —
+    embedding compression before an ANN index ships. Pure higher-order
+    expressions over doubles; the oracle recomputes every code."""
+    emb = _load(spark, sf, "embeddings")
+    return similarity.quantize_embeddings(emb, "embedding", "vec_id")
+
+
+def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (median / p95 of event
+    value per event type) — the distribution-sanity profile a pipeline
+    runs over incoming data. Spark percentile() and DuckDB
+    quantile_cont() share the linear-interpolation definition."""
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup (streaming.dedup_stream): first arrival of
+    each (user_id, event_type) wins, state bounded by a watermark. Run
+    to completion with availableNow; the emitted key set equals the
+    batch DISTINCT, which is the oracle."""
+    from sleeper_spark import streaming as streaming_mod
+
+    stream = _events_stream(spark, sf).withColumn(
+        "ts", F.timestamp_micros(F.col("ts")))
+    out = streaming_mod.dedup_stream(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour")
+    _run_stream_to_view(out, "q_streaming_dedup", "append")
+    # DISTINCT guards the oracle against within-watermark semantics: a
+    # key re-arriving after its state was evicted re-emits by design
+    return spark.sql(
+        "SELECT DISTINCT user_id, event_type FROM q_streaming_dedup")
+
+
 # ---------------------------------------------------------------------------
 # the driver contract
 # ---------------------------------------------------------------------------
@@ -1109,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_reservoir": q_sample_reservoir,
         "pack_token_budget": q_pack_token_budget,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination_check": q_contamination_check,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
@@ -1120,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "near_dup_verified": q_near_dup_verified,
         "embedding_norms": q_embedding_norms,
+        "embedding_quantize": q_embedding_quantize,
+        "quantiles": q_quantiles,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ivf_topk": q_ivf_topk,
@@ -1129,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (availableNow, hash-checked against batch SQL)
         "streaming_window": q_streaming_window,
         "streaming_running_totals": q_streaming_running_totals,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1672,4 +1758,54 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
             "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s) "
             "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10",
+        # 40-token chunks every 30 tokens; list slice l[a:b] is 1-based
+        # inclusive and clamps, matching Spark's slice(toks, a, 40)
+        "doc_chunks":
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "e AS (SELECT doc_id, tk, "
+            "unnest(range(0, greatest(len(tk), 1), 30)) AS s FROM t) "
+            "SELECT doc_id, CAST(s // 30 AS INTEGER) AS chunk_id, "
+            "CAST(greatest(least(40, len(tk) - s), 0) AS INTEGER) AS n_chunk_tokens, "
+            "md5(array_to_string(tk[s+1:s+40], ' ')) AS chunk_md5 FROM e",
+        "tfidf_top_terms":
+            f"WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1), "
+            "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "tf.tf * ln((n.n_docs + 1) / (df.df + 1)) AS score "
+            "FROM tf JOIN df USING (term) CROSS JOIN n), "
+            "r AS (SELECT doc_id, term, round(score, 4) AS score, "
+            "CAST(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS INTEGER) AS rank FROM s) "
+            "SELECT doc_id, term, score, rank FROM r WHERE rank <= 3",
+        "contamination_check":
+            "WITH sh5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN "
+            "list_distinct(list_transform(range(1, len(tk) - 3), "
+            "i -> array_to_string(tk[i:i+4], ' '))) "
+            "ELSE CAST([] AS VARCHAR[]) END AS s "
+            f"FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)), "
+            "t AS (SELECT doc_id AS test_id, unnest(s) AS sh FROM sh5 "
+            "WHERE doc_id % 10 = 0), "
+            "tr AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM sh5 "
+            "WHERE doc_id % 10 <> 0) "
+            "SELECT test_id, CAST(count(DISTINCT train_id) AS INTEGER) AS n_train_docs, "
+            "CAST(count(DISTINCT sh) AS INTEGER) AS n_shared_shingles "
+            "FROM t JOIN tr USING (sh) GROUP BY test_id",
+        # per-vector int8 quantization recomputed code-for-code; inputs
+        # are float32 so exact .5 ties at the 6th decimal cannot occur
+        "embedding_quantize":
+            "WITH m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx "
+            "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)) "
+            'SELECT vec_id, round(mn, 6) AS "offset", '
+            "round((mx - mn) / 254, 6) AS scale, "
+            "CASE WHEN mx > mn THEN list_transform(e, "
+            "x -> CAST(round((x - mn) / (mx - mn) * 254) AS INTEGER) - 127) "
+            "ELSE list_transform(e, x -> 0) END AS codes FROM m",
+        "quantiles":
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n "
+            "FROM events GROUP BY event_type",
+        "streaming_dedup":
+            "SELECT DISTINCT user_id, event_type FROM events",
     }

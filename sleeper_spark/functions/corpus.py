@@ -1,0 +1,139 @@
+"""Corpus-construction operators for training-data pipelines: document
+chunking, TF-IDF term scoring, and train/test contamination detection.
+
+All built from DataFrame ops + Column expressions — no Python UDFs, so
+every operator is codegen'd JVM-side and scales with the scan:
+
+- chunking is a per-row ``transform`` + ``posexplode`` (no shuffle);
+- TF-IDF is two hash aggregations (term counts, doc frequency) and a
+  broadcast of one scalar (corpus size);
+- contamination is a shingle-exploded equi-join — the same
+  bucketed-by-content shape as the MinHash band join (dedup.py), never
+  an all-pairs compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sleeper_spark.functions.dedup import shingles
+from sleeper_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    step before sequence packing / embedding in a training pipeline.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; starts
+    run every ``stride`` tokens while they fall inside the document (an
+    empty document still yields one empty chunk, so no doc is silently
+    dropped). Pure per-row expressions + ``posexplode``: zero shuffle,
+    each task chunks its own rows — the 100 TB shape is the scan itself.
+
+    Output: ``id_col, chunk_id, n_chunk_tokens, chunk_text``.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # token-start positions: 0, stride, 2*stride, ... < max(n, 1)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.array_join(
+        F.slice(toks, s + 1, window), " "))
+    out = df.select(
+        F.col(id_col),
+        n.alias("__n_tokens"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        # tokens actually in this chunk: min(window, n - start), >= 0
+        F.greatest(
+            F.least(F.lit(window),
+                    F.col("__n_tokens") - F.col("chunk_id") * stride),
+            F.lit(0)).alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF.
+
+    ``score = tf * ln((N + 1) / (df + 1))`` with raw term counts —
+    integer inputs to one ``ln`` and one multiply, so the double result
+    is bit-identical across engines.
+
+    Two shuffles (term counts per doc, doc frequency per term) + a
+    1-row broadcast for N; the per-doc top-k is a WindowGroupLimit
+    (rank pre-pruned map-side), never a full sort of the term table.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    docfreq = terms.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col, "term",
+            (F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+             ).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", F.round("score", 4).alias("score"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def contamination_check(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Train/test contamination: for each test document, which training
+    documents share at least one ``ngram``-token shingle, and how much.
+
+    The eval-leakage scan a training pipeline runs before shipping a
+    benchmark split. Shingle-exploded equi-join — work is proportional
+    to shared content, bucketed by shingle hash across the cluster, so
+    disjoint corpora cost one pass over each side and no pairwise
+    compare. Test side is usually the small one: Catalyst broadcasts it
+    when it fits.
+
+    Output: ``test_id, n_train_docs, n_shared_shingles`` (only test
+    docs with >= 1 overlap).
+    """
+    t = test_df.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(shingles(text_col, ngram)).alias("sh"))
+    tr = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingles(text_col, ngram)).alias("sh"))
+    return (
+        t.join(tr, "sh")
+        .groupBy("test_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_train_docs"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+    )

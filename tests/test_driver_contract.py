@@ -27,8 +27,11 @@ def test_every_query_has_an_oracle():
     # retained corpus after keep-one dedup); round 4 added the three
     # deterministic sampling operators (fraction/stratified/reservoir)
     # contiguous token-budget sharding, and the time-series quartet
-    # (as-of join, sessionize, bucketed range join, rolling window)
-    assert len(qk) == 62
+    # (as-of join, sessionize, bucketed range join, rolling window),
+    # then the corpus-construction set (doc chunking, tf-idf top terms,
+    # train/test contamination), per-vector int8 embedding quantization,
+    # per-group exact percentiles, and streaming dedup
+    assert len(qk) == 68
 
 
 def test_entry_smoke(spark):

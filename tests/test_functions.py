@@ -326,3 +326,107 @@ class TestRealImageDecoder:
             out = mm.real_image_decoder(buf.getvalue())
             assert out.shape == (8, 8) and out.dtype == np.float32
             assert np.allclose(out, 128.0)
+
+
+class TestCorpus:
+    def test_chunking_covers_all_tokens(self, spark):
+        """Chunks tile each doc: starts every stride, window-sized, and
+        the union of [start, start+len) intervals covers [0, n)."""
+        from sleeper_spark.functions.corpus import chunk_documents
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(75))),
+             (2, "one two three"),
+             (3, ""),
+             (4, "solo")],
+            ["doc_id", "text"])
+        out = chunk_documents(df, "text", "doc_id", window=40, stride=30)
+        rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+        # doc 1: 75 tokens -> starts 0, 30, 60
+        assert {(cid) for (d, cid) in rows if d == 1} == {0, 1, 2}
+        assert rows[(1, 0)].n_chunk_tokens == 40
+        assert rows[(1, 2)].n_chunk_tokens == 15
+        assert rows[(1, 1)].chunk_text.split(" ")[0] == "t30"
+        # short and empty docs still yield one chunk
+        assert rows[(2, 0)].n_chunk_tokens == 3
+        assert rows[(3, 0)].n_chunk_tokens == 0
+        assert rows[(3, 0)].chunk_text == ""
+        assert rows[(4, 0)].chunk_text == "solo"
+
+    def test_tfidf_ranks_distinctive_terms(self, spark):
+        from sleeper_spark.functions.corpus import tfidf_top_terms
+        df = spark.createDataFrame(
+            [(1, "common zebra zebra zebra"),
+             (2, "common yak"),
+             (3, "common wolf wolf")],
+            ["doc_id", "text"])
+        out = tfidf_top_terms(df, "text", "doc_id", k=1)
+        top = {r.doc_id: r.term for r in out.collect()}
+        # 'common' appears in every doc -> idf lowest; uniques win
+        assert top == {1: "zebra", 2: "yak", 3: "wolf"}
+
+    def test_tfidf_plans_window_group_limit(self, spark, docs):
+        from sleeper_spark.functions.corpus import tfidf_top_terms
+        plan = tfidf_top_terms(docs, "text", "doc_id", k=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_contamination_finds_planted_overlap(self, spark):
+        from sleeper_spark.functions.corpus import contamination_check
+        shared = "alpha beta gamma delta epsilon zeta"
+        test = spark.createDataFrame(
+            [(10, f"intro words {shared} outro"),
+             (20, "totally disjoint content here nothing shared at all")],
+            ["doc_id", "text"])
+        train = spark.createDataFrame(
+            [(1, f"prefix {shared} suffix text"),
+             (2, f"another copy {shared} again"),
+             (3, "unrelated training document body")],
+            ["doc_id", "text"])
+        out = {r.test_id: r for r in
+               contamination_check(test, train, ngram=5).collect()}
+        assert 10 in out and 20 not in out
+        assert out[10].n_train_docs == 2
+        assert out[10].n_shared_shingles >= 2
+
+    def test_contamination_no_cartesian(self, spark, docs):
+        from sleeper_spark.functions.corpus import contamination_check
+        test = docs.where(F.col("doc_id") % 10 == 0)
+        train = docs.where(F.col("doc_id") % 10 != 0)
+        plan = contamination_check(test, train) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+class TestQuantization:
+    def test_codes_roundtrip_within_half_step(self, spark, embeddings):
+        """Dequantized values must sit within scale/2 of the original —
+        the defining property of the quantizer."""
+        import numpy as np
+        from sleeper_spark.functions.similarity import quantize_embeddings
+        orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in embeddings.limit(50).collect()}
+        out = quantize_embeddings(embeddings.limit(50)).collect()
+        assert len(out) == 50
+        for r in out:
+            v = orig[r.vec_id]
+            deq = (np.array(r.codes, dtype=np.float64) + 127) * r.scale + r.offset
+            # (offset, scale) are emitted rounded to 6 decimals, so
+            # dequantization carries up to (code+127) <= 254 half-ulps
+            # of scale rounding on top of the half-step quantization bound
+            assert np.abs(deq - v).max() <= r.scale / 2 + 254 * 5e-7 + 1e-6
+
+    def test_constant_vector_all_zero_codes(self, spark):
+        from sleeper_spark.functions.similarity import quantize_embeddings
+        df = spark.createDataFrame([(1, [2.5, 2.5, 2.5])],
+                                   ["vec_id", "embedding"])
+        r = quantize_embeddings(df).collect()[0]
+        assert r.codes == [0, 0, 0] and r.scale == 0.0
+
+
+class TestStreamingDedup:
+    def test_batch_mode_dedups(self, spark):
+        from sleeper_spark.streaming import dedup_stream
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (1, "b")], ["k", "t"])
+        got = sorted(tuple(r) for r in dedup_stream(df, ["k", "t"]).collect())
+        assert got == [(1, "a"), (1, "b"), (2, "b")]
