@@ -1113,6 +1113,38 @@ def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"))
 
 
+def q_ngram_top_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-100 bigram frequency table (functions/corpus.py)
+    — the C4-style boilerplate-detection scan. One hash agg with
+    map-side partial combine; the take is TakeOrderedAndProject."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    return corpus.ngram_top_counts(doc, "text", n=2, k=100)
+
+
+def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals: duplicate-trigram and
+    duplicate-line fractions. Pure per-row expressions, no shuffle."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    out = corpus.repetition_scores(doc, "text", "doc_id", ngram=3)
+    return out.select(
+        "doc_id", F.col("n_ngrams").cast("int").alias("n_ngrams"),
+        "dup_ngram_frac", "dup_line_frac")
+
+
+def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixing sample (functions/sampling.py mix_sample): each
+    source keeps a target percentage (10/30/50% cycling by source id) —
+    the corpus-reweighting step before training. One codegen'd filter,
+    reproduced row-for-row by the oracle."""
+    doc = _load(spark, sf, "documents")
+    pct = F.lit(10) + (F.expr("cast(substring(source, 4) as int)") % 3) * 20
+    return sampling.mix_sample(doc, "doc_id", pct).select("doc_id", "source")
+
+
 def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup (streaming.dedup_stream): first arrival of
     each (user_id, event_type) wins, state bounded by a watermark. Run
@@ -1192,6 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_check": q_contamination_check,
+        "ngram_top_counts": q_ngram_top_counts,
+        "repetition_scores": q_repetition_scores,
+        "source_mix": q_source_mix,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
@@ -1808,4 +1843,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
+        "ngram_top_counts":
+            "WITH g AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN "
+            "list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END) AS ngram "
+            f"FROM (SELECT {_TOKS} AS tk FROM documents)) "
+            "SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram "
+            "ORDER BY n_occurrences DESC, ngram LIMIT 100",
+        "repetition_scores":
+            "WITH t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END AS g, "
+            "string_split(text, chr(10)) AS lines "
+            f"FROM (SELECT doc_id, text, {_TOKS} AS tk FROM documents)) "
+            "SELECT doc_id, CAST(len(g) AS INTEGER) AS n_ngrams, "
+            "CASE WHEN len(g) > 0 THEN round(CAST(len(g) - len(list_distinct(g)) "
+            "AS DOUBLE) / len(g), 4) ELSE 0.0 END AS dup_ngram_frac, "
+            "CASE WHEN len(lines) > 0 THEN round(CAST(len(lines) - "
+            "len(list_distinct(lines)) AS DOUBLE) / len(lines), 4) "
+            "ELSE 0.0 END AS dup_line_frac FROM t",
+        "source_mix":
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id % 1000003) * 31 + 7) % 100 < "
+            "10 + (CAST(substring(source, 4) AS INTEGER) % 3) * 20",
     }

@@ -137,3 +137,71 @@ def contamination_check(
             F.countDistinct("sh").alias("n_shared_shingles"),
         )
     )
+
+
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """ALL token n-grams (with repeats — counting wants the multiset,
+    unlike dedup's distinct ``shingles``)."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(sz >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def ngram_top_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-``k`` n-grams by occurrence count — the
+    frequency-table scan behind C4-style boilerplate detection ("most
+    common lines/n-grams are navigation chrome, strip them").
+
+    explode → one hash aggregation (map-side partial combine) → ranked
+    take. The final take is ``TakeOrderedAndProject`` (per-partition
+    k-row heads merged on the driver), never a global sort of the
+    n-gram table. Ties broken by the n-gram string, so the top-k set is
+    deterministic across engines.
+    """
+    grams = df.select(F.explode(ngrams(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(F.col("n_occurrences").desc(),
+                          F.col("ngram").asc()).limit(k)
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    rules): fraction of duplicate n-grams and duplicate lines. High
+    values flag boilerplate/generated text for filtering.
+
+    Pure per-row higher-order expressions — no shuffle, no UDF; the
+    100 TB cost is the scan itself.
+
+    Output: ``id_col, n_ngrams, dup_ngram_frac, dup_line_frac``.
+    """
+    g = ngrams(text_col, ngram)
+    total = F.size(g)
+    uniq = F.size(F.array_distinct(g))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    u_lines = F.size(F.array_distinct(lines))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        F.when(total > 0,
+               F.round((total - uniq).cast("double") / total, 4))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+        F.when(n_lines > 0,
+               F.round((n_lines - u_lines).cast("double") / n_lines, 4))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+    )

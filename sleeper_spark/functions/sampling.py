@@ -102,3 +102,17 @@ def reservoir_sample(df: DataFrame, key: str, n: int,
     return (df.orderBy(bucket_expr(key, _P, salt).asc(),
                        F.col(key).asc())
             .limit(n))
+
+
+def mix_sample(df: DataFrame, key: str, percent: Column,
+               n_buckets: int = 100, salt: int = 7) -> DataFrame:
+    """Domain-mixing sample: keep each row with a per-row target
+    percentage (usually a CASE/arithmetic expression over the row's
+    source/domain column) — the data-mixing step that reweights corpus
+    composition toward a target distribution before training.
+
+    Same congruential bucket as ``sample_fraction`` but the threshold
+    varies per row, so one codegen'd filter realises an entire mixing
+    table: no shuffle, no per-source scans, reproducible across runs
+    and engines."""
+    return df.where(bucket_expr(key, n_buckets, salt) < percent)

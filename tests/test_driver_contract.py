@@ -30,8 +30,9 @@ def test_every_query_has_an_oracle():
     # (as-of join, sessionize, bucketed range join, rolling window),
     # then the corpus-construction set (doc chunking, tf-idf top terms,
     # train/test contamination), per-vector int8 embedding quantization,
-    # per-group exact percentiles, and streaming dedup
-    assert len(qk) == 68
+    # per-group exact percentiles, streaming dedup, corpus bigram
+    # frequency tables, repetition scores, and domain-mix sampling
+    assert len(qk) == 71
 
 
 def test_entry_smoke(spark):

@@ -430,3 +430,45 @@ class TestStreamingDedup:
             [(1, "a"), (1, "a"), (2, "b"), (1, "b")], ["k", "t"])
         got = sorted(tuple(r) for r in dedup_stream(df, ["k", "t"]).collect())
         assert got == [(1, "a"), (1, "b"), (2, "b")]
+
+
+class TestCorpusFrequency:
+    def test_ngram_counts_on_constructed(self, spark):
+        from sleeper_spark.functions.corpus import ngram_top_counts
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b x")], ["doc_id", "text"])
+        got = [(r.ngram, r.n_occurrences)
+               for r in ngram_top_counts(df, "text", n=2, k=3).collect()]
+        # 'a b' x3 ('a b a b' contributes twice, doc 2 once)
+        assert got[0] == ("a b", 3)
+        assert set(got) >= {("a b", 3), ("b a", 1)}
+
+    def test_ngram_topk_plans_take_ordered(self, spark, docs):
+        from sleeper_spark.functions.corpus import ngram_top_counts
+        plan = ngram_top_counts(docs, "text") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_repetition_scores(self, spark):
+        from sleeper_spark.functions.corpus import repetition_scores
+        df = spark.createDataFrame(
+            [(1, "x y z x y z x y z"),      # trigrams repeat heavily
+             (2, "all words totally unique here now"),
+             (3, "ab"),                      # too short for trigrams
+             (4, "l1\nl2\nl1")],
+            ["doc_id", "text"])
+        got = {r.doc_id: r for r in repetition_scores(df).collect()}
+        assert got[1].dup_ngram_frac > 0.5
+        assert got[2].dup_ngram_frac == 0.0
+        assert got[3].n_ngrams == 0 and got[3].dup_ngram_frac == 0.0
+        assert abs(got[4].dup_line_frac - 1 / 3) < 1e-3
+
+    def test_mix_sample_respects_per_row_pct(self, spark):
+        from sleeper_spark.functions.sampling import bucket_expr, mix_sample
+        df = spark.createDataFrame(
+            [(i, "keep" if i % 2 == 0 else "drop") for i in range(1000)],
+            ["id", "grp"])
+        pct = F.when(F.col("grp") == "keep", F.lit(100)).otherwise(F.lit(0))
+        got = mix_sample(df, "id", pct).collect()
+        assert {r.grp for r in got} == {"keep"}
+        assert len(got) == 500
