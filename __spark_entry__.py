@@ -892,6 +892,42 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 #: the DuckDB oracle builder so centroids match bit-for-bit
 _IVF = dict(dim=64, k=10, nlist=8, nprobe=2, seed=42, train_rows=2048)
 
+#: PQ parameters, same sharing contract
+_PQ = dict(dim=64, m=4, ksub=8, k=10, seed=42, train_rows=2048)
+
+
+def _pq_codebooks_from_parquet(sf_dir: str) -> list[list[list[float]]]:
+    """Recompute the EXACT per-subspace codebooks the Spark-side trainer
+    produces, from the same bounded sample, without a Spark session."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {_PQ['train_rows']}").fetchall()
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dsub = _PQ["dim"] // _PQ["m"]
+    return [
+        [[float(x) for x in c] for c in similarity.kmeans_l2(
+            X[:, s * dsub:(s + 1) * dsub], _PQ["ksub"], _PQ["seed"] + s)]
+        for s in range(_PQ["m"])
+    ]
+
+
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (ADC): vectors compress to m sub-codes,
+    queries score them with table lookups. Codebooks train on the same
+    bounded lowest-id sample contract as IVF; encode + score are pure
+    codegen'd expressions (no UDF, no shuffle beyond the top-k)."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    books = similarity.train_pq_codebooks(
+        emb, dim=_PQ["dim"], m=_PQ["m"], ksub=_PQ["ksub"],
+        seed=_PQ["seed"], train_rows=_PQ["train_rows"])
+    return similarity.pq_topk(emb, queries, books, k=_PQ["k"])
+
 
 def _ivf_centroids_from_parquet(sf_dir: str) -> list[list[float]]:
     """Recompute the EXACT centroids the Spark-side trainer produces:
@@ -1243,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1399,6 +1436,40 @@ def _ivf_oracle_sql() -> str:
         "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) "
         "AS rank FROM s) "
         f"SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {_IVF['k']}")
+
+
+def _pq_oracle_sql() -> str:
+    """Recompute PQ-ADC top-k in DuckDB: codebooks recomputed from the
+    identical bounded sample and embedded as (s, ci, centroid) literals;
+    code assignment uses the same (d2 ASC, code ASC) tie rule as Spark's
+    array_position-of-min, LUT entries round to 6 decimals on both
+    engines so the m-term ADC sum is order-insensitive at 4 decimals."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    books = _pq_codebooks_from_parquet(sf_dir)
+    dsub = _PQ["dim"] // _PQ["m"]
+    values = ", ".join(
+        f"({s}, {ci}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[])"
+        for s, book in enumerate(books) for ci, cent in enumerate(book))
+    d2 = (f"list_sum(list_transform(range(1, {dsub + 1}), "
+          f"j -> ({{v}}[s * {dsub} + j] - cv[j]) * ({{v}}[s * {dsub} + j] - cv[j])))")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cents(s, ci, cv) AS (VALUES {values}), "
+        f"sub AS (SELECT vec_id, s, ci, {d2.format(v='c.v')} AS d2 "
+        "FROM c CROSS JOIN cents), "
+        "codes AS (SELECT vec_id, s, ci AS code FROM ("
+        "SELECT vec_id, s, ci, row_number() OVER ("
+        "PARTITION BY vec_id, s ORDER BY d2, ci) AS rn FROM sub) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3), "
+        f"lut AS (SELECT query_id, s, ci, round({d2.format(v='qv')}, 6) AS d2 "
+        "FROM q CROSS JOIN cents), "
+        "a AS (SELECT l.query_id, cd.vec_id, round(sum(l.d2), 4) AS adc "
+        "FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.ci "
+        "WHERE cd.vec_id <> l.query_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, vec_id, adc, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc, vec_id) AS INTEGER) AS rank FROM a) "
+        f"SELECT query_id, vec_id, adc, rank FROM r WHERE rank <= {_PQ['k']}")
 
 
 def _embedding_near_dup_oracle_sql(dim: int = 64, bits: int = 4,
@@ -1623,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
         "ivf_topk": _ivf_oracle_sql(),
+        "pq_topk": _pq_oracle_sql(),
         "embedding_near_duplicates": _embedding_near_dup_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),
         "multimodal_frames":

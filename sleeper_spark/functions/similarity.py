@@ -377,3 +377,139 @@ def quantize_embeddings(
         F.round(scale, 6).alias("scale"),
         codes.alias("codes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN tier
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WHICH vectors a query scores; PQ shrinks WHAT is scored —
+# each vector compresses to m sub-codes (here m x 1 byte vs dim x 4-byte
+# floats), and a query scores a vector with m table lookups instead of
+# dim multiplies (ADC, asymmetric distance computation). At 100 TB of
+# embeddings the codes fit in a fraction of the footprint, so the scan
+# side of ANN becomes IO-cheap; compose with IVF for the full
+# FAISS-style IVF-PQ layout.
+
+def kmeans_l2(X: np.ndarray, k: int, seed: int = 42,
+              iters: int = 10) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd on a driver-sized sample — pure
+    numpy so an oracle recomputes identical codebooks from the identical
+    sample (same contract as kmeans_spherical)."""
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    seed: int = 42,
+    train_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks on a BOUNDED deterministic sample
+    (the train_rows lowest-id vectors via TakeOrderedAndProject — never
+    a full-corpus collect). Returns m x ksub x (dim//m) plain floats,
+    broadcastable as literals into the encode/score expressions."""
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col)).limit(train_rows).collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return [
+        [[float(x) for x in c]
+         for c in kmeans_l2(X[:, s * dsub:(s + 1) * dsub], ksub, seed + s)]
+        for s in range(m)
+    ]
+
+
+def _sub_d2(vec: Column, start: int, cent: list[float]) -> Column:
+    """Sequential-fold squared L2 between vec[start:start+len(cent)] and
+    a centroid literal — F.aggregate's left fold matches the oracle's
+    list_sum order, keeping doubles bit-comparable."""
+    sub = F.slice(vec, start + 1, len(cent))
+    c = F.array(*[F.lit(x) for x in cent])
+    return F.aggregate(
+        F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector its m sub-codes (nearest centroid per
+    subspace, ties to the lowest code). Pure codegen'd expressions —
+    no shuffle, no UDF: encoding 100 TB is one scan that writes the
+    4x-to-32x-smaller code table."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    for s, book in enumerate(codebooks):
+        dsub = len(book[0])
+        d2s = F.array(*[_sub_d2(v, s * dsub, cent) for cent in book])
+        # array_position is 1-based and returns the FIRST occurrence of
+        # the min -> lowest code wins ties, same as the oracle's
+        # row_number() ORDER BY d2, code
+        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1)
+                     .cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: encode the corpus once, build each query's
+    (m x ksub) distance lookup table map-side, then score a vector with
+    m element_at lookups + a short fold — no per-pair vector math. The
+    broadcast carries only queries' LUTs; the per-query top-k is the
+    same Partial-WindowGroupLimit pre-pruned shape as brute_force_topk.
+
+    LUT entries are rounded to 6 decimals on BOTH engines so the final
+    m-term sum is order-insensitive at the emitted 4-decimal precision.
+    """
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut = F.array(*[
+        F.array(*[
+            F.round(_sub_d2(qv, s * len(book[0]), cent), 6)
+            for cent in book])
+        for s, book in enumerate(codebooks)])
+    q = queries.select(F.col(query_id_col), lut.alias("__lut"))
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc", F.round(F.aggregate(
+            F.zip_with(F.col("codes"), F.col("__lut"),
+                       lambda c, l: F.element_at(l, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x), 4))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -31,8 +31,9 @@ def test_every_query_has_an_oracle():
     # then the corpus-construction set (doc chunking, tf-idf top terms,
     # train/test contamination), per-vector int8 embedding quantization,
     # per-group exact percentiles, streaming dedup, corpus bigram
-    # frequency tables, repetition scores, and domain-mix sampling
-    assert len(qk) == 71
+    # frequency tables, repetition scores, domain-mix sampling, and
+    # product-quantization ANN (ADC)
+    assert len(qk) == 72
 
 
 def test_entry_smoke(spark):

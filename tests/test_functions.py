@@ -472,3 +472,60 @@ class TestCorpusFrequency:
         got = mix_sample(df, "id", pct).collect()
         assert {r.grp for r in got} == {"keep"}
         assert len(got) == 500
+
+
+class TestProductQuantization:
+    def test_encode_matches_numpy(self, spark, embeddings):
+        import numpy as np
+        from sleeper_spark.functions.similarity import (
+            pq_encode, train_pq_codebooks)
+        dim = len(embeddings.first().embedding)
+        books = train_pq_codebooks(embeddings, dim=dim, m=4, ksub=8,
+                                   train_rows=256)
+        got = {r.vec_id: list(r.codes)
+               for r in pq_encode(embeddings.limit(30), books).collect()}
+        data = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in embeddings.limit(30).collect()}
+        dsub = dim // 4
+        for vid, v in data.items():
+            want = []
+            for s in range(4):
+                cents = np.asarray(books[s])
+                d2 = ((v[s * dsub:(s + 1) * dsub] - cents) ** 2).sum(axis=1)
+                want.append(int(d2.argmin()))
+            assert got[vid] == want
+
+    def test_adc_approximates_true_neighbors(self, spark, embeddings):
+        """PQ is approximate: the ADC top-10 must substantially overlap
+        the exact L2 top-10 (random 64-dim data, 4x8 codebooks)."""
+        import numpy as np
+        from sleeper_spark.functions.similarity import (
+            pq_topk, train_pq_codebooks)
+        dim = len(embeddings.first().embedding)
+        books = train_pq_codebooks(embeddings, dim=dim, m=8, ksub=16,
+                                   train_rows=500)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        got = pq_topk(embeddings, queries, books, k=10).collect()
+        data = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in embeddings.collect()}
+        for qid in {r.query_id for r in got}:
+            qv = data[qid]
+            exact = sorted(
+                (float(((v - qv) ** 2).sum()), i)
+                for i, v in data.items() if i != qid)[:10]
+            exact_ids = {i for _, i in exact}
+            pq_ids = {r.vec_id for r in got if r.query_id == qid}
+            assert len(pq_ids & exact_ids) >= 3  # >= 30% recall@10
+
+    def test_pq_topk_prunes_before_exchange(self, spark, embeddings):
+        from sleeper_spark.functions.similarity import (
+            pq_topk, train_pq_codebooks)
+        dim = len(embeddings.first().embedding)
+        books = train_pq_codebooks(embeddings, dim=dim, m=4, ksub=8,
+                                   train_rows=256)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        plan = pq_topk(embeddings, queries, books) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
