@@ -1181,6 +1181,22 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.mix_sample(doc, "doc_id", pct).select("doc_id", "source")
 
 
+def q_skewed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted skew-safe join (functions/skew.py): purchases join a
+    per-user stats side on a (hypothetically hot) user_id, the left
+    salted 8 ways and the right replicated — result provably identical
+    to the plain join, which is exactly what the oracle runs."""
+    from sleeper_spark.functions import skew
+
+    ev = _load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"))
+    out = skew.salted_join(purchases, stats, ["user_id"], salts=8)
+    return out.select("event_id", "user_id", "user_events")
+
+
 def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup (streaming.dedup_stream): first arrival of
     each (user_id, event_type) wins, state bounded by a watermark. Run
@@ -1263,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top_counts": q_ngram_top_counts,
         "repetition_scores": q_repetition_scores,
         "source_mix": q_source_mix,
+        "skewed_join": q_skewed_join,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
@@ -1938,4 +1955,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "WHERE ((doc_id % 1000003) * 31 + 7) % 100 < "
             "10 + (CAST(substring(source, 4) AS INTEGER) % 3) * 20",
+        # the salt must never leak: the oracle is the PLAIN join
+        "skewed_join":
+            "WITH p AS (SELECT event_id, user_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "s AS (SELECT user_id, count(*) AS user_events "
+            "FROM events GROUP BY user_id) "
+            "SELECT p.event_id, p.user_id, s.user_events "
+            "FROM p JOIN s USING (user_id)",
     }

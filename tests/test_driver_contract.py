@@ -32,8 +32,8 @@ def test_every_query_has_an_oracle():
     # train/test contamination), per-vector int8 embedding quantization,
     # per-group exact percentiles, streaming dedup, corpus bigram
     # frequency tables, repetition scores, domain-mix sampling, and
-    # product-quantization ANN (ADC)
-    assert len(qk) == 72
+    # product-quantization ANN (ADC) and the salted skew-safe join
+    assert len(qk) == 73
 
 
 def test_entry_smoke(spark):

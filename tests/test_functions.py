@@ -529,3 +529,47 @@ class TestProductQuantization:
         plan = pq_topk(embeddings, queries, books) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark):
+        from sleeper_spark.functions.skew import salted_join
+        left = spark.createDataFrame(
+            [(1, i) for i in range(500)] + [(2, 0), (3, 1)], ["k", "v"])
+        right = spark.createDataFrame(
+            [(1, "hot"), (2, "b"), (4, "unmatched")], ["k", "name"])
+        want = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
+        got = sorted(tuple(r) for r in
+                     salted_join(left, right, ["k"], salts=8).collect())
+        assert got == want
+        # left join parity incl. unmatched left rows
+        want_l = sorted((r.k, r.v, r.name)
+                        for r in left.join(right, ["k"], "left").collect())
+        got_l = sorted((r.k, r.v, r.name) for r in
+                       salted_join(left, right, ["k"], "left", salts=8).collect())
+        assert got_l == want_l
+
+    def test_salted_join_rejects_right_outer(self, spark):
+        import pytest as _pytest
+        from sleeper_spark.functions.skew import salted_join
+        df = spark.createDataFrame([(1, 2)], ["k", "v"])
+        with _pytest.raises(ValueError):
+            salted_join(df, df, ["k"], how="full")
+
+    def test_salted_join_spreads_hot_key(self, spark):
+        """The hot key's rows must land in several salt buckets — the
+        whole point of the operator."""
+        from sleeper_spark.functions import skew
+        left = spark.createDataFrame([(1, i) for i in range(2000)], ["k", "v"])
+        salted = left.withColumn(
+            skew._SALT, (F.floor(F.rand(42) * 8)).cast("int"))
+        n_buckets = salted.select(skew._SALT).distinct().count()
+        assert n_buckets == 8
+
+    def test_two_stage_count_distinct(self, spark):
+        from sleeper_spark.functions.skew import two_stage_count_distinct
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "z")], ["k", "x"])
+        got = {r.k: r.n_distinct for r in
+               two_stage_count_distinct(df, ["k"], "x").collect()}
+        assert got == {1: 2, 2: 1}
