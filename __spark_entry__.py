@@ -424,6 +424,92 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the 6-table join shape (region →
+    nation → customer/supplier → orders → lineitem) with the
+    c_nationkey = s_nationkey locality constraint. Dimensions broadcast;
+    Catalyst orders the joins. Decimal revenue keeps the sum exact."""
+    r = _load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _load(spark, sf, "nation")
+    c = _load(spark, sf, "customer")
+    s = _load(spark, sf, "supplier")
+    o = _load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: aggregate-then-semijoin (the
+    HAVING subquery becomes a broadcastable filtered key set), then the
+    3-table join + deterministic top-100."""
+    li = _load(spark, sf, "lineitem")
+    o = _load(spark, sf, "orders")
+    c = _load(spark, sf, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qty).alias("__sumq"))
+           .where(F.col("__sumq") > 150)
+           .select("l_orderkey"))
+    osum = (li.join(F.broadcast(big), "l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(qty).cast("double"), 2).alias("total_qty")))
+    return (
+        osum.join(o, osum.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "l_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("l_orderkey"))
+        .limit(100)
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals over (returnflag, linestatus) with
+    grouping indicators — subtotal/grand-total rows in one pass."""
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dec_sum("l_quantity").alias("sum_qty"),
+             F.grouping("l_returnflag").cast("int").alias("g_rf"),
+             F.grouping("l_linestatus").cast("int").alias("g_ls"))
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty",
+                "g_rf", "g_ls")
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function breadth on one pass: lag/lead navigation, ntile
+    quartiles, percent_rank — per user over event time. percent_rank's
+    (rank-1)/(n-1) is exact rational-over-double on both engines."""
+    ev = _load(spark, sf, "events").select("event_id", "user_id",
+                                           "ts_us", "value")
+    # event_id tie-break: scaled testdata replicates (user_id, ts) pairs,
+    # and lag/lead/ntile are only deterministic under a total order
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def q_window_topn(spark: SparkSession, sf: str) -> DataFrame:
     """Window ranking (SURVEY §2.6 — absent in reference, native in Spark):
     top-3 orders per customer by (totalprice desc, orderkey)."""
@@ -1246,6 +1332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
+        "rollup_agg": q_rollup_agg,
+        "window_lag_lead": q_window_lag_lead,
         "window_topn": q_window_topn,
         "window_running_sum": q_window_running_sum,
         "set_ops": q_set_ops,
@@ -1617,6 +1707,46 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "tpch_q5":
+            "SELECT n_name, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name",
+        "tpch_q18":
+            "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150), "
+            "osum AS (SELECT l_orderkey, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) "
+            "AS total_qty FROM lineitem JOIN big USING (l_orderkey) "
+            "GROUP BY l_orderkey) "
+            "SELECT c_name, c_custkey, l_orderkey, "
+            "CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty "
+            "FROM osum JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, l_orderkey LIMIT 100",
+        "rollup_agg":
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS sum_qty, "
+            "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf, "
+            "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+        "window_lag_lead":
+            "SELECT event_id, user_id, "
+            "round(lag(value, 1) OVER w, 4) AS prev_value, "
+            "round(lead(value, 1) OVER w, 4) AS next_value, "
+            "ntile(4) OVER w AS quartile, "
+            "round(percent_rank() OVER w, 6) AS pct_rank "
+            "FROM (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)",
         "window_topn":
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
             "SELECT o_custkey, o_orderkey, o_totalprice, "

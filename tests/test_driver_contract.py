@@ -32,8 +32,9 @@ def test_every_query_has_an_oracle():
     # train/test contamination), per-vector int8 embedding quantization,
     # per-group exact percentiles, streaming dedup, corpus bigram
     # frequency tables, repetition scores, domain-mix sampling, and
-    # product-quantization ANN (ADC) and the salted skew-safe join
-    assert len(qk) == 73
+    # product-quantization ANN (ADC), the salted skew-safe join, and
+    # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile)
+    assert len(qk) == 77
 
 
 def test_entry_smoke(spark):
