@@ -137,6 +137,18 @@ def q_exact_key(spark: SparkSession, sf: str) -> DataFrame:
     return ev.where(pred).select(*_EVENTS_COLS)
 
 
+def q_batch_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's headline access pattern — thousands of point
+    queries in parallel (README.md:22-24) — as ONE job: the key set
+    broadcast-hash-joins the scan instead of building an N-branch OR
+    predicate (N-invariant plan; SleeperTable.batch_exact_key_query is
+    the table-backed form, pinned in lifecycle tests)."""
+    ev = _load(spark, sf, "events")
+    keys = spark.createDataFrame(
+        [(i * 37,) for i in range(200)], "event_id long")
+    return ev.join(F.broadcast(keys), "event_id").select(*_EVENTS_COLS)
+
+
 def q_range_query(spark: SparkSession, sf: str) -> DataFrame:
     """P2 single-region range query, min-inclusive/max-exclusive
     (Range.java:34-68)."""
@@ -1315,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # sleeper-core operator surface
         "exact_key": q_exact_key,
+        "batch_point_lookup": q_batch_point_lookup,
         "range_query": q_range_query,
         "multi_region": q_multi_region,
         "multidim_region": q_multidim_region,
@@ -1634,6 +1647,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "exact_key":
             f"SELECT {_EV_SEL} FROM events WHERE event_id = 4242",
+        "batch_point_lookup":
+            f"SELECT {_EV_SEL} FROM events "
+            "WHERE event_id % 37 = 0 AND event_id <= 7363",
         "range_query":
             f"SELECT {_EV_SEL} FROM events WHERE event_id >= 1000 AND event_id < 2000",
         "multi_region":

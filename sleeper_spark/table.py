@@ -152,6 +152,59 @@ class SleeperTable:
             now_millis=now_millis,
         )
 
+    def batch_exact_key_query(self, keys: list[dict],
+                              now_millis: int | None = None) -> DataFrame:
+        """Thousands of point lookups as ONE Spark job (the reference's
+        headline access pattern: "many thousands in parallel",
+        README.md:22-24, each query a one-point region).
+
+        A naive N-region Query would build an N-branch OR predicate —
+        Catalyst analysis cost grows with N and pushdown degrades. This
+        shape is N-invariant: leaf pruning is a driver-side tree descent
+        per key (metadata only), the pruned files are scanned ONCE, and
+        the key set joins as a broadcast hash join on the row-key
+        columns. No leaf dedup guard is needed — the equi-join on exact
+        keys already selects precisely the requested rows, wherever they
+        physically live (split ancestor files included).
+        """
+        import pyspark.sql.functions as F  # noqa: N812 — local, matches module style
+
+        from sleeper_spark.iterators import (
+            apply_custom_iterators,
+            parse_aggregations,
+            parse_filters,
+        )
+        from sleeper_spark.processing import apply_processing
+
+        now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        tree = self.store.tree
+        assert tree is not None
+        key_names = [f.name for f in self.schema.row_key_fields]
+        leaf_ids = {tree.leaf_for_row({k: key[k] for k in key_names}).id
+                    for key in keys}
+        files = sorted({
+            ref.filename
+            for lid in leaf_ids
+            for ref in self.store.files_for_leaf_query(lid)
+        })
+        if not files or not keys:
+            return self.spark.createDataFrame([], self.schema.to_struct_type())
+        scan = self.spark.read.schema(self.schema.to_struct_type()).parquet(*files)
+        from pyspark.sql import types as T
+
+        kdf = self.spark.createDataFrame(
+            [tuple(key[k] for k in key_names) for key in keys],
+            T.StructType([T.StructField(f.name, f.dtype, False)
+                          for f in self.schema.row_key_fields]))
+        df = scan.join(F.broadcast(kdf.distinct()), key_names, "inner")
+        df = apply_processing(
+            df, self.schema,
+            parse_filters(self.props.filters),
+            parse_aggregations(self.props.aggregations),
+            now_millis)
+        return apply_custom_iterators(df, self.props.iterators, self.schema)
+
     def sorted_scan(self, query: Query | None = None,
                     now_millis: int | None = None) -> DataFrame:
         """S2 distributed merge-without-resort: zero-shuffle DataFrame,

@@ -33,8 +33,9 @@ def test_every_query_has_an_oracle():
     # per-group exact percentiles, streaming dedup, corpus bigram
     # frequency tables, repetition scores, domain-mix sampling, and
     # product-quantization ANN (ADC), the salted skew-safe join, and
-    # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile)
-    assert len(qk) == 77
+    # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile),
+    # and the N-invariant batch point lookup
+    assert len(qk) == 78
 
 
 def test_entry_smoke(spark):

@@ -428,3 +428,25 @@ def test_compact_mixed_ingest_strategies(spark, tmp_path):
     t.compact()
     after = sorted(tuple(r) for r in t.full_scan().collect())
     assert before == after and len(after) == 2 * li.count()
+
+
+def test_batch_exact_key_query(spark, tmp_path):
+    """N point lookups in ONE job: broadcast key-set join over
+    driver-pruned files; results equal N individual exact-key queries,
+    including keys duplicated in the request and missing keys."""
+    t = SleeperTable.create(spark, str(tmp_path / "t"), numbered_schema(),
+                            split_points=["row-%019d" % 50])
+    t.ingest(numbered_rows(spark))
+    t.ingest(numbered_rows(spark))  # two files per leaf: dup rows returned
+    keys = [{"key": "row-%019d" % i} for i in (3, 17, 17, 64, 99)]
+    keys.append({"key": "missing"})
+    got = sorted((r.key, r.timestamp, r.value)
+                 for r in t.batch_exact_key_query(keys).collect())
+    want = []
+    for i in (3, 17, 64, 99):  # dup request keys collapse via distinct
+        want += [("row-%019d" % i, i, f"value-{i}")] * 2
+    assert got == sorted(want)
+    # plan shape: ONE broadcast hash join, no N-branch OR chain
+    plan = t.batch_exact_key_query(keys) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
