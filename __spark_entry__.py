@@ -1279,6 +1279,20 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.mix_sample(doc, "doc_id", pct).select("doc_id", "source")
 
 
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The ship-able Gopher-rules composite: token-count window +
+    punctuation ratio + duplicate-trigram fraction + mean token length
+    as one codegen'd keep predicate; returns the retained corpus ids.
+    The oracle reruns the identical arithmetic."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    return corpus.quality_filter(
+        doc, min_tokens=25, max_punct_ratio=0.1,
+        max_dup_ngram_frac=0.4, min_mean_token_len=4.2,
+        max_mean_token_len=9.0).select("doc_id", "lang", "source")
+
+
 def q_skewed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Salted skew-safe join (functions/skew.py): purchases join a
     per-user stats side on a (hypothetically hot) user_id, the left
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top_counts": q_ngram_top_counts,
         "repetition_scores": q_repetition_scores,
         "source_mix": q_source_mix,
+        "quality_filter": q_quality_filter,
         "skewed_join": q_skewed_join,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -2101,6 +2116,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "WHERE ((doc_id % 1000003) * 31 + 7) % 100 < "
             "10 + (CAST(substring(source, 4) AS INTEGER) % 3) * 20",
+        "quality_filter":
+            "WITH t AS (SELECT doc_id, lang, source, text, "
+            f"{_TOKS} AS tk FROM documents), "
+            "m AS (SELECT doc_id, lang, source, len(tk) AS n_toks, "
+            "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1) AS punct_ratio, "
+            "CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) "
+            "/ greatest(len(tk), 1) AS mean_len, "
+            "CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END AS g FROM t), "
+            "s AS (SELECT *, CASE WHEN len(g) > 0 THEN "
+            "CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) "
+            "ELSE 0.0 END AS dup_frac FROM m) "
+            "SELECT doc_id, lang, source FROM s "
+            "WHERE n_toks >= 25 AND n_toks <= 100000 "
+            "AND punct_ratio <= 0.1 AND dup_frac <= 0.4 "
+            "AND mean_len >= 4.2 AND mean_len <= 9.0",
         # the salt must never leak: the oracle is the PLAIN join
         "skewed_join":
             "WITH p AS (SELECT event_id, user_id FROM events "

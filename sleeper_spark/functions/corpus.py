@@ -205,3 +205,48 @@ def repetition_scores(
                F.round((n_lines - u_lines).cast("double") / n_lines, 4))
         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    max_dup_ngram_frac: float = 0.5,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """Gopher-style quality-rules filter: the composite keep/drop
+    decision a pretraining pipeline ships, built from the individual
+    signals (token counts, punctuation ratio, mean token length,
+    duplicate-trigram fraction) as ONE codegen'd predicate over the
+    scan — no UDFs, no shuffle, filter-pushdown friendly.
+
+    Returns the RETAINED rows (the corpus that ships). Thresholds are
+    deliberately explicit keyword arguments: a pipeline pins them in
+    code, and the same arithmetic runs in any SQL engine for audits.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    mean_len = (F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                .cast("double") / F.greatest(n_toks, F.lit(1)))
+    g = ngrams(text_col, 3)
+    total = F.size(g)
+    dup_frac = F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(g))).cast("double") / total
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (n_toks >= min_tokens)
+        & (n_toks <= max_tokens)
+        & (punct_ratio <= max_punct_ratio)
+        & (dup_frac <= max_dup_ngram_frac)
+        & (mean_len >= min_mean_token_len)
+        & (mean_len <= max_mean_token_len)
+    )
+    return df.where(keep)

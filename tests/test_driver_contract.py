@@ -34,8 +34,9 @@ def test_every_query_has_an_oracle():
     # frequency tables, repetition scores, domain-mix sampling, and
     # product-quantization ANN (ADC), the salted skew-safe join, and
     # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile),
-    # and the N-invariant batch point lookup
-    assert len(qk) == 78
+    # the N-invariant batch point lookup, and the Gopher-rules
+    # composite quality filter
+    assert len(qk) == 79
 
 
 def test_entry_smoke(spark):

@@ -573,3 +573,25 @@ class TestSkew:
         got = {r.k: r.n_distinct for r in
                two_stage_count_distinct(df, ["k"], "x").collect()}
         assert got == {1: 2, 2: 1}
+
+
+class TestQualityFilter:
+    def test_rules_drop_the_right_docs(self, spark):
+        from sleeper_spark.functions.corpus import quality_filter
+        df = spark.createDataFrame(
+            [(1, "a clean sentence with enough ordinary words to pass the gate easily"),
+             (2, "tiny"),                                  # too few tokens
+             (3, "!!! ... ;;; " + "ok word " * 10),        # punct-heavy
+             (4, ("repeat me now " * 20).strip()),         # dup trigrams
+             (5, "a b c d e f g h i j k l")],              # mean token len 1
+            ["doc_id", "text"])
+        kept = sorted(r.doc_id for r in quality_filter(
+            df, min_tokens=8, max_punct_ratio=0.05,
+            max_dup_ngram_frac=0.5, min_mean_token_len=2.0).collect())
+        assert kept == [1]
+
+    def test_filter_is_pure_predicate(self, spark, docs):
+        from sleeper_spark.functions.corpus import quality_filter
+        plan = quality_filter(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # one scan, no shuffle
