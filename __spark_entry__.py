@@ -1061,6 +1061,30 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         nprobe=_IVF["nprobe"], centroids=cents)
 
 
+#: IVF-PQ query-time probe width (coarse layer shares _IVF's centroids,
+#: code layer shares _PQ's codebooks)
+_IVFPQ_NPROBE = 3
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composite ANN: IVF cells prune the candidate set, PQ codes
+    make each candidate m lookups. Shares _IVF's centroid training and
+    _PQ's codebook training verbatim, so the oracle recomputes both
+    layers from the same bounded sample."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_ivf_centroids(
+        emb, _IVF["nlist"], seed=_IVF["seed"], train_rows=_IVF["train_rows"])
+    books = similarity.train_pq_codebooks(
+        emb, dim=_PQ["dim"], m=_PQ["m"], ksub=_PQ["ksub"],
+        seed=_PQ["seed"], train_rows=_PQ["train_rows"])
+    return similarity.ivf_pq_topk(
+        emb, queries, dim=_PQ["dim"], k=_PQ["k"], nlist=_IVF["nlist"],
+        nprobe=_IVFPQ_NPROBE, m=_PQ["m"], ksub=_PQ["ksub"],
+        centroids=cents, codebooks=books)
+
+
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
     The synthetic embeddings plant no >0.9-cosine twins, so the driver
@@ -1415,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1604,6 +1629,60 @@ def _pq_oracle_sql() -> str:
         "WHERE cd.vec_id <> l.query_id GROUP BY 1, 2), "
         "r AS (SELECT query_id, vec_id, adc, CAST(row_number() OVER ("
         "PARTITION BY query_id ORDER BY adc, vec_id) AS INTEGER) AS rank FROM a) "
+        f"SELECT query_id, vec_id, adc, rank FROM r WHERE rank <= {_PQ['k']}")
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Recompute IVF-PQ in DuckDB: the IVF cell/probe layer from
+    _ivf_oracle_sql's recipe (same centroid literals) and the PQ
+    code/LUT layer from _pq_oracle_sql's (same codebook literals),
+    composed — candidates restricted to probed cells, ranked by ADC."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _ivf_centroids_from_parquet(sf_dir)
+    books = _pq_codebooks_from_parquet(sf_dir)
+    dsub = _PQ["dim"] // _PQ["m"]
+    cvals = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    pvals = ", ".join(
+        f"({s}, {ci}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[])"
+        for s, book in enumerate(books) for ci, cent in enumerate(book))
+    d2 = (f"list_sum(list_transform(range(1, {dsub + 1}), "
+          f"j -> ({{v}}[s * {dsub} + j] - pcv[j]) * ({{v}}[s * {dsub} + j] - pcv[j])))")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cents(ci, cv) AS (VALUES {cvals}), "
+        "a AS (SELECT c.vec_id, ci, list_dot_product(c.v, cv) AS d "
+        "FROM c CROSS JOIN cents), "
+        "cell AS (SELECT vec_id, ci AS cell FROM ("
+        "SELECT vec_id, ci, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d DESC, ci) AS rn FROM a) WHERE rn = 1), "
+        f"pqc(s, pci, pcv) AS (VALUES {pvals}), "
+        f"sub AS (SELECT vec_id, s, pci, {d2.format(v='c.v')} AS d2 "
+        "FROM c CROSS JOIN pqc), "
+        "codes AS (SELECT vec_id, s, pci AS code FROM ("
+        "SELECT vec_id, s, pci, row_number() OVER ("
+        "PARTITION BY vec_id, s ORDER BY d2, pci) AS rn FROM sub) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3), "
+        "qa AS (SELECT query_id, ci, list_dot_product(qv, cv) AS d "
+        "FROM q CROSS JOIN cents), "
+        "probe AS (SELECT query_id, ci AS cell FROM ("
+        "SELECT query_id, ci, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY d DESC, ci) AS rn FROM qa) "
+        f"WHERE rn <= {_IVFPQ_NPROBE}), "
+        f"lut AS (SELECT query_id, s, pci, round({d2.format(v='qv')}, 6) AS d2 "
+        "FROM q CROSS JOIN pqc), "
+        "cand AS (SELECT p.query_id, cl.vec_id "
+        "FROM cell cl JOIN probe p ON cl.cell = p.cell "
+        "WHERE cl.vec_id <> p.query_id), "
+        "adcs AS (SELECT cn.query_id, cn.vec_id, round(sum(l.d2), 4) AS adc "
+        "FROM cand cn JOIN codes cd ON cd.vec_id = cn.vec_id "
+        "JOIN lut l ON l.query_id = cn.query_id AND l.s = cd.s "
+        "AND l.pci = cd.code GROUP BY 1, 2), "
+        "r AS (SELECT query_id, vec_id, adc, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc, vec_id) AS INTEGER) AS rank "
+        "FROM adcs) "
         f"SELECT query_id, vec_id, adc, rank FROM r WHERE rank <= {_PQ['k']}")
 
 
@@ -1873,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
         "ivf_topk": _ivf_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
+        "ivf_pq_topk": _ivfpq_oracle_sql(),
         "embedding_near_duplicates": _embedding_near_dup_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),
         "multimodal_frames":

@@ -513,3 +513,95 @@ def pq_topk(
         .select(query_id_col, id_col, "adc",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_rows: int = 2048,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style at-scale serving composition — IVF prunes
+    WHICH vectors a query touches (~nlist/nprobe-fold), PQ shrinks WHAT
+    each touch costs (m table lookups on the code column instead of dim
+    float multiplies on the raw vector).
+
+    Index side is two pure maps over the corpus (cell id + m sub-codes,
+    both broadcastable-literal driven, no shuffle); search side joins
+    the probed (query, cell) pairs against the cell-partitioned code
+    table and folds the per-query LUT. Candidates never materialise raw
+    vectors — at 100 TB the search reads only the code table. Same
+    Partial-WindowGroupLimit top-k shape as every other ANN tier.
+
+    Ranks by ADC distance over RAW-vector codebooks (not residuals —
+    one code table serves both PQ-only and IVF-PQ search; residual
+    encoding would couple codes to cells).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, seed=seed,
+            train_rows=train_rows)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, dim, m=m, ksub=ksub, seed=seed, train_rows=train_rows,
+            id_col=id_col, vec_col=vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    assign_udf = _assign_cells_udf(centroids)
+
+    enc = pq_encode(corpus, codebooks, vec_col, id_col).join(
+        corpus.select(
+            F.col(id_col),
+            assign_udf(F.col(vec_col).cast("array<double>")).alias("__cell")),
+        id_col)
+
+    # probes driver-side (queries are small by contract), LUT via the
+    # same expression tree as pq_topk so the oracle reproduces it
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
+        for cell in order:
+            probe_rows.append((r[0], int(cell)))
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} long, __cell int")
+
+    qv_expr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut = F.array(*[
+        F.array(*[
+            F.round(_sub_d2(qv_expr, s * len(book[0]), cent), 6)
+            for cent in book])
+        for s, book in enumerate(codebooks)])
+    qlut = queries.select(F.col(query_id_col), lut.alias("__lut"))
+
+    scored = (
+        # two broadcast HASH joins (probed cells, then the query's LUT)
+        # — no nested-loop membership test over the code table
+        enc.join(F.broadcast(probes), "__cell")
+        .join(F.broadcast(qlut), query_id_col)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc", F.round(F.aggregate(
+            F.zip_with(F.col("codes"), F.col("__lut"),
+                       lambda c, l: F.element_at(l, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x), 4))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -34,9 +34,9 @@ def test_every_query_has_an_oracle():
     # frequency tables, repetition scores, domain-mix sampling, and
     # product-quantization ANN (ADC), the salted skew-safe join, and
     # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile),
-    # the N-invariant batch point lookup, and the Gopher-rules
-    # composite quality filter
-    assert len(qk) == 79
+    # the N-invariant batch point lookup, the Gopher-rules composite
+    # quality filter, and IVF-PQ composite ANN
+    assert len(qk) == 80
 
 
 def test_entry_smoke(spark):

@@ -595,3 +595,46 @@ class TestQualityFilter:
         plan = quality_filter(docs)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan  # one scan, no shuffle
+
+
+class TestIvfPq:
+    def test_full_probe_equals_pq_only(self, spark, embeddings):
+        """nprobe=nlist disables the IVF pruning layer, so IVF-PQ must
+        rank exactly like plain PQ-ADC on the same codebooks."""
+        from sleeper_spark.functions.similarity import (
+            ivf_pq_topk, pq_topk, train_ivf_centroids, train_pq_codebooks)
+        dim = len(embeddings.first().embedding)
+        cents = train_ivf_centroids(embeddings, 4, train_rows=256)
+        books = train_pq_codebooks(embeddings, dim=dim, m=4, ksub=8,
+                                   train_rows=256)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        want = sorted(tuple(r) for r in
+                      pq_topk(embeddings, queries, books, k=5).collect())
+        got = sorted(tuple(r) for r in ivf_pq_topk(
+            embeddings, queries, dim=dim, k=5, nlist=4, nprobe=4,
+            m=4, ksub=8, centroids=cents, codebooks=books).collect())
+        assert got == want
+
+    def test_partial_probe_subset(self, spark, embeddings):
+        """nprobe < nlist returns a subset of cells' candidates with
+        valid ranks and ascending ADC per query."""
+        from sleeper_spark.functions.similarity import (
+            ivf_pq_topk, train_ivf_centroids, train_pq_codebooks)
+        dim = len(embeddings.first().embedding)
+        cents = train_ivf_centroids(embeddings, 8, train_rows=256)
+        books = train_pq_codebooks(embeddings, dim=dim, m=4, ksub=8,
+                                   train_rows=256)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        rows = ivf_pq_topk(embeddings, queries, dim=dim, k=5, nlist=8,
+                           nprobe=2, m=4, ksub=8, centroids=cents,
+                           codebooks=books).collect()
+        assert rows
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for rs in by_q.values():
+            rs.sort(key=lambda r: r.rank)
+            adcs = [r.adc for r in rs]
+            assert adcs == sorted(adcs)
