@@ -1271,6 +1271,42 @@ def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"))
 
 
+def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join with null-side indicators: customers vs the
+    distinct buyer set — unmatched rows survive from BOTH sides."""
+    c = _load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    buyers = _load(spark, sf, "orders").groupBy(
+        F.col("o_custkey")).agg(F.count(F.lit(1)).alias("n_orders"))
+    out = c.join(buyers, c.c_custkey == buyers.o_custkey, "full_outer")
+    return out.select(
+        "c_custkey", "o_custkey", "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        (F.col("c_custkey").isNull()).cast("int").alias("left_missing"),
+        (F.col("o_custkey").isNull()).cast("int").alias("right_missing"))
+
+
+def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming native session windows (session_window with
+    a 30-min gap) run to completion — per (user, session): event count.
+    The oracle derives identical sessions with the batch gaps-and-
+    islands construction, proving the two formulations agree."""
+    stream = _events_stream(spark, sf).withColumn(
+        "ts", F.timestamp_micros(F.col("ts")))
+    agged = (stream.withWatermark("ts", "1 hour")
+             .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    out = agged.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        "n_events")
+    # complete mode: append would withhold sessions still open at the
+    # final watermark (last-hour sessions never close on a finite file)
+    _run_stream_to_view(out, "q_streaming_session", "complete")
+    return spark.sql(
+        "SELECT user_id, session_start_us, n_events FROM q_streaming_session")
+
+
 def q_ngram_top_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide top-100 bigram frequency table (functions/corpus.py)
     — the C4-style boilerplate-detection scan. One hash agg with
@@ -1447,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_session_window": q_streaming_session_window,
+        "full_outer_join": q_full_outer_join,
     }
 
 
@@ -2173,6 +2211,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
+        "full_outer_join":
+            "WITH b AS (SELECT o_custkey, count(*) AS n_orders "
+            "FROM orders GROUP BY 1) "
+            "SELECT c_custkey, o_custkey, c_mktsegment, "
+            "coalesce(n_orders, 0) AS n_orders, "
+            "CAST(c_custkey IS NULL AS INTEGER) AS left_missing, "
+            "CAST(o_custkey IS NULL AS INTEGER) AS right_missing "
+            "FROM customer FULL OUTER JOIN b ON c_custkey = o_custkey",
+        # batch gaps-and-islands with the SAME break rule as Spark's
+        # session_window: touching windows MERGE (verified empirically —
+        # an event at exactly prev_t + gap continues the session), so
+        # the batch rule is strictly-greater
+        "streaming_session_window":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+            "s AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL "
+            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS st "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+            "g AS (SELECT user_id, t, sum(st) OVER (PARTITION BY user_id "
+            "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+            "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
+            "FROM g GROUP BY user_id, sid",
         "ngram_top_counts":
             "WITH g AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN "
             "list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) "

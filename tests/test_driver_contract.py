@@ -35,8 +35,9 @@ def test_every_query_has_an_oracle():
     # product-quantization ANN (ADC), the salted skew-safe join, and
     # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile),
     # the N-invariant batch point lookup, the Gopher-rules composite
-    # quality filter, and IVF-PQ composite ANN
-    assert len(qk) == 80
+    # quality filter, IVF-PQ composite ANN, native streaming session
+    # windows, and the full outer join
+    assert len(qk) == 82
 
 
 def test_entry_smoke(spark):
