@@ -228,25 +228,39 @@ def quality_filter(
     code, and the same arithmetic runs in any SQL engine for audits.
     """
     c = F.col(text_col)
-    toks = tokens(text_col)
-    n_toks = F.size(toks)
-    n_chars = F.length(c)
-    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
-    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
-    mean_len = (F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-                .cast("double") / F.greatest(n_toks, F.lit(1)))
-    g = ngrams(text_col, 3)
-    total = F.size(g)
-    dup_frac = F.when(
-        total > 0,
-        (total - F.size(F.array_distinct(g))).cast("double") / total
-    ).otherwise(F.lit(0.0))
+    punct_ratio = (
+        F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+        / F.greatest(F.length(c), F.lit(1)))
+
+    # every token-derived signal is built INSIDE one higher-order lambda
+    # whose variable binds the tokenizer output — naming the array in a
+    # projection doesn't survive Catalyst (predicate pushdown re-inlines
+    # project aliases into the filter, re-running regexp_extract_all per
+    # reference; measured 17.8s vs sub-second at sf0.1), but a lambda
+    # variable is evaluated exactly once by construction
+    def keep_given(t):
+        n_toks = F.size(t)
+        mean_len = (F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+                    .cast("double") / F.greatest(n_toks, F.lit(1)))
+        g_total = F.greatest(n_toks - 2, F.lit(0))
+        g_uniq = F.size(F.array_distinct(F.when(
+            n_toks >= 3,
+            F.transform(F.sequence(F.lit(1), n_toks - 2),
+                        lambda i: F.array_join(F.slice(t, i, 3), " ")))
+            .otherwise(F.array().cast("array<string>"))))
+        dup_frac = F.when(
+            g_total > 0, (g_total - g_uniq).cast("double") / g_total
+        ).otherwise(F.lit(0.0))
+        return (
+            (n_toks >= min_tokens)
+            & (n_toks <= max_tokens)
+            & (dup_frac <= max_dup_ngram_frac)
+            & (mean_len >= min_mean_token_len)
+            & (mean_len <= max_mean_token_len)
+        )
+
     keep = (
-        (n_toks >= min_tokens)
-        & (n_toks <= max_tokens)
+        F.element_at(F.transform(F.array(tokens(text_col)), keep_given), 1)
         & (punct_ratio <= max_punct_ratio)
-        & (dup_frac <= max_dup_ngram_frac)
-        & (mean_len >= min_mean_token_len)
-        & (mean_len <= max_mean_token_len)
     )
     return df.where(keep)
