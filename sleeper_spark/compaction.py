@@ -341,9 +341,17 @@ def run_jobs(
     if check_accounting is not None:
         # observed metric from the write above: every input file must have
         # been matched by the file-name decode, or rows were lost — abort
-        # before the reference swap (the written outputs are orphaned and
-        # harmless; nothing references them)
-        check_accounting()
+        # before the reference swap. The just-written outputs are
+        # referenced by nothing and would never enter the GC queue, so
+        # delete them before re-raising (same leak class as zero-row
+        # subrange parts in run_jobs_arrow).
+        try:
+            check_accounting()
+        except Exception:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
 
     # commit: one REPLACE_FILE_REFERENCES per job (docs/design.md:169-199);
     # a subrange-split job commits its ordered sorted range-parts as a

@@ -41,9 +41,17 @@ def bucket_expr(key: Column | str, n_buckets: int = 100,
                 salt: int = 7) -> Column:
     """Portable deterministic bucket in [0, n_buckets): the same formula
     is expressible in any SQL dialect, so oracles and cross-engine
-    pipelines reproduce the exact sample."""
+    pipelines reproduce the exact sample.
+
+    ``pmod`` (not ``%``) so NEGATIVE keys land in [0, n_buckets) too —
+    SQL ``%`` keeps the dividend's sign, and a raw-% bucket would be
+    negative for negative keys, always passing ``bucket < percent``
+    (a "7% sample" keeping 100% of negative-id rows). Positive keys are
+    unaffected, so existing oracles reproduce the identical row set;
+    an ANSI-SQL replica of a signed-key sample needs the same
+    double-mod adjustment (``((expr % n) + n) % n``)."""
     k = F.col(key) if isinstance(key, str) else key
-    return ((k % _P) * 31 + salt) % n_buckets
+    return F.pmod(F.pmod(k, _P) * 31 + salt, n_buckets)
 
 
 def sample_fraction(df: DataFrame, key: str, percent: int,

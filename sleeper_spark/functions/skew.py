@@ -69,9 +69,13 @@ def two_stage_count_distinct(
     across the cluster — and the second is a plain count per key whose
     partial aggregation combines map-side. Equivalent output to
     ``groupBy(keys).agg(countDistinct(col))``, which ships every
-    (key, value) pair of a hot key to a single reducer's hash set."""
+    (key, value) pair of a hot key to a single reducer's hash set.
+
+    ``count(col)`` (not ``count(*)``) over the distinct rows preserves
+    countDistinct's null semantics exactly: NULL is not a value, and a
+    key whose values are all NULL still appears with count 0."""
     return (
         df.select(*keys, col).distinct()
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(out_col))
+        .agg(F.count(F.col(col)).alias(out_col))
     )

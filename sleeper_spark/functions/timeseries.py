@@ -52,6 +52,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     r_payload_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
     l_cols = [c for c in left.columns]
+    clash = sorted(set(l_cols) & set(r_payload_cols))
+    if clash:
+        # the final select would emit two columns per clashing name —
+        # downstream select()/write would fail with AMBIGUOUS_REFERENCE
+        raise ValueError(
+            f"asof_join output would duplicate column name(s) {clash}; "
+            "rename or drop them on one side first")
 
     r = right.select(
         *on,

@@ -169,6 +169,13 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     # stream-through — treat a buffer's last key as the run's last
     # occurrence of that key. So refill withholds each batch's trailing
     # equal-key group and prepends it to the file's next batch.
+    #
+    # ONLY when aggregating: group boundaries exist for group-adjacent
+    # aggregation. Without aggs, a split group merely spreads equal keys
+    # over consecutive chunks (still globally key-sorted — equal keys
+    # have no defined order), and withholding would buffer an entire
+    # run in memory whenever one key value dominates a file.
+    need_group_boundaries = bool(desc.get("aggs"))
     carries: list[pa.Table | None] = [None] * len(readers)
 
     def refill(i) -> None:
@@ -209,7 +216,7 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
                 t = pa.concat_tables([carries[i], t])
                 carries[i] = None
             cols = [t.column(k).combine_chunks() for k in key_names]
-            if readers[i] is not None:
+            if readers[i] is not None and need_group_boundaries:
                 # run continues: withhold the trailing equal-key group
                 last = tuple(c[len(c) - 1].as_py() for c in cols)
                 cnt_lt = _prefix_count(cols, last, False)
@@ -278,7 +285,7 @@ def _sorted_group_starts(chunk: pa.Table, key_names: list[str]) -> np.ndarray:
     return np.flatnonzero(bnd)
 
 
-_MAP_OPS = {"map_sum": "sum", "map_min": "min", "map_max": "max"}
+from sleeper_spark.processing import _MAP_SCALAR_OP as _MAP_OPS  # one op table, both engines
 
 
 def _agg_map_column(col, gid_per_row: np.ndarray, n_groups: int,
@@ -362,11 +369,16 @@ def _aggregate_chunk_sorted(chunk: pa.Table, desc: dict) -> pa.Table:
             out_cols[c] = at.column(f"{c}_{op}")
     for c in concats:
         col = chunk.column(c).combine_chunks()
+        is_str = pa.types.is_string(col.type) \
+            or pa.types.is_large_string(col.type)
+        sep = pa.scalar("" if is_str else b"", type=col.type)
+        # null values are SKIPPED by the Spark engine (collect_list drops
+        # them; an all-null group concats to empty) — binary_join would
+        # instead emit null for any group containing a null, so fill
+        # first to keep the engines bit-identical
+        col = pc.fill_null(col, sep)
         lst = pa.ListArray.from_arrays(
             pa.array(bounds.astype(np.int32), type=pa.int32()), col)
-        sep = pa.scalar("", type=col.type) if pa.types.is_string(col.type) \
-            or pa.types.is_large_string(col.type) \
-            else pa.scalar(b"", type=col.type)
         out_cols[c] = pc.binary_join(lst, sep)
     for c, op in maps:
         out_cols[c] = _agg_map_column(chunk.column(c), gid_per_row, ng, op)

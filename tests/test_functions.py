@@ -638,3 +638,73 @@ class TestIvfPq:
             rs.sort(key=lambda r: r.rank)
             adcs = [r.adc for r in rs]
             assert adcs == sorted(adcs)
+
+
+class TestReviewFixes:
+    def test_concat_sum_skips_nulls_in_chunk_kernel(self):
+        """Table config validation rejects nullable aggregated columns
+        (reference parity), so nulls cannot reach concat-sum through a
+        SleeperTable — but the Arrow chunk kernel is also a library
+        surface, and its null behavior must match the Spark engine's
+        formula (collect_list drops nulls; all-null group -> '')."""
+        import pyarrow as pa
+
+        from sleeper_spark.sorted_scan import _aggregate_chunk_sorted
+
+        chunk = pa.table({
+            "k": [1, 1, 1, 2, 2, 3],
+            "s": ["a", None, "b", None, None, "x"],
+        })
+        out = _aggregate_chunk_sorted(chunk, {
+            "key_names": ["k"], "aggs": [("s", "sum")],
+            "column_order": ["k", "s"]})
+        got = dict(zip(out.column("k").to_pylist(),
+                       out.column("s").to_pylist()))
+        assert got == {1: "ab", 2: "", 3: "x"}
+
+    def test_two_stage_count_distinct_null_semantics(self, spark):
+        from sleeper_spark.functions.skew import two_stage_count_distinct
+        df = spark.createDataFrame(
+            [(1, "a"), (1, None), (2, None)], ["k", "x"])
+        want = {r.k: r.n for r in df.groupBy("k").agg(
+            F.countDistinct("x").alias("n")).collect()}
+        got = {r.k: r.n_distinct for r in
+               two_stage_count_distinct(df, ["k"], "x").collect()}
+        assert got == want == {1: 1, 2: 0}
+
+    def test_bucket_expr_nonnegative_for_negative_keys(self, spark):
+        from sleeper_spark.functions.sampling import bucket_expr, sample_fraction
+        df = spark.createDataFrame(
+            [(i,) for i in range(-500, 500)], ["id"])
+        stats = df.select(bucket_expr("id").alias("b")) \
+            .agg(F.min("b"), F.max("b")).collect()[0]
+        assert stats[0] >= 0 and stats[1] < 100
+        n = sample_fraction(df, "id", 7).count()
+        assert n < 200  # a 7% sample must not keep all 500 negative ids
+
+    def test_asof_join_rejects_colliding_payload_names(self, spark):
+        import pytest as _pytest
+        from sleeper_spark.functions.timeseries import asof_join
+        left = spark.createDataFrame([(1, 10, 1.0)], ["k", "t", "v"])
+        right = spark.createDataFrame([(1, 5, 2.0)], ["k", "t2", "v"])
+        with _pytest.raises(ValueError, match="duplicate column"):
+            asof_join(left, right, ["k"], "t", "t2")
+
+    def test_merge_no_agg_skips_carry(self, tmp_path):
+        """Without aggregation a dominant equal-key run must stream in
+        batch-sized chunks, not accumulate into one giant carry."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sleeper_spark.sorted_scan import _merge_leaf
+
+        p = str(tmp_path / "one.parquet")
+        n = 50_000
+        pq.write_table(pa.table({"k": ["same"] * n,
+                                 "v": list(range(n))}), p)
+        desc = {"files": [p], "key_names": ["k"], "column_order": ["k", "v"],
+                "leaf_ranges": [], "query_regions": [], "filters": [],
+                "aggs": [], "now_millis": 0, "batch_rows": 4096}
+        sizes = [c.num_rows for c in _merge_leaf(desc)]
+        assert sum(sizes) == n
+        assert max(sizes) <= 4096  # no whole-run accumulation

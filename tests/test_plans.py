@@ -79,7 +79,7 @@ def test_sample_fraction_is_pure_filter(spark, entry):
     # the bucket predicate reaches the scan node as a data filter (the
     # only Exchange is _load's small-file repartition, present in every
     # documents query)
-    assert re.search(r"DataFilters: \[[^\]]*% 100\) < 7", plan), plan
+    assert re.search(r"DataFilters: \[[^\]]*,? ?100\) < 7", plan), plan
     assert "Window" not in plan
     assert plan.count("Exchange") <= 1
 
