@@ -424,7 +424,17 @@ def main() -> None:
             timings[name] = -1.0
     noise["spin_ms_after_queries"] = spin_probe_ms()
 
-    # phase 2 (exclusive): lifecycle ingest + compaction, min-of-2
+    # phase 2 (exclusive): lifecycle ingest + compaction, min-of-2.
+    # One untimed warm-up first: the lifecycle path's first run after the
+    # query phase pays JIT + shuffle-service cold costs that inflate this
+    # latency-dominated small shape ~5-10x (measured 1.7s first run vs
+    # 0.3s steady-state for the identical workload) — the same reason the
+    # 50M shape warms its worker pool before timing.
+    bench_lifecycle(spark, os.path.join(os.path.dirname(sf_dir.rstrip("/")),
+                                        "sf0.001")
+                    if os.path.exists(os.path.join(
+                        os.path.dirname(sf_dir.rstrip("/")), "sf0.001"))
+                    else sf_dir)
     ingest_s, compaction_s, n_rows = bench_lifecycle(spark, sf_dir)
     ingest_s2, compaction_s2, _ = bench_lifecycle(spark, sf_dir)
     ingest_s, compaction_s = min(ingest_s, ingest_s2), min(compaction_s, compaction_s2)
