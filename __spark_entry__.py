@@ -1271,6 +1271,26 @@ def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"))
 
 
+def q_grouped_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-valued aggregation: per user, the sorted distinct event types
+    (array_sort makes the collected set deterministic and hashable)."""
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin histogram per event type via width_bucket — the
+    distribution profile a pipeline materialises for monitoring."""
+    ev = _load(spark, sf, "events")
+    return (ev.groupBy(
+        "event_type",
+        F.width_bucket(F.col("value"), F.lit(0.0), F.lit(1000.0), F.lit(20))
+        .cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     """Full outer join with null-side indicators: customers vs the
     distinct buyer set — unmatched rows survive from BOTH sides."""
@@ -1485,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_session_window": q_streaming_session_window,
         "full_outer_join": q_full_outer_join,
+        "grouped_collect": q_grouped_collect,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -2211,6 +2233,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
+        "grouped_collect":
+            "SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, "
+            "count(*) AS n FROM events GROUP BY user_id",
+        # DuckDB has no width_bucket: spell out its definition (0 below
+        # range, num_buckets+1 above, else floor(v/width)+1 — width 50
+        # is an exact double so the division matches Spark bit-for-bit)
+        "value_histogram":
+            "SELECT event_type, "
+            "CAST(CASE WHEN value < 0.0 THEN 0 WHEN value >= 1000.0 THEN 21 "
+            "ELSE CAST(floor(value / 50.0) AS INTEGER) + 1 END AS INTEGER) "
+            "AS bucket, "
+            "count(*) AS n FROM events GROUP BY 1, 2",
         "full_outer_join":
             "WITH b AS (SELECT o_custkey, count(*) AS n_orders "
             "FROM orders GROUP BY 1) "

@@ -36,8 +36,9 @@ def test_every_query_has_an_oracle():
     # the analytics-breadth set (TPC-H Q5/Q18, ROLLUP, lag/lead/ntile),
     # the N-invariant batch point lookup, the Gopher-rules composite
     # quality filter, IVF-PQ composite ANN, native streaming session
-    # windows, and the full outer join
-    assert len(qk) == 82
+    # windows, the full outer join, sorted collect-set aggregation, and
+    # width_bucket histograms
+    assert len(qk) == 84
 
 
 def test_entry_smoke(spark):
