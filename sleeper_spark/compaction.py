@@ -426,24 +426,32 @@ def run_jobs(
 # parallel and the only cross-node traffic is the object-store read/write,
 # exactly like the reference's per-container DataFusion jobs.
 
-def arrow_engine_supported(schema: Schema, props: TableProperties) -> bool:
-    """The Arrow engine covers ageOff + the FULL aggregation algebra:
-    scalar sum/min/max (numeric sum; min/max on any orderable),
+def arrow_algebra_supported(schema: Schema, aggregations: str) -> bool:
+    """Is an aggregation config inside the Arrow kernels' algebra?
+    Scalar sum/min/max (numeric sum; min/max on any orderable),
     string/binary concat-sum, and map_sum/map_min/map_max — the same
     surface as the reference's DataFusion engine (aggregate.rs:70-103,
-    rust/aggregator_udfs/src/map_aggregate.rs:28-40). Only custom
-    iterators (arbitrary DataFrame transforms) need the Spark engine."""
+    rust/aggregator_udfs/src/map_aggregate.rs:28-40)."""
     from pyspark.sql import types as T
 
-    if props.iterators:
-        return False
-    for a in parse_aggregations(props.aggregations):
+    for a in parse_aggregations(aggregations):
         f = schema.field(a.column)
         if isinstance(f.dtype, T.ArrayType):
             return False  # no array-valued aggregation in either engine
         if a.op.startswith("map_") != isinstance(f.dtype, T.MapType):
             return False  # map ops on map columns only, and vice versa
     return True
+
+
+def arrow_engine_supported(schema: Schema, props: TableProperties) -> bool:
+    """The Arrow COMPACTION engine covers ageOff + the full aggregation
+    algebra; only custom iterators (arbitrary DataFrame transforms)
+    force the Spark engine. The zero-shuffle scan has a weaker gate —
+    it applies custom iterators afterwards as DataFrame transforms, so
+    it checks :func:`arrow_algebra_supported` alone."""
+    if props.iterators:
+        return False
+    return arrow_algebra_supported(schema, props.aggregations)
 
 
 def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:

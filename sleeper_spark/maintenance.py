@@ -56,6 +56,10 @@ def split_partitions_if_needed(
         dim, point = found
         left, right = tree.split(leaf.id, dim, point)
         store.split_partition(tree[leaf.id], left, right)
+        # a commit retry may have reloaded the store (rebuilding the
+        # tree object); keep following iterations validating against
+        # the live one
+        tree = store.tree
         split.append(leaf.id)
     return split
 
@@ -88,10 +92,7 @@ def collect_garbage(store: StateStore, props: TableProperties,
     """Delete files with zero references, dereferenced longer ago than the
     delay that protects in-flight queries (O6: docs/design.md:331-343)."""
     now = now if now is not None else time.time()
-    candidates = [
-        fn for fn, t in store.gc_queue.items()
-        if t <= now - props.gc_delay_seconds
-    ]
+    candidates = store.gc_candidates(props.gc_delay_seconds, now=now)
     deleted = []
     for fn in candidates:
         for path in (fn, sidecar_path(fn)):

@@ -121,17 +121,26 @@ class QueryExecutor:
     def execute(self, query: Query, now_millis: int) -> DataFrame:
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
         if not leaf_queries:
-            return self.spark.createDataFrame([], self.schema.to_struct_type())
+            # an EMPTY source still flows through the same
+            # post-processing below: an early return here would hand
+            # back the full table schema, skipping the
+            # requested_value_fields projection and the SQL stage — an
+            # aggregate like "SELECT count(*) AS n" must yield its own
+            # (0-row or 1-row) schema, not the table's
+            df = self.spark.createDataFrame([], self.schema.to_struct_type())
+        else:
+            # one scan over the distinct physical files (module docstring)
+            files = sorted(
+                {f.filename for lq in leaf_queries for f in lq.files})
+            df = self.spark.read.schema(
+                self.schema.to_struct_type()).parquet(*files)
 
-        # one scan over the distinct physical files (see module docstring)
-        files = sorted({f.filename for lq in leaf_queries for f in lq.files})
-        df = self.spark.read.schema(self.schema.to_struct_type()).parquet(*files)
-
-        # predicate: (OR regions) AND (OR selected leaf regions) — both push
-        # to Parquet row groups via Catalyst
-        pred = regions_to_column(query.regions)
-        leaf_guard = regions_to_column([lq.leaf.region for lq in leaf_queries])
-        df = df.where(pred & leaf_guard)
+            # predicate: (OR regions) AND (OR selected leaf regions) —
+            # both push to Parquet row groups via Catalyst
+            pred = regions_to_column(query.regions)
+            leaf_guard = regions_to_column(
+                [lq.leaf.region for lq in leaf_queries])
+            df = df.where(pred & leaf_guard)
 
         # table-time processing always applies (compaction-config iterators)
         df = apply_processing(
@@ -236,44 +245,106 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
                 row = {n: pydict[n][i] for n in col_names}
                 yield row
 
-    pred_regions = query.regions
+    # canonicalise every region ONCE: Range.contains canonicalises per
+    # call (constructing throwaway Range objects), which on a 10M-row
+    # sorted export is hundreds of millions of allocations on the
+    # single-reader driver path
+    def canon(region):
+        return [(rr.field, rr.min, rr.max)
+                for r in region.ranges for rr in (r.canonicalise(),)]
+
+    def in_ranges(row, ranges):
+        for fld, mn, mx in ranges:
+            v = row[fld]
+            if mn is not None and (v is None or v < mn):
+                return False
+            if mx is not None and v is not None and v >= mx:
+                return False
+        return True
+
+    q_regions = [canon(reg) for reg in query.regions]
 
     def row_matches(row):
-        return any(
-            all(r.contains(row[r.field]) for r in region.ranges)
-            for region in pred_regions
-        )
+        return any(in_ranges(row, rs) for rs in q_regions)
 
     agg_ops = {a.column: a.op for a in (aggs or [])}
+    row_key = lambda row: _null_safe_key(row[k] for k in key_names)  # noqa: E731
+
+    def leaf_stream(leaf, leaf_ranges):
+        refs = store.files_for_leaf_query(leaf.id)
+        if not refs:
+            return
+        runs = [file_rows(fn, leaf)
+                for fn in sorted({r.filename for r in refs})]
+        for row in heapq.merge(*runs, key=row_key):
+            # leaf region is the dedup guard for shared ancestor files
+            if not in_ranges(row, leaf_ranges):
+                continue
+            if not row_matches(row):
+                continue
+            ok = True
+            for f in (filters or []):
+                v = row.get(f.column)
+                if v is None or now_millis - v >= f.max_age_millis:
+                    ok = False
+                    break
+            if ok:
+                yield row
 
     def stream():
         leaves = [lf for lf in tree.leaves_overlapping(query.regions)]
         # key order: unbounded-below (min=None) sorts first per dimension
         leaves.sort(key=lambda lf: [
             (0,) if r.min is None else (1, r.min) for r in lf.region.ranges])
+        dim0 = key_names[0]
+        # concatenating disjoint-dim-0 leaves preserves total order, but
+        # a tree split on a later dimension has leaves whose dim-0
+        # ranges OVERLAP — those must heap-merge together or the stream
+        # interleaves out of order. Group consecutive leaves into
+        # overlap components on dim 0 (component = leaves whose dim-0
+        # ranges touch the running max), merge within, concat across.
+        components: list[list] = []
+        cur_hi: tuple | None = None  # (bounded?, value); None = empty
         for leaf in leaves:
-            refs = store.files_for_leaf_query(leaf.id)
-            if not refs:
-                continue
-            runs = [file_rows(fn, leaf)
-                    for fn in sorted({r.filename for r in refs})]
-            merged = heapq.merge(
-                *runs,
-                key=lambda row: _null_safe_key(row[k] for k in key_names))
-            for row in merged:
-                # leaf region is the dedup guard for shared ancestor files
-                if not all(r.contains(row[r.field]) for r in leaf.region.ranges):
-                    continue
-                if not row_matches(row):
-                    continue
-                ok = True
-                for f in (filters or []):
-                    v = row.get(f.column)
-                    if v is None or now_millis - v >= f.max_age_millis:
-                        ok = False
-                        break
-                if ok:
-                    yield row
+            ranges = canon(leaf.region)
+            lo = next((mn for f, mn, mx in ranges if f == dim0), None)
+            hi = next((mx for f, mn, mx in ranges if f == dim0), None)
+            # new component iff the previous one is bounded above and
+            # this leaf starts at or past that bound (ranges are
+            # [min, max), so lo == prev hi means disjoint-adjacent)
+            if not components or (cur_hi is not None and cur_hi[0]
+                                  and lo is not None and lo >= cur_hi[1]):
+                components.append([(leaf, ranges)])
+                cur_hi = (hi is not None, hi)
+            else:
+                components[-1].append((leaf, ranges))
+                if cur_hi is not None and cur_hi[0]:
+                    cur_hi = (hi is not None,
+                              hi if hi is None or hi > cur_hi[1]
+                              else cur_hi[1])
+        for comp in components:
+            if len(comp) == 1:
+                yield from leaf_stream(*comp[0])
+            else:
+                yield from heapq.merge(
+                    *(leaf_stream(lf, rs) for lf, rs in comp), key=row_key)
+
+    # query-time processing — the same post-aggregation pipeline order as
+    # QueryExecutor.execute (table customs -> query-time filters ->
+    # query-time customs -> projection); the iterator path previously
+    # ignored these Query fields, leaking rows every other read path drops
+    from sleeper_spark.iterators import (
+        parse_filters as _pf,
+        parse_row_iterators as _pri,
+    )
+
+    qt_filters = _pf(query.query_time_filters)
+    qt_iters = _pri(query.query_time_iterators, schema)
+    proj_cols = None
+    if query.requested_value_fields is not None:
+        wanted = set(query.requested_value_fields)
+        proj_cols = list(key_names) + [
+            f.name for f in schema.value_fields if f.name in wanted]
 
     def apply_row_iterators(row):
         # custom chain runs AFTER filters + aggregation, matching the
@@ -288,8 +359,25 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
     def emit(rows):
         for row in rows:
             row = apply_row_iterators(row)
-            if row is not None:
-                yield row
+            if row is None:
+                continue
+            ok = True
+            for f in qt_filters:
+                v = row.get(f.column)
+                if v is None or now_millis - v >= f.max_age_millis:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            for fn in qt_iters:
+                row = fn(row)
+                if row is None:
+                    break
+            if row is None:
+                continue
+            if proj_cols is not None:
+                row = {n: row[n] for n in proj_cols}
+            yield row
 
     if not agg_ops:
         yield from emit(stream())

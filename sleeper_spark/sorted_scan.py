@@ -419,7 +419,12 @@ def distributed_sorted_scan(table, query: Query | None = None,
         parse_filters,
     )
 
-    if not compaction_mod.arrow_engine_supported(table.schema, table.props) \
+    # algebra-only gate: custom iterators are fine here (applied below
+    # as order-preserving DataFrame transforms) — gating on the stricter
+    # compaction-engine check used to force the full-shuffle fallback
+    # for any iterators+aggregations table
+    if not compaction_mod.arrow_algebra_supported(
+            table.schema, table.props.aggregations) \
             and parse_aggregations(table.props.aggregations):
         raise ValueError(
             "distributed_sorted_scan needs an Arrow-expressible processing "

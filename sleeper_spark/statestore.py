@@ -29,7 +29,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+import uuid
 from dataclasses import dataclass, replace
 from typing import Any, Iterable
 
@@ -37,6 +39,10 @@ from sleeper_spark.partitions import Partition, PartitionTree
 from sleeper_spark.schema import Schema
 
 SNAPSHOT_EVERY = 100
+
+#: a completed log/snapshot artifact: 12-digit sequence + .json — tmp
+#: files from crashed writers never match
+_COMPLETED_NAME = re.compile(r"^\d{12}\.json$")
 
 
 @dataclass(frozen=True)
@@ -115,13 +121,21 @@ class StateStore:
         self.files = {}
         self.gc_queue = {}
         self._seq = 0
-        snaps = sorted(os.listdir(self.snap_dir)) if os.path.isdir(self.snap_dir) else []
+        # only completed artifacts: a crash inside a writer can leave
+        # .tmp-* files (snapshot or transaction) that are truncated JSON —
+        # they must never be read (or lexicographically win) at load
+        snaps = sorted(
+            n for n in (os.listdir(self.snap_dir)
+                        if os.path.isdir(self.snap_dir) else [])
+            if _COMPLETED_NAME.match(n))
         if snaps:
             with open(os.path.join(self.snap_dir, snaps[-1])) as f:
                 snap = json.load(f)
             self._restore_snapshot(snap)
             self._seq = snap["seq"]
         for name in sorted(os.listdir(self.tx_dir)):
+            if not _COMPLETED_NAME.match(name):
+                continue
             seq = int(name.split(".")[0])
             if seq <= self._seq:
                 continue
@@ -142,8 +156,11 @@ class StateStore:
         the next sequence number, and on losing the race reload and
         retry. Mirrors the reference's transaction-log update loop."""
         for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            tx = build()
+            if tx is None:
+                return  # nothing left to do after re-validation
             try:
-                self._commit(build())
+                self._commit(tx)
                 return
             except TransactionConflict:
                 self._load()
@@ -151,16 +168,34 @@ class StateStore:
             f"gave up after {self.MAX_COMMIT_ATTEMPTS} attempts")
 
     def _commit(self, tx: dict[str, Any]) -> None:
-        """Atomic append at seq+1 via exclusive create; use
-        :meth:`_commit_with_retry` for automatic conflict handling."""
+        """Atomic append at seq+1; use :meth:`_commit_with_retry` for
+        automatic conflict handling.
+
+        Two-phase for crash safety: the payload is fully written (and
+        flushed) to a private ``.tmp-`` file first, then ``os.link``
+        claims the sequence-numbered name — link is atomic, fails with
+        FileExistsError when another writer took the seq, and the final
+        name only ever points at COMPLETE content. The old direct
+        O_EXCL-create-then-write left a truncated JSON at the final name
+        if the process died mid-dump, which poisoned every subsequent
+        load AND deadlocked all writers on that seq forever."""
         seq = self._seq + 1
         path = os.path.join(self.tx_dir, f"{seq:012d}.json")
+        tmp = os.path.join(
+            self.tx_dir, f".tmp-{seq:012d}-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as f:
+            json.dump(tx, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError as e:
             raise TransactionConflict(f"transaction {seq} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(tx, f)
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         self._apply(tx)
         self._seq = seq
         if seq % SNAPSHOT_EVERY == 0:
@@ -375,16 +410,49 @@ class StateStore:
         self._commit({"type": "CLEAR_PARTITIONS"})
 
     def split_partition(self, parent: Partition, left: Partition, right: Partition) -> None:
-        self._commit({
-            "type": "SPLIT_PARTITION",
-            "parent": parent.to_json(),
-            "left": left.to_json(),
-            "right": right.to_json(),
-        })
+        def build() -> dict[str, Any] | None:
+            # revalidate on every retry: losing the seq race reloads the
+            # store (rebuilding the tree from the log, which discards any
+            # caller-side tree.split mutation), and another writer may
+            # have split this partition first. A bare _commit raising
+            # conflict would leave the caller's mutated tree diverged
+            # from the log — phantom leaves that ingest could then
+            # reference in ADD_FILES no other reader understands.
+            assert self.tree is not None
+            if parent.id not in self.tree:
+                return None  # superseded (parent gone from the tree)
+            cur = self.tree[parent.id]
+            if not cur.is_leaf and cur.child_ids != (left.id, right.id):
+                return None  # another writer split it differently
+            # still a leaf (post-reload state) or carrying exactly our
+            # children (the caller's own tree.split mutation): commit
+            return {
+                "type": "SPLIT_PARTITION",
+                "parent": parent.to_json(),
+                "left": left.to_json(),
+                "right": right.to_json(),
+            }
+
+        self._commit_with_retry(build)
 
     def split_file_references(self, moves: list[dict[str, Any]]) -> None:
-        self._commit_with_retry(
-            lambda: {"type": "SPLIT_FILE_REFERENCES", "moves": moves})
+        def build() -> dict[str, Any]:
+            # re-validate against CURRENT state on every retry: a losing
+            # race reloads, and another writer may have removed the ref
+            # (compaction REPLACE, or its own split). Committing the
+            # stale move would write a transaction whose replay raises
+            # KeyError — permanently poisoning the log for every reader.
+            still_valid = []
+            for mv in moves:
+                ref = self.files.get(mv["filename"], {}).get(mv["fromPartition"])
+                if ref is None or ref.job_id is not None:
+                    continue  # moved/compacted/claimed meanwhile: skip it
+                still_valid.append(mv)
+            if not still_valid:
+                return None  # benign: every ref was handled meanwhile
+            return {"type": "SPLIT_FILE_REFERENCES", "moves": still_valid}
+
+        self._commit_with_retry(build)
 
     def assign_job_ids(self, job_id: str, refs: list[FileReference]) -> None:
         self.assign_job_ids_batch([(job_id, refs)])
@@ -477,10 +545,13 @@ class StateStore:
             out.extend(self.references_for_partition(pid))
         return out
 
-    def gc_candidates(self, min_age_seconds: float = 600.0) -> list[str]:
+    def gc_candidates(self, min_age_seconds: float = 600.0,
+                      now: float | None = None) -> list[str]:
         """Files with zero references, dereferenced > N seconds ago
-        (docs/design.md:331-343; default 10 min protects in-flight queries)."""
-        cutoff = time.time() - min_age_seconds
+        (docs/design.md:331-343; default 10 min protects in-flight
+        queries). The single source of the GC-eligibility rule —
+        maintenance.collect_garbage delegates here."""
+        cutoff = (now if now is not None else time.time()) - min_age_seconds
         return [fn for fn, t in self.gc_queue.items() if t <= cutoff]
 
     def reload(self) -> None:

@@ -13,6 +13,8 @@ from sleeper_spark.iterators import (
 from sleeper_spark.partitions import PartitionTree, sorted_leaves_dim0
 from sleeper_spark.ranges import Range, Region
 from sleeper_spark.schema import Field, Schema
+import os
+
 from sleeper_spark.statestore import FileReference, StateStore
 
 
@@ -544,3 +546,78 @@ class TestQueryMetadataCache:
         per_query = (_t.perf_counter() - t0) / 50
         assert len(out) == 1
         assert per_query < 0.010, f"warm planning {per_query*1000:.2f}ms"
+
+
+class TestStateStoreCrashSafety:
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def test_load_ignores_truncated_tmp_artifacts(self, tmp_path):
+        """A crash mid-write leaves .tmp-* files (transaction or
+        snapshot) with partial JSON; load must never read them."""
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        st.add_files([FileReference("/f1", "root", 10)])
+        # simulate crashed writers
+        open(os.path.join(st.tx_dir, ".tmp-000000000099-dead.json"),
+             "w").write('{"type": "ADD')
+        open(os.path.join(st.snap_dir, ".tmp-000000000100.json"),
+             "w").write('{"seq"')
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        assert len(st2.all_references()) == 1
+
+    def test_commit_conflict_leaves_no_tmp(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        # occupy the next sequence slot to force a conflict
+        nxt = os.path.join(st.tx_dir, f"{st._seq + 1:012d}.json")
+        open(nxt, "w").write('{"type": "ADD_FILES", "files": []}')
+        import pytest as _pytest
+        from sleeper_spark.statestore import TransactionConflict
+        with _pytest.raises(TransactionConflict):
+            st._commit({"type": "ADD_FILES", "files": []})
+        leftovers = [n for n in os.listdir(st.tx_dir) if n.startswith(".tmp")]
+        assert leftovers == []
+
+    def test_split_file_references_stale_retry_skips_vanished_ref(self, tmp_path):
+        """Writer A plans a ref move; writer B compacts the ref away; A's
+        commit must re-validate and skip — never write a transaction
+        whose replay raises (which would poison the log forever)."""
+        s = self.schema()
+        a = StateStore(str(tmp_path / "ss"), s)
+        a.initialise_partitions(PartitionTree.initial(s, [100]))
+        root = a.tree.root_id
+        ref = FileReference("/f1", root, 10,
+                            only_contains_data_for_this_partition=False)
+        a.add_files([ref])
+        kids = list(a.tree[root].child_ids)
+        moves = [{"filename": "/f1", "fromPartition": root,
+                  "toPartitions": kids}]
+        # writer B replaces the ref (e.g. a compaction pulled it down)
+        b = StateStore(str(tmp_path / "ss"), s)
+        b.replace_file_references(root, ["/f1"],
+                                  FileReference("/out", root, 10))
+        # A's commit loses the seq race, reloads, revalidates -> no-op
+        a.split_file_references(moves)
+        # the log must still replay cleanly in a fresh process
+        c = StateStore(str(tmp_path / "ss"), s)
+        assert {r.filename for r in c.all_references()} == {"/out"}
+
+    def test_split_partition_conflict_retries_consistently(self, tmp_path):
+        s = self.schema()
+        a = StateStore(str(tmp_path / "ss"), s)
+        a.initialise_partitions(PartitionTree.initial(s))
+        # writer B advances the log under A's feet
+        b = StateStore(str(tmp_path / "ss"), s)
+        b.add_files([FileReference("/f1", "root", 10)])
+        # A splits: first commit attempt conflicts, retry must reload,
+        # revalidate, and commit; tree state must match a fresh load
+        left, right = a.tree.split(a.tree.root_id, 0, 50)
+        a.split_partition(a.tree[a.tree.root_id], left, right)
+        fresh = StateStore(str(tmp_path / "ss"), s)
+        assert len(fresh.tree.leaves()) == 2
+        assert {p.id for p in fresh.tree.leaves()} == {left.id, right.id}
+        assert len(fresh.all_references()) == 1

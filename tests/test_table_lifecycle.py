@@ -450,3 +450,77 @@ def test_batch_exact_key_query(spark, tmp_path):
     plan = t.batch_exact_key_query(keys) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+class TestQueryPathReviewFixes:
+    def test_empty_plan_respects_sql_and_projection(self, spark, tmp_path):
+        """A query matching no files must flow through the same SQL
+        stage / projection as the non-empty path — schema first."""
+        t = SleeperTable.create(spark, str(tmp_path / "t"), numbered_schema(),
+                                split_points=["row-%019d" % 50])
+        t.ingest(numbered_rows(spark))
+        empty_region = [Region.of(Range("key", "zzz", "zzzz"))]
+        out = t.query(Query(empty_region,
+                            sql="SELECT count(*) AS n FROM query_results"))
+        assert out.columns == ["n"]
+        assert out.collect()[0].n == 0
+        proj = t.query(Query(empty_region, requested_value_fields=[]))
+        assert proj.columns == ["key", "timestamp"]
+        assert proj.count() == 0
+
+    def test_sorted_rows_applies_query_time_processing(self, spark, tmp_path):
+        """sorted_rows must honor query_time_filters and
+        requested_value_fields like every other read path."""
+        t = SleeperTable.create(spark, str(tmp_path / "t"), numbered_schema())
+        t.ingest(numbered_rows(spark))
+        q = Query([Region.of(Range("key", None, None))],
+                  query_time_filters="ageOff(timestamp, 50)",
+                  requested_value_fields=[])
+        rows = list(t.sorted_rows(q, now_millis=100))
+        # ageOff keeps timestamp in (now-50, now] -> ids 51..99
+        assert len(rows) == 49
+        assert all(set(r) == {"key", "timestamp"} for r in rows)
+        assert [r["timestamp"] for r in rows] == list(range(51, 100))
+
+    def test_sorted_rows_total_order_on_multidim_tree(self, spark, tmp_path):
+        """A tree split on dimension 1 has leaves with overlapping dim-0
+        ranges: their streams must heap-merge, not concatenate."""
+        schema = Schema((Field("a", T.LongType()), Field("b", T.LongType())),
+                        (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        tree = t.store.tree
+        root = tree.root_id
+        l0, r0 = tree.split(root, 0, 50)
+        t.store.split_partition(tree[root], l0, r0)
+        l1, r1 = tree.split(l0.id, 1, 10)
+        t.store.split_partition(tree[l0.id], l1, r1)
+        df = spark.range(100).selectExpr(
+            "id AS a", "id % 20 AS b", "id * 2 AS v")
+        t.ingest(df)
+        rows = [(r["a"], r["b"]) for r in t.sorted_rows()]
+        assert rows == sorted(rows)
+        assert len(rows) == 100
+
+    def test_bulk_export_zero_shuffle_with_iterators_and_aggs(self, spark, tmp_path):
+        """Custom iterators + Arrow-algebra aggregations must take the
+        zero-shuffle export path (iterators apply as DataFrame
+        transforms after the scan)."""
+        from sleeper_spark.sorted_scan import distributed_sorted_scan
+
+        schema = Schema((Field("id", T.StringType()),), (),
+                        (Field("count", T.LongType()),
+                         Field("a", T.LongType()),
+                         Field("b", T.LongType()),
+                         Field("total", T.LongType())))
+        props = TableProperties(
+            aggregations="sum(count), max(a), max(b), max(total)",
+            iterators="addition(total,a,b)")
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema, props)
+        df = spark.createDataFrame(
+            [("x", 1, 2, 3, 0), ("x", 2, 2, 3, 0), ("y", 5, 1, 1, 0)],
+            schema.to_struct_type())
+        t.ingest(df)
+        out = distributed_sorted_scan(t)  # must NOT raise
+        got = {r["id"]: (r["count"], r["total"]) for r in out.collect()}
+        assert got == {"x": (3, 5), "y": (5, 2)}
