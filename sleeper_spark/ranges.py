@@ -52,6 +52,8 @@ class Range:
         Integer types use value+1; strings append '\\0'; bytes append 0x00.
         Exclusive minimums are likewise promoted to inclusive successors.
         """
+        if self.min_inclusive and not self.max_inclusive:
+            return self  # already canonical (the overwhelmingly common case)
         r = self
         if not r.min_inclusive and r.min is not None:
             r = Range(r.field, _successor(r.min), r.max, True, r.max_inclusive)
