@@ -323,7 +323,12 @@ def connected_components(
         # (every partition is computed and cached) and returns the
         # changed count — no separate convergence-check action
         changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        prev = labels
         labels = new_labels.drop("__chg")
+        # the new checkpoint is materialised; drop the previous round's
+        # cached blocks so a deep graph doesn't pin O(rounds) label
+        # tables in executor storage (no-op on the un-cached round-0 df)
+        prev.unpersist()
         if changed == 0:
             break
     if changed:
@@ -489,7 +494,10 @@ def simhash_near_duplicates(
             F.struct(
                 F.lit(b).alias("block"),
                 F.shiftrightunsigned(F.col("__fp"), b * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
+                 # signed-64 mask: (1<<64)-1 does not fit a Java long
+                 # (max_hamming=0 -> one 64-bit block); -1 is all-ones
+                 .bitwiseAND(F.lit(-1 if width >= 64 else (1 << width) - 1))
+                 .alias("bval"),
             )
             for b in range(nblocks)
         ])).alias("bb"),

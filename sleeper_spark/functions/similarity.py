@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -86,6 +87,17 @@ def _with_norm(df: DataFrame, vec_alias: str, norm_alias: str) -> DataFrame:
     return df.withColumn(norm_alias, l2_norm(F.col(vec_alias)))
 
 
+def _exclude_self(scored: DataFrame, id_col: str,
+                  query_id_col: str) -> DataFrame:
+    """Drop the query's own corpus row — only meaningful (and only
+    type-safe under ANSI) when the two id columns share a type; string
+    query ids against long corpus ids would crash the != cast."""
+    types = dict(scored.dtypes)
+    if types[id_col] == types[query_id_col]:
+        return scored.where(F.col(id_col) != F.col(query_id_col))
+    return scored
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,9 +119,9 @@ def brute_force_topk(
     ), "__cvec", "__cnorm")
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", _paired_cosine())
     )
+    scored = _exclude_self(scored, id_col, query_id_col)
     return _pruned_topk(scored, k, id_col, query_id_col)
 
 
@@ -127,6 +139,14 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _probe_cells(qv: np.ndarray, cents: np.ndarray, nprobe: int) -> list[int]:
+    """The nprobe nearest cells by RAW dot product — the same formula as
+    _assign_cells_udf and the SQL oracle. Stable argsort: equal dots
+    break toward the lower cell id, the (dot DESC, cell ASC) rank rule."""
+    order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
+    return [int(c) for c in order]
+
+
 def _assign_cells_udf(centroids):
     """Vectorized nearest-centroid assignment: one numpy matmul per Arrow
     batch against the broadcast (nlist x dim) centroid matrix — the IVF
@@ -134,14 +154,19 @@ def _assign_cells_udf(centroids):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
+    # RAW dot products, exactly like the query-side probe and the SQL
+    # oracle (list_dot_product(v, cv)): normalizing only the centroids
+    # here would make assignment and probe disagree whenever supplied
+    # centroids are not unit-norm (kmeans_spherical's are; pre-trained
+    # ones from elsewhere need not be), silently collapsing recall.
+    # Per-vector normalization is argmax-invariant (positive row scale)
+    # and is skipped for the same consistency.
     C = np.asarray(centroids, dtype=np.float64)          # (nlist, dim)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     @pandas_udf(IntegerType())
     def _udf(vecs: pd.Series) -> pd.Series:
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ Cn.T).argmax(axis=1).astype(np.int32))
+        return pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
 
     return _udf
 
@@ -238,24 +263,25 @@ def ivf_topk(
     # queries probe their nprobe nearest cells (driver-side: queries are
     # small by contract, same as the broadcast in brute_force_topk)
     qrows = queries.select(query_id_col, vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        # stable sort: equal dots break toward the lower cell id, the
-        # same tie rule a SQL (dot DESC, cell ASC) rank applies
-        order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
-        for cell in order:
-            probe_rows.append((r[0], int(cell), [float(x) for x in r[1]]))
+    probe_rows = [
+        (r[0], cell, [float(x) for x in r[1]])
+        for r in qrows
+        for cell in _probe_cells(np.asarray(r[1], dtype=np.float64),
+                                 cents, nprobe)
+    ]
+    qid_t = queries.schema[query_id_col].dataType
     q = _with_norm(corpus.sparkSession.createDataFrame(
-        probe_rows, f"{query_id_col} long, __cell int, __qvec array<double>"),
-        "__qvec", "__qnorm")
+        probe_rows, T.StructType([
+            T.StructField(query_id_col, qid_t),
+            T.StructField("__cell", T.IntegerType()),
+            T.StructField("__qvec", T.ArrayType(T.DoubleType())),
+        ])), "__qvec", "__qnorm")
 
     scored = (
         c.join(F.broadcast(q), "__cell")
-        .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", _paired_cosine())
     )
+    scored = _exclude_self(scored, id_col, query_id_col)
     return _pruned_topk(scored, k, id_col, query_id_col)
 
 
@@ -336,9 +362,9 @@ def lsh_topk(
         "__bucket", lsh_bucket(F.col("__qvec"), planes))
     scored = (
         c.join(F.broadcast(q), "__bucket")
-        .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", _paired_cosine())
     )
+    scored = _exclude_self(scored, id_col, query_id_col)
     return _pruned_topk(scored, k, id_col, query_id_col)
 
 
@@ -471,6 +497,38 @@ def pq_encode(
     return df.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
+def _query_lut_expr(codebooks, vec_col: str) -> Column:
+    """Per-query (m x ksub) squared-distance lookup table as one nested
+    array expression; entries round to 6 decimals on BOTH engines so the
+    m-term ADC sum is order-insensitive at the emitted 4 decimals."""
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.array(*[
+        F.array(*[
+            F.round(_sub_d2(qv, s * len(book[0]), cent), 6)
+            for cent in book])
+        for s, book in enumerate(codebooks)])
+
+
+def _adc_rank_topk(scored: DataFrame, k: int, id_col: str,
+                   query_id_col: str) -> DataFrame:
+    """ADC fold over (codes, __lut) + per-query ascending-distance
+    top-k (Partial WindowGroupLimit shape; ties to the lower id) —
+    shared by pq_topk and ivf_pq_topk so the scoring contract cannot
+    drift between tiers."""
+    scored = scored.withColumn("adc", F.round(F.aggregate(
+        F.zip_with(F.col("codes"), F.col("__lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 4))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -490,29 +548,11 @@ def pq_topk(
     m-term sum is order-insensitive at the emitted 4-decimal precision.
     """
     enc = pq_encode(corpus, codebooks, vec_col, id_col)
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    lut = F.array(*[
-        F.array(*[
-            F.round(_sub_d2(qv, s * len(book[0]), cent), 6)
-            for cent in book])
-        for s, book in enumerate(codebooks)])
-    q = queries.select(F.col(query_id_col), lut.alias("__lut"))
-    scored = (
-        enc.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("adc", F.round(F.aggregate(
-            F.zip_with(F.col("codes"), F.col("__lut"),
-                       lambda c, l: F.element_at(l, c + 1)),
-            F.lit(0.0), lambda acc, x: acc + x), 4))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc").asc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc",
-                F.col("rank").cast("int").alias("rank"))
-    )
+    q = queries.select(F.col(query_id_col),
+                       _query_lut_expr(codebooks, vec_col).alias("__lut"))
+    scored = _exclude_self(enc.crossJoin(F.broadcast(q)),
+                           id_col, query_id_col)
+    return _adc_rank_topk(scored, k, id_col, query_id_col)
 
 
 def ivf_pq_topk(
@@ -548,6 +588,24 @@ def ivf_pq_topk(
     one code table serves both PQ-only and IVF-PQ search; residual
     encoding would couple codes to cells).
     """
+    if centroids is None and codebooks is None:
+        # ONE bounded sample collect trains BOTH layers (the separate
+        # trainers would each run their own TakeOrderedAndProject over
+        # the corpus for the identical lowest-id sample)
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col)).limit(train_rows).collect()
+        )
+        rows.sort(key=lambda r: r[0])
+        X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        centroids = [[float(x) for x in c]
+                     for c in kmeans_spherical(X, nlist, seed)]
+        dsub = dim // m
+        codebooks = [
+            [[float(x) for x in c] for c in kmeans_l2(
+                X[:, sub * dsub:(sub + 1) * dsub], ksub, seed + sub)]
+            for sub in range(m)
+        ]
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, nlist, id_col=id_col, vec_col=vec_col, seed=seed,
@@ -568,40 +626,26 @@ def ivf_pq_topk(
     # probes driver-side (queries are small by contract), LUT via the
     # same expression tree as pq_topk so the oracle reproduces it
     qrows = queries.select(query_id_col, vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(cents @ qv), kind="stable")[:nprobe]
-        for cell in order:
-            probe_rows.append((r[0], int(cell)))
+    probe_rows = [
+        (r[0], cell)
+        for r in qrows
+        for cell in _probe_cells(np.asarray(r[1], dtype=np.float64),
+                                 cents, nprobe)
+    ]
     probes = corpus.sparkSession.createDataFrame(
-        probe_rows, f"{query_id_col} long, __cell int")
+        probe_rows, T.StructType([
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("__cell", T.IntegerType()),
+        ]))
 
-    qv_expr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    lut = F.array(*[
-        F.array(*[
-            F.round(_sub_d2(qv_expr, s * len(book[0]), cent), 6)
-            for cent in book])
-        for s, book in enumerate(codebooks)])
-    qlut = queries.select(F.col(query_id_col), lut.alias("__lut"))
+    qlut = queries.select(F.col(query_id_col),
+                          _query_lut_expr(codebooks, vec_col).alias("__lut"))
 
     scored = (
         # two broadcast HASH joins (probed cells, then the query's LUT)
         # — no nested-loop membership test over the code table
         enc.join(F.broadcast(probes), "__cell")
         .join(F.broadcast(qlut), query_id_col)
-        .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("adc", F.round(F.aggregate(
-            F.zip_with(F.col("codes"), F.col("__lut"),
-                       lambda c, l: F.element_at(l, c + 1)),
-            F.lit(0.0), lambda acc, x: acc + x), 4))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc").asc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc",
-                F.col("rank").cast("int").alias("rank"))
-    )
+    scored = _exclude_self(scored, id_col, query_id_col)
+    return _adc_rank_topk(scored, k, id_col, query_id_col)

@@ -50,6 +50,12 @@ def _parse_calls(config: str) -> list[tuple[str, list[str]]]:
             if s[pos] != ",":
                 raise ValueError(f"expected ',' between calls at {s[pos:]!r}")
             pos += 1
+            if pos >= len(s.rstrip()) or not s[pos:].strip():
+                # a trailing comma usually means a templating bug dropped
+                # the final call — surface it as a parse error here, not
+                # as a confusing downstream validation message
+                raise ValueError(
+                    f"trailing ',' with no call after it in {s!r}")
     return out
 
 
@@ -111,6 +117,25 @@ def validate_aggregations(schema: Schema, aggs: list[Aggregation]) -> None:
         f = schema.field(a.column)  # KeyError if unknown
         if f.nullable:
             raise ValueError(f"cannot aggregate nullable column {a.column!r}")
+        # op/type compatibility at CONFIG time, like the reference —
+        # previously only the Arrow engine-selection gate checked this,
+        # so the Spark path accepted configs that crash deep in the
+        # engine at compaction time (map_sum on a long column, min on a
+        # map, any aggregation on an array)
+        from pyspark.sql import types as T
+
+        if isinstance(f.dtype, T.ArrayType):
+            raise ValueError(
+                f"cannot aggregate array column {a.column!r}")
+        is_map = isinstance(f.dtype, T.MapType)
+        if a.op.startswith("map_") and not is_map:
+            raise ValueError(
+                f"{a.op} requires a map column, but {a.column!r} "
+                f"is {f.dtype.simpleString()}")
+        if not a.op.startswith("map_") and is_map:
+            raise ValueError(
+                f"map column {a.column!r} needs a map_* aggregation, "
+                f"not {a.op}")
         seen.add(a.column)
     missing = [v for v in schema.value_names if v not in seen]
     if missing:

@@ -93,8 +93,13 @@ def _merge_maps_exploded(df: DataFrame, group: list[str], col_name: str,
     """
     scalar_op = _MAP_SCALAR_OP[op]
     ex = df.select(*group, F.explode_outer(F.col(col_name)).alias("__mk", "__mv"))
+    # map values follow the SAME per-type sum semantics as scalar columns
+    # (AggregationOp.java:25-47 applies to map values too): string/binary
+    # sum is concatenation — F.sum would crash under ANSI (CAST_INVALID_
+    # INPUT) or silently null the value otherwise
     per_key = ex.groupBy(*group, "__mk").agg(
-        getattr(F, scalar_op)("__mv").cast(value_type).alias("__mv"))
+        _scalar_agg("__mv", scalar_op,
+                    value_type).cast(value_type).alias("__mv"))
     entries = F.array_sort(F.collect_list(
         F.when(F.col("__mk").isNotNull(),
                F.struct(F.col("__mk").alias("key"), F.col("__mv").alias("value")))))

@@ -303,12 +303,34 @@ def _agg_map_column(col, gid_per_row: np.ndarray, n_groups: int,
     eitems = m.items.slice(base, total - base)
     egid = np.repeat(gid_per_row, np.diff(off))
     et = pa.table({"__g": egid, "__k": ekeys, "__v": eitems})
-    at = (et.group_by(["__g", "__k"])
-          .aggregate([("__v", op)])
-          .sort_by([("__g", "ascending"), ("__k", "ascending")]))
+    item_t = m.type.item_type
+    concat_items = op == "sum" and (
+        pa.types.is_string(item_t) or pa.types.is_large_string(item_t)
+        or pa.types.is_binary(item_t) or pa.types.is_large_binary(item_t))
+    if concat_items:
+        # string/binary map values SUM by concatenation, same per-type
+        # rule as scalar columns (AggregationOp.java:25-47) and the
+        # Spark engine's _merge_maps_exploded dispatch
+        at = (et.group_by(["__g", "__k"])
+              .aggregate([("__v", "list")])
+              .sort_by([("__g", "ascending"), ("__k", "ascending")]))
+        sep = pa.scalar(
+            "" if pa.types.is_string(item_t)
+            or pa.types.is_large_string(item_t) else b"", type=item_t)
+        lst = at.column("__v_list").combine_chunks()
+        # null values concat as empty, matching the Spark engine's
+        # collect_list-drops-nulls behavior
+        lst = pa.ListArray.from_arrays(
+            lst.offsets, pc.fill_null(lst.values, sep))
+        agg_vals = pc.binary_join(lst, sep)
+    else:
+        at = (et.group_by(["__g", "__k"])
+              .aggregate([("__v", op)])
+              .sort_by([("__g", "ascending"), ("__k", "ascending")]))
+        agg_vals = at.column(f"__v_{op}").combine_chunks()
     counts = np.bincount(at.column("__g").to_numpy(), minlength=n_groups)
     moff = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-    items = pc.cast(at.column(f"__v_{op}").combine_chunks(), m.type.item_type)
+    items = pc.cast(agg_vals, m.type.item_type)
     return pa.MapArray.from_arrays(
         pa.array(moff, type=pa.int32()),
         at.column("__k").combine_chunks(), items)

@@ -708,3 +708,99 @@ class TestReviewFixes:
         sizes = [c.num_rows for c in _merge_leaf(desc)]
         assert sum(sizes) == n
         assert max(sizes) <= 4096  # no whole-run accumulation
+
+
+class TestSecondReviewFixes:
+    def test_map_sum_string_values_concatenate(self, spark, tmp_path):
+        """map_sum on a map<string,string> column concatenates values
+        per key — the same per-type sum rule as scalar columns — on
+        BOTH engines (F.sum would crash under ANSI)."""
+        from pyspark.sql import types as T
+
+        from sleeper_spark import Field, Schema, SleeperTable
+        from sleeper_spark.properties import TableProperties
+
+        schema = Schema(
+            (Field("k", T.LongType()),), (),
+            (Field("m", T.MapType(T.StringType(), T.StringType())),))
+        rows = [(1, {"x": "a"}), (1, {"x": "b", "y": "q"}), (2, {"z": "w"})]
+        for engine in ("spark", "arrow"):
+            t = SleeperTable.create(
+                spark, str(tmp_path / engine), schema,
+                TableProperties(aggregations="map_sum(m)",
+                                compaction_engine=engine))
+            t.ingest(spark.createDataFrame(rows, schema.to_struct_type()))
+            t.compact()
+            got = {r.k: r.m for r in t.full_scan().collect()}
+            assert got == {1: {"x": "ab", "y": "q"}, 2: {"z": "w"}}, engine
+
+    def test_simhash_exact_match_hamming_zero(self, spark):
+        """max_hamming=0 (exact fingerprint equality) must not overflow
+        the 64-bit block mask."""
+        from sleeper_spark.functions.dedup import simhash_near_duplicates
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill in the sun")
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, "different entirely")],
+            ["doc_id", "text"])
+        got = {(r.id_a, r.id_b)
+               for r in simhash_near_duplicates(df, max_hamming=0).collect()}
+        assert got == {(1, 2)}
+
+    def test_validate_rejects_type_mismatched_aggregations(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        from sleeper_spark.iterators import (
+            parse_aggregations, validate_aggregations)
+        from sleeper_spark.schema import Field, Schema
+
+        schema = Schema(
+            (Field("k", T.LongType()),), (),
+            (Field("n", T.LongType()),
+             Field("m", T.MapType(T.StringType(), T.LongType())),
+             Field("arr", T.ArrayType(T.LongType()))))
+        for bad in ("map_sum(n), map_sum(m), sum(arr)",
+                    "sum(n), min(m), sum(arr)",
+                    "sum(n), map_sum(m), max(arr)"):
+            with _pytest.raises(ValueError):
+                validate_aggregations(schema, parse_aggregations(bad))
+
+    def test_parse_rejects_trailing_comma(self):
+        import pytest as _pytest
+        from sleeper_spark.iterators import parse_aggregations
+        with _pytest.raises(ValueError, match="trailing"):
+            parse_aggregations("sum(a), max(b),")
+
+    def test_ivf_assign_and_probe_agree_on_non_unit_centroids(self, spark):
+        """The cell a vector is ASSIGNED to and the first cell a query at
+        the same point PROBES must be the same formula (raw dot), or
+        recall silently collapses for non-unit pre-trained centroids."""
+        import numpy as np
+
+        from sleeper_spark.functions.similarity import (
+            _assign_cells_udf, _probe_cells)
+        rng = np.random.RandomState(7)
+        cents = rng.randn(6, 8) * rng.uniform(0.1, 10, size=(6, 1))
+        vecs = rng.randn(40, 8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            ["vec_id", "embedding"])
+        udf = _assign_cells_udf([[float(x) for x in c] for c in cents])
+        got = {r.vec_id: r.cell for r in df.select(
+            "vec_id", udf(F.col("embedding").cast("array<double>"))
+            .alias("cell")).collect()}
+        for i, v in enumerate(vecs):
+            assert got[i] == _probe_cells(v.astype(np.float64), cents, 1)[0]
+
+    def test_ivf_topk_string_query_ids(self, spark, embeddings):
+        """Every ANN tier accepts non-long query ids; the IVF tiers used
+        to hardcode 'long' in their probe DataFrames."""
+        from sleeper_spark.functions.similarity import ivf_topk
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(2).select(
+            F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+            "embedding")
+        rows = ivf_topk(embeddings, queries, dim=dim, k=3, nlist=4,
+                        nprobe=4).collect()
+        assert rows and all(r.query_id.startswith("q") for r in rows)
