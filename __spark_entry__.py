@@ -2088,8 +2088,9 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'de' END AS predicted_lang FROM s",
         "token_counts":
             f"SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens, "
-            "CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens "
-            "FROM documents",
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) "
+            "AS n_ws_tokens FROM documents",
         "fingerprint":
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS fp FROM documents",

@@ -37,7 +37,10 @@ def token_count(col: Column | str) -> Column:
 
 def whitespace_token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
+    # split("") yields [""] (size 1): empty/whitespace-only text must
+    # count 0 tokens, not 1
+    return F.when(F.trim(c) == "", F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(c), r"\s+")))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

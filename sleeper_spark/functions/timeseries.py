@@ -118,14 +118,27 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     bucketed EQUI-join (see module doc). ``bucket_width`` trades
     interval-row duplication (~interval/width copies) against join
     selectivity; pick it near the typical interval length."""
-    lb = left.withColumn(
-        "__b__", F.expr(f"{left_ts} div {bucket_width}"))
-    rb = right.withColumn(
-        "__b__",
-        F.explode(F.sequence(
-            F.expr(f"{r_start} div {bucket_width}"),
-            # end is exclusive: the last covered bucket is (end-1) div W
-            F.expr(f"({r_end} - 1) div {bucket_width}"))))
+    if bucket_width <= 0:
+        # 'x div 0' is null, which would silently empty the join
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    def with_bucket(df, src, out):
+        # integer-exact `div` via a FIXED-name temp column: interpolating
+        # the user's column name into F.expr would mis-parse names with
+        # spaces/keywords, and double-based floor(c / w) loses exactness
+        # for int64 timestamps beyond 2^53
+        return (df.withColumn("__t__", src)
+                .withColumn(out, F.expr(f"__t__ div {int(bucket_width)}"))
+                .drop("__t__"))
+
+    lb = with_bucket(left, F.col(left_ts), "__b__")
+    rb = with_bucket(
+        with_bucket(right, F.col(r_start), "__b0__"),
+        # end is exclusive: the last covered bucket is (end-1) div W
+        F.col(r_end) - 1, "__b1__")
+    rb = rb.withColumn(
+        "__b__", F.explode(F.sequence(F.col("__b0__"), F.col("__b1__")))
+    ).drop("__b0__", "__b1__")
     out = lb.join(rb, on + ["__b__"], "inner") \
         .where((F.col(left_ts) >= F.col(r_start))
                & (F.col(left_ts) < F.col(r_end)))

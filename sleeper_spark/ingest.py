@@ -48,6 +48,7 @@ def ingest_dataframe(
     data_dir: str,
     props: TableProperties,
     strategy: str = "local_sort",
+    job_id: str | None = None,
 ) -> list[FileReference]:
     """Write ``df`` as sorted per-leaf-partition files and commit an
     ADD_FILES transaction (O7: IngestCoordinator.java:17-58).
@@ -75,8 +76,12 @@ def ingest_dataframe(
     Returns the committed file references.
     """
     schema = store.schema
-    job_id = f"ingest-{uuid.uuid4().hex[:12]}"
-    out_dir = os.path.join(data_dir, job_id)
+    # caller-supplied job ids make the ADD_FILES commit idempotent
+    # (streaming micro-batch replay); fresh ids otherwise
+    if job_id is not None and job_id in store.ingest_jobs_seen:
+        return []  # replayed job: committed previously, skip the write too
+    job_id = job_id if job_id is not None else f"ingest-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(data_dir, f"{job_id}-{uuid.uuid4().hex[:8]}")
     leaves = tree.leaves()
 
     # shuffle width tracks the CLUSTER, not the leaf count: partitionBy
@@ -116,7 +121,7 @@ def ingest_dataframe(
     sketches.write_sidecars_distributed(
         df.sparkSession, [r.filename for r in refs],
         schema.key_names, props.sketch_size)
-    store.add_files(refs)
+    store.add_files(refs, job_id=job_id)
     return refs
 
 

@@ -83,6 +83,15 @@ class PartitionTree:
         """Root-only tree, or a tree pre-split on dimension 0 at the given
         sorted split points (PartitionsFromSplitPoints.java:44)."""
         dim0 = schema.row_key_fields[0].name
+        if split_points is not None:
+            uniq = sorted(set(split_points))
+            if len(uniq) != len(split_points):
+                # catch it here with a clear message — a duplicate point
+                # otherwise surfaces as an obscure 'not strictly inside'
+                # error deep in the recursive build
+                raise ValueError(
+                    f"duplicate split points: {sorted(split_points)}")
+            split_points = uniq
         full = Region(
             tuple(Range(f.name, None, None) for f in schema.row_key_fields)
         )

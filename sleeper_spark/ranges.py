@@ -162,7 +162,15 @@ class Region:
 
     @staticmethod
     def exact(schema: Schema, **key_values: Any) -> "Region":
-        """Point-lookup region: min=max inclusive on each given row key."""
+        """Point-lookup region: min=max inclusive on each given row key.
+        Key names validate against the schema — a typo'd kwarg must not
+        silently build a region over a nonexistent column."""
+        valid = set(schema.row_key_names) | set(schema.sort_key_names)
+        unknown = sorted(set(key_values) - valid)
+        if unknown:
+            raise ValueError(
+                f"unknown key field(s) {unknown}; row keys are "
+                f"{schema.row_key_names}, sort keys {schema.sort_key_names}")
         rs = [
             Range(name, v, v, True, True)
             for name, v in key_values.items()

@@ -119,6 +119,15 @@ class Schema:
                 raise ValueError(f"key field {f.name} must be primitive, got {f.dtype}")
             if f.nullable:
                 raise ValueError(f"key field {f.name} must be non-nullable")
+        for f in self.value_fields:
+            # reject unsupported value types HERE, not at serialization
+            # time (to_json raised a confusing error from deep inside
+            # SleeperTable.create for e.g. TimestampType)
+            try:
+                _type_to_json(f.dtype)
+            except ValueError as e:
+                raise ValueError(
+                    f"value field {f.name!r}: {e}") from None
         names = [f.name for f in self.all_fields()]
         if len(names) != len(set(names)):
             raise ValueError(f"duplicate field names in schema: {names}")

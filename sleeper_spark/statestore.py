@@ -104,6 +104,7 @@ class StateStore:
         self.tree: PartitionTree | None = None
         self.files: dict[str, dict[str, FileReference]] = {}
         self.gc_queue: dict[str, float] = {}  # filename -> time dereferenced
+        self.ingest_jobs_seen: set[str] = set()  # idempotent ADD_FILES ids
         self._seq = 0
         # query-planner caching (QueryPlanner.java:111-149): wall-clock of
         # the last staleness check + a per-log-version partition->files
@@ -120,6 +121,7 @@ class StateStore:
         self.tree = None
         self.files = {}
         self.gc_queue = {}
+        self.ingest_jobs_seen = set()
         self._seq = 0
         # only completed artifacts: a crash inside a writer can leave
         # .tmp-* files (snapshot or transaction) that are truncated JSON —
@@ -207,6 +209,7 @@ class StateStore:
             "partitions": self.tree.to_json() if self.tree else None,
             "files": [r.to_json() for refs in self.files.values() for r in refs.values()],
             "gcQueue": self.gc_queue,
+            "ingestJobs": sorted(self.ingest_jobs_seen),
         }
         tmp = os.path.join(self.snap_dir, f".tmp-{self._seq:012d}.json")
         with open(tmp, "w") as f:
@@ -220,6 +223,7 @@ class StateStore:
             r = FileReference.from_json(d)
             self.files.setdefault(r.filename, {})[r.partition_id] = r
         self.gc_queue = dict(snap.get("gcQueue", {}))
+        self.ingest_jobs_seen = set(snap.get("ingestJobs", []))
 
     # ------------------------------------------------------------------
     # transaction application (replay)
@@ -229,6 +233,11 @@ class StateStore:
         if t == "INITIALISE_PARTITIONS":
             self.tree = PartitionTree.from_json(tx["partitions"], self.schema)
         elif t == "ADD_FILES":
+            jid = tx.get("jobId")
+            if jid is not None:
+                if jid in self.ingest_jobs_seen:
+                    return  # idempotent ingest commit replayed
+                self.ingest_jobs_seen.add(jid)
             for d in tx["files"]:
                 r = FileReference.from_json(d)
                 self.files.setdefault(r.filename, {})[r.partition_id] = r
@@ -312,13 +321,29 @@ class StateStore:
     def initialise_partitions(self, tree: PartitionTree) -> None:
         self._commit({"type": "INITIALISE_PARTITIONS", "partitions": tree.to_json()})
 
-    def add_files(self, refs: Iterable[FileReference]) -> None:
+    def add_files(self, refs: Iterable[FileReference],
+                  job_id: str | None = None) -> None:
+        """Commit new file references. With a ``job_id`` the append is
+        IDEMPOTENT: a re-delivered commit for an already-applied job id
+        (streaming micro-batch replay after a crash between the table
+        commit and the stream checkpoint) is skipped instead of
+        duplicating the rows — the reference's ingest-job commit is
+        keyed the same way (AddFilesTransaction.java job id)."""
         refs = list(refs)
-        self._commit_with_retry(lambda: {
-            "type": "ADD_FILES",
-            "files": [replace(r, last_update_time=time.time()).to_json()
-                      for r in refs],
-        })
+
+        def build():
+            if job_id is not None and job_id in self.ingest_jobs_seen:
+                return None  # replayed commit: already in the log
+            tx: dict[str, Any] = {
+                "type": "ADD_FILES",
+                "files": [replace(r, last_update_time=time.time()).to_json()
+                          for r in refs],
+            }
+            if job_id is not None:
+                tx["jobId"] = job_id
+            return tx
+
+        self._commit_with_retry(build)
 
     def replace_file_references(self, partition_id: str, input_files: list[str],
                                 output: FileReference) -> None:

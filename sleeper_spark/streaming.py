@@ -34,6 +34,7 @@ cluster via ``spark.sql.streaming.stateStore.providerClass``).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -59,14 +60,27 @@ def stream_ingest(
     Each micro-batch runs the standard ingest path (O7: one sorted file
     per overlapping leaf partition + atomic ADD_FILES commit), mirroring
     the reference's ingest batcher turning a request stream into ingest
-    jobs (IngestBatcher.java). Exactly-once within a batch comes from the
-    checkpoint + the transaction log's idempotent append.
+    jobs (IngestBatcher.java). Exactly-once comes from the checkpoint
+    plus an idempotent ADD_FILES commit keyed on a deterministic
+    (checkpoint, batch_id) job id — a re-delivered micro-batch after a
+    crash between table commit and checkpoint is skipped by the state
+    store rather than appended twice.
     """
+
+    import hashlib
+
+    ckpt_key = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.ingest(batch_df)
+        # deterministic (checkpoint, batch) job id -> the ADD_FILES
+        # commit is idempotent: a batch re-delivered after a crash
+        # between the table commit and the stream checkpoint is skipped
+        # by the state store instead of appending duplicate rows
+        table.ingest(batch_df,
+                     job_id=f"stream-{ckpt_key}-batch-{batch_id}")
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -109,11 +123,6 @@ def ageoff_stream(stream_df: DataFrame, f: AgeOffFilter, now_millis: int) -> Dat
     return stream_df.where(age_off_condition(f, now_millis))
 
 
-_RUNNING_SCHEMA = T.StructType([
-    T.StructField("key", T.LongType()),
-    T.StructField("n_total", T.LongType()),
-    T.StructField("value_total", T.DoubleType()),
-])
 _STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("v", T.DoubleType()),
@@ -141,8 +150,15 @@ def stateful_running_totals(
     grouped = stream_df.select(
         F.col(key_col).alias("key"), F.col(value_col).alias(value_col)
     ).groupBy("key")
+    # output key field carries the INPUT key column's type — hardcoding
+    # long broke string-keyed streams at runtime
+    out_schema = T.StructType([
+        T.StructField("key", stream_df.schema[key_col].dataType),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("value_total", T.DoubleType()),
+    ])
     return grouped.applyInPandasWithState(
-        fn, _RUNNING_SCHEMA, _STATE_SCHEMA, "update",
+        fn, out_schema, _STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout,
     )
 

@@ -78,13 +78,15 @@ class SleeperTable:
     # write path
     # ------------------------------------------------------------------
     def ingest(self, df: DataFrame,
-               strategy: str = "local_sort") -> list[FileReference]:
+               strategy: str = "local_sort",
+               job_id: str | None = None) -> list[FileReference]:
         """O7: sorted per-leaf files + ADD_FILES commit. ``strategy`` =
         ``local_sort`` (J4) or ``global_sort`` (J3) — see
         :func:`sleeper_spark.ingest.ingest_dataframe`."""
         assert self.store.tree is not None
         return ingest_dataframe(df, self.store.tree, self.store,
-                                self.data_dir, self.props, strategy)
+                                self.data_dir, self.props, strategy,
+                                job_id=job_id)
 
     # ------------------------------------------------------------------
     # read path
@@ -121,7 +123,7 @@ class SleeperTable:
             else:
                 field, mn, mx = r
                 regions.append(Region.of(Range(field, mn, mx)))
-        return self.query(Query(regions))
+        return self.query(Query(regions), now_millis)
 
     def full_scan(self, now_millis: int | None = None) -> DataFrame:
         full = Region(tuple(Range(f.name, None, None) for f in self.schema.row_key_fields))

@@ -83,8 +83,13 @@ def parent_state_if_finished(children: list[TrackedQuery]) -> QueryState | None:
     all_succeeded = True
     all_failed = True
     for c in children:
-        if c.state in (QueryState.FAILED, QueryState.PARTIALLY_FAILED):
+        if c.state == QueryState.FAILED:
             all_succeeded = False
+        elif c.state == QueryState.PARTIALLY_FAILED:
+            # some rows WERE returned: the parent can never be a full
+            # FAILED, whatever the other children did
+            all_succeeded = False
+            all_failed = False
         elif c.state == QueryState.COMPLETED:
             all_failed = False
         else:
@@ -136,9 +141,12 @@ class QueryTracker:
             parent_state = parent_state_if_finished(children)
             if parent_state is not None:
                 rows = sum(c.row_count or 0 for c in children)
+                # surface the first child failure cause on the parent
+                err = next((c.error_message for c in children
+                            if c.error_message), None)
                 self._put(TrackedQuery(
                     query_id, PARENT, now, now + self.expiry_seconds,
-                    parent_state, rows))
+                    parent_state, rows, err))
 
     # -- state transitions (QueryStatusReportListener surface) ------------
     def query_queued(self, query_id: str, sub_query_id: str = PARENT) -> None:
@@ -155,6 +163,14 @@ class QueryTracker:
                      sub_query_id: str = PARENT) -> None:
         self._update(query_id, sub_query_id, QueryState.FAILED,
                      error_message=error)
+
+    def query_partially_failed(self, query_id: str, error: str,
+                               row_count: int = 0,
+                               sub_query_id: str = PARENT) -> None:
+        """Some rows were returned before the failure (the reference's
+        PARTIALLY_FAILED tracker state)."""
+        self._update(query_id, sub_query_id, QueryState.PARTIALLY_FAILED,
+                     row_count, error_message=error)
 
     # -- lookups (QueryTrackerStore surface) ------------------------------
     def get(self, query_id: str, sub_query_id: str = PARENT) -> TrackedQuery | None:
@@ -196,6 +212,9 @@ def run_tracked(tracker: QueryTracker, query_id: str,
         raise
     from pyspark.sql import DataFrame
     if isinstance(result, DataFrame):
+        # cache before counting so the caller's own action reuses the
+        # computed result instead of re-running the whole query
+        result = result.cache()
         n = result.count()
     elif hasattr(result, "__len__"):
         n = len(result)

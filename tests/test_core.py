@@ -621,3 +621,54 @@ class TestStateStoreCrashSafety:
         assert len(fresh.tree.leaves()) == 2
         assert {p.id for p in fresh.tree.leaves()} == {left.id, right.id}
         assert len(fresh.all_references()) == 1
+
+
+class TestThirdReviewFixes:
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def test_add_files_idempotent_by_job_id(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        st.add_files([FileReference("/f1", "root", 10)], job_id="job-a")
+        # a replayed commit with the same job id must be a no-op
+        st.add_files([FileReference("/f1-replayed", "root", 10)],
+                     job_id="job-a")
+        assert {r.filename for r in st.all_references()} == {"/f1"}
+        # replay across a fresh process too (log records the job id)
+        st2 = StateStore(str(tmp_path / "ss"), s)
+        st2.add_files([FileReference("/f1-again", "root", 10)],
+                      job_id="job-a")
+        assert {r.filename for r in st2.all_references()} == {"/f1"}
+        # a new job id still commits
+        st2.add_files([FileReference("/f2", "root", 5)], job_id="job-b")
+        assert len(st2.all_references()) == 2
+
+    def test_duplicate_split_points_rejected(self):
+        s = self.schema()
+        with pytest.raises(ValueError, match="duplicate split"):
+            PartitionTree.initial(s, [5, 5, 10])
+
+    def test_schema_rejects_unsupported_value_type(self):
+        with pytest.raises(ValueError, match="value field"):
+            Schema(row_key_fields=(Field("k", T.LongType()),),
+                   value_fields=(Field("ts", T.TimestampType()),))
+
+    def test_region_exact_rejects_unknown_key(self):
+        s = self.schema()
+        with pytest.raises(ValueError, match="unknown key"):
+            Region.exact(s, typo_key=5)
+
+    def test_parent_rollup_partially_failed_children(self):
+        from sleeper_spark.tracker import QueryTracker
+        tr = QueryTracker()
+        tr.query_queued("q", "s1")
+        tr.query_queued("q", "s2")
+        tr.query_partially_failed("q", "boom", 5, sub_query_id="s1")
+        tr.query_partially_failed("q", "bang", 3, sub_query_id="s2")
+        parent = tr.get("q")
+        assert parent.state.name == "PARTIALLY_FAILED"
+        assert parent.row_count == 8
+        assert parent.error_message in ("boom", "bang")
