@@ -52,6 +52,9 @@ _KEY_TYPES = set(_PRIMITIVES)
 def _parse_type(t: Any) -> T.DataType:
     """Parse a Sleeper schema-JSON type into a Spark type."""
     if isinstance(t, str):
+        if t.startswith("DecimalType("):
+            p_, s_ = t[len("DecimalType("):-1].split(",")
+            return T.DecimalType(int(p_), int(s_))
         if t not in _VALUE_PRIMITIVES:
             raise ValueError(f"unsupported primitive type: {t}")
         return _VALUE_PRIMITIVES[t]
@@ -68,6 +71,9 @@ def _type_to_json(t: T.DataType) -> Any:
     for name, spark_t in _VALUE_PRIMITIVES.items():
         if t == spark_t:
             return name
+    if isinstance(t, T.DecimalType):
+        # exact-arithmetic value columns (decimal sums) round-trip too
+        return f"DecimalType({t.precision},{t.scale})"
     if isinstance(t, T.ArrayType):
         return {"ListType": {"elementType": _type_to_json(t.elementType)}}
     if isinstance(t, T.MapType):
