@@ -1238,7 +1238,9 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """Train/test contamination scan (functions/corpus.py): test split =
     doc_id % 10 == 0, train = the rest; a test doc is contaminated when
     it shares a 5-token shingle with any training doc. Shingle-bucketed
-    equi-join — never pairwise over the corpora."""
+    equi-join — never pairwise over the corpora; shingles whose
+    train-side doc frequency exceeds 1000 are dropped pre-join (C4-style
+    boilerplate guard, mirrored in the oracle)."""
     from sleeper_spark.functions import corpus
 
     doc = _load(spark, sf, "documents")
@@ -2111,7 +2113,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ((doc_id % 1000003) * 31 + 7) % 1000003, doc_id "
             "LIMIT 100",
         "pack_token_budget":
-            "SELECT doc_id, source, n_tokens, (cum - n_tokens) // 2000 AS shard_id "
+            "SELECT doc_id, source, n_tokens, "
+            "CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id "
             "FROM (SELECT doc_id, source, "
             f"CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
             f"sum(CAST(len({_TOKS}) AS BIGINT)) OVER ("
@@ -2213,8 +2216,12 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)), "
             "t AS (SELECT doc_id AS test_id, unnest(s) AS sh FROM sh5 "
             "WHERE doc_id % 10 = 0), "
-            "tr AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM sh5 "
-            "WHERE doc_id % 10 <> 0) "
+            "tr0 AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM sh5 "
+            "WHERE doc_id % 10 <> 0), "
+            # hot-shingle guard mirrors corpus.contamination_check
+            # (max_train_df=1000): boilerplate shingles carry no signal
+            "tr AS (SELECT train_id, sh FROM (SELECT train_id, sh, "
+            "count(*) OVER (PARTITION BY sh) AS df FROM tr0) WHERE df <= 1000) "
             "SELECT test_id, CAST(count(DISTINCT train_id) AS INTEGER) AS n_train_docs, "
             "CAST(count(DISTINCT sh) AS INTEGER) AS n_shared_shingles "
             "FROM t JOIN tr USING (sh) GROUP BY test_id",

@@ -1,10 +1,16 @@
 """Benchmark harness: runs the engine's query inventory at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line::
 
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1,
-     "ingest_rows_per_sec": N, "compaction_rows_per_sec": N}
+     "sf": 0.1, "n_queries": N, "failures": [...], "slowest5": {...},
+     "ingest_rows_per_sec": N, "compaction_rows_per_sec": N, ...}
+
+The stdout line is kept under ~1800 chars because the driver records
+only the last 2000 chars of stdout (round 4's full per-query dump
+overflowed that window and the round's bench record was lost).
+Per-query timings and the contention-telemetry ``noise`` block are
+written to ``BENCH_DETAIL.json`` beside this file.
 
 The per-query timings cover the full SURVEY §2 inventory (each query is
 executed with a no-op sink so results are materialized but never
@@ -459,13 +465,20 @@ def main() -> None:
     arrow_rps = round(large["rows"] / large["arrow"])
     spark_rps = round(large["rows"] / large["spark"])
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    print(json.dumps({
+    failures = sorted(n for n, t in timings.items() if t < 0)
+    slowest = dict(sorted(
+        ((n, t) for n, t in timings.items() if t > 0),
+        key=lambda kv: -kv[1])[:5])
+    summary = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "cores": cores,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "failures": failures,
+        "slowest5": slowest,
         "ingest_rows_per_sec": round(n_rows / ingest_s) if ingest_s > 0 else 0,
         "compaction_rows_per_sec": round(n_rows / compaction_s) if compaction_s > 0 else 0,
         "n_lifecycle_rows": n_rows,
@@ -481,8 +494,22 @@ def main() -> None:
         "compaction_mapagg_rows": int(mapagg["rows"]),
         "compaction_mapagg_rows_per_sec": round(mapagg["rows"] / mapagg["arrow"]),
         "compaction_mapagg_spark_rows_per_sec": round(mapagg["rows"] / mapagg["spark"]),
-        "noise": noise,
-    }))
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    # per-query timings + the full contention-telemetry block are too big
+    # for the driver's 2000-char stdout tail (round 4's record came back
+    # `parsed: null`); they live in BENCH_DETAIL.json beside the repo.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings, "noise": noise}, f,
+                  indent=1, sort_keys=True)
+    line = json.dumps(summary)
+    if len(line) > 1800:  # belt-and-braces: never overflow the tail again
+        for k in ("slowest5", "failures"):
+            summary.pop(k, None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

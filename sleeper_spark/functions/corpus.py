@@ -109,6 +109,7 @@ def contamination_check(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 5,
+    max_train_df: int | None = 1000,
 ) -> DataFrame:
     """Train/test contamination: for each test document, which training
     documents share at least one ``ngram``-token shingle, and how much.
@@ -120,8 +121,20 @@ def contamination_check(
     compare. Test side is usually the small one: Catalyst broadcasts it
     when it fits.
 
+    **Hot-shingle guard** (C4-style): a shingle whose *train-side
+    document frequency* exceeds ``max_train_df`` is boilerplate
+    (navigation chrome, license headers, templated markup), not a
+    leakage signal — and at web-corpus scale its join output is
+    ``(test matches) × df``, an M×N hot-key blow-up. Such shingles are
+    dropped BEFORE the join: one extra hash aggregation over the train
+    shingle table computes per-shingle df, the (tiny) over-cap list is
+    broadcast, and a left-anti join removes those keys. The joined
+    relation is then bounded by ``n_matching_shingles × max_train_df``
+    per key regardless of corpus size. Pass ``max_train_df=None`` for
+    the exact unguarded semantics.
+
     Output: ``test_id, n_train_docs, n_shared_shingles`` (only test
-    docs with >= 1 overlap).
+    docs with >= 1 surviving overlap).
     """
     t = test_df.select(
         F.col(id_col).alias("test_id"),
@@ -129,6 +142,13 @@ def contamination_check(
     tr = train_df.select(
         F.col(id_col).alias("train_id"),
         F.explode(shingles(text_col, ngram)).alias("sh"))
+    if max_train_df is not None:
+        # shingles() is distinct-per-doc, so count == document frequency
+        hot = (tr.groupBy("sh")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .where(F.col("__df") > max_train_df)
+               .select("sh"))
+        tr = tr.join(F.broadcast(hot), "sh", "left_anti")
     return (
         t.join(tr, "sh")
         .groupBy("test_id")

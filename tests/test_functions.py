@@ -388,6 +388,40 @@ class TestCorpus:
         assert out[10].n_train_docs == 2
         assert out[10].n_shared_shingles >= 2
 
+    def test_contamination_hot_shingle_cap(self, spark):
+        """Planted boilerplate: a shingle shared by 50 train docs must be
+        dropped pre-join (C4-style guard) — it is chrome, not leakage —
+        and the joined relation must not explode M×N on it."""
+        from sleeper_spark.functions.corpus import contamination_check
+        from sleeper_spark.functions.dedup import shingles
+        boiler = "click here to accept all cookies now"
+        unique = "quantum flux capacitor resonance harmonics alignment"
+        train_rows = [(i, f"doc {i} body {boiler}") for i in range(1, 51)]
+        train_rows.append((51, f"special {unique} material"))
+        train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        test = spark.createDataFrame(
+            [(10, f"{unique} plus {boiler}"),
+             (20, f"only {boiler} here")],
+            ["doc_id", "text"])
+        capped = {r.test_id: r for r in
+                  contamination_check(test, train, max_train_df=10).collect()}
+        assert 20 not in capped            # boilerplate-only: no signal
+        assert capped[10].n_train_docs == 1  # the genuine leak survives
+        uncapped = {r.test_id: r for r in
+                    contamination_check(test, train,
+                                        max_train_df=None).collect()}
+        assert uncapped[20].n_train_docs == 50  # the M×N shape the cap kills
+        # row-count bound on the joined relation itself
+        t = test.select(F.col("doc_id").alias("test_id"),
+                        F.explode(shingles("text", 5)).alias("sh"))
+        tr = train.select(F.col("doc_id").alias("train_id"),
+                          F.explode(shingles("text", 5)).alias("sh"))
+        hot = tr.groupBy("sh").count().where(F.col("count") > 10).select("sh")
+        joined_capped = t.join(tr.join(hot, "sh", "left_anti"), "sh").count()
+        joined_raw = t.join(tr, "sh").count()
+        assert joined_capped <= 4
+        assert joined_raw >= 10 * joined_capped
+
     def test_contamination_no_cartesian(self, spark, docs):
         from sleeper_spark.functions.corpus import contamination_check
         test = docs.where(F.col("doc_id") % 10 == 0)

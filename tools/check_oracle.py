@@ -3,6 +3,13 @@ entry and its oracle_sql() side-by-side at sf0.01 and compare
 (row count, column names, order-insensitive multiset of values).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+By default the oracle side is fetched via DuckDB's pandas bridge
+(``cur.df()``), which reproduces the driver's typing behaviour —
+notably HUGEINT (e.g. from ``sum(BIGINT) OVER``) degrading to
+float64, the exact hazard that broke pack_token_budget's driver hash
+in round 4. Set CHECK_ORACLE_FETCH=tuples to use the older
+``fetchall()`` path (Python-native ints, masks that hazard).
 """
 
 from __future__ import annotations
@@ -79,7 +86,16 @@ def main() -> int:
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            if os.environ.get("CHECK_ORACLE_FETCH") == "tuples":
+                orows = cur.fetchall()
+            else:
+                # driver-faithful: round-trip through pandas so dtype
+                # degradation (HUGEINT->float64 etc.) shows up here too
+                pdf = cur.df()
+                orows = [tuple(None if isinstance(v, float) and math.isnan(v)
+                               else (v.item() if hasattr(v, "item") else v)
+                               for v in row)
+                         for row in pdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
