@@ -488,6 +488,104 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to the fixture's
+    columns (no l_commitdate: "late" means l_shipdate > o_orderdate +
+    60 days): orders in 1996-Q1 with at least one late line, counted
+    per priority. The EXISTS becomes a left-semi join on a
+    pre-aggregated key set — no row explosion from multi-line orders."""
+    o = _load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    li = _load(spark, sf, "lineitem")
+    late = (li.join(o.select("o_orderkey", "o_orderdate"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .where(F.col("l_shipdate") >
+                   F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("o_orderkey").distinct())
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue flowing between two nations
+    (supplier nation -> customer nation), per year, both directions.
+    Both nation dims broadcast; the fact table shuffles once for the
+    final group-by."""
+    n1 = _load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    s = _load(spark, sf, "supplier")
+    c = _load(spark, sf, "customer")
+    o = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") \
+        | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: revenue lost to returns
+    (l_returnflag = 'R') per customer in 1995-Q4 orders, top 20 by lost
+    revenue. Customer/nation dims broadcast."""
+    c = _load(spark, sf, "customer")
+    o = _load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")))
+    li = _load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _load(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue, adapted to the fixture's part
+    columns: three OR'd (brand, size-range, quantity-range) branches.
+    The disjunctive predicate still rides ONE broadcast hash join on
+    p_partkey — the OR branches are a post-join filter, never a
+    nested-loop join."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP hierarchy totals over (returnflag, linestatus) with
     grouping indicators — subtotal/grand-total rows in one pass."""
@@ -877,6 +975,36 @@ def q_pack_token_budget(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "shard_id")
 
 
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide line dedup (functions/corpus.py dedup_lines — the C4
+    boilerplate-line removal step). Docs are pre-split into sentence
+    lines so the planted near-duplicate docs genuinely share lines;
+    first occurrence (doc_id, line_no) wins, via a combine-friendly
+    hash agg, never a hot-key window sort."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\. ", ".\n"))
+    return corpus.dedup_lines(doc)
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (functions/text.py pii_scrub): emails/IPs/phone runs
+    redacted by chained regexp_replace, counted before replacement. The
+    fixture text is PII-free, so deterministic PII is planted per doc;
+    patterns are RE2-and-Java-compatible so the oracle reproduces the
+    scrub byte-for-byte."""
+    doc = _load(spark, sf, "documents")
+    planted = doc.withColumn(
+        "text2",
+        F.concat_ws(
+            "", F.col("text"), F.lit(" contact u"),
+            F.col("doc_id").cast("string"), F.lit("@ex.co ip 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel +1 555 0100 ok")))
+    return text.pii_scrub(planted, "text2", "doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over consecutive doc pairs — the
     verify step of the dedup pipeline, oracle-checked."""
@@ -1083,6 +1211,58 @@ def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, dim=_PQ["dim"], k=_PQ["k"], nlist=_IVF["nlist"],
         nprobe=_IVFPQ_NPROBE, m=_PQ["m"], ksub=_PQ["ksub"],
         centroids=cents, codebooks=books)
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH ANN (similarity.query_probe_buckets): each query
+    probes its signature bucket PLUS the two single-bit flips with the
+    smallest hyperplane margins — recall rises without lowering bits
+    (i.e. without growing every bucket). The oracle reproduces margins,
+    probe sets, and rankings from the same plane literals."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(emb, queries, dim=64, k=10, bits=8, nprobe=3)
+
+
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of every approximate ANN tier (LSH, multi-probe LSH,
+    IVF-Flat, PQ-ADC, IVF-PQ) against brute-force ground truth — the
+    deploy-gate metric of a real embedding pipeline
+    (similarity.recall_at_k). All join inputs are Q×k-row top-k tables,
+    so the recall computation is broadcast-sized at any corpus scale;
+    the tiers themselves reuse the exact parameters of their own
+    oracle-checked driver entries."""
+    emb = _load(spark, sf, "embeddings")
+    q5 = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    q3 = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_ivf_centroids(
+        emb, _IVF["nlist"], seed=_IVF["seed"], train_rows=_IVF["train_rows"])
+    books = similarity.train_pq_codebooks(
+        emb, dim=_PQ["dim"], m=_PQ["m"], ksub=_PQ["ksub"],
+        seed=_PQ["seed"], train_rows=_PQ["train_rows"])
+    exact = similarity.brute_force_topk(emb, q5, k=10)
+    tiers = {
+        "ivf": similarity.ivf_topk(
+            emb, q5, dim=_IVF["dim"], k=_IVF["k"], nlist=_IVF["nlist"],
+            nprobe=_IVF["nprobe"], centroids=cents),
+        "ivf_pq": similarity.ivf_pq_topk(
+            emb, q3, dim=_PQ["dim"], k=_PQ["k"], nlist=_IVF["nlist"],
+            nprobe=_IVFPQ_NPROBE, m=_PQ["m"], ksub=_PQ["ksub"],
+            centroids=cents, codebooks=books),
+        "lsh": similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8),
+        "lsh_multiprobe": similarity.lsh_topk(
+            emb, q5, dim=64, k=10, bits=8, nprobe=3),
+        "pq": similarity.pq_topk(emb, q3, books, k=_PQ["k"]),
+    }
+    out = None
+    for name, tier in tiers.items():
+        r = similarity.recall_at_k(exact, tier, k=10).withColumn(
+            "tier", F.lit(name))
+        out = r if out is None else out.unionByName(r)
+    return out.select("tier", "query_id", "n_exact", "n_hits", "recall")
 
 
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
@@ -1441,8 +1621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "rollup_agg": q_rollup_agg,
         "window_lag_lead": q_window_lag_lead,
         "window_topn": q_window_topn,
@@ -1475,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_check": q_contamination_check,
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
         "ngram_top_counts": q_ngram_top_counts,
         "repetition_scores": q_repetition_scores,
         "source_mix": q_source_mix,
@@ -1495,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -1619,6 +1807,92 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 10, bits: int = 8,
 _COS_SQL = ("round(list_dot_product({a}, {b}) / "
             "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
             "sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
+
+
+def _ann_lsh_multiprobe_oracle_sql(dim: int = 64, k: int = 10,
+                                   bits: int = 8, seed: int = 42,
+                                   nprobe: int = 3) -> str:
+    """Multi-probe LSH in DuckDB: same plane literals as
+    similarity.query_probe_buckets; margins sorted as (abs_dot, plane
+    index) structs so ties break identically; flipped buckets via
+    xor(bucket, 1 << i)."""
+    planes = similarity._hyperplanes(dim, bits, seed)
+
+    def bucket(vexpr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vexpr}, "
+            f"[{', '.join(repr(x) for x in plane)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+
+    pl = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + "]"
+        for plane in planes) + "]"
+    ms = ("list_sort(list_transform(range(0, " + str(bits) + "), "
+          "i -> {'m': abs(list_dot_product(qv, (" + pl
+          + "::DOUBLE[][])[CAST(i + 1 AS INTEGER)])), 'i': i}))")
+    probes = ("list_concat([CAST(qbucket AS BIGINT)], "
+              "list_transform((" + ms + ")[1:" + str(nprobe - 1) + "], "
+              "s -> xor(CAST(qbucket AS BIGINT), (1::BIGINT << s.i))))")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM c), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket "
+        "FROM b WHERE vec_id < 5), "
+        f"p AS (SELECT query_id, qv, unnest({probes}) AS bucket FROM q), "
+        "s AS (SELECT p.query_id, b.vec_id, "
+        "round(list_dot_product(b.v, p.qv) / "
+        "(sqrt(list_sum(list_transform(b.v, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(p.qv, x -> x * x)))), 6) AS cosine "
+        "FROM b JOIN p ON b.bucket = p.bucket WHERE b.vec_id <> p.query_id), "
+        "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) "
+        "AS rank FROM s) "
+        f"SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}")
+
+
+#: exact brute-force ANN oracle — shared by the ann_brute_force entry and
+#: the ann_recall ground truth
+_ANN_BF_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 5), "
+    "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+    "s AS (SELECT query_id, vec_id, "
+    "round(list_dot_product(cv, qv) / (sqrt(list_sum(list_transform(cv, x -> x * x))) "
+    "* sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine "
+    "FROM c CROSS JOIN q WHERE vec_id <> query_id), "
+    "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s) "
+    "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10")
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall@10 per tier in DuckDB: each tier's own oracle runs as a
+    named CTE (nested WITH inside a derived table), ground truth is the
+    brute-force oracle, and recall is hits@10 / exact@10 restricted to
+    the queries the tier actually served."""
+    tiers = {
+        "ivf": _ivf_oracle_sql(),
+        "ivf_pq": _ivfpq_oracle_sql(),
+        "lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
+        "lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
+        "pq": _pq_oracle_sql(),
+    }
+    ctes = [f"ex AS (SELECT query_id, vec_id FROM ({_ANN_BF_SQL}) z)"]
+    parts = []
+    for name, sql in tiers.items():
+        ctes.append(f"t_{name} AS (SELECT query_id, vec_id FROM ({sql}) z)")
+        parts.append(
+            f"SELECT '{name}' AS tier, e.query_id, "
+            "CAST(count(*) AS INTEGER) AS n_exact, "
+            "CAST(count(a.vec_id) AS INTEGER) AS n_hits, "
+            "round(count(a.vec_id) / count(*), 4) AS recall "
+            f"FROM ex e LEFT JOIN t_{name} a "
+            "ON a.query_id = e.query_id AND a.vec_id = e.vec_id "
+            f"WHERE e.query_id IN (SELECT query_id FROM t_{name}) "
+            "GROUP BY e.query_id")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
 
 
 def _ivf_oracle_sql() -> str:
@@ -1892,6 +2166,53 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name ORDER BY revenue DESC, n_name",
+        "tpch_q4":
+            "WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01'), "
+            "late AS (SELECT DISTINCT o_orderkey FROM lineitem "
+            "JOIN o ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "SELECT o_orderpriority, count(*) AS order_count FROM o "
+            "WHERE o_orderkey IN (SELECT o_orderkey FROM late) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "tpch_q7":
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+        "tpch_q10":
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1995-10-01' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20",
+        "tpch_q19":
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)",
         "tpch_q18":
             "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
             "HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150), "
@@ -2012,6 +2333,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7",
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
+        "ann_recall": _ann_recall_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivfpq_oracle_sql(),
@@ -2176,17 +2499,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_total, "
             "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "
             "FROM events GROUP BY user_id",
-        "ann_brute_force":
-            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
-            "FROM embeddings WHERE vec_id < 5), "
-            "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
-            "s AS (SELECT query_id, vec_id, "
-            "round(list_dot_product(cv, qv) / (sqrt(list_sum(list_transform(cv, x -> x * x))) "
-            "* sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine "
-            "FROM c CROSS JOIN q WHERE vec_id <> query_id), "
-            "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
-            "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s) "
-            "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10",
+        "ann_brute_force": _ANN_BF_SQL,
         # 40-token chunks every 30 tokens; list slice l[a:b] is 1-based
         # inclusive and clamps, matching Spark's slice(toks, a, 40)
         "doc_chunks":
@@ -2274,6 +2587,45 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
             "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
             "FROM g GROUP BY user_id, sid",
+        "line_dedup":
+            "WITH t AS (SELECT doc_id, "
+            "str_split(regexp_replace(text, '\\. ', '.' || chr(10), 'g'), "
+            "chr(10)) AS l FROM documents), "
+            "e AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS line_no, "
+            "unnest(l) AS line FROM t), "
+            "f1 AS (SELECT line, min(doc_id) AS fdoc FROM e GROUP BY line), "
+            "f2 AS (SELECT e.line, e.doc_id AS fdoc, min(e.line_no) AS fline "
+            "FROM e JOIN f1 ON e.line = f1.line AND e.doc_id = f1.fdoc "
+            "GROUP BY e.line, e.doc_id), "
+            "k AS (SELECT e.doc_id, e.line_no, e.line FROM e JOIN f2 "
+            "ON e.line = f2.line AND e.doc_id = f2.fdoc "
+            "AND e.line_no = f2.fline), "
+            "p AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY line_no) AS text_dedup "
+            "FROM k GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(l) AS INTEGER) AS n_lines, "
+            "CAST(coalesce(n_kept, 0) AS INTEGER) AS n_kept, "
+            "coalesce(text_dedup, '') AS text_dedup "
+            "FROM t LEFT JOIN p USING (doc_id)",
+        "pii_scrub":
+            "WITH t AS (SELECT doc_id, text || ' contact u' "
+            "|| CAST(doc_id AS VARCHAR) || '@ex.co ip 10.0.0.' "
+            "|| CAST(doc_id % 200 AS VARCHAR) || ' tel +1 555 0100 ok' "
+            "AS s FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(s, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) "
+            "AS n_ips, "
+            "CAST(len(regexp_extract_all(s, "
+            "'\\+?\\d[\\d()\\- ]{7,}\\d')) AS INTEGER) AS n_phones, "
+            "regexp_replace(regexp_replace(regexp_replace(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g') AS text_scrubbed "
+            "FROM t",
         "ngram_top_counts":
             "WITH g AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN "
             "list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) "

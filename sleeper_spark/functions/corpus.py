@@ -159,6 +159,52 @@ def contamination_check(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide line deduplication (the C4 preprocessing step:
+    boilerplate lines — navigation chrome, cookie banners, license
+    headers — repeat across millions of pages; keep each distinct line
+    only at its FIRST occurrence, ordered by (doc_id, line_no)).
+
+    Shape: explode lines with position, find each line's first
+    occurrence with a hash AGGREGATION (``min(struct(doc_id, line_no))``
+    — partial map-side combine collapses a million-fold duplicated line
+    to one row per map task, where the window-function formulation would
+    sort the full hot key in one reducer), broadcast-free equi-join
+    back, reassemble per doc. Two shuffles (line agg + doc regroup),
+    both combine-friendly.
+
+    Output: ``id_col, n_lines, n_kept, text_dedup`` (every doc appears,
+    possibly with empty ``text_dedup``).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("line_no", "line"))
+    first = (e.groupBy("line")
+             .agg(F.min(F.struct(id_col, "line_no")).alias("__first")))
+    kept = e.join(first, "line").where(
+        (F.col(f"__first.{id_col}") == F.col(id_col))
+        & (F.col("__first.line_no") == F.col("line_no")))
+    per_doc = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("line_no", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("text_dedup")))
+    totals = df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return (totals.join(per_doc, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).cast("int")
+                    .alias("n_kept"),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
+
+
 def ngrams(col: Column | str, n: int = 2) -> Column:
     """ALL token n-grams (with repeats — counting wants the multiset,
     unlike dedup's distinct ``shingles``)."""

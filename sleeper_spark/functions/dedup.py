@@ -302,6 +302,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     changed = None
+    prev_ck = None  # the previous round's CHECKPOINTED df (not a .drop view)
     for _ in range(max_iterations):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -323,12 +324,14 @@ def connected_components(
         # (every partition is computed and cached) and returns the
         # changed count — no separate convergence-check action
         changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
-        prev = labels
         labels = new_labels.drop("__chg")
-        # the new checkpoint is materialised; drop the previous round's
-        # cached blocks so a deep graph doesn't pin O(rounds) label
-        # tables in executor storage (no-op on the un-cached round-0 df)
-        prev.unpersist()
+        # round N is materialised and self-contained, so round N-1's
+        # checkpoint blocks are dead — release them so a deep graph does
+        # not pin O(rounds) label tables in executor storage. NB
+        # DataFrame.unpersist() cannot do this: localCheckpoint caches
+        # its RDD outside the Dataset cache manager.
+        _release_local_checkpoint(prev_ck)
+        prev_ck = new_labels
         if changed == 0:
             break
     if changed:
@@ -336,8 +339,32 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             f"rounds ({changed} labels still changing); the pair graph's "
             "diameter exceeds the cap — raise max_iterations")
+    # the returned labels read only the final checkpoint — the edge
+    # table's blocks are dead too
+    _release_local_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component_id"))
+
+
+def _release_local_checkpoint(df) -> None:
+    """Free the storage blocks of a MATERIALISED ``localCheckpoint``
+    DataFrame that will never be read again.
+
+    ``DataFrame.unpersist()`` is a no-op here — the checkpoint's RDD is
+    cached outside the Dataset cache manager — so this reaches the
+    ``LogicalRDD`` plan node the checkpoint rewrote the Dataset to and
+    unpersists ITS rdd (verified empirically: the storage entry
+    disappears; any later read of the df fails, which is why callers
+    only pass dfs whose last reader has completed). Degrades to a no-op
+    on plan shapes it does not recognise (e.g. Spark Connect)."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - cleanup must never break the job
+        pass
 
 
 # ---------------------------------------------------------------------------

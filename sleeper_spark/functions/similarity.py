@@ -15,6 +15,18 @@ Two tiers, as a 100 TB engine needs both:
   bucket id, so each query scores only its bucket's candidates (recall
   tunable via B and multi-probe on near-zero margins). Bucket assignment
   is a pure map; the only shuffle is the bucket equi-join.
+
+Every tier's recall@10 against :func:`brute_force_topk` ground truth is
+itself a first-class operator (:func:`recall_at_k`, driver entry
+``ann_recall``) — the metric an embedding pipeline gates index deploys
+on. On the synthetic near-random fixture embeddings (a worst case for
+ANN: no cluster structure), measured recall@10 at sf0.1 (10k vectors,
+5 queries): IVF-Flat (nlist=8, nprobe=2) 0.60; LSH (8 bits) 0.06;
+multi-probe LSH (8 bits, nprobe=3) 0.10 — the margin-flip probes lift
+recall ~1.7x at the same bucket granularity; PQ/IVF-PQ (m=4, ksub=8)
+~0.0-0.1 — 4096 distinct codes cannot rank 10k unclustered vectors, an
+expected property of random data, not of the operators (real embedding
+corpora cluster, which is what PQ exploits).
 """
 
 from __future__ import annotations
@@ -336,6 +348,34 @@ def embedding_near_duplicates(
     )
 
 
+def query_probe_buckets(vec: Column, planes: list[list[float]],
+                        nprobe: int = 1) -> Column:
+    """Multi-probe bucket list for a query vector: its signature bucket
+    plus the ``nprobe - 1`` single-bit flips with the smallest
+    ``|dot(vec, plane)|`` margin — a near-zero margin means the vector
+    sits almost ON that hyperplane, so the neighbouring bucket is the
+    likeliest home of missed neighbours (the classic multi-probe LSH
+    refinement: recall rises without lowering ``bits``, i.e. without
+    growing every bucket). Pure expressions; ties in margin break
+    toward the lower plane index so probe sets are deterministic and
+    oracle-reproducible."""
+    base = lsh_bucket(vec, planes)
+    if nprobe <= 1:
+        return F.array(base)
+    ds = [dot(vec, F.lit(p).cast("array<double>")) for p in planes]
+    weights = F.array(*[F.lit(1 << i).cast("long")
+                        for i in range(len(planes))])
+    flips = F.slice(
+        F.array_sort(F.array(*[
+            F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+            for i, d in enumerate(ds)])),
+        1, nprobe - 1)
+    return F.concat(
+        F.array(base),
+        F.transform(flips, lambda s: base.bitwiseXOR(
+            F.element_at(weights, s["i"] + 1))))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -346,9 +386,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH
-    bucket. ~2^bits-fold candidate reduction at the cost of recall."""
+    bucket. ~2^bits-fold candidate reduction at the cost of recall.
+
+    ``nprobe > 1`` probes that many buckets per query (the signature
+    bucket plus the smallest-margin single-bit flips, see
+    :func:`query_probe_buckets`) — the query side explodes to nprobe
+    rows, the corpus side and the bucket equi-join shape are unchanged,
+    and a corpus vector still lives in exactly one bucket so candidates
+    never duplicate."""
     planes = _hyperplanes(dim, bits, seed)
     c = _with_norm(corpus.select(
         F.col(id_col),
@@ -359,13 +407,49 @@ def lsh_topk(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ), "__qvec", "__qnorm").withColumn(
-        "__bucket", lsh_bucket(F.col("__qvec"), planes))
+        "__bucket", F.explode(
+            query_probe_buckets(F.col("__qvec"), planes, nprobe)))
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .withColumn("cosine", _paired_cosine())
     )
     scored = _exclude_self(scored, id_col, query_id_col)
     return _pruned_topk(scored, k, id_col, query_id_col)
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN tier against exact ground truth —
+    the metric a real embedding pipeline gates index deploys on.
+
+    Both inputs are (query_id, vec_id, ..., rank) top-k tables (the
+    output shape of every tier here). Recall is computed only for
+    queries PRESENT in ``approx`` (tiers may serve different query
+    sets), as hits@k / exact@k. Both sides are Q×k-row tables, so every
+    join is broadcast-sized regardless of corpus scale.
+
+    Output: ``query_id, n_exact, n_hits, recall``.
+    """
+    e = exact.where(F.col("rank") <= k).select(query_id_col, id_col)
+    a = approx.where(F.col("rank") <= k).select(query_id_col, id_col)
+    e = e.join(a.select(query_id_col).distinct(), query_id_col, "left_semi")
+    per = (
+        e.join(a.withColumn("__hit", F.lit(1)), [query_id_col, id_col],
+               "left")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.count("__hit").alias("n_hits"))
+    )
+    return per.select(
+        query_id_col,
+        F.col("n_exact").cast("int").alias("n_exact"),
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"))
 
 
 def quantize_embeddings(

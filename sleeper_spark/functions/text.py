@@ -108,3 +108,37 @@ def content_md5(col: Column | str) -> Column:
     the oracle must reproduce the hash)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c)
+
+
+#: PII patterns — conservative syntax valid in BOTH Java regex (Spark)
+#: and RE2 (DuckDB/Go tooling), so oracles and external audits reproduce
+#: the scrub exactly. Order matters: emails first (their dotted domains
+#: would otherwise be half-eaten by the IP pattern), then IPs, then
+#: phone-like digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, phone-like digit
+    runs) — the scrub step a training pipeline runs before text ships
+    into a corpus. Pure chained ``regexp_replace`` expressions: no
+    shuffle, no UDF, the 100 TB cost is the scan; counts are taken
+    BEFORE replacement so the audit trail survives the redaction.
+
+    Output: ``id_col, n_emails, n_ips, n_phones, text_scrubbed``.
+    """
+    c = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+              .alias(alias_)
+              for (pat, _), alias_ in zip(
+                  PII_PATTERNS, ("n_emails", "n_ips", "n_phones"))]
+    scrubbed = c
+    for pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts,
+                     scrubbed.alias("text_scrubbed"))

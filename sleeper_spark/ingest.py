@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import bisect
 import os
+import shutil
 import uuid
 
 import pyarrow.parquet as pq
@@ -121,7 +122,13 @@ def ingest_dataframe(
     sketches.write_sidecars_distributed(
         df.sparkSession, [r.filename for r in refs],
         schema.key_names, props.sketch_size)
-    store.add_files(refs, job_id=job_id)
+    if not store.add_files(refs, job_id=job_id):
+        # replay detected only inside the commit's re-validation (a
+        # concurrent writer applied this job id after the pre-check at
+        # the top): the files + sketch sidecars just written are
+        # referenced by nothing and GC will never see them — delete now
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return []
     return refs
 
 

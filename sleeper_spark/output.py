@@ -14,8 +14,10 @@ Reference surfaces:
 
 from __future__ import annotations
 
+import abc
 import os
-from typing import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,6 +59,117 @@ def stream_results_json(results: DataFrame,
         send("\n".join(batch))
         n += len(batch)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Pluggable results transports (S5 parity-plus)
+# ---------------------------------------------------------------------------
+#
+# The reference routes query results through a ResultsOutput interface
+# with per-destination impls selected by configuration
+# (java/query/query-runner/src/main/java/sleeper/query/runner/output/
+# S3ResultsOutput.java, SQSResultsOutput.java,
+# WebSocketResultsOutput.java; each returns a ResultsOutputInfo with the
+# published locations). The in-process analogs below share that
+# contract so a user can plug a queue/websocket/custom sink WITHOUT
+# touching the query path: implement publish(), hand the instance to
+# whatever runs the query.
+
+@dataclass
+class ResultsOutputInfo:
+    """Where one query's results went (ResultsOutputInfo.java analog):
+    the published locations, the row count when the transport had to
+    materialise it anyway (callback sinks; file sinks leave it None
+    rather than re-scan), and the error if publishing failed partway."""
+    query_id: str
+    locations: list[str] = field(default_factory=list)
+    rows: int | None = None
+    error: str | None = None
+
+
+class ResultsOutput(abc.ABC):
+    """One query-results destination. Implementations must be safe to
+    reuse across queries (the reference constructs one per query from
+    config; here an instance is the config)."""
+
+    @abc.abstractmethod
+    def publish(self, query_id: str, results: DataFrame) -> ResultsOutputInfo:
+        """Deliver ``results`` for ``query_id``; never raises — failures
+        are reported in ``.error`` so a runner can record them in the
+        query tracker (the reference contract)."""
+
+
+class ParquetResultsOutput(ResultsOutput):
+    """S3ResultsOutput analog: one Parquet directory per query under a
+    base path."""
+
+    def __init__(self, base_dir: str, compression: str = "zstd"):
+        self.base_dir = base_dir
+        self.compression = compression
+
+    def publish(self, query_id: str, results: DataFrame) -> ResultsOutputInfo:
+        dest = os.path.join(self.base_dir, query_id)
+        try:
+            write_results_parquet(results, dest, self.compression)
+            return ResultsOutputInfo(query_id, [dest])
+        except Exception as e:  # noqa: BLE001
+            return ResultsOutputInfo(query_id, [], error=f"{type(e).__name__}: {e}")
+
+
+class JsonFileResultsOutput(ResultsOutput):
+    """JSON-lines per query — the payload format of the queue sinks,
+    landed to files."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def publish(self, query_id: str, results: DataFrame) -> ResultsOutputInfo:
+        dest = os.path.join(self.base_dir, query_id)
+        try:
+            write_results_json(results, dest)
+            return ResultsOutputInfo(query_id, [dest])
+        except Exception as e:  # noqa: BLE001
+            return ResultsOutputInfo(query_id, [], error=f"{type(e).__name__}: {e}")
+
+
+class CallbackResultsOutput(ResultsOutput):
+    """SQS/WebSocket analog: batches of JSON-line payloads handed to a
+    transport callable (queue producer, socket send, test recorder) —
+    results stream through ``toLocalIterator``, never fully
+    materialised on the driver."""
+
+    def __init__(self, send: Callable[[str], None], batch_size: int = 1000,
+                 location: str = "callback"):
+        self.send = send
+        self.batch_size = batch_size
+        self.location = location
+
+    def publish(self, query_id: str, results: DataFrame) -> ResultsOutputInfo:
+        try:
+            n = stream_results_json(results, self.send, self.batch_size)
+            return ResultsOutputInfo(query_id, [self.location], rows=n)
+        except Exception as e:  # noqa: BLE001
+            return ResultsOutputInfo(query_id, [self.location],
+                                     error=f"{type(e).__name__}: {e}")
+
+
+def results_output_from_config(config: dict[str, Any]) -> ResultsOutput:
+    """Build a transport from a config map — the reference's
+    query-processing-config flavor (``resultsOutput`` type + per-type
+    properties, QueryProcessingConfig.java). Types: ``parquet``,
+    ``json``, ``callback``."""
+    kind = config.get("type", "parquet")
+    if kind == "parquet":
+        return ParquetResultsOutput(
+            config["base_dir"], config.get("compression", "zstd"))
+    if kind == "json":
+        return JsonFileResultsOutput(config["base_dir"])
+    if kind == "callback":
+        return CallbackResultsOutput(
+            config["send"], int(config.get("batch_size", 1000)),
+            config.get("location", "callback"))
+    raise ValueError(f"unknown results output type {kind!r}; "
+                     "expected parquet | json | callback")
 
 
 def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:

@@ -151,19 +151,24 @@ class StateStore:
     #: races resolve immediately after a reload)
     MAX_COMMIT_ATTEMPTS = 20
 
-    def _commit_with_retry(self, build) -> None:
+    def _commit_with_retry(self, build) -> bool:
         """Optimistic-concurrency loop: build the transaction against
         current state (validations raise BEFORE anything is written — a
         post-write validation failure would poison the log), try to take
         the next sequence number, and on losing the race reload and
-        retry. Mirrors the reference's transaction-log update loop."""
+        retry. Mirrors the reference's transaction-log update loop.
+
+        Returns True if a transaction was committed, False if ``build``
+        decided (possibly only after a reload) there is nothing to do —
+        callers use this to clean up side effects of a no-op commit
+        (e.g. an ingest replay's already-written data files)."""
         for _ in range(self.MAX_COMMIT_ATTEMPTS):
             tx = build()
             if tx is None:
-                return  # nothing left to do after re-validation
+                return False  # nothing left to do after re-validation
             try:
                 self._commit(tx)
-                return
+                return True
             except TransactionConflict:
                 self._load()
         raise TransactionConflict(
@@ -322,13 +327,18 @@ class StateStore:
         self._commit({"type": "INITIALISE_PARTITIONS", "partitions": tree.to_json()})
 
     def add_files(self, refs: Iterable[FileReference],
-                  job_id: str | None = None) -> None:
+                  job_id: str | None = None) -> bool:
         """Commit new file references. With a ``job_id`` the append is
         IDEMPOTENT: a re-delivered commit for an already-applied job id
         (streaming micro-batch replay after a crash between the table
         commit and the stream checkpoint) is skipped instead of
         duplicating the rows — the reference's ingest-job commit is
-        keyed the same way (AddFilesTransaction.java job id)."""
+        keyed the same way (AddFilesTransaction.java job id).
+
+        Returns True if the references were committed, False for a
+        skipped replay — the caller then owns deleting the data files it
+        wrote for the no-op commit (nothing references them and GC will
+        never see them)."""
         refs = list(refs)
 
         def build():
@@ -343,7 +353,7 @@ class StateStore:
                 tx["jobId"] = job_id
             return tx
 
-        self._commit_with_retry(build)
+        return self._commit_with_retry(build)
 
     def replace_file_references(self, partition_id: str, input_files: list[str],
                                 output: FileReference) -> None:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import weakref
 from dataclasses import dataclass, replace
 from enum import Enum
 from typing import Any, Callable
@@ -213,12 +214,24 @@ def run_tracked(tracker: QueryTracker, query_id: str,
     from pyspark.sql import DataFrame
     if isinstance(result, DataFrame):
         # cache before counting so the caller's own action reuses the
-        # computed result instead of re-running the whole query
+        # computed result instead of re-running the whole query; a
+        # weakref finalizer unpersists once the caller drops the last
+        # reference, so tracked queries do not pin executor storage for
+        # the session's lifetime (unpersisting a cache() is always safe:
+        # lineage survives, a late derived reader just recomputes)
         result = result.cache()
         n = result.count()
+        weakref.finalize(result, _unpersist_quietly, result._jdf)
     elif hasattr(result, "__len__"):
         n = len(result)
     else:
         n = 0
     tracker.query_completed(query_id, n)
     return result
+
+
+def _unpersist_quietly(jdf) -> None:
+    try:
+        jdf.unpersist(False)
+    except Exception:  # noqa: BLE001 - gateway may be gone at shutdown
+        pass

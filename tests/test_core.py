@@ -646,6 +646,22 @@ class TestThirdReviewFixes:
         st2.add_files([FileReference("/f2", "root", 5)], job_id="job-b")
         assert len(st2.all_references()) == 2
 
+    def test_add_files_reports_replay_skip(self, tmp_path):
+        """add_files returns False for a skipped replay — including one
+        only discovered inside the commit retry against a STALE store
+        (the race ingest_dataframe uses to delete its orphaned files)."""
+        s = self.schema()
+        st_a = StateStore(str(tmp_path / "ss"), s)
+        st_a.initialise_partitions(PartitionTree.initial(s))
+        st_b = StateStore(str(tmp_path / "ss"), s)  # loaded BEFORE job-a
+        assert st_a.add_files([FileReference("/f1", "root", 10)],
+                              job_id="job-a") is True
+        # st_b's pre-check still passes (stale state); the conflict
+        # retry reloads, re-validates, and must report the skip
+        assert st_b.add_files([FileReference("/f1-dup", "root", 10)],
+                              job_id="job-a") is False
+        assert {r.filename for r in st_b.all_references()} == {"/f1"}
+
     def test_duplicate_split_points_rejected(self):
         s = self.schema()
         with pytest.raises(ValueError, match="duplicate split"):

@@ -37,8 +37,12 @@ def test_every_query_has_an_oracle():
     # the N-invariant batch point lookup, the Gopher-rules composite
     # quality filter, IVF-PQ composite ANN, native streaming session
     # windows, the full outer join, sorted collect-set aggregation, and
-    # width_bucket histograms
-    assert len(qk) == 84
+    # width_bucket histograms; round 5 added multi-probe LSH, the
+    # recall@10 gate joining every approximate ANN tier against
+    # brute-force ground truth, TPC-H Q4/Q7/Q10/Q19 (Q4/Q19 adapted to
+    # the fixture's columns), C4-style corpus line dedup, and the PII
+    # scrub
+    assert len(qk) == 92
 
 
 def test_entry_smoke(spark):

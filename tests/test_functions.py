@@ -19,6 +19,22 @@ def embeddings(spark):
 
 
 class TestText:
+    def test_pii_scrub_redacts_and_counts(self, spark):
+        from sleeper_spark.functions.text import pii_scrub
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@test.org or b@x.io, host 192.168.0.1, "
+                 "call +44 20 7946 0958 now"),
+             (2, "nothing sensitive here")],
+            ["doc_id", "text"])
+        got = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (2, 1, 1)
+        out = got[1].text_scrubbed
+        assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+        assert "test.org" not in out and "192.168" not in out
+        assert "7946" not in out
+        assert got[2].text_scrubbed == "nothing sensitive here"
+        assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
+
     def test_token_count_matches_python(self, docs):
         import re
         from sleeper_spark.functions.text import token_count
@@ -135,6 +151,42 @@ class TestSimilarity:
         assert len(rows) > 0
         assert all(r.cosine <= 1.0001 for r in rows)
 
+
+    def test_lsh_multiprobe_superset_and_flip_buckets(self, embeddings):
+        """nprobe=3 candidates must be a superset of nprobe=1's (the
+        signature bucket is always probed), and probing every bucket's
+        worth of flips can only grow the result."""
+        from sleeper_spark.functions.similarity import lsh_topk
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        # k larger than any candidate pool -> the result IS the pool,
+        # and only pools nest (a capped top-k need not)
+        big_k = embeddings.count() + 1
+        one = {(r.query_id, r.vec_id) for r in lsh_topk(
+            embeddings, queries, dim=dim, k=big_k, bits=4).collect()}
+        multi = {(r.query_id, r.vec_id) for r in lsh_topk(
+            embeddings, queries, dim=dim, k=big_k, bits=4, nprobe=3).collect()}
+        assert one <= multi
+        assert len(multi) > len(one)  # the flip buckets added candidates
+
+    def test_recall_at_k(self, spark):
+        from sleeper_spark.functions.similarity import recall_at_k
+        exact = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+             (2, 20, 1), (2, 21, 2), (2, 22, 3),
+             (3, 30, 1)],
+            ["query_id", "vec_id", "rank"])
+        approx = spark.createDataFrame(
+            [(1, 10, 1), (1, 99, 2), (1, 12, 3),
+             (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+            ["query_id", "vec_id", "rank"])
+        got = {r.query_id: r for r in
+               recall_at_k(exact, approx, k=3).collect()}
+        assert set(got) == {1, 2}          # query 3 not served by approx
+        assert got[1].n_exact == 3 and got[1].n_hits == 2
+        assert abs(got[1].recall - 0.6667) < 1e-9
+        assert got[2].n_hits == 0 and got[2].recall == 0.0
 
     def test_ivf_topk_recall_vs_brute_force(self, spark, embeddings):
         """IVF with full probe (nprobe=nlist) must equal brute force;
@@ -304,6 +356,22 @@ class TestConnectedComponents:
                for r in connected_components(pairs).collect()}
         assert got == {(i, 0) for i in range(n + 1)}
 
+    def test_rounds_release_checkpoint_blocks(self, spark):
+        """A deep graph must NOT pin O(rounds) label checkpoints in
+        executor storage: after completion, only the FINAL label table's
+        checkpoint may remain cached (DataFrame.unpersist cannot free
+        localCheckpoint blocks — dedup._release_local_checkpoint does)."""
+        from sleeper_spark.functions.dedup import connected_components
+
+        sc = spark.sparkContext
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        out = connected_components(pairs, max_iterations=50)
+        assert all(r.component_id == 0 for r in out.collect())
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        assert len(after - before) <= 1  # ~30 rounds, at most 1 survivor
+
 
 class TestRealImageDecoder:
     def test_raises_without_pil_or_decodes_with_it(self):
@@ -421,6 +489,30 @@ class TestCorpus:
         joined_raw = t.join(tr, "sh").count()
         assert joined_capped <= 4
         assert joined_raw >= 10 * joined_capped
+
+    def test_dedup_lines_keeps_first_occurrence(self, spark):
+        from sleeper_spark.functions.corpus import dedup_lines
+        df = spark.createDataFrame(
+            [(1, "cookie banner\nreal content one\ncookie banner"),
+             (2, "cookie banner\nreal content two"),
+             (3, "all original here")],
+            ["doc_id", "text"])
+        got = {r.doc_id: r for r in dedup_lines(df).collect()}
+        # doc 1 keeps its first 'cookie banner' + its unique line
+        assert got[1].n_lines == 3 and got[1].n_kept == 2
+        assert got[1].text_dedup == "cookie banner\nreal content one"
+        # doc 2's banner was first seen in doc 1 -> dropped
+        assert got[2].n_kept == 1
+        assert got[2].text_dedup == "real content two"
+        assert got[3].n_kept == 1
+
+    def test_dedup_lines_all_duplicate_doc_survives_empty(self, spark):
+        from sleeper_spark.functions.corpus import dedup_lines
+        df = spark.createDataFrame(
+            [(1, "same line"), (2, "same line")], ["doc_id", "text"])
+        got = {r.doc_id: r for r in dedup_lines(df).collect()}
+        assert got[2].n_kept == 0 and got[2].text_dedup == ""
+        assert got[1].n_kept == 1
 
     def test_contamination_no_cartesian(self, spark, docs):
         from sleeper_spark.functions.corpus import contamination_check

@@ -57,6 +57,45 @@ class TestResultsSinks:
         assert len(sent) >= 2  # actually batched
         assert all(line.startswith("{") for m in sent for line in m.split("\n"))
 
+    def test_transport_interface_with_recording_fake(self, spark, tmp_path,
+                                                     events_table):
+        """Pluggable ResultsOutput protocol: the same publish() contract
+        serves a file transport, a queue-style callback transport, and a
+        user-supplied custom impl — errors are reported, not raised."""
+        t, ev = events_table
+        res = t.range_key_query([("event_id", 0, 100)])
+        want = res.count()
+
+        pq = output.results_output_from_config(
+            {"type": "parquet", "base_dir": str(tmp_path / "pub")})
+        info = pq.publish("q-1", res)
+        assert info.error is None and len(info.locations) == 1
+        assert spark.read.parquet(info.locations[0]).count() == want
+
+        sent: list[str] = []
+        cb = output.results_output_from_config(
+            {"type": "callback", "send": sent.append, "batch_size": 50,
+             "location": "fake-queue"})
+        info2 = cb.publish("q-2", res)
+        assert info2.error is None and info2.rows == want
+        assert info2.locations == ["fake-queue"]
+        assert sum(len(m.split("\n")) for m in sent) == want
+
+        class ExplodingTransport(output.ResultsOutput):
+            def publish(self, query_id, results):
+                return output.CallbackResultsOutput(
+                    self._boom, location="boom").publish(query_id, results)
+
+            @staticmethod
+            def _boom(_payload):
+                raise OSError("queue unreachable")
+
+        info3 = ExplodingTransport().publish("q-3", res)
+        assert info3.error is not None and "queue unreachable" in info3.error
+
+        with pytest.raises(ValueError):
+            output.results_output_from_config({"type": "carrier-pigeon"})
+
 
 class TestBulkExport:
     def test_export_one_sorted_file_per_leaf(self, spark, tmp_path, events_table):

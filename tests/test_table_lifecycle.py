@@ -524,3 +524,29 @@ class TestQueryPathReviewFixes:
         out = distributed_sorted_scan(t)  # must NOT raise
         got = {r["id"]: (r["count"], r["total"]) for r in out.collect()}
         assert got == {"x": (3, 5), "y": (5, 2)}
+
+    def test_ingest_replay_race_cleans_orphans(self, spark, tmp_path):
+        """A replayed ingest job id detected only inside the commit's
+        retry re-validation (stale second writer) must delete the data
+        files + sketch sidecars it wrote — they are referenced by
+        nothing and GC would never see them."""
+        import os
+        from sleeper_spark.statestore import StateStore
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        # second writer handle loaded BEFORE the first commit -> its
+        # in-memory job-id set is stale
+        stale = SleeperTable.load(spark, str(tmp_path / "t"))
+        df = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+        refs = t.ingest(df, job_id="job-x")
+        assert refs
+        data_dirs_before = set(os.listdir(t.data_dir))
+        replay = stale.ingest(df, job_id="job-x")
+        assert replay == []
+        # the replay's freshly-written out_dir is gone again
+        assert set(os.listdir(t.data_dir)) == data_dirs_before
+        stale.store._load()
+        assert {r.filename for r in stale.store.all_references()} == \
+            {r.filename for r in t.store.all_references()}

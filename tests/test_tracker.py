@@ -119,3 +119,21 @@ class TestRunTracked:
         with pytest.raises(RuntimeError):
             run_tracked(tr, "q", lambda: (_ for _ in ()).throw(RuntimeError("x")))
         assert tr.get("q").state == QueryState.FAILED
+
+    def test_cache_released_when_result_dropped(self, spark):
+        """run_tracked caches the result for the caller's re-read; the
+        cache must be unpersisted once the caller drops the reference —
+        not pinned for the session's lifetime."""
+        import gc
+        tr = QueryTracker()
+        tr.query_queued("q-cache")
+        sc = spark.sparkContext
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        df = run_tracked(tr, "q-cache",
+                         lambda: spark.range(10000).selectExpr("id"))
+        during = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        assert during - before  # cached while referenced
+        del df
+        gc.collect()
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        assert not (after - before)  # finalizer unpersisted it

@@ -47,6 +47,27 @@ def row_key(row, names_sorted, name_to_idx):
     return tuple(norm(row[name_to_idx[n]]) for n in names_sorted)
 
 
+def _pandas_value(v, duck_type: str):
+    """Undo pandas' representational quirks (see fetch site) without
+    undoing dtype degradation."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        return v.tolist()  # deep: numpy scalars become Python natives
+    if isinstance(v, list):
+        return v
+    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+        return None
+    if duck_type == "Date" and hasattr(v, "date"):  # description says 'Date'
+        return v.date()
+    if hasattr(v, "to_pydatetime"):
+        return v.to_pydatetime()
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -72,10 +93,21 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        tuples_mode = os.environ.get("CHECK_ORACLE_FETCH") == "tuples"
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
             scols = sdf.columns
+            if tuples_mode:
+                srows = sdf.collect()
+            else:
+                # driver-faithful: BOTH sides round-trip through pandas,
+                # so a degradation hitting both sides equally (nullable
+                # BIGINT -> float64) stays green, while a one-sided one
+                # (DuckDB HUGEINT -> float64 vs Spark int64) fails —
+                # exactly the driver's observed behavior in round 4
+                spdf = sdf.toPandas()
+                srows = [tuple(_pandas_value(v, None) for v in row)
+                         for row in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
@@ -86,16 +118,22 @@ def main() -> int:
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
-            if os.environ.get("CHECK_ORACLE_FETCH") == "tuples":
+            if tuples_mode:
                 orows = cur.fetchall()
             else:
                 # driver-faithful: round-trip through pandas so dtype
-                # degradation (HUGEINT->float64 etc.) shows up here too
+                # degradation (HUGEINT->float64 etc.) shows up here too.
+                # pandas' own representational quirks that the driver
+                # normalises away are undone per-column: DATE columns
+                # come back as midnight Timestamps (-> date), arrays as
+                # np.ndarray (-> list), numpy scalars (-> .item()) —
+                # while a degraded dtype (int -> float64) survives,
+                # which is the hazard this mode exists to catch.
                 pdf = cur.df()
-                orows = [tuple(None if isinstance(v, float) and math.isnan(v)
-                               else (v.item() if hasattr(v, "item") else v)
-                               for v in row)
-                         for row in pdf.itertuples(index=False, name=None)]
+                tmap = [str(d[1]) for d in cur.description]
+                orows = [
+                    tuple(_pandas_value(v, t) for v, t in zip(row, tmap))
+                    for row in pdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
