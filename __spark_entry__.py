@@ -1005,6 +1005,37 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return text.pii_scrub(planted, "text2", "doc_id")
 
 
+def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, hour bucket)
+    (functions/layout.py): the sort key that gives every row group a
+    tight min/max box in BOTH dimensions, so 2-D range queries prune at
+    the Parquet-statistics level. Pure bit arithmetic — the oracle
+    recomputes every key; the row-group-pruning win itself is pinned by
+    tests/test_functions.py::test_zorder_layout_prunes_better."""
+    from sleeper_spark.functions import layout
+
+    ev = _load(spark, sf, "events")
+    hour_us = 3_600_000_000
+    c = F.col("ts_us")
+    hour = ((c - F.pmod(c, F.lit(hour_us))) / hour_us).cast("long")
+    z = layout.zorder_key([F.col("user_id"), hour], bits=16)
+    return ev.select("event_id", z.alias("zkey"))
+
+
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order permutation key
+    (functions/layout.py shuffle_rows): a seeded overflow-free
+    congruential hash per doc — re-runs see the identical epoch order,
+    and the oracle reproduces it with plain integer arithmetic. The
+    sort itself is Spark's range-partitioned orderBy (one shuffle)."""
+    from sleeper_spark.functions import layout
+
+    doc = _load(spark, sf, "documents")
+    return doc.select(
+        "doc_id", "source",
+        layout.shuffle_key("doc_id", seed=7).alias("shuffle_key"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over consecutive doc pairs — the
     verify step of the dedup pipeline, oracle-checked."""
@@ -1243,7 +1274,6 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     books = similarity.train_pq_codebooks(
         emb, dim=_PQ["dim"], m=_PQ["m"], ksub=_PQ["ksub"],
         seed=_PQ["seed"], train_rows=_PQ["train_rows"])
-    exact = similarity.brute_force_topk(emb, q5, k=10)
     tiers = {
         "ivf": similarity.ivf_topk(
             emb, q5, dim=_IVF["dim"], k=_IVF["k"], nlist=_IVF["nlist"],
@@ -1257,8 +1287,22 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             emb, q5, dim=64, k=10, bits=8, nprobe=3),
         "pq": similarity.pq_topk(emb, q3, books, k=_PQ["k"]),
     }
+
+    # every top-k table is Q×k rows BY CONSTRUCTION (Q<=5, k=10), so
+    # collecting each is bounded at any corpus scale; WITHOUT the
+    # collect, each union branch + each recall join re-evaluates its
+    # full corpus scan (measured 10 brute-force evaluations of the
+    # ground truth alone). Sequential actions beat a thread pool here:
+    # concurrent py4j/pandas-UDF job submission contends on the driver
+    # (measured 19s threaded vs 11s sequential at sf0.01).
+    def materialize_topk(df):
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    exact = materialize_topk(similarity.brute_force_topk(emb, q5, k=10))
+    small = {name: materialize_topk(tier) for name, tier in tiers.items()}
+
     out = None
-    for name, tier in tiers.items():
+    for name, tier in small.items():
         r = similarity.recall_at_k(exact, tier, k=10).withColumn(
             "tier", F.lit(name))
         out = r if out is None else out.unionByName(r)
@@ -1661,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
+        "zorder_key": q_zorder_key,
+        "corpus_shuffle": q_corpus_shuffle,
         "ngram_top_counts": q_ngram_top_counts,
         "repetition_scores": q_repetition_scores,
         "source_mix": q_source_mix,
@@ -1807,6 +1853,23 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 10, bits: int = 8,
 _COS_SQL = ("round(list_dot_product({a}, {b}) / "
             "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
             "sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """Recompute the Morton key in DuckDB: the same sum of shift/mask
+    terms as layout.zorder_key over (user_id, ts hour bucket)."""
+    mask = (1 << bits) - 1
+    cols = [f"(user_id & {mask})", f"(hr & {mask})"]
+    d = len(cols)
+    terms = [
+        f"((({ce} >> {b}) & 1) * {1 << (b * d + j)})"
+        for j, ce in enumerate(cols)
+        for b in range(bits)
+    ]
+    return (
+        "WITH e AS (SELECT event_id, user_id, "
+        "epoch_us(ts) // 3600000000 AS hr FROM events) "
+        f"SELECT event_id, {' + '.join(terms)} AS zkey FROM e")
 
 
 def _ann_lsh_multiprobe_oracle_sql(dim: int = 64, k: int = 10,
@@ -2587,6 +2650,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
             "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
             "FROM g GROUP BY user_id, sid",
+        "zorder_key": _zorder_oracle_sql(),
+        "corpus_shuffle":
+            # same two-round congruential as layout.shuffle_key(seed=7)
+            "SELECT doc_id, source, "
+            "(((((doc_id + 7) % 2147483647) * 1103515245 + 12352) "
+            "% 2147483647) * 69069 + 1) % 2147483647 "
+            "AS shuffle_key FROM documents",
         "line_dedup":
             "WITH t AS (SELECT doc_id, "
             "str_split(regexp_replace(text, '\\. ', '.' || chr(10), 'g'), "

@@ -40,9 +40,10 @@ def test_every_query_has_an_oracle():
     # width_bucket histograms; round 5 added multi-probe LSH, the
     # recall@10 gate joining every approximate ANN tier against
     # brute-force ground truth, TPC-H Q4/Q7/Q10/Q19 (Q4/Q19 adapted to
-    # the fixture's columns), C4-style corpus line dedup, and the PII
-    # scrub
-    assert len(qk) == 92
+    # the fixture's columns), C4-style corpus line dedup, the PII
+    # scrub, Z-order clustering keys, and the deterministic corpus
+    # shuffle
+    assert len(qk) == 94
 
 
 def test_entry_smoke(spark):

@@ -930,3 +930,75 @@ class TestSecondReviewFixes:
         rows = ivf_topk(embeddings, queries, dim=dim, k=3, nlist=4,
                         nprobe=4).collect()
         assert rows and all(r.query_id.startswith("q") for r in rows)
+
+
+class TestLayout:
+    def test_zorder_key_interleaves_bits(self, spark):
+        from sleeper_spark.functions.layout import zorder_key
+        df = spark.createDataFrame([(3, 5)], ["a", "b"])
+        z = df.select(zorder_key(["a", "b"], bits=4).alias("z")).first().z
+        want = (sum(((3 >> i) & 1) << (2 * i) for i in range(4))
+                + sum(((5 >> i) & 1) << (2 * i + 1) for i in range(4)))
+        assert z == want
+
+    def test_zorder_rejects_overflow(self, spark):
+        import pytest as _pytest
+        from sleeper_spark.functions.layout import zorder_key
+        with _pytest.raises(ValueError):
+            zorder_key(["a", "b"], bits=32)
+
+    def test_zorder_layout_prunes_better(self, spark, tmp_path):
+        """The point of Z-order: for a box query selective ONLY in the
+        second dimension, a first-dim-sorted layout scans EVERY row
+        group (each group spans all of y) while the Morton layout's
+        tile-shaped groups let Parquet min/max stats prune most of
+        them."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from sleeper_spark.functions.layout import zorder_key
+
+        n = 256
+        df = spark.range(n * n).selectExpr(
+            "CAST(id / 256 AS LONG) AS x", "CAST(id % 256 AS LONG) AS y")
+        zdf = df.withColumn("z", zorder_key(["x", "y"], bits=8))
+        pdf = zdf.toPandas()
+
+        def write_sorted(pdf, by, path):
+            t = pa.Table.from_pandas(
+                pdf.sort_values(by)[["x", "y"]], preserve_index=False)
+            pq.write_table(t, path, row_group_size=2048)
+
+        p_x = str(tmp_path / "by_x.parquet")
+        p_z = str(tmp_path / "by_z.parquet")
+        write_sorted(pdf, ["x", "y"], p_x)
+        write_sorted(pdf, ["z"], p_z)
+
+        def groups_touched(path, y_lo, y_hi):
+            md = pq.ParquetFile(path).metadata
+            hit = 0
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    if col.path_in_schema == "y":
+                        st = col.statistics
+                        if st.min < y_hi and st.max >= y_lo:
+                            hit += 1
+            return hit, md.num_row_groups
+
+        x_hit, total = groups_touched(p_x, 100, 110)
+        z_hit, _ = groups_touched(p_z, 100, 110)
+        assert x_hit == total            # x-sorted: every group spans all y
+        assert z_hit <= total // 2       # Morton tiles: most groups pruned
+
+    def test_shuffle_rows_deterministic_permutation(self, spark):
+        from sleeper_spark.functions.layout import shuffle_rows
+        df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+        o1 = [r.id for r in shuffle_rows(df, "id", seed=1).collect()]
+        o2 = [r.id for r in shuffle_rows(df, "id", seed=1).collect()]
+        o3 = [r.id for r in shuffle_rows(df, "id", seed=2).collect()]
+        assert o1 == o2                      # reproducible
+        assert sorted(o1) == list(range(100))  # a true permutation
+        assert o1 != list(range(100))        # decorrelated from id order
+        assert o1 != o3                      # seed changes the order

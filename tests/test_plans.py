@@ -131,6 +131,43 @@ def test_sleeper_full_scan_uses_all_files(spark, tmp_path):
     assert m and int(m.group(1)) == 2
 
 
+def test_tpch_breadth_no_cartesian_dims_broadcast(spark, entry):
+    """Q7/Q10/Q19: every dimension join is a broadcast hash join; no
+    cartesian or nested-loop anywhere in the analytics-breadth set."""
+    for q in (entry.q_tpch_q4, entry.q_tpch_q7, entry.q_tpch_q10,
+              entry.q_tpch_q19):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoop" not in plan, q.__name__
+    assert plan_of(entry.q_tpch_q19(spark, SF)).count("BroadcastHashJoin") == 1
+
+
+def test_line_dedup_first_occurrence_is_hash_agg(spark, entry):
+    """The first-occurrence computation must be a partial/final hash
+    aggregation (combine-friendly on million-fold boilerplate lines),
+    NOT a window sort that funnels a hot line into one reducer."""
+    plan = plan_of(entry.q_line_dedup(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_scan_side_only(spark, entry):
+    """Scrub = chained regexp expressions over the scan; the only
+    exchange is _load's fixture-parallelism repartition."""
+    plan = plan_of(entry.q_pii_scrub(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_ann_multiprobe_still_bucket_equi_join(spark, entry):
+    """Multi-probe explodes the QUERY side only; the corpus join must
+    stay one broadcast hash equi-join on the bucket."""
+    plan = plan_of(entry.q_ann_lsh_multiprobe(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_dedup_minhash_no_cartesian(spark, entry):
     """LSH candidate generation must never plan a cartesian product."""
     plan = plan_of(entry.q_minhash_lsh_pairs(spark, SF))
