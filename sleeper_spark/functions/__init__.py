@@ -14,6 +14,13 @@ Spark provides those natively. This package adds the non-trivial pieces:
 - ``timeseries``  as-of join (union + sort + last-carry), sessionize
                   (gaps-and-islands), interval containment join
                   (bucketed equi-join) — one shuffle each, no UDFs
+- ``corpus``      chunking, TF-IDF, contamination scan (hot-shingle
+                  guarded), C4-style line dedup, n-gram frequency,
+                  repetition scores, Gopher-rules quality filter
+- ``skew``        salted join + two-stage distinct (exact-equivalence
+                  contract)
+- ``layout``      Z-order (Morton) clustering keys for multi-dim
+                  row-group pruning; deterministic corpus shuffle
 
 Design rules applied throughout: built-in ``pyspark.sql.functions`` and
 higher-order functions first (JVM-side, codegen'd); every operator is

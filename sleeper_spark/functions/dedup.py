@@ -340,8 +340,10 @@ def connected_components(
             f"rounds ({changed} labels still changing); the pair graph's "
             "diameter exceeds the cap — raise max_iterations")
     # the returned labels read only the final checkpoint — the edge
-    # table's blocks are dead too
-    _release_local_checkpoint(edges)
+    # table's blocks are dead too (unless zero rounds ran and labels
+    # still derives straight from edges)
+    if prev_ck is not None:
+        _release_local_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component_id"))
 

@@ -102,3 +102,48 @@ def test_chunk_aggregation_matches_reference(rows):
     assert got == want
     # schema preserved exactly (cast-back: sum(int32) stays int32)
     assert out.schema == chunk.schema
+
+
+def test_map_sum_dense_path_matches_hash_path():
+    """The dense bincount map_sum (sorted_scan._map_sum_dense) must be
+    value-identical to the Arrow hash-agg path on the same inputs —
+    including negative and near-2^62 values exercising the hi/lo split —
+    and must decline (return None -> hash path) on nulls."""
+    import random
+
+    import numpy as np
+
+    from sleeper_spark import sorted_scan as ss
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(500):
+        n_entries = rng.randint(0, 4)
+        keys = rng.sample(["a", "b", "c", "d", "e"], n_entries)
+        rows.append([(k, rng.choice(
+            [rng.randint(-1000, 1000), 2**62 - 1, -(2**62), 1])) for k in keys])
+    col = pa.chunked_array(
+        [pa.array(rows, type=pa.map_(pa.string(), pa.int64()))])
+    gid = np.repeat(np.arange(100, dtype=np.int64), 5)
+
+    dense = ss._agg_map_column(col, gid, 100, "sum")
+    orig = ss._map_sum_dense
+    ss._map_sum_dense = lambda *a, **k: None  # force the hash path
+    try:
+        hashed = ss._agg_map_column(col, gid, 100, "sum")
+    finally:
+        ss._map_sum_dense = orig
+    assert dense.to_pylist() == hashed.to_pylist()
+
+    # nulls -> the dense path must decline, not mis-sum
+    withnull = pa.chunked_array([pa.array(
+        [[("a", 1), ("b", None)], [("a", 2)]],
+        type=pa.map_(pa.string(), pa.int64()))])
+    g2 = np.zeros(2, dtype=np.int64)
+    assert ss._map_sum_dense(
+        withnull.combine_chunks().keys,
+        withnull.combine_chunks().items, np.array([0, 0, 1]), 1,
+        pa.int64()) is None
+    out = ss._agg_map_column(withnull, g2, 1, "sum")
+    # all-null value group sums to null (Arrow/Spark sum semantics)
+    assert dict(out.to_pylist()[0]) == {"a": 3, "b": None}
