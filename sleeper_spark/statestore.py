@@ -112,6 +112,7 @@ class StateStore:
         self._refreshed_at = time.time()
         self._index_seq = -1
         self._files_by_partition: dict[str, list[FileReference]] = {}
+        self._read_only = False
         self._load()
 
     # ------------------------------------------------------------------
@@ -174,6 +175,85 @@ class StateStore:
         raise TransactionConflict(
             f"gave up after {self.MAX_COMMIT_ATTEMPTS} attempts")
 
+    def state_at(self, seq: int) -> "StateStore":
+        """Time travel: a READ-ONLY view of the table state as of
+        transaction ``seq`` (1-based; 0 = empty pre-init state).
+
+        The append-only log makes this free: replay transactions
+        1..seq into a detached view (snapshots are an acceleration for
+        ``_load`` only — the full log is retained, so any historical
+        seq is reachable). Commits through the view raise.
+
+        Caveat (inherent to any log-compacted store, same as
+        Delta/Iceberg VACUUM): data files dereferenced before ``seq``'s
+        horizon may already be garbage-collected — the GC delay
+        (``collect_garbage`` min_age) is exactly the window that keeps
+        recent history queryable. ``SleeperTable.as_of`` validates file
+        existence and names what GC took.
+        """
+        if seq < 0 or seq > self._seq:
+            raise ValueError(
+                f"seq {seq} out of range: log is at {self._seq}")
+        view = StateStore.__new__(StateStore)
+        view.path, view.schema = self.path, self.schema
+        view.tx_dir, view.snap_dir = self.tx_dir, self.snap_dir
+        view.tree = None
+        view.files = {}
+        view.gc_queue = {}
+        view.ingest_jobs_seen = set()
+        view._seq = 0
+        view._refreshed_at = time.time()
+        view._index_seq = -1
+        view._files_by_partition = {}
+        view._read_only = True
+        # start from the newest snapshot at-or-before seq (same
+        # acceleration _load uses), then replay the remainder
+        snaps = sorted(
+            n for n in (os.listdir(self.snap_dir)
+                        if os.path.isdir(self.snap_dir) else [])
+            if _COMPLETED_NAME.match(n) and int(n.split(".")[0]) <= seq)
+        if snaps:
+            with open(os.path.join(self.snap_dir, snaps[-1])) as f:
+                snap = json.load(f)
+            view._restore_snapshot(snap)
+            view._seq = snap["seq"]
+        for name in sorted(os.listdir(self.tx_dir)):
+            if not _COMPLETED_NAME.match(name):
+                continue
+            s = int(name.split(".")[0])
+            if s <= view._seq:
+                continue
+            if s > seq:
+                break
+            with open(os.path.join(self.tx_dir, name)) as f:
+                tx = json.load(f)
+            view._apply(tx)
+            view._seq = s
+        if view._seq != seq:
+            raise StateStoreException(
+                f"log is missing transactions: wanted seq {seq}, "
+                f"replay reached {view._seq}")
+        return view
+
+    def seq_at_time(self, ts: float) -> int:
+        """Largest committed seq whose transaction file was written at
+        or before unix-time ``ts`` (file mtimes ARE the commit times:
+        each transaction is fsync'd then linked once)."""
+        best = 0
+        for name in sorted(os.listdir(self.tx_dir)):
+            if not _COMPLETED_NAME.match(name):
+                continue
+            p = os.path.join(self.tx_dir, name)
+            if os.path.getmtime(p) <= ts:
+                best = int(name.split(".")[0])
+            else:
+                break
+        return best
+
+    @property
+    def current_seq(self) -> int:
+        return self._seq
+
     def _commit(self, tx: dict[str, Any]) -> None:
         """Atomic append at seq+1; use :meth:`_commit_with_retry` for
         automatic conflict handling.
@@ -186,6 +266,9 @@ class StateStore:
         O_EXCL-create-then-write left a truncated JSON at the final name
         if the process died mid-dump, which poisoned every subsequent
         load AND deadlocked all writers on that seq forever."""
+        if getattr(self, "_read_only", False):
+            raise StateStoreException(
+                "historical view (state_at) is read-only")
         seq = self._seq + 1
         path = os.path.join(self.tx_dir, f"{seq:012d}.json")
         tmp = os.path.join(
@@ -542,6 +625,8 @@ class StateStore:
         an O(1) probe for the next sequence number detects whether any
         other writer committed, and only then is the log replayed.
         Returns True when a reload happened."""
+        if getattr(self, "_read_only", False):
+            return False  # a time-travel view is pinned to its seq
         now = time.time()
         if now - self._refreshed_at < ttl_seconds:
             return False
@@ -590,4 +675,7 @@ class StateStore:
         return [fn for fn, t in self.gc_queue.items() if t <= cutoff]
 
     def reload(self) -> None:
+        if getattr(self, "_read_only", False):
+            raise StateStoreException(
+                "historical view (state_at) is pinned to its seq")
         self._load()

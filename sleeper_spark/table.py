@@ -74,6 +74,34 @@ class SleeperTable:
         store = StateStore(os.path.join(path, "statestore"), schema)
         return SleeperTable(spark, path, schema, props, store)
 
+    def as_of(self, seq: int | None = None,
+              timestamp: float | None = None) -> "SleeperTable":
+        """Time travel: a read-only table view as of transaction ``seq``
+        (or the last transaction committed at/before unix ``timestamp``)
+        — free on the append-only log (StateStore.state_at). Every read
+        API works on the view; writes raise.
+
+        Raises StateStoreException naming any data file the view needs
+        that garbage collection has already deleted — the GC delay
+        (O6) is the knob that bounds how far back reads stay valid.
+        """
+        if (seq is None) == (timestamp is None):
+            raise ValueError("pass exactly one of seq= or timestamp=")
+        if seq is None:
+            seq = self.store.seq_at_time(timestamp)
+        view = self.store.state_at(seq)
+        missing = sorted({
+            r.filename for r in view.all_references()
+            if not os.path.exists(r.filename)})
+        if missing:
+            from sleeper_spark.statestore import StateStoreException
+            raise StateStoreException(
+                f"time travel to seq {seq} needs {len(missing)} "
+                f"garbage-collected file(s): {missing[:3]}... — raise the "
+                "GC delay to keep more history queryable")
+        return SleeperTable(self.spark, self.path, self.schema,
+                            self.props, view)
+
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------

@@ -15,7 +15,8 @@ from sleeper_spark.ranges import Range, Region
 from sleeper_spark.schema import Field, Schema
 import os
 
-from sleeper_spark.statestore import FileReference, StateStore
+from sleeper_spark.statestore import (FileReference, StateStore,
+                                      StateStoreException)
 
 
 def kv_schema():
@@ -392,7 +393,8 @@ class TestStateStoreConcurrency:
     def test_snapshot_restores_state(self, tmp_path):
         from pyspark.sql import types as T
         from sleeper_spark import Field, PartitionTree, Schema
-        from sleeper_spark.statestore import FileReference, StateStore
+        from sleeper_spark.statestore import (FileReference, StateStore,
+                                      StateStoreException)
         import sleeper_spark.statestore as ss_mod
 
         schema = Schema((Field("k", T.LongType()),), (),
@@ -688,3 +690,53 @@ class TestThirdReviewFixes:
         assert parent.state.name == "PARTIALLY_FAILED"
         assert parent.row_count == 8
         assert parent.error_message in ("boom", "bang")
+
+
+class TestTimeTravel:
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def test_state_at_replays_to_any_seq(self, tmp_path):
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))   # seq 1
+        st.add_files([FileReference("/f1", "root", 10)])      # seq 2
+        st.add_files([FileReference("/f2", "root", 5)])       # seq 3
+        st.replace_file_references("root", ["/f1", "/f2"],
+                                   FileReference("/m", "root", 15))  # seq 4
+        assert st.current_seq == 4
+        v2 = st.state_at(2)
+        assert {r.filename for r in v2.all_references()} == {"/f1"}
+        v3 = st.state_at(3)
+        assert {r.filename for r in v3.all_references()} == {"/f1", "/f2"}
+        v4 = st.state_at(4)
+        assert {r.filename for r in v4.all_references()} == {"/m"}
+        # the view is pinned and read-only
+        with pytest.raises(StateStoreException):
+            v3.add_files([FileReference("/nope", "root", 1)])
+        with pytest.raises(StateStoreException):
+            v3.reload()
+        assert v3.refresh_if_stale(0.0) is False
+        # live store unaffected
+        assert {r.filename for r in st.all_references()} == {"/m"}
+        with pytest.raises(ValueError):
+            st.state_at(99)
+
+    def test_seq_at_time_maps_mtimes(self, tmp_path):
+        import os as _os
+        import time as _time
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        st.add_files([FileReference("/f1", "root", 10)])
+        # backdate seq 1..2, keep 3 in the future
+        for n, back in (("000000000001.json", 100), ("000000000002.json", 50)):
+            p = _os.path.join(st.tx_dir, n)
+            _os.utime(p, (_time.time() - back, _time.time() - back))
+        st.add_files([FileReference("/f2", "root", 5)])
+        _os.utime(_os.path.join(st.tx_dir, "000000000003.json"),
+                  (_time.time() + 50, _time.time() + 50))
+        assert st.seq_at_time(_time.time() - 75) == 1
+        assert st.seq_at_time(_time.time()) == 2
+        assert st.seq_at_time(_time.time() + 100) == 3

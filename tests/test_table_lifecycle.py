@@ -550,3 +550,39 @@ class TestQueryPathReviewFixes:
         stale.store._load()
         assert {r.filename for r in stale.store.all_references()} == \
             {r.filename for r in t.store.all_references()}
+
+    def test_time_travel_reads(self, spark, tmp_path):
+        """as_of(seq) reads the table exactly as it was: before/after a
+        second ingest and across a compaction rewrite; GC'd history
+        raises a named error instead of a scan failure."""
+        import pytest as _pytest
+        from sleeper_spark.statestore import StateStoreException
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        t.ingest(spark.range(50).selectExpr("id AS k", "id AS v"))
+        seq_first = t.store.current_seq
+        t.ingest(spark.range(50, 80).selectExpr("id AS k", "id AS v"))
+        seq_second = t.store.current_seq
+
+        assert t.as_of(seq=seq_first).full_scan().count() == 50
+        assert t.as_of(seq=seq_second).full_scan().count() == 80
+        assert t.full_scan().count() == 80
+
+        t.compact()
+        seq_compacted = t.store.current_seq
+        # pre-compaction views still read the ORIGINAL files
+        assert t.as_of(seq=seq_second).full_scan().count() == 80
+        assert t.as_of(seq=seq_compacted).full_scan().count() == 80
+        # a view cannot write
+        with _pytest.raises(StateStoreException):
+            t.as_of(seq=seq_first).ingest(
+                spark.range(5).selectExpr("id AS k", "id AS v"))
+        # GC deletes the pre-compaction files -> old views raise clearly
+        import time as _time
+        t.collect_garbage(now=_time.time() + 10_000)
+        with _pytest.raises(StateStoreException, match="garbage-collected"):
+            t.as_of(seq=seq_second)
+        # the current view still works
+        assert t.as_of(seq=seq_compacted).full_scan().count() == 80
