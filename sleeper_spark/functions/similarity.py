@@ -305,6 +305,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, cosine) for
     every pair with cosine >= threshold that shares an LSH bucket.
@@ -316,7 +317,21 @@ def embedding_near_duplicates(
     never O(n²). High-cosine pairs land in the same bucket with
     probability (1 - theta/pi)^bits; raise recall with fewer bits or
     multi-probe, precision is exact (cosine recomputed on candidates).
+
+    The per-bucket pair count is quadratic in bucket OCCUPANCY (n/2^bits)
+    — the one knob that must move with corpus size. Pass
+    ``target_bucket_size`` to derive ``bits`` from the corpus count
+    (``bits = clamp(ceil(log2(n / target)), bits, 24)``): a 10× corpus
+    then gets ~3 more bits and per-bucket work stays flat instead of
+    growing 100×. Costs one count() job; deterministic given the data,
+    so an oracle recomputes the same bits from the same count.
     """
+    if target_bucket_size is not None:
+        import math
+
+        n = corpus.count()
+        bits = min(24, max(bits, math.ceil(
+            math.log2(max(n / target_bucket_size, 1.0)))))
     planes = _hyperplanes(dim, bits, seed)
     c = (
         corpus.select(

@@ -225,6 +225,10 @@ class StateStore:
                 continue
             if s > seq:
                 break
+            if s != view._seq + 1:
+                # a gap (archived transactions) — applying across it
+                # would silently reconstruct WRONG state
+                break
             with open(os.path.join(self.tx_dir, name)) as f:
                 tx = json.load(f)
             view._apply(tx)
@@ -232,7 +236,8 @@ class StateStore:
         if view._seq != seq:
             raise StateStoreException(
                 f"log is missing transactions: wanted seq {seq}, "
-                f"replay reached {view._seq}")
+                f"contiguous replay reached {view._seq} (older history "
+                "was archived by delete_old_transactions)")
         return view
 
     def seq_at_time(self, ts: float) -> int:
@@ -679,3 +684,76 @@ class StateStore:
             raise StateStoreException(
                 "historical view (state_at) is pinned to its seq")
         self._load()
+
+    # ------------------------------------------------------------------
+    # log compaction (TransactionLogTransactionDeleter.java:27-39)
+    # ------------------------------------------------------------------
+    def delete_old_transactions(self, number_behind: int = SNAPSHOT_EVERY,
+                                min_snapshot_age_seconds: float = 600.0,
+                                now: float | None = None) -> list[str]:
+        """Delete transaction files already covered by a snapshot — the
+        reference's log compaction (TransactionLogTransactionDeleter:
+        pick the newest snapshot older than a min age, delete
+        transactions at-or-before its seq minus
+        TRANSACTION_LOG_NUMBER_BEHIND_TO_DELETE).
+
+        ``min_snapshot_age_seconds`` protects readers mid-replay (they
+        loaded an older snapshot and are still consuming the tail);
+        ``number_behind`` is the retained TIME-TRAVEL window —
+        ``state_at`` below the horizon raises its missing-transactions
+        error, the same bound VACUUM puts on Delta/Iceberg history.
+        Returns the deleted file names.
+
+        The horizon additionally CLAMPS DOWN to a snapshot boundary:
+        deleting past a snapshot but not up to the next one would leave
+        a mid-span gap, and any ``state_at`` inside the gap's shadow
+        could otherwise only be served by replaying ACROSS missing
+        transactions — i.e. silently wrong state (state_at refuses,
+        enforcing contiguity, but the clamp keeps the whole retained
+        window actually travelable rather than only snapshot points)."""
+        if getattr(self, "_read_only", False):
+            raise StateStoreException("historical view is read-only")
+        now = now if now is not None else time.time()
+        snap_seqs = [
+            int(n.split(".")[0])
+            for n in sorted(os.listdir(self.snap_dir))
+            if _COMPLETED_NAME.match(n)]
+        eligible = [
+            n for n in sorted(os.listdir(self.snap_dir))
+            if _COMPLETED_NAME.match(n)
+            and os.path.getmtime(os.path.join(self.snap_dir, n))
+            <= now - min_snapshot_age_seconds]
+        if not eligible:
+            return []
+        horizon = int(eligible[-1].split(".")[0]) - number_behind
+        at_or_below = [s for s in snap_seqs if s <= horizon]
+        horizon = max(at_or_below) if at_or_below else 0
+        deleted = []
+        for name in sorted(os.listdir(self.tx_dir)):
+            if not _COMPLETED_NAME.match(name):
+                continue
+            if int(name.split(".")[0]) > horizon:
+                break
+            try:
+                os.remove(os.path.join(self.tx_dir, name))
+                deleted.append(name)
+            except FileNotFoundError:
+                pass  # concurrent deleter won the race
+        return deleted
+
+    def delete_old_snapshots(self, keep: int = 2) -> list[str]:
+        """Drop all but the newest ``keep`` snapshots (the reference's
+        snapshot deletion sweep; design.md: 'find old snapshots that can
+        be deleted'). Loading only ever uses the newest."""
+        if keep < 1:
+            raise ValueError("must keep at least the newest snapshot")
+        snaps = [n for n in sorted(os.listdir(self.snap_dir))
+                 if _COMPLETED_NAME.match(n)]
+        deleted = []
+        for name in snaps[:-keep]:
+            try:
+                os.remove(os.path.join(self.snap_dir, name))
+                deleted.append(name)
+            except FileNotFoundError:
+                pass
+        return deleted

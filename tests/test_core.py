@@ -740,3 +740,85 @@ class TestTimeTravel:
         assert st.seq_at_time(_time.time() - 75) == 1
         assert st.seq_at_time(_time.time()) == 2
         assert st.seq_at_time(_time.time() + 100) == 3
+
+
+class TestLogCompaction:
+    def schema(self):
+        return Schema(row_key_fields=(Field("key", T.LongType()),),
+                      value_fields=(Field("value", T.LongType()),))
+
+    def _store_with_snapshots(self, tmp_path):
+        import sleeper_spark.statestore as sm
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        for i in range(sm.SNAPSHOT_EVERY * 2):
+            st.add_files([FileReference(f"/f{i}", "root", 1)])
+        return st, sm.SNAPSHOT_EVERY
+
+    def test_delete_old_transactions_and_reload(self, tmp_path):
+        import time as _time
+        st, every = self._store_with_snapshots(tmp_path)
+        top = st.current_seq          # 2*every + 1
+        # young snapshots are protected
+        assert st.delete_old_transactions(number_behind=0) == []
+        deleted = st.delete_old_transactions(
+            number_behind=0, min_snapshot_age_seconds=0.0,
+            now=_time.time() + 60)
+        assert len(deleted) == 2 * every  # everything <= newest snapshot
+        # a fresh process still loads the FULL state from the snapshot
+        st2 = StateStore(str(tmp_path / "ss"), self.schema())
+        assert st2.current_seq == top
+        assert len(st2.all_references()) == 2 * every
+        # time travel above the horizon works; below it raises clearly
+        assert st2.state_at(2 * every).current_seq == 2 * every
+        with pytest.raises(StateStoreException, match="missing"):
+            st2.state_at(every - 5)
+        # and new commits continue from the head
+        st2.add_files([FileReference("/new", "root", 1)])
+        assert st2.current_seq == top + 1
+
+    def test_number_behind_keeps_travel_window(self, tmp_path):
+        """number_behind=every//2 would put the horizon mid-span (at
+        2*every - every//2) — the deleter must clamp DOWN to the
+        snapshot boundary below (seq=every) so that EVERY retained seq
+        is servable by a contiguous snapshot+tail replay, instead of
+        leaving a gap whose shadow is silently unreachable."""
+        import os as _os
+        import time as _time
+        st, every = self._store_with_snapshots(tmp_path)
+        deleted = st.delete_old_transactions(
+            number_behind=every // 2, min_snapshot_age_seconds=0.0,
+            now=_time.time() + 60)
+        assert len(deleted) == every  # clamped: only seqs <= every went
+        # the WHOLE window above the snapshot boundary stays travelable,
+        # with correct state at every point
+        for probe in (every + 1, 2 * every - every // 2, st.current_seq):
+            v = st.state_at(probe)
+            assert v.current_seq == probe
+            assert len(v.all_references()) == probe - 1
+        with pytest.raises(StateStoreException, match="archived"):
+            st.state_at(every - 5)
+
+    def test_state_at_refuses_replay_across_gap(self, tmp_path):
+        """Defense in depth: if transactions vanish mid-span (manual
+        deletion, partial restore), state_at must refuse rather than
+        silently reconstruct wrong state from a non-contiguous tail."""
+        import os as _os
+        st, every = self._store_with_snapshots(tmp_path)
+        # punch a hole: remove seqs (every+1 .. every+50) by hand
+        for s in range(every + 1, every + 51):
+            _os.remove(_os.path.join(st.tx_dir, f"{s:012d}.json"))
+        with pytest.raises(StateStoreException, match="contiguous"):
+            st.state_at(every + 60)
+        # seqs at/below the snapshot and the snapshot-covered head work
+        assert st.state_at(every).current_seq == every
+
+    def test_delete_old_snapshots(self, tmp_path):
+        st, every = self._store_with_snapshots(tmp_path)
+        deleted = st.delete_old_snapshots(keep=1)
+        assert deleted == [f"{every:012d}.json"]
+        st2 = StateStore(str(tmp_path / "ss"), self.schema())
+        assert st2.current_seq == st.current_seq
+        with pytest.raises(ValueError):
+            st.delete_old_snapshots(keep=0)

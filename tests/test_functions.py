@@ -1002,3 +1002,31 @@ class TestLayout:
         assert sorted(o1) == list(range(100))  # a true permutation
         assert o1 != list(range(100))        # decorrelated from id order
         assert o1 != o3                      # seed changes the order
+
+
+class TestAutoBits:
+    def test_near_dup_target_bucket_scales_bits(self, spark, embeddings):
+        """target_bucket_size derives bits from the corpus count, so a
+        bigger corpus gets more buckets (flat per-bucket work) while a
+        small corpus keeps the floor."""
+        from sleeper_spark.functions import similarity as sim
+        dim = len(embeddings.first().embedding)
+        n = embeddings.count()
+        captured = []
+        orig = sim._hyperplanes
+
+        def spy(d, bits, seed=42):
+            captured.append(bits)
+            return orig(d, bits, seed)
+
+        sim._hyperplanes = spy
+        try:
+            sim.embedding_near_duplicates(
+                embeddings, dim=dim, bits=4, target_bucket_size=max(1, n // 8))
+            sim.embedding_near_duplicates(
+                embeddings, dim=dim, bits=4, target_bucket_size=n * 10)
+        finally:
+            sim._hyperplanes = orig
+        assert captured[0] >= 3        # scaled up: ~8 buckets wanted
+        assert captured[1] == 4        # floor holds for a tiny corpus
+        assert captured[0] > captured[1] or captured[0] >= 3
