@@ -2677,25 +2677,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(n_kept, 0) AS INTEGER) AS n_kept, "
             "coalesce(text_dedup, '') AS text_dedup "
             "FROM t LEFT JOIN p USING (doc_id)",
+        # progressive counts: each pattern counted on the text as the
+        # scrub sees it (matches text.pii_scrub's substitution counts)
         "pii_scrub":
             "WITH t AS (SELECT doc_id, text || ' contact u' "
             "|| CAST(doc_id AS VARCHAR) || '@ex.co ip 10.0.0.' "
             "|| CAST(doc_id % 200 AS VARCHAR) || ' tel +1 555 0100 ok' "
-            "AS s FROM documents) "
-            "SELECT doc_id, "
+            "AS s FROM documents), "
+            "e AS (SELECT doc_id, s, "
             "CAST(len(regexp_extract_all(s, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) "
             "AS n_emails, "
-            "CAST(len(regexp_extract_all(s, "
+            "regexp_replace(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS s1 FROM t), "
+            "i AS (SELECT doc_id, n_emails, "
+            "CAST(len(regexp_extract_all(s1, "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) "
             "AS n_ips, "
-            "CAST(len(regexp_extract_all(s, "
+            "regexp_replace(s1, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS s2 FROM e) "
+            "SELECT doc_id, n_emails, n_ips, "
+            "CAST(len(regexp_extract_all(s2, "
             "'\\+?\\d[\\d()\\- ]{7,}\\d')) AS INTEGER) AS n_phones, "
-            "regexp_replace(regexp_replace(regexp_replace(s, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "regexp_replace(s2, "
             "'\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g') AS text_scrubbed "
-            "FROM t",
+            "FROM i",
         "ngram_top_counts":
             "WITH g AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN "
             "list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) "

@@ -296,6 +296,7 @@ def run_jobs(
     REPLACE_FILE_REFERENCES transaction afterwards."""
     if not jobs:
         return []
+    store.check_writable()  # before any output write (read-only views)
     schema = store.schema
     now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
 
@@ -599,6 +600,7 @@ def run_jobs_arrow(
     partition's files as sorted runs."""
     if not jobs:
         return []
+    store.check_writable()  # before any output write (read-only views)
     schema = store.schema
     now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
     store.assign_job_ids_batch([

@@ -197,7 +197,12 @@ def dedup_lines(
                                 F.struct("line_no", "line"))),
                             lambda s: s["line"]),
                         "\n").alias("text_dedup")))
-    totals = df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    # size(NULL) is -1 under Spark's legacy sizeOfNull — a NULL-text doc
+    # must report 0 lines (posexplode already drops it from the kept set)
+    totals = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(lines)).alias("n_lines"))
     return (totals.join(per_doc, id_col, "left")
             .select(id_col, "n_lines",
                     F.coalesce("n_kept", F.lit(0)).cast("int")

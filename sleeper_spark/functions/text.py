@@ -130,15 +130,22 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     shuffle, no UDF, the 100 TB cost is the scan; counts are taken
     BEFORE replacement so the audit trail survives the redaction.
 
+    Each pattern's count is taken on the text AS THE SCRUB SEES IT
+    (emails on the raw text, IPs on the email-scrubbed text, phones
+    after both) — so every count equals the number of substitutions
+    actually made. Counting all three on the raw text instead would
+    double-count overlapping spans (an email whose domain embeds an
+    IPv4-shaped token would inflate n_ips without any IP redaction).
+
     Output: ``id_col, n_emails, n_ips, n_phones, text_scrubbed``.
     """
-    c = F.col(text_col)
-    counts = [F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
-              .alias(alias_)
-              for (pat, _), alias_ in zip(
-                  PII_PATTERNS, ("n_emails", "n_ips", "n_phones"))]
-    scrubbed = c
-    for pat, repl in PII_PATTERNS:
+    scrubbed = F.col(text_col)
+    counts = []
+    for (pat, repl), alias_ in zip(
+            PII_PATTERNS, ("n_emails", "n_ips", "n_phones")):
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .alias(alias_))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(F.col(id_col), *counts,
                      scrubbed.alias("text_scrubbed"))

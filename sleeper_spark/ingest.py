@@ -76,6 +76,8 @@ def ingest_dataframe(
 
     Returns the committed file references.
     """
+    store.check_writable()  # BEFORE any data write - a read-only
+    # time-travel view must not orphan a full sorted dataset
     schema = store.schema
     # caller-supplied job ids make the ADD_FILES commit idempotent
     # (streaming micro-batch replay); fresh ids otherwise

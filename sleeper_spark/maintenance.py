@@ -91,6 +91,9 @@ def collect_garbage(store: StateStore, props: TableProperties,
                     now: float | None = None) -> list[str]:
     """Delete files with zero references, dereferenced longer ago than the
     delay that protects in-flight queries (O6: docs/design.md:331-343)."""
+    # a read-only time-travel view must never delete live files: the
+    # physical removal would happen BEFORE its commit raised
+    store.check_writable()
     now = now if now is not None else time.time()
     candidates = store.gc_candidates(props.gc_delay_seconds, now=now)
     deleted = []

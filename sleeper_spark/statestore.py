@@ -118,30 +118,47 @@ class StateStore:
     # ------------------------------------------------------------------
     # log machinery
     # ------------------------------------------------------------------
+    def _completed(self, d: str) -> list[tuple[int, str]]:
+        """Sorted (seq, name) of COMPLETED artifacts in a log dir — a
+        crash inside a writer can leave .tmp-* files with truncated
+        JSON, which must never be read (or lexicographically win)."""
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            (int(n.split(".")[0]), n)
+            for n in os.listdir(d) if _COMPLETED_NAME.match(n))
+
+    def check_writable(self) -> None:
+        """Raise before ANY side effect (data-file writes included) on a
+        read-only time-travel view — failing only at commit time would
+        already have orphaned the written files."""
+        if getattr(self, "_read_only", False):
+            raise StateStoreException(
+                "historical view (state_at) is read-only")
+
     def _load(self) -> None:
         self.tree = None
         self.files = {}
         self.gc_queue = {}
         self.ingest_jobs_seen = set()
         self._seq = 0
-        # only completed artifacts: a crash inside a writer can leave
-        # .tmp-* files (snapshot or transaction) that are truncated JSON —
-        # they must never be read (or lexicographically win) at load
-        snaps = sorted(
-            n for n in (os.listdir(self.snap_dir)
-                        if os.path.isdir(self.snap_dir) else [])
-            if _COMPLETED_NAME.match(n))
+        snaps = self._completed(self.snap_dir)
         if snaps:
-            with open(os.path.join(self.snap_dir, snaps[-1])) as f:
+            with open(os.path.join(self.snap_dir, snaps[-1][1])) as f:
                 snap = json.load(f)
             self._restore_snapshot(snap)
             self._seq = snap["seq"]
-        for name in sorted(os.listdir(self.tx_dir)):
-            if not _COMPLETED_NAME.match(name):
-                continue
-            seq = int(name.split(".")[0])
+        for seq, name in self._completed(self.tx_dir):
             if seq <= self._seq:
                 continue
+            if seq != self._seq + 1:
+                # a hole past the snapshot (improper manual archival,
+                # partial restore): applying across it would silently
+                # build wrong state and could re-commit it as new
+                # transactions — refuse loudly instead
+                raise StateStoreException(
+                    f"transaction log has a gap: replayed to {self._seq}, "
+                    f"next available transaction is {seq}")
             with open(os.path.join(self.tx_dir, name)) as f:
                 tx = json.load(f)
             self._apply(tx)
@@ -208,19 +225,14 @@ class StateStore:
         view._read_only = True
         # start from the newest snapshot at-or-before seq (same
         # acceleration _load uses), then replay the remainder
-        snaps = sorted(
-            n for n in (os.listdir(self.snap_dir)
-                        if os.path.isdir(self.snap_dir) else [])
-            if _COMPLETED_NAME.match(n) and int(n.split(".")[0]) <= seq)
+        snaps = [(s, n) for s, n in self._completed(self.snap_dir)
+                 if s <= seq]
         if snaps:
-            with open(os.path.join(self.snap_dir, snaps[-1])) as f:
+            with open(os.path.join(self.snap_dir, snaps[-1][1])) as f:
                 snap = json.load(f)
             view._restore_snapshot(snap)
             view._seq = snap["seq"]
-        for name in sorted(os.listdir(self.tx_dir)):
-            if not _COMPLETED_NAME.match(name):
-                continue
-            s = int(name.split(".")[0])
+        for s, name in self._completed(self.tx_dir):
             if s <= view._seq:
                 continue
             if s > seq:
@@ -243,16 +255,27 @@ class StateStore:
     def seq_at_time(self, ts: float) -> int:
         """Largest committed seq whose transaction file was written at
         or before unix-time ``ts`` (file mtimes ARE the commit times:
-        each transaction is fsync'd then linked once)."""
+        each transaction is fsync'd then linked once).
+
+        Raises if ``ts`` falls inside ARCHIVED history (the oldest
+        retained transaction is both younger than ``ts``-unreachable
+        and not seq 1): mapping such a timestamp to seq 0 would make
+        ``as_of(timestamp=...)`` silently read an empty pre-init table
+        instead of surfacing that the history was compacted away."""
+        txs = self._completed(self.tx_dir)
         best = 0
-        for name in sorted(os.listdir(self.tx_dir)):
-            if not _COMPLETED_NAME.match(name):
-                continue
-            p = os.path.join(self.tx_dir, name)
-            if os.path.getmtime(p) <= ts:
-                best = int(name.split(".")[0])
+        for seq, name in txs:
+            if os.path.getmtime(os.path.join(self.tx_dir, name)) <= ts:
+                best = seq
             else:
                 break
+        archived_before = (txs[0][0] if txs
+                           else self._seq + 1 if self._seq else 1)
+        if best == 0 and archived_before != 1:
+            raise StateStoreException(
+                f"timestamp {ts} precedes the retained history: "
+                f"transactions before seq {archived_before} were archived "
+                "(delete_old_transactions)")
         return best
 
     @property
@@ -711,28 +734,21 @@ class StateStore:
         transactions — i.e. silently wrong state (state_at refuses,
         enforcing contiguity, but the clamp keeps the whole retained
         window actually travelable rather than only snapshot points)."""
-        if getattr(self, "_read_only", False):
-            raise StateStoreException("historical view is read-only")
+        self.check_writable()
         now = now if now is not None else time.time()
-        snap_seqs = [
-            int(n.split(".")[0])
-            for n in sorted(os.listdir(self.snap_dir))
-            if _COMPLETED_NAME.match(n)]
+        snaps = self._completed(self.snap_dir)
         eligible = [
-            n for n in sorted(os.listdir(self.snap_dir))
-            if _COMPLETED_NAME.match(n)
-            and os.path.getmtime(os.path.join(self.snap_dir, n))
+            (s, n) for s, n in snaps
+            if os.path.getmtime(os.path.join(self.snap_dir, n))
             <= now - min_snapshot_age_seconds]
         if not eligible:
             return []
-        horizon = int(eligible[-1].split(".")[0]) - number_behind
-        at_or_below = [s for s in snap_seqs if s <= horizon]
+        horizon = eligible[-1][0] - number_behind
+        at_or_below = [s for s, _ in snaps if s <= horizon]
         horizon = max(at_or_below) if at_or_below else 0
         deleted = []
-        for name in sorted(os.listdir(self.tx_dir)):
-            if not _COMPLETED_NAME.match(name):
-                continue
-            if int(name.split(".")[0]) > horizon:
+        for seq, name in self._completed(self.tx_dir):
+            if seq > horizon:
                 break
             try:
                 os.remove(os.path.join(self.tx_dir, name))
@@ -744,13 +760,24 @@ class StateStore:
     def delete_old_snapshots(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshots (the reference's
         snapshot deletion sweep; design.md: 'find old snapshots that can
-        be deleted'). Loading only ever uses the newest."""
+        be deleted') — EXCEPT the base snapshot still serving the
+        time-travel window: after delete_old_transactions the oldest
+        retained transaction is base+1, and deleting the base snapshot
+        would orphan every seq between it and the next snapshot (no
+        contiguous snapshot+tail replay could serve them)."""
         if keep < 1:
             raise ValueError("must keep at least the newest snapshot")
-        snaps = [n for n in sorted(os.listdir(self.snap_dir))
-                 if _COMPLETED_NAME.match(n)]
+        snaps = self._completed(self.snap_dir)
+        txs = self._completed(self.tx_dir)
+        protected: set[int] = set()
+        if txs and txs[0][0] > 1:
+            base_candidates = [s for s, _ in snaps if s < txs[0][0]]
+            if base_candidates:
+                protected.add(max(base_candidates))
         deleted = []
-        for name in snaps[:-keep]:
+        for seq, name in snaps[:-keep]:
+            if seq in protected:
+                continue
             try:
                 os.remove(os.path.join(self.snap_dir, name))
                 deleted.append(name)

@@ -822,3 +822,42 @@ class TestLogCompaction:
         assert st2.current_seq == st.current_seq
         with pytest.raises(ValueError):
             st.delete_old_snapshots(keep=0)
+
+    def test_seq_at_time_raises_on_archived_history(self, tmp_path):
+        import time as _time
+        st, every = self._store_with_snapshots(tmp_path)
+        st.delete_old_transactions(
+            number_behind=0, min_snapshot_age_seconds=0.0,
+            now=_time.time() + 60)
+        # a timestamp inside the archived span must raise, not map to
+        # the empty pre-init table
+        with pytest.raises(StateStoreException, match="archived"):
+            st.seq_at_time(0.0)
+        # timestamps covering retained transactions still resolve
+        assert st.seq_at_time(_time.time() + 60) == st.current_seq
+
+    def test_delete_old_snapshots_protects_travel_base(self, tmp_path):
+        """The base snapshot serving the retained time-travel window
+        must survive the snapshot sweep, or seqs between it and the
+        next snapshot become permanently unreachable."""
+        import time as _time
+        import sleeper_spark.statestore as sm
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        for i in range(sm.SNAPSHOT_EVERY * 3):
+            st.add_files([FileReference(f"/f{i}", "root", 1)])
+        every = sm.SNAPSHOT_EVERY                 # snapshots at 1x,2x,3x
+        st.delete_old_transactions(
+            number_behind=every, min_snapshot_age_seconds=0.0,
+            now=_time.time() + 60)   # horizon 3x-1x=2x -> txns <= 2x go
+        deleted = st.delete_old_snapshots(keep=1)
+        # newest (3x) kept by keep=1; the base snapshot (2x = oldest
+        # retained tx seq - 1) must also survive; 1x is deletable
+        base = 2 * every
+        assert f"{base:012d}.json" not in deleted
+        assert f"{every:012d}.json" in deleted
+        mid = 2 * every + every // 2
+        v = st.state_at(mid)
+        assert v.current_seq == mid
+        assert len(v.all_references()) == mid - 1

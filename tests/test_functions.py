@@ -35,6 +35,18 @@ class TestText:
         assert got[2].text_scrubbed == "nothing sensitive here"
         assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
 
+    def test_pii_scrub_counts_equal_substitutions(self, spark):
+        """Counts are progressive (each pattern counted on the text the
+        scrub sees): an email whose domain embeds an IPv4-shaped token
+        must NOT also count as an IP redaction."""
+        from sleeper_spark.functions.text import pii_scrub
+        df = spark.createDataFrame(
+            [(1, "write to bob@10.0.0.1.example.com today")],
+            ["doc_id", "text"])
+        r = pii_scrub(df).collect()[0]
+        assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+        assert r.text_scrubbed == "write to <EMAIL> today"
+
     def test_token_count_matches_python(self, docs):
         import re
         from sleeper_spark.functions.text import token_count
@@ -513,6 +525,17 @@ class TestCorpus:
         got = {r.doc_id: r for r in dedup_lines(df).collect()}
         assert got[2].n_kept == 0 and got[2].text_dedup == ""
         assert got[1].n_kept == 1
+
+    def test_dedup_lines_null_text(self, spark):
+        from pyspark.sql import types as T
+        from sleeper_spark.functions.corpus import dedup_lines
+        df = spark.createDataFrame(
+            [(1, "a line"), (2, None)],
+            T.StructType([T.StructField("doc_id", T.LongType()),
+                          T.StructField("text", T.StringType())]))
+        got = {r.doc_id: r for r in dedup_lines(df).collect()}
+        assert (got[2].n_lines, got[2].n_kept, got[2].text_dedup) == (0, 0, "")
+        assert got[1].n_lines == 1
 
     def test_contamination_no_cartesian(self, spark, docs):
         from sleeper_spark.functions.corpus import contamination_check
