@@ -861,3 +861,40 @@ class TestLogCompaction:
         v = st.state_at(mid)
         assert v.current_seq == mid
         assert len(v.all_references()) == mid - 1
+
+
+class TestTimeTravelProperty:
+    """Model check: after a random op sequence, state_at(k) must equal
+    the file-reference state recorded right after op k was applied —
+    for EVERY k, across snapshot boundaries."""
+
+    def test_random_histories_round_trip(self, tmp_path):
+        import random
+        import sleeper_spark.statestore as sm
+        s = Schema(row_key_fields=(Field("key", T.LongType()),),
+                   value_fields=(Field("value", T.LongType()),))
+        rng = random.Random(11)
+        for trial in range(3):
+            st = StateStore(str(tmp_path / f"ss{trial}"), s)
+            st.initialise_partitions(PartitionTree.initial(s))
+            expected = {st.current_seq: set()}
+            live: list[str] = []
+            n_ops = sm.SNAPSHOT_EVERY + 20  # cross a snapshot boundary
+            for i in range(n_ops):
+                op = rng.random()
+                if op < 0.6 or len(live) < 2:
+                    fn = f"/t{trial}-f{i}"
+                    st.add_files([FileReference(fn, "root", 1)])
+                    live.append(fn)
+                elif op < 0.85:
+                    take = rng.sample(live, 2)
+                    out = f"/t{trial}-m{i}"
+                    st.replace_file_references("root", take,
+                                               FileReference(out, "root", 2))
+                    live = [f for f in live if f not in take] + [out]
+                else:
+                    st.delete_files([])  # no-op type variety
+                expected[st.current_seq] = set(live)
+            for k, want in expected.items():
+                got = {r.filename for r in st.state_at(k).all_references()}
+                assert got == want, (trial, k)
