@@ -318,3 +318,26 @@ class SleeperTable:
 
     def collect_garbage(self, now: float | None = None) -> list[str]:
         return maintenance.collect_garbage(self.store, self.props, now)
+
+    def vacuum(self, keep_history_seqs: int | None = None,
+               keep_snapshots: int = 2,
+               now: float | None = None) -> dict[str, int]:
+        """One-call maintenance sweep, the OPTIMIZE/VACUUM analog tying
+        the background jobs together in their safe order: garbage-collect
+        dereferenced data files (O6, delay-protected), archive
+        transactions already covered by a snapshot while retaining a
+        ``keep_history_seqs`` time-travel window (default: one snapshot
+        interval), then drop superseded snapshots (the base snapshot
+        serving the retained window always survives). Returns counts per
+        stage. Each stage is independently idempotent; the reference runs
+        the same three sweeps as separate scheduled jobs."""
+        from sleeper_spark.statestore import SNAPSHOT_EVERY
+        if keep_history_seqs is None:
+            keep_history_seqs = SNAPSHOT_EVERY
+        gc = maintenance.collect_garbage(self.store, self.props, now)
+        txs = self.store.delete_old_transactions(
+            number_behind=keep_history_seqs, now=now)
+        snaps = self.store.delete_old_snapshots(keep=keep_snapshots)
+        return {"data_files_deleted": len(gc),
+                "transactions_archived": len(txs),
+                "snapshots_deleted": len(snaps)}

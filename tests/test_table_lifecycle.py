@@ -586,3 +586,26 @@ class TestQueryPathReviewFixes:
             t.as_of(seq=seq_second)
         # the current view still works
         assert t.as_of(seq=seq_compacted).full_scan().count() == 80
+
+    def test_vacuum_sweeps_all_three(self, spark, tmp_path):
+        """vacuum = GC + transaction archive + snapshot sweep in safe
+        order; the surviving state still loads and time-travels within
+        the retained window."""
+        import time as _time
+        import sleeper_spark.statestore as sm
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        t.ingest(spark.range(40).selectExpr("id AS k", "id AS v"))
+        t.ingest(spark.range(40, 60).selectExpr("id AS k", "id AS v"))
+        t.compact()
+        # force a snapshot so the archive stage has a horizon
+        t.store._write_snapshot()
+        out = t.vacuum(keep_history_seqs=0, now=_time.time() + 100_000)
+        assert out["data_files_deleted"] >= 2      # pre-compaction files
+        assert out["transactions_archived"] >= 3   # init + 2 ingests + ...
+        assert t.full_scan().count() == 60
+        # a fresh open loads from the snapshot and reads everything
+        t2 = SleeperTable.load(spark, str(tmp_path / "t"))
+        assert t2.full_scan().count() == 60
+        assert t2.as_of(seq=t2.store.current_seq).full_scan().count() == 60
