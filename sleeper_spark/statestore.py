@@ -282,6 +282,36 @@ class StateStore:
     def current_seq(self) -> int:
         return self._seq
 
+    def transactions_between(self, from_seq: int,
+                             to_seq: int | None = None
+                             ) -> list[tuple[int, dict[str, Any]]]:
+        """The raw transactions in ``(from_seq, to_seq]``, in order —
+        the change feed a downstream consumer tails. Raises if any
+        transaction in the range was archived (delete_old_transactions):
+        a gap would silently drop changes."""
+        to_seq = to_seq if to_seq is not None else self._seq
+        if from_seq > to_seq:
+            raise ValueError(f"from_seq {from_seq} > to_seq {to_seq}")
+        out: list[tuple[int, dict[str, Any]]] = []
+        expected = from_seq + 1
+        for s, name in self._completed(self.tx_dir):
+            if s <= from_seq:
+                continue
+            if s > to_seq:
+                break
+            if s != expected:
+                raise StateStoreException(
+                    f"change feed has a gap: wanted seq {expected}, next "
+                    f"retained transaction is {s} (history was archived)")
+            with open(os.path.join(self.tx_dir, name)) as f:
+                out.append((s, json.load(f)))
+            expected = s + 1
+        if expected != to_seq + 1:
+            raise StateStoreException(
+                f"change feed has a gap: transactions "
+                f"{expected}..{to_seq} are not retained")
+        return out
+
     def _commit(self, tx: dict[str, Any]) -> None:
         """Atomic append at seq+1; use :meth:`_commit_with_retry` for
         automatic conflict handling.

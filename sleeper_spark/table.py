@@ -102,6 +102,49 @@ class SleeperTable:
         return SleeperTable(self.spark, self.path, self.schema,
                             self.props, view)
 
+    def added_rows_between(self, from_seq: int,
+                           to_seq: int | None = None) -> DataFrame:
+        """Change data feed: the rows APPENDED to the table by ingest
+        commits in ``(from_seq, to_seq]`` — what an incremental
+        downstream pipeline consumes per poll instead of re-reading the
+        table (checkpoint = the last ``current_seq`` it processed).
+
+        Log-native: only ``ADD_FILES`` transactions contribute
+        (compaction's REPLACE rewrites are content-neutral and
+        correctly emit nothing; partition splits move references, not
+        rows). The returned frame reads exactly the files those commits
+        added — at any scale the cost is the new data, never a table
+        scan.
+
+        Two inherent caveats, both surfaced loudly: an ARCHIVED range
+        (delete_old_transactions) raises from the statestore, and a
+        GC'd added file raises here by name — size the GC delay / log
+        retention to your consumers' max lag. For aggregation-configured
+        tables the feed is the RAW appended rows (pre-collapse): the
+        merge is a table-read-time semantic, not an append-time one.
+        """
+        from sleeper_spark.statestore import StateStoreException
+        txs = self.store.transactions_between(from_seq, to_seq)
+        files = [
+            f["filename"]
+            for _, tx in txs if tx.get("type") == "ADD_FILES"
+            for f in tx.get("files", [])
+        ]
+        # one physical file can appear once per partition reference;
+        # read each exactly once
+        files = sorted(set(files))
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise StateStoreException(
+                f"change feed needs {len(missing)} garbage-collected "
+                f"file(s): {missing[:3]} — raise the GC delay to cover "
+                "your consumers' lag")
+        struct = self.schema.to_struct_type()
+        if not files:
+            return self.spark.createDataFrame([], struct)
+        return (self.spark.read.schema(struct).parquet(*files)
+                .select(*[f.name for f in self.schema.all_fields()]))
+
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------

@@ -609,3 +609,37 @@ class TestQueryPathReviewFixes:
         t2 = SleeperTable.load(spark, str(tmp_path / "t"))
         assert t2.full_scan().count() == 60
         assert t2.as_of(seq=t2.store.current_seq).full_scan().count() == 60
+
+    def test_change_data_feed(self, spark, tmp_path):
+        """added_rows_between returns exactly the appended rows per seq
+        window; compaction rewrites emit nothing; GC'd history raises."""
+        import time as _time
+        import pytest as _pytest
+        from sleeper_spark.statestore import StateStoreException
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        seq0 = t.store.current_seq
+        t.ingest(spark.range(30).selectExpr("id AS k", "id AS v"))
+        seq1 = t.store.current_seq
+        t.ingest(spark.range(30, 50).selectExpr("id AS k", "id AS v"))
+        seq2 = t.store.current_seq
+
+        assert t.added_rows_between(seq0, seq1).count() == 30
+        batch2 = t.added_rows_between(seq1, seq2)
+        assert sorted(r.k for r in batch2.collect()) == list(range(30, 50))
+        assert t.added_rows_between(seq0).count() == 50
+
+        t.compact()
+        seq3 = t.store.current_seq
+        # the rewrite added no rows to the feed
+        assert t.added_rows_between(seq2, seq3).count() == 0
+        # full-history feed still reads the (still-present) old files
+        assert t.added_rows_between(seq0).count() == 50
+        # after GC removes the rewritten originals, the old window raises
+        t.collect_garbage(now=_time.time() + 100_000)
+        with _pytest.raises(StateStoreException, match="garbage-collected"):
+            t.added_rows_between(seq0, seq2).count()
+        # an empty window on the current head is an empty frame
+        assert t.added_rows_between(seq3).count() == 0
