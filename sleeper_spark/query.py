@@ -56,6 +56,12 @@ class Query:
     query_time_filters: str = ""       # extra ageOff(...) applied at query only
     query_time_iterators: str = ""     # extra custom iterator chain (U1 query-level)
     sql: str | None = None             # post-query SQL stage (Q1)
+    #: conjunctive range predicates on VALUE columns. Semantically just a
+    #: filter — but declared here, at PLAN time, they additionally prune
+    #: whole FILES via sidecar-held footer min/max stats (Iceberg-style
+    #: file skipping) before any footer is opened, and Catalyst still
+    #: pushes the same predicate to the row groups of surviving files.
+    value_ranges: list = field(default_factory=list)
     query_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
     def to_json(self) -> dict[str, Any]:
@@ -66,16 +72,20 @@ class Query:
             "queryTimeFilters": self.query_time_filters,
             "queryTimeIterators": self.query_time_iterators,
             "sql": self.sql,
+            "valueRanges": [r.to_json() for r in self.value_ranges],
         }
 
     @staticmethod
     def from_json(d: dict[str, Any], schema: Schema | None = None) -> "Query":
+        from sleeper_spark.ranges import Range
         return Query(
             regions=[Region.from_json(r, schema) for r in d["regions"]],
             requested_value_fields=d.get("requestedValueFields"),
             query_time_filters=d.get("queryTimeFilters", ""),
             query_time_iterators=d.get("queryTimeIterators", ""),
             sql=d.get("sql"),
+            value_ranges=[Range.from_json(r, schema)
+                          for r in d.get("valueRanges", [])],
             query_id=d.get("queryId", uuid.uuid4().hex[:12]),
         )
 
@@ -105,6 +115,37 @@ class QueryPlanner:
         return out
 
 
+def _file_may_match(filename: str, value_ranges) -> bool:
+    """True unless the file's sidecar-held footer min/max for some
+    filtered column PROVABLY misses its range. Conservative by
+    construction: no sidecar, no 'minmax' key (pre-upgrade sidecars),
+    or no entry for the column all mean "keep the file"."""
+    from sleeper_spark import sketches
+
+    side = sketches.load_sidecar(filename)
+    if not side:
+        return True
+    mm = side.get("minmax")
+    if not mm:
+        return True
+    for r in value_ranges:
+        ent = mm.get(r.field)
+        if not ent:
+            continue
+        lo, hi = sketches._dec(ent[0]), sketches._dec(ent[1])
+        if lo is None or hi is None:
+            continue
+        # closed file interval [lo, hi] vs the query range — explicit
+        # endpoint logic (no canonicalise: doubles have no successor)
+        if r.min is not None and (
+                hi < r.min or (hi == r.min and not r.min_inclusive)):
+            return False
+        if r.max is not None and (
+                lo > r.max or (lo == r.max and not r.max_inclusive)):
+            return False
+    return True
+
+
 class QueryExecutor:
     """Build the (single) Spark plan for a query."""
 
@@ -118,9 +159,37 @@ class QueryExecutor:
         self.table_aggregations = table_aggregations
         self.table_iterators = table_iterators
 
-    def execute(self, query: Query, now_millis: int) -> DataFrame:
+    def plan_files(self, query: Query) -> list[str]:
+        """The distinct physical files the scan will read: leaf/ancestor
+        pruning by key regions, then Iceberg-style file skipping on
+        ``query.value_ranges`` via each file's sidecar-held footer
+        min/max — a file is dropped only when its recorded bounds for a
+        filtered column PROVABLY miss the range; no sidecar / no stats
+        for that column keeps the file (absence = unknown)."""
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
-        if not leaf_queries:
+        files = sorted({f.filename for lq in leaf_queries for f in lq.files})
+        if query.value_ranges:
+            files = [f for f in files
+                     if _file_may_match(f, query.value_ranges)]
+        return files
+
+    def execute(self, query: Query, now_millis: int) -> DataFrame:
+        if query.value_ranges and self.table_aggregations:
+            # skipping files/rows on VALUE bounds would filter
+            # pre-collapse rows of an aggregation table: a group whose
+            # rows straddle kept and skipped files would aggregate a
+            # subset — silently wrong sums. Filter the query result
+            # instead (df.where) on such tables.
+            raise ValueError(
+                "value_ranges cannot be used on an aggregation-configured "
+                "table (pre-collapse file skipping would corrupt "
+                "aggregates); filter the returned DataFrame instead")
+        leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
+        files = sorted({f.filename for lq in leaf_queries for f in lq.files})
+        if query.value_ranges:
+            files = [f for f in files
+                     if _file_may_match(f, query.value_ranges)]
+        if not files:
             # an EMPTY source still flows through the same
             # post-processing below: an early return here would hand
             # back the full table schema, skipping the
@@ -130,8 +199,6 @@ class QueryExecutor:
             df = self.spark.createDataFrame([], self.schema.to_struct_type())
         else:
             # one scan over the distinct physical files (module docstring)
-            files = sorted(
-                {f.filename for lq in leaf_queries for f in lq.files})
             df = self.spark.read.schema(
                 self.schema.to_struct_type()).parquet(*files)
 
@@ -141,6 +208,17 @@ class QueryExecutor:
             leaf_guard = regions_to_column(
                 [lq.leaf.region for lq in leaf_queries])
             df = df.where(pred & leaf_guard)
+        for r in query.value_ranges:
+            # the same ranges as a row predicate: pushes to the row
+            # groups of the files that survived the file-level skip.
+            # Built directly (not via Range.to_column) so inclusive
+            # bounds on DOUBLE columns work — canonicalise has no
+            # successor for floats.
+            c = F.col(r.field)
+            if r.min is not None:
+                df = df.where(c >= r.min if r.min_inclusive else c > r.min)
+            if r.max is not None:
+                df = df.where(c <= r.max if r.max_inclusive else c < r.max)
 
         # table-time processing always applies (compaction-config iterators)
         df = apply_processing(

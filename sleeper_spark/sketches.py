@@ -169,7 +169,52 @@ def compute_file_sketch(path: str, key_names: list[str], k: int) -> dict:
         {name: t.column(name) for name in key_names}, t.num_rows, k)
 
 
+def footer_minmax(path: str) -> dict[str, list]:
+    """Per-column [min, max] for every top-level PRIMITIVE column,
+    aggregated from the Parquet FOOTER's row-group statistics — zero
+    data reads. A column missing valid stats in ANY row group is
+    omitted (absence means "unknown", never a wrong bound). Powers
+    Iceberg-style value-column file skipping: at 10^5+ files, pruning
+    from manifest-held stats avoids even opening the footers the scan
+    would discard."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    bad: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if "." in name:  # nested (map/list) — no usable file bound
+                bad.add(name.split(".")[0])
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return {name: [_enc(mins[name]), _enc(maxs[name])]
+            for name in mins
+            if name not in bad
+            # only JSON-safe stat types; anything exotic (e.g. a
+            # logical type decoding to datetime) is just "unknown"
+            and isinstance(mins[name], (int, float, str, bytes))
+            and isinstance(maxs[name], (int, float, str, bytes))}
+
+
 def write_sidecar(path: str, sketch: dict) -> None:
+    if "minmax" not in sketch:
+        try:
+            sketch = {**sketch, "minmax": footer_minmax(path)}
+        except Exception:  # noqa: BLE001 - stats are an optimisation only
+            pass
     with open(sidecar_path(path), "w") as f:
         json.dump(sketch, f)
 

@@ -185,8 +185,13 @@ class SleeperTable:
         self,
         ranges: list[tuple[str, Any, Any]] | list[Range],
         now_millis: int | None = None,
+        value_ranges: list[Range] | None = None,
     ) -> DataFrame:
-        """Each entry is one region; tuples are (field, min_incl, max_excl)."""
+        """Each entry is one region; tuples are (field, min_incl, max_excl).
+        ``value_ranges`` are conjunctive Range predicates on VALUE
+        columns — applied as ordinary filters AND as Iceberg-style file
+        skipping against sidecar-held footer min/max stats (see
+        Query.value_ranges; rejected on aggregation-configured tables)."""
         regions = []
         for r in ranges:
             if isinstance(r, Range):
@@ -194,11 +199,14 @@ class SleeperTable:
             else:
                 field, mn, mx = r
                 regions.append(Region.of(Range(field, mn, mx)))
-        return self.query(Query(regions), now_millis)
+        return self.query(Query(regions, value_ranges=value_ranges or []),
+                          now_millis)
 
-    def full_scan(self, now_millis: int | None = None) -> DataFrame:
+    def full_scan(self, now_millis: int | None = None,
+                  value_ranges: list[Range] | None = None) -> DataFrame:
         full = Region(tuple(Range(f.name, None, None) for f in self.schema.row_key_fields))
-        return self.query(Query([full]), now_millis)
+        return self.query(Query([full], value_ranges=value_ranges or []),
+                          now_millis)
 
     def sorted_rows(self, query: Query | None = None, batch_size: int = 8192,
                     now_millis: int | None = None):

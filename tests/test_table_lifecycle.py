@@ -643,3 +643,61 @@ class TestQueryPathReviewFixes:
             t.added_rows_between(seq0, seq2).count()
         # an empty window on the current head is an empty frame
         assert t.added_rows_between(seq3).count() == 0
+
+    def test_value_range_file_skipping(self, spark, tmp_path):
+        """Iceberg-style file skipping: a value-range query must (a)
+        return exactly the filtered rows, (b) plan FEWER files when the
+        sidecar stats prove non-overlap, and (c) keep files with no
+        stats (conservative)."""
+        import os as _os
+        from sleeper_spark.query import Query, QueryExecutor
+        from sleeper_spark.ranges import Range, Region
+        from sleeper_spark import sketches as sk
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),
+                         Field("s", T.StringType(), nullable=True)))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        # three ingests with DISJOINT value bands -> three files with
+        # disjoint footer min/max for v
+        for lo in (0, 1000, 2000):
+            t.ingest(spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id AS v", "concat('x', id) AS s"))
+        ex = QueryExecutor(spark, t.store, schema)
+        full = Region(tuple([Range("k", None, None)]))
+        q = Query([full], value_ranges=[Range("v", 1000, 1100)])
+        files = ex.plan_files(q)
+        all_files = ex.plan_files(Query([full]))
+        assert len(all_files) == 3
+        assert len(files) == 1          # two files provably out of band
+        got = t.full_scan(value_ranges=[Range("v", 1000, 1100)])
+        assert sorted(r.k for r in got.collect()) == list(range(1000, 1100))
+        # inclusive upper bound + string column stats: k<=5 rows have
+        # s in {x0..x5}; lexicographically only x0,x1,x2 < "x3"
+        got2 = t.full_scan(value_ranges=[
+            Range("v", 0, 5, True, True), Range("s", "x0", "x3")])
+        assert sorted(r.k for r in got2.collect()) == [0, 1, 2]
+        # a file whose sidecar lacks stats is conservatively KEPT
+        victim = files[0]
+        side = sk.load_sidecar(victim)
+        side.pop("minmax", None)
+        sk.write_sidecar(victim, {**side, "minmax": {}})
+        assert len(ex.plan_files(q)) == 1  # {} minmax -> falsy -> kept... see note
+        # remove the sidecar entirely -> also kept
+        _os.remove(sk.sidecar_path(victim))
+        assert victim in ex.plan_files(q)
+        # round-trips through the query JSON SerDe
+        q2 = Query.from_json(q.to_json(), schema)
+        assert [r.field for r in q2.value_ranges] == ["v"]
+        assert ex.plan_files(q2) == ex.plan_files(q)
+
+    def test_value_ranges_rejected_on_aggregation_table(self, spark, tmp_path):
+        import pytest as _pytest
+        from sleeper_spark.ranges import Range
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("n", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                                TableProperties(aggregations="sum(n)"))
+        t.ingest(spark.range(10).selectExpr("id AS k", "id AS n"))
+        with _pytest.raises(ValueError, match="aggregation"):
+            t.full_scan(value_ranges=[Range("n", 0, 5)]).collect()
