@@ -305,6 +305,32 @@ def q_sleeper_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_value_filter_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-column file skipping end-to-end (query.py Query.value_ranges):
+    events ingested into a SleeperTable in three DISJOINT user_id bands
+    (three files with disjoint sidecar footer min/max), then a
+    full-key-range query filtered on the user_id VALUE column — the
+    planner drops the two provably-out-of-band files before opening any
+    footer; the oracle is a plain WHERE over the same rows."""
+    ev = _load(spark, sf, "events").select(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"))
+    schema = Schema(
+        (Field("event_id", T.LongType()),),
+        (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_skip_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties())
+    for lo, hi in ((0, 40), (40, 70), (70, 10**9)):
+        band = ev.where((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+        table.ingest(band)
+    return table.full_scan(
+        value_ranges=[Range("user_id", 40, 70)]).select(
+        "event_id", "user_id", "event_type")
+
+
 def q_sql_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Q1 post-query SQL stage: user SELECT over ``query_results``
     (rust/query_sql/src/lib.rs:28-55), end-to-end through a SleeperTable."""
@@ -1658,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregation_map_min_max": q_aggregation_map_min_max,
         "string_concat_sum": q_string_concat_sum,
         "sleeper_lifecycle": q_sleeper_lifecycle,
+        "value_filter_skipping": q_value_filter_skipping,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
         "sql_stage": q_sql_stage,
@@ -2177,6 +2204,9 @@ def oracle_sql() -> dict[str, str]:
         "sleeper_lifecycle":
             "SELECT user_id, event_type, count(*) AS n "
             "FROM events GROUP BY user_id, event_type",
+        "value_filter_skipping":
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE user_id >= 40 AND user_id < 70",
         "bulk_export":
             "SELECT user_id, event_type, count(*) AS n "
             "FROM events GROUP BY user_id, event_type",

@@ -41,9 +41,9 @@ def test_every_query_has_an_oracle():
     # recall@10 gate joining every approximate ANN tier against
     # brute-force ground truth, TPC-H Q4/Q7/Q10/Q19 (Q4/Q19 adapted to
     # the fixture's columns), C4-style corpus line dedup, the PII
-    # scrub, Z-order clustering keys, and the deterministic corpus
-    # shuffle
-    assert len(qk) == 94
+    # scrub, Z-order clustering keys, the deterministic corpus
+    # shuffle, and the value-column file-skipping lifecycle query
+    assert len(qk) == 95
 
 
 def test_entry_smoke(spark):
