@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import uuid
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,11 +57,16 @@ class Query:
     query_time_filters: str = ""       # extra ageOff(...) applied at query only
     query_time_iterators: str = ""     # extra custom iterator chain (U1 query-level)
     sql: str | None = None             # post-query SQL stage (Q1)
-    #: conjunctive range predicates on VALUE columns. Semantically just a
-    #: filter — but declared here, at PLAN time, they additionally prune
+    #: conjunctive range predicates on VALUE columns, evaluated against
+    #: the STORED values (before any custom iterator transforms — if an
+    #: iterator rewrites a filtered column, post-filter the returned
+    #: frame instead). Declared at PLAN time they additionally prune
     #: whole FILES via sidecar-held footer min/max stats (Iceberg-style
     #: file skipping) before any footer is opened, and Catalyst still
     #: pushes the same predicate to the row groups of surviving files.
+    #: Identical semantics on all three read paths (query /
+    #: sorted_rows / sorted_scan); rejected on aggregation-configured
+    #: tables (pre-collapse skipping would corrupt aggregates).
     value_ranges: list = field(default_factory=list)
     query_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -115,6 +121,31 @@ class QueryPlanner:
         return out
 
 
+@lru_cache(maxsize=65536)
+def _minmax_for(filename: str) -> tuple | None:
+    """The file's sidecar-held per-column (min, max) bounds, memoised —
+    data files are immutable once committed, so the cache never goes
+    stale, and planning a 10^5-file query re-parses nothing. Returned
+    as a hashable tuple of (col, enc_min, enc_max)."""
+    from sleeper_spark import sketches
+
+    side = sketches.load_sidecar(filename)
+    if not side:
+        return None
+    mm = side.get("minmax")
+    if not mm:
+        return None
+    return tuple((c, _freeze(v[0]), _freeze(v[1])) for c, v in mm.items())
+
+
+def _freeze(v):
+    return tuple(sorted(v.items())) if isinstance(v, dict) else v
+
+
+def _thaw(v):
+    return dict(v) if isinstance(v, tuple) else v
+
+
 def _file_may_match(filename: str, value_ranges) -> bool:
     """True unless the file's sidecar-held footer min/max for some
     filtered column PROVABLY misses its range. Conservative by
@@ -122,12 +153,10 @@ def _file_may_match(filename: str, value_ranges) -> bool:
     or no entry for the column all mean "keep the file"."""
     from sleeper_spark import sketches
 
-    side = sketches.load_sidecar(filename)
-    if not side:
+    frozen = _minmax_for(filename)
+    if not frozen:
         return True
-    mm = side.get("minmax")
-    if not mm:
-        return True
+    mm = {c: [_thaw(lo), _thaw(hi)] for c, lo, hi in frozen}
     for r in value_ranges:
         ent = mm.get(r.field)
         if not ent:
@@ -167,6 +196,10 @@ class QueryExecutor:
         filtered column PROVABLY miss the range; no sidecar / no stats
         for that column keeps the file (absence = unknown)."""
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
+        return self._files_of(leaf_queries, query)
+
+    @staticmethod
+    def _files_of(leaf_queries, query: Query) -> list[str]:
         files = sorted({f.filename for lq in leaf_queries for f in lq.files})
         if query.value_ranges:
             files = [f for f in files
@@ -185,10 +218,7 @@ class QueryExecutor:
                 "table (pre-collapse file skipping would corrupt "
                 "aggregates); filter the returned DataFrame instead")
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
-        files = sorted({f.filename for lq in leaf_queries for f in lq.files})
-        if query.value_ranges:
-            files = [f for f in files
-                     if _file_may_match(f, query.value_ranges)]
+        files = self._files_of(leaf_queries, query)
         if not files:
             # an EMPTY source still flows through the same
             # post-processing below: an early return here would hand
@@ -309,6 +339,26 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
 
     import pyarrow.parquet as pq_mod
 
+    if query.value_ranges and aggs:
+        # same guard as QueryExecutor.execute: pre-collapse skipping on
+        # VALUE bounds would aggregate a subset
+        raise ValueError(
+            "value_ranges cannot be used on an aggregation-configured "
+            "table; filter the streamed rows instead")
+    vr = [(r.field, r.min, r.min_inclusive, r.max, r.max_inclusive)
+          for r in query.value_ranges]
+
+    def in_value_ranges(row):
+        for fld, mn, mni, mx, mxi in vr:
+            v = row.get(fld)
+            if v is None:  # SQL comparison semantics: NULL never matches
+                return False
+            if mn is not None and (v < mn or (v == mn and not mni)):
+                return False
+            if mx is not None and (v > mx or (v == mx and not mxi)):
+                return False
+        return True
+
     tree = store.tree
     assert tree is not None
     key_names = schema.key_names
@@ -352,13 +402,18 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
         refs = store.files_for_leaf_query(leaf.id)
         if not refs:
             return
-        runs = [file_rows(fn, leaf)
-                for fn in sorted({r.filename for r in refs})]
+        fns = sorted({r.filename for r in refs})
+        if vr:  # sidecar-stats file skipping, same rule as execute()
+            fns = [fn for fn in fns
+                   if _file_may_match(fn, query.value_ranges)]
+        runs = [file_rows(fn, leaf) for fn in fns]
         for row in heapq.merge(*runs, key=row_key):
             # leaf region is the dedup guard for shared ancestor files
             if not in_ranges(row, leaf_ranges):
                 continue
             if not row_matches(row):
+                continue
+            if vr and not in_value_ranges(row):
                 continue
             ok = True
             for f in (filters or []):

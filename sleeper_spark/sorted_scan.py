@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sleeper_spark.partitions import sorted_leaves_dim0
@@ -518,6 +519,12 @@ def distributed_sorted_scan(table, query: Query | None = None,
     if query is None:
         query = Query([Region(tuple(
             Range(f.name, None, None) for f in schema.row_key_fields))])
+    if query.value_ranges and parse_aggregations(table.props.aggregations):
+        # same guard as QueryExecutor.execute: pre-collapse file/row
+        # skipping on VALUE bounds would aggregate a subset
+        raise ValueError(
+            "value_ranges cannot be used on an aggregation-configured "
+            "table; filter the returned DataFrame instead")
 
     leaves = [lf for lf in sorted_leaves_dim0(tree)
               if any(reg.overlaps(lf.region) for reg in query.regions)]
@@ -526,9 +533,16 @@ def distributed_sorted_scan(table, query: Query | None = None,
         refs = table.store.files_for_leaf_query(leaf.id)
         if not refs:
             continue
+        files = sorted({r.filename for r in refs})
+        if query.value_ranges:
+            from sleeper_spark.query import _file_may_match
+            files = [f for f in files
+                     if _file_may_match(f, query.value_ranges)]
+            if not files:
+                continue
         descs.append({
             "leaf_id": leaf.id,
-            "files": sorted({r.filename for r in refs}),
+            "files": files,
             "leaf_ranges": [(r.field, r.min, r.max) for r in
                             (rr.canonicalise() for rr in leaf.region.ranges)],
             "query_regions": [
@@ -580,4 +594,13 @@ def distributed_sorted_scan(table, query: Query | None = None,
                         yield res
 
     df = src.mapInPandas(run, struct)
+    for r in query.value_ranges:
+        # STORED-value semantics, before custom iterators rewrite
+        # anything — identical to QueryExecutor.execute's ordering;
+        # a row-wise filter preserves the sorted order
+        c = F.col(r.field)
+        if r.min is not None:
+            df = df.where(c >= r.min if r.min_inclusive else c > r.min)
+        if r.max is not None:
+            df = df.where(c <= r.max if r.max_inclusive else c < r.max)
     return apply_custom_iterators(df, table.props.iterators, schema)

@@ -286,11 +286,18 @@ class StateStore:
                              to_seq: int | None = None
                              ) -> list[tuple[int, dict[str, Any]]]:
         """The raw transactions in ``(from_seq, to_seq]``, in order —
-        the change feed a downstream consumer tails. Raises if any
-        transaction in the range was archived (delete_old_transactions):
-        a gap would silently drop changes."""
-        to_seq = to_seq if to_seq is not None else self._seq
+        the change feed a downstream consumer tails. ``to_seq`` CLAMPS
+        to the committed head (a bounded poll like ``(ckpt, ckpt+100]``
+        must read what exists, not crash); a checkpoint BEYOND the head
+        raises ValueError. Raises StateStoreException if any transaction
+        in the range was archived (delete_old_transactions): a gap
+        would silently drop changes."""
+        to_seq = min(to_seq, self._seq) if to_seq is not None else self._seq
         if from_seq > to_seq:
+            if from_seq > self._seq:
+                raise ValueError(
+                    f"from_seq {from_seq} is beyond the committed head "
+                    f"{self._seq} — a stale/corrupt consumer checkpoint")
             raise ValueError(f"from_seq {from_seq} > to_seq {to_seq}")
         out: list[tuple[int, dict[str, Any]]] = []
         expected = from_seq + 1

@@ -124,6 +124,10 @@ class SleeperTable:
         merge is a table-read-time semantic, not an append-time one.
         """
         from sleeper_spark.statestore import StateStoreException
+        # a long-lived poller must see other writers' commits (same TTL
+        # contract as table.query); without this the feed's head is
+        # pinned at open time and every poll returns empty forever
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
         txs = self.store.transactions_between(from_seq, to_seq)
         files = [
             f["filename"]

@@ -678,13 +678,17 @@ class TestQueryPathReviewFixes:
             Range("v", 0, 5, True, True), Range("s", "x0", "x3")])
         assert sorted(r.k for r in got2.collect()) == [0, 1, 2]
         # a file whose sidecar lacks stats is conservatively KEPT
+        from sleeper_spark.query import _minmax_for
         victim = files[0]
         side = sk.load_sidecar(victim)
         side.pop("minmax", None)
         sk.write_sidecar(victim, {**side, "minmax": {}})
-        assert len(ex.plan_files(q)) == 1  # {} minmax -> falsy -> kept... see note
+        _minmax_for.cache_clear()   # sidecars are immutable in prod;
+                                    # this test rewrites one by hand
+        assert len(ex.plan_files(q)) == 1  # {} minmax -> unknown -> kept
         # remove the sidecar entirely -> also kept
         _os.remove(sk.sidecar_path(victim))
+        _minmax_for.cache_clear()
         assert victim in ex.plan_files(q)
         # round-trips through the query JSON SerDe
         q2 = Query.from_json(q.to_json(), schema)
@@ -701,3 +705,56 @@ class TestQueryPathReviewFixes:
         t.ingest(spark.range(10).selectExpr("id AS k", "id AS n"))
         with _pytest.raises(ValueError, match="aggregation"):
             t.full_scan(value_ranges=[Range("n", 0, 5)]).collect()
+
+    def test_value_ranges_uniform_across_read_paths(self, spark, tmp_path):
+        """All three read paths (query, sorted_rows, sorted_scan) apply
+        value_ranges with identical STORED-value semantics."""
+        from sleeper_spark.query import Query
+        from sleeper_spark.ranges import Range, Region
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        for lo in (0, 100, 200):
+            t.ingest(spark.range(lo, lo + 50).selectExpr("id AS k", "id AS v"))
+        full = Region(tuple([Range("k", None, None)]))
+        q = Query([full], value_ranges=[Range("v", 100, 130)])
+        want = list(range(100, 130))
+        assert sorted(r.k for r in t.query(q).collect()) == want
+        assert [r["k"] for r in t.sorted_rows(q)] == want
+        assert sorted(r.k for r in t.sorted_scan(q).collect()) == want
+
+    def test_value_ranges_rejected_on_agg_table_all_paths(self, spark,
+                                                          tmp_path):
+        import pytest as _pytest
+        from sleeper_spark.query import Query
+        from sleeper_spark.ranges import Range, Region
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("n", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                                TableProperties(aggregations="sum(n)"))
+        t.ingest(spark.range(10).selectExpr("id AS k", "id AS n"))
+        full = Region(tuple([Range("k", None, None)]))
+        q = Query([full], value_ranges=[Range("n", 0, 5)])
+        with _pytest.raises(ValueError, match="aggregation"):
+            t.query(q)
+        with _pytest.raises(ValueError, match="aggregation"):
+            list(t.sorted_rows(q))
+        with _pytest.raises(ValueError, match="aggregation"):
+            t.sorted_scan(q)
+
+    def test_change_feed_poller_sees_other_writers(self, spark, tmp_path):
+        """A second table handle polling the feed must see commits made
+        through the first handle (store refresh, not a pinned head) and
+        must tolerate a bounded to_seq past the head (clamp, not crash)."""
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        poller = SleeperTable.load(spark, str(tmp_path / "t"))
+        poller.props.query_cache_timeout_seconds = 0.0
+        ckpt = poller.store.current_seq
+        t.ingest(spark.range(25).selectExpr("id AS k", "id AS v"))
+        import time as _time
+        _time.sleep(0.01)
+        # bounded poll beyond the head clamps; the new ingest is seen
+        assert poller.added_rows_between(ckpt, ckpt + 100).count() == 25
