@@ -2,11 +2,14 @@
 with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The Spark-side architecture is real and tested — schemas, batch shapes,
-``mapInPandas`` signatures, partition sizing — while the codec step is
-stubbed (PIL/librosa/ffmpeg are not in this container): ``decode_image``
-raises NotImplementedError unless given the deterministic fake decoder,
-which produces stable pseudo-pixels from the payload hash so the plumbing
-can be exercised end-to-end.
+``mapInPandas`` signatures, partition sizing. Codecs by tier: WAV/PCM
+audio decodes for REAL with the stdlib (``decode_wav``, no external
+library); images decode for real when Pillow is installed
+(``real_image_decoder``, import-guarded hook) and otherwise fall back
+to the deterministic fake decoder (stable pseudo-pixels from the
+payload hash) so the plumbing is exercised end-to-end; compressed
+audio/video (mp3/ogg/mp4) still require external decoders and raise
+NotImplementedError naming the hook to plug in.
 
 Scale notes: binary payloads ride in the same Parquet row as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds task input so a
@@ -149,5 +152,98 @@ def sample_video_frames(
                     frames.append(chunks[j])
             yield pd.DataFrame({id_col: ids, "frame_index": idxs,
                                 "frame_payload": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV/PCM is decodable with the STDLIB — a real codec, no deps
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio codec for WAV/PCM containers: stdlib ``wave`` + numpy,
+    so it works in any Python environment — unlike compressed formats
+    (mp3/ogg/flac), which still need an external decoder and raise
+    NotImplementedError naming the hook. Returns
+    ``(sample_rate, mono float32 samples in [-1, 1])``; multi-channel
+    audio is averaged to mono."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload or b"")) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            f"not a PCM WAV container ({e}); compressed audio needs an "
+            "external decoder — plug one in via the decoder= hook "
+            "(librosa/ffmpeg on a real cluster)") from e
+    if sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return sr, x
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_windows: int = 8,
+    decoder: Callable[[bytes], tuple[int, "np.ndarray"]] = decode_wav,
+) -> DataFrame:
+    """Audio payload -> fixed-size acoustic summary via mapInPandas:
+    sample rate, duration, global peak, and per-window RMS energy (the
+    loudness envelope a speech/music filter keys on). Same Arrow-batched
+    shape as the image path; an empty/unreadable payload yields NULLs
+    for a clean quarantine filter downstream.
+
+    Output: ``id_col, sample_rate, n_samples, duration_s, peak,
+    window_rms (array<double>, n_windows entries)``.
+    """
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("window_rms", T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"sample_rate": [], "n_samples": [], "duration_s": [],
+                    "peak": [], "window_rms": []}
+            for payload in pdf[payload_col]:
+                try:
+                    sr, x = decoder(
+                        bytes(payload) if payload is not None else b"")
+                except NotImplementedError:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                n = len(x)
+                rows["sample_rate"].append(int(sr))
+                rows["n_samples"].append(int(n))
+                rows["duration_s"].append(float(n / sr) if sr else 0.0)
+                rows["peak"].append(
+                    float(np.abs(x).max()) if n else 0.0)
+                rms = []
+                for w in range(n_windows):
+                    seg = x[w * n // n_windows:(w + 1) * n // n_windows]
+                    rms.append(float(np.sqrt(np.mean(seg.astype(np.float64)
+                                                     ** 2))) if len(seg)
+                               else 0.0)
+                rows["window_rms"].append(rms)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

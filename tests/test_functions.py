@@ -1053,3 +1053,54 @@ class TestAutoBits:
         assert captured[0] >= 3        # scaled up: ~8 buckets wanted
         assert captured[1] == 4        # floor holds for a tiny corpus
         assert captured[0] > captured[1] or captured[0] >= 3
+
+
+class TestAudio:
+    @staticmethod
+    def _wav_bytes(freq=440.0, sr=8000, seconds=0.25, channels=1, width=2):
+        import io
+        import math
+        import struct
+        import wave
+        n = int(sr * seconds)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(sr)
+            frames = bytearray()
+            for i in range(n):
+                v = int(32767 * 0.5 * math.sin(2 * math.pi * freq * i / sr))
+                for _ in range(channels):
+                    frames += struct.pack("<h", v)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    def test_decode_wav_real_codec(self):
+        import numpy as np
+        from sleeper_spark.functions.multimodal import decode_wav
+        sr, x = decode_wav(self._wav_bytes(sr=8000, seconds=0.25))
+        assert sr == 8000 and len(x) == 2000
+        assert abs(float(np.abs(x).max()) - 0.5) < 0.01
+        # stereo averages to mono of the same length
+        sr2, x2 = decode_wav(self._wav_bytes(channels=2))
+        assert len(x2) == 2000
+        # non-WAV payloads raise the named hook error
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError, match="external decoder"):
+            decode_wav(b"ID3\x03mp3-ish garbage")
+
+    def test_extract_audio_features_end_to_end(self, spark):
+        from sleeper_spark.functions.multimodal import extract_audio_features
+        rows = [(1, self._wav_bytes()),            # real tone
+                (2, self._wav_bytes(freq=0.0)),    # silence
+                (3, b"not audio at all")]          # quarantined as NULLs
+        df = spark.createDataFrame(rows, ["doc_id", "payload"])
+        got = {r.doc_id: r for r in
+               extract_audio_features(df, n_windows=4).collect()}
+        assert got[1].sample_rate == 8000 and got[1].n_samples == 2000
+        assert abs(got[1].duration_s - 0.25) < 1e-9
+        assert len(got[1].window_rms) == 4
+        assert all(rm > 0.2 for rm in got[1].window_rms)  # ~0.35 RMS tone
+        assert got[2].peak == 0.0 and all(rm == 0.0 for rm in got[2].window_rms)
+        assert got[3].sample_rate is None and got[3].window_rms is None
