@@ -26,6 +26,8 @@ This package re-expresses that model Spark-first:
 from sleeper_spark.schema import Field, Schema
 from sleeper_spark.ranges import Range, Region
 from sleeper_spark.partitions import Partition, PartitionTree
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.query import Query
 from sleeper_spark.table import SleeperTable
 
 __version__ = "0.1.0"
@@ -37,5 +39,7 @@ __all__ = [
     "Region",
     "Partition",
     "PartitionTree",
+    "Query",
     "SleeperTable",
+    "TableProperties",
 ]
