@@ -181,6 +181,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             f"not a PCM WAV container ({e}); compressed audio needs an "
             "external decoder — plug one in via the decoder= hook "
             "(librosa/ffmpeg on a real cluster)") from e
+    # a payload truncated mid-sample yields a buffer that is not a
+    # multiple of the sample width — decode the valid prefix instead of
+    # letting np.frombuffer raise (one corrupt file must not kill a
+    # billion-row job; extract_audio_features also quarantines)
+    raw = raw[: len(raw) // max(sw, 1) * max(sw, 1)]
     if sw == 2:
         x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
     elif sw == 1:  # WAV 8-bit is unsigned
@@ -227,7 +232,10 @@ def extract_audio_features(
                 try:
                     sr, x = decoder(
                         bytes(payload) if payload is not None else b"")
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, OSError):
+                    # undecodable payload (wrong container, corrupt
+                    # frames, custom decoder failure) -> NULL row for a
+                    # clean quarantine filter; never a task failure
                     for k in rows:
                         rows[k].append(None)
                     continue

@@ -121,15 +121,30 @@ class QueryPlanner:
         return out
 
 
-@lru_cache(maxsize=65536)
 def _minmax_for(filename: str) -> tuple | None:
-    """The file's sidecar-held per-column (min, max) bounds, memoised —
-    data files are immutable once committed, so the cache never goes
-    stale, and planning a 10^5-file query re-parses nothing. Returned
-    as a hashable tuple of (col, enc_min, enc_max)."""
+    """The file's sidecar-held per-column (min, max) bounds, memoised on
+    the sidecar's (mtime_ns, size) so a rewritten sidecar (stats
+    backfill on pre-upgrade files, manual repair) is re-read
+    automatically — a filename-only cache would serve stale bounds and
+    could wrongly SKIP files. The stat is ~1 microsecond; the JSON
+    parse it avoids is the expensive part at 10^5 planned files."""
+    import os as _os
+
     from sleeper_spark import sketches
 
-    side = sketches.load_sidecar(filename)
+    try:
+        st = _os.stat(sketches.sidecar_path(filename))
+        key = (filename, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None  # no sidecar -> unknown -> keep the file
+    return _minmax_read(key)
+
+
+@lru_cache(maxsize=65536)
+def _minmax_read(key: tuple) -> tuple | None:
+    from sleeper_spark import sketches
+
+    side = sketches.load_sidecar(key[0])
     if not side:
         return None
     mm = side.get("minmax")
@@ -175,6 +190,56 @@ def _file_may_match(filename: str, value_ranges) -> bool:
     return True
 
 
+def reject_value_ranges_on_aggregation(value_ranges, has_aggregations) -> None:
+    """The ONE guard shared by all three read paths: pre-collapse
+    file/row skipping on VALUE bounds would aggregate a subset of each
+    group's rows — silently wrong sums."""
+    if value_ranges and has_aggregations:
+        raise ValueError(
+            "value_ranges cannot be used on an aggregation-configured "
+            "table (pre-collapse file skipping would corrupt "
+            "aggregates); filter the returned DataFrame instead")
+
+
+def apply_value_ranges_df(df: DataFrame, value_ranges) -> DataFrame:
+    """The value-range row predicate as DataFrame filters — shared by
+    QueryExecutor.execute and distributed_sorted_scan so the semantics
+    cannot drift. Built directly (not via Range.to_column) so inclusive
+    bounds on DOUBLE columns work — canonicalise has no float
+    successor. Row-wise filters preserve sorted order."""
+    for r in value_ranges:
+        c = F.col(r.field)
+        if r.min is not None:
+            df = df.where(c >= r.min if r.min_inclusive else c > r.min)
+        if r.max is not None:
+            df = df.where(c <= r.max if r.max_inclusive else c < r.max)
+    return df
+
+
+def compile_value_ranges(value_ranges):
+    """Row-dict predicate with EXACTLY the SQL comparison semantics the
+    DataFrame paths get from apply_value_ranges_df: a NULL value fails
+    any actual bound, but an UNBOUNDED range (both ends None) adds no
+    predicate at all and keeps NULL rows — the three read paths must
+    agree."""
+    vr = [(r.field, r.min, r.min_inclusive, r.max, r.max_inclusive)
+          for r in value_ranges
+          if r.min is not None or r.max is not None]
+
+    def matches(row) -> bool:
+        for fld, mn, mni, mx, mxi in vr:
+            v = row.get(fld)
+            if v is None:  # NULL never satisfies a real bound
+                return False
+            if mn is not None and (v < mn or (v == mn and not mni)):
+                return False
+            if mx is not None and (v > mx or (v == mx and not mxi)):
+                return False
+        return True
+
+    return matches
+
+
 class QueryExecutor:
     """Build the (single) Spark plan for a query."""
 
@@ -207,16 +272,8 @@ class QueryExecutor:
         return files
 
     def execute(self, query: Query, now_millis: int) -> DataFrame:
-        if query.value_ranges and self.table_aggregations:
-            # skipping files/rows on VALUE bounds would filter
-            # pre-collapse rows of an aggregation table: a group whose
-            # rows straddle kept and skipped files would aggregate a
-            # subset — silently wrong sums. Filter the query result
-            # instead (df.where) on such tables.
-            raise ValueError(
-                "value_ranges cannot be used on an aggregation-configured "
-                "table (pre-collapse file skipping would corrupt "
-                "aggregates); filter the returned DataFrame instead")
+        reject_value_ranges_on_aggregation(
+            query.value_ranges, self.table_aggregations)
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
         files = self._files_of(leaf_queries, query)
         if not files:
@@ -238,17 +295,9 @@ class QueryExecutor:
             leaf_guard = regions_to_column(
                 [lq.leaf.region for lq in leaf_queries])
             df = df.where(pred & leaf_guard)
-        for r in query.value_ranges:
-            # the same ranges as a row predicate: pushes to the row
-            # groups of the files that survived the file-level skip.
-            # Built directly (not via Range.to_column) so inclusive
-            # bounds on DOUBLE columns work — canonicalise has no
-            # successor for floats.
-            c = F.col(r.field)
-            if r.min is not None:
-                df = df.where(c >= r.min if r.min_inclusive else c > r.min)
-            if r.max is not None:
-                df = df.where(c <= r.max if r.max_inclusive else c < r.max)
+        # pushes to the row groups of the files that survived the
+        # file-level skip
+        df = apply_value_ranges_df(df, query.value_ranges)
 
         # table-time processing always applies (compaction-config iterators)
         df = apply_processing(
@@ -320,6 +369,21 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
                         query: Query, batch_size: int = 8192,
                         filters=None, aggs=None, row_iterators=None,
                         now_millis: int = 0):
+    """Eager-validation wrapper around the merge generator: argument
+    errors (value_ranges on an aggregation table) must raise AT THE
+    CALL SITE, exactly like query()/sorted_scan() — a generator would
+    defer them to first iteration, far from the caller. See
+    :func:`_sorted_row_iterator_gen` for the merge itself."""
+    reject_value_ranges_on_aggregation(query.value_ranges, aggs)
+    return _sorted_row_iterator_gen(store, schema, query, batch_size,
+                                    filters, aggs, row_iterators,
+                                    now_millis)
+
+
+def _sorted_row_iterator_gen(store: StateStore, schema: Schema,
+                             query: Query, batch_size: int = 8192,
+                             filters=None, aggs=None, row_iterators=None,
+                             now_millis: int = 0):
     """J1 k-way sorted merge: stream query results in total table order
     (row keys..., sort keys...) WITHOUT a global Spark sort.
 
@@ -339,25 +403,8 @@ def sorted_row_iterator(store: StateStore, schema: Schema,
 
     import pyarrow.parquet as pq_mod
 
-    if query.value_ranges and aggs:
-        # same guard as QueryExecutor.execute: pre-collapse skipping on
-        # VALUE bounds would aggregate a subset
-        raise ValueError(
-            "value_ranges cannot be used on an aggregation-configured "
-            "table; filter the streamed rows instead")
-    vr = [(r.field, r.min, r.min_inclusive, r.max, r.max_inclusive)
-          for r in query.value_ranges]
-
-    def in_value_ranges(row):
-        for fld, mn, mni, mx, mxi in vr:
-            v = row.get(fld)
-            if v is None:  # SQL comparison semantics: NULL never matches
-                return False
-            if mn is not None and (v < mn or (v == mn and not mni)):
-                return False
-            if mx is not None and (v > mx or (v == mx and not mxi)):
-                return False
-        return True
+    vr = bool(query.value_ranges)
+    in_value_ranges = compile_value_ranges(query.value_ranges)
 
     tree = store.tree
     assert tree is not None

@@ -519,12 +519,14 @@ def distributed_sorted_scan(table, query: Query | None = None,
     if query is None:
         query = Query([Region(tuple(
             Range(f.name, None, None) for f in schema.row_key_fields))])
-    if query.value_ranges and parse_aggregations(table.props.aggregations):
-        # same guard as QueryExecutor.execute: pre-collapse file/row
-        # skipping on VALUE bounds would aggregate a subset
-        raise ValueError(
-            "value_ranges cannot be used on an aggregation-configured "
-            "table; filter the returned DataFrame instead")
+    from sleeper_spark.query import (
+        _file_may_match,
+        apply_value_ranges_df,
+        reject_value_ranges_on_aggregation,
+    )
+
+    reject_value_ranges_on_aggregation(
+        query.value_ranges, parse_aggregations(table.props.aggregations))
 
     leaves = [lf for lf in sorted_leaves_dim0(tree)
               if any(reg.overlaps(lf.region) for reg in query.regions)]
@@ -535,7 +537,6 @@ def distributed_sorted_scan(table, query: Query | None = None,
             continue
         files = sorted({r.filename for r in refs})
         if query.value_ranges:
-            from sleeper_spark.query import _file_may_match
             files = [f for f in files
                      if _file_may_match(f, query.value_ranges)]
             if not files:
@@ -567,7 +568,12 @@ def distributed_sorted_scan(table, query: Query | None = None,
             list(struct.fields)
             + [T.StructField(leaf_id_col, T.StringType(), False)])
     if not descs:
-        return spark.createDataFrame([], struct)
+        # an EMPTY source still flows through the custom-iterator chain
+        # (same reason QueryExecutor.execute routes its empty source
+        # through post-processing: a schema-changing iterator must give
+        # the empty result the same schema as a non-empty one)
+        return apply_custom_iterators(
+            spark.createDataFrame([], struct), table.props.iterators, schema)
 
     # exactly one leaf per input partition: parallelize(n items, n slices)
     # puts item i in partition i, and mapInPandas preserves partitioning —
@@ -594,13 +600,8 @@ def distributed_sorted_scan(table, query: Query | None = None,
                         yield res
 
     df = src.mapInPandas(run, struct)
-    for r in query.value_ranges:
-        # STORED-value semantics, before custom iterators rewrite
-        # anything — identical to QueryExecutor.execute's ordering;
-        # a row-wise filter preserves the sorted order
-        c = F.col(r.field)
-        if r.min is not None:
-            df = df.where(c >= r.min if r.min_inclusive else c > r.min)
-        if r.max is not None:
-            df = df.where(c <= r.max if r.max_inclusive else c < r.max)
+    # STORED-value semantics, before custom iterators rewrite anything —
+    # identical to QueryExecutor.execute's ordering; row-wise filters
+    # preserve the sorted order
+    df = apply_value_ranges_df(df, query.value_ranges)
     return apply_custom_iterators(df, table.props.iterators, schema)

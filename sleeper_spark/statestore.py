@@ -286,13 +286,20 @@ class StateStore:
                              to_seq: int | None = None
                              ) -> list[tuple[int, dict[str, Any]]]:
         """The raw transactions in ``(from_seq, to_seq]``, in order —
-        the change feed a downstream consumer tails. ``to_seq`` CLAMPS
-        to the committed head (a bounded poll like ``(ckpt, ckpt+100]``
-        must read what exists, not crash); a checkpoint BEYOND the head
-        raises ValueError. Raises StateStoreException if any transaction
-        in the range was archived (delete_old_transactions): a gap
-        would silently drop changes."""
-        to_seq = min(to_seq, self._seq) if to_seq is not None else self._seq
+        the change feed a downstream consumer tails. ``to_seq`` must be
+        at or below the committed head: silently clamping would let a
+        consumer checkpoint the seq it ASKED for rather than the seq it
+        actually consumed, permanently dropping the difference from the
+        feed — bounded polling goes through ``SleeperTable.poll_changes``,
+        which computes and RETURNS the effective bound. Raises
+        StateStoreException if any transaction in the range was archived
+        (delete_old_transactions): a gap would silently drop changes."""
+        if to_seq is not None and to_seq > self._seq:
+            raise ValueError(
+                f"to_seq {to_seq} is beyond the committed head "
+                f"{self._seq}; use poll_changes for bounded polling — "
+                "it returns the effective bound to checkpoint")
+        to_seq = to_seq if to_seq is not None else self._seq
         if from_seq > to_seq:
             if from_seq > self._seq:
                 raise ValueError(

@@ -149,6 +149,30 @@ class SleeperTable:
         return (self.spark.read.schema(struct).parquet(*files)
                 .select(*[f.name for f in self.schema.all_fields()]))
 
+    def poll_changes(self, from_seq: int,
+                     max_seqs: int | None = None) -> tuple[DataFrame, int]:
+        """Bounded change-feed poll: returns ``(appended_rows,
+        effective_to_seq)`` — the consumer checkpoints the RETURNED seq,
+        never the bound it asked for (the head may be below
+        ``from_seq + max_seqs``; checkpointing the request would
+        permanently skip whatever lands in the gap next).
+
+        The loop a downstream pipeline runs::
+
+            ckpt = 0
+            while True:
+                batch, ckpt = table.poll_changes(ckpt, max_seqs=1000)
+                process(batch)
+        """
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        head = self.store.current_seq
+        if from_seq > head:
+            raise ValueError(
+                f"checkpoint {from_seq} is beyond the committed head "
+                f"{head} — stale/corrupt consumer state")
+        to_seq = min(head, from_seq + max_seqs) if max_seqs else head
+        return self.added_rows_between(from_seq, to_seq), to_seq
+
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------

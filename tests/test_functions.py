@@ -1104,3 +1104,11 @@ class TestAudio:
         assert all(rm > 0.2 for rm in got[1].window_rms)  # ~0.35 RMS tone
         assert got[2].peak == 0.0 and all(rm == 0.0 for rm in got[2].window_rms)
         assert got[3].sample_rate is None and got[3].window_rms is None
+
+    def test_decode_wav_truncated_payload(self):
+        """A WAV truncated mid-sample decodes its valid prefix instead
+        of crashing (np.frombuffer would raise on a 19-byte buffer)."""
+        from sleeper_spark.functions.multimodal import decode_wav
+        full = self._wav_bytes()
+        sr, x = decode_wav(full[:len(full) - 1])  # cut mid-sample
+        assert sr == 8000 and len(x) > 0

@@ -677,18 +677,18 @@ class TestQueryPathReviewFixes:
         got2 = t.full_scan(value_ranges=[
             Range("v", 0, 5, True, True), Range("s", "x0", "x3")])
         assert sorted(r.k for r in got2.collect()) == [0, 1, 2]
-        # a file whose sidecar lacks stats is conservatively KEPT
-        from sleeper_spark.query import _minmax_for
+        # a file whose sidecar lacks stats is conservatively KEPT, and
+        # the planner notices the REWRITTEN sidecar without any manual
+        # cache flush (the memo keys on the sidecar's mtime/size)
+        import time as _time
         victim = files[0]
         side = sk.load_sidecar(victim)
         side.pop("minmax", None)
+        _time.sleep(0.01)  # ensure a distinct mtime for the rewrite
         sk.write_sidecar(victim, {**side, "minmax": {}})
-        _minmax_for.cache_clear()   # sidecars are immutable in prod;
-                                    # this test rewrites one by hand
         assert len(ex.plan_files(q)) == 1  # {} minmax -> unknown -> kept
         # remove the sidecar entirely -> also kept
         _os.remove(sk.sidecar_path(victim))
-        _minmax_for.cache_clear()
         assert victim in ex.plan_files(q)
         # round-trips through the query JSON SerDe
         q2 = Query.from_json(q.to_json(), schema)
@@ -745,8 +745,11 @@ class TestQueryPathReviewFixes:
 
     def test_change_feed_poller_sees_other_writers(self, spark, tmp_path):
         """A second table handle polling the feed must see commits made
-        through the first handle (store refresh, not a pinned head) and
-        must tolerate a bounded to_seq past the head (clamp, not crash)."""
+        through the first handle (store refresh, not a pinned head);
+        poll_changes returns the EFFECTIVE bound to checkpoint, and a
+        raw to_seq past the head raises (silent clamping would let a
+        consumer checkpoint unconsumed seqs)."""
+        import pytest as _pytest
         schema = Schema((Field("k", T.LongType()),), (),
                         (Field("v", T.LongType(), nullable=True),))
         t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
@@ -756,5 +759,33 @@ class TestQueryPathReviewFixes:
         t.ingest(spark.range(25).selectExpr("id AS k", "id AS v"))
         import time as _time
         _time.sleep(0.01)
-        # bounded poll beyond the head clamps; the new ingest is seen
-        assert poller.added_rows_between(ckpt, ckpt + 100).count() == 25
+        batch, new_ckpt = poller.poll_changes(ckpt, max_seqs=100)
+        assert batch.count() == 25
+        assert new_ckpt == t.store.current_seq  # effective, not requested
+        # an idle poll advances nothing and returns an empty frame
+        batch2, ckpt2 = poller.poll_changes(new_ckpt, max_seqs=100)
+        assert batch2.count() == 0 and ckpt2 == new_ckpt
+        # raw API: to_seq beyond the head is an error, never a clamp
+        with _pytest.raises(ValueError, match="beyond the committed"):
+            poller.added_rows_between(ckpt, ckpt + 100)
+
+    def test_value_range_unbounded_keeps_nulls_all_paths(self, spark,
+                                                         tmp_path):
+        """Range(v, None, None) adds NO predicate: NULL-valued rows
+        survive on every read path (a real bound still drops them)."""
+        from sleeper_spark.query import Query
+        from sleeper_spark.ranges import Range, Region
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), nullable=True),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        t.ingest(spark.range(10).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN id END AS v"))
+        full = Region(tuple([Range("k", None, None)]))
+        q = Query([full], value_ranges=[Range("v", None, None)])
+        assert t.query(q).count() == 10
+        assert len(list(t.sorted_rows(q))) == 10
+        assert t.sorted_scan(q).count() == 10
+        qb = Query([full], value_ranges=[Range("v", 0, None)])
+        assert t.query(qb).count() == 5           # NULLs fail a real bound
+        assert len(list(t.sorted_rows(qb))) == 5
+        assert t.sorted_scan(qb).count() == 5
