@@ -537,6 +537,25 @@ def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: the pure filter-aggregate —
+    every predicate pushes to the Parquet scan, the aggregation is one
+    partial+final pass, no joins, no shuffle beyond the final combine."""
+    li = _load(spark, sf, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & disc.between(F.lit("0.05").cast("decimal(4,2)"),
+                           F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                           * disc).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 volume shipping: revenue flowing between two nations
     (supplier nation -> customer nation), per year, both directions.
@@ -1694,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
@@ -2269,6 +2289,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS order_count FROM o "
             "WHERE o_orderkey IN (SELECT o_orderkey FROM late) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "tpch_q6":
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2) AS revenue, "
+            "count(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN "
+            "CAST('0.05' AS DECIMAL(4,2)) AND CAST('0.07' AS DECIMAL(4,2)) "
+            "AND l_quantity < 24",
         "tpch_q7":
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
             "CAST(year(l_shipdate) AS INTEGER) AS l_year, "

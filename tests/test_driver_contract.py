@@ -42,8 +42,9 @@ def test_every_query_has_an_oracle():
     # brute-force ground truth, TPC-H Q4/Q7/Q10/Q19 (Q4/Q19 adapted to
     # the fixture's columns), C4-style corpus line dedup, the PII
     # scrub, Z-order clustering keys, the deterministic corpus
-    # shuffle, and the value-column file-skipping lifecycle query
-    assert len(qk) == 95
+    # shuffle, the value-column file-skipping lifecycle query, and
+    # TPC-H Q6
+    assert len(qk) == 96
 
 
 def test_entry_smoke(spark):
