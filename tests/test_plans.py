@@ -142,6 +142,22 @@ def test_tpch_breadth_no_cartesian_dims_broadcast(spark, entry):
     assert plan_of(entry.q_tpch_q19(spark, SF)).count("BroadcastHashJoin") == 1
 
 
+def test_tpch_q6_predicates_push_to_scan(spark, entry):
+    """Q6 is the canonical pushdown query: no join, and the quantity /
+    shipdate predicates must reach the Parquet scan."""
+    plan = plan_of(entry.q_tpch_q6(spark, SF))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+    # the filter list is truncated in toString(); assert the visible
+    # prefix + that the scan reads ONLY the four referenced columns
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "IsNotNull(l_quantity)" in pushed and "l_shipdate" in pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount",
+                    "l_shipdate"}
+
+
 def test_line_dedup_first_occurrence_is_hash_agg(spark, entry):
     """The first-occurrence computation must be a partial/final hash
     aggregation (combine-friendly on million-fold boilerplate lines),
