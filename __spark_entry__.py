@@ -488,6 +488,27 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 top supplier: revenue per supplier over a quarter, then
+    the supplier(s) equal to the MAX — the derived-aggregate-joined-
+    to-its-own-max shape (the reference view becomes a broadcast of one
+    1-row aggregate, never a second scan-wide shuffle)."""
+    li = _load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    s = _load(spark, sf, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2)
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("__max"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("__max"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 large-volume customers: aggregate-then-semijoin (the
     HAVING subquery becomes a broadcastable filtered key set), then the
@@ -1716,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
+        "tpch_q15": q_tpch_q15,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "rollup_agg": q_rollup_agg,
@@ -2335,6 +2357,17 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
             "AND l_quantity BETWEEN 20 AND 30)",
+        "tpch_q15":
+            "WITH rev AS (SELECT l_suppkey, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) "
+            "AS total_revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+            "ORDER BY s_suppkey",
         "tpch_q18":
             "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
             "HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150), "

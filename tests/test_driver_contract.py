@@ -43,8 +43,8 @@ def test_every_query_has_an_oracle():
     # the fixture's columns), C4-style corpus line dedup, the PII
     # scrub, Z-order clustering keys, the deterministic corpus
     # shuffle, the value-column file-skipping lifecycle query, and
-    # TPC-H Q6
-    assert len(qk) == 96
+    # TPC-H Q6 + Q15
+    assert len(qk) == 97
 
 
 def test_entry_smoke(spark):
