@@ -144,7 +144,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     for (pat, repl), alias_ in zip(
             PII_PATTERNS, ("n_emails", "n_ips", "n_phones")):
         counts.append(
-            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            # F.size of a NULL array is -1 under Spark's legacy
+            # sizeOfNull default — a NULL-text row must audit as 0
+            # matches, not corrupt downstream count aggregations.
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(
+                F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))))
             .alias(alias_))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(F.col(id_col), *counts,

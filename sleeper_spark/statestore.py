@@ -272,6 +272,20 @@ class StateStore:
         archived_before = (txs[0][0] if txs
                            else self._seq + 1 if self._seq else 1)
         if best == 0 and archived_before != 1:
+            # The retained TAIL starts after ts — but a snapshot written
+            # at-or-before ts is still a servable state point (state_at
+            # replays snapshot+tail, and the snapshot IS the state at its
+            # own seq). Without this, a fully-archived log (snapshot-only
+            # store after delete_old_transactions) would reject EVERY
+            # timestamp, including ones after the head commit. Snapshot
+            # mtime >= its head transaction's commit time, so mapping
+            # ts >= mtime to the snapshot's seq never claims a state
+            # newer than what was actually committed by ts.
+            covered = [
+                s for s, n in self._completed(self.snap_dir)
+                if os.path.getmtime(os.path.join(self.snap_dir, n)) <= ts]
+            if covered:
+                return max(covered)
             raise StateStoreException(
                 f"timestamp {ts} precedes the retained history: "
                 f"transactions before seq {archived_before} were archived "

@@ -170,7 +170,13 @@ class SleeperTable:
             raise ValueError(
                 f"checkpoint {from_seq} is beyond the committed head "
                 f"{head} — stale/corrupt consumer state")
-        to_seq = min(head, from_seq + max_seqs) if max_seqs else head
+        if max_seqs is not None and max_seqs < 1:
+            # 0 is not "unbounded" — a computed bound that reaches 0
+            # means "no capacity this poll", and silently polling to
+            # head would hand the consumer more than it asked for
+            raise ValueError(f"max_seqs must be >= 1, got {max_seqs}")
+        to_seq = min(head, from_seq + max_seqs) \
+            if max_seqs is not None else head
         return self.added_rows_between(from_seq, to_seq), to_seq
 
     # ------------------------------------------------------------------

@@ -221,7 +221,9 @@ def run_tracked(tracker: QueryTracker, query_id: str,
         # lineage survives, a late derived reader just recomputes)
         result = result.cache()
         n = result.count()
-        weakref.finalize(result, _unpersist_quietly, result._jdf)
+        jdf = getattr(result, "_jdf", None)
+        if jdf is not None:  # absent under Spark Connect — degrade to
+            weakref.finalize(result, _unpersist_quietly, jdf)  # no-op
     elif hasattr(result, "__len__"):
         n = len(result)
     else:

@@ -836,6 +836,33 @@ class TestLogCompaction:
         # timestamps covering retained transactions still resolve
         assert st.seq_at_time(_time.time() + 60) == st.current_seq
 
+    def test_seq_at_time_on_fully_archived_log(self, tmp_path):
+        """Snapshot-only store (every transaction archived): timestamps
+        at/after the newest snapshot's mtime must resolve to its seq —
+        NOT raise — or timestamp-based as_of would be unusable even for
+        current state. Timestamps genuinely older than the snapshot
+        still raise."""
+        import time as _time
+        import sleeper_spark.statestore as sm
+        s = self.schema()
+        st = StateStore(str(tmp_path / "ss"), s)
+        st.initialise_partitions(PartitionTree.initial(s))
+        # land the head EXACTLY on a snapshot boundary so archival can
+        # empty the transaction log completely
+        for i in range(sm.SNAPSHOT_EVERY - 1):
+            st.add_files([FileReference(f"/f{i}", "root", 1)])
+        assert st.current_seq == sm.SNAPSHOT_EVERY
+        st.delete_old_transactions(
+            number_behind=0, min_snapshot_age_seconds=0.0,
+            now=_time.time() + 60)
+        assert st._completed(st.tx_dir) == []   # log is fully archived
+        head = st.current_seq
+        assert st.seq_at_time(_time.time() + 60) == head
+        # and the resolved seq is actually servable
+        assert st.state_at(head).current_seq == head
+        with pytest.raises(StateStoreException, match="archived"):
+            st.seq_at_time(0.0)
+
     def test_delete_old_snapshots_protects_travel_base(self, tmp_path):
         """The base snapshot serving the retained time-travel window
         must survive the snapshot sweep, or seqs between it and the

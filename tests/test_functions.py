@@ -47,6 +47,21 @@ class TestText:
         assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
         assert r.text_scrubbed == "write to <EMAIL> today"
 
+    def test_pii_scrub_null_text_counts_zero(self, spark):
+        """NULL-text rows must audit as 0 matches, not the -1 that
+        F.size emits for a NULL array under legacy sizeOfNull — a -1
+        would corrupt downstream count aggregations."""
+        from pyspark.sql import types as T
+        from sleeper_spark.functions.text import pii_scrub
+        df = spark.createDataFrame(
+            [(1, None), (2, "ping a@b.co")],
+            T.StructType([T.StructField("doc_id", T.LongType()),
+                          T.StructField("text", T.StringType())]))
+        got = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (0, 0, 0)
+        assert got[1].text_scrubbed is None
+        assert got[2].n_emails == 1
+
     def test_token_count_matches_python(self, docs):
         import re
         from sleeper_spark.functions.text import token_count

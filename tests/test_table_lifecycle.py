@@ -768,6 +768,10 @@ class TestQueryPathReviewFixes:
         # raw API: to_seq beyond the head is an error, never a clamp
         with _pytest.raises(ValueError, match="beyond the committed"):
             poller.added_rows_between(ckpt, ckpt + 100)
+        # max_seqs=0 is "no capacity", NOT "unbounded" — reject loudly
+        # instead of silently polling to head
+        with _pytest.raises(ValueError, match="max_seqs"):
+            poller.poll_changes(new_ckpt, max_seqs=0)
 
     def test_value_range_unbounded_keeps_nulls_all_paths(self, spark,
                                                          tmp_path):

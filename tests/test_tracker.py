@@ -137,3 +137,19 @@ class TestRunTracked:
         gc.collect()
         after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
         assert not (after - before)  # finalizer unpersisted it
+
+    def test_connect_style_dataframe_without_jdf(self):
+        """Under Spark Connect a DataFrame has no _jdf; run_tracked must
+        skip finalizer registration (degrade to no-op) instead of
+        raising AttributeError at registration time."""
+        from unittest import mock
+        from pyspark.sql import DataFrame
+        tr = QueryTracker()
+        tr.query_queued("q-connect")
+        df = mock.Mock(spec=DataFrame)   # spec'd mock has NO _jdf attr
+        df.cache.return_value = df
+        df.count.return_value = 7
+        out = run_tracked(tr, "q-connect", lambda: df)
+        assert out is df
+        got = tr.get("q-connect")
+        assert got.state == QueryState.COMPLETED and got.row_count == 7
