@@ -438,6 +438,7 @@ def recall_at_k(
     k: int = 10,
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
+    tier_col: str | None = None,
 ) -> DataFrame:
     """Recall@k of an approximate ANN tier against exact ground truth —
     the metric a real embedding pipeline gates index deploys on.
@@ -448,20 +449,29 @@ def recall_at_k(
     sets), as hits@k / exact@k. Both sides are Q×k-row tables, so every
     join is broadcast-sized regardless of corpus scale.
 
-    Output: ``query_id, n_exact, n_hits, recall``.
+    With ``tier_col``, ``approx`` holds MULTIPLE tiers' top-k tables
+    stacked under a tier label, and recall comes back per (tier, query)
+    from ONE join+aggregate pass — evaluating T tiers separately would
+    cost T× the stage-scheduling overhead for identical results (the
+    exact table is replicated per tier by the inner join on the tier's
+    own distinct query set, preserving the per-tier query-set
+    semantics).
+
+    Output: ``[tier,] query_id, n_exact, n_hits, recall``.
     """
+    keys = ([tier_col] if tier_col else []) + [query_id_col]
     e = exact.where(F.col("rank") <= k).select(query_id_col, id_col)
-    a = approx.where(F.col("rank") <= k).select(query_id_col, id_col)
-    e = e.join(a.select(query_id_col).distinct(), query_id_col, "left_semi")
+    a = approx.where(F.col("rank") <= k).select(*keys, id_col)
+    # each tier's exact set = ground truth for the queries IT served
+    e = a.select(*keys).distinct().join(e, query_id_col)
     per = (
-        e.join(a.withColumn("__hit", F.lit(1)), [query_id_col, id_col],
-               "left")
-        .groupBy(query_id_col)
+        e.join(a.withColumn("__hit", F.lit(1)), [*keys, id_col], "left")
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n_exact"),
              F.count("__hit").alias("n_hits"))
     )
     return per.select(
-        query_id_col,
+        *keys,
         F.col("n_exact").cast("int").alias("n_exact"),
         F.col("n_hits").cast("int").alias("n_hits"),
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"))
