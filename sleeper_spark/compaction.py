@@ -708,3 +708,118 @@ def run_jobs_arrow(
         replacements.append((job.partition_id, list(job.input_files), keep))
     store.replace_file_references_batch(replacements)
     return out_refs
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER: layout rewrite (Delta/Iceberg OPTIMIZE ZORDER analog)
+# ---------------------------------------------------------------------------
+
+def run_zorder_rewrite(
+    spark: SparkSession,
+    store: StateStore,
+    data_dir: str,
+    props: TableProperties,
+    layout_cols: list[str],
+    files_per_leaf: int = 8,
+    bits: int = 16,
+) -> list[FileReference]:
+    """Rewrite each eligible leaf's files into ``files_per_leaf``
+    Z-clustered key-sorted files (the compaction-side counterpart of
+    ``ingest(layout="zorder")``): every output file keeps the per-file
+    key-sorted invariant the merge scan needs, while its footer min/max
+    box — and therefore its skipping sidecar — is tight in every layout
+    column, so multi-dim value_ranges queries prune files instead of
+    scanning the leaf.
+
+    A PURE layout rewrite: rows are preserved exactly (no filters, no
+    aggregation, no iterators — unlike compaction), so results are
+    unchanged on every read path. Eligible leaves are those whose
+    references are all leaf-local, single-reference, and not assigned to
+    a running compaction job; others are skipped (run ``compact()``
+    first to pull parent files down). Inputs are locked with job-id
+    assignment and the whole rewrite commits as ONE
+    replace_file_references_batch transaction, same as compaction.
+    """
+    from sleeper_spark.ingest import (
+        PARTITION_COL,
+        _manifest_from_written_dir,
+        zorder_range_partitioned,
+    )
+
+    store.check_writable()
+    schema = store.schema
+    tree = store.tree
+    assert tree is not None, "table not initialised"
+    chosen: list[tuple[str, list[FileReference]]] = []
+    for leaf in tree.leaves():
+        refs = store.references_for_partition(leaf.id)
+        if not refs:
+            continue
+        if all(r.job_id is None
+               and r.only_contains_data_for_this_partition
+               and len(store.files[r.filename]) == 1 for r in refs):
+            chosen.append((leaf.id, refs))
+    if not chosen:
+        return []
+
+    assignments = [(f"zorder-{uuid.uuid4().hex[:12]}", refs)
+                   for _, refs in chosen]
+    store.assign_job_ids_batch(assignments)
+
+    out_dir = os.path.join(data_dir, f"zorder-{uuid.uuid4().hex[:12]}")
+    struct = schema.to_struct_type()
+    paths = [r.filename for _, refs in chosen for r in refs]
+    df = (
+        spark.read.schema(struct).parquet(*paths)
+        .select(*[f.name for f in schema.all_fields()])
+        # eligibility guarantees every file is leaf-local, so the tree's
+        # leaf-id expression re-derives exactly the owning leaf
+        .withColumn(PARTITION_COL, tree.leaf_id_column())
+    )
+    clustered = zorder_range_partitioned(
+        df, layout_cols, max(1, len(chosen) * files_per_leaf), bits,
+        list(schema.key_names))
+    (
+        clustered
+        .write.option("compression", props.compression)
+        .option("parquet.block.size", str(props.row_group_bytes))
+        .option("parquet.page.size", str(props.page_bytes))
+        .partitionBy(PARTITION_COL)
+        .parquet(out_dir)
+    )
+
+    new_refs = _manifest_from_written_dir(out_dir)
+    by_leaf: dict[str, list[FileReference]] = {}
+    for r in new_refs:
+        by_leaf.setdefault(r.partition_id, []).append(r)
+
+    replacements = []
+    empty_template: str | None = None
+    for (leaf_id, refs), (job_id, _) in zip(chosen, assignments):
+        outs = by_leaf.get(leaf_id, [])
+        if not outs:
+            # the leaf's inputs held zero rows (e.g. post-ageOff empty
+            # files): the swap still needs an output ref
+            if empty_template is None:
+                empty_template = os.path.join(out_dir,
+                                              ".empty-template.parquet")
+                os.makedirs(out_dir, exist_ok=True)
+                _write_empty_parquet(empty_template, refs[0].filename,
+                                     [f.name for f in schema.all_fields()],
+                                     props.compression)
+            jdir = os.path.join(out_dir, f"{PARTITION_COL}={leaf_id}")
+            path = os.path.join(jdir, "empty.parquet")
+            os.makedirs(jdir, exist_ok=True)
+            import shutil
+            shutil.copyfile(empty_template, path)
+            outs = [FileReference(
+                filename=path, partition_id=leaf_id, number_of_rows=0,
+                only_contains_data_for_this_partition=True)]
+            new_refs.extend(outs)
+        replacements.append((leaf_id, [r.filename for r in refs], outs))
+
+    sketches.write_sidecars_distributed(
+        spark, [r.filename for r in new_refs],
+        list(schema.key_names), props.sketch_size)
+    store.replace_file_references_batch(replacements)
+    return new_refs

@@ -42,6 +42,29 @@ from sleeper_spark.statestore import FileReference, StateStore
 PARTITION_COL = "__sleeper_partition__"
 
 
+def zorder_range_partitioned(tagged: DataFrame, layout_cols: list[str],
+                             n_cluster_parts: int, bits: int,
+                             key_names: list[str]) -> DataFrame:
+    """Z-cluster ``tagged`` rows (already carrying PARTITION_COL) so each
+    output task holds one contiguous (leaf, Morton-key) range, then sort
+    each task by key: the write's ``partitionBy(leaf)`` then emits one
+    file per leaf per task whose footer min/max box is tight in EVERY
+    layout column — the stats the sidecar file skipper prunes on.
+
+    The Delta OPTIMIZE ZORDER shape: ``repartitionByRange`` samples the
+    (leaf, zkey) distribution, so files balance by rows under any value
+    skew and every leaf clusters IN PARALLEL — deliberately NOT a
+    per-leaf ntile window, which would funnel each whole leaf through a
+    single task (and whose ordering the parquet writer's own
+    required-ordering sort is allowed to discard)."""
+    from sleeper_spark.functions.layout import zorder_key
+
+    zk = zorder_key(list(layout_cols), bits)
+    return (tagged.repartitionByRange(n_cluster_parts,
+                                      F.col(PARTITION_COL), zk)
+            .sortWithinPartitions(PARTITION_COL, *key_names))
+
+
 def ingest_dataframe(
     df: DataFrame,
     tree: PartitionTree,
@@ -50,6 +73,10 @@ def ingest_dataframe(
     props: TableProperties,
     strategy: str = "local_sort",
     job_id: str | None = None,
+    layout: str | None = None,
+    layout_cols: list[str] | None = None,
+    layout_files_per_leaf: int = 8,
+    layout_bits: int = 16,
 ) -> list[FileReference]:
     """Write ``df`` as sorted per-leaf-partition files and commit an
     ADD_FILES transaction (O7: IngestCoordinator.java:17-58).
@@ -74,6 +101,14 @@ def ingest_dataframe(
       preferred (SURVEY §2.4); kept for parity and for callers that need
       a hand-supplied partitioner.
 
+    ``layout="zorder"`` (local_sort only) writes ``layout_files_per_leaf``
+    files per leaf instead of one, clustered by the Morton interleave of
+    ``layout_cols`` (Delta/Iceberg OPTIMIZE ZORDER, expressed as one
+    window + write): each file keeps the per-file key-sorted invariant
+    the merge scan needs, but its footer min/max box is tight in every
+    layout column — so multi-dimensional ``value_ranges`` queries skip
+    whole files via the sidecar stats instead of scanning the leaf.
+
     Returns the committed file references.
     """
     store.check_writable()  # BEFORE any data write - a read-only
@@ -94,6 +129,10 @@ def ingest_dataframe(
     # partitions to spread the sort across cores.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     n_parts = max(1, min(len(leaves), 2 * parallelism))
+    if layout is not None and layout != "zorder":
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "zorder" and strategy != "local_sort":
+        raise ValueError("layout='zorder' requires strategy='local_sort'")
     if strategy == "rdd":
         sorted_df = _rdd_sorted(df, tree, schema)
     else:
@@ -103,10 +142,18 @@ def ingest_dataframe(
         if strategy == "global_sort":
             sorted_df = tagged.orderBy(PARTITION_COL, *schema.key_names)
         elif strategy == "local_sort":
-            sorted_df = (
-                tagged.repartition(n_parts, F.col(PARTITION_COL))
-                .sortWithinPartitions(PARTITION_COL, *schema.key_names)
-            )
+            if layout == "zorder":
+                if not layout_cols:
+                    raise ValueError("layout='zorder' needs layout_cols")
+                sorted_df = zorder_range_partitioned(
+                    tagged, layout_cols,
+                    max(1, len(leaves) * layout_files_per_leaf),
+                    layout_bits, list(schema.key_names))
+            else:
+                sorted_df = (
+                    tagged.repartition(n_parts, F.col(PARTITION_COL))
+                    .sortWithinPartitions(PARTITION_COL, *schema.key_names)
+                )
         else:
             raise ValueError(f"unknown ingest strategy {strategy!r}")
     (
@@ -199,7 +246,9 @@ def _rdd_sorted(df: DataFrame, tree: PartitionTree, schema) -> DataFrame:
 
 def _manifest_from_written_dir(out_dir: str) -> list[FileReference]:
     """Build FileReferences from the partitionBy output layout, taking row
-    counts from Parquet footers."""
+    counts from Parquet footers. A Z-ordered write leaves SEVERAL part
+    files per leaf directory — each an independent key-sorted run of the
+    same leaf, clustered on a contiguous Morton-key range."""
     refs: list[FileReference] = []
     for entry in sorted(os.listdir(out_dir)):
         if not entry.startswith(PARTITION_COL + "="):

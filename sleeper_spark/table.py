@@ -184,14 +184,36 @@ class SleeperTable:
     # ------------------------------------------------------------------
     def ingest(self, df: DataFrame,
                strategy: str = "local_sort",
-               job_id: str | None = None) -> list[FileReference]:
+               job_id: str | None = None,
+               layout: str | None = None,
+               layout_cols: list[str] | None = None,
+               layout_files_per_leaf: int = 8,
+               layout_bits: int = 16) -> list[FileReference]:
         """O7: sorted per-leaf files + ADD_FILES commit. ``strategy`` =
-        ``local_sort`` (J4) or ``global_sort`` (J3) — see
+        ``local_sort`` (J4) or ``global_sort`` (J3); ``layout="zorder"``
+        Z-clusters each leaf's rows on ``layout_cols`` into
+        ``layout_files_per_leaf`` files so multi-dim value_ranges
+        queries skip files — see
         :func:`sleeper_spark.ingest.ingest_dataframe`."""
         assert self.store.tree is not None
         return ingest_dataframe(df, self.store.tree, self.store,
                                 self.data_dir, self.props, strategy,
-                                job_id=job_id)
+                                job_id=job_id, layout=layout,
+                                layout_cols=layout_cols,
+                                layout_files_per_leaf=layout_files_per_leaf,
+                                layout_bits=layout_bits)
+
+    def optimize_zorder(self, layout_cols: list[str],
+                        files_per_leaf: int = 8,
+                        bits: int = 16) -> list[FileReference]:
+        """OPTIMIZE ZORDER: rewrite every leaf's current files into
+        ``files_per_leaf`` Z-clustered key-sorted files (the compaction
+        rewrite counterpart of ``ingest(layout="zorder")``) — see
+        :func:`sleeper_spark.compaction.run_zorder_rewrite`."""
+        from sleeper_spark.compaction import run_zorder_rewrite
+        return run_zorder_rewrite(
+            self.spark, self.store, self.data_dir, self.props,
+            layout_cols, files_per_leaf=files_per_leaf, bits=bits)
 
     # ------------------------------------------------------------------
     # read path

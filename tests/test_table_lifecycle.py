@@ -793,3 +793,122 @@ class TestQueryPathReviewFixes:
         assert t.query(qb).count() == 5           # NULLs fail a real bound
         assert len(list(t.sorted_rows(qb))) == 5
         assert t.sorted_scan(qb).count() == 5
+
+
+class TestZOrderLayout:
+    """Z-order clustered table layout (ingest layout + OPTIMIZE rewrite):
+    multi-dim value_ranges queries must skip strictly more files on a
+    Z-ordered table than on a key-sorted one, with identical results."""
+
+    def _schema(self):
+        return Schema((Field("k", T.LongType()),), (),
+                      (Field("a", T.LongType(), nullable=True),
+                       Field("b", T.LongType(), nullable=True)))
+
+    def _rows(self, spark):
+        # a and b decorrelate from k, so key-sorted files straddle the
+        # full (a, b) space while Z-clustered files get tight boxes
+        return spark.range(4096).selectExpr(
+            "id AS k", "(id * 37) % 64 AS a", "(id * 91) % 64 AS b")
+
+    def _box_query(self):
+        full = Region(tuple([Range("k", None, None)]))
+        return Query([full], value_ranges=[
+            Range("a", 0, 16, True, False), Range("b", 0, 16, True, False)])
+
+    def test_zorder_ingest_skips_more_files(self, spark, tmp_path):
+        from sleeper_spark.query import QueryExecutor
+
+        # baseline: 8 key-range ingests -> 8 key-sorted files
+        t_sorted = SleeperTable.create(spark, str(tmp_path / "s"),
+                                       self._schema())
+        for lo in range(0, 4096, 512):
+            t_sorted.ingest(self._rows(spark)
+                            .where(f"k >= {lo} AND k < {lo + 512}"))
+        # zorder: ONE ingest, 8 Z-clustered files in the same leaf
+        t_z = SleeperTable.create(spark, str(tmp_path / "z"), self._schema())
+        t_z.ingest(self._rows(spark), layout="zorder",
+                   layout_cols=["a", "b"], layout_files_per_leaf=8,
+                   layout_bits=6)
+
+        q = self._box_query()
+        ex_s = QueryExecutor(spark, t_sorted.store, self._schema())
+        ex_z = QueryExecutor(spark, t_z.store, self._schema())
+        full_q = Query([Region(tuple([Range("k", None, None)]))])
+        assert len(ex_s.plan_files(full_q)) == 8
+        n_z = len(ex_z.plan_files(full_q))   # range sampling: ~8 files
+        assert 2 <= n_z <= 8
+        kept_s, kept_z = len(ex_s.plan_files(q)), len(ex_z.plan_files(q))
+        # key-sorted files all straddle the full (a,b) space -> none skip;
+        # Z-ordered files have tight boxes -> most skip
+        assert kept_s == 8
+        assert kept_z < n_z          # genuine skipping within the layout
+        assert kept_z < kept_s       # and strictly fewer than key-sorted
+        # identical results on both layouts, equal to a direct filter
+        want = sorted(r.k for r in self._rows(spark)
+                      .where("a >= 0 AND a < 16 AND b >= 0 AND b < 16")
+                      .collect())
+        assert sorted(r.k for r in t_sorted.query(q).collect()) == want
+        assert sorted(r.k for r in t_z.query(q).collect()) == want
+        # the merge scan still sees each file as a key-sorted run
+        assert [r["k"] for r in t_z.sorted_rows()] == list(range(4096))
+
+    def test_optimize_zorder_rewrite(self, spark, tmp_path):
+        from sleeper_spark.query import QueryExecutor
+
+        t = SleeperTable.create(spark, str(tmp_path / "t"), self._schema())
+        for lo in range(0, 4096, 1024):
+            t.ingest(self._rows(spark)
+                     .where(f"k >= {lo} AND k < {lo + 1024}"))
+        ex = QueryExecutor(spark, t.store, self._schema())
+        q = self._box_query()
+        before = len(ex.plan_files(q))
+        assert before == 4                      # key-sorted: nothing skips
+        old_files = {r.filename for r in t.store.all_references()}
+
+        new_refs = t.optimize_zorder(["a", "b"], files_per_leaf=8, bits=6)
+        assert 2 <= len(new_refs) <= 8     # range sampling: ~8 files
+        assert sum(r.number_of_rows for r in new_refs) == 4096
+        after_all = len(ex.plan_files(
+            Query([Region(tuple([Range("k", None, None)]))])))
+        assert after_all == len(new_refs)
+        assert len(ex.plan_files(q)) < after_all  # boxes now skip
+        # pure layout rewrite: results identical, total key order intact
+        want = sorted(r.k for r in self._rows(spark)
+                      .where("a >= 0 AND a < 16 AND b >= 0 AND b < 16")
+                      .collect())
+        assert sorted(r.k for r in t.query(q).collect()) == want
+        assert [r["k"] for r in t.sorted_rows()] == list(range(4096))
+        # old files dereferenced -> GC collects them
+        live = {r.filename for r in t.store.all_references()}
+        assert not (old_files & live)
+        t.collect_garbage(now=time.time() + 100_000)
+        import os as _os
+        assert not any(_os.path.exists(f) for f in old_files)
+
+    def test_optimize_zorder_skips_ineligible_leaves(self, spark, tmp_path):
+        """Files assigned to a pending compaction job must not be
+        rewritten out from under it; a second optimize on an
+        already-optimized table is a clean no-op ... of new work."""
+        from sleeper_spark.compaction import create_jobs
+
+        t = SleeperTable.create(spark, str(tmp_path / "t"), self._schema())
+        t.ingest(self._rows(spark).where("k < 100"))
+        t.ingest(self._rows(spark).where("k >= 100 AND k < 200"))
+        jobs = create_jobs(t.store, t.props)   # assigns nothing yet
+        t.store.assign_job_ids_batch([
+            (j.job_id,
+             [t.store.files[fn][j.partition_id] for fn in j.input_files])
+            for j in jobs])
+        assert t.optimize_zorder(["a", "b"]) == []  # locked -> skipped
+
+    def test_zorder_ingest_validation(self, spark, tmp_path):
+        t = SleeperTable.create(spark, str(tmp_path / "t"), self._schema())
+        with pytest.raises(ValueError, match="layout_cols"):
+            t.ingest(self._rows(spark), layout="zorder")
+        with pytest.raises(ValueError, match="local_sort"):
+            t.ingest(self._rows(spark), strategy="global_sort",
+                     layout="zorder", layout_cols=["a"])
+        with pytest.raises(ValueError, match="unknown layout"):
+            t.ingest(self._rows(spark), layout="hilbert",
+                     layout_cols=["a"])
