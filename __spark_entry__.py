@@ -1420,6 +1420,47 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("tier", "query_id", "n_exact", "n_hits", "recall")
 
 
+def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall-gated index selection (similarity.select_ann_tier): sweep
+    LSH nprobe ∈ {1,3} and IVF nprobe ∈ {1,2,4}, score each config's
+    recall@10 against brute-force ground truth and its candidate
+    fraction (share of corpus scored per query, from the bucket/cell
+    histograms), and choose the cheapest config meeting the 0.7 target —
+    the decision a real embedding pipeline automates before deploying an
+    index. Tier top-k tables reuse the gate's memo; candidate fractions
+    are histogram-sized at any corpus scale."""
+    emb = _load(spark, sf, "embeddings")
+    q5 = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = _ivf_centroids_memo(emb, sf)
+
+    def provider(tier, p):
+        key = ("seltopk", tier, p, sf)
+        if key not in _ANN_TRAIN_CACHE:
+            if tier == "lsh":
+                df = similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8,
+                                         nprobe=p)
+            else:
+                df = similarity.ivf_topk(
+                    emb, q5, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
+                    nprobe=p, centroids=cents)
+            _ANN_TRAIN_CACHE[key] = (df.collect(), df.schema)
+        rows, schema = _ANN_TRAIN_CACHE[key]
+        return spark.createDataFrame(rows, schema)
+
+    ekey = ("topk", "exact", sf)   # shared with ann_recall's ground truth
+    if ekey not in _ANN_TRAIN_CACHE:
+        df = similarity.brute_force_topk(emb, q5, k=10)
+        _ANN_TRAIN_CACHE[ekey] = (df.collect(), df.schema)
+    rows, schema = _ANN_TRAIN_CACHE[ekey]
+    exact = spark.createDataFrame(rows, schema)
+    return similarity.select_ann_tier(
+        emb, q5, dim=64, k=10, recall_target=_ANN_SELECT_TARGET,
+        lsh_bits=8, lsh_probes=(1, 3), ivf_nlist=_IVF["nlist"],
+        ivf_probes=(1, 2, 4), centroids=cents, topk_provider=provider,
+        exact=exact)
+
+
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
     The synthetic embeddings plant no >0.9-cosine twins, so the driver
@@ -1843,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_recall": q_ann_recall,
+        "ann_index_selection": q_ann_index_selection,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -2072,13 +2114,134 @@ def _ann_recall_oracle_sql() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
 
 
-def _ivf_oracle_sql() -> str:
+def _lsh_cand_count_sql(dim: int = 64, bits: int = 8, seed: int = 42,
+                        nprobe: int = 1) -> str:
+    """Candidate count of an LSH config in DuckDB (rows its bucket join
+    scores, self excluded) — the denominator-side of the index-selection
+    oracle; same plane literals / probe expressions as the tier SQL."""
+    planes = similarity._hyperplanes(dim, bits, seed)
+
+    def bucket(vexpr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vexpr}, "
+            f"[{', '.join(repr(x) for x in plane)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+
+    if nprobe <= 1:
+        return (
+            "SELECT count(*) AS cnt FROM ("
+            "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            f"b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM c), "
+            "q AS (SELECT vec_id AS query_id, bucket FROM b "
+            "WHERE vec_id < 5) "
+            "SELECT b.vec_id FROM b JOIN q ON b.bucket = q.bucket "
+            "WHERE b.vec_id <> q.query_id) z")
+    pl = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + "]"
+        for plane in planes) + "]"
+    ms = ("list_sort(list_transform(range(0, " + str(bits) + "), "
+          "i -> {'m': abs(list_dot_product(qv, (" + pl
+          + "::DOUBLE[][])[CAST(i + 1 AS INTEGER)])), 'i': i}))")
+    probes = ("list_concat([CAST(qbucket AS BIGINT)], "
+              "list_transform((" + ms + ")[1:" + str(nprobe - 1) + "], "
+              "s -> xor(CAST(qbucket AS BIGINT), (1::BIGINT << s.i))))")
+    return (
+        "SELECT count(*) AS cnt FROM ("
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM c), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket "
+        "FROM b WHERE vec_id < 5), "
+        f"p AS (SELECT query_id, unnest({probes}) AS bucket FROM q) "
+        "SELECT b.vec_id FROM b JOIN p ON b.bucket = p.bucket "
+        "WHERE b.vec_id <> p.query_id) z")
+
+
+def _ivf_cand_count_sql(nprobe: int) -> str:
+    """Candidate count of an IVF config in DuckDB (probed cells' sizes,
+    self excluded) — same centroid literals / probe ranking as
+    _ivf_oracle_sql."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _ivf_centroids_from_parquet(sf_dir)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return (
+        "SELECT count(*) AS cnt FROM ("
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cents(ci, cv) AS (VALUES {values}), "
+        "a AS (SELECT c.vec_id, ci, list_dot_product(c.v, cv) AS d "
+        "FROM c CROSS JOIN cents), "
+        "cell AS (SELECT vec_id, ci AS cell FROM ("
+        "SELECT vec_id, ci, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d DESC, ci) AS rn FROM a) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5), "
+        "qa AS (SELECT query_id, ci, list_dot_product(qv, cv) AS d "
+        "FROM q CROSS JOIN cents), "
+        "probe AS (SELECT query_id, ci AS cell FROM ("
+        "SELECT query_id, ci, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY d DESC, ci) AS rn FROM qa) "
+        f"WHERE rn <= {nprobe}) "
+        "SELECT cl.vec_id FROM cell cl JOIN probe p ON cl.cell = p.cell "
+        "WHERE cl.vec_id <> p.query_id) z")
+
+
+_ANN_SELECT_TARGET = 0.7
+
+
+def _ann_index_selection_oracle_sql() -> str:
+    """The index-selection sweep in DuckDB: per config, recall@10 from
+    the tier's own topk oracle vs brute-force ground truth, candidate
+    fraction from the config's candidate-count SQL, and the chosen flag
+    via one deterministic ranking window reproducing select_ann_tier's
+    choice rule (cheapest meeting the target, else highest recall)."""
+    configs = [
+        ("lsh", 1, _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
+         _lsh_cand_count_sql(nprobe=1)),
+        ("lsh", 3, _ann_lsh_multiprobe_oracle_sql(nprobe=3),
+         _lsh_cand_count_sql(nprobe=3)),
+    ] + [
+        ("ivf", p, _ivf_oracle_sql(nprobe=p), _ivf_cand_count_sql(p))
+        for p in (1, 2, 4)
+    ]
+    parts = []
+    for tier, p, topk_sql, cand_sql in configs:
+        parts.append(
+            f"SELECT '{tier}' AS tier, CAST({p} AS INTEGER) AS nprobe, "
+            "(SELECT round(avg(r), 4) FROM ("
+            "SELECT round(count(a.vec_id) / count(*), 4) AS r "
+            f"FROM ex e LEFT JOIN (SELECT query_id, vec_id FROM ({topk_sql}"
+            ") z1) a ON a.query_id = e.query_id AND a.vec_id = e.vec_id "
+            f"WHERE e.query_id IN (SELECT query_id FROM ({topk_sql}) z2) "
+            "GROUP BY e.query_id) t) AS recall, "
+            f"(SELECT round(cnt / (5.0 * (nn.n - 1)), 6) FROM ({cand_sql}"
+            ") c CROSS JOIN nn) AS candidate_fraction")
+    tgt = _ANN_SELECT_TARGET
+    return (
+        f"WITH ex AS (SELECT query_id, vec_id FROM ({_ANN_BF_SQL}) z), "
+        "nn AS (SELECT count(*) AS n FROM embeddings), "
+        "cfg AS (" + " UNION ALL ".join(parts) + "), "
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY "
+        f"(recall >= {tgt}) DESC, "
+        f"CASE WHEN recall >= {tgt} THEN candidate_fraction "
+        "ELSE -recall END, "
+        f"CASE WHEN recall >= {tgt} THEN 0.0 "
+        "ELSE candidate_fraction END, tier, nprobe) AS rn FROM cfg) "
+        "SELECT tier, nprobe, recall, candidate_fraction, rn = 1 AS chosen "
+        "FROM ranked")
+
+
+def _ivf_oracle_sql(nprobe: int | None = None) -> str:
     """Recompute IVF-Flat ANN in DuckDB: centroids recomputed from the
     identical bounded training sample (see _ivf_centroids_from_parquet)
     and embedded as literals; cell assignment / probe ranking use the
     same (dot DESC, cell ASC) tie rule as the numpy argmax/stable
     argsort. Correctness runs at sf0.01 (TESTDATA.md); override with
     $SPARK_GRAFT_ORACLE_SF for local checks at another scale."""
+    nprobe = _IVF["nprobe"] if nprobe is None else nprobe
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     cents = _ivf_centroids_from_parquet(sf_dir)
     values = ", ".join(
@@ -2100,7 +2263,7 @@ def _ivf_oracle_sql() -> str:
         "probe AS (SELECT query_id, qv, ci AS cell FROM ("
         "SELECT query_id, qv, ci, row_number() OVER ("
         "PARTITION BY query_id ORDER BY d DESC, ci) AS rn FROM qa) "
-        f"WHERE rn <= {_IVF['nprobe']}), "
+        f"WHERE rn <= {nprobe}), "
         "s AS (SELECT p.query_id, cl.vec_id, "
         f"{cos} AS cosine "
         "FROM cell cl JOIN probe p ON cl.cell = p.cell "
@@ -2535,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "ann_index_selection": _ann_index_selection_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivfpq_oracle_sql(),

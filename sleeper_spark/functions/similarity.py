@@ -477,6 +477,186 @@ def recall_at_k(
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"))
 
 
+def lsh_candidate_count(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    bits: int = 8,
+    nprobe: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query candidate count of the LSH tier (the rows its bucket
+    join would score, self excluded) WITHOUT running the join: corpus
+    bucket histogram ⨝ query probe set — the aggregate is
+    2^bits-rows-small however large the corpus, so costing a config is
+    one scan + a broadcast join of a histogram. Output: (query_id,
+    n_candidates)."""
+    planes = _hyperplanes(dim, bits, seed)
+    counts = (corpus
+              .select(lsh_bucket(F.col(vec_col).cast("array<double>"),
+                                 planes).alias("__bucket"))
+              .groupBy("__bucket").count())
+    probes = queries.select(
+        F.col(query_id_col),
+        F.explode(query_probe_buckets(
+            F.col(vec_col).cast("array<double>"), planes,
+            nprobe)).alias("__bucket"))
+    return (probes.join(F.broadcast(counts), "__bucket", "left")
+            .groupBy(query_id_col)
+            # -1: the query vector itself sits in its base bucket (the
+            # tier's join excludes self); flipped buckets never hold it
+            .agg((F.coalesce(F.sum("count"), F.lit(0)) - 1)
+                 .cast("long").alias("n_candidates")))
+
+
+def ivf_candidate_count(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query candidate count of the IVF tier (probed cells' sizes,
+    self excluded) from the nlist-row cell histogram — same shape and
+    scale contract as :func:`lsh_candidate_count`."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    assign_udf = _assign_cells_udf(centroids)
+    counts = (corpus
+              .select(assign_udf(F.col(vec_col).cast("array<double>"))
+                      .alias("__cell"))
+              .groupBy("__cell").count())
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = [
+        (r[0], cell)
+        for r in qrows
+        for cell in _probe_cells(np.asarray(r[1], dtype=np.float64),
+                                 cents, nprobe)]
+    qid_t = queries.schema[query_id_col].dataType
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, T.StructType([
+            T.StructField(query_id_col, qid_t),
+            T.StructField("__cell", T.IntegerType())]))
+    return (probes.join(F.broadcast(counts), "__cell", "left")
+            .groupBy(query_id_col)
+            # -1: the query's own cell is always its top probe
+            .agg((F.coalesce(F.sum("count"), F.lit(0)) - 1)
+                 .cast("long").alias("n_candidates")))
+
+
+def select_ann_tier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    recall_target: float = 0.7,
+    lsh_bits: int = 8,
+    lsh_probes: tuple = (1, 3),
+    ivf_nlist: int = 16,
+    ivf_probes: tuple = (1, 2, 4),
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    train_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    topk_provider=None,
+    exact: DataFrame | None = None,
+) -> DataFrame:
+    """Recall-gated index selection — the decision a real embedding
+    pipeline automates before deploying an ANN index: evaluate each
+    candidate (tier, nprobe) config's recall@k against brute-force
+    ground truth AND its candidate fraction (share of the corpus each
+    query must score), then choose the CHEAPEST config meeting the
+    recall target (ties break toward lower fraction, then tier name,
+    then nprobe; if none meets it, the highest-recall config wins so
+    the pipeline still deploys the best available).
+
+    Scale contract: ground truth and per-config top-k tables are
+    Q×k-row bounded; candidate fractions come from 2^bits-/nlist-row
+    histograms (:func:`lsh_candidate_count` / :func:`ivf_candidate_count`)
+    — nothing here grows with the corpus beyond the scans the tiers
+    themselves need. ``topk_provider(tier, nprobe)`` lets a caller
+    inject already-materialized tier outputs (e.g. a bench's memo)
+    instead of recomputing them.
+
+    Output: one row per config —
+    ``(tier, nprobe, recall, candidate_fraction, chosen)``.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, ivf_nlist, id_col=id_col, vec_col=vec_col, seed=seed,
+            train_rows=train_rows)
+
+    def live_topk(tier: str, nprobe: int) -> DataFrame:
+        if tier == "lsh":
+            return lsh_topk(corpus, queries, dim=dim, k=k, bits=lsh_bits,
+                            seed=seed, nprobe=nprobe, id_col=id_col,
+                            vec_col=vec_col, query_id_col=query_id_col)
+        return ivf_topk(corpus, queries, dim=dim, k=k, nlist=ivf_nlist,
+                        nprobe=nprobe, seed=seed, centroids=centroids,
+                        id_col=id_col, vec_col=vec_col,
+                        query_id_col=query_id_col)
+
+    provider = topk_provider or live_topk
+    configs = ([("lsh", p) for p in lsh_probes]
+               + [("ivf", p) for p in ivf_probes])
+
+    if exact is None:
+        exact = brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                                 vec_col=vec_col, query_id_col=query_id_col)
+    # ONE recall pass over all configs (tier_col), same as the recall
+    # gate; labels carry (tier, nprobe) through the stacked table
+    stacked = None
+    for tier, p in configs:
+        t = provider(tier, p).select(
+            F.lit(f"{tier}@{p}").alias("__cfg"), query_id_col, id_col,
+            "rank")
+        stacked = t if stacked is None else stacked.unionByName(t)
+    per_q = recall_at_k(exact, stacked, k=k, query_id_col=query_id_col,
+                        id_col=id_col, tier_col="__cfg")
+    mean_recall = {
+        r["__cfg"]: r["r"] for r in
+        per_q.groupBy("__cfg")
+        .agg(F.round(F.avg("recall"), 4).alias("r")).collect()}
+
+    n_corpus = corpus.count()
+    n_queries = queries.count()
+    rows = []
+    for tier, p in configs:
+        if tier == "lsh":
+            cand = lsh_candidate_count(
+                corpus, queries, dim=dim, bits=lsh_bits, nprobe=p,
+                seed=seed, id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col)
+        else:
+            cand = ivf_candidate_count(
+                corpus, queries, centroids, nprobe=p, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col)
+        total = cand.agg(F.sum("n_candidates")).collect()[0][0] or 0
+        frac = round(total / (n_queries * (n_corpus - 1)), 6)
+        rows.append((tier, p, mean_recall[f"{tier}@{p}"], frac))
+
+    meeting = [r for r in rows if r[2] >= recall_target]
+    if meeting:
+        chosen = min(meeting, key=lambda r: (r[3], r[0], r[1]))
+    else:
+        chosen = min(rows, key=lambda r: (-r[2], r[3], r[0], r[1]))
+    out = [(t, p, rec, frac, (t, p) == (chosen[0], chosen[1]))
+           for t, p, rec, frac in rows]
+    return spark.createDataFrame(out, T.StructType([
+        T.StructField("tier", T.StringType()),
+        T.StructField("nprobe", T.IntegerType()),
+        T.StructField("recall", T.DoubleType()),
+        T.StructField("candidate_fraction", T.DoubleType()),
+        T.StructField("chosen", T.BooleanType())]))
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

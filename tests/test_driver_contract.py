@@ -43,8 +43,9 @@ def test_every_query_has_an_oracle():
     # the fixture's columns), C4-style corpus line dedup, the PII
     # scrub, Z-order clustering keys, the deterministic corpus
     # shuffle, the value-column file-skipping lifecycle query, and
-    # TPC-H Q6 + Q15
-    assert len(qk) == 97
+    # TPC-H Q6 + Q15; round 6 added ann_index_selection (recall-gated
+    # index choice)
+    assert len(qk) == 98
 
 
 def test_entry_smoke(spark):

@@ -215,6 +215,67 @@ class TestSimilarity:
         assert abs(got[1].recall - 0.6667) < 1e-9
         assert got[2].n_hits == 0 and got[2].recall == 0.0
 
+    def test_candidate_counts_match_actual_joins(self, embeddings):
+        """The histogram-derived per-query candidate counts must equal
+        the row counts the tiers' bucket/cell joins actually score
+        (uncapped k so the top-k IS the candidate pool)."""
+        from sleeper_spark.functions.similarity import (
+            ivf_candidate_count,
+            ivf_topk,
+            lsh_candidate_count,
+            lsh_topk,
+            train_ivf_centroids,
+        )
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        big_k = embeddings.count() + 1
+        for nprobe in (1, 3):
+            got = {r.query_id: r.n_candidates for r in lsh_candidate_count(
+                embeddings, queries, dim=dim, bits=4,
+                nprobe=nprobe).collect()}
+            pool = lsh_topk(embeddings, queries, dim=dim, k=big_k, bits=4,
+                            nprobe=nprobe).groupBy("query_id").count()
+            want = {r.query_id: r["count"] for r in pool.collect()}
+            for qid in want:
+                assert got[qid] == want[qid], (nprobe, qid)
+        cents = train_ivf_centroids(embeddings, 4)
+        for nprobe in (1, 2):
+            got = {r.query_id: r.n_candidates for r in ivf_candidate_count(
+                embeddings, queries, cents, nprobe=nprobe).collect()}
+            pool = ivf_topk(embeddings, queries, dim=dim, k=big_k, nlist=4,
+                            nprobe=nprobe, centroids=cents
+                            ).groupBy("query_id").count()
+            want = {r.query_id: r["count"] for r in pool.collect()}
+            for qid in want:
+                assert got[qid] == want[qid], (nprobe, qid)
+
+    def test_select_ann_tier_choice_rules(self, embeddings):
+        """Reachable target -> cheapest meeting config wins; unreachable
+        target -> the highest-recall config still deploys."""
+        from sleeper_spark.functions.similarity import select_ann_tier
+        dim = len(embeddings.first().embedding)
+        queries = embeddings.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        rows = select_ann_tier(
+            embeddings, queries, dim=dim, k=5, recall_target=0.0,
+            lsh_bits=4, lsh_probes=(1,), ivf_nlist=4, ivf_probes=(1, 2),
+        ).collect()
+        assert len(rows) == 3
+        assert sum(r.chosen for r in rows) == 1
+        # target 0.0: every config meets it -> cheapest fraction chosen
+        chosen = next(r for r in rows if r.chosen)
+        assert chosen.candidate_fraction == min(
+            r.candidate_fraction for r in rows)
+        assert all(0.0 <= r.recall <= 1.0 for r in rows)
+        assert all(0.0 < r.candidate_fraction <= 1.0 for r in rows)
+        rows2 = select_ann_tier(
+            embeddings, queries, dim=dim, k=5, recall_target=1.1,
+            lsh_bits=4, lsh_probes=(1,), ivf_nlist=4, ivf_probes=(1, 2),
+        ).collect()
+        chosen2 = next(r for r in rows2 if r.chosen)
+        assert chosen2.recall == max(r.recall for r in rows2)
+
     def test_ivf_topk_recall_vs_brute_force(self, spark, embeddings):
         """IVF with full probe (nprobe=nlist) must equal brute force;
         partial probe keeps most of the top-k (recall check)."""
