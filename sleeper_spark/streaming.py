@@ -91,6 +91,72 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_results(
+    stream_df: DataFrame,
+    output,
+    checkpoint_dir: str,
+    query_id: str,
+    tracker,
+    available_now: bool = True,
+    on_published=None,
+) -> StreamingQuery:
+    """Publish a stream's micro-batches through a pluggable
+    :class:`~sleeper_spark.output.ResultsOutput` transport with
+    EXACTLY-ONCE publishes keyed on (query_id, epoch) — the streaming
+    face of the reference's results-output + query-tracker pair
+    (S3ResultsOutput.java / DynamoDBQueryTracker.java), closing the
+    loop ``stream_ingest`` opened on the write side.
+
+    Idempotence protocol, per micro-batch:
+
+    1. the epoch is a tracked SUB-QUERY ``epoch-N`` of ``query_id`` in a
+       (file-backed) :class:`~sleeper_spark.tracker.QueryTracker`;
+    2. an epoch already COMPLETED in the tracker is SKIPPED — the
+       re-delivery that happens when the driver crashed between a
+       successful publish and the stream checkpoint must not publish
+       twice;
+    3. a failed publish (``ResultsOutputInfo.error``) marks the epoch
+       FAILED and raises, so the trigger retries the SAME epoch — a
+       batch is never checkpointed past an unpublished transport;
+    4. the parent query's state rolls up from its epochs, exactly like
+       leaf sub-queries of a batch query.
+
+    ``on_published(info, batch_id)`` fires after each successful
+    publish (metrics hook; also how the crash-recovery test injects a
+    failure between publish and checkpoint).
+    """
+    from sleeper_spark.tracker import QueryState
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sub = f"epoch-{batch_id}"
+        done = tracker.get(query_id, sub)
+        if done is not None and done.state == QueryState.COMPLETED:
+            return    # crash between publish and checkpoint: re-delivery
+        tracker.query_in_progress(query_id, sub)
+        info = output.publish(f"{query_id}-{sub}", batch_df)
+        if info.error:
+            tracker.query_failed(query_id, info.error, sub)
+            raise RuntimeError(
+                f"results transport failed for {query_id}/{sub}: "
+                f"{info.error}")
+        # tracker COMPLETED is written BEFORE the checkpoint commits:
+        # the failure window leaves a published-but-uncheckpointed
+        # epoch, which step 2 skips on re-delivery — never the reverse
+        # (a checkpointed-but-unpublished epoch would be silent loss)
+        rows = info.rows if info.rows is not None else batch_df.count()
+        tracker.query_completed(query_id, rows, sub)
+        if on_published is not None:
+            on_published(info, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_aggregate(
     stream_df: DataFrame,
     ts_col: str,

@@ -210,3 +210,101 @@ def test_append_mode_watermark_drops_late_data(spark, tmp_path):
     assert dropped == 1  # exactly the late row
     # [base,+10) with 4 on-time rows; [base+60,+70) and [base+120,+130)
     assert len(got) == 3
+
+
+class TestStreamResultsTransport:
+    """Round-6: streaming results through the ResultsOutput protocol
+    with exactly-once (query_id, epoch) publishes via the tracker —
+    the streaming face of S3ResultsOutput + DynamoDBQueryTracker."""
+
+    def _run(self, spark, in_dir, ckpt, tracker, sent, on_published=None,
+             fail_payloads=None):
+        from sleeper_spark.output import CallbackResultsOutput
+
+        def send(payload):
+            if fail_payloads is not None and fail_payloads[0] > 0:
+                fail_payloads[0] -= 1
+                raise IOError("transport down")
+            sent.append(payload)
+
+        stream = _read_stream(spark, in_dir).select("event_id", "user_id")
+        q = streaming.stream_results(
+            stream, CallbackResultsOutput(send, batch_size=10_000),
+            ckpt, "stream-q", tracker, on_published=on_published)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    def _ids(self, sent):
+        import json as _json
+        out = []
+        for payload in sent:
+            out += [_json.loads(line)["event_id"]
+                    for line in payload.splitlines()]
+        return out
+
+    def test_crash_between_publish_and_checkpoint_no_duplicate(
+            self, spark, tmp_path, events_stream_dir):
+        """Driver dies AFTER a successful publish but BEFORE the stream
+        checkpoints: on restart the batch is re-delivered and must be
+        SKIPPED (tracker shows the epoch COMPLETED), and later data must
+        still flow — no duplicate, no loss."""
+        from sleeper_spark.tracker import QueryState, QueryTracker
+
+        ckpt = str(tmp_path / "ckpt")
+        tpath = str(tmp_path / "tracker.json")
+        sent: list = []
+
+        def boom(info, batch_id):
+            raise RuntimeError("simulated crash before checkpoint")
+
+        with pytest.raises(Exception, match="simulated crash"):
+            self._run(spark, events_stream_dir, ckpt,
+                      QueryTracker(tpath), sent, on_published=boom)
+        n_events = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")).count()
+        assert len(self._ids(sent)) == n_events   # published once already
+
+        # second file arrives while we were down
+        shutil.copy(os.path.join(SF_DIR, "events.parquet"),
+                    os.path.join(events_stream_dir, "again.parquet"))
+        # restart: fresh tracker handle over the SAME file, same ckpt
+        self._run(spark, events_stream_dir, ckpt, QueryTracker(tpath), sent)
+        ids = self._ids(sent)
+        # epoch 0 NOT republished; the new file's rows all arrived
+        assert len(ids) == 2 * n_events
+        tr = QueryTracker(tpath)
+        assert {c.state for c in tr.children("stream-q")} == {
+            QueryState.COMPLETED}
+        assert tr.get("stream-q").state == QueryState.COMPLETED
+        assert tr.get("stream-q").row_count == 2 * n_events
+
+    def test_transport_failure_retries_without_loss(
+            self, spark, tmp_path, events_stream_dir):
+        """A transport outage fails the epoch (tracked FAILED) and the
+        stream raises rather than checkpointing past it; the restart
+        republishes the SAME epoch — no batch is lost."""
+        from sleeper_spark.tracker import QueryState, QueryTracker
+
+        ckpt = str(tmp_path / "ckpt")
+        tpath = str(tmp_path / "tracker.json")
+        sent: list = []
+        fails = [1]    # first send raises, then the transport recovers
+
+        with pytest.raises(Exception, match="transport"):
+            self._run(spark, events_stream_dir, ckpt,
+                      QueryTracker(tpath), sent, fail_payloads=fails)
+        assert sent == []
+        tr = QueryTracker(tpath)
+        assert tr.get("stream-q", "epoch-0").state == QueryState.FAILED
+
+        self._run(spark, events_stream_dir, ckpt, QueryTracker(tpath), sent)
+        n_events = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")).count()
+        ids = self._ids(sent)
+        assert sorted(set(ids)) == sorted(ids)    # no duplicates either
+        assert len(ids) == n_events
+        tr = QueryTracker(tpath)
+        assert tr.get("stream-q", "epoch-0").state == QueryState.COMPLETED
+        assert tr.get("stream-q").state == QueryState.COMPLETED
