@@ -229,6 +229,108 @@ def stateful_running_totals(
     )
 
 
+class ChangeFeedTail:
+    """Bridge a table's change data feed into Structured Streaming: each
+    :meth:`drain` polls ``poll_changes`` (bounded by ``max_seqs``) and
+    lands the newly appended rows as parquet files in a staging
+    directory that :meth:`read_stream` tails as an ordinary file-source
+    stream — so the table's CDF becomes consumable by the engine's own
+    streaming operators (windowed aggregation, streaming dedup, stateful
+    totals) without any custom source implementation.
+
+    Exactly-once landing across poller crashes via a two-phase
+    checkpoint: the (from, to] range is recorded as a PENDING intent
+    before any file is written, files are named deterministically by
+    that range, and the checkpoint commits only after the write — a
+    crash anywhere replays the SAME range to the SAME file names
+    (``os.replace`` overwrite), which the downstream file source (which
+    tracks files by name) neither duplicates nor misses. Downstream
+    exactly-once is then the stream checkpoint's own guarantee.
+
+    Scale: ``max_seqs`` bounds each drain to a window of the transaction
+    log (the rate limit), and landing preserves the batch's partitioning
+    (one staged file per task) — the drain is a bounded copy job, never
+    a full-table read. Rows must still be on disk: raise the GC delay
+    above the poller's worst-case lag (same contract as
+    ``added_rows_between``).
+    """
+
+    def __init__(self, table: SleeperTable, staging_dir: str,
+                 max_seqs: int | None = None):
+        import json
+
+        self.table = table
+        self.staging_dir = staging_dir
+        self.max_seqs = max_seqs
+        self.state_path = os.path.join(staging_dir, "_feed_ckpt.json")
+        os.makedirs(staging_dir, exist_ok=True)
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                self.state = json.load(f)
+        else:
+            self.state = {"seq": 0, "pending": None}
+
+    def _save(self) -> None:
+        import json
+
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, self.state_path)
+
+    def _land(self, from_seq: int, to_seq: int) -> int:
+        """Write the range's rows as deterministically-named staged
+        files; returns the row count. Re-running the same range
+        overwrites the same names (idempotent)."""
+        df = self.table.added_rows_between(from_seq, to_seq)
+        tmp_dir = os.path.join(
+            self.staging_dir, f".landing-{from_seq + 1}-{to_seq}")
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        df.write.parquet(tmp_dir)
+        n = 0
+        parts = sorted(f for f in os.listdir(tmp_dir)
+                       if f.endswith(".parquet"))
+        for i, part in enumerate(parts):
+            import pyarrow.parquet as pq
+
+            src = os.path.join(tmp_dir, part)
+            n += pq.ParquetFile(src).metadata.num_rows
+            os.replace(src, os.path.join(
+                self.staging_dir,
+                f"changes-{from_seq + 1:012d}-{to_seq:012d}-{i:04d}.parquet"))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return n
+
+    def drain(self) -> int:
+        """One poll: land everything appended since the checkpoint (up
+        to ``max_seqs`` transactions). Returns rows landed."""
+        n = 0
+        if self.state.get("pending"):
+            frm, to = self.state["pending"]   # crashed mid-land: replay
+            n += self._land(frm, to)
+            self.state = {"seq": to, "pending": None}
+            self._save()
+        _, to_seq = self.table.poll_changes(self.state["seq"],
+                                            self.max_seqs)
+        if to_seq == self.state["seq"]:
+            return n
+        self.state["pending"] = [self.state["seq"], to_seq]
+        self._save()                           # intent BEFORE the write
+        n += self._land(self.state["seq"], to_seq)
+        self.state = {"seq": to_seq, "pending": None}
+        self._save()
+        return n
+
+    def read_stream(self, spark) -> DataFrame:
+        """The staged feed as a file-source stream (the table's schema)."""
+        return (spark.readStream
+                .schema(self.table.schema.to_struct_type())
+                .option("pathGlobFilter", "changes-*.parquet")
+                .parquet(self.staging_dir))
+
+
 def dedup_stream(
     stream_df: DataFrame,
     key_cols: list[str],

@@ -308,3 +308,80 @@ class TestStreamResultsTransport:
         tr = QueryTracker(tpath)
         assert tr.get("stream-q", "epoch-0").state == QueryState.COMPLETED
         assert tr.get("stream-q").state == QueryState.COMPLETED
+
+
+class TestChangeFeedTail:
+    """Round-6 stretch: the table's change data feed bridged into the
+    engine's own streaming operators via a staged file-source tail."""
+
+    def _table(self, spark, tmp_path):
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), True),))
+        return SleeperTable.create(spark, str(tmp_path / "t"), schema)
+
+    def test_tail_appends_through_streaming_dedup(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        tail = streaming.ChangeFeedTail(t, str(tmp_path / "stage"))
+        seen: list = []
+
+        def run_dedup():
+            dd = streaming.dedup_stream(tail.read_stream(spark), ["k"])
+            q = (dd.writeStream.outputMode("append")
+                 .foreachBatch(lambda df, _b: seen.extend(
+                     r.k for r in df.collect()))
+                 .option("checkpointLocation", str(tmp_path / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            q.stop()
+
+        t.ingest(spark.range(10).selectExpr("id AS k", "id AS v"))
+        assert tail.drain() == 10
+        run_dedup()
+        assert sorted(seen) == list(range(10))
+        # overlapping second append: streaming state dedups ACROSS
+        # drains — only the genuinely new keys come out
+        t.ingest(spark.range(5, 20).selectExpr("id AS k", "id AS v"))
+        assert tail.drain() == 15
+        run_dedup()
+        assert sorted(seen) == list(range(20))
+        # idle drain: nothing new staged, stream emits nothing
+        assert tail.drain() == 0
+        run_dedup()
+        assert sorted(seen) == list(range(20))
+        # compaction commits add no rows to the feed
+        t.compact()
+        assert tail.drain() == 0
+
+    def test_crashed_drain_replays_same_range_without_duplicates(
+            self, spark, tmp_path):
+        """Crash between the pending intent and the checkpoint commit:
+        the restart replays the SAME range to the SAME file names, so
+        the downstream file source sees each row exactly once."""
+        t = self._table(spark, tmp_path)
+        stage = str(tmp_path / "stage")
+        tail = streaming.ChangeFeedTail(t, stage)
+        t.ingest(spark.range(8).selectExpr("id AS k", "id AS v"))
+        assert tail.drain() == 8
+        t.ingest(spark.range(8, 12).selectExpr("id AS k", "id AS v"))
+
+        # simulate the crash: land the new range, write the PENDING
+        # intent, but never commit — as if the process died mid-drain
+        frm = tail.state["seq"]
+        _, to = t.poll_changes(frm)
+        tail.state["pending"] = [frm, to]
+        tail._save()
+        tail._land(frm, to)
+
+        files_before = sorted(f for f in os.listdir(stage)
+                              if f.endswith(".parquet"))
+        # a fresh tail (restart) replays the pending range idempotently
+        tail2 = streaming.ChangeFeedTail(t, stage)
+        assert tail2.state["pending"] == [frm, to]
+        tail2.drain()
+        files_after = sorted(f for f in os.listdir(stage)
+                             if f.endswith(".parquet"))
+        assert files_before == files_after      # same names, overwritten
+        total = spark.read.schema(t.schema.to_struct_type()).parquet(
+            os.path.join(stage, "changes-*.parquet")).count()
+        assert total == 12                      # every row exactly once
+        assert tail2.state == {"seq": to, "pending": None}
