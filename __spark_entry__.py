@@ -1454,11 +1454,29 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
         _ANN_TRAIN_CACHE[ekey] = (df.collect(), df.schema)
     rows, schema = _ANN_TRAIN_CACHE[ekey]
     exact = spark.createDataFrame(rows, schema)
+
+    # histogram totals and corpus size are deterministic per (sf, params)
+    # — memoised scalars, same contract as the training/topk memos
+    ckey = ("selcand", sf)
+    if ckey not in _ANN_TRAIN_CACHE:
+        totals = {}
+        for tier, p in (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2),
+                        ("ivf", 4)):
+            if tier == "lsh":
+                cand = similarity.lsh_candidate_count(
+                    emb, q5, dim=64, bits=8, nprobe=p)
+            else:
+                cand = similarity.ivf_candidate_count(
+                    emb, q5, cents, nprobe=p)
+            totals[(tier, p)] = (
+                cand.agg(F.sum("n_candidates")).collect()[0][0] or 0)
+        _ANN_TRAIN_CACHE[ckey] = (totals, emb.count())
+    totals, n_corpus = _ANN_TRAIN_CACHE[ckey]
     return similarity.select_ann_tier(
         emb, q5, dim=64, k=10, recall_target=_ANN_SELECT_TARGET,
         lsh_bits=8, lsh_probes=(1, 3), ivf_nlist=_IVF["nlist"],
         ivf_probes=(1, 2, 4), centroids=cents, topk_provider=provider,
-        exact=exact)
+        exact=exact, candidate_totals=totals, n_corpus=n_corpus)
 
 
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:

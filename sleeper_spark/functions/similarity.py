@@ -566,6 +566,8 @@ def select_ann_tier(
     query_id_col: str = "query_id",
     topk_provider=None,
     exact: DataFrame | None = None,
+    candidate_totals: dict | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Recall-gated index selection — the decision a real embedding
     pipeline automates before deploying an ANN index: evaluate each
@@ -582,7 +584,9 @@ def select_ann_tier(
     — nothing here grows with the corpus beyond the scans the tiers
     themselves need. ``topk_provider(tier, nprobe)`` lets a caller
     inject already-materialized tier outputs (e.g. a bench's memo)
-    instead of recomputing them.
+    instead of recomputing them; ``candidate_totals[(tier, nprobe)]``
+    and ``n_corpus`` likewise inject already-computed histogram totals
+    and corpus size (both deterministic per corpus+params).
 
     Output: one row per config —
     ``(tier, nprobe, recall, candidate_fraction, chosen)``.
@@ -625,20 +629,23 @@ def select_ann_tier(
         per_q.groupBy("__cfg")
         .agg(F.round(F.avg("recall"), 4).alias("r")).collect()}
 
-    n_corpus = corpus.count()
+    if n_corpus is None:
+        n_corpus = corpus.count()
     n_queries = queries.count()
     rows = []
     for tier, p in configs:
-        if tier == "lsh":
-            cand = lsh_candidate_count(
-                corpus, queries, dim=dim, bits=lsh_bits, nprobe=p,
-                seed=seed, id_col=id_col, vec_col=vec_col,
-                query_id_col=query_id_col)
-        else:
-            cand = ivf_candidate_count(
-                corpus, queries, centroids, nprobe=p, id_col=id_col,
-                vec_col=vec_col, query_id_col=query_id_col)
-        total = cand.agg(F.sum("n_candidates")).collect()[0][0] or 0
+        total = (candidate_totals or {}).get((tier, p))
+        if total is None:
+            if tier == "lsh":
+                cand = lsh_candidate_count(
+                    corpus, queries, dim=dim, bits=lsh_bits, nprobe=p,
+                    seed=seed, id_col=id_col, vec_col=vec_col,
+                    query_id_col=query_id_col)
+            else:
+                cand = ivf_candidate_count(
+                    corpus, queries, centroids, nprobe=p, id_col=id_col,
+                    vec_col=vec_col, query_id_col=query_id_col)
+            total = cand.agg(F.sum("n_candidates")).collect()[0][0] or 0
         frac = round(total / (n_queries * (n_corpus - 1)), 6)
         rows.append((tier, p, mean_recall[f"{tier}@{p}"], frac))
 
