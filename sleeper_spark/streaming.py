@@ -240,18 +240,24 @@ class ChangeFeedTail:
 
     Exactly-once landing across poller crashes via a two-phase
     checkpoint: the (from, to] range is recorded as a PENDING intent
-    before any file is written, files are named deterministically by
-    that range, and the checkpoint commits only after the write — a
-    crash anywhere replays the SAME range to the SAME file names
-    (``os.replace`` overwrite), which the downstream file source (which
-    tracks files by name) neither duplicates nor misses. Downstream
-    exactly-once is then the stream checkpoint's own guarantee.
+    before any write, the range lands as ONE parquet file staged under a
+    hidden name and made visible with a single atomic ``os.replace`` to
+    its deterministic range name, and the checkpoint commits only after
+    that — a crash anywhere replays the SAME range onto the SAME name,
+    which the downstream file source (tracking files by name) neither
+    duplicates nor misses. One file per range is a correctness
+    requirement, not a simplification: a multi-part landing could split
+    rows across parts DIFFERENTLY on replay (Spark's partitioning is
+    config-dependent), and a stream that consumed some old-split parts
+    before the crash would then silently lose or duplicate the rows
+    that moved. Downstream exactly-once is the stream checkpoint's own
+    guarantee.
 
-    Scale: ``max_seqs`` bounds each drain to a window of the transaction
-    log (the rate limit), and landing preserves the batch's partitioning
-    (one staged file per task) — the drain is a bounded copy job, never
-    a full-table read. Rows must still be on disk: raise the GC delay
-    above the poller's worst-case lag (same contract as
+    Scale: ``max_seqs`` is the rate limit AND the landing-size bound —
+    each drain copies one bounded window of the transaction log into one
+    file; size the window so a single file stays healthy (the tail is a
+    feed, not a bulk export). Rows must still be on disk: raise the GC
+    delay above the poller's worst-case lag (same contract as
     ``added_rows_between``).
     """
 
@@ -279,27 +285,32 @@ class ChangeFeedTail:
         os.replace(tmp, self.state_path)
 
     def _land(self, from_seq: int, to_seq: int) -> int:
-        """Write the range's rows as deterministically-named staged
-        files; returns the row count. Re-running the same range
-        overwrites the same names (idempotent)."""
+        """Land the range's rows as ONE deterministically-named staged
+        file via an atomic rename; returns the row count. Re-running
+        the same range overwrites the same name (idempotent), and the
+        file source never observes a partial landing (the tmp dir is
+        dot-prefixed, which file sources ignore)."""
         df = self.table.added_rows_between(from_seq, to_seq)
         tmp_dir = os.path.join(
             self.staging_dir, f".landing-{from_seq + 1}-{to_seq}")
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        df.write.parquet(tmp_dir)
-        n = 0
+        # coalesce(1): single-file visibility must be atomic (see class
+        # doc); max_seqs bounds the size. JVM-side read -> no Python
+        # worker cost in the coalesced task.
+        df.coalesce(1).write.parquet(tmp_dir)
         parts = sorted(f for f in os.listdir(tmp_dir)
                        if f.endswith(".parquet"))
-        for i, part in enumerate(parts):
+        n = 0
+        if parts:
             import pyarrow.parquet as pq
 
-            src = os.path.join(tmp_dir, part)
-            n += pq.ParquetFile(src).metadata.num_rows
+            src = os.path.join(tmp_dir, parts[0])
+            n = pq.ParquetFile(src).metadata.num_rows
             os.replace(src, os.path.join(
                 self.staging_dir,
-                f"changes-{from_seq + 1:012d}-{to_seq:012d}-{i:04d}.parquet"))
+                f"changes-{from_seq + 1:012d}-{to_seq:012d}.parquet"))
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return n
 
