@@ -652,6 +652,313 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, adapted to the fixture (no
+    partsupp table: the part-supplier supply relation is derived from
+    lineitem, cost = the cheapest extended price ever offered for the
+    pair). The correlated MIN subquery becomes an aggregate joined back
+    to the qualifying rows; every dimension broadcasts, and parts are
+    filtered BEFORE the per-part minimum so the min join's build side is
+    only the qualifying slice."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    s = _load(spark, sf, "supplier")
+    n = _load(spark, sf, "nation")
+    r = _load(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)"))
+               .alias("__cost")))
+    eu = (ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+          .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+          .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+          .join(F.broadcast(p), ps.l_partkey == p.p_partkey))
+    mn = eu.groupBy("l_partkey").agg(F.min("__cost").alias("__min_cost"))
+    return (
+        eu.join(F.broadcast(mn), "l_partkey")
+        .where(F.col("__cost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "s_suppkey",
+                F.round(F.col("__cost").cast("double"), 2).alias("supplycost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3's share of PROMO-part
+    revenue sold into AMERICA, per year. The share is one conditional
+    decimal sum over the same joined rows as the total — one pass, one
+    final division. Dimensions broadcast; the fact shuffles once for
+    the per-year group-by."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    o = _load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    c = _load(spark, sf, "customer")
+    s = _load(spark, sf, "supplier")
+    n1 = _load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    r = _load(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    rev = _revenue_dec()
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev) \
+        .otherwise(F.lit(0).cast(rev_type()))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(nat).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted (no ps_supplycost: unit
+    cost is modeled as 10% of p_retailprice). Profit per supplier
+    nation per year over '%rod%' parts; all arithmetic decimal-exact
+    until the final rounded double."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part").where(F.col("p_name").like("%rod%"))
+    s = _load(spark, sf, "supplier")
+    n = _load(spark, sf, "nation")
+    o = _load(spark, sf, "orders")
+    cost = (F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+            * F.lit("0.1").cast("decimal(2,1)"))
+    amount = _revenue_dec() - cost
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 important stock, adapted (part value = lineitem
+    extended price supplied by NATION_7 suppliers). The HAVING
+    fraction-of-total is the global scalar broadcast against the
+    per-part aggregate — exact decimal on both sides of the
+    comparison."""
+    li = _load(spark, sf, "lineitem")
+    s = _load(spark, sf, "supplier")
+    n = _load(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    v = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .groupBy("l_partkey")
+         .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+              .alias("__val")))
+    tot = v.agg(F.sum("__val").alias("__tot"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.col("__val")
+               > F.col("__tot") * F.lit("0.0005").cast("decimal(6,4)"))
+        .select(F.col("l_partkey").alias("partkey"),
+                F.round(F.col("__val").cast("double"), 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority lateness, adapted (no l_shipmode:
+    classes are l_returnflag; "late" is l_shipdate > o_orderdate + 30
+    days). Two conditional counts in one pass."""
+    li = _load(spark, sf, "lineitem")
+    o = _load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    zero-order customers keep c_count = 0, then the double aggregation
+    (count per customer, customers per count)."""
+    c = _load(spark, sf, "customer")
+    o = _load(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 promotion revenue share for one month: conditional
+    decimal sum over the part join, single final division."""
+    li = _load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    p = _load(spark, sf, "part")
+    rev = _revenue_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+        .otherwise(F.lit(0).cast(rev_type()))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                     / F.sum(rev).cast("double"), 4).alias("promo_revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 supplier count by part descriptor, adapted (supply
+    relation from lineitem; the complaint exclusion is suppliers with
+    negative balance, expressed as a left-anti join on a broadcast key
+    set). Distinct pairs first so multi-line repeats never reach the
+    count-distinct."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO"))
+    bad = (_load(spark, sf, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated AVG
+    subquery becomes a per-part aggregate joined back; the comparison
+    l_quantity < 0.2 * avg is multiplied through to
+    5 * qty * count < sum so it stays exact integer/decimal arithmetic
+    (no engine-dependent float-average boundary)."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    agg = (li.groupBy(F.col("l_partkey").alias("__pk"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .alias("__sq"),
+                F.count(F.lit(1)).alias("__cnt")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(agg, li.l_partkey == F.col("__pk"))
+        .where(F.lit(5) * F.col("l_quantity").cast("decimal(12,2)")
+               * F.col("__cnt") < F.col("__sq"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                     .cast("double") / 7.0, 2).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, adapted (availability from
+    lineitem: suppliers who shipped >30% of a small-part's 1996 volume).
+    A semi-join chain — qualifying pairs -> distinct suppliers ->
+    supplier/nation — with the share test multiplied through to stay
+    exact."""
+    li = _load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    psmall = (_load(spark, sf, "part")
+              .where(F.col("p_name").like("small%")).select("p_partkey"))
+    s = _load(spark, sf, "supplier")
+    n = _load(spark, sf, "nation").where(F.col("n_name") == "NATION_5")
+    ps = (li.join(F.broadcast(psmall), li.l_partkey == F.col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+               .alias("__q")))
+    tot = ps.groupBy(F.col("l_partkey").alias("__pk")) \
+        .agg(F.sum("__q").alias("__tq"))
+    big = (ps.join(tot, ps.l_partkey == F.col("__pk"))
+           .where(F.col("__q") * 10 > F.col("__tq") * 3)
+           .select("l_suppkey").distinct())
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted ("late" is
+    l_shipdate > o_orderdate + 60 days). The EXISTS/NOT-EXISTS pair is
+    one per-order aggregate: orders with >1 distinct supplier and
+    EXACTLY one distinct late supplier attribute the wait to that
+    supplier — no self-join explosion over lineitem."""
+    o = _load(spark, sf, "orders").where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = _load(spark, sf, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    s = _load(spark, sf, "supplier")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"),
+             F.countDistinct(F.when(late, F.col("l_suppkey")))
+             .alias("__nl"),
+             F.max(F.when(late, F.col("l_suppkey"))).alias("__latesk")))
+    return (
+        per_order.where((F.col("__ns") > 1) & (F.col("__nl") == 1))
+        .groupBy("__latesk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("__latesk") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted (country code =
+    c_nationkey mod 10; "no orders" -> "no URGENT orders", since every
+    fixture customer has orders). Above-average balance is multiplied
+    through (bal * n > sum) to stay decimal-exact; the NOT EXISTS is a
+    left-anti join on the distinct urgent-customer key set."""
+    c = _load(spark, sf, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 10).cast("int"))
+    cust = c.where(F.col("cntrycode").isin(1, 2, 3, 4, 5, 6, 7))
+    pos = (cust.where(F.col("c_acctbal") > 0)
+           .agg(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("__s"),
+                F.count(F.lit(1)).alias("__n")))
+    urgent = (_load(spark, sf, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    return (
+        cust.join(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(12,2)") * F.col("__n")
+               > F.col("__s"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             _dec_sum("c_acctbal", 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
 def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP hierarchy totals over (returnflag, linestatus) with
     grouping indicators — subtotal/grand-total rows in one pass."""
@@ -1835,15 +2142,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL surface: joins / windows / set ops / scalars
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
+        "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "rollup_agg": q_rollup_agg,
         "window_lag_lead": q_window_lag_lead,
         "window_topn": q_window_topn,
@@ -2606,6 +2925,168 @@ def oracle_sql() -> dict[str, str]:
             "FROM osum JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "ORDER BY o_totalprice DESC, l_orderkey LIMIT 100",
+        "tpch_q2":
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost "
+            "FROM lineitem GROUP BY 1, 2), "
+            "eu AS (SELECT ps.l_partkey, cost, s_acctbal, s_name, "
+            "s_suppkey, n_name FROM ps "
+            "JOIN supplier ON ps.l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "fe AS (SELECT eu.*, p_partkey, p_name FROM eu "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size <= 15 AND p_type = 'LARGE'), "
+            "mn AS (SELECT l_partkey, min(cost) AS mc FROM fe GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, "
+            "round(CAST(cost AS DOUBLE), 2) AS supplycost "
+            "FROM fe JOIN mn USING (l_partkey) WHERE cost = mc "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey "
+            "LIMIT 100",
+        "tpch_q8":
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN "
+            "CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
+            "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) "
+            "/ CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) "
+            "AS mkt_share "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "WHERE r_name = 'AMERICA' AND p_type = 'PROMO' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1 ORDER BY 1",
+        "tpch_q9":
+            "SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
+            "- CAST(p_retailprice AS DECIMAL(12,2)) "
+            "* CAST(l_quantity AS DECIMAL(12,2)) "
+            "* CAST('0.1' AS DECIMAL(2,1))) AS DOUBLE), 2) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%rod%' "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC",
+        "tpch_q11":
+            "WITH v AS (SELECT l_partkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_7' GROUP BY 1), "
+            "tot AS (SELECT sum(val) AS t FROM v) "
+            "SELECT l_partkey AS partkey, "
+            "round(CAST(val AS DOUBLE), 2) AS part_value "
+            "FROM v, tot WHERE val > t * CAST('0.0005' AS DECIMAL(6,4)) "
+            "ORDER BY part_value DESC, partkey",
+        "tpch_q12":
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY 1 ORDER BY 1",
+        "tpch_q13":
+            "WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT OUTER JOIN orders "
+            "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM co "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+        "tpch_q14":
+            "SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
+            "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) "
+            "/ CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) "
+            "AS promo_revenue, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01'",
+        "tpch_q16":
+            "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem) "
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM pairs JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO' "
+            "AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+        "tpch_q17":
+            "WITH agg AS (SELECT l_partkey AS pk, "
+            "sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq, "
+            "count(*) AS cnt FROM lineitem GROUP BY 1) "
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) "
+            "AS DOUBLE) / 7.0, 2) AS avg_yearly, count(*) AS n_items "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN agg ON l_partkey = pk "
+            "WHERE p_brand = 'Brand#23' "
+            "AND 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < sq",
+        "tpch_q20":
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "sum(CAST(l_quantity AS DECIMAL(12,2))) AS q "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE 'small%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey AS pk, sum(q) AS tq FROM ps "
+            "GROUP BY 1), "
+            "big AS (SELECT DISTINCT l_suppkey FROM ps "
+            "JOIN tot ON l_partkey = pk WHERE q * 10 > tq * 3) "
+            "SELECT s_suppkey, s_name, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_5' "
+            "AND s_suppkey IN (SELECT l_suppkey FROM big) "
+            "ORDER BY s_name, s_suppkey",
+        "tpch_q21":
+            "WITH po AS (SELECT l_orderkey, "
+            "count(DISTINCT l_suppkey) AS ns, "
+            "count(DISTINCT CASE WHEN "
+            "l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN l_suppkey END) AS nl, "
+            "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN l_suppkey END) AS latesk "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, count(*) AS numwait FROM po "
+            "JOIN supplier ON latesk = s_suppkey "
+            "WHERE ns > 1 AND nl = 1 GROUP BY 1, 2 "
+            "ORDER BY numwait DESC, s_name, s_suppkey LIMIT 100",
+        "tpch_q22":
+            "WITH cust AS (SELECT c_custkey, c_acctbal, "
+            "CAST(c_nationkey % 10 AS INTEGER) AS cntrycode FROM customer "
+            "WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6, 7)), "
+            "pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s, "
+            "count(*) AS n FROM cust WHERE c_acctbal > 0) "
+            "SELECT cntrycode, count(*) AS numcust, "
+            "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS totacctbal "
+            "FROM cust, pos "
+            "WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY cntrycode ORDER BY cntrycode",
         "rollup_agg":
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
