@@ -890,13 +890,16 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
           .groupBy("l_partkey", "l_suppkey")
           .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
                .alias("__q")))
-    tot = ps.groupBy(F.col("l_partkey").alias("__pk")) \
-        .agg(F.sum("__q").alias("__tq"))
-    big = (ps.join(tot, ps.l_partkey == F.col("__pk"))
+    # per-part total as a window over the grouped relation — one extra
+    # shuffle by l_partkey instead of a grouped self-join (two joins at
+    # scale); the window partition is per-part supplier counts, bounded
+    from pyspark.sql.window import Window
+    tot_w = F.sum("__q").over(Window.partitionBy("l_partkey"))
+    big = (ps.withColumn("__tq", tot_w)
            .where(F.col("__q") * 10 > F.col("__tq") * 3)
            .select("l_suppkey").distinct())
     return (
-        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        s.join(F.broadcast(big), s.s_suppkey == big.l_suppkey, "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_name", "s_suppkey")

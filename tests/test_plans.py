@@ -327,3 +327,72 @@ def test_ivf_training_bounded_driver_transfer(spark, entry):
     # end-to-end: trainer returns nlist centroids of the right dim
     cents = similarity.train_ivf_centroids(emb, nlist=4, train_rows=64)
     assert len(cents) == 4 and len(cents[0]) == 64
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (q2/q8/.../q22) plan pins: every dimension broadcasts,
+# correlated subqueries stay aggregate-joins, anti-joins build on broadcast
+# key sets, and nothing degenerates into a data-sized nested loop.
+# ---------------------------------------------------------------------------
+
+def test_tpch_q2_min_cost_all_broadcast(spark, entry):
+    """Q2's correlated MIN rides broadcasts end-to-end: supplier/nation/
+    region/part dims and the filtered per-part minimum all broadcast —
+    the only shuffle partner of the derived supply relation is its own
+    group-by."""
+    plan = plan_of(entry.q_tpch_q2(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without global sort
+
+
+def test_tpch_q8_market_share_single_fact_pass(spark, entry):
+    """Q8: seven joins, zero sort-merge — the fact table is never
+    re-shuffled for a dimension; the share is one conditional aggregate
+    (no second pass for the denominator)."""
+    plan = plan_of(entry.q_tpch_q8(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_tpch_q21_no_lineitem_self_join(spark, entry):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as ONE aggregation over
+    the order join — never the textbook l1/l2/l3 lineitem self-join
+    (which explodes at scale). Top-100 stays TakeOrderedAndProject."""
+    df = entry.q_tpch_q21(spark, SF)
+    plan = plan_of(df)
+    # one scan of lineitem, not three
+    assert plan.count("lineitem.parquet") <= 1 or \
+        plan.count("Scan parquet") <= 3  # lineitem + orders + supplier
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_on_broadcast_key_set(spark, entry):
+    """Q22's NOT EXISTS is a broadcast anti-join (urgent-customer key
+    set), and the global-average comparison is a 1-row broadcast — the
+    only nested-loop in the plan is that single-row cross."""
+    plan = plan_of(entry.q_tpch_q22(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q20_share_test_is_window_not_self_join(spark, entry):
+    """Q20's per-part total is a window over the grouped supply relation
+    — one shuffle by part — not a grouped self-join (two shuffles plus a
+    join at scale)."""
+    plan = plan_of(entry.q_tpch_q20(spark, SF))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13_left_outer_preserves_customers(spark, entry):
+    """Q13 keeps zero-order customers: LEFT OUTER join present, and the
+    double aggregation is partial+final hash aggregation."""
+    plan = plan_of(entry.q_tpch_q13(spark, SF))
+    assert "LeftOuter" in plan or "left_outer" in plan
+    assert plan.count("HashAggregate") >= 2
