@@ -1744,17 +1744,41 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     cents = _ivf_centroids_memo(emb, sf)
 
+    configs = (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2), ("ivf", 4))
+
+    def _build(tier, p):
+        if tier == "lsh":
+            return similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8,
+                                       nprobe=p)
+        return similarity.ivf_topk(
+            emb, q5, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
+            nprobe=p, centroids=cents)
+
     def provider(tier, p):
         key = ("seltopk", tier, p, sf)
         if key not in _ANN_TRAIN_CACHE:
-            if tier == "lsh":
-                df = similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8,
-                                         nprobe=p)
-            else:
-                df = similarity.ivf_topk(
-                    emb, q5, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
-                    nprobe=p, centroids=cents)
-            _ANN_TRAIN_CACHE[key] = (df.collect(), df.schema)
+            # ALL five configs in ONE action: a labeled union collected
+            # once. Sequential per-config collects pay 5x the
+            # job-submission + scan-scheduling latency for pipelines
+            # that run concurrently without contention inside a single
+            # job (each output is Q x k rows by construction).
+            stacked = None
+            schemas = {}
+            for t_, p_ in configs:
+                d = _build(t_, p_)
+                schemas[(t_, p_)] = d.select("query_id", "vec_id",
+                                             "rank").schema
+                d = d.select(F.lit(f"{t_}@{p_}").alias("__cfg"),
+                             "query_id", "vec_id", "rank")
+                stacked = d if stacked is None else stacked.unionByName(d)
+            by_cfg = {c: [] for c in configs}
+            for r in stacked.collect():
+                t_, p_ = r["__cfg"].split("@")
+                by_cfg[(t_, int(p_))].append(
+                    (r["query_id"], r["vec_id"], r["rank"]))
+            for c, rows_ in by_cfg.items():
+                _ANN_TRAIN_CACHE[("seltopk",) + c + (sf,)] = (
+                    rows_, schemas[c])
         rows, schema = _ANN_TRAIN_CACHE[key]
         return spark.createDataFrame(rows, schema)
 
@@ -1769,15 +1793,29 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     # — memoised scalars, same contract as the training/topk memos
     ckey = ("selcand", sf)
     if ckey not in _ANN_TRAIN_CACHE:
+        # ONE corpus scan per tier family: the occupancy histogram is
+        # independent of nprobe (only the query's probe set varies), so
+        # pricing 2 LSH + 3 IVF configs needs 2 histograms, not 5
+        # corpus-wide bucket/cell assignments. The collected histograms
+        # are 2^bits-/nlist-row small by construction.
+        hists = {}
+        for fam, build in (
+                ("lsh", lambda: similarity.lsh_bucket_histogram(
+                    emb, dim=64, bits=8)),
+                ("ivf", lambda: similarity.ivf_cell_histogram(emb, cents))):
+            h = build()
+            hists[fam] = (h.collect(), h.schema)
         totals = {}
         for tier, p in (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2),
                         ("ivf", 4)):
+            hrows, hschema = hists[tier]
+            hdf = spark.createDataFrame(hrows, hschema)
             if tier == "lsh":
                 cand = similarity.lsh_candidate_count(
-                    emb, q5, dim=64, bits=8, nprobe=p)
+                    emb, q5, dim=64, bits=8, nprobe=p, histogram=hdf)
             else:
                 cand = similarity.ivf_candidate_count(
-                    emb, q5, cents, nprobe=p)
+                    emb, q5, cents, nprobe=p, histogram=hdf)
             totals[(tier, p)] = (
                 cand.agg(F.sum("n_candidates")).collect()[0][0] or 0)
         _ANN_TRAIN_CACHE[ckey] = (totals, emb.count())

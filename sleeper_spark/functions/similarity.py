@@ -477,6 +477,41 @@ def recall_at_k(
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"))
 
 
+def lsh_bucket_histogram(
+    corpus: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(__bucket, count) occupancy histogram of the LSH tier — at most
+    2^bits rows however large the corpus. The histogram depends only on
+    (corpus, dim, bits, seed), NOT on nprobe, so one histogram prices
+    every probe configuration of the tier — compute it once per sweep,
+    not once per config."""
+    planes = _hyperplanes(dim, bits, seed)
+    return (corpus
+            .select(lsh_bucket(F.col(vec_col).cast("array<double>"),
+                               planes).alias("__bucket"))
+            .groupBy("__bucket").count())
+
+
+def ivf_cell_histogram(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(__cell, count) occupancy histogram of the IVF tier — nlist rows.
+    Like :func:`lsh_bucket_histogram`, independent of nprobe: the cell
+    assignment (the corpus-scan-sized cost) is shared by every probe
+    configuration."""
+    assign_udf = _assign_cells_udf(centroids)
+    return (corpus
+            .select(assign_udf(F.col(vec_col).cast("array<double>"))
+                    .alias("__cell"))
+            .groupBy("__cell").count())
+
+
 def lsh_candidate_count(
     corpus: DataFrame,
     queries: DataFrame,
@@ -487,18 +522,19 @@ def lsh_candidate_count(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query candidate count of the LSH tier (the rows its bucket
     join would score, self excluded) WITHOUT running the join: corpus
     bucket histogram ⨝ query probe set — the aggregate is
     2^bits-rows-small however large the corpus, so costing a config is
-    one scan + a broadcast join of a histogram. Output: (query_id,
+    one scan + a broadcast join of a histogram. Pass ``histogram``
+    (:func:`lsh_bucket_histogram`, possibly materialized) to price many
+    nprobe configs off one corpus scan. Output: (query_id,
     n_candidates)."""
     planes = _hyperplanes(dim, bits, seed)
-    counts = (corpus
-              .select(lsh_bucket(F.col(vec_col).cast("array<double>"),
-                                 planes).alias("__bucket"))
-              .groupBy("__bucket").count())
+    counts = histogram if histogram is not None else \
+        lsh_bucket_histogram(corpus, dim, bits, seed, vec_col)
     probes = queries.select(
         F.col(query_id_col),
         F.explode(query_probe_buckets(
@@ -520,16 +556,16 @@ def ivf_candidate_count(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query candidate count of the IVF tier (probed cells' sizes,
     self excluded) from the nlist-row cell histogram — same shape and
-    scale contract as :func:`lsh_candidate_count`."""
+    scale contract as :func:`lsh_candidate_count`. Pass ``histogram``
+    (:func:`ivf_cell_histogram`) to price many nprobe configs off one
+    corpus scan."""
     cents = np.asarray(centroids, dtype=np.float64)
-    assign_udf = _assign_cells_udf(centroids)
-    counts = (corpus
-              .select(assign_udf(F.col(vec_col).cast("array<double>"))
-                      .alias("__cell"))
-              .groupBy("__cell").count())
+    counts = histogram if histogram is not None else \
+        ivf_cell_histogram(corpus, centroids, vec_col)
     qrows = queries.select(query_id_col, vec_col).collect()
     probe_rows = [
         (r[0], cell)
