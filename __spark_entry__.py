@@ -1827,6 +1827,18 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
         exact=exact, candidate_totals=totals, n_corpus=n_corpus)
 
 
+def q_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch of events.user_id (p=8): the
+    (register, rho_max) table itself, which the oracle reproduces
+    BIT-FOR-BIT from the same md5 + string arithmetic — stronger than
+    checking the estimate within a tolerance band. One scan, <=256
+    output rows at any input size; per-file sidecar variant on
+    SleeperTable.approx_distinct (functions/cardinality.py)."""
+    from sleeper_spark.functions import cardinality
+    ev = _load(spark, sf, "events")
+    return cardinality.distinct_count_sketch(ev, "user_id", p=8)
+
+
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
     The synthetic embeddings plant no >0.9-cosine twins, so the driver
@@ -2263,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_recall": q_ann_recall,
         "ann_index_selection": q_ann_index_selection,
+        "hll_sketch": q_hll_sketch,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3239,6 +3252,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
         "ann_index_selection": _ann_index_selection_oracle_sql(),
+        "hll_sketch": __import__(
+            "sleeper_spark.functions.cardinality",
+            fromlist=["oracle_sketch_sql"]).oracle_sketch_sql(
+                "events", "user_id", p=8),
         "ivf_topk": _ivf_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivfpq_oracle_sql(),

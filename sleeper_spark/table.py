@@ -448,3 +448,60 @@ class SleeperTable:
         return {"data_files_deleted": len(gc),
                 "transactions_archived": len(txs),
                 "snapshots_deleted": len(snaps)}
+
+    def approx_distinct(self, col: str, p: int = 12) -> float:
+        """Approximate distinct count of a column over the live table
+        WITHOUT a table-wide distinct shuffle: per-file HyperLogLog
+        register sidecars (functions/cardinality.py) merged driver-side.
+
+        Sidecars are built LAZILY: the first call runs ONE Spark job
+        over only the live files that don't carry a sketch for
+        (col, p) yet — grouped by input_file_name(), md5 JVM-side —
+        and writes the registers back into each file's sidecar JSON
+        (alongside the quantile sketch, same
+        merge-without-rescan design as partition splitting). Steady
+        state after ingest/compaction churn therefore scans only NEW
+        files; the estimate itself is O(2^p) driver math. Error
+        ~1.04/sqrt(2^p) (~1.6% at the default p=12).
+
+        Restricted to int/long/string columns: the register derives
+        from md5(CAST(col AS STRING)), whose rendering is only
+        engine/sidecar-stable for those types."""
+        from sleeper_spark import sketches
+        from sleeper_spark.functions import cardinality
+
+        dt = {f.name: f.dtype for f in self.schema.all_fields()}.get(col)
+        import pyspark.sql.types as T
+        if not isinstance(dt, (T.IntegerType, T.LongType, T.StringType)):
+            raise ValueError(
+                f"approx_distinct supports int/long/string columns, "
+                f"got {dt} for {col!r}")
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        live = sorted(self.store.files.keys())
+        hkey = f"{col}@{p}"
+        merged: dict[int, int] = {}
+        missing: list[str] = []
+        cached: dict[str, dict] = {}
+        for fn in live:
+            sc = sketches.load_sidecar(fn) or {}
+            regs = (sc.get("hll") or {}).get(hkey)
+            if regs is None:
+                missing.append(fn)
+                cached[fn] = sc
+            else:
+                for reg, rho in regs.items():
+                    reg = int(reg)
+                    if rho > merged.get(reg, 0):
+                        merged[reg] = rho
+        if missing:
+            built = cardinality.per_file_sketches(
+                self.spark, missing, col, p)
+            for fn, pairs in built.items():
+                sc = cached[fn]
+                sc.setdefault("hll", {})[hkey] = {
+                    str(reg): rho for reg, rho in pairs}
+                sketches.write_sidecar(fn, sc)
+                for reg, rho in pairs:
+                    if rho > merged.get(reg, 0):
+                        merged[reg] = rho
+        return cardinality.hll_estimate(list(merged.items()), p)
