@@ -1963,6 +1963,23 @@ def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
                  F.round(F.max("value_total") / 100.0, 4).alias("value_total")))
 
 
+def q_streaming_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming per-window approximate distinct users
+    (streaming.windowed_approx_distinct): HLL register state bounded at
+    2^p rows per window instead of one state row per distinct key. Run
+    to completion with availableNow; the oracle reproduces the daily
+    register tables bit-for-bit from the same md5 string arithmetic."""
+    from sleeper_spark import streaming as streaming_mod
+    stream = _events_stream(spark, sf).withColumn(
+        "ts", F.timestamp_micros(F.col("ts")))
+    out = streaming_mod.windowed_approx_distinct(
+        stream, "ts", "user_id", window="1 day", watermark="1 hour", p=8)
+    _run_stream_to_view(out, "q_streaming_approx_distinct", "complete")
+    return spark.sql(
+        "SELECT CAST(window_start AS DATE) AS day, register, rho_max "
+        "FROM q_streaming_approx_distinct")
+
+
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping token-window chunking (functions/corpus.py): 40-token
     chunks every 30 tokens, the pre-packing step of a training pipeline.
@@ -2285,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (availableNow, hash-checked against batch SQL)
         "streaming_window": q_streaming_window,
         "streaming_running_totals": q_streaming_running_totals,
+        "streaming_approx_distinct": q_streaming_approx_distinct,
         "streaming_dedup": q_streaming_dedup,
         "streaming_session_window": q_streaming_session_window,
         "full_outer_join": q_full_outer_join,
@@ -3420,6 +3438,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_total, "
             "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "
             "FROM events GROUP BY user_id",
+        "streaming_approx_distinct":
+            "WITH h AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "md5(CAST(user_id AS VARCHAR)) AS hx FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "parts AS (SELECT day, "
+            "CAST(CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 256 AS INTEGER) "
+            "AS register, "
+            "length(regexp_extract(substr(hx, 5, 13), '^0*')) AS zeros, "
+            "substr(substr(hx, 5, 13), "
+            "length(regexp_extract(substr(hx, 5, 13), '^0*')) + 1, 1) AS d "
+            "FROM h) "
+            "SELECT day, register, CAST(max(CASE WHEN zeros = 13 THEN 53 "
+            "ELSE zeros * 4 + (CASE WHEN d IN "
+            "('8','9','a','b','c','d','e','f') THEN 0 "
+            "WHEN d IN ('4','5','6','7') THEN 1 "
+            "WHEN d IN ('2','3') THEN 2 ELSE 3 END) + 1 END) AS INTEGER) "
+            "AS rho_max FROM parts GROUP BY day, register",
         "ann_brute_force": _ANN_BF_SQL,
         # 40-token chunks every 30 tokens; list slice l[a:b] is 1-based
         # inclusive and clamps, matching Spark's slice(toks, a, 40)

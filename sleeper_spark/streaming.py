@@ -183,6 +183,48 @@ def windowed_aggregate(
                         F.col("w.end").alias("window_end"), *rest)
 
 
+def windowed_approx_distinct(
+    stream_df: DataFrame,
+    ts_col: str,
+    col: str,
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    p: int = 12,
+) -> DataFrame:
+    """Approximate distinct count per event-time window with BOUNDED
+    streaming state: the aggregation keeps (window, register) -> max
+    rho — at most ``2^p`` rows per window whatever the stream's
+    cardinality. An exact streaming ``COUNT(DISTINCT)`` would have to
+    hold every key in the state store; at 100 TB/day that state is the
+    job's memory ceiling, while the HLL register state is a fixed few
+    KB per window (error ~1.04/sqrt(2^p)).
+
+    Output is the per-window REGISTER TABLE
+    (window_start, window_end, register, rho_max) — deliberately NOT
+    the scalar estimate: registers stay mergeable downstream
+    (cross-shard union, re-emits under update mode, backfill overlap
+    all combine by per-register max, exactly like the per-file
+    sidecars in ``table.approx_distinct``). Feed collected rows to
+    :func:`~sleeper_spark.functions.cardinality.hll_estimate` per
+    window for the number. Works identically on batch DataFrames."""
+    from sleeper_spark.functions import cardinality
+
+    c = F.col(col)
+    df = stream_df.where(c.isNotNull())
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window, slide) if slide \
+        else F.window(F.col(ts_col), window)
+    return (df.select(w.alias("w"), cardinality.hll_register(c, p),
+                      cardinality.hll_rho(c))
+            .groupBy("w", "register")
+            .agg(F.max("rho").alias("rho_max"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "register", "rho_max"))
+
+
 def ageoff_stream(stream_df: DataFrame, f: AgeOffFilter, now_millis: int) -> DataFrame:
     """P3 ageOff on a stream: drop expired/null rows (state-TTL analog).
     ``now`` is fixed per trigger for determinism, as in the batch path."""

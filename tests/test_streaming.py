@@ -385,3 +385,46 @@ class TestChangeFeedTail:
             os.path.join(stage, "changes-*.parquet")).count()
         assert total == 12                      # every row exactly once
         assert tail2.state == {"seq": to, "pending": None}
+
+
+def test_windowed_approx_distinct_bounded_state(spark, tmp_path,
+                                                events_stream_dir):
+    """Per-window HLL registers: streaming result equals the batch
+    sketch exactly (same register algebra), state is bounded at 2^p
+    rows per window, and per-window estimates land near the exact
+    distinct counts."""
+    from sleeper_spark.functions import cardinality
+
+    to_ts = F.timestamp_micros(F.expr(f"ts div {_ts_per_us()}"))
+    stream = _read_stream(spark, events_stream_dir).withColumn("ts", to_ts)
+    out = streaming.windowed_approx_distinct(
+        stream, "ts", "user_id", window="1 day", watermark="1 hour", p=8)
+    q = (out.writeStream.format("memory").queryName("apxd")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM apxd").collect()
+
+    batch = spark.read.schema(EVENTS_READ_SCHEMA).parquet(events_stream_dir) \
+        .withColumn("ts", to_ts)
+    want = streaming.windowed_approx_distinct(
+        batch, "ts", "user_id", window="1 day", p=8).collect()
+    key = lambda r: (r.window_start, r.register, r.rho_max)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # bounded state: never more than 2^p register rows per window
+    from collections import Counter
+    per_win = Counter(r.window_start for r in got)
+    assert per_win and max(per_win.values()) <= 256
+
+    # estimates per window vs exact distinct per window
+    exact = {r.d: r.n for r in batch.groupBy(
+        F.date_trunc("day", "ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("n")).collect()}
+    by_win = {}
+    for r in got:
+        by_win.setdefault(r.window_start, []).append((r.register, r.rho_max))
+    assert set(by_win) == set(exact)
+    for w, regs in by_win.items():
+        est = cardinality.hll_estimate(regs, p=8)
+        assert abs(est - exact[w]) <= max(2.0, 0.12 * exact[w]), (w, est, exact[w])
