@@ -1995,6 +1995,23 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"))
 
 
+def q_verbatim_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document verbatim-copy share (functions/corpus.py
+    verbatim_overlap_share): fraction of 20-token rolling windows (every
+    10) that appear in another document — the scalable stand-in for
+    exact-substring dedup (Lee et al. 2022) as hash aggregation instead
+    of a corpus suffix array. Docs shorter than one window carry no
+    signal and are excluded by construction."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    out = corpus.verbatim_overlap_share(doc, "text", "doc_id",
+                                        window=20, stride=10)
+    return out.select("doc_id", "n_spans",
+                      F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+                      "dup_share")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. Integer tf/df into one ln() and
     one multiply keeps the double bit-identical across engines; the
@@ -2263,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir": q_sample_reservoir,
         "pack_token_budget": q_pack_token_budget,
         "doc_chunks": q_doc_chunks,
+        "verbatim_overlap": q_verbatim_overlap,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_check": q_contamination_check,
         "line_dedup": q_line_dedup,
@@ -3456,6 +3474,24 @@ def oracle_sql() -> dict[str, str]:
             "WHEN d IN ('2','3') THEN 2 ELSE 3 END) + 1 END) AS INTEGER) "
             "AS rho_max FROM parts GROUP BY day, register",
         "ann_brute_force": _ANN_BF_SQL,
+        # 20-token rolling windows every 10; a span's identity is the
+        # md5 of its joined tokens, recomputed here from the same
+        # tokenizer so the value hash checks spans, not just counts
+        "verbatim_overlap":
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "el AS (SELECT doc_id, tk, "
+            "unnest(range(0, len(tk) - 19, 10)) AS s FROM t "
+            "WHERE len(tk) >= 20), "
+            "sp AS (SELECT doc_id, "
+            "md5(array_to_string(tk[s+1:s+20], ' ')) AS span FROM el), "
+            "per_span AS (SELECT span, count(DISTINCT doc_id) AS nd "
+            "FROM sp GROUP BY span) "
+            "SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_spans, "
+            "round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*), 4) AS dup_share "
+            "FROM sp JOIN per_span USING (span) GROUP BY doc_id",
         # 40-token chunks every 30 tokens; list slice l[a:b] is 1-based
         # inclusive and clamps, matching Spark's slice(toks, a, 40)
         "doc_chunks":

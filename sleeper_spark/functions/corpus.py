@@ -335,3 +335,82 @@ def quality_filter(
         & (punct_ratio <= max_punct_ratio)
     )
     return df.where(keep)
+
+
+def document_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """(id, span_start, span_md5) for every ``window``-token rolling
+    window (every ``stride`` tokens) of every document with at least
+    ``window`` tokens. The md5 of the joined tokens is the span's
+    identity — 32 bytes per span on the wire however long the window,
+    and reproducible in any engine with md5 (the oracle recomputes it).
+
+    Pure per-row expressions + posexplode: zero shuffle. Span count per
+    doc is ~tokens/stride, so the exploded table is a constant factor
+    of the corpus token count — the 100 TB shape is linear, unlike
+    suffix-array substring dedup which needs a global sort of every
+    suffix."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - window, F.lit(stride))
+    spans = F.transform(
+        starts, lambda s: F.md5(F.array_join(F.slice(toks, s + 1, window),
+                                             " ")))
+    return (df.where(n >= window)
+            .select(F.col(id_col), F.posexplode(spans)
+                    .alias("span_idx", "span_md5"))
+            .select(id_col,
+                    (F.col("span_idx") * stride).alias("span_start"),
+                    "span_md5"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Verbatim ``window``-token sequences appearing in MORE THAN ONE
+    document: (span_md5, n_docs, n_occurrences). The scalable
+    approximation of exact-substring training-data dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    rolling fixed-width windows catch any shared verbatim run of
+    >= window + stride - 1 tokens, via hash-aggregation instead of a
+    corpus-wide suffix array."""
+    sp = document_spans(df, text_col, id_col, window, stride)
+    return (sp.groupBy("span_md5")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_docs") >= 2))
+
+
+def verbatim_overlap_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Per-document share of rolling token windows that also appear in
+    ANOTHER document — the filter signal for dropping documents that are
+    mostly verbatim copies: (id, n_spans, n_dup_spans, dup_share).
+
+    One explode + one hash aggregate + one equi-join on span_md5 (both
+    sides partitioned by the join key; never pairwise over documents)."""
+    sp = document_spans(df, text_col, id_col, window, stride)
+    per_span = sp.groupBy("span_md5").agg(
+        F.countDistinct(id_col).alias("__n_docs"))
+    dup = F.when(F.col("__n_docs") >= 2, 1).otherwise(0)
+    return (sp.join(per_span, "span_md5")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(dup).alias("n_dup_spans"))
+            .withColumn("dup_share",
+                        F.round(F.col("n_dup_spans").cast("double")
+                                / F.col("n_spans"), 4)))

@@ -1256,3 +1256,48 @@ class TestAudio:
         full = self._wav_bytes()
         sr, x = decode_wav(full[:len(full) - 1])  # cut mid-sample
         assert sr == 8000 and len(x) > 0
+
+
+class TestVerbatimSpans:
+    """Rolling-window exact-substring dedup (corpus.document_spans /
+    duplicated_spans / verbatim_overlap_share) — the hash-aggregation
+    stand-in for suffix-array substring dedup (Lee et al. 2022)."""
+
+    def _docs(self, spark):
+        shared = " ".join(f"tok{i}" for i in range(25))  # 25-token run
+        uniq_a = " ".join(f"aa{i}" for i in range(30))
+        uniq_b = " ".join(f"bb{i}" for i in range(30))
+        short = "tiny doc below window"
+        return spark.createDataFrame(
+            [(1, uniq_a + " " + shared),
+             (2, shared + " " + uniq_b),
+             (3, uniq_b.replace("bb", "cc")),
+             (4, short)],
+            "doc_id long, text string")
+
+    def test_planted_shared_run_is_found(self, spark):
+        from sleeper_spark.functions import corpus
+        dup = corpus.duplicated_spans(self._docs(spark), window=20,
+                                      stride=10).collect()
+        # the 25-token shared run guarantees at least one aligned
+        # 20-token window in both docs (window + stride - 1 = 29 > 25
+        # is the detection bound; here alignment at stride boundaries
+        # still catches it because the run covers token positions that
+        # include a multiple of stride in both docs)
+        assert any(r.n_docs == 2 for r in dup)
+
+    def test_share_flags_copy_heavy_doc_only(self, spark):
+        from sleeper_spark.functions import corpus
+        rows = {r.doc_id: r for r in corpus.verbatim_overlap_share(
+            self._docs(spark), window=20, stride=10).collect()}
+        assert 4 not in rows  # below one window: no signal, excluded
+        assert rows[3].n_dup_spans == 0 and rows[3].dup_share == 0.0
+        assert rows[1].n_dup_spans >= 1 and rows[2].n_dup_spans >= 1
+        assert 0.0 < rows[1].dup_share < 1.0
+
+    def test_no_cartesian_in_plan(self, spark):
+        from sleeper_spark.functions import corpus
+        plan = (corpus.verbatim_overlap_share(self._docs(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
