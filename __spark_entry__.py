@@ -1623,6 +1623,68 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         nprobe=_IVF["nprobe"], centroids=cents)
 
 
+def q_table_ann_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent IVF index ON THE TABLE ENGINE
+    (SleeperTable.build_ann_index / ann_search): embeddings ingest into
+    a keyed table, the index build trains coarse centroids on the same
+    bounded sample as q_ivf_topk and rewrites each leaf cell-clustered,
+    and the search probes 2 cells through the sidecar file skipper
+    (files of unprobed cells are never opened) before an exact cosine
+    rerank. The oracle replays probe + rerank over the raw parquet with
+    recomputed centroid literals — table plumbing must not change a
+    single row or score."""
+    from sleeper_spark.schema import Field, Schema
+    emb = _load(spark, sf, "embeddings").select("vec_id", "embedding")
+    schema = Schema(
+        (Field("vec_id", T.LongType()),), (),
+        (Field("embedding", T.ArrayType(T.FloatType()), True),
+         Field("ann_cell", T.IntegerType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_ann_")
+    t = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                            TableProperties(), split_points=[1500])
+    t.ingest(emb.withColumn("ann_cell", F.lit(-1)))
+    t.build_ann_index("embedding", "ann_cell", nlist=_IVF["nlist"],
+                      seed=_IVF["seed"], train_rows=_IVF["train_rows"],
+                      files_per_leaf=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7)
+          .select("embedding").collect()[0][0]]
+    return t.ann_search(qv, k=10, nprobe=2)
+
+
+def _table_ann_oracle_sql() -> str:
+    """Replay SleeperTable.ann_search in DuckDB: same centroid literals
+    as _ivf_oracle_sql (identical training sample and k-means), probe
+    the query vector's top-2 cells with the same (dot DESC, cell ASC)
+    stable rule, exact cosine over probed members (self INCLUDED —
+    point-lookup semantics), top-10 by (cosine DESC, vec_id)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _ivf_centroids_from_parquet(sf_dir)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    cos = _COS_SQL.format(a="cl.v", b="q.qv")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cents(ci, cv) AS (VALUES {values}), "
+        "a AS (SELECT c.vec_id, c.v, ci, list_dot_product(c.v, cv) AS d "
+        "FROM c CROSS JOIN cents), "
+        "cell AS (SELECT vec_id, v, ci AS cell FROM ("
+        "SELECT vec_id, v, ci, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d DESC, ci) AS rn FROM a) "
+        "WHERE rn = 1), "
+        "q AS (SELECT v AS qv FROM c WHERE vec_id = 7), "
+        "probe AS (SELECT ci AS cell FROM ("
+        "SELECT ci, row_number() OVER ("
+        "ORDER BY list_dot_product(qv, cv) DESC, ci) AS rn "
+        "FROM q CROSS JOIN cents) WHERE rn <= 2), "
+        "s AS (SELECT cl.vec_id, "
+        f"{cos} AS cosine "
+        "FROM cell cl JOIN probe p ON cl.cell = p.cell CROSS JOIN q) "
+        "SELECT vec_id, cosine FROM s "
+        "ORDER BY cosine DESC, vec_id LIMIT 10")
+
+
 #: IVF-PQ query-time probe width (coarse layer shares _IVF's centroids,
 #: code layer shares _PQ's codebooks)
 _IVFPQ_NPROBE = 3
@@ -2311,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_index_selection": q_ann_index_selection,
         "hll_sketch": q_hll_sketch,
+        "table_ann_search": q_table_ann_search,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3288,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
         "ann_index_selection": _ann_index_selection_oracle_sql(),
+        "table_ann_search": _table_ann_oracle_sql(),
         "hll_sketch": __import__(
             "sleeper_spark.functions.cardinality",
             fromlist=["oracle_sketch_sql"]).oracle_sketch_sql(

@@ -722,6 +722,7 @@ def run_zorder_rewrite(
     layout_cols: list[str],
     files_per_leaf: int = 8,
     bits: int = 16,
+    derive_cols: dict | None = None,
 ) -> list[FileReference]:
     """Rewrite each eligible leaf's files into ``files_per_leaf``
     Z-clustered key-sorted files (the compaction-side counterpart of
@@ -730,6 +731,13 @@ def run_zorder_rewrite(
     box — and therefore its skipping sidecar — is tight in every layout
     column, so multi-dim value_ranges queries prune files instead of
     scanning the leaf.
+
+    ``derive_cols`` ({name: Column}) recomputes existing VALUE columns
+    from the read rows before clustering — how an index-maintenance
+    rewrite (e.g. build_ann_index refreshing cell assignments under new
+    centroids) refreshes a derived column in the same pass that
+    clusters on it. Keys may not be derived (row identity is
+    immutable).
 
     A PURE layout rewrite: rows are preserved exactly (no filters, no
     aggregation, no iterators — unlike compaction), so results are
@@ -772,10 +780,17 @@ def run_zorder_rewrite(
     df = (
         spark.read.schema(struct).parquet(*paths)
         .select(*[f.name for f in schema.all_fields()])
-        # eligibility guarantees every file is leaf-local, so the tree's
-        # leaf-id expression re-derives exactly the owning leaf
-        .withColumn(PARTITION_COL, tree.leaf_id_column())
     )
+    if derive_cols:
+        keys = set(schema.key_names)
+        bad = keys.intersection(derive_cols)
+        if bad:
+            raise ValueError(f"derive_cols may not touch key fields: {bad}")
+        for name, col in derive_cols.items():
+            df = df.withColumn(name, col)
+    # eligibility guarantees every file is leaf-local, so the tree's
+    # leaf-id expression re-derives exactly the owning leaf
+    df = df.withColumn(PARTITION_COL, tree.leaf_id_column())
     clustered = zorder_range_partitioned(
         df, layout_cols, max(1, len(chosen) * files_per_leaf), bits,
         list(schema.key_names))

@@ -183,6 +183,19 @@ def _assign_cells_udf(centroids):
     return _udf
 
 
+def assign_cells(df: DataFrame, centroids: list[list[float]],
+                 vec_col: str = "embedding",
+                 out_col: str = "ann_cell") -> DataFrame:
+    """Nearest-centroid cell id as a COLUMN — the persistent form of the
+    IVF index: an int co-written with the data (and, cell-clustered into
+    files, the bounds the sidecar file skipper prunes on — see
+    SleeperTable.build_ann_index). One vectorized matmul per Arrow
+    batch; same raw-dot argmax as the query-side probe."""
+    return df.withColumn(
+        out_col,
+        _assign_cells_udf(centroids)(F.col(vec_col).cast("array<double>")))
+
+
 def kmeans_spherical(X: np.ndarray, nlist: int, seed: int = 42) -> np.ndarray:
     """Deterministic spherical k-means (Lloyd, fixed 10 iterations) on a
     driver-sized sample matrix. Pure numpy so the DuckDB oracle can

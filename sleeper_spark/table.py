@@ -20,6 +20,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sleeper_spark import compaction as compaction_mod
 from sleeper_spark import maintenance
@@ -448,6 +449,101 @@ class SleeperTable:
         return {"data_files_deleted": len(gc),
                 "transactions_archived": len(txs),
                 "snapshots_deleted": len(snaps)}
+
+    def build_ann_index(self, vec_col: str, cell_col: str = "ann_cell",
+                        nlist: int = 16, seed: int = 42,
+                        train_rows: int | None = None,
+                        files_per_leaf: int = 8) -> list["FileReference"]:
+        """Persistent IVF index over an embedding column: train coarse
+        centroids on a BOUNDED sample of the table, store them in the
+        table properties, then rewrite each leaf's files CLUSTERED BY
+        CELL (recomputing ``cell_col`` in the same pass) so every
+        file's footer min/max — and its skipping sidecar — is tight in
+        the cell id. From then on a cell probe is a value-range query
+        that SKIPS the files of every unprobed cell: the ANN index IS
+        the table layout plus the sidecar stats, no external index
+        structure (the same composition as Z-order + value skipping,
+        aimed at vectors).
+
+        ``cell_col`` must be an int VALUE field of the schema (any
+        placeholder values are overwritten here; later ingests should
+        pre-assign it with
+        ``functions.similarity.assign_cells(df, table.ann_centroids())``
+        — unclustered new files stay correct, just unpruned, until the
+        next ``build_ann_index``/rewrite). Returns the rewritten file
+        references."""
+        import pyspark.sql.types as T
+        from sleeper_spark.compaction import run_zorder_rewrite
+        from sleeper_spark.functions import similarity
+
+        dt = {f.name: f.dtype for f in self.schema.all_fields()}
+        if not isinstance(dt.get(cell_col), (T.IntegerType, T.LongType)):
+            raise ValueError(
+                f"cell_col {cell_col!r} must be an int/long value field, "
+                f"got {dt.get(cell_col)}")
+        if cell_col in self.schema.key_names:
+            raise ValueError("cell_col may not be a key field")
+        key0 = self.schema.key_names[0]
+        centroids = similarity.train_ivf_centroids(
+            self.full_scan(), nlist, id_col=key0, vec_col=vec_col,
+            seed=seed, train_rows=train_rows)
+        self.props.extra["ann_index"] = {
+            "vec_col": vec_col, "cell_col": cell_col, "nlist": nlist,
+            "seed": seed,
+            "centroids": [[float(x) for x in c] for c in centroids]}
+        self._save_properties()
+        cell = similarity._assign_cells_udf(centroids)(
+            F.col(vec_col).cast("array<double>")).cast(
+                "long" if isinstance(dt[cell_col], T.LongType) else "int")
+        return run_zorder_rewrite(
+            self.spark, self.store, self.data_dir, self.props,
+            [cell_col], files_per_leaf=files_per_leaf,
+            derive_cols={cell_col: cell})
+
+    def ann_centroids(self) -> list[list[float]]:
+        idx = self.props.extra.get("ann_index")
+        if not idx:
+            raise ValueError("no ANN index built: call build_ann_index")
+        return idx["centroids"]
+
+    def ann_search(self, query_vec: list[float], k: int = 10,
+                   nprobe: int = 2) -> DataFrame:
+        """Approximate nearest neighbours of one query vector against
+        the table, via the persistent index of :meth:`build_ann_index`:
+        probe the ``nprobe`` nearest cells (driver math over the stored
+        centroids), issue ONE file-skipping value-range query per cell
+        (every file outside the probed cells is pruned off sidecar
+        stats, never opened), union the probes and exact-rerank by
+        cosine to the top k. Returns the probed rows' key columns +
+        ``cosine``, best first."""
+        import numpy as np
+
+        from sleeper_spark.functions import similarity
+        from sleeper_spark.ranges import Range
+
+        idx = self.props.extra.get("ann_index")
+        if not idx:
+            raise ValueError("no ANN index built: call build_ann_index")
+        cents = np.asarray(idx["centroids"], dtype=np.float64)
+        cells = similarity._probe_cells(
+            np.asarray(query_vec, dtype=np.float64), cents, nprobe)
+        vec_col, cell_col = idx["vec_col"], idx["cell_col"]
+        parts = [
+            self.full_scan(value_ranges=[Range(cell_col, c, c + 1)])
+            for c in sorted(set(cells))]
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        q = F.array(*[F.lit(float(x)) for x in query_vec]) \
+            .cast("array<double>")
+        keys = list(self.schema.key_names)
+        return (df.withColumn(
+                    "cosine",
+                    F.round(similarity.cosine_similarity(
+                        F.col(vec_col).cast("array<double>"), q), 6))
+                .select(*keys, "cosine")
+                .orderBy(F.col("cosine").desc(), *keys)
+                .limit(k))
 
     def approx_distinct(self, col: str, p: int = 12) -> float:
         """Approximate distinct count of a column over the live table
