@@ -786,6 +786,12 @@ def run_zorder_rewrite(
         bad = keys.intersection(derive_cols)
         if bad:
             raise ValueError(f"derive_cols may not touch key fields: {bad}")
+        known = {f.name for f in schema.all_fields()}
+        unknown = set(derive_cols) - known
+        if unknown:
+            raise ValueError(
+                f"derive_cols must name existing value fields "
+                f"(a rewrite cannot grow the schema): {sorted(unknown)}")
         for name, col in derive_cols.items():
             df = df.withColumn(name, col)
     # eligibility guarantees every file is leaf-local, so the tree's

@@ -44,8 +44,12 @@ def test_every_query_has_an_oracle():
     # scrub, Z-order clustering keys, the deterministic corpus
     # shuffle, the value-column file-skipping lifecycle query, and
     # TPC-H Q6 + Q15; round 6 added ann_index_selection (recall-gated
-    # index choice)
-    assert len(qk) == 98
+    # index choice), the twelve remaining TPC-H queries (q2, q8, q9,
+    # q11-q14, q16, q17, q20-q22 — the suite is now complete), the
+    # HyperLogLog register sketch, its streaming windowed variant,
+    # verbatim-span (exact-substring) dedup, and the persistent
+    # table-level ANN index search
+    assert len(qk) == 114
 
 
 def test_entry_smoke(spark):
