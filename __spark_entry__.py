@@ -1904,12 +1904,17 @@ def q_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
     The synthetic embeddings plant no >0.9-cosine twins, so the driver
-    entry runs at threshold 0.35 / 4 bits to produce a non-trivial pair
-    set; the oracle recomputes buckets from the same seeded hyperplane
-    literals and the exact cosine filter."""
+    entry runs at threshold 0.35 to produce a non-trivial pair set.
+    Bits AUTO-SCALE with corpus size (similarity.auto_bits, target
+    occupancy 32, floor 4): per-bucket pair work stays flat as the
+    corpus grows instead of exploding quadratically — at sf0.01 this
+    resolves to the same 4 bits as before; at 10x/100x it adds ~3/~7
+    bits. The oracle derives the identical bit count from the same
+    corpus count, then recomputes buckets from the same seeded
+    hyperplane literals and the exact cosine filter."""
     emb = _load(spark, sf, "embeddings")
     return similarity.embedding_near_duplicates(
-        emb, dim=64, threshold=0.35, bits=4)
+        emb, dim=64, threshold=0.35, bits=4, target_bucket_size=32)
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -2852,11 +2857,21 @@ def _ivfpq_oracle_sql() -> str:
         f"SELECT query_id, vec_id, adc, rank FROM r WHERE rank <= {_PQ['k']}")
 
 
-def _embedding_near_dup_oracle_sql(dim: int = 64, bits: int = 4,
+def _embedding_near_dup_oracle_sql(dim: int = 64, bits: int | None = None,
                                    threshold: float = 0.35,
                                    seed: int = 42) -> str:
     """Recompute embedding-cosine near-dup pairs in DuckDB with the SAME
-    seeded hyperplanes as similarity.embedding_near_duplicates."""
+    seeded hyperplanes as similarity.embedding_near_duplicates — and the
+    SAME auto-scaled bit count, derived from the corpus row count of the
+    oracle's sf dir through the identical similarity.auto_bits."""
+    if bits is None:
+        import duckdb
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                                "/root/testdata/sf0.01")
+        n = duckdb.connect().execute(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        bits = similarity.auto_bits(n, 32, floor_bits=4)
     planes = similarity._hyperplanes(dim, bits, seed)
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(v, "

@@ -183,6 +183,22 @@ def _assign_cells_udf(centroids):
     return _udf
 
 
+def auto_bits(n: int, target_bucket_size: int,
+              floor_bits: int = 4, cap: int = 24) -> int:
+    """LSH bits that hold expected bucket occupancy at
+    ``target_bucket_size`` for an ``n``-row corpus:
+    ``clamp(ceil(log2(n / target)), floor_bits, cap)``. Per-bucket pair
+    work is quadratic in occupancy (total ~ n^2 / 2^bits), so bits MUST
+    move with corpus size — a 10x corpus gets ~3 more bits and
+    per-bucket work stays flat instead of growing 100x. Deterministic
+    given the count, so an oracle derives the identical bits from the
+    same data."""
+    import math
+
+    return min(cap, max(floor_bits, math.ceil(
+        math.log2(max(n / target_bucket_size, 1.0)))))
+
+
 def assign_cells(df: DataFrame, centroids: list[list[float]],
                  vec_col: str = "embedding",
                  out_col: str = "ann_cell") -> DataFrame:
@@ -340,11 +356,8 @@ def embedding_near_duplicates(
     so an oracle recomputes the same bits from the same count.
     """
     if target_bucket_size is not None:
-        import math
-
-        n = corpus.count()
-        bits = min(24, max(bits, math.ceil(
-            math.log2(max(n / target_bucket_size, 1.0)))))
+        bits = auto_bits(corpus.count(), target_bucket_size,
+                         floor_bits=bits)
     planes = _hyperplanes(dim, bits, seed)
     c = (
         corpus.select(
