@@ -466,12 +466,14 @@ class SleeperTable:
         aimed at vectors).
 
         ``cell_col`` must be an int VALUE field of the schema (any
-        placeholder values are overwritten here; later ingests should
+        placeholder values are overwritten here). Later ingests should
         pre-assign it with
         ``functions.similarity.assign_cells(df, table.ann_centroids())``
-        — unclustered new files stay correct, just unpruned, until the
-        next ``build_ann_index``/rewrite). Returns the rewritten file
-        references."""
+        and pass ``layout="zorder", layout_cols=[cell_col]`` so NEW
+        files are cell-clustered too (1-dim Z-order IS cell
+        clustering); without the layout they stay correct, just
+        unpruned, until the next ``build_ann_index``/rewrite. Returns
+        the rewritten file references."""
         import pyspark.sql.types as T
         from sleeper_spark.compaction import run_zorder_rewrite
         from sleeper_spark.functions import similarity

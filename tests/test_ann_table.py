@@ -115,6 +115,41 @@ def test_later_ingest_stays_correct_unpruned(spark, ann_table):
     assert top2 == {3, 999_001}  # both exact matches, cosine 1.0
 
 
+def test_cell_clustered_later_ingest_prunes_too(spark, tmp_path):
+    """Ingesting with layout='zorder' on the cell column keeps NEW
+    files cell-clustered: a one-cell probe skips some of them as well
+    (1-dim Z-order IS cell clustering)."""
+    from sleeper_spark.functions import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    schema = Schema(
+        (Field("vec_id", T.LongType()),), (),
+        (Field("embedding", T.ArrayType(T.FloatType()), True),
+         Field("ann_cell", T.IntegerType(), True)))
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                            TableProperties())
+    t.ingest(emb.where("vec_id < 250").withColumn("ann_cell", F.lit(-1)))
+    t.build_ann_index("embedding", "ann_cell", nlist=8, files_per_leaf=4)
+    before = set(t.store.files)
+
+    more = (emb.where("vec_id >= 250")
+            .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    t.ingest(similarity.assign_cells(more, t.ann_centroids(),
+                                     out_col="ann_cell"),
+             layout="zorder", layout_cols=["ann_cell"],
+             layout_files_per_leaf=4)
+    new = set(t.store.files) - before
+    assert len(new) >= 2  # clustered into multiple files
+
+    full = Region(tuple(Range(f.name, None, None)
+                        for f in t.schema.row_key_fields))
+    ex = _executor(t)
+    one_cell = set(ex.plan_files(Query(
+        [full], value_ranges=[Range("ann_cell", 0, 1)])))
+    # pruning reaches into the NEW files: at least one of them is
+    # skipped by the one-cell probe (its min/max excludes cell 0)
+    assert new - one_cell, "no new file was pruned"
+
+
 def test_build_rejects_bad_cell_col(spark, tmp_path):
     schema = Schema((Field("k", T.LongType()),), (),
                     (Field("embedding", T.ArrayType(T.FloatType()), True),
