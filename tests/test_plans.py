@@ -396,3 +396,24 @@ def test_tpch_q13_left_outer_preserves_customers(spark, entry):
     plan = plan_of(entry.q_tpch_q13(spark, SF))
     assert "LeftOuter" in plan or "left_outer" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hll_sketch_single_exchange_no_python(spark, entry):
+    """The HLL register sketch is partial+final hash aggregation with
+    exactly ONE exchange and zero Python in the plan — md5/regexp/CASE
+    all codegen. At 100 TB this is a map-side-combined scan whose
+    shuffle carries at most 2^p rows per map task."""
+    plan = plan_of(entry.q_hll_sketch(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ _load's spread)
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_verbatim_overlap_hash_join_no_python(spark, entry):
+    """Span dedup is explode -> hash agg -> one equi-join on span_md5:
+    no cartesian, no sort-merge, no Python row path."""
+    plan = plan_of(entry.q_verbatim_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
