@@ -507,6 +507,14 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     # ordered); secondary dims are not globally sorted by themselves, so
     # they keep the buffer + sort_indices path (usually narrow numerics)
     d0_sketch = sk_mod.SortedColumnSketch(desc["sketch_k"])
+    # per-file Bloom over the first row key (bloom.py): sized from the
+    # input row total (footer metadata only — an upper bound on output
+    # rows, so the filter is never undersized), fed from the same output
+    # batches the writer gets — zero extra passes over the data
+    from sleeper_spark import bloom as bl
+    n_in = sum(_pq.ParquetFile(f).metadata.num_rows
+               for f in desc["input_files"])
+    d0_bloom = bl.BloomAccumulator(keys[0], max(1, n_in))
     rest_chunks: list[list] = [[] for _ in keys[1:]]
     try:
         for chunk in _merge_leaf(merge_desc):
@@ -521,6 +529,11 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
             writer.write_table(out)
             n_out += out.num_rows
             d0_sketch.update(out.column(keys[0]))
+            if d0_bloom is not None:
+                try:
+                    d0_bloom.update(out.column(keys[0]))
+                except TypeError:
+                    d0_bloom = None  # non-hashable key type -> no bloom
             for i, k in enumerate(keys[1:]):
                 rest_chunks[i].append(out.column(k).combine_chunks())
     finally:
@@ -545,6 +558,8 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     sketch = sk_mod.sketch_from_arrow_columns(
         rest_cols, n_out, desc["sketch_k"])
     sketch["fields"][keys[0]] = d0_sketch.field_dict()
+    if d0_bloom is not None and d0_bloom.n:
+        sketch["bloom"] = d0_bloom.to_dict()
     sk_mod.write_sidecar(desc["out_path"], sketch)
     return desc["job_id"], desc["out_path"], n_out
 

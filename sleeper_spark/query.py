@@ -190,6 +190,70 @@ def _file_may_match(filename: str, value_ranges) -> bool:
     return True
 
 
+def _bloom_for(filename: str):
+    """The file's sidecar-held first-row-key Bloom filter as
+    ``(meta_dict, decoded_bits)``, memoised on the sidecar's
+    (mtime_ns, size) like ``_minmax_for`` — a rewritten sidecar (stats
+    backfill) is re-read automatically."""
+    import os as _os
+
+    from sleeper_spark import sketches
+
+    try:
+        st = _os.stat(sketches.sidecar_path(filename))
+        key = (filename, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None  # no sidecar -> unknown -> keep the file
+    return _bloom_read(key)
+
+
+# decoded bitmaps are MBs each (vs the minmax cache's tuples), so this
+# cache is deliberately small: 1024 entries ~ 1 GB worst-case on the
+# driver; eviction just re-reads a sidecar JSON
+@lru_cache(maxsize=1024)
+def _bloom_read(key: tuple):
+    from sleeper_spark import bloom as bl
+    from sleeper_spark import sketches
+
+    side = sketches.load_sidecar(key[0])
+    meta = (side or {}).get("bloom")
+    if not meta:
+        return None
+    return meta, bl.decode_bits(meta)
+
+
+def bloom_points(query: "Query", bloom_field: str):
+    """Probe values for Bloom file skipping: one per region if EVERY
+    region pins ``bloom_field`` to a single point (min==max, both
+    inclusive — the shape ``Region.exact`` builds); else ``None``
+    (a range region could match keys the probes don't cover, so
+    skipping would be unsound for the OR of regions)."""
+    pts = []
+    for region in query.regions:
+        r = region.range_for(bloom_field)
+        if (r is None or r.min is None
+                or r.min != r.max
+                or not (r.min_inclusive and r.max_inclusive)):
+            return None
+        pts.append(r.min)
+    return pts
+
+
+def file_may_contain_keys(filename: str, points) -> bool:
+    """True unless the file's Bloom filter proves ALL probe points
+    absent. No false negatives (bloom.py module doc), so skipping is
+    exact; a missing bloom keeps the file. Safe on aggregation tables:
+    a skipped file contains no row of any probed key group, so no
+    contributing row is lost."""
+    from sleeper_spark import bloom as bl
+
+    got = _bloom_for(filename)
+    if not got:
+        return True
+    meta, bits = got
+    return any(bl.may_contain(bits, meta, p) for p in points)
+
+
 def reject_value_ranges_on_aggregation(value_ranges, has_aggregations) -> None:
     """The ONE guard shared by all three read paths: pre-collapse
     file/row skipping on VALUE bounds would aggregate a subset of each
@@ -263,12 +327,18 @@ class QueryExecutor:
         leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(query)
         return self._files_of(leaf_queries, query)
 
-    @staticmethod
-    def _files_of(leaf_queries, query: Query) -> list[str]:
+    def _files_of(self, leaf_queries, query: Query) -> list[str]:
         files = sorted({f.filename for lq in leaf_queries for f in lq.files})
         if query.value_ranges:
             files = [f for f in files
                      if _file_may_match(f, query.value_ranges)]
+        # exact-point queries additionally consult each file's
+        # first-row-key Bloom filter (bloom.py): an LSM point lookup
+        # should open the files that can contain the key, not every
+        # file of the leaf partition
+        pts = bloom_points(query, self.schema.row_key_names[0])
+        if pts is not None:
+            files = [f for f in files if file_may_contain_keys(f, pts)]
         return files
 
     def execute(self, query: Query, now_millis: int) -> DataFrame:

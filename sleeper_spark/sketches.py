@@ -161,12 +161,21 @@ class SortedColumnSketch:
 
 def compute_file_sketch(path: str, key_names: list[str], k: int) -> dict:
     """Read ONLY the key columns of one Parquet file and sketch them.
-    Runs on an executor; columnar projection keeps IO to the key bytes."""
+    Runs on an executor; columnar projection keeps IO to the key bytes.
+    The same pass builds the first-row-key Bloom filter (bloom.py) —
+    the key bytes are already in memory, so the filter is free IO-wise."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=list(key_names))
-    return sketch_from_arrow_columns(
+    sk = sketch_from_arrow_columns(
         {name: t.column(name) for name in key_names}, t.num_rows, k)
+    try:
+        from sleeper_spark import bloom as bl
+        sk["bloom"] = bl.build_bloom(
+            key_names[0], t.column(key_names[0]), t.num_rows)
+    except TypeError:
+        pass  # non-hashable key type -> no bloom -> plan keeps the file
+    return sk
 
 
 def footer_minmax(path: str) -> dict[str, list]:

@@ -219,19 +219,24 @@ class SleeperTable:
     # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
+    def executor(self) -> QueryExecutor:
+        """A QueryExecutor over the current state — ``plan_files()`` on
+        it shows exactly which physical files a query would scan
+        (partition pruning + sidecar min/max + Bloom skipping)."""
+        return QueryExecutor(
+            self.spark, self.store, self.schema,
+            table_filters=self.props.filters,
+            table_aggregations=self.props.aggregations,
+            table_iterators=self.props.iterators,
+        )
+
     def query(self, query: Query, now_millis: int | None = None) -> DataFrame:
         now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
         # pick up other writers' commits at most every cache-TTL seconds
         # (QueryPlanner.java:111-149); in-process commits are always
         # visible immediately (they mutate this store directly)
         self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
-        ex = QueryExecutor(
-            self.spark, self.store, self.schema,
-            table_filters=self.props.filters,
-            table_aggregations=self.props.aggregations,
-            table_iterators=self.props.iterators,
-        )
-        return ex.execute(query, now_millis)
+        return self.executor().execute(query, now_millis)
 
     def exact_key_query(self, now_millis: int | None = None, **keys: Any) -> DataFrame:
         """Point lookup: min=max inclusive on each given row key
@@ -326,6 +331,13 @@ class SleeperTable:
             for lid in leaf_ids
             for ref in self.store.files_for_leaf_query(lid)
         })
+        # Bloom file skip (bloom.py): keep a file only if SOME requested
+        # key's first-row-key value may be present. At thousands of
+        # point lookups per batch this prunes every LSM run that holds
+        # none of the probed keys — driver-side metadata, no IO
+        from sleeper_spark.query import file_may_contain_keys
+        pts = [key[key_names[0]] for key in keys] if keys else []
+        files = [f for f in files if file_may_contain_keys(f, pts)]
         if not files or not keys:
             return self.spark.createDataFrame([], self.schema.to_struct_type())
         scan = self.spark.read.schema(self.schema.to_struct_type()).parquet(*files)
