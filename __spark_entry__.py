@@ -331,6 +331,32 @@ def q_value_filter_skipping(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "event_type")
 
 
+def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write DELETE end-to-end (deletes.py): ingest events into
+    a SleeperTable in two halves, delete a key region (bloom/minmax
+    file-pruned rewrite) and then all 'click' rows by value predicate,
+    and full-scan what remains. The oracle is a plain WHERE NOT over the
+    same source rows — so the rewrite/swap/GC-queue machinery must be
+    exactly row-equivalent to never having had the rows."""
+    ev = _load(spark, sf, "events").select(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"))
+    schema = Schema(
+        (Field("event_id", T.LongType()),),
+        (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_delete_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(), split_points=[3000])
+    table.ingest(ev.where(F.col("event_id") % 2 == 0))
+    table.ingest(ev.where(F.col("event_id") % 2 == 1))
+    table.delete_where(regions=[Region.of(Range("event_id", 2000, 2500))])
+    table.delete_where(value_ranges=[
+        Range("event_type", "click", "click", True, True)])
+    return table.full_scan().select("event_id", "user_id", "event_type")
+
+
 def q_sql_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Q1 post-query SQL stage: user SELECT over ``query_results``
     (rust/query_sql/src/lib.rs:28-55), end-to-end through a SleeperTable."""
@@ -2290,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_concat_sum": q_string_concat_sum,
         "sleeper_lifecycle": q_sleeper_lifecycle,
         "value_filter_skipping": q_value_filter_skipping,
+        "delete_where": q_delete_where,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
         "sql_stage": q_sql_stage,
@@ -2962,6 +2989,10 @@ def oracle_sql() -> dict[str, str]:
         "value_filter_skipping":
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id >= 40 AND user_id < 70",
+        "delete_where":
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
+            "AND NOT (event_type = 'click')",
         "bulk_export":
             "SELECT user_id, event_type, count(*) AS n "
             "FROM events GROUP BY user_id, event_type",

@@ -1,0 +1,239 @@
+"""Copy-on-write row deletion: ``SleeperTable.delete_where``.
+
+The reference has no row delete — data leaves a table only via ageOff
+filters (docs/usage/data-processing.md). A training-data pipeline needs
+targeted removal (takedowns, contaminated documents, PII incidents), so
+this extends the engine the way Delta/Iceberg do copy-on-write DELETE:
+
+1. PLAN (driver, metadata only): of every live (file, partition)
+   reference, keep only those that MAY hold a matching row — partition
+   region overlap for key regions, sidecar footer min/max for value
+   ranges (query.py:_file_may_match), and the first-row-key Bloom
+   filter when every region is an exact point (bloom.py). At 10^5
+   files a key-targeted delete rewrites a handful of files, not the
+   table.
+2. CLAIM: assign the candidate references to a ``delete-*`` job id via
+   the ASSIGN_JOB_IDS transaction — the same claim compaction takes, so
+   a concurrent compactor and a delete can never rewrite the same
+   reference (the second claimant's commit fails and retries its plan).
+3. REWRITE (executors): each candidate (file, partition) reference is
+   rewritten 1:1 — keep rows inside the partition's region (a file
+   split across child partitions holds rows of several references;
+   each rewrite keeps only its own) that do NOT match the predicate.
+   Filtering preserves the file's sort order, so every engine invariant
+   (sorted leaves, merge-without-resort, sketch validity) survives.
+   Sidecars (quantile sketch + min/max + bloom) are rebuilt in the same
+   task.
+4. COMMIT: ONE ``REPLACE_FILE_REFERENCES`` transaction swaps all
+   rewritten references; fully-deleted references are simply removed
+   (empty output allowed for deletes only). Old files enter the GC
+   queue; time travel (``as_of``) still serves pre-delete states from
+   the log; the change feed does not emit deletes (``added_rows_between``
+   is append-only by contract — documented there).
+
+Semantics: the predicate is (OR of key ``regions``) AND (AND of
+``value_ranges``), matching the query model. Value-range deletes are
+rejected on aggregation-configured tables — pre-collapse physical rows
+are not what the user sees, so "delete where value matches" would be
+ill-defined (key-region deletes remove whole key groups and stay
+well-defined).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import TYPE_CHECKING
+
+from sleeper_spark.query import (
+    _file_may_match,
+    bloom_points,
+    file_may_contain_keys,
+)
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.statestore import FileReference, StateStoreException
+
+if TYPE_CHECKING:  # pragma: no cover
+    from sleeper_spark.table import SleeperTable
+
+
+def _mask_ranges(tbl, ranges) -> "object":
+    """Conjunctive Range list -> numpy bool mask over an arrow table.
+    Null comparisons count as non-matching (fill_null False)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    m = np.ones(tbl.num_rows, dtype=bool)
+    for r in ranges:
+        col = tbl.column(r.field)
+        if r.min is not None:
+            op = pc.greater_equal if r.min_inclusive else pc.greater
+            m &= pc.fill_null(op(col, r.min), False).to_numpy(
+                zero_copy_only=False)
+        if r.max is not None:
+            op = pc.less_equal if r.max_inclusive else pc.less
+            m &= pc.fill_null(op(col, r.max), False).to_numpy(
+                zero_copy_only=False)
+    return m
+
+
+def _match_mask(tbl, regions, value_ranges):
+    """(OR regions) AND (AND value_ranges) as a numpy bool mask."""
+    import numpy as np
+
+    if regions:
+        m = np.zeros(tbl.num_rows, dtype=bool)
+        for reg in regions:
+            m |= _mask_ranges(tbl, reg.ranges)
+    else:
+        m = np.ones(tbl.num_rows, dtype=bool)
+    if value_ranges:
+        m &= _mask_ranges(tbl, value_ranges)
+    return m
+
+
+def _rewrite_one(desc: dict) -> tuple:
+    """Executor task: rewrite ONE (file, partition) reference without
+    the matching rows. Returns (partition_id, in_path, out_path|None,
+    rows_kept, rows_deleted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sleeper_spark import bloom as bl
+    from sleeper_spark import sketches
+
+    tbl = pq.read_table(desc["in_path"])
+    own = _mask_ranges(tbl, desc["partition_ranges"])
+    match = _match_mask(tbl, desc["regions"], desc["value_ranges"])
+    keep = own & ~match
+    n_keep = int(keep.sum())
+    n_del = int(own.sum()) - n_keep
+    if n_keep == 0:
+        return (desc["partition_id"], desc["in_path"], None, 0, n_del)
+    out = tbl.filter(pa.array(keep))
+    pq.write_table(out, desc["out_path"],
+                   compression=desc["compression"],
+                   data_page_size=desc["page_bytes"])
+    keys = desc["key_names"]
+    sk = sketches.sketch_from_arrow_columns(
+        {k: out.column(k) for k in keys}, n_keep, desc["sketch_k"])
+    try:
+        sk["bloom"] = bl.build_bloom(keys[0], out.column(keys[0]), n_keep)
+    except TypeError:
+        pass
+    sketches.write_sidecar(desc["out_path"], sk)
+    return (desc["partition_id"], desc["in_path"], desc["out_path"],
+            n_keep, n_del)
+
+
+#: same driver-threads-vs-executors threshold as sidecar building
+_DRIVER_SIDE_BYTES = 256 * 1024 * 1024
+
+
+def delete_where(table: "SleeperTable",
+                 regions: list[Region] | None = None,
+                 value_ranges: list[Range] | None = None) -> dict:
+    if not regions and not value_ranges:
+        raise ValueError(
+            "delete_where requires regions and/or value_ranges; a "
+            "whole-table delete must be explicit (clear_files)")
+    if value_ranges and table.props.aggregations:
+        raise ValueError(
+            "value_ranges deletes are not allowed on an "
+            "aggregation-configured table: physical pre-collapse rows "
+            "are not the user-visible values, so the predicate would "
+            "be ill-defined; delete by key regions instead")
+    store = table.store
+    store.refresh_if_stale(0)
+    tree = store.tree
+    assert tree is not None, "table not initialised"
+
+    pts = (bloom_points(_QueryShim(regions), table.schema.row_key_names[0])
+           if regions else None)
+    candidates: list[FileReference] = []
+    untouched = 0
+    for ref in store.all_references():
+        may = True
+        if regions:
+            preg = tree[ref.partition_id].region
+            may = any(preg.overlaps(reg) for reg in regions)
+            if may:
+                # file-level: footer min/max on the key columns, then
+                # bloom for all-point predicates
+                may = any(_file_may_match(ref.filename, reg.ranges)
+                          for reg in regions)
+            if may and pts is not None:
+                may = file_may_contain_keys(ref.filename, pts)
+        if may and value_ranges:
+            may = _file_may_match(ref.filename, value_ranges)
+        if may:
+            if ref.job_id is not None:
+                raise StateStoreException(
+                    f"{ref.filename} (partition {ref.partition_id}) is "
+                    f"claimed by job {ref.job_id}; finish or abandon the "
+                    "compaction before deleting from it")
+            candidates.append(ref)
+        else:
+            untouched += 1
+    if not candidates:
+        return {"rows_deleted": 0, "files_rewritten": 0,
+                "files_removed": 0, "files_untouched": untouched,
+                "job_id": None}
+
+    job_id = f"delete-{uuid.uuid4().hex[:12]}"
+    store.assign_job_ids(job_id, candidates)
+
+    out_dir = os.path.join(table.data_dir, job_id)
+    os.makedirs(out_dir, exist_ok=True)
+    descs = []
+    for i, ref in enumerate(candidates):
+        descs.append({
+            "in_path": ref.filename,
+            "out_path": os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            "partition_id": ref.partition_id,
+            "partition_ranges": list(tree[ref.partition_id].region.ranges),
+            "regions": list(regions or []),
+            "value_ranges": list(value_ranges or []),
+            "compression": table.props.compression,
+            "page_bytes": table.props.page_bytes,
+            "key_names": list(table.schema.key_names),
+            "sketch_k": table.props.sketch_size,
+        })
+    total = sum(os.path.getsize(d["in_path"]) for d in descs)
+    if total < _DRIVER_SIDE_BYTES:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, len(descs))) as ex:
+            results = list(ex.map(_rewrite_one, descs))
+    else:
+        sc = table.spark.sparkContext
+        slices = min(len(descs), 4 * sc.defaultParallelism)
+        results = sc.parallelize(descs, slices).map(_rewrite_one).collect()
+
+    replacements = []
+    rows_deleted = files_rewritten = files_removed = 0
+    now = None
+    for pid, in_path, out_path, n_keep, n_del in results:
+        rows_deleted += n_del
+        if out_path is None:
+            files_removed += 1
+            replacements.append((pid, [in_path], []))
+        else:
+            files_rewritten += 1
+            replacements.append((pid, [in_path], [FileReference(
+                filename=out_path, partition_id=pid,
+                number_of_rows=n_keep,
+                only_contains_data_for_this_partition=True)]))
+    store.replace_file_references_batch(
+        replacements, allow_empty_outputs=True)
+    return {"rows_deleted": rows_deleted,
+            "files_rewritten": files_rewritten,
+            "files_removed": files_removed,
+            "files_untouched": untouched,
+            "job_id": job_id}
+
+
+class _QueryShim:
+    """Minimal duck-typed Query for bloom_points (regions only)."""
+
+    def __init__(self, regions):
+        self.regions = regions

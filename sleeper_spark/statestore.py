@@ -533,6 +533,7 @@ class StateStore:
         self,
         replacements: list[tuple[str, list[str],
                                  "FileReference | list[FileReference]"]],
+        allow_empty_outputs: bool = False,
     ) -> None:
         """Commit MANY compaction jobs' reference swaps as ONE
         transaction (ReplaceFileReferencesTransaction.java:54-59 carries
@@ -540,7 +541,10 @@ class StateStore:
         queue). 1000 finished jobs = one log append, not 1000.
 
         A job's output may be one file or a list of disjoint sorted
-        range-part files (subrange-parallel compaction)."""
+        range-part files (subrange-parallel compaction). Compaction must
+        always produce output (even an empty file keeps the swap
+        uniform); ``allow_empty_outputs`` is for delete_where, where a
+        fully-deleted reference is legitimately replaced by nothing."""
         def build() -> dict[str, Any]:
             now = time.time()
             for partition_id, input_files, _ in replacements:
@@ -552,7 +556,7 @@ class StateStore:
             jobs = []
             for pid, input_files, out in replacements:
                 outs = out if isinstance(out, list) else [out]
-                if not outs:
+                if not outs and not allow_empty_outputs:
                     raise StateStoreException(
                         f"job in {pid} committed no output files")
                 jobs.append({

@@ -113,7 +113,10 @@ class SleeperTable:
         Log-native: only ``ADD_FILES`` transactions contribute
         (compaction's REPLACE rewrites are content-neutral and
         correctly emit nothing; partition splits move references, not
-        rows). The returned frame reads exactly the files those commits
+        rows). The feed is therefore APPEND-ONLY by contract:
+        ``delete_where`` rewrites also emit nothing — a consumer that
+        must observe deletions should diff ``as_of`` snapshots instead.
+        The returned frame reads exactly the files those commits
         added — at any scale the cost is the new data, never a table
         scan.
 
@@ -412,6 +415,19 @@ class SleeperTable:
         return compaction_mod.run_jobs(
             self.spark, jobs, self.store, self.data_dir, self.props, now_millis
         )
+
+    def delete_where(self, regions: list[Region] | None = None,
+                     value_ranges: list[Range] | None = None) -> dict:
+        """Copy-on-write row deletion (deletes.py module doc): rewrite
+        only the (file, partition) references that may hold a matching
+        row — pruned by partition overlap, sidecar min/max and Bloom
+        filters — claim them under a ``delete-*`` job id, and swap all
+        rewrites in ONE transaction. Returns the audit dict
+        ``{rows_deleted, files_rewritten, files_removed,
+        files_untouched, job_id}``. Pre-delete states stay readable via
+        ``as_of``; the change feed does not emit deletions."""
+        from sleeper_spark.deletes import delete_where as _dw
+        return _dw(self, regions=regions, value_ranges=value_ranges)
 
     def split_partitions(self) -> list[str]:
         if not self.props.online:  # docs/design.md:68-71

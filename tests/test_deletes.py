@@ -1,0 +1,159 @@
+"""Copy-on-write delete_where (deletes.py): correctness, pruning,
+time-travel interplay, GC, and guard rails.
+
+The reference removes rows only via ageOff; delete_where extends the
+engine Delta-style. Invariants under test: exact row removal, untouched
+files never rewritten, sort order preserved (merge paths still work),
+pre-delete states readable via as_of, old files garbage-collected."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sleeper_spark import sketches
+from sleeper_spark.query import Query
+from sleeper_spark.ranges import Range, Region
+from sleeper_spark.schema import Field, Schema
+from sleeper_spark.statestore import StateStoreException
+from sleeper_spark.table import SleeperTable
+
+
+def _schema():
+    return Schema(
+        row_key_fields=(Field("key", T.StringType()),),
+        sort_key_fields=(Field("seq", T.LongType()),),
+        value_fields=(Field("value", T.LongType()),),
+    )
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.format_string("k-%06d", F.col("id")).alias("key"),
+        F.col("id").alias("seq"),
+        F.col("id").alias("value"))
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SleeperTable.create(spark, str(tmp_path / "t"), _schema(),
+                            split_points=["k-001000"])
+    t.ingest(_rows(spark, 0, 1000))     # left partition only
+    t.ingest(_rows(spark, 1000, 2000))  # right partition only
+    return t
+
+
+class TestDeleteWhere:
+    def test_key_region_delete(self, table):
+        out = table.delete_where(
+            regions=[Region.of(Range("key", "k-000100", "k-000200"))])
+        assert out["rows_deleted"] == 100
+        # only the left-partition file overlaps the range
+        assert out["files_rewritten"] == 1
+        assert out["files_untouched"] == 1
+        assert table.full_scan().count() == 1900
+        assert table.exact_key_query(key="k-000150").count() == 0
+        assert table.exact_key_query(key="k-000250").count() == 1
+
+    def test_exact_point_delete_bloom_pruned(self, table):
+        out = table.delete_where(
+            regions=[Region.exact(table.schema, key="k-001234")])
+        assert out["rows_deleted"] == 1
+        assert out["files_rewritten"] == 1  # bloom spared the other files
+        assert table.exact_key_query(key="k-001234").count() == 0
+        assert table.full_scan().count() == 1999
+
+    def test_absent_point_delete_touches_nothing(self, table):
+        out = table.delete_where(
+            regions=[Region.exact(table.schema, key="zzz")])
+        assert out == {"rows_deleted": 0, "files_rewritten": 0,
+                       "files_removed": 0, "files_untouched": 2,
+                       "job_id": None}
+
+    def test_value_range_delete(self, table):
+        out = table.delete_where(
+            value_ranges=[Range("value", 500, 1500)])
+        assert out["rows_deleted"] == 1000
+        assert out["files_rewritten"] == 2
+        vals = [r.value for r in table.full_scan().collect()]
+        assert len(vals) == 1000 and not any(500 <= v < 1500 for v in vals)
+
+    def test_full_reference_delete_removes_file(self, table):
+        out = table.delete_where(
+            regions=[Region.of(Range("key", "k-001000", None))])
+        assert out["rows_deleted"] == 1000
+        assert out["files_removed"] == 1 and out["files_rewritten"] == 0
+        assert table.full_scan().count() == 1000
+
+    def test_sort_order_preserved_and_sidecars_rebuilt(self, table):
+        table.delete_where(
+            regions=[Region.of(Range("key", "k-000100", "k-000200"))])
+        refs = [r for r in table.store.all_references()]
+        for r in refs:
+            side = sketches.load_sidecar(r.filename)
+            assert side and "bloom" in side and "minmax" in side
+        # sorted merge path still serves the table in order
+        keys = [row["key"] for row in table.sorted_rows()]
+        assert keys == sorted(keys)
+        assert len(keys) == 1900
+
+    def test_as_of_serves_pre_delete_state(self, table):
+        seq_before = table.store.current_seq
+        table.delete_where(
+            regions=[Region.exact(table.schema, key="k-000042")])
+        assert table.exact_key_query(key="k-000042").count() == 0
+        old = table.as_of(seq=seq_before)
+        assert old.exact_key_query(key="k-000042").count() == 1
+
+    def test_old_files_garbage_collected(self, table):
+        live_before = {r.filename for r in table.store.all_references()}
+        table.delete_where(
+            regions=[Region.of(Range("key", "k-000000", "k-000500"))])
+        removed = table.collect_garbage(now=9e18)
+        assert set(removed) & live_before
+        for fn in removed:
+            assert not os.path.exists(fn)
+        assert table.full_scan().count() == 1500
+
+    def test_delete_then_compact_then_query(self, table):
+        table.delete_where(value_ranges=[Range("value", 0, 10)])
+        table.compact(now_millis=0)
+        assert table.full_scan().count() == 1990
+        assert table.exact_key_query(key="k-000005").count() == 0
+
+    def test_rejects_empty_predicate(self, table):
+        with pytest.raises(ValueError, match="regions and/or value_ranges"):
+            table.delete_where()
+
+    def test_rejects_value_ranges_on_aggregation_table(self, spark, tmp_path):
+        from sleeper_spark.properties import TableProperties
+        t = SleeperTable.create(
+            spark, str(tmp_path / "agg"), _schema(),
+            props=TableProperties(aggregations="sum(value)"))
+        t.ingest(_rows(spark, 0, 100))
+        with pytest.raises(ValueError, match="aggregation-configured"):
+            t.delete_where(value_ranges=[Range("value", 0, 10)])
+        # key-region deletes remain legal on aggregation tables
+        out = t.delete_where(
+            regions=[Region.exact(t.schema, key="k-000001")])
+        assert out["rows_deleted"] == 1
+
+    def test_multi_partition_spanning_file(self, spark, tmp_path):
+        # one ingest BEFORE the split: the file's references get split
+        # across children; delete must rewrite per-reference, keeping
+        # only each reference's own partition rows
+        t = SleeperTable.create(spark, str(tmp_path / "t2"), _schema())
+        t.ingest(_rows(spark, 0, 2000))
+        t.props.partition_split_threshold = 100
+        t.split_partitions()
+        t.split_file_references()
+        n_refs = len(t.store.all_references())
+        assert n_refs >= 2
+        out = t.delete_where(
+            regions=[Region.of(Range("key", "k-000500", "k-001500"))])
+        assert out["rows_deleted"] == 1000
+        assert t.full_scan().count() == 1000
+        keys = sorted(r.key for r in t.full_scan().collect())
+        assert keys == sorted(
+            [f"k-{i:06d}" for i in list(range(0, 500)) + list(range(1500, 2000))])

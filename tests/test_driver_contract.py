@@ -47,9 +47,10 @@ def test_every_query_has_an_oracle():
     # index choice), the twelve remaining TPC-H queries (q2, q8, q9,
     # q11-q14, q16, q17, q20-q22 — the suite is now complete), the
     # HyperLogLog register sketch, its streaming windowed variant,
-    # verbatim-span (exact-substring) dedup, and the persistent
-    # table-level ANN index search
-    assert len(qk) == 114
+    # verbatim-span (exact-substring) dedup, the persistent
+    # table-level ANN index search, and the copy-on-write delete_where
+    # lifecycle
+    assert len(qk) == 115
 
 
 def test_entry_smoke(spark):
