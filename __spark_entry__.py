@@ -1377,6 +1377,35 @@ def q_pack_token_budget(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "shard_id")
 
 
+def q_keyword_search_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-shuffle all-terms keyword search (functions/search.py):
+    distinct-token intersection against a literal term array inside
+    codegen — cost is one scan of (doc_id, text), term count free."""
+    from sleeper_spark.functions import search
+    doc = _load(spark, sf, "documents")
+    return search.keyword_search(
+        doc, ["vector", "merge", "scan"], mode="all")
+
+
+def q_keyword_search_any(spark: SparkSession, sf: str) -> DataFrame:
+    """Any-term variant: n_matched >= 1, same scan-only shape."""
+    from sleeper_spark.functions import search
+    doc = _load(spark, sf, "documents")
+    return search.keyword_search(
+        doc, ["quantile", "customer"], mode="any")
+
+
+def q_inverted_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build + per-term stats: explode -> partial-combine
+    hash aggregate -> (term, df, tf_total), top 50 by document
+    frequency (term tiebreak for a deterministic LIMIT)."""
+    from sleeper_spark.functions import search
+    doc = _load(spark, sf, "documents")
+    idx = search.inverted_index(doc)
+    return (search.posting_stats(idx)
+            .orderBy(F.col("df").desc(), "term").limit(50))
+
+
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide line dedup (functions/corpus.py dedup_lines — the C4
     boilerplate-line removal step). Docs are pre-split into sentence
@@ -1943,6 +1972,80 @@ def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
         emb, dim=64, threshold=0.35, bits=4, target_bucket_size=32)
 
 
+_SEMDEDUP = dict(nlist=64, seed=42, train_rows=2048, threshold=0.35)
+
+
+def _semdedup_centroids_memo(emb: DataFrame, sf: str) -> list:
+    key = ("semdedup", sf, _SEMDEDUP["nlist"], _SEMDEDUP["seed"],
+           _SEMDEDUP["train_rows"])
+    if key not in _ANN_TRAIN_CACHE:
+        _ANN_TRAIN_CACHE[key] = similarity.train_ivf_centroids(
+            emb, _SEMDEDUP["nlist"], seed=_SEMDEDUP["seed"],
+            train_rows=_SEMDEDUP["train_rows"])
+    return _ANN_TRAIN_CACHE[key]
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): k-means cells from the
+    bounded lowest-id training sample, then drop any vector whose
+    cosine to a lower-id cell member clears the threshold; returns the
+    kept (vec_id, cell) manifest. nlist=64 keeps mean cell occupancy
+    ~n/64 so the cell-local pair space stays quadratic-in-occupancy,
+    not in corpus size (SemDeDup runs 50k clusters at LAION-440M). The
+    synthetic embeddings plant no >0.9 twins, so the driver entry runs
+    at threshold 0.35 (same rationale as embedding_near_duplicates).
+    The oracle recomputes identical centroids from the same sample and
+    replays assignment + pairwise drop in SQL."""
+    emb = _load(spark, sf, "embeddings")
+    cents = _semdedup_centroids_memo(emb, sf)
+    return similarity.semantic_dedup(
+        emb, cents, threshold=_SEMDEDUP["threshold"])
+
+
+def _semdedup_centroids_from_parquet(sf_dir: str) -> list[list[float]]:
+    """Oracle-side replica of _semdedup_centroids_memo: same bounded
+    lowest-id sample, same numpy k-means (see
+    _ivf_centroids_from_parquet for why this round-trips exactly)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {_SEMDEDUP['train_rows']}").fetchall()
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cents = similarity.kmeans_spherical(
+        X, _SEMDEDUP["nlist"], _SEMDEDUP["seed"])
+    return [[float(x) for x in c] for c in cents]
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Replay semantic_dedup in DuckDB: literal centroids, the same
+    raw-dot argmax assignment (row_number over dot DESC, ci ASC — numpy
+    argmax takes the first maximum), the same rounded-cosine threshold
+    on lower-id cell members, anti-join to the kept manifest."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = _semdedup_centroids_from_parquet(sf_dir)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    cos = _COS_SQL.format(a="x.v", b="y.v")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cents(ci, cv) AS (VALUES {values}), "
+        "a AS (SELECT vec_id, v, ci FROM ("
+        "SELECT c.vec_id, c.v, ci, row_number() OVER ("
+        "PARTITION BY c.vec_id "
+        "ORDER BY list_dot_product(c.v, cv) DESC, ci) AS rn "
+        "FROM c CROSS JOIN cents) WHERE rn = 1), "
+        "d AS (SELECT DISTINCT x.vec_id AS vid FROM a x "
+        "JOIN a y ON x.ci = y.ci AND x.vec_id > y.vec_id "
+        f"WHERE {cos} >= {_SEMDEDUP['threshold']}) "
+        "SELECT a.vec_id, CAST(a.ci AS INTEGER) AS cell "
+        "FROM a LEFT JOIN d ON a.vec_id = d.vid WHERE d.vid IS NULL")
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + metadata struct →
     Arrow-batched mapInPandas feature extraction with the deterministic
@@ -2377,6 +2480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_overlap": q_verbatim_overlap,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_check": q_contamination_check,
+        "keyword_search_all": q_keyword_search_all,
+        "keyword_search_any": q_keyword_search_any,
+        "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "zorder_key": q_zorder_key,
@@ -2410,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "embedding_near_duplicates": q_embedding_near_duplicates,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # streaming (availableNow, hash-checked against batch SQL)
@@ -3406,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivfpq_oracle_sql(),
         "embedding_near_duplicates": _embedding_near_dup_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),
         "multimodal_frames":
             "WITH t AS (SELECT doc_id, text, "
@@ -3696,6 +3804,24 @@ def oracle_sql() -> dict[str, str]:
             "(((((doc_id + 7) % 2147483647) * 1103515245 + 12352) "
             "% 2147483647) * 69069 + 1) % 2147483647 "
             "AS shuffle_key FROM documents",
+        "keyword_search_all":
+            "SELECT * FROM (SELECT doc_id, CAST(len(list_intersect("
+            "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), "
+            "['vector', 'merge', 'scan'])) AS INTEGER) AS n_matched "
+            "FROM documents) WHERE n_matched >= 3",
+        "keyword_search_any":
+            "SELECT * FROM (SELECT doc_id, CAST(len(list_intersect("
+            "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), "
+            "['quantile', 'customer'])) AS INTEGER) AS n_matched "
+            "FROM documents) WHERE n_matched >= 1",
+        "inverted_index_stats":
+            "WITH e AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS term FROM documents), "
+            "p AS (SELECT term, doc_id, count(*) AS tf "
+            "FROM e GROUP BY term, doc_id) "
+            "SELECT term, count(*) AS df, "
+            "CAST(sum(tf) AS BIGINT) AS tf_total FROM p GROUP BY term "
+            "ORDER BY df DESC, term LIMIT 50",
         "line_dedup":
             "WITH t AS (SELECT doc_id, "
             "str_split(regexp_replace(text, '\\. ', '.' || chr(10), 'g'), "

@@ -1,0 +1,82 @@
+"""Keyword search over a document corpus: tokenization, an inverted
+index (term -> posting list), and all/any-term search.
+
+Beyond-reference: the reference's value columns are opaque to its
+queries; a training-data pipeline needs "find the documents mentioning
+these terms" both ad hoc (one scan) and repeatedly (an index table).
+
+Scale design — two execution shapes, chosen by use:
+
+* ``keyword_search`` (ad hoc): ZERO-shuffle scan. The term set is a
+  literal array, matching is ``array_intersect`` over the document's
+  distinct tokens — whole-stage codegen, no explode, no aggregation;
+  the cost is exactly one pass over the text column regardless of how
+  many terms are probed.
+* ``inverted_index`` (repeated queries): one explode + groupBy shuffle
+  builds (term, doc_id, tf) postings. Persisted into a SleeperTable
+  KEYED on (term, doc_id), the posting lists arrive range-partitioned
+  and sorted, so a term lookup is the engine's own point query —
+  partition pruning + first-row-key Bloom filters open only the files
+  that hold the term's postings (tests/test_search.py proves the
+  composition). That is the classic search-engine layout expressed as
+  LSM table mechanics rather than a bespoke index format.
+
+Tokenization is shared by both shapes and by the DuckDB oracles:
+lowercase, then maximal ``[a-z0-9]+`` runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def tokens(text_col: Column | str) -> Column:
+    """All tokens of a text column, in order (with duplicates)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Posting table ``(term, doc_id, tf)`` — one explode + one
+    hash-aggregate (partial map-side combine collapses each document's
+    repeats before the shuffle, so shuffle bytes ~ distinct terms per
+    doc, not token count)."""
+    return (
+        df.select(F.col(id_col),
+                  F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def posting_stats(index_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-term corpus stats ``(term, df, tf_total)`` from a posting
+    table — the inputs to idf weighting and stopword caps."""
+    return index_df.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"))
+
+
+def keyword_search(df: DataFrame, terms: list[str], mode: str = "all",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Documents matching ``terms`` as ``(id_col, n_matched)`` —
+    ``mode='all'`` requires every term, ``'any'`` at least one.
+    Zero-shuffle: distinct-token intersection against the literal term
+    array inside codegen; the only job cost is the scan (and Parquet
+    reads just ``id_col`` + ``text_col``)."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    # lowercase BEFORE dedup: 'Vector' and 'vector' are one term
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    lits = F.array(*[F.lit(t) for t in uniq])
+    n = F.size(F.array_intersect(F.array_distinct(tokens(text_col)), lits))
+    need = len(uniq) if mode == "all" else 1
+    return (df.select(F.col(id_col), n.alias("n_matched"))
+            .where(F.col("n_matched") >= need))

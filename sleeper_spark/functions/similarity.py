@@ -389,6 +389,61 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then within each cluster drop every item whose
+    cosine to a LOWER-id cluster member clears ``threshold``. Returns
+    the KEPT rows as ``(id_col, cell_col)`` — the deduplicated corpus
+    manifest plus its cluster id (useful for stratified downstream
+    sampling).
+
+    Deterministic keep rule: an item is dropped iff it near-duplicates
+    ANY lower-id member of its own cluster, so the minimum id of every
+    duplicate neighborhood always survives — no dependence on join or
+    partition order.
+
+    Scale shape: identical to the LSH band joins — cluster assignment
+    is one vectorized matmul per Arrow batch against bounded-sample
+    k-means centroids (train_ivf_centroids), the self-join is
+    cell-co-partitioned via ONE repartition reused by both sides, and
+    the pair space is cell-local, never O(n²). The knob that must move
+    with corpus size is the cluster COUNT: keep n/nlist (mean occupancy)
+    flat — SemDeDup itself runs 50k clusters at LAION-440M scale — and
+    per-cell work stays constant as the corpus grows. Norms are computed
+    once per vector, not per pair; cosine is rounded to 6 digits before
+    the threshold compare (same parity recipe as
+    embedding_near_duplicates)."""
+    assigned = assign_cells(
+        corpus.select(id_col, vec_col), centroids, vec_col, cell_col)
+    base = (
+        assigned.select(
+            F.col(id_col), F.col(cell_col),
+            F.col(vec_col).cast("array<double>").alias("__vec"))
+        .withColumn("__norm", l2_norm(F.col("__vec")))
+        .repartition(cell_col)
+    )
+    l, r = base.alias("l"), base.alias("r")
+    denom = F.col("l.__norm") * F.col("r.__norm")
+    cos = F.when(denom > 0, dot(F.col("l.__vec"), F.col("r.__vec")) / denom) \
+        .otherwise(F.lit(0.0))
+    dropped = (
+        l.join(r, cell_col)
+        .where(F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col(f"l.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (assigned.select(id_col, cell_col)
+            .join(dropped, id_col, "left_anti"))
+
+
 def query_probe_buckets(vec: Column, planes: list[list[float]],
                         nprobe: int = 1) -> Column:
     """Multi-probe bucket list for a query vector: its signature bucket

@@ -48,9 +48,10 @@ def test_every_query_has_an_oracle():
     # q11-q14, q16, q17, q20-q22 — the suite is now complete), the
     # HyperLogLog register sketch, its streaming windowed variant,
     # verbatim-span (exact-substring) dedup, the persistent
-    # table-level ANN index search, and the copy-on-write delete_where
-    # lifecycle
-    assert len(qk) == 115
+    # table-level ANN index search, the copy-on-write delete_where
+    # lifecycle, SemDeDup semantic dedup, and keyword search
+    # (all/any + inverted-index stats)
+    assert len(qk) == 119
 
 
 def test_entry_smoke(spark):
