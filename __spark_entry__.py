@@ -357,6 +357,37 @@ def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan().select("event_id", "user_id", "event_type")
 
 
+def q_upsert_last_writer(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-writer-wins upsert via the max_by aggregation
+    (iterators.py/processing.py): events collapse on (user_id,
+    event_type) keeping the newest ts and ITS value — versioned-row
+    semantics the reference's sum/min/max algebra can't express. Ties
+    on ts break deterministically on the value (lexicographic struct
+    extremum), which the oracle replays as ORDER BY ts DESC, value
+    DESC. Ingested in two halves and compacted, so the collapse runs
+    through the real engine path (auto engine falls back to Spark —
+    max_by is outside the Arrow kernels' algebra)."""
+    ev = _load(spark, sf, "events").select(
+        F.col("user_id"), F.col("event_type"),
+        F.col("ts_us"), F.col("value"))
+    schema = Schema(
+        (Field("user_id", T.LongType()),),
+        (Field("event_type", T.StringType()),),
+        (Field("ts_us", T.LongType()),
+         Field("value", T.DoubleType())),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_upsert_")
+    table = SleeperTable.create(
+        spark, os.path.join(tmp, "t"), schema,
+        TableProperties(aggregations="max(ts_us), max_by(value, ts_us)"),
+        split_points=[500],
+    )
+    table.ingest(ev.where(F.col("event_id") % 2 == 0))
+    table.ingest(ev.where(F.col("event_id") % 2 == 1))
+    table.compact()
+    return table.full_scan()
+
+
 def q_sql_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Q1 post-query SQL stage: user SELECT over ``query_results``
     (rust/query_sql/src/lib.rs:28-55), end-to-end through a SleeperTable."""
@@ -2420,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sleeper_lifecycle": q_sleeper_lifecycle,
         "value_filter_skipping": q_value_filter_skipping,
         "delete_where": q_delete_where,
+        "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
         "sql_stage": q_sql_stage,
@@ -3100,6 +3132,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
             "AND NOT (event_type = 'click')",
+        "upsert_last_writer":
+            "WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, "
+            "value, row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY epoch_us(ts) DESC, value DESC) AS rn FROM events) "
+            "SELECT user_id, event_type, ts_us, value FROM r WHERE rn = 1",
         "bulk_export":
             "SELECT user_id, event_type, count(*) AS n "
             "FROM events GROUP BY user_id, event_type",

@@ -439,6 +439,8 @@ def arrow_algebra_supported(schema: Schema, aggregations: str) -> bool:
         f = schema.field(a.column)
         if isinstance(f.dtype, T.ArrayType):
             return False  # no array-valued aggregation in either engine
+        if a.op.endswith("_by"):
+            return False  # max_by/min_by pair state: Spark engine only
         if a.op.startswith("map_") != isinstance(f.dtype, T.MapType):
             return False  # map ops on map columns only, and vice versa
     return True

@@ -8,8 +8,11 @@ docs/usage/data-processing.md):
 - aggregations:  ``sum(count), max(last_seen), map_sum(tags)``
 
 Supported aggregation ops: sum, min, max, map_sum, map_min, map_max
-(aggregate.rs:70-103). Supported filter: ageOff(column, max_age_millis)
-(filter.rs:23-27).
+(aggregate.rs:70-103), plus beyond-reference ``max_by(col, order_col)``
+/ ``min_by(col, order_col)`` — last/first-writer-wins upsert semantics:
+the kept value is the one paired with the winning order column,
+deterministic under ties (lexicographic (order, value) extremum).
+Supported filter: ageOff(column, max_age_millis) (filter.rs:23-27).
 
 Validation mirrors Aggregation.java:56-147 / validate_aggregations:
 - no aggregation of row/sort key columns;
@@ -26,7 +29,8 @@ from dataclasses import dataclass
 
 from sleeper_spark.schema import Schema
 
-AGG_OPS = {"sum", "min", "max", "map_sum", "map_min", "map_max"}
+AGG_OPS = {"sum", "min", "max", "map_sum", "map_min", "map_max",
+           "max_by", "min_by"}
 
 _CALL = re.compile(r"\s*(\w+)\s*\(\s*([^)]*)\s*\)\s*")
 
@@ -70,10 +74,13 @@ class AgeOffFilter:
 
 @dataclass(frozen=True)
 class Aggregation:
-    """One value-column aggregation (Aggregate in aggregate.rs:23-27)."""
+    """One value-column aggregation (Aggregate in aggregate.rs:23-27).
+    ``order_col`` is set only for max_by/min_by: the value column whose
+    extremum decides which of the collapsed rows' values is kept."""
 
     column: str
     op: str  # one of AGG_OPS
+    order_col: str | None = None
 
 
 def parse_filters(config: str | None) -> list[AgeOffFilter]:
@@ -97,6 +104,12 @@ def parse_aggregations(config: str | None) -> list[Aggregation]:
         op = name.lower()
         if op not in AGG_OPS:
             raise ValueError(f"unrecognised aggregation function {name!r}")
+        if op in ("max_by", "min_by"):
+            if len(args) != 2:
+                raise ValueError(
+                    f"{name} takes (column, order_column), got {args}")
+            out.append(Aggregation(args[0], op, args[1]))
+            continue
         if len(args) != 1:
             raise ValueError(f"{name} takes (column), got {args}")
         out.append(Aggregation(args[0], op))
@@ -136,6 +149,22 @@ def validate_aggregations(schema: Schema, aggs: list[Aggregation]) -> None:
             raise ValueError(
                 f"map column {a.column!r} needs a map_* aggregation, "
                 f"not {a.op}")
+        if a.op in ("max_by", "min_by"):
+            if a.order_col in key_names:
+                raise ValueError(
+                    f"{a.op} order column {a.order_col!r} is a key "
+                    "column — keys are constant within a collapsed "
+                    "group, so it could never decide a winner")
+            of = schema.field(a.order_col)  # KeyError if unknown
+            if isinstance(of.dtype, (T.MapType, T.ArrayType)):
+                raise ValueError(
+                    f"{a.op} order column {a.order_col!r} must be an "
+                    f"orderable scalar, not {of.dtype.simpleString()}")
+            if of.nullable:
+                raise ValueError(
+                    f"{a.op} order column {a.order_col!r} must be "
+                    "non-nullable (null order values have no defined "
+                    "extremum)")
         seen.add(a.column)
     missing = [v for v in schema.value_names if v not in seen]
     if missing:

@@ -52,8 +52,18 @@ def apply_filters(df: DataFrame, filters: list[AgeOffFilter], now_millis: int) -
     return df
 
 
-def _scalar_agg(col_name: str, op: str, dtype: T.DataType) -> Column:
+def _scalar_agg(col_name: str, op: str, dtype: T.DataType,
+                order_col: str | None = None) -> Column:
     c = F.col(col_name)
+    if op in ("max_by", "min_by"):
+        # upsert semantics: keep the value paired with the winning order
+        # column. Struct min/max is lexicographic, so ties on the order
+        # value break deterministically on the value itself — Spark's
+        # built-in max_by/min_by are explicitly nondeterministic under
+        # ties, which would break engine/oracle hash parity.
+        pair = F.struct(F.col(order_col).alias("o"), c.alias("v"))
+        ext = F.max(pair) if op == "max_by" else F.min(pair)
+        return ext.getField("v").cast(dtype).alias(col_name)
     if op == "sum":
         if isinstance(dtype, (T.IntegerType, T.LongType)):
             # cast-back keeps the input type, per A5 (nonnull.rs:160-210)
@@ -122,18 +132,19 @@ def apply_aggregations(
     """
     if not aggs:
         return df
-    by_col = {a.column: a.op for a in aggs}
+    by_col = {a.column: a for a in aggs}
     group = (extra_group_cols or []) + schema.key_names
     scalar_exprs: list[Column] = []
     map_fields = []
     for f in schema.value_fields:
-        op = by_col.get(f.name)
-        if op is None:
+        a = by_col.get(f.name)
+        if a is None:
             continue
-        if op.startswith("map_"):
-            map_fields.append((f, op))
+        if a.op.startswith("map_"):
+            map_fields.append((f, a.op))
         else:
-            scalar_exprs.append(_scalar_agg(f.name, op, f.dtype))
+            scalar_exprs.append(
+                _scalar_agg(f.name, a.op, f.dtype, a.order_col))
     if scalar_exprs:
         out = df.groupBy(*group).agg(*scalar_exprs)
     else:

@@ -512,7 +512,7 @@ def _sorted_row_iterator_gen(store: StateStore, schema: Schema,
     def row_matches(row):
         return any(in_ranges(row, rs) for rs in q_regions)
 
-    agg_ops = {a.column: a.op for a in (aggs or [])}
+    agg_ops = {a.column: a for a in (aggs or [])}
     row_key = lambda row: _null_safe_key(row[k] for k in key_names)  # noqa: E731
 
     def leaf_stream(leaf, leaf_ranges):
@@ -637,18 +637,38 @@ def _sorted_row_iterator_gen(store: StateStore, schema: Schema,
     # .java:64-93): input is key-sorted, so equal-key rows are adjacent —
     # O(1) state, emit on key change
     def aggregated():
-        current_key, acc = None, None
+        # max_by/min_by keep (order, value) PAIR state separate from the
+        # accumulator: the order column may itself be aggregated in the
+        # same group, so acc's copy cannot serve as the comparison basis
+        current_key, acc, by_state = None, None, {}
+        by_aggs = [(col, a) for col, a in agg_ops.items()
+                   if a.op in ("max_by", "min_by")]
+
+        def finish(acc):
+            for col, _ in by_aggs:
+                acc[col] = by_state[col][1]
+            return acc
+
         for row in stream():
             k = tuple(row[n] for n in key_names)
             if k != current_key:
                 if acc is not None:
-                    yield acc
+                    yield finish(acc)
                 current_key, acc = k, dict(row)
+                by_state = {col: (row[a.order_col], row[col])
+                            for col, a in by_aggs}
             else:
-                for col, op in agg_ops.items():
-                    acc[col] = _merge_scalar(op, acc[col], row[col])
+                for col, a in agg_ops.items():
+                    if a.op in ("max_by", "min_by"):
+                        cand = (row[a.order_col], row[col])
+                        cur = by_state[col]
+                        if (cand > cur) == (a.op == "max_by") \
+                                and cand != cur:
+                            by_state[col] = cand
+                    else:
+                        acc[col] = _merge_scalar(a.op, acc[col], row[col])
         if acc is not None:
-            yield acc
+            yield finish(acc)
 
     yield from emit(aggregated())
 

@@ -49,9 +49,10 @@ def test_every_query_has_an_oracle():
     # HyperLogLog register sketch, its streaming windowed variant,
     # verbatim-span (exact-substring) dedup, the persistent
     # table-level ANN index search, the copy-on-write delete_where
-    # lifecycle, SemDeDup semantic dedup, and keyword search
-    # (all/any + inverted-index stats)
-    assert len(qk) == 119
+    # lifecycle, SemDeDup semantic dedup, keyword search
+    # (all/any + inverted-index stats), and max_by last-writer-wins
+    # upsert
+    assert len(qk) == 120
 
 
 def test_entry_smoke(spark):
