@@ -1426,6 +1426,49 @@ def q_keyword_search_any(spark: SparkSession, sf: str) -> DataFrame:
         doc, ["quantile", "customer"], mode="any")
 
 
+_BM25_TERMS = ["vector", "merge", "scan"]
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25-ranked keyword search (search.bm25_search): per-term tf in
+    codegen over one tokenization, corpus stats as a single 1-row
+    aggregate broadcast back — two scan passes, no explode, no collect.
+    Scores round to 6 digits for cross-engine hash parity."""
+    from sleeper_spark.functions import search
+    doc = _load(spark, sf, "documents")
+    return search.bm25_search(doc, _BM25_TERMS)
+
+
+def _bm25_oracle_sql() -> str:
+    """Replay bm25_search in DuckDB with the identical expression tree:
+    integer-exact tf/df/N/dl, one avgdl double division, same
+    association order, round 6."""
+    terms = _BM25_TERMS
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) "
+        f"/ (CAST(df{i} AS DOUBLE) + 0.5)) "
+        f"* (CAST(tf{i} AS DOUBLE) * 2.2) "
+        f"/ (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 "
+        f"+ (0.75 * CAST(dl AS DOUBLE)) "
+        f"/ (CAST(dlsum AS DOUBLE) / CAST(n AS DOUBLE))))"
+        for i in range(len(terms)))
+    anytf = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9]+') AS toks FROM documents), "
+        f"f AS (SELECT doc_id, len(toks) AS dl, {tfs} FROM t), "
+        "s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlsum, "
+        f"{dfs} FROM f) "
+        f"SELECT doc_id, round(0.0 + {score}, 6) AS score "
+        f"FROM f, s WHERE {anytf} > 0")
+
+
 def q_inverted_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index build + per-term stats: explode -> partial-combine
     hash aggregate -> (term, df, tf_total), top 50 by document
@@ -2514,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "keyword_search_all": q_keyword_search_all,
         "keyword_search_any": q_keyword_search_any,
+        "bm25_search": q_bm25_search,
         "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -3851,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
             "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), "
             "['quantile', 'customer'])) AS INTEGER) AS n_matched "
             "FROM documents) WHERE n_matched >= 1",
+        "bm25_search": _bm25_oracle_sql(),
         "inverted_index_stats":
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS term FROM documents), "

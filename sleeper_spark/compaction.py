@@ -510,13 +510,14 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
     # they keep the buffer + sort_indices path (usually narrow numerics)
     d0_sketch = sk_mod.SortedColumnSketch(desc["sketch_k"])
     # per-file Bloom over the first row key (bloom.py): sized from the
-    # input row total (footer metadata only — an upper bound on output
-    # rows, so the filter is never undersized), fed from the same output
+    # planner's per-part row estimate (an upper bound on output rows —
+    # filters/aggregation only shrink it), fed from the same output
     # batches the writer gets — zero extra passes over the data
     from sleeper_spark import bloom as bl
-    n_in = sum(_pq.ParquetFile(f).metadata.num_rows
-               for f in desc["input_files"])
-    d0_bloom = bl.BloomAccumulator(keys[0], max(1, n_in))
+    d0_bloom = bl.BloomAccumulator(
+        keys[0], max(1, desc.get("expected_rows") or sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in desc["input_files"])))
     rest_chunks: list[list] = [[] for _ in keys[1:]]
     try:
         for chunk in _merge_leaf(merge_desc):
@@ -668,6 +669,10 @@ def run_jobs_arrow(
                 "now_millis": now_millis,
                 "sketch_k": props.sketch_size,
                 "cpu_budget": max(1, budget // len(subs)),
+                # bloom sizing: THIS PART's share of the job, not the
+                # whole job — an oversized bitmap costs packbits+zlib
+                # time per part and buys nothing
+                "expected_rows": max(1, total_rows // len(subs)),
             }
             if slo is not None or shi is not None:
                 # range-pruned read: row-group skip + exact batch trim,

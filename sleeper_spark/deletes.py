@@ -118,7 +118,9 @@ def _rewrite_one(desc: dict) -> tuple:
     sk = sketches.sketch_from_arrow_columns(
         {k: out.column(k) for k in keys}, n_keep, desc["sketch_k"])
     try:
-        sk["bloom"] = bl.build_bloom(keys[0], out.column(keys[0]), n_keep)
+        b = bl.build_bloom(keys[0], out.column(keys[0]), n_keep)
+        if b is not None:
+            sk["bloom"] = b
     except TypeError:
         pass
     sketches.write_sidecar(desc["out_path"], sk)

@@ -80,3 +80,59 @@ def keyword_search(df: DataFrame, terms: list[str], mode: str = "all",
     need = len(uniq) if mode == "all" else 1
     return (df.select(F.col(id_col), n.alias("n_matched"))
             .where(F.col("n_matched") >= need))
+
+
+def bm25_search(df: DataFrame, terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """BM25-ranked any-term search: ``(id_col, score)`` for every
+    document matching at least one term, Lucene's idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape: per-term tf is a codegen'd ``size(filter(tokens, =t))``
+    over ONE tokenization — no explode, no posting join. The corpus
+    stats BM25 needs (N, avgdl, per-term df) reduce to a SINGLE 1-row
+    aggregate that broadcast-cross-joins back onto the scan: two passes
+    over the text column total, zero driver-side data, any corpus size.
+
+    Determinism for oracle parity: every aggregate is integer-exact
+    (counts and a long token-length sum); avgdl is one double division
+    of exact longs, and the score rounds to 6 digits — the same recipe
+    that keeps the cosine operators hash-stable across engines."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    def _tf(term: str):
+        # separate scope per term: a default-arg lambda would have
+        # arity 2 and Spark would hand it (element, index)
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    toks = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("__dl"),
+        *[_tf(t).alias(f"__tf{i}") for i, t in enumerate(uniq)],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__dlsum"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(uniq))],
+    )
+    j = toks.crossJoin(F.broadcast(stats))
+    navg = F.col("__dlsum").cast("double") / F.col("__n").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(uniq)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfreq = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("__n").cast("double") - dfreq + F.lit(0.5))
+            / (dfreq + F.lit(0.5)))
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("__dl").cast("double")
+                              / navg))
+    return (j.where(sum(F.col(f"__tf{i}") for i in range(len(uniq)))
+                    > 0)
+            .select(F.col(id_col), F.round(score, 6).alias("score")))

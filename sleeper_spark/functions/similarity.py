@@ -440,8 +440,12 @@ def semantic_dedup(
         .select(F.col(f"l.{id_col}").alias(id_col))
         .distinct()
     )
-    return (assigned.select(id_col, cell_col)
-            .join(dropped, id_col, "left_anti"))
+    # kept manifest derives from the IDENTICAL repartitioned subtree as
+    # both self-join sides (project only AFTER the join — an earlier
+    # projection would canonicalise differently and defeat exchange
+    # reuse): one scan + one assignment-UDF pass, reused three times
+    return (base.join(dropped, id_col, "left_anti")
+            .select(id_col, cell_col))
 
 
 def query_probe_buckets(vec: Column, planes: list[list[float]],

@@ -171,8 +171,9 @@ def compute_file_sketch(path: str, key_names: list[str], k: int) -> dict:
         {name: t.column(name) for name in key_names}, t.num_rows, k)
     try:
         from sleeper_spark import bloom as bl
-        sk["bloom"] = bl.build_bloom(
-            key_names[0], t.column(key_names[0]), t.num_rows)
+        b = bl.build_bloom(key_names[0], t.column(key_names[0]), t.num_rows)
+        if b is not None:  # None above MAX_USEFUL_ROWS
+            sk["bloom"] = b
     except TypeError:
         pass  # non-hashable key type -> no bloom -> plan keeps the file
     return sk

@@ -64,6 +64,16 @@ class TestBloomUnit:
         m = bl._size_bits(10**12)
         assert m == bl.MAX_BITS
 
+    def test_oversize_file_builds_no_bloom(self):
+        # beyond MAX_USEFUL_ROWS the capped bitmap can't prune anything
+        # (sub-6-bits/key FPR) — the build is skipped entirely and the
+        # plan falls back to absence semantics (keep the file)
+        acc = bl.BloomAccumulator("k", bl.MAX_USEFUL_ROWS + 1)
+        assert acc.disabled
+        acc.update([1, 2, 3])
+        assert acc.to_dict() is None
+        assert bl.build_bloom("k", [1], bl.MAX_USEFUL_ROWS + 1) is None
+
     def test_unhashable_probe_keeps_file(self):
         d = bl.build_bloom("k", [1, 2, 3])
         bits = bl.decode_bits(d)

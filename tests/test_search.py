@@ -67,6 +67,22 @@ class TestKeywordSearch:
         assert stats["vector"] == (3, 5)
         assert stats["scan"] == (3, 4)
 
+    def test_bm25_ranking_properties(self, docs):
+        scores = {r.doc_id: r.score for r in search.bm25_search(
+            docs, ["vector", "merge", "scan"]).collect()}
+        # null/empty text and no-match docs are excluded
+        assert set(scores) == {0, 1, 2, 5}
+        # doc 2 is pure repeated 'vector' (3x, dl=3): highest tf weight
+        # for that term; doc 0 matches only 'scan' once in a longer doc
+        assert scores[2] > scores[0]
+        # all-terms doc beats single-term doc
+        assert scores[5] > scores[0]
+        assert all(s > 0 for s in scores.values())
+
+    def test_bm25_empty_terms_rejected(self, docs):
+        with pytest.raises(ValueError, match="non-empty"):
+            search.bm25_search(docs, [])
+
     def test_search_plan_is_scan_only(self, docs):
         df = search.keyword_search(docs, ["vector", "merge"], mode="all")
         plan = df._jdf.queryExecution().executedPlan().toString()
