@@ -2200,6 +2200,38 @@ def _run_stream_to_view(out: DataFrame, name: str, mode: str) -> None:
     q.awaitTermination(300)
 
 
+def q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming last-writer-wins: the events stream micro-batch-ingests
+    into a max_by-aggregated SleeperTable (stream_ingest's exactly-once
+    deterministic job ids), then one compaction physically collapses to
+    the newest-ts value per (user_id, event_type). The materialised
+    upsert view must equal the batch oracle REGARDLESS of how the
+    stream was batched — the collapse is associative and
+    order-insensitive (lexicographic (ts, value) extremum), which is
+    exactly what makes streaming upsert safe."""
+    from sleeper_spark import streaming as streaming_mod
+    stream = _events_stream(spark, sf).select(
+        F.col("user_id"), F.col("event_type"),
+        F.col("ts").alias("ts_us"), F.col("value"))
+    schema = Schema(
+        (Field("user_id", T.LongType()),),
+        (Field("event_type", T.StringType()),),
+        (Field("ts_us", T.LongType()),
+         Field("value", T.DoubleType())),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_supsert_")
+    table = SleeperTable.create(
+        spark, os.path.join(tmp, "t"), schema,
+        TableProperties(aggregations="max(ts_us), max_by(value, ts_us)"),
+        split_points=[500],
+    )
+    q = streaming_mod.stream_ingest(
+        table, stream, tempfile.mkdtemp(prefix="supsert_ckpt_"))
+    q.awaitTermination(300)
+    table.compact()
+    return table.full_scan()
+
+
 def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation (SURVEY §2.10
     parity-plus), run to completion with availableNow and hash-checked
@@ -2596,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # streaming (availableNow, hash-checked against batch SQL)
+        "streaming_upsert": q_streaming_upsert,
         "streaming_window": q_streaming_window,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_approx_distinct": q_streaming_approx_distinct,
@@ -3177,6 +3210,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
             "AND NOT (event_type = 'click')",
         "upsert_last_writer":
+            "WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, "
+            "value, row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY epoch_us(ts) DESC, value DESC) AS rn FROM events) "
+            "SELECT user_id, event_type, ts_us, value FROM r WHERE rn = 1",
+        # the STREAMED ingest must land on the identical collapsed state
+        "streaming_upsert":
             "WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, "
             "value, row_number() OVER (PARTITION BY user_id, event_type "
             "ORDER BY epoch_us(ts) DESC, value DESC) AS rn FROM events) "

@@ -507,6 +507,39 @@ def row_groups_overlapping(pf, key_name: str, lo, hi) -> list[int] | None:
 # scan fallback (pre-sidecar files)
 # ---------------------------------------------------------------------------
 
+def approx_quantiles(files: list[str], field: str,
+                     qs: list[float]) -> list:
+    """Quantile ESTIMATES for a key field from sidecars alone — zero
+    data reads, pure driver arithmetic (the same rank-union the
+    partition splitter uses, generalised from the median to arbitrary
+    ranks). Each returned value is an actual data value whose unioned
+    rank is nearest q*total; rank error is bounded by the sidecar
+    budget, <= sum_files(rows_f / k). At 10^5 files this answers
+    "where do the p25/p50/p99 of the keyspace sit" without opening one
+    footer — the planning primitive behind choosing split points,
+    range-shard boundaries, and skew diagnostics."""
+    sketches = []
+    for fn in files:
+        sk = load_sidecar(fn)
+        if sk is None:
+            raise FileNotFoundError(f"missing sketch sidecar for {fn}")
+        sketches.append(_FieldSketch(sk["fields"][field], sk["rows"]))
+    total = sum(s.total for s in sketches)
+    if total == 0:
+        raise ValueError("no rows under the given files")
+    candidates = sorted({v for s in sketches
+                         for v in s.clipped_values(None, None)})
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        target = q * total
+        out.append(min(candidates,
+                       key=lambda c: abs(
+                           sum(s.rank(c) for s in sketches) - target)))
+    return out
+
+
 def find_split_point(
     spark: SparkSession,
     schema: Schema,

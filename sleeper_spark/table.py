@@ -66,6 +66,55 @@ class SleeperTable:
         os.makedirs(t.data_dir, exist_ok=True)
         return t
 
+    def clone(self, dest_path: str) -> "SleeperTable":
+        """Zero-copy table branch (Delta/Iceberg SHALLOW CLONE analog,
+        done the LSM way): copy the metadata (table.json + transaction
+        log + snapshots, with data paths rewritten to the new root) and
+        HARD-LINK every data file + sidecar instead of copying bytes.
+
+        Both tables then evolve fully independently — ingest, compact,
+        delete_where, GC: each table's garbage collector unlinks only
+        its OWN directory entry, and the shared inode survives until the
+        last branch drops it, so neither side can break the other. Time
+        travel works on the clone over the rewritten log. Cost is
+        O(metadata + number of files), zero data bytes; requires dest on
+        the same filesystem (hard-link semantics — the same constraint
+        every zero-copy clone has)."""
+        import shutil
+
+        if os.path.exists(dest_path) and os.listdir(dest_path):
+            raise ValueError(f"clone destination {dest_path} is not empty")
+        os.makedirs(dest_path, exist_ok=True)
+        shutil.copy2(os.path.join(self.path, "table.json"),
+                     os.path.join(dest_path, "table.json"))
+        # metadata rewrite: every absolute data path in the retained
+        # log/snapshots moves under the clone's root (JSON-escaped forms
+        # so exotic path characters can't half-match)
+        src_pref = json.dumps(os.path.join(self.path, ""))[1:-1]
+        dst_pref = json.dumps(os.path.join(dest_path, ""))[1:-1]
+        for sub in ("transactions", "snapshots"):
+            sdir = os.path.join(self.path, "statestore", sub)
+            ddir = os.path.join(dest_path, "statestore", sub)
+            os.makedirs(ddir, exist_ok=True)
+            for name in os.listdir(sdir):
+                if ".tmp-" in name:
+                    continue  # incomplete writer artifacts never travel
+                with open(os.path.join(sdir, name)) as f:
+                    body = f.read()
+                with open(os.path.join(ddir, name), "w") as f:
+                    f.write(body.replace(src_pref, dst_pref))
+        # hard-link the data tree (files already GC'd at the source are
+        # simply absent — time travel to their seqs raises by name, the
+        # same contract the source has)
+        for root, dirs, files in os.walk(self.data_dir):
+            rel = os.path.relpath(root, self.data_dir)
+            troot = os.path.join(dest_path, "data", rel) \
+                if rel != "." else os.path.join(dest_path, "data")
+            os.makedirs(troot, exist_ok=True)
+            for fn in files:
+                os.link(os.path.join(root, fn), os.path.join(troot, fn))
+        return SleeperTable.load(self.spark, dest_path)
+
     @staticmethod
     def load(spark: SparkSession, path: str) -> "SleeperTable":
         with open(os.path.join(path, "table.json")) as f:
@@ -574,6 +623,20 @@ class SleeperTable:
                 .select(*keys, "cosine")
                 .orderBy(F.col("cosine").desc(), *keys)
                 .limit(k))
+
+    def approx_key_quantiles(self, field: str | None = None,
+                             qs: list[float] = (0.25, 0.5, 0.75)) -> list:
+        """Quantile estimates of a row-key field across the LIVE table
+        from quantile-sketch sidecars — zero data reads
+        (sketches.approx_quantiles). Default field = first row key."""
+        from sleeper_spark import sketches
+        field = field or self.schema.row_key_names[0]
+        if field not in self.schema.key_names:
+            raise ValueError(
+                f"{field!r} is not a key field; sidecar sketches cover "
+                f"{self.schema.key_names}")
+        files = sorted({r.filename for r in self.store.all_references()})
+        return sketches.approx_quantiles(files, field, list(qs))
 
     def approx_distinct(self, col: str, p: int = 12) -> float:
         """Approximate distinct count of a column over the live table

@@ -50,9 +50,9 @@ def test_every_query_has_an_oracle():
     # verbatim-span (exact-substring) dedup, the persistent
     # table-level ANN index search, the copy-on-write delete_where
     # lifecycle, SemDeDup semantic dedup, keyword search
-    # (all/any + BM25 + inverted-index stats), and max_by
-    # last-writer-wins upsert
-    assert len(qk) == 121
+    # (all/any + BM25 + inverted-index stats), max_by last-writer-wins
+    # upsert, and the streamed upsert (stream_ingest -> max_by collapse)
+    assert len(qk) == 122
 
 
 def test_entry_smoke(spark):
