@@ -57,9 +57,23 @@ def merge_files(data_dir: str, name: str, inputs: list[str]) -> tuple[str, int]:
     return path, merged.num_rows
 
 
+def delete_rows(data_dir: str, name: str, src: str,
+                drop: int) -> tuple[str | None, int, int]:
+    """Physical delete rewrite (deletes.py analog at protocol level):
+    drop the first ``drop`` rows; None path when nothing survives."""
+    t = pq.read_table(src)
+    n_del = min(drop, t.num_rows)
+    kept = t.slice(n_del)
+    if kept.num_rows == 0:
+        return None, 0, n_del
+    path = os.path.join(data_dir, name)
+    pq.write_table(kept, path)
+    return path, kept.num_rows, n_del
+
+
 def main(store_path: str, data_dir: str, worker: int, rounds: int) -> None:
     st = StateStore(store_path, schema())
-    ingests = compactions = lost_races = 0
+    ingests = compactions = deletes = rows_deleted = lost_races = 0
     for i in range(rounds):
         # ingest: keys unique per (worker, round) so row accounting is exact
         fn = write_file(data_dir, f"w{worker}-i{i}.parquet",
@@ -91,8 +105,35 @@ def main(store_path: str, data_dir: str, worker: int, rounds: int) -> None:
                 FileReference(out, "root", n,
                               only_contains_data_for_this_partition=True))
             compactions += 1
+        if i % 5 == 4:
+            # delete attempt: claim one unassigned file under a delete-*
+            # job (the same protocol delete_where uses) and rewrite it
+            # without its first rows; a fully-emptied file swaps to NO
+            # output (allow_empty_outputs)
+            st.reload()
+            refs = [r for r in st.references_for_partition("root")
+                    if r.job_id is None][:1]
+            if not refs:
+                continue
+            job = f"w{worker}-delete-{i}"
+            try:
+                st.assign_job_ids(job, refs)
+            except StateStoreException:
+                lost_races += 1
+                continue
+            out, n_keep, n_del = delete_rows(
+                data_dir, f"w{worker}-d{i}.parquet", refs[0].filename, 5)
+            outs = [] if out is None else [FileReference(
+                out, "root", n_keep,
+                only_contains_data_for_this_partition=True)]
+            st.replace_file_references_batch(
+                [("root", [refs[0].filename], outs)],
+                allow_empty_outputs=True)
+            deletes += 1
+            rows_deleted += n_del
     print(json.dumps({"worker": worker, "ingests": ingests,
-                      "compactions": compactions,
+                      "compactions": compactions, "deletes": deletes,
+                      "rows_deleted": rows_deleted,
                       "lost_races": lost_races}))
 
 
