@@ -84,6 +84,10 @@ def create_jobs(store: StateStore, props: TableProperties) -> list[CompactionJob
         if props.compaction_strategy == "size_ratio":
             batches = _size_ratio_batches(refs, props.size_ratio,
                                           props.compaction_files_batch_size)
+        elif props.compaction_strategy == "leveled":
+            batches = _leveled_batches(refs, props.level_fanout,
+                                       props.level_trigger,
+                                       props.compaction_files_batch_size)
         else:
             batches = _basic_batches(refs, props.compaction_files_batch_size)
         for batch in batches:
@@ -124,6 +128,48 @@ def _size_ratio_batches(refs: list[FileReference], ratio: int,
         if rest >= ratio * largest or len(batch) >= max_batch:
             out.append(batch)
             batch = []
+    return out
+
+
+def _leveled_batches(refs: list[FileReference], fanout: int,
+                     trigger: int, max_batch: int) -> list[list[FileReference]]:
+    """RocksDB-flavoured leveled tiering (beyond-reference, third
+    strategy): files bucket into size classes by
+    ``floor(log_fanout(rows / smallest))``; any class holding >=
+    ``trigger`` files compacts (oldest first, up to ``max_batch``) into
+    the next class. Merges therefore always combine SIMILAR-sized runs
+    — total write amplification stays O(levels) ~ O(log(total/base))
+    instead of the basic strategy's pathological giant-with-tiny merges
+    that rewrite the giant once per tiny flush. Split references
+    (pull-downs) always compact regardless of class, like both existing
+    strategies."""
+    import math
+
+    pull_down = [r for r in refs
+                 if not r.only_contains_data_for_this_partition]
+    own = [r for r in refs if r.only_contains_data_for_this_partition]
+    base = max(1, min((r.number_of_rows for r in own), default=1))
+    levels: dict[int, list[FileReference]] = {}
+    for r in own:
+        lv = int(math.log(max(1, r.number_of_rows) / base, fanout)) \
+            if fanout > 1 else 0
+        levels.setdefault(lv, []).append(r)
+    out: list[list[FileReference]] = []
+    if len(pull_down) >= 1:
+        # pull-downs merge together with the smallest level's files (the
+        # cheapest companions), or alone if none
+        companions = levels.get(min(levels), []) if levels else []
+        batch = (pull_down + companions)[:max_batch]
+        claimed = set(id(r) for r in batch)
+        out.append(batch)
+        for lv in list(levels):
+            levels[lv] = [r for r in levels[lv] if id(r) not in claimed]
+    take = max(2, max_batch)
+    for lv in sorted(levels):
+        group = sorted(levels[lv], key=lambda r: r.last_update_time)
+        while len(group) >= max(2, trigger):
+            out.append(group[:take])
+            group = group[take:]
     return out
 
 

@@ -40,7 +40,7 @@ class TableProperties:
     # maintenance knobs
     partition_split_threshold: int = 1_000_000_000  # PartitionSplittingProperty.java:97
     compaction_files_batch_size: int = 11           # matches baseline job shape
-    compaction_strategy: str = "basic"              # "basic" | "size_ratio"
+    compaction_strategy: str = "basic"  # "basic" | "size_ratio" | "leveled"
     # engine selection mirrors the reference's Java vs DataFusion split
     # (QueryEngineSelector.java:49-57): "spark" = shared-shuffle Spark SQL
     # plan (full algebra incl. concat-sum/map_*/custom iterators); "arrow" =
@@ -48,6 +48,8 @@ class TableProperties:
     # table's processing config is arrow-expressible
     compaction_engine: str = "auto"                 # "auto" | "spark" | "arrow"
     size_ratio: int = 3                             # SizeRatioCompactionStrategy
+    level_fanout: int = 10                          # leveled: size class base
+    level_trigger: int = 4                          # leveled: files per level
     gc_delay_seconds: float = 600.0                 # docs/design.md:331-343
     # per-file quantile sketch sidecar resolution (Sketches.java:45-62
     # writes a DataSketches quantiles sketch per row-key field per file;

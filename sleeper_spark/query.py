@@ -515,6 +515,11 @@ def _sorted_row_iterator_gen(store: StateStore, schema: Schema,
     agg_ops = {a.column: a for a in (aggs or [])}
     row_key = lambda row: _null_safe_key(row[k] for k in key_names)  # noqa: E731
 
+    # exact-point queries consult per-file Blooms here too — the sorted
+    # iterator is the reference's point-read shape, exactly where
+    # skipping whole runs matters most
+    pts = bloom_points(query, schema.row_key_names[0])
+
     def leaf_stream(leaf, leaf_ranges):
         refs = store.files_for_leaf_query(leaf.id)
         if not refs:
@@ -523,6 +528,8 @@ def _sorted_row_iterator_gen(store: StateStore, schema: Schema,
         if vr:  # sidecar-stats file skipping, same rule as execute()
             fns = [fn for fn in fns
                    if _file_may_match(fn, query.value_ranges)]
+        if pts is not None:
+            fns = [fn for fn in fns if file_may_contain_keys(fn, pts)]
         runs = [file_rows(fn, leaf) for fn in fns]
         for row in heapq.merge(*runs, key=row_key):
             # leaf region is the dedup guard for shared ancestor files

@@ -159,6 +159,26 @@ class TestBloomFileSkipping:
             [{"key": "k-000001"}, {"key": "k-000999"}])
         assert sorted(r.value for r in out.collect()) == [1, 999]
 
+    def test_sorted_rows_point_query_bloom_path(self, spark, tmp_path, monkeypatch):
+        from sleeper_spark import query as query_mod
+        t = SleeperTable.create(spark, str(tmp_path / "t"), _schema())
+        t.ingest(_rows(spark, 0, 1000))
+        t.ingest(_rows(spark, 1000, 2000))
+        opened = []
+        real_pf = __import__("pyarrow.parquet", fromlist=["ParquetFile"]).ParquetFile
+
+        import pyarrow.parquet as pqm
+        monkeypatch.setattr(pqm, "ParquetFile",
+                            lambda fn, *a, **k: opened.append(fn) or real_pf(fn, *a, **k))
+        q = Query([Region.exact(t.schema, key="k-001500")])
+        rows = list(t.sorted_rows(query=q))
+        assert len(rows) == 1 and rows[0]["value"] == 1500
+        assert len(opened) == 1  # bloom pruned the other run's file
+        opened.clear()
+        assert list(t.sorted_rows(
+            Query([Region.exact(t.schema, key="nope")]))) == []
+        assert opened == []  # provably-absent key opens nothing
+
     def test_compacted_file_gets_bloom_and_prunes(self, spark, tmp_path):
         t = SleeperTable.create(spark, str(tmp_path / "t"), _schema())
         t.ingest(_rows(spark, 0, 500))
