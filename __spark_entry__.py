@@ -469,8 +469,12 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
         _dec_sum("l_quantity", 2).alias("sum_qty"),
         _dec_sum("l_extendedprice", 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+        # round the EXACT decimal, then cast: rounding after the double
+        # cast hits the half-cent hazard (a sum ending .xx5 has no exact
+        # double; Spark rounds the shortest repr, DuckDB the binary
+        # expansion — they disagree exactly at midpoints)
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         F.round((F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
                  / F.count(F.lit(1))), 4).alias("avg_qty"),
         F.round((F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
@@ -658,7 +662,10 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        # round-then-cast: see q_tpch_q1 — a .xx5 revenue sum rounds
+        # differently across engines after a lossy double cast
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double")
+             .alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1373,7 +1380,11 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from sleeper_spark.functions import timeseries
 
     ev = _load(spark, sf, "events").select("event_id", "user_id", "ts_us")
-    out = timeseries.sessionize(ev, ["user_id"], "ts_us", 1_800_000_000)
+    # event_id tie-break: duplicate timestamps exist at sf>=1 (replica
+    # generation), and without a total order a boundary tie group can
+    # split across sessions differently per engine (sessionize docstring)
+    out = timeseries.sessionize(ev, ["user_id"], "ts_us", 1_800_000_000,
+                                order_cols=["event_id"])
     return out.select("event_id", "user_id", "session_id")
 
 
@@ -3235,8 +3246,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
             "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price, "
-            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price, "
-            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, "
             "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty, "
             "round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc, "
             "count(*) AS count_order "
@@ -3294,8 +3305,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7":
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
             "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
-            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN supplier ON l_suppkey = s_suppkey "
@@ -3751,9 +3762,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events), "
             "s AS (SELECT event_id, user_id, t, CASE WHEN lag(t) OVER w "
             "IS NULL OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END "
-            "AS st FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)) "
+            "AS st FROM e WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY t, event_id)) "
             "SELECT event_id, user_id, CAST(sum(st) OVER ("
-            "PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1 "
+            "PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 "
             "AS BIGINT) AS session_id FROM s",
         "range_join":
             "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "

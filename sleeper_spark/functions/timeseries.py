@@ -92,17 +92,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
 
 
 def sessionize(df: DataFrame, on: list[str], ts: str, gap,
-               session_col: str = "session_id") -> DataFrame:
+               session_col: str = "session_id",
+               order_cols: list[str] | None = None) -> DataFrame:
     """Assign a per-key session index (0-based, in time order): a new
     session starts where the gap to the key's previous event exceeds
     ``gap`` (same unit as ``ts``). Classic gaps-and-islands — lag to
     flag session starts, running sum to number them. One shuffle on the
-    key columns, linear per key."""
-    w = Window.partitionBy(*on).orderBy(F.col(ts).asc())
+    key columns, linear per key.
+
+    ``order_cols``: extra tie-break columns appended to the time
+    ordering. With DUPLICATE timestamps this is not cosmetic: the lag
+    pass and the running-sum pass are separate window evaluations whose
+    tie orders need not agree, so a tie group at a session boundary can
+    otherwise split across sessions nondeterministically (the flagged
+    start row lands mid-group in the second pass's order). Pass a
+    unique column (an event id) whenever ``ts`` can repeat."""
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(*on).orderBy(*order)
     is_start = F.when(
         F.lag(ts).over(w).isNull()
         | ((F.col(ts) - F.lag(ts).over(w)) > F.lit(gap)), 1).otherwise(0)
-    running = Window.partitionBy(*on).orderBy(F.col(ts).asc()) \
+    running = Window.partitionBy(*on).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("__s__", is_start) \
         .withColumn(session_col, (F.sum("__s__").over(running) - 1)
