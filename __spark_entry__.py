@@ -3921,15 +3921,28 @@ def oracle_sql() -> dict[str, str]:
         # session_window: touching windows MERGE (verified empirically —
         # an event at exactly prev_t + gap continues the session), so
         # the batch rule is strictly-greater
+        # VALUE-BASED sessionization: session ids assigned over DISTINCT
+        # (user, t) then joined back to rows. Running the windows over
+        # raw rows is nondeterministic with duplicate timestamps — the
+        # lag pass and the cumulative-sum pass need not agree on tie
+        # order, so an all-equal-t group at a boundary can split across
+        # sessions (observed at sf1: a 10-row tie split 4+6). Spark's
+        # native session_window is value-based by construction; >= gap
+        # matches its interval-overlap rule ([t, t+gap) intervals merge
+        # only when they overlap, so an event exactly gap later opens a
+        # new session).
         "streaming_session_window":
             "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+            "d AS (SELECT DISTINCT user_id, t FROM e), "
             "s AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL "
-            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS st "
-            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+            "OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS st "
+            "FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
             "g AS (SELECT user_id, t, sum(st) OVER (PARTITION BY user_id "
             "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
-            "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
-            "FROM g GROUP BY user_id, sid",
+            "SELECT e.user_id, min(e.t) AS session_start_us, "
+            "count(*) AS n_events "
+            "FROM e JOIN g ON e.user_id = g.user_id AND e.t = g.t "
+            "GROUP BY e.user_id, g.sid",
         "zorder_key": _zorder_oracle_sql(),
         "corpus_shuffle":
             # same two-round congruential as layout.shuffle_key(seed=7)
