@@ -498,7 +498,7 @@ def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
-        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -517,7 +517,7 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
                  "o_orderpriority")
-        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -544,7 +544,7 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -559,7 +559,7 @@ def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
     s = _load(spark, sf, "supplier")
     rev = (li.groupBy("l_suppkey")
-           .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2)
+           .agg(F.round(F.sum(_revenue_dec()), 2).cast("double")
                 .alias("total_revenue")))
     top = rev.agg(F.max("total_revenue").alias("__max"))
     return (
@@ -685,7 +685,7 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -711,7 +711,7 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(branch)
-        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"),
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -807,7 +807,7 @@ def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -3255,7 +3255,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus",
         "join_agg":
             "SELECT n_name, r_name, "
-            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, "
             "count(*) AS n_items "
             "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
@@ -3263,7 +3263,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n_name, r_name",
         "tpch_q3":
             "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority, "
-            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' "
@@ -3271,8 +3271,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10",
         "tpch_q5":
-            "SELECT n_name, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN supplier ON l_suppkey = s_suppkey "
@@ -3318,8 +3318,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
         "tpch_q10":
             "SELECT c_custkey, c_name, c_acctbal, n_name, "
-            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -3329,8 +3329,8 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1996-01-01' "
             "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20",
         "tpch_q19":
-            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue, "
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, "
             "count(*) AS n_items "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
@@ -3341,8 +3341,8 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 20 AND 30)",
         "tpch_q15":
             "WITH rev AS (SELECT l_suppkey, "
-            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-            "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) "
             "AS total_revenue FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
@@ -3405,11 +3405,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9":
             "SELECT n_name AS nation, "
             "CAST(year(o_orderdate) AS INTEGER) AS o_year, "
-            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
             "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
             "- CAST(p_retailprice AS DECIMAL(12,2)) "
             "* CAST(l_quantity AS DECIMAL(12,2)) "
-            "* CAST('0.1' AS DECIMAL(2,1))) AS DOUBLE), 2) AS sum_profit "
+            "* CAST('0.1' AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit "
             "FROM lineitem "
             "JOIN part ON l_partkey = p_partkey "
             "JOIN orders ON l_orderkey = o_orderkey "
