@@ -112,7 +112,15 @@ class SleeperTable:
                 if rel != "." else os.path.join(dest_path, "data")
             os.makedirs(troot, exist_ok=True)
             for fn in files:
-                os.link(os.path.join(root, fn), os.path.join(troot, fn))
+                src = os.path.join(root, fn)
+                dst = os.path.join(troot, fn)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    # cross-device/filesystem destination: degrade to a
+                    # byte copy for THIS file — correctness identical,
+                    # just not zero-copy (EXDEV is the classic case)
+                    shutil.copy2(src, dst)
         return SleeperTable.load(self.spark, dest_path)
 
     @staticmethod
