@@ -480,6 +480,15 @@ class StateStore:
                     raise StateStoreException(
                         f"file {a['filename']} already assigned to job {ref.job_id}")
                 self.files[a["filename"]][a["partitionId"]] = replace(ref, job_id=a["jobId"])
+        elif t == "UNASSIGN_JOB_IDS":
+            # crash recovery: release a dead job's input claims so the
+            # files become compactable/deletable again (the reference's
+            # dead-job detection re-opens inputs the same way)
+            jid = tx["jobId"]
+            for fn, by_pid in self.files.items():
+                for pid, ref in list(by_pid.items()):
+                    if ref.job_id == jid:
+                        by_pid[pid] = replace(ref, job_id=None)
         elif t == "DELETE_FILES":
             for fn in tx["filenames"]:
                 self.gc_queue.pop(fn, None)
@@ -691,6 +700,26 @@ class StateStore:
                     for job_id, refs in assignments for r in refs
                 ],
             }
+
+        self._commit_with_retry(build)
+
+    def unassign_job_ids(self, job_id: str) -> None:
+        """Release every file reference claimed by ``job_id`` — the
+        recovery step after a compaction/delete worker died between its
+        ASSIGN and its REPLACE (without it the claims leak forever and
+        those files can never be compacted or deleted again). Refuses
+        unknown job ids: unassigning a job that holds nothing is almost
+        certainly a caller bug (e.g. double recovery racing the job's
+        own late commit, which the REPLACE path would then let through
+        against re-claimed files)."""
+        def build() -> dict[str, Any]:
+            held = [r for by_pid in self.files.values()
+                    for r in by_pid.values() if r.job_id == job_id]
+            if not held:
+                raise StateStoreException(
+                    f"job {job_id} holds no file claims (already "
+                    "finished, already recovered, or never existed)")
+            return {"type": "UNASSIGN_JOB_IDS", "jobId": job_id}
 
         self._commit_with_retry(build)
 

@@ -486,6 +486,25 @@ class SleeperTable:
         from sleeper_spark.deletes import delete_where as _dw
         return _dw(self, regions=regions, value_ranges=value_ranges)
 
+    def claimed_jobs(self) -> dict[str, int]:
+        """job_id -> number of file references it currently claims —
+        the recovery operator's view: a job that has held claims far
+        longer than any compaction/delete runs is dead."""
+        out: dict[str, int] = {}
+        for ref in self.store.all_references():
+            if ref.job_id is not None:
+                out[ref.job_id] = out.get(ref.job_id, 0) + 1
+        return out
+
+    def abandon_job(self, job_id: str) -> None:
+        """Release a dead job's input claims (UNASSIGN_JOB_IDS) so its
+        files become compactable/deletable again. Safe against the
+        'dead' job racing back to life: the REPLACE commit validates its
+        inputs are still referenced inside the atomic commit, so of a
+        late worker and a new claimant exactly one swap wins and the
+        other aborts — rows are never lost or duplicated either way."""
+        self.store.unassign_job_ids(job_id)
+
     def split_partitions(self) -> list[str]:
         if not self.props.online:  # docs/design.md:68-71
             return []
