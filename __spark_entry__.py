@@ -1584,6 +1584,25 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
             .select("id_a", "id_b"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash dedup (dedup.incremental_minhash_pairs): the
+    corpus is split into an existing index (banded_buckets over 80% of
+    docs — the persisted state an ongoing pipeline carries) and a new
+    batch (doc_id % 5 == 0); only pairs touching the batch are
+    produced, and old text is never re-read. On the planted-duplicate
+    fixture the candidates equal ground truth restricted to
+    batch-touching pairs, so the oracle is the exact shared-shingle
+    Jaccard join with that restriction — a hash match proves recall AND
+    precision 1.0 for the incremental path too."""
+    doc = _load(spark, sf, "documents")
+    old = doc.where(F.col("doc_id") % 5 != 0)
+    new = doc.where(F.col("doc_id") % 5 == 0)
+    idx = dedup.banded_buckets(old, num_hashes=32, bands=8)
+    return (dedup.incremental_minhash_pairs(idx, new,
+                                            num_hashes=32, bands=8)
+            .select("id_a", "id_b"))
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-duplicates within Hamming distance 3. Uses the
     portable md5-based shingle hash so the DuckDB oracle RECOMPUTES the
@@ -2617,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
         "near_dup_keep_one": q_near_dup_keep_one,
         "simhash_pairs": q_simhash_pairs,
@@ -3601,6 +3621,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs":
             _GROUND_TRUTH_PAIRS +
             "SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7",
+        "incremental_dedup":
+            _GROUND_TRUTH_PAIRS +
+            "SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7 "
+            "AND (id_a % 5 = 0 OR id_b % 5 = 0)",
         "dedup_clusters":
             _GROUND_TRUTH_PAIRS.replace("WITH sh", "WITH RECURSIVE sh")
             .rstrip() + ", "

@@ -178,6 +178,76 @@ def minhash_signatures(
     return out.where(F.col("mh0").isNotNull())
 
 
+def banded_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable LSH index rows of a corpus: ``(id_col, band,
+    bucket)``, B rows per document — one band bucket per r-signature
+    slice. This is the table an INCREMENTAL dedup pipeline stores
+    (e.g. ingested into a SleeperTable keyed on (band, bucket)):
+    signatures are computed once per document ever, and each new batch
+    joins only its own bands against the index
+    (:func:`incremental_minhash_pairs`)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                # band bucket = one hash over the band's r signature values
+                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+                 .alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def incremental_minhash_pairs(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate pairs TOUCHING NEW DOCUMENTS only: the new batch's
+    band rows join against the existing corpus index (``index_df``,
+    the :func:`banded_buckets` shape — old text is never re-read, old
+    signatures never recomputed) plus the batch itself for new-vs-new
+    pairs. Cost scales with the BATCH and the buckets it touches, not
+    with corpus size — the shape a daily-crawl dedup actually runs,
+    instead of the full O(corpus) pair join per increment.
+
+    ``index_df`` must not already contain the new batch's rows (ids on
+    both sides are compared, so overlap would only cost extra join
+    work, but keeping the contract sharp keeps the index append
+    exactly-once). Same (num_hashes, bands, shingle_k) as the index
+    build, or buckets are meaningless."""
+    nb = banded_buckets(new_df, text_col, id_col, num_hashes, bands,
+                        shingle_k)
+    nb = nb.repartition("band", "bucket")
+    right = (index_df.select(id_col, "band", "bucket")
+             .unionByName(nb)
+             .withColumnRenamed(id_col, "__rid"))
+    pairs = (
+        nb.join(right, ["band", "bucket"])
+        .where(F.col(id_col) != F.col("__rid"))
+        .select(F.least(id_col, "__rid").alias("id_a"),
+                F.greatest(id_col, "__rid").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",

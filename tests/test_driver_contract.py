@@ -51,8 +51,9 @@ def test_every_query_has_an_oracle():
     # table-level ANN index search, the copy-on-write delete_where
     # lifecycle, SemDeDup semantic dedup, keyword search
     # (all/any + BM25 + inverted-index stats), max_by last-writer-wins
-    # upsert, and the streamed upsert (stream_ingest -> max_by collapse)
-    assert len(qk) == 122
+    # upsert, the streamed upsert (stream_ingest -> max_by collapse),
+    # and incremental MinHash dedup against a persisted band index
+    assert len(qk) == 123
 
 
 def test_entry_smoke(spark):

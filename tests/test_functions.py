@@ -138,6 +138,26 @@ class TestDedup:
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_incremental_pairs_equal_full_pairs_restricted(self, docs):
+        """The incremental path (new batch vs persisted band index) must
+        produce EXACTLY the full self-join's pairs that touch the batch
+        — same recall, no phantom pairs, old text never re-read."""
+        from pyspark.sql import functions as F
+        from sleeper_spark.functions.dedup import (
+            banded_buckets,
+            incremental_minhash_pairs,
+            minhash_candidate_pairs,
+        )
+        old = docs.where(F.col("doc_id") % 5 != 0)
+        new = docs.where(F.col("doc_id") % 5 == 0)
+        idx = banded_buckets(old, num_hashes=16, bands=4)
+        inc = {(r.id_a, r.id_b) for r in incremental_minhash_pairs(
+            idx, new, num_hashes=16, bands=4).collect()}
+        full = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(
+            docs, num_hashes=16, bands=4).collect()}
+        want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+        assert inc == want
+
     def test_minhash_scales_on_real_docs(self, docs):
         from sleeper_spark.functions.dedup import minhash_candidate_pairs
         pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4)
