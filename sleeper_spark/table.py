@@ -486,6 +486,44 @@ class SleeperTable:
         from sleeper_spark.deletes import delete_where as _dw
         return _dw(self, regions=regions, value_ranges=value_ranges)
 
+    def describe(self) -> dict:
+        """Operator's one-call table summary — all driver-side metadata
+        (partition tree + manifest + sidecar presence), no data reads:
+        row/file/byte totals, per-leaf file counts (compaction debt and
+        skew at a glance), claim and GC backlogs, log position."""
+        refs = self.store.all_references()
+        files = sorted({r.filename for r in refs})
+        by_leaf: dict[str, int] = {}
+        for r in refs:
+            by_leaf[r.partition_id] = by_leaf.get(r.partition_id, 0) + 1
+        tree = self.store.tree
+        n_bytes = 0
+        n_sidecars = 0
+        from sleeper_spark import sketches
+        for fn in files:
+            try:
+                n_bytes += os.path.getsize(fn)
+            except OSError:
+                pass
+            if os.path.exists(sketches.sidecar_path(fn)):
+                n_sidecars += 1
+        return {
+            "table": self.props.table_name,
+            "seq": self.store.current_seq,
+            "n_partitions": len(tree.all_partitions()) if tree else 0,
+            "n_leaves": len(tree.leaves()) if tree else 0,
+            "n_files": len(files),
+            "n_references": len(refs),
+            "n_rows": sum(r.number_of_rows for r in refs),
+            "approx_rows": any(r.count_approximate for r in refs),
+            "total_bytes": n_bytes,
+            "n_sidecars": n_sidecars,
+            "files_per_leaf_max": max(by_leaf.values(), default=0),
+            "claimed_jobs": self.claimed_jobs(),
+            "gc_pending": len(self.store.gc_queue),
+            "online": self.props.online,
+        }
+
     def claimed_jobs(self) -> dict[str, int]:
         """job_id -> number of file references it currently claims —
         the recovery operator's view: a job that has held claims far

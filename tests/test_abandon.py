@@ -28,6 +28,21 @@ def table(spark, tmp_path):
     return t
 
 
+class TestDescribe:
+    def test_describe_summarises_metadata_only(self, table):
+        d = table.describe()
+        assert d["n_files"] == 2 and d["n_references"] == 2
+        assert d["n_rows"] == 200 and not d["approx_rows"]
+        assert d["n_sidecars"] == 2 and d["total_bytes"] > 0
+        assert d["files_per_leaf_max"] == 2  # both files in the root
+        assert d["claimed_jobs"] == {} and d["gc_pending"] == 0
+        assert d["n_leaves"] == 1 and d["online"]
+        table.compact(now_millis=0)
+        d2 = table.describe()
+        assert d2["n_files"] == 1 and d2["gc_pending"] == 2
+        assert d2["n_rows"] == 200
+
+
 class TestAbandonJob:
     def _claim_all(self, table, job_id="dead-job"):
         refs = table.store.all_references()
