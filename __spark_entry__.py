@@ -1649,6 +1649,17 @@ def q_near_dup_verified(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.verified_near_duplicates(doc, threshold=0.7)
 
 
+def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT thresholded Jaccard self-join (prefix filtering, AllPairs/
+    PPJoin family) at t=0.5 — below the LSH knee the near-dup pipeline
+    tunes for, so this exercises pairs LSH is allowed to miss. The
+    oracle is the same exact all-pairs ground truth; a hash match here
+    proves EXACTNESS (no candidate the prefix bound should find is
+    lost), not just recall."""
+    doc = _load(spark, sf, "documents")
+    return dedup.similarity_join(doc, threshold=0.5)
+
+
 def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     """Vector math primitives (zip_with/aggregate, JVM-side): L2 norms."""
     emb = _load(spark, sf, "embeddings")
@@ -2641,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keep_one": q_near_dup_keep_one,
         "simhash_pairs": q_simhash_pairs,
         "near_dup_verified": q_near_dup_verified,
+        "similarity_join": q_similarity_join,
         "embedding_norms": q_embedding_norms,
         "embedding_quantize": q_embedding_quantize,
         "quantiles": q_quantiles,
@@ -3654,6 +3666,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_verified":
             _GROUND_TRUTH_PAIRS +
             "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7",
+        "similarity_join":
+            _GROUND_TRUTH_PAIRS +
+            "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5",
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(dim=64, k=10, bits=8, seed=42),
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),

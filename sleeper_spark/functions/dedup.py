@@ -616,3 +616,91 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering — AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+def similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT thresholded Jaccard self-join via prefix filtering: every
+    pair (id_a < id_b) with round(J, 4) >= threshold — no LSH
+    approximation, no O(n²) pair space. The AllPairs/PPJoin candidate
+    bound (Bayardo et al., WWW'07; Xiao et al., WWW'08 — public
+    algorithms, re-derived here for DataFrame ops):
+
+    order the universe of shingles by ascending document frequency
+    (rarest first). For a set of n shingles, its PREFIX is the first
+    ``n - ceil(t*n) + 1`` shingles in that order. If J(x, y) >= t, then
+    |x ∩ y| >= t * max(|x|, |y|), so x and y MUST share at least one
+    prefix shingle under any common global order — equi-joining on
+    prefix shingles finds every qualifying pair. Rarest-first makes the
+    prefix shingles the LOW-frequency ones, so candidate buckets stay
+    small (a hot boilerplate shingle can never enter a prefix unless a
+    document is almost entirely boilerplate).
+
+    Shapes at scale: one hash-agg for document frequencies (shuffle on
+    shingle), one shuffle to regroup (__id) for the rarest-first sort
+    (per-doc state is bounded by document length), one equi-join on
+    prefix shingles (bucket sizes bounded by prefix rarity + the
+    size-ratio filter min(n) >= t*max(n)), then the exact Jaccard
+    verify touches only candidates. No driver-side data anywhere.
+
+    The verify compares ``round(J, 4) >= threshold`` (cross-engine
+    stable); candidates are generated with a slightly RELAXED bound
+    ``t - 5e-5`` so a pair whose raw J sits just under t but rounds up
+    is still found — output therefore matches an oracle that rounds.
+    """
+    t_gen = max(threshold - 5e-5, 0.0)
+    sh = (_spread(df)
+          .select(F.col(id_col).alias("__id"),
+                  shingles(text_col, shingle_k).alias("__sh"))
+          .where(F.size("__sh") > 0)
+          # feeds the frequency agg, the prefix build, and BOTH verify
+          # probes — materialise once (same rationale as
+          # verified_near_duplicates)
+          .localCheckpoint())
+    ex = sh.select("__id", F.explode("__sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("__df"))
+    ordered = (
+        ex.join(dfreq, "g")
+        .groupBy("__id")
+        # rarest-first: lexicographic (document-frequency, shingle) —
+        # deterministic under frequency ties
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "g")))
+             .alias("__ord")))
+    n = F.size("__ord")
+    plen = (n - F.ceil(F.lit(t_gen) * n) + 1).cast("int")
+    pref = ordered.select(
+        "__id", n.alias("__n"),
+        F.explode(F.transform(F.slice("__ord", F.lit(1), plen),
+                              lambda s: s["g"])).alias("g"))
+    # one exchange on the prefix shingle, reused by both self-join sides
+    pref = pref.repartition("g")
+    l, r = pref.alias("l"), pref.alias("r")
+    cand = (
+        l.join(r, "g")
+        .where((F.col("l.__id") < F.col("r.__id"))
+               # size-ratio filter: J <= min(n)/max(n)
+               & (F.least("l.__n", "r.__n").cast("double")
+                  >= F.lit(t_gen) * F.greatest("l.__n", "r.__n")))
+        .select(F.col("l.__id").alias("id_a"),
+                F.col("r.__id").alias("id_b"))
+        .distinct())
+    return (
+        cand.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}),
+                  "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}),
+              "id_b")
+        .withColumn("jaccard",
+                    F.round(jaccard_similarity(F.col("sh_a"),
+                                               F.col("sh_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

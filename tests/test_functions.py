@@ -158,6 +158,41 @@ class TestDedup:
         want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
         assert inc == want
 
+    def test_similarity_join_exactness_vs_brute_force(self, docs):
+        """Prefix filtering must lose NOTHING: on real documents the
+        output equals the brute-force all-pairs thresholded Jaccard set
+        — exactness, not recall."""
+        from sleeper_spark.functions.dedup import (
+            jaccard_similarity, shingles, similarity_join)
+        sub = docs.where(F.col("doc_id") < 120)
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               similarity_join(sub, threshold=0.3).collect()}
+        sh = sub.select("doc_id", shingles("text", 3).alias("s")) \
+            .where(F.size("s") > 0)
+        a, b = sh.alias("a"), sh.alias("b")
+        brute = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b"),
+                         F.round(jaccard_similarity(
+                             F.col("a.s"), F.col("b.s")), 4).alias("j"))
+                 .where(F.col("j") >= 0.3))
+        want = {(r.id_a, r.id_b, r.j) for r in brute.collect()}
+        assert got == want
+        assert want, "fixture produced no qualifying pairs — test is vacuous"
+
+    def test_similarity_join_planted_pair_and_short_docs(self, spark):
+        from sleeper_spark.functions.dedup import similarity_join
+        base = ("spark is a distributed engine for large scale data "
+                "processing with dataframes and sql abstractions")
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("large scale", "massive scale")),
+             (3, "unrelated doc about cats and windowsills entirely"),
+             (4, "too short")],  # < k words: no shingles, never a pair
+            ["doc_id", "text"])
+        got = {(r.id_a, r.id_b) for r in
+               similarity_join(df, threshold=0.5).collect()}
+        assert got == {(1, 2)}
+
     def test_minhash_scales_on_real_docs(self, docs):
         from sleeper_spark.functions.dedup import minhash_candidate_pairs
         pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4)
