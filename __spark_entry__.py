@@ -2071,6 +2071,19 @@ def q_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return cardinality.distinct_count_sketch(ev, "user_id", p=8)
 
 
+def q_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT top-10 heaviest event users via sharded two-phase top-k
+    (functions/frequency.py): one hash agg, then a per-shard
+    WindowGroupLimit prune bounds the final ordering input at
+    shards×k rows whatever the cardinality. The oracle replays the
+    md5 shard + prune + (n desc, v) order bit-for-bit, proving the
+    prune loses nothing. Per-file sidecar variant with count BOUNDS
+    on SleeperTable.hot_keys / advise_salting."""
+    from sleeper_spark.functions import frequency
+    ev = _load(spark, sf, "events")
+    return frequency.sharded_top_items(ev, "user_id", k=10, shards=16)
+
+
 def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
     The synthetic embeddings plant no >0.9-cosine twins, so the driver
@@ -2662,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_index_selection": q_ann_index_selection,
         "hll_sketch": q_hll_sketch,
+        "hot_keys": q_hot_keys,
         "table_ann_search": q_table_ann_search,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
@@ -3679,6 +3693,10 @@ def oracle_sql() -> dict[str, str]:
             "sleeper_spark.functions.cardinality",
             fromlist=["oracle_sketch_sql"]).oracle_sketch_sql(
                 "events", "user_id", p=8),
+        "hot_keys": __import__(
+            "sleeper_spark.functions.frequency",
+            fromlist=["oracle_sharded_top_sql"]).oracle_sharded_top_sql(
+                "events", "user_id", k=10, shards=16),
         "ivf_topk": _ivf_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivfpq_oracle_sql(),

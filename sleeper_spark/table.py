@@ -759,3 +759,71 @@ class SleeperTable:
                     if rho > merged.get(reg, 0):
                         merged[reg] = rho
         return cardinality.hll_estimate(list(merged.items()), p)
+
+    def hot_keys(self, col: str, k: int = 10, m: int = 32) -> list[tuple]:
+        """Top-k heavy-hitter candidates of a column over the live table
+        WITHOUT a table-wide scan-and-sort: per-file exact top-m
+        summaries (functions/frequency.py) stored in the same sidecar
+        JSON as the quantile sketch and HLL registers, merged
+        driver-side into ``[(value, lower, upper)]`` count bounds.
+
+        Lazy like :meth:`approx_distinct`: the first call runs ONE
+        Spark job over only the live files missing a summary for
+        (col, m); later calls after ingest/compaction churn scan only
+        NEW files. The merge guarantee (see merge_top_summaries): true
+        count ∈ [lower, upper], and no value with true count above the
+        summed thresholds can be absent — hot keys are never missed,
+        they can only come with a loose upper bound."""
+        from sleeper_spark import sketches
+        from sleeper_spark.functions import frequency
+
+        dt = {f.name: f.dtype for f in self.schema.all_fields()}.get(col)
+        import pyspark.sql.types as T
+        if not isinstance(dt, (T.IntegerType, T.LongType, T.StringType)):
+            raise ValueError(
+                f"hot_keys supports int/long/string columns, "
+                f"got {dt} for {col!r}")
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        live = sorted(self.store.files.keys())
+        skey = f"{col}@{m}"
+        summaries: list[dict] = []
+        missing: list[str] = []
+        cached: dict[str, dict] = {}
+        for fn in live:
+            sc = sketches.load_sidecar(fn) or {}
+            s = (sc.get("topm") or {}).get(skey)
+            if s is None:
+                missing.append(fn)
+                cached[fn] = sc
+            else:
+                summaries.append({"top": [tuple(t) for t in s["top"]],
+                                  "threshold": s["threshold"],
+                                  "rows": s["rows"]})
+        if missing:
+            built = frequency.per_file_top_items(
+                self.spark, missing, col, m)
+            for fn, s in built.items():
+                sc = cached[fn]
+                sc.setdefault("topm", {})[skey] = {
+                    "top": [list(t) for t in s["top"]],
+                    "threshold": s["threshold"], "rows": s["rows"]}
+                sketches.write_sidecar(fn, sc)
+                summaries.append(s)
+        return frequency.merge_top_summaries(summaries)[:k]
+
+    def advise_salting(self, col: str, n_partitions: int | None = None,
+                       hot_multiple: float = 2.0, m: int = 32) -> list[tuple]:
+        """Salting plan for joins/aggs on ``col``: ``[(value,
+        upper_bound, salt)]`` for keys hot enough to overflow an
+        average shuffle partition (see frequency.advise_salting). All
+        inputs come from sidecar math — file row totals from the
+        manifest, per-key bounds from :meth:`hot_keys` — so the advice
+        is free at any table size. Feed the max salt to
+        functions/skew.salted_join."""
+        from sleeper_spark.functions import frequency
+        if n_partitions is None:
+            n_partitions = self.spark.sparkContext.defaultParallelism
+        cand = self.hot_keys(col, k=1 << 30, m=m)
+        total = sum(r.number_of_rows for r in self.store.all_references())
+        return frequency.advise_salting(
+            cand, total, n_partitions, hot_multiple)

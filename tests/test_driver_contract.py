@@ -52,9 +52,9 @@ def test_every_query_has_an_oracle():
     # lifecycle, SemDeDup semantic dedup, keyword search
     # (all/any + BM25 + inverted-index stats), max_by last-writer-wins
     # upsert, the streamed upsert (stream_ingest -> max_by collapse),
-    # incremental MinHash dedup against a persisted band index, and the
-    # exact prefix-filtering similarity join
-    assert len(qk) == 124
+    # incremental MinHash dedup against a persisted band index, the
+    # exact prefix-filtering similarity join, and sharded heavy hitters
+    assert len(qk) == 125
 
 
 def test_entry_smoke(spark):
