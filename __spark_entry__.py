@@ -357,6 +357,36 @@ def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan().select("event_id", "user_id", "event_type")
 
 
+def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Branch diff end-to-end (table.diff): ingest part into a table,
+    zero-copy clone it, mutate the BRANCH (delete one key region +
+    ingest a price-bumped copy of the low keys), then diff base vs
+    branch. Shared hard-linked files are pruned from the diff scan
+    (inode identity), so the cost tracks divergence, not table size —
+    plan-pinned in tests/test_diff.py. The oracle recomputes both
+    change sets straight from the source parquet."""
+    part = _load(spark, sf, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice")
+    schema = Schema(
+        (Field("p_partkey", T.LongType()),),
+        (),
+        (Field("p_name", T.StringType(), True),
+         Field("p_size", T.IntegerType(), True),
+         Field("p_retailprice", T.DoubleType(), True)),
+    )
+    tmp = tempfile.mkdtemp(prefix="sleeper_diff_")
+    base = SleeperTable.create(spark, os.path.join(tmp, "base"), schema,
+                               TableProperties(),
+                               split_points=[100, 200, 300])
+    base.ingest(part)
+    branch = base.clone(os.path.join(tmp, "branch"))
+    branch.delete_where(regions=[Region.of(Range("p_partkey", 120, 180))])
+    mod = part.where(F.col("p_partkey") <= 50).withColumn(
+        "p_retailprice", F.round(F.col("p_retailprice") + 1000.0, 2))
+    branch.ingest(mod)
+    return base.diff(branch)
+
+
 def q_upsert_last_writer(spark: SparkSession, sf: str) -> DataFrame:
     """Last-writer-wins upsert via the max_by aggregation
     (iterators.py/processing.py): events collapse on (user_id,
@@ -2580,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sleeper_lifecycle": q_sleeper_lifecycle,
         "value_filter_skipping": q_value_filter_skipping,
         "delete_where": q_delete_where,
+        "table_diff": q_table_diff,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
@@ -3266,6 +3297,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
             "AND NOT (event_type = 'click')",
+        "table_diff":
+            "SELECT 'removed' AS change, p_partkey, p_name, p_size, "
+            "p_retailprice FROM part "
+            "WHERE p_partkey >= 120 AND p_partkey < 180 "
+            "UNION ALL "
+            "SELECT 'added' AS change, p_partkey, p_name, p_size, "
+            "round(p_retailprice + 1000.0, 2) AS p_retailprice FROM part "
+            "WHERE p_partkey <= 50",
         "upsert_last_writer":
             "WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, "
             "value, row_number() OVER (PARTITION BY user_id, event_type "

@@ -827,3 +827,70 @@ class SleeperTable:
         total = sum(r.number_of_rows for r in self.store.all_references())
         return frequency.advise_salting(
             cand, total, n_partitions, hot_multiple)
+
+    def diff(self, other: "SleeperTable") -> DataFrame:
+        """Row-level diff between two table states (typically a table
+        and a :meth:`clone` branch): DataFrame of ``(change, *columns)``
+        where change='removed' rows exist here but not in ``other`` and
+        change='added' rows exist in ``other`` but not here — multiset
+        semantics (exceptAll), so duplicated LSM rows count.
+
+        LSM-aware pruning: files present in BOTH manifests (the
+        hard-linked files a clone shares with its source — detected
+        with samefile, i.e. inode identity, never path or name
+        equality) contribute identical rows to both sides and are
+        skipped ENTIRELY. Diff cost is therefore proportional to the
+        branches' DIVERGENCE (files written since the clone), not to
+        table size — the same economics as the change feed. Falls back
+        to full collapsed scans when either table configures
+        filters/aggregations/iterators: partial-file reads would
+        otherwise diff pre-collapse rows (the exact hazard
+        reject_value_ranges_on_aggregation guards in query planning).
+
+        Reference analog: none (no branching); file layout mirrors the
+        snapshot/manifest design in docs/design.md.
+        """
+        if self.schema.to_struct_type() != other.schema.to_struct_type():
+            raise ValueError("diff requires identical schemas")
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        other.store.refresh_if_stale(
+            other.props.query_cache_timeout_seconds)
+        plain = not any([
+            self.props.filters, self.props.aggregations,
+            self.props.iterators, other.props.filters,
+            other.props.aggregations, other.props.iterators])
+        if not plain:
+            a_df, b_df = self.full_scan(), other.full_scan()
+        else:
+            a_files = sorted(self.store.files.keys())
+            b_files = sorted(other.store.files.keys())
+            shared_a: set[str] = set()
+            shared_b: set[str] = set()
+            b_by_base: dict[str, list[str]] = {}
+            for f in b_files:
+                b_by_base.setdefault(os.path.basename(f), []).append(f)
+            for fa in a_files:
+                for fb in b_by_base.get(os.path.basename(fa), ()):
+                    try:
+                        same = os.path.samefile(fa, fb)
+                    except OSError:
+                        same = False
+                    if same:
+                        shared_a.add(fa)
+                        shared_b.add(fb)
+                        break
+            struct = self.schema.to_struct_type()
+
+            def read(paths: list[str]) -> DataFrame:
+                if not paths:
+                    return self.spark.createDataFrame([], struct)
+                return self.spark.read.schema(struct).parquet(*paths)
+
+            a_df = read([f for f in a_files if f not in shared_a])
+            b_df = read([f for f in b_files if f not in shared_b])
+        cols = [f.name for f in self.schema.all_fields()]
+        removed = a_df.exceptAll(b_df) \
+            .select(F.lit("removed").alias("change"), *cols)
+        added = b_df.exceptAll(a_df) \
+            .select(F.lit("added").alias("change"), *cols)
+        return removed.unionByName(added)

@@ -53,8 +53,9 @@ def test_every_query_has_an_oracle():
     # (all/any + BM25 + inverted-index stats), max_by last-writer-wins
     # upsert, the streamed upsert (stream_ingest -> max_by collapse),
     # incremental MinHash dedup against a persisted band index, the
-    # exact prefix-filtering similarity join, and sharded heavy hitters
-    assert len(qk) == 125
+    # exact prefix-filtering similarity join, sharded heavy hitters,
+    # and the pruned branch diff
+    assert len(qk) == 126
 
 
 def test_entry_smoke(spark):
