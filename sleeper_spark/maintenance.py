@@ -107,3 +107,156 @@ def collect_garbage(store: StateStore, props: TableProperties,
     if deleted:
         store.delete_files(deleted)
     return deleted
+
+
+def verify_integrity(store: StateStore, schema,
+                     data_dir: str | None = None) -> dict:
+    """fsck for a table: cross-check the state store's claims against
+    the physical files, using METADATA ONLY (manifest, Parquet footers,
+    sidecar JSON — zero data reads at any table size).
+
+    Checks, each feeding ``errors`` (state-vs-reality contradictions a
+    query could return wrong/failed results from) or ``warnings``
+    (recoverable hygiene findings):
+
+    - every referenced file exists on disk                      [error]
+    - footer row count == summed manifest reference counts for
+      the file (skipped when any reference is count_approximate
+      — split references estimate halves)                       [error]
+    - the first row key's row-group stats are sorted and
+      non-overlapping ascending — the file-is-sorted invariant
+      every merge reader relies on, at row-group granularity    [error]
+    - a leaf-bound file's dim-0 footer min/max lie inside its
+      partition's range                                         [error]
+    - sidecar JSON present and parseable for live files (they
+      are built lazily, so absence is hygiene, corruption is
+      real)                                        [warning / error]
+    - gc-queued files still exist (missing = someone deleted
+      outside GC)                                              [warning]
+    - *.parquet on disk that is neither referenced nor
+      gc-queued (crashed-writer leak; GC cannot see it)        [warning]
+    - partition tree: every non-leaf's children exist, share the
+      parent as parent_id, and their dim-split ranges abut at
+      the split point                                           [error]
+
+    Returns ``{"ok", "errors", "warnings", "files_checked",
+    "orphans"}``. Reference analog: the status-report tooling
+    (docs/usage/status.md); the checks mirror our own invariants.
+    """
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from sleeper_spark.sketches import load_sidecar
+
+    errors: list[str] = []
+    warnings: list[str] = []
+    key0 = schema.row_key_fields[0].name
+
+    live = store.files  # {filename: {partition_id: FileReference}}
+    for fn, by_part in sorted(live.items()):
+        if not os.path.exists(fn):
+            errors.append(f"missing data file: {fn}")
+            continue
+        refs = list(by_part.values())
+        try:
+            md = pq.ParquetFile(fn).metadata
+        except Exception as exc:  # unreadable footer = corrupt file
+            errors.append(f"unreadable parquet footer: {fn} ({exc})")
+            continue
+        if not any(r.count_approximate for r in refs):
+            claimed = sum(r.number_of_rows for r in refs)
+            if claimed != md.num_rows:
+                errors.append(
+                    f"row-count drift: {fn} footer={md.num_rows} "
+                    f"manifest={claimed}")
+        # sort invariant at row-group granularity on the first row key
+        idx = {md.schema.column(i).name: i
+               for i in range(len(md.schema))}
+        if key0 in idx:
+            bounds = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[key0]).statistics
+                if st is None or not st.has_min_max:
+                    bounds = None
+                    break
+                bounds.append((st.min, st.max))
+            if bounds:
+                for (lo, hi) in bounds:
+                    if lo > hi:
+                        errors.append(
+                            f"inverted row-group stats in {fn}")
+                for (_, hi), (lo2, _) in zip(bounds, bounds[1:]):
+                    if lo2 < hi:
+                        errors.append(
+                            f"unsorted file (overlapping row groups "
+                            f"on {key0}): {fn}")
+                        break
+                # leaf containment: dim-0 bounds inside the partition
+                for r in refs:
+                    if not r.only_contains_data_for_this_partition:
+                        continue
+                    region = store.tree[r.partition_id].region
+                    rng = next((x for x in region.ranges
+                                if x.field == key0), None)
+                    if rng is None:
+                        continue
+                    c = rng.canonicalise()
+                    fmin = min(b[0] for b in bounds)
+                    fmax = max(b[1] for b in bounds)
+                    if ((c.min is not None and fmin < c.min)
+                            or (c.max is not None and fmax >= c.max)):
+                        errors.append(
+                            f"file outside its leaf partition range: "
+                            f"{fn} [{fmin}, {fmax}] vs partition "
+                            f"{r.partition_id}")
+        sp = sidecar_path(fn)
+        if os.path.exists(sp):
+            try:
+                load_sidecar(fn)
+            except (_json.JSONDecodeError, OSError) as exc:
+                errors.append(f"corrupt sidecar: {sp} ({exc})")
+        else:
+            warnings.append(f"no sidecar yet (lazy, hygiene only): {fn}")
+
+    for fn in sorted(store.gc_queue):
+        if not os.path.exists(fn):
+            warnings.append(
+                f"gc-queued file already gone (deleted outside GC): {fn}")
+
+    orphans: list[str] = []
+    if data_dir and os.path.isdir(data_dir):
+        known = set(live) | set(store.gc_queue)
+        for root, _dirs, names in os.walk(data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    if p not in known:
+                        orphans.append(p)
+                        warnings.append(
+                            f"orphan parquet (crashed writer? GC cannot "
+                            f"see it): {p}")
+
+    tree = store.tree
+    for p in tree.all_partitions():
+        if p.is_leaf:
+            continue
+        kids = [tree[c] for c in p.child_ids if c in tree]
+        if len(kids) != len(p.child_ids):
+            errors.append(f"partition {p.id} references missing children")
+            continue
+        for k in kids:
+            if k.parent_id != p.id:
+                errors.append(
+                    f"partition {k.id} parent_id {k.parent_id!r} != {p.id}")
+        if len(kids) == 2 and p.dimension >= 0:
+            fname = schema.row_key_fields[p.dimension].name
+            lo = next(x for x in kids[0].region.ranges if x.field == fname)
+            hi = next(x for x in kids[1].region.ranges if x.field == fname)
+            if lo.canonicalise().max != hi.canonicalise().min:
+                errors.append(
+                    f"children of {p.id} do not abut on {fname}: "
+                    f"{lo.max!r} vs {hi.min!r}")
+
+    return {"ok": not errors, "errors": errors, "warnings": warnings,
+            "files_checked": len(live), "orphans": orphans}

@@ -894,3 +894,14 @@ class SleeperTable:
         added = b_df.exceptAll(a_df) \
             .select(F.lit("added").alias("change"), *cols)
         return removed.unionByName(added)
+
+    def verify_integrity(self) -> dict:
+        """fsck: cross-check the manifest against physical files using
+        metadata only — existence, footer-vs-manifest row counts, the
+        sorted-file invariant at row-group granularity, leaf-range
+        containment, sidecar health, gc-queue sanity, crashed-writer
+        orphans, and partition-tree structure. Zero data reads; see
+        maintenance.verify_integrity for the full check list."""
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        return maintenance.verify_integrity(
+            self.store, self.schema, self.data_dir)
