@@ -2101,6 +2101,18 @@ def q_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return cardinality.distinct_count_sketch(ev, "user_id", p=8)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training primitive: adjacent character-pair counts
+    weighted by word frequency — the argmax statistic of the first BPE
+    merge (functions/corpus.py). Pairs explode over the DISTINCT-word
+    vocabulary, never the corpus, so the data-sized step is one word
+    count; the full merge-loop trainer (learn_bpe_merges/bpe_segment)
+    runs on the bounded vocab and is pytest-verified."""
+    from sleeper_spark.functions import corpus
+    doc = _load(spark, sf, "documents")
+    return corpus.bpe_pair_counts(doc, top=50)
+
+
 def q_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT top-10 heaviest event users via sharded two-phase top-k
     (functions/frequency.py): one hash agg, then a per-shard
@@ -2707,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_selection": q_ann_index_selection,
         "hll_sketch": q_hll_sketch,
         "hot_keys": q_hot_keys,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "table_ann_search": q_table_ann_search,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
@@ -3736,6 +3749,14 @@ def oracle_sql() -> dict[str, str]:
             "sleeper_spark.functions.frequency",
             fromlist=["oracle_sharded_top_sql"]).oracle_sharded_top_sql(
                 "events", "user_id", k=10, shards=16),
+        "bpe_pair_counts":
+            f"WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents), "
+            "wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word), "
+            "p AS (SELECT unnest(list_transform(range(1, length(word)), "
+            "i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, freq "
+            "FROM wf WHERE length(word) >= 2) "
+            "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 50",
         "ivf_topk": _ivf_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivfpq_oracle_sql(),

@@ -414,3 +414,115 @@ def verbatim_overlap_share(
             .withColumn("dup_share",
                         F.round(F.col("n_dup_spans").cast("double")
                                 / F.col("n_spans"), 4)))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training primitives
+# ---------------------------------------------------------------------------
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) across the corpus — the vocabulary table BPE
+    training actually consumes. ONE explode + ONE combine-friendly hash
+    aggregate; the output is vocabulary-sized (sub-linear in corpus
+    size), which is what makes tokenizer training feasible at 100 TB:
+    every later step runs on this bounded table, never the corpus."""
+    from sleeper_spark.functions.text import tokens
+    return (df.select(F.explode(tokens(text_col)).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top: int = 50) -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word frequency —
+    the statistic the FIRST merge of byte-pair-encoding training picks
+    its argmax from (Sennrich et al. 2016, public algorithm). Output:
+    top-``top`` (pair, n) by (n desc, pair) — deterministic ties.
+
+    Scale shape: the pair explosion runs over the DISTINCT-word
+    vocabulary (each word's pairs weighted by its corpus frequency),
+    not over the corpus — a word seen a billion times is charified
+    once. Pairs via substring(word, i, 2): pure codegen, no UDFs."""
+    wf = word_frequencies(df, text_col)
+    pairs = F.expr(
+        "CASE WHEN length(word) >= 2 THEN "
+        "transform(sequence(1, length(word) - 1), "
+        "i -> substring(word, i, 2)) "
+        "ELSE array() END")
+    return (wf.select(F.explode(pairs).alias("pair"),
+                      F.col("freq"))
+            .groupBy("pair").agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(top))
+
+
+def learn_bpe_merges(df: DataFrame, text_col: str = "text",
+                     n_merges: int = 100,
+                     max_vocab: int = 100_000) -> list[tuple[str, str]]:
+    """Classic BPE merge-rule training: repeatedly merge the most
+    frequent adjacent symbol pair (ties broken lexicographically for
+    determinism) over the word-frequency vocabulary.
+
+    Distribution boundary: ONE Spark job reduces the corpus to its
+    (word, freq) vocabulary, truncated to the ``max_vocab`` most
+    frequent words (by (freq desc, word) — deterministic); the merge
+    loop then runs driver-side on that bounded table, exactly like
+    every real tokenizer trainer (the corpus-sized step is the
+    counting, not the merging). Returns the ordered merge list."""
+    vocab_rows = (word_frequencies(df, text_col)
+                  .orderBy(F.col("freq").desc(), "word")
+                  .limit(max_vocab).collect())
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in vocab_rows:
+        w = tuple(r["word"])
+        vocab[w] = vocab.get(w, 0) + r["freq"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        top_n = max(counts.values())
+        best_pair = min(p for p, n in counts.items() if n == top_n)
+        merges.append(best_pair)
+        merged = "".join(best_pair)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best_pair):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_segment(col: Column | str,
+                merges: list[tuple[str, str]]) -> Column:
+    """Apply learned merge rules to a text column: array<string> of BPE
+    symbols per row. Each word becomes a space-separated symbol string;
+    each merge rule is ONE literal replace ("a b" -> "ab") applied in
+    training order — a deep but linear codegen'd expression tree, no
+    UDF, so segmenting a 100 TB corpus stays a pure map."""
+    from sleeper_spark.functions.text import tokens
+    words = tokens(col)
+    sym = F.transform(
+        words,
+        # char-split: regex split on the gap between characters (split
+        # on "" appends a trailing empty string in Spark)
+        lambda w: F.array_join(F.filter(F.split(w, ""),
+                                        lambda c: c != ""), " "))
+    def _apply_rule(pat: str, merged: str):
+        return lambda s: F.replace(s, F.lit(pat), F.lit(merged))
+
+    for a, b in merges:
+        sym = F.transform(sym, _apply_rule(a + " " + b, a + b))
+    return F.flatten(F.transform(sym, lambda s: F.split(s, " ")))

@@ -180,6 +180,57 @@ class TestDedup:
         assert got == want
         assert want, "fixture produced no qualifying pairs — test is vacuous"
 
+    def test_bpe_textbook_example(self, spark):
+        """Sennrich et al.'s canonical walk-through shape: merges learn
+        (l,o) -> (lo,w) -> (e,r) and segmentation applies them in
+        order."""
+        from sleeper_spark.functions import corpus
+        df = spark.createDataFrame(
+            [(1, "low low low lower lower newest")], ["doc_id", "text"])
+        got = {(r.pair, r.n) for r in
+               corpus.bpe_pair_counts(df, top=10).collect()}
+        assert ("lo", 5) in got and ("ow", 5) in got and ("we", 3) in got
+        merges = corpus.learn_bpe_merges(df, n_merges=3)
+        assert merges == [("l", "o"), ("lo", "w"), ("e", "r")]
+        seg = df.select(
+            corpus.bpe_segment("text", merges).alias("s")).collect()[0].s
+        assert seg[:5] == ["low", "low", "low", "low", "er"]
+        assert "newest"[0] in ("n",) and "n" in seg  # unmerged chars remain
+
+    def test_bpe_segment_matches_reference_apply(self, docs):
+        """bpe_segment (codegen'd replace chain) must agree with a
+        straightforward Python re-application of the merge rules on
+        real documents."""
+        from sleeper_spark.functions import corpus
+        from sleeper_spark.functions.text import TOKEN_PATTERN
+        import re
+        merges = corpus.learn_bpe_merges(docs, n_merges=15)
+        sub = docs.where(F.col("doc_id") < 10)
+        got = {r.doc_id: r.s for r in sub.select(
+            "doc_id", corpus.bpe_segment("text", merges).alias("s"))
+            .collect()}
+
+        def apply_py(text):
+            out = []
+            for w in re.findall(TOKEN_PATTERN, text.lower()):
+                syms = list(w)
+                for a, b in merges:
+                    i, merged = 0, []
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out.extend(syms)
+            return out
+
+        for r in sub.select("doc_id", "text").collect():
+            assert got[r.doc_id] == apply_py(r.text), r.doc_id
+
     def test_similarity_join_planted_pair_and_short_docs(self, spark):
         from sleeper_spark.functions.dedup import similarity_join
         base = ("spark is a distributed engine for large scale data "
