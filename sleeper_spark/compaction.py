@@ -317,13 +317,24 @@ def _tag_rows_small_batch(spark: SparkSession, jobs: list[CompactionJob],
     return out, job_tags
 
 
+def _declared_arrow(schema):
+    """Table schema as Arrow (sorted_scan._declared_arrow_schema): the
+    padding source for files written before an add_value_column."""
+    from sleeper_spark.sorted_scan import _declared_arrow_schema
+
+    return _declared_arrow_schema(schema)
+
+
 def _write_empty_parquet(out_path: str, sample_input: str,
-                         column_order: list[str], compression: str) -> None:
+                         column_order: list[str], compression: str,
+                         declared=None) -> None:
     """Zero-row parquet with the table's column schema, cloned from an
-    input file's footer — pure Arrow, no Spark action."""
+    input file's footer (or the declared table schema, which also
+    covers columns a schema-evolved input lacks) — pure Arrow, no
+    Spark action."""
     import pyarrow as pa
 
-    in_schema = pq.ParquetFile(sample_input).schema_arrow
+    in_schema = declared or pq.ParquetFile(sample_input).schema_arrow
     empty = pa.table({
         name: pa.array([], type=in_schema.field(name).type)
         for name in column_order})
@@ -434,7 +445,8 @@ def run_jobs(
                 os.makedirs(out_dir, exist_ok=True)
                 _write_empty_parquet(empty_template, job.input_files[0],
                                      [f.name for f in schema.all_fields()],
-                                     props.compression)
+                                     props.compression,
+                                     declared=_declared_arrow(schema))
             jdir = os.path.join(out_dir, f"{JOB_COL}={job.job_id}")
             path = os.path.join(jdir, "empty.parquet")
             os.makedirs(jdir, exist_ok=True)
@@ -536,6 +548,7 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
         "files": list(desc["input_files"]),
         "key_names": keys,
         "column_order": desc["column_order"],
+        "arrow_schema": desc.get("arrow_schema"),
         "leaf_ranges": desc["ranges"],
         "query_regions": [],
         "filters": desc["filters"],
@@ -589,8 +602,11 @@ def _arrow_compact_one(desc: dict) -> tuple[str, str, int]:
         if writer is not None:
             writer.close()
     if writer is None:
-        # all rows filtered: still write an empty file for the swap
-        in_schema = _pq.ParquetFile(desc["input_files"][0]).schema_arrow
+        # all rows filtered: still write an empty file for the swap.
+        # Prefer the declared table schema (schema-evolved inputs may
+        # lack new columns); fall back to the first input's footer
+        in_schema = (desc.get("arrow_schema")
+                     or _pq.ParquetFile(desc["input_files"][0]).schema_arrow)
         empty = pa.table({
             name: pa.array([], type=in_schema.field(name).type)
             for name in desc["column_order"]})
@@ -709,6 +725,7 @@ def run_jobs_arrow(
                 "aggs": aggs,
                 "key_names": list(schema.key_names),
                 "column_order": [f.name for f in schema.all_fields()],
+                "arrow_schema": _declared_arrow(schema),
                 "out_path": out_path,
                 "compression": props.compression,
                 "page_bytes": props.page_bytes,
@@ -895,7 +912,8 @@ def run_zorder_rewrite(
                 os.makedirs(out_dir, exist_ok=True)
                 _write_empty_parquet(empty_template, refs[0].filename,
                                      [f.name for f in schema.all_fields()],
-                                     props.compression)
+                                     props.compression,
+                                     declared=_declared_arrow(schema))
             jdir = os.path.join(out_dir, f"{PARTITION_COL}={leaf_id}")
             path = os.path.join(jdir, "empty.parquet")
             os.makedirs(jdir, exist_ok=True)

@@ -483,11 +483,17 @@ def _sorted_row_iterator_gen(store: StateStore, schema: Schema,
 
     def file_rows(filename, leaf):
         pf = pq_mod.ParquetFile(filename)
-        for batch in pf.iter_batches(batch_size=batch_size, columns=col_names):
+        # schema evolution: a file written before add_value_column lacks
+        # the new column(s) — read what it has, yield None for the rest
+        have = set(pf.schema_arrow.names)
+        cols_here = [c for c in col_names if c in have]
+        for batch in pf.iter_batches(batch_size=batch_size,
+                                     columns=cols_here):
             cols = [batch.column(i) for i in range(batch.num_columns)]
             pydict = {n: c.to_pylist() for n, c in zip(batch.schema.names, cols)}
             for i in range(batch.num_rows):
-                row = {n: pydict[n][i] for n in col_names}
+                row = {n: pydict[n][i] if n in have else None
+                       for n in col_names}
                 yield row
 
     # canonicalise every region ONCE: Range.contains canonicalises per

@@ -121,6 +121,15 @@ def _count_below(col: pa.Array, bound) -> int:
                               pa.int64())).as_py() or 0)
 
 
+def _declared_arrow_schema(schema) -> "pa.Schema":
+    """The table schema as Arrow, for padding schema-evolved files
+    (files written before an add_value_column) with NULL columns of
+    the declared type at merge time."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema.to_struct_type())
+
+
 def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     """Vectorized k-way merge of one leaf's sorted runs, bounded memory.
 
@@ -138,9 +147,23 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
     key_names = desc["key_names"]
     col_order = desc["column_order"]
     prune = desc.get("prune_range")
+    # schema evolution: a file written before add_value_column lacks the
+    # new column(s); read what it has and pad NULLs of the declared type
+    # (desc["arrow_schema"], the table's current schema) per batch —
+    # schema-on-read, the same semantics Spark's explicit read schema
+    # gives the DataFrame path
+    declared: pa.Schema | None = desc.get("arrow_schema")
     readers = []
+    absent: list[list[str]] = []
     for fn in desc["files"]:
         pf = pq.ParquetFile(fn)
+        have = set(pf.schema_arrow.names)
+        miss = [c for c in col_order if c not in have]
+        if miss and declared is None:
+            raise ValueError(
+                f"{fn} lacks column(s) {miss} and no declared schema was "
+                "provided to pad them — schema-evolved tables need "
+                "desc['arrow_schema']")
         kwargs = {}
         if prune is not None:
             from sleeper_spark.sketches import row_groups_overlapping
@@ -149,11 +172,14 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
             if rgs is not None:
                 if not rgs:
                     readers.append(None)
+                    absent.append(miss)
                     continue
                 kwargs["row_groups"] = rgs
         it = pf.iter_batches(batch_size=desc.get("batch_rows", _BATCH_ROWS),
-                             columns=col_order, **kwargs)
+                             columns=[c for c in col_order if c in have],
+                             **kwargs)
         readers.append(it)
+        absent.append(miss)
     # buffer per file: (table, key arrays) — key arrays cached with the
     # buffer so they are converted once per batch, not once per round
     buffers: list[tuple[pa.Table, list[pa.Array]] | None] = [None] * len(readers)
@@ -196,7 +222,12 @@ def _merge_leaf(desc: dict) -> Iterator[pa.Table]:
             except StopIteration:
                 readers[i] = None
                 continue  # loop back to flush the carry, if any
-            t = pa.Table.from_batches([batch]).select(col_order)
+            t = pa.Table.from_batches([batch])
+            for c in absent[i]:
+                fld = declared.field(c)
+                t = t.append_column(pa.field(fld.name, fld.type, True),
+                                    pa.nulls(t.num_rows, fld.type))
+            t = t.select(col_order)
             if canon[0] is None:
                 canon[0] = pa.schema(
                     [pa.field(fld.name, fld.type) for fld in t.schema])
@@ -556,6 +587,7 @@ def distributed_sorted_scan(table, query: Query | None = None,
                      for a in parse_aggregations(table.props.aggregations)],
             "key_names": list(schema.key_names),
             "column_order": [f.name for f in schema.all_fields()],
+            "arrow_schema": _declared_arrow_schema(schema),
             "now_millis": now_millis,
             "batch_rows": batch_rows,
         })

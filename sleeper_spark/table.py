@@ -905,3 +905,55 @@ class SleeperTable:
         self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
         return maintenance.verify_integrity(
             self.store, self.schema, self.data_dir)
+
+    def add_value_column(self, field) -> None:
+        """Schema evolution: append a VALUE column (metadata-only, no
+        data rewrite). Files written before the change simply lack the
+        column; every reader pads NULLs of the declared type at read
+        time — Spark scans via the explicit read schema, the Arrow
+        merge paths via the declared-schema padding in
+        sorted_scan._merge_leaf — and the next compaction materialises
+        the column physically (schema-on-read, the Iceberg/Delta ADD
+        COLUMN semantics; the reference has no schema evolution at
+        all).
+
+        Constraints:
+        - value columns only (row/sort keys order data on disk — a new
+          key would invalidate every sorted file);
+        - ``field.nullable`` must be True (historic rows READ as NULL);
+        - refused on tables configuring aggregations (the collapse
+          algebra requires every value column non-null with exactly one
+          op, A6 — NULL-padded history would poison sums).
+
+        The updated schema is persisted to table.json and swapped into
+        the live store, so subsequent ingest/compact/query in this
+        process and any later load() see it. Clones made BEFORE the
+        change keep their own table.json — branches evolve
+        independently, like every other piece of metadata."""
+        from sleeper_spark.schema import Schema as _Schema
+
+        names = {f.name for f in self.schema.all_fields()}
+        if field.name in names:
+            raise ValueError(f"column {field.name!r} already exists")
+        if not field.nullable:
+            raise ValueError(
+                "added value columns must be nullable: rows written "
+                "before the change read as NULL")
+        if self.props.aggregations:
+            raise ValueError(
+                "add_value_column is not supported on aggregation "
+                "tables: the collapse algebra requires non-null value "
+                "columns (A6), which NULL-padded history violates")
+        new_schema = _Schema(
+            self.schema.row_key_fields,
+            self.schema.sort_key_fields,
+            self.schema.value_fields + (field,))
+        with open(os.path.join(self.path, "table.json")) as f:
+            d = json.load(f)
+        d["schema"] = json.loads(new_schema.to_json())
+        tmp = os.path.join(self.path, "table.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, self.path + "/table.json")
+        self.schema = new_schema
+        self.store.schema = new_schema
