@@ -957,3 +957,41 @@ class SleeperTable:
         os.replace(tmp, self.path + "/table.json")
         self.schema = new_schema
         self.store.schema = new_schema
+
+    def drop_value_column(self, name: str) -> None:
+        """Schema evolution: remove a VALUE column (metadata-only).
+        Files keep the physical column until their next compaction
+        rewrites them without it; readers simply never project it
+        (Spark scans read through the explicit schema, the Arrow merge
+        selects only declared columns). Row/sort keys cannot be
+        dropped (they order data on disk); refused on aggregation
+        tables (the aggregation config names value columns — dropping
+        one would silently orphan its op; evolve the config first by
+        recreating the table). Irreversible in spirit: re-adding the
+        same name later makes historic values REAPPEAR from files not
+        yet compacted, so compact before re-adding if that matters."""
+        from sleeper_spark.schema import Schema as _Schema
+
+        if name in self.schema.key_names:
+            raise ValueError(
+                f"{name!r} is a key field; keys order data on disk and "
+                "cannot be dropped")
+        if name not in [f.name for f in self.schema.value_fields]:
+            raise ValueError(f"no value column {name!r}")
+        if self.props.aggregations:
+            raise ValueError(
+                "drop_value_column is not supported on aggregation "
+                "tables: the aggregation config names value columns")
+        new_schema = _Schema(
+            self.schema.row_key_fields,
+            self.schema.sort_key_fields,
+            tuple(f for f in self.schema.value_fields if f.name != name))
+        with open(os.path.join(self.path, "table.json")) as f:
+            d = json.load(f)
+        d["schema"] = json.loads(new_schema.to_json())
+        tmp = os.path.join(self.path, "table.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, os.path.join(self.path, "table.json"))
+        self.schema = new_schema
+        self.store.schema = new_schema

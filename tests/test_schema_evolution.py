@@ -101,3 +101,40 @@ class TestSchemaEvolution:
         t, ev = evolved
         with pytest.raises(Exception):
             t.ingest(ev.where("event_id < 5"))  # lacks 'score'
+
+
+class TestDropColumn:
+    def test_drop_then_scan_compact_readd(self, evolved, spark):
+        t, ev = evolved
+        t.drop_value_column("user_id")
+        assert t.full_scan().columns == ["event_id", "score"]
+        assert t.exact_key_query(event_id=10).columns == \
+            ["event_id", "score"]
+        # compaction physically rewrites without the column
+        t.compact()
+        import time
+        t.collect_garbage(now=time.time() + 10**6)
+        import pyarrow.parquet as pq
+        for fn in t.store.files:
+            assert "user_id" not in pq.ParquetFile(fn).schema_arrow.names
+        assert t.full_scan().count() == ev.count()
+        r = t.verify_integrity()
+        assert r["ok"], r["errors"]
+        # re-add after compaction: historic values are gone -> all NULL
+        from sleeper_spark import Field
+        t.add_value_column(Field("user_id", T.LongType(), True))
+        assert t.full_scan().where("user_id is not null").count() == 0
+
+    def test_drop_guards(self, evolved, spark, tmp_path):
+        t, _ = evolved
+        with pytest.raises(ValueError, match="key field"):
+            t.drop_value_column("event_id")
+        with pytest.raises(ValueError, match="no value column"):
+            t.drop_value_column("nope")
+        agg_schema = Schema((Field("k", T.LongType()),), (),
+                            (Field("n", T.LongType()),))
+        at = SleeperTable.create(
+            spark, str(tmp_path / "agg2"), agg_schema,
+            TableProperties(aggregations="sum(n)"))
+        with pytest.raises(ValueError, match="aggregation"):
+            at.drop_value_column("n")
