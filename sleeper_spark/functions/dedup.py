@@ -643,14 +643,27 @@ def similarity_join(
     prefix shingles finds every qualifying pair. Rarest-first makes the
     prefix shingles the LOW-frequency ones, so candidate buckets stay
     small (a hot boilerplate shingle can never enter a prefix unless a
-    document is almost entirely boilerplate).
+    document is almost entirely boilerplate). PPJoin's POSITIONAL
+    filter prunes further: a prefix hit at position (p_l, p_r) can
+    lead to at most ``1 + min(n_l - p_l, n_r - p_r)`` overlapping
+    shingles, and a qualifying pair needs
+    ``ceil(t/(1+t) * (n_l + n_r))`` — candidates failing that bound
+    drop before the dedup/verify.
+
+    The whole pipeline runs on 64-bit shingle HASHES
+    (:func:`shingle_hashes` — tokens hashed once, k-gram fold), never
+    materialised shingle strings: set sizes, prefixes, and the final
+    Jaccard are identical to the string computation unless two distinct
+    shingles collide in 64 bits (a merged token only ever RAISES a
+    pair's Jaccard — never drops a qualifying pair — and perturbs J by
+    ~1/n; at any realistic corpus the result is exact).
 
     Shapes at scale: one hash-agg for document frequencies (shuffle on
-    shingle), one shuffle to regroup (__id) for the rarest-first sort
-    (per-doc state is bounded by document length), one equi-join on
-    prefix shingles (bucket sizes bounded by prefix rarity + the
-    size-ratio filter min(n) >= t*max(n)), then the exact Jaccard
-    verify touches only candidates. No driver-side data anywhere.
+    the shingle hash), one shuffle to regroup (__id) for the
+    rarest-first sort (per-doc state bounded by document length), one
+    equi-join on prefix hashes (bucket sizes bounded by prefix rarity
+    + the size-ratio and positional filters), then the exact Jaccard
+    verify touches only surviving candidates. No driver-side data.
 
     The verify compares ``round(J, 4) >= threshold`` (cross-engine
     stable); candidates are generated with a slightly RELAXED bound
@@ -660,7 +673,7 @@ def similarity_join(
     t_gen = max(threshold - 5e-5, 0.0)
     sh = (_spread(df)
           .select(F.col(id_col).alias("__id"),
-                  shingles(text_col, shingle_k).alias("__sh"))
+                  shingle_hashes(text_col, shingle_k).alias("__sh"))
           .where(F.size("__sh") > 0)
           # feeds the frequency agg, the prefix build, and BOTH verify
           # probes — materialise once (same rationale as
@@ -671,7 +684,7 @@ def similarity_join(
     ordered = (
         ex.join(dfreq, "g")
         .groupBy("__id")
-        # rarest-first: lexicographic (document-frequency, shingle) —
+        # rarest-first: lexicographic (document-frequency, hash) —
         # deterministic under frequency ties
         .agg(F.sort_array(F.collect_list(F.struct("__df", "g")))
              .alias("__ord")))
@@ -679,28 +692,40 @@ def similarity_join(
     plen = (n - F.ceil(F.lit(t_gen) * n) + 1).cast("int")
     pref = ordered.select(
         "__id", n.alias("__n"),
-        F.explode(F.transform(F.slice("__ord", F.lit(1), plen),
-                              lambda s: s["g"])).alias("g"))
-    # one exchange on the prefix shingle, reused by both self-join sides
+        F.posexplode(F.transform(F.slice("__ord", F.lit(1), plen),
+                                 lambda s: s["g"])).alias("__p", "g"))
+    # one exchange on the prefix hash, reused by both self-join sides
     pref = pref.repartition("g")
     l, r = pref.alias("l"), pref.alias("r")
+    nl, nr = F.col("l.__n"), F.col("r.__n")
+    # overlap needed for J >= t on sets: i >= t/(1+t) * (n_l + n_r)
+    need = F.ceil(F.lit(t_gen / (1.0 + t_gen)) * (nl + nr))
+    remaining = F.lit(1) + F.least(nl - F.col("l.__p") - 1,
+                                   nr - F.col("r.__p") - 1)
     cand = (
         l.join(r, "g")
         .where((F.col("l.__id") < F.col("r.__id"))
                # size-ratio filter: J <= min(n)/max(n)
-               & (F.least("l.__n", "r.__n").cast("double")
-                  >= F.lit(t_gen) * F.greatest("l.__n", "r.__n")))
+               & (F.least(nl, nr).cast("double")
+                  >= F.lit(t_gen) * F.greatest(nl, nr))
+               # positional filter (PPJoin): past this prefix hit there
+               # are not enough shingles left to reach the overlap bound
+               & (remaining >= need))
         .select(F.col("l.__id").alias("id_a"),
                 F.col("r.__id").alias("id_b"))
         .distinct())
+    # verify: |a ∪ b| = |a| + |b| - |a ∩ b| (arrays are distinct), so one
+    # array_intersect per pair — half the per-pair hash-set work of
+    # intersect + union
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}),
                   "id_a")
         .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}),
               "id_b")
         .withColumn("jaccard",
-                    F.round(jaccard_similarity(F.col("sh_a"),
-                                               F.col("sh_b")), 4))
+                    F.round(inter.cast("double") / union, 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
