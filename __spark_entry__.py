@@ -387,6 +387,37 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     return base.diff(branch)
 
 
+def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-shuffle co-keyed join (joins.py): orders and a
+    lineitem-derived table share row key + split points, so each leaf
+    pair merge-joins in ONE task — no Exchange anywhere (plan-pinned
+    in tests/test_joins.py), the bucketed-join shape falling out of
+    the LSM layout. The b side ingests in two halves so real multi-run
+    merges feed the join. Oracle = the plain SQL inner join."""
+    orders = _load(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    li = _load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_quantity", "l_extendedprice")
+    sa = Schema((Field("o_orderkey", T.LongType()),), (),
+                (Field("o_totalprice", T.DoubleType(), True),
+                 Field("o_orderstatus", T.StringType(), True)))
+    sb = Schema((Field("o_orderkey", T.LongType()),), (),
+                (Field("l_quantity", T.DoubleType(), True),
+                 Field("l_extendedprice", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_join_")
+    splits = [15000, 30000, 45000]
+    ta = SleeperTable.create(spark, os.path.join(tmp, "a"), sa,
+                             TableProperties(), split_points=splits)
+    tb = SleeperTable.create(spark, os.path.join(tmp, "b"), sb,
+                             TableProperties(), split_points=splits)
+    ta.ingest(orders)
+    tb.ingest(li.where(F.col("o_orderkey") % 2 == 0))
+    tb.ingest(li.where(F.col("o_orderkey") % 2 == 1))
+    from sleeper_spark.joins import cokeyed_join
+    return cokeyed_join(ta, tb)
+
+
 def q_upsert_last_writer(spark: SparkSession, sf: str) -> DataFrame:
     """Last-writer-wins upsert via the max_by aggregation
     (iterators.py/processing.py): events collapse on (user_id,
@@ -2623,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_filter_skipping": q_value_filter_skipping,
         "delete_where": q_delete_where,
         "table_diff": q_table_diff,
+        "cokeyed_join": q_cokeyed_join,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
@@ -3310,6 +3342,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
             "AND NOT (event_type = 'click')",
+        "cokeyed_join":
+            "SELECT o_orderkey, o_totalprice, o_orderstatus, "
+            "l_quantity, l_extendedprice "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
         "table_diff":
             "SELECT 'removed' AS change, p_partkey, p_name, p_size, "
             "p_retailprice FROM part "

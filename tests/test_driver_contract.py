@@ -54,8 +54,9 @@ def test_every_query_has_an_oracle():
     # upsert, the streamed upsert (stream_ingest -> max_by collapse),
     # incremental MinHash dedup against a persisted band index, the
     # exact prefix-filtering similarity join, sharded heavy hitters,
-    # the pruned branch diff, and BPE pair counting
-    assert len(qk) == 127
+    # the pruned branch diff, BPE pair counting, and the zero-shuffle
+    # co-keyed join
+    assert len(qk) == 128
 
 
 def test_entry_smoke(spark):
