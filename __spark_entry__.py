@@ -387,6 +387,49 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     return base.diff(branch)
 
 
+def q_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized view (views.py): events land in the
+    source table across three ingests with a change-feed refresh after
+    each; the per-(user, type) count/sum view is maintained by
+    ingesting DELTAS into an aggregation table — each refresh reads
+    only the newly appended files, and the engine's own collapse makes
+    the view equal the batch recomputation regardless of refresh
+    batching. Oracle = that batch GROUP BY."""
+    from sleeper_spark.views import MaterializedView
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    src_schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    view_schema = Schema(
+        (Field("user_id", T.LongType()),
+         Field("event_type", T.StringType())), (),
+        (Field("n", T.LongType()), Field("v_cents", T.LongType())))
+    tmp = tempfile.mkdtemp(prefix="sleeper_mv_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"),
+                              src_schema, TableProperties(),
+                              split_points=[3000, 6000])
+    dest = SleeperTable.create(
+        spark, os.path.join(tmp, "view"), view_schema,
+        TableProperties(aggregations="sum(n), sum(v_cents)"))
+
+    def transform(batch: DataFrame) -> DataFrame:
+        # floor() (not round) so both engines take the identical IEEE
+        # double through a total, tie-free function
+        return batch.select(
+            "user_id", "event_type",
+            F.lit(1).cast("long").alias("n"),
+            F.floor(F.col("value") * 100).cast("long").alias("v_cents"))
+
+    mv = MaterializedView(src, dest, transform)
+    for third in range(3):
+        src.ingest(ev.where(F.col("event_id") % 3 == third))
+        mv.refresh()
+    return dest.full_scan()
+
+
 def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Zero-shuffle co-keyed join (joins.py): orders and a
     lineitem-derived table share row key + split points, so each leaf
@@ -2655,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where": q_delete_where,
         "table_diff": q_table_diff,
         "cokeyed_join": q_cokeyed_join,
+        "materialized_view": q_materialized_view,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
@@ -3342,6 +3386,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
             "AND NOT (event_type = 'click')",
+        "materialized_view":
+            "SELECT user_id, event_type, count(*) AS n, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS v_cents FROM events GROUP BY user_id, event_type",
         "cokeyed_join":
             "SELECT o_orderkey, o_totalprice, o_orderstatus, "
             "l_quantity, l_extendedprice "

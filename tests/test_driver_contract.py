@@ -54,9 +54,9 @@ def test_every_query_has_an_oracle():
     # upsert, the streamed upsert (stream_ingest -> max_by collapse),
     # incremental MinHash dedup against a persisted band index, the
     # exact prefix-filtering similarity join, sharded heavy hitters,
-    # the pruned branch diff, BPE pair counting, and the zero-shuffle
-    # co-keyed join
-    assert len(qk) == 128
+    # the pruned branch diff, BPE pair counting, the zero-shuffle
+    # co-keyed join, and the incremental materialized view
+    assert len(qk) == 129
 
 
 def test_entry_smoke(spark):
