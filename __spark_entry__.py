@@ -430,6 +430,37 @@ def q_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
     return dest.full_scan()
 
 
+def q_secondary_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Secondary index as a materialized view (views.SecondaryIndex):
+    postings keyed (user_id, event_id) maintained through the change
+    feed across two source ingests; lookups run an LSM point query on
+    the INDEX (partition-pruned + Bloom-skipped) then a
+    batch_exact_key_query on the source — no source scan anywhere.
+    Returns the union of three user lookups; oracle = plain WHERE
+    user_id IN (...)."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_sidx_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    idx = SecondaryIndex.create(src, os.path.join(tmp, "idx"),
+                                "user_id", split_points=[50])
+    src.ingest(ev.where(F.col("event_id") % 2 == 0))
+    idx.refresh()
+    src.ingest(ev.where(F.col("event_id") % 2 == 1))
+    idx.refresh()
+    out = idx.lookup(7)
+    for uid in (42, 99):
+        out = out.unionByName(idx.lookup(uid))
+    return out
+
+
 def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Zero-shuffle co-keyed join (joins.py): orders and a
     lineitem-derived table share row key + split points, so each leaf
@@ -2699,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "cokeyed_join": q_cokeyed_join,
         "materialized_view": q_materialized_view,
+        "secondary_index": q_secondary_index,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
@@ -3386,6 +3418,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE NOT (event_id >= 2000 AND event_id < 2500) "
             "AND NOT (event_type = 'click')",
+        "secondary_index":
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE user_id IN (7, 42, 99)",
         "materialized_view":
             "SELECT user_id, event_type, count(*) AS n, "
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "

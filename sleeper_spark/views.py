@@ -67,15 +67,15 @@ class MaterializedView:
             json.dump(state, f)
         os.replace(tmp, self._state_path)
 
-    def _window_has_deletes(self, from_seq: int, to_seq: int) -> bool:
+    @staticmethod
+    def _window_has_deletes(txs) -> bool:
         """Drift tripwire: deletes never appear in the change feed, so
         a delete_where inside the refresh window means the view can no
         longer be maintained incrementally. Detected from the retained
         log: a delete claims its rewrites under a ``delete-*`` job id
         (deletes.py) and is the only writer allowed to commit
         empty-output replacements."""
-        for _seq, tx in self.source.store.transactions_between(
-                from_seq, to_seq):
+        for _seq, tx in txs:
             if tx.get("type") == "ASSIGN_JOB_IDS" and any(
                     str(a.get("jobId", "")).startswith("delete-")
                     for a in tx.get("assignments", ())):
@@ -90,22 +90,120 @@ class MaterializedView:
         """Advance the view through the source's new commits; returns
         the number of source seqs consumed. Idempotent across crashes:
         the delta ingest's job id encodes the seq window, so a replay
-        after a crash between commit and checkpoint persist skips."""
+        after a crash between commit and checkpoint persist skips.
+        Windows holding no ADD_FILES commits (compaction, splits, GC —
+        content-neutral metadata) advance the checkpoint without a
+        Spark job."""
         state = self._load_state()
         from_seq = state["seq"]
         batch, to_seq = self.source.poll_changes(from_seq,
                                                  max_seqs=max_seqs)
-        if to_seq > from_seq and self._window_has_deletes(from_seq,
-                                                          to_seq):
+        if to_seq == from_seq:
+            return 0
+        txs = self.source.store.transactions_between(from_seq, to_seq)
+        if self._window_has_deletes(txs):
             raise ValueError(
                 "source table saw delete_where inside this refresh "
                 "window — the change feed carries appends only, so the "
                 "view would drift; rebuild it from scratch")
-        if to_seq == from_seq:
-            return 0
-        delta = self.transform(batch)
-        self.dest.ingest(
-            delta, job_id=f"mv-{from_seq}-{to_seq}")
+        if any(tx.get("type") == "ADD_FILES" for _s, tx in txs):
+            delta = self.transform(batch)
+            self.dest.ingest(delta, job_id=f"mv-{from_seq}-{to_seq}")
         state["seq"] = to_seq
         self._save_state(state)
         return to_seq - from_seq
+
+
+class SecondaryIndex:
+    """Point lookups on a VALUE column without scanning the table: a
+    postings SleeperTable keyed ``(value_col, *source row keys)``,
+    maintained incrementally as a :class:`MaterializedView`.
+
+    The lookup path composes machinery the engine already has, the way
+    a warehouse secondary index does:
+
+    1. the index table's OWN partition pruning + per-file Bloom filters
+       answer ``value = v`` by opening only the files that can hold v
+       (the postings are row-keyed on the value column, so this IS an
+       LSM point lookup);
+    2. the returned source keys (bounded by the value's selectivity)
+       feed ``batch_exact_key_query`` on the source — driver-side tree
+       descent per key, one scan of the pruned files, broadcast hash
+       join. Neither step reads a non-matching data file.
+
+    NULL values are never indexed (key fields are non-null; same
+    contract as SQL b-tree lookups on IS NOT NULL predicates). The
+    index inherits MaterializedView's exactly-once refresh and its
+    append-only tripwire. Reference analog: none (value columns are
+    unindexed in the reference; fine-grained lookups exist only on row
+    keys) — this is the generalisation of the keyword search module's
+    persisted postings table (functions/search.py) to arbitrary
+    scalar value columns.
+    """
+
+    def __init__(self, source, index_table):
+        from dataclasses import replace as _replace  # noqa: F401
+
+        self.source = source
+        self.index = index_table
+        self.value_col = index_table.schema.row_key_fields[0].name
+        self._src_keys = [f.name for f in source.schema.row_key_fields]
+
+        def transform(batch: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as F
+            return (batch
+                    .where(F.col(self.value_col).isNotNull())
+                    .select(self.value_col, *self._src_keys))
+
+        self._mv = MaterializedView(source, index_table, transform)
+
+    @staticmethod
+    def create(source, path: str, value_col: str,
+               split_points=None) -> "SecondaryIndex":
+        from dataclasses import replace as _replace
+
+        import pyspark.sql.types as T
+
+        from sleeper_spark.schema import Schema
+        from sleeper_spark.table import SleeperTable
+
+        fld = next((f for f in source.schema.value_fields
+                    if f.name == value_col), None)
+        if fld is None:
+            raise ValueError(f"{value_col!r} is not a value column of "
+                             "the source table")
+        if not isinstance(fld.dtype, (T.IntegerType, T.LongType,
+                                      T.StringType, T.BinaryType)):
+            raise ValueError(
+                f"secondary index keys must be int/long/string/binary, "
+                f"got {fld.dtype} for {value_col!r}")
+        idx_schema = Schema(
+            (_replace(fld, nullable=False),)
+            + tuple(source.schema.row_key_fields))
+        idx = SleeperTable.create(source.spark, path, idx_schema,
+                                  split_points=split_points)
+        return SecondaryIndex(source, idx)
+
+    @staticmethod
+    def load(source, path: str) -> "SecondaryIndex":
+        from sleeper_spark.table import SleeperTable
+
+        return SecondaryIndex(source,
+                              SleeperTable.load(source.spark, path))
+
+    def refresh(self, max_seqs: int | None = None) -> int:
+        return self._mv.refresh(max_seqs=max_seqs)
+
+    def lookup(self, value, now_millis: int | None = None) -> DataFrame:
+        """Source rows where ``value_col = value``: index point query
+        (partition-pruned + Bloom-skipped) → bounded key set →
+        batch_exact_key_query on the source. Driver holds only the
+        matching keys — the value's selectivity, never the table."""
+        postings = self.index.exact_key_query(
+            now_millis, **{self.value_col: value})
+        keys = [{k: row[k] for k in self._src_keys}
+                for row in postings.collect()]
+        if not keys:
+            return self.source.spark.createDataFrame(
+                [], self.source.schema.to_struct_type())
+        return self.source.batch_exact_key_query(keys, now_millis)

@@ -99,3 +99,71 @@ class TestMaterializedView:
         ).toDF("event_id", "user_id", "event_type", "value"))
         with pytest.raises(ValueError, match="delete_where"):
             mv.refresh()
+
+
+class TestSecondaryIndex:
+    def _mk(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .select("event_id", "user_id", "event_type")
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "src2"), schema,
+                                  split_points=[500])
+        idx = SecondaryIndex.create(src, str(tmp_path / "idx"),
+                                    "user_id", split_points=[50])
+        return src, idx, ev
+
+    def test_lookup_equals_filter(self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev.where("event_id % 2 = 0"))
+        idx.refresh()
+        src.ingest(ev.where("event_id % 2 = 1"))
+        idx.refresh()
+        uid = ev.groupBy("user_id").count() \
+            .orderBy(F.col("count").desc()).first().user_id
+        got = sorted(tuple(r) for r in idx.lookup(uid).collect())
+        want = sorted(tuple(r) for r in
+                      ev.where(F.col("user_id") == uid).collect())
+        assert got == want and want
+
+    def test_lookup_misses_and_nulls(self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        # plant a NULL-valued row: never indexed, never returned
+        src.ingest(ev.limit(0).union(spark.createDataFrame(
+            [(999999, None, "x")], ev.schema)))
+        src.ingest(ev)
+        idx.refresh()
+        assert idx.lookup(-1).count() == 0
+        assert idx.index.full_scan().where("user_id IS NULL").count() == 0
+
+    def test_index_survives_source_compaction(self, spark, tmp_path):
+        """Compaction rewrites source files but appends no rows — a
+        refresh after it is a no-op and lookups stay correct."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev.where("event_id % 2 = 0"))
+        src.ingest(ev.where("event_id % 2 = 1"))
+        idx.refresh()
+        src.compact()
+        before = idx.index.full_scan().count()
+        consumed = idx.refresh()  # window holds only compaction commits
+        assert consumed >= 1
+        assert idx.index.full_scan().count() == before  # no phantom rows
+        uid = ev.first().user_id
+        got = sorted(r.event_id for r in idx.lookup(uid).collect())
+        want = sorted(r.event_id for r in
+                      ev.where(F.col("user_id") == uid).collect())
+        assert got == want
+
+    def test_create_guards(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        schema = Schema(
+            (Field("k", T.LongType()),), (),
+            (Field("d", T.DoubleType(), True),))
+        src = SleeperTable.create(spark, str(tmp_path / "g"), schema)
+        with pytest.raises(ValueError, match="int/long/string/binary"):
+            SecondaryIndex.create(src, str(tmp_path / "gi"), "d")
+        with pytest.raises(ValueError, match="not a value column"):
+            SecondaryIndex.create(src, str(tmp_path / "gj"), "k")
