@@ -1615,6 +1615,59 @@ def _bm25_oracle_sql() -> str:
         f"FROM f, s WHERE {anytf} > 0")
 
 
+def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking + cosine vector ranking
+    fused by reciprocal rank (search.rrf_fuse). Each list caps at its
+    top-20 via TakeOrdered (no global sort), ranks tie-break on id, and
+    contributions are integer 1e9 DIV (60 + rank) so the fused score is
+    an exact long sum — bit-stable across engines. The id domains are
+    the dense doc_id/vec_id testdata keys; the operator fuses any
+    rankings sharing an id domain."""
+    from sleeper_spark.functions import search, similarity
+    doc = _load(spark, sf, "documents")
+    emb = _load(spark, sf, "embeddings")
+    text_rank = search.bm25_search(doc, _BM25_TERMS)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"))
+    v = F.col("embedding").cast("array<double>")
+    vec_rank = (emb.crossJoin(F.broadcast(qv))
+                .where(F.col("vec_id") != 0)
+                .select(F.col("vec_id").alias("doc_id"),
+                        F.round(similarity.cosine_similarity(
+                            v, F.col("qv")), 6).alias("score")))
+    return search.rrf_fuse([text_rank, vec_rank], k=10, k_each=20)
+
+
+def _hybrid_oracle_sql() -> str:
+    """Replay hybrid_search in DuckDB: the BM25 oracle and a one-query
+    cosine ranking as derived tables, each capped at 20 by
+    (score desc, id), integer RRF contributions, exact long fusion."""
+    bm = _bm25_oracle_sql()
+    vec = (
+        "SELECT vec_id AS doc_id, "
+        "round(list_dot_product(cv, qv) / "
+        "(sqrt(list_sum(list_transform(cv, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS score "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv "
+        "FROM embeddings WHERE vec_id <> 0) c CROSS JOIN "
+        "(SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0) q")
+
+    def ranked(src: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, 1000000000 // (60 + rank) AS c "
+            "FROM (SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id) AS INTEGER) AS rank "
+            f"FROM (SELECT * FROM ({src}) z "
+            "ORDER BY score DESC, doc_id LIMIT 20) zz) r)")
+
+    return (
+        "WITH " + ranked(bm, "tr") + ", " + ranked(vec, "vr") + " "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score "
+        "FROM (SELECT * FROM tr UNION ALL SELECT * FROM vr) u "
+        "GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10")
+
+
 def q_inverted_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index build + per-term stats: explode -> partial-combine
     hash aggregate -> (term, df, tf_total), top 50 by document
@@ -2795,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_all": q_keyword_search_all,
         "keyword_search_any": q_keyword_search_any,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4197,6 +4251,7 @@ def oracle_sql() -> dict[str, str]:
             "['quantile', 'customer'])) AS INTEGER) AS n_matched "
             "FROM documents) WHERE n_matched >= 1",
         "bm25_search": _bm25_oracle_sql(),
+        "hybrid_search": _hybrid_oracle_sql(),
         "inverted_index_stats":
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS term FROM documents), "

@@ -136,3 +136,45 @@ def bm25_search(df: DataFrame, terms: list[str],
     return (j.where(sum(F.col(f"__tf{i}") for i in range(len(uniq)))
                     > 0)
             .select(F.col(id_col), F.round(score, 6).alias("score")))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             score_col: str = "score", k: int = 10, k_each: int = 20,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (Cormack et al., SIGIR'09
+    — the standard hybrid-search combiner): each list contributes
+    ``1/(rrf_k + rank)`` for its top ``k_each`` ids; ids are scored by
+    the SUM of contributions and the fused top-``k`` returned.
+
+    Scale shape: each list is capped FIRST with orderBy().limit(k_each)
+    — Spark's TakeOrdered, a per-partition heap with no global sort —
+    so the rank window then runs over <= k_each rows per list, and the
+    fusion aggregate sees <= len(rankings) x k_each rows total,
+    whatever the corpus size behind the lists.
+
+    Determinism: ranks tie-break on the id; contributions are INTEGER
+    ``1e9 DIV (rrf_k + rank)`` so the fused score is an exact long sum
+    (float addition order across lists can differ between engines —
+    integer sums cannot). Output: ``(id_col, rrf_score)`` by
+    (rrf_score desc, id)."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for r in rankings:
+        capped = r.select(id_col, score_col) \
+            .orderBy(F.col(score_col).desc(), id_col).limit(k_each)
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        parts.append(
+            capped.withColumn("__rank", F.row_number().over(w))
+            .select(id_col,
+                    F.expr(f"1000000000 DIV ({rrf_k} + __rank)")
+                    .alias("__c")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (allp.groupBy(id_col)
+            .agg(F.sum("__c").cast("long").alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), id_col)
+            .limit(k))

@@ -55,9 +55,9 @@ def test_every_query_has_an_oracle():
     # incremental MinHash dedup against a persisted band index, the
     # exact prefix-filtering similarity join, sharded heavy hitters,
     # the pruned branch diff, BPE pair counting, the zero-shuffle
-    # co-keyed join, the incremental materialized view, and the
-    # secondary index
-    assert len(qk) == 130
+    # co-keyed join, the incremental materialized view, the secondary
+    # index, and RRF hybrid search
+    assert len(qk) == 131
 
 
 def test_entry_smoke(spark):

@@ -1407,3 +1407,25 @@ class TestVerbatimSpans:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestRRF:
+    def test_fusion_arithmetic_and_caps(self, spark):
+        from sleeper_spark.functions.search import rrf_fuse
+        a = spark.createDataFrame(
+            [(1, 0.9), (2, 0.8), (3, 0.7)], ["doc_id", "score"])
+        b = spark.createDataFrame(
+            [(2, 0.95), (4, 0.5)], ["doc_id", "score"])
+        got = {(r.doc_id, r.rrf_score) for r in
+               rrf_fuse([a, b], k=10, k_each=2, rrf_k=60).collect()}
+        c = lambda rank: 1000000000 // (60 + rank)
+        # k_each=2: doc 3 (rank 3 in list a) never contributes
+        want = {(1, c(1)), (2, c(2) + c(1)), (4, c(2))}
+        assert got == want
+
+    def test_rank_ties_break_on_id(self, spark):
+        from sleeper_spark.functions.search import rrf_fuse
+        a = spark.createDataFrame(
+            [(5, 1.0), (3, 1.0)], ["doc_id", "score"])
+        rows = rrf_fuse([a], k=2).collect()
+        assert [r.doc_id for r in rows] == [3, 5]  # id breaks the tie
