@@ -417,3 +417,34 @@ def test_verbatim_overlap_hash_join_no_python(spark, entry):
     assert "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_similarity_join_hash_joins_no_python(spark, entry):
+    """Prefix-filtering similarity join: every join is a hash equi-join
+    (prefix hash, then the two verify probes), never a cartesian or
+    nested loop, and the whole pipeline is codegen'd Columns — zero
+    Python row paths. Candidate pruning happens BEFORE the distinct."""
+    plan = plan_of(entry.q_similarity_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "Python" not in plan
+
+
+def test_bpe_pair_counts_two_hash_aggs_no_python(spark, entry):
+    """BPE pair counting: word-frequency hash agg, then pair hash agg
+    over the DISTINCT-word vocabulary — both partial+final (map-side
+    combine), TakeOrdered for the top-N (no global sort), no Python."""
+    plan = plan_of(entry.q_bpe_pair_counts(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_search_takeordered_caps_no_cartesian_blowup(spark, entry):
+    """RRF fusion: both rankings cap through TakeOrdered heaps (never a
+    global Sort->Limit), the only cross join is the broadcast 1-row
+    query vector, and fusion is a hash aggregate."""
+    plan = plan_of(entry.q_hybrid_search(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
