@@ -1,0 +1,101 @@
+"""Corpus-trained n-gram language-model scoring — the CCNet-style
+quality signal (Wenzek et al. 2020, public method): documents whose
+token transitions are improbable under a corpus-wide bigram model are
+boilerplate/gibberish candidates; ones that are too probable are
+templates. Used as a quality-bucketing feature next to the Gopher
+rules (corpus.quality_filter).
+
+Scale shape: training is two hash aggregates over exploded n-grams
+(unigram and bigram counts — combine-friendly, shuffle carries
+vocabulary-sized data); scoring joins each document's bigrams to the
+probability table on the bigram hash (shuffle join, AQE-handled skew)
+and reduces per document. No driver-side model, no UDFs — the model
+IS a DataFrame.
+
+Determinism for oracle parity: per-bigram log-probabilities round to
+MICRO units (1e-6) and become exact LONG sums per document — float
+addition order across engines cannot perturb the total (same recipe
+as the RRF fusion's integer contributions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sleeper_spark.functions.text import tokens
+
+
+def _bigrams(col: Column) -> Column:
+    """Adjacent token pairs as 'w1 w2' strings (order preserved, NOT
+    distinct — counts weight repeated transitions)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def train_bigram_counts(df: DataFrame,
+                        text_col: str = "text") -> tuple[DataFrame,
+                                                         DataFrame]:
+    """(unigram_counts, bigram_counts): ``(w, c1)`` and ``(bg, c12)``
+    over the corpus — the sufficient statistics of a bigram LM. Two
+    explodes + two hash aggregates; outputs are vocabulary-sized."""
+    uni = (df.select(F.explode(tokens(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")))
+    bi = (df.select(F.explode(_bigrams(F.col(text_col))).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("c12")))
+    return uni, bi
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     alpha: float = 0.1) -> DataFrame:
+    """Per-document average bigram log-probability under the
+    corpus-trained model: ``(id_col, n_bigrams, sum_logprob_micro,
+    avg_logprob)`` with Lidstone-smoothed conditionals
+    ``P(w2|w1) = (c12 + alpha) / (c1(w1) + alpha * V)`` (V = distinct
+    unigrams). Smoothing is what makes SELF-training meaningful: an
+    unsmoothed conditional scores a one-off gibberish transition as
+    P=1 (its unique first word predicts its unique second word
+    perfectly), while the smoothed form divides by alpha*V and sends
+    rare transitions strongly negative — common prose floats to the
+    top, the CCNet-style quality ordering.
+
+    Per-bigram log-probs round to micro units (longs) before
+    summation, so the per-document total is an exact integer sum
+    (float addition order across engines cannot perturb it); the
+    average divides back out as one rounded double. Documents shorter
+    than two tokens score NULL (no transitions to judge)."""
+    uni, bi = train_bigram_counts(df, text_col)
+    vocab = uni.agg(F.count("*").alias("__v"))
+    logprob = bi.join(
+        uni, F.split(bi.bg, " ").getItem(0) == uni.w) \
+        .crossJoin(F.broadcast(vocab)) \
+        .select(
+            "bg",
+            F.round(F.log(
+                (F.col("c12").cast("double") + F.lit(alpha))
+                / (F.col("c1").cast("double")
+                   + F.lit(alpha) * F.col("__v").cast("double"))) * 1e6)
+            .cast("long").alias("__lp_micro"))
+    ex = df.select(F.col(id_col),
+                   F.explode(_bigrams(F.col(text_col))).alias("bg"))
+    scored = (ex.join(logprob, "bg")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("__lp_micro").alias("sum_logprob_micro")))
+    all_docs = df.select(id_col)
+    return (all_docs.join(scored, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                .alias("n_bigrams"),
+                F.col("sum_logprob_micro").cast("long"),
+                F.when(F.col("n_bigrams") > 0,
+                       F.round(F.col("sum_logprob_micro") / 1e6
+                               / F.col("n_bigrams"), 4))
+                .alias("avg_logprob")))
