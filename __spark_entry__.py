@@ -1615,6 +1615,17 @@ def _bm25_oracle_sql() -> str:
         f"FROM f, s WHERE {anytf} > 0")
 
 
+def q_lm_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality signal (functions/lm.py): corpus-trained
+    bigram model with Lidstone smoothing, per-document average
+    log-probability. Per-bigram log-probs round to micro-unit longs so
+    document totals are exact integer sums; the oracle replays
+    counts + smoothing + micro arithmetic."""
+    from sleeper_spark.functions import lm
+    doc = _load(spark, sf, "documents")
+    return lm.bigram_lm_scores(doc, alpha=0.1)
+
+
 def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword ranking + cosine vector ranking
     fused by reciprocal rank (search.rrf_fuse). Each list caps at its
@@ -2849,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_any": q_keyword_search_any,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "lm_quality_scores": q_lm_quality_scores,
         "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4252,6 +4264,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE n_matched >= 1",
         "bm25_search": _bm25_oracle_sql(),
         "hybrid_search": _hybrid_oracle_sql(),
+        "lm_quality_scores":
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "uni AS (SELECT w, count(*) AS c1 FROM "
+            "(SELECT unnest(toks) AS w FROM tok) z GROUP BY w), "
+            "v AS (SELECT count(*) AS nv FROM uni), "
+            "e AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> "
+            "toks[CAST(i AS INTEGER)] || ' ' || "
+            "toks[CAST(i + 1 AS INTEGER)]) "
+            "ELSE CAST([] AS VARCHAR[]) END) AS bg FROM tok), "
+            "bc AS (SELECT bg, count(*) AS c12 FROM e GROUP BY bg), "
+            "lp AS (SELECT bg, CAST(round(ln((CAST(c12 AS DOUBLE) + 0.1) "
+            "/ (CAST(c1 AS DOUBLE) + 0.1 * CAST(nv AS DOUBLE))) "
+            "* 1000000.0, 0) AS BIGINT) AS lpm "
+            "FROM bc JOIN uni ON string_split(bg, ' ')[1] = w, v), "
+            "s AS (SELECT doc_id, count(*) AS nb, "
+            "CAST(sum(lpm) AS BIGINT) AS smicro "
+            "FROM e JOIN lp USING (bg) GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, "
+            "smicro AS sum_logprob_micro, "
+            "CASE WHEN nb > 0 THEN "
+            "CAST(trunc(smicro / nb) AS BIGINT) END AS avg_logprob_micro "
+            "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id",
         "inverted_index_stats":
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS term FROM documents), "

@@ -56,7 +56,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                      alpha: float = 0.1) -> DataFrame:
     """Per-document average bigram log-probability under the
     corpus-trained model: ``(id_col, n_bigrams, sum_logprob_micro,
-    avg_logprob)`` with Lidstone-smoothed conditionals
+    avg_logprob_micro)`` with Lidstone-smoothed conditionals
     ``P(w2|w1) = (c12 + alpha) / (c1(w1) + alpha * V)`` (V = distinct
     unigrams). Smoothing is what makes SELF-training meaningful: an
     unsmoothed conditional scores a one-off gibberish transition as
@@ -68,8 +68,11 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     Per-bigram log-probs round to micro units (longs) before
     summation, so the per-document total is an exact integer sum
     (float addition order across engines cannot perturb it); the
-    average divides back out as one rounded double. Documents shorter
-    than two tokens score NULL (no transitions to judge)."""
+    average is the same IEEE double division in every engine,
+    TRUNCATED back to micro-unit longs (rounding at 4 digits sits on
+    half-boundaries like -3.37205 where engines disagree — truncation
+    of one shared double never does). Documents shorter than two
+    tokens score NULL (no transitions to judge)."""
     uni, bi = train_bigram_counts(df, text_col)
     vocab = uni.agg(F.count("*").alias("__v"))
     logprob = bi.join(
@@ -96,6 +99,6 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                 .alias("n_bigrams"),
                 F.col("sum_logprob_micro").cast("long"),
                 F.when(F.col("n_bigrams") > 0,
-                       F.round(F.col("sum_logprob_micro") / 1e6
-                               / F.col("n_bigrams"), 4))
-                .alias("avg_logprob")))
+                       (F.col("sum_logprob_micro")
+                        / F.col("n_bigrams")).cast("long"))
+                .alias("avg_logprob_micro")))

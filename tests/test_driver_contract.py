@@ -56,8 +56,8 @@ def test_every_query_has_an_oracle():
     # exact prefix-filtering similarity join, sharded heavy hitters,
     # the pruned branch diff, BPE pair counting, the zero-shuffle
     # co-keyed join, the incremental materialized view, the secondary
-    # index, and RRF hybrid search
-    assert len(qk) == 131
+    # index, RRF hybrid search, and bigram LM quality scoring
+    assert len(qk) == 132
 
 
 def test_entry_smoke(spark):

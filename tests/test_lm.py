@@ -18,15 +18,15 @@ class TestBigramLM:
         df = spark.createDataFrame(
             [(1, "a b a b c"), (2, "a b"), (3, "x")], ["doc_id", "text"])
         out = {r.doc_id: (r.n_bigrams, r.sum_logprob_micro,
-                          r.avg_logprob)
+                          r.avg_logprob_micro)
                for r in lm.bigram_lm_scores(df, alpha=0.1).collect()}
         # vocab V=4 (a,b,c,x); smoothed lp(c12,c1) = ln((c12+.1)/(c1+.4))
         def lp(c12, c1):
             return round(math.log((c12 + 0.1) / (c1 + 0.4)) * 1e6)
         s1 = 2 * lp(3, 3) + lp(1, 3) + lp(1, 3)
-        assert out[1] == (4, s1, round(s1 / 1e6 / 4, 4))
+        assert out[1] == (4, s1, int(s1 / 4))
         s2 = lp(3, 3)
-        assert out[2] == (1, s2, round(s2 / 1e6 / 1, 4))
+        assert out[2] == (1, s2, int(s2 / 1))
         assert out[3] == (0, None, None)  # no transitions to judge
 
     def test_gibberish_ranks_below_repeated_prose(self, spark):
@@ -36,7 +36,7 @@ class TestBigramLM:
         rows = [(i, common) for i in range(10)]
         rows.append((99, "zq vx wk jr pl mn bt"))  # unique transitions
         df = spark.createDataFrame(rows, ["doc_id", "text"])
-        out = {r.doc_id: r.avg_logprob
+        out = {r.doc_id: r.avg_logprob_micro
                for r in lm.bigram_lm_scores(df).collect()}
         assert out[99] < out[0]  # gibberish is less probable
 
@@ -45,4 +45,4 @@ class TestBigramLM:
         assert scored.count() == docs.count()
         assert scored.select("doc_id").distinct().count() == docs.count()
         # real prose: every doc has >= 2 tokens, so all score
-        assert scored.where("avg_logprob IS NULL").count() == 0
+        assert scored.where("avg_logprob_micro IS NULL").count() == 0
