@@ -1626,6 +1626,58 @@ def q_lm_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     return lm.bigram_lm_scores(doc, alpha=0.1)
 
 
+def q_dsir_logweights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance log-weights (functions/dsir.py, Xie et al. 2023):
+    target domain = lang='en' documents, raw = the whole corpus; hashed
+    unigram+bigram bag models with Lidstone smoothing. Per-bucket
+    log-weights round to micro-unit longs so each document's weight is
+    an exact integer sum; the oracle recomputes the md5 bucket hashing,
+    smoothing, and micro arithmetic bit-for-bit."""
+    from sleeper_spark.functions import dsir
+    doc = _load(spark, sf, "documents")
+    target = doc.where(F.col("lang") == "en")
+    return dsir.dsir_logweights(doc, target, n_buckets=512, alpha=0.5)
+
+
+def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLE over the DSIR weights: the 50
+    documents maximising ``logweight/τ + gumbel(doc_id)`` with a
+    deterministic portable Gumbel (uniform from md5 of the id), τ=2.
+    The sort key floors a shared IEEE double — no round-half hazard —
+    and Spark executes the top-k as TakeOrderedAndProject. The oracle
+    replays the identical noise, so even the 'random' sample
+    hash-matches."""
+    from sleeper_spark.functions import dsir
+    doc = _load(spark, sf, "documents")
+    target = doc.where(F.col("lang") == "en")
+    scored = dsir.dsir_logweights(doc, target, n_buckets=512, alpha=0.5)
+    return dsir.dsir_resample(scored, k=50, temperature=2.0)
+
+
+def q_nb_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form multinomial Naive Bayes (functions/classify.py):
+    train on the corpus's own ``lang`` labels and classify every
+    document — training is two hash aggregates, scoring an
+    explode → broadcast-label fan-out → count join → per-doc argmax.
+    Per-token log-likelihoods are micro-unit longs (exact integer
+    document scores); argmax ties break on label order."""
+    from sleeper_spark.functions import classify
+    doc = _load(spark, sf, "documents")
+    return classify.nb_classify(doc, label_col="lang", alpha=1.0)
+
+
+def q_contamination_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-aware train/eval split (functions/dedup.py): near-dup
+    clusters from the LSH pair graph each land WHOLLY in train or eval
+    (bucket of the component id), so paraphrase duplicates can never
+    leak eval answers into training. Docs in no pair are singleton
+    clusters. Oracle = recursive-CTE transitive closure over the exact
+    ground-truth pair set + the same arithmetic bucket."""
+    doc = _load(spark, sf, "documents")
+    pairs = dedup.minhash_candidate_pairs(doc, num_hashes=32, bands=8)
+    return dedup.contamination_safe_split(doc, pairs, eval_pct=10)
+
+
 def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword ranking + cosine vector ranking
     fused by reciprocal rank (search.rrf_fuse). Each list caps at its
@@ -2861,6 +2913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "lm_quality_scores": q_lm_quality_scores,
+        "dsir_logweights": q_dsir_logweights,
+        "dsir_resample": q_dsir_resample,
+        "nb_classifier": q_nb_classifier,
+        "contamination_safe_split": q_contamination_safe_split,
         "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2942,6 +2998,92 @@ _GROUND_TRUTH_PAIRS = (
     "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
     "JOIN sizes sb ON sb.doc_id = id_b) "
 )
+
+
+def _hex2int32_sql(hexpr: str) -> str:
+    """Unsigned 32-bit int from the first 8 hex chars of ``hexpr`` —
+    DuckDB equivalent of Spark's conv(substring(hx,1,8),16,10): the
+    uniform-noise word of dsir.deterministic_gumbel_micro."""
+    return ("list_sum(list_transform(range(1, 9), i -> "
+            "((strpos('0123456789abcdef', "
+            f"substr({hexpr}, CAST(i AS INTEGER), 1)) - 1)::BIGINT "
+            "<< (4 * (8 - i)))))")
+
+
+def _dsir_lw_sql() -> str:
+    """DuckDB replica of dsir.dsir_logweights (target = lang='en',
+    B=512, alpha=0.5): md5-bucketed unigram+bigram bags, Lidstone
+    smoothing, micro-unit integer sums — ends with a ``lwts`` CTE of
+    (doc_id, n_grams, logweight_micro) covering every document."""
+    h = _hex2int64_sql("md5(g)")
+    return (
+        f"WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, lang, unnest(toks || "
+        "CASE WHEN len(toks) >= 2 THEN list_transform("
+        "range(1, len(toks)), i -> toks[CAST(i AS INTEGER)] || ' ' || "
+        "toks[CAST(i + 1 AS INTEGER)]) "
+        "ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok), "
+        f"b AS (SELECT doc_id, lang, ((({h}) % 512) + 512) % 512 "
+        "AS bucket FROM g), "
+        "tc AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' "
+        "GROUP BY 1), "
+        "rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1), "
+        "tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt FROM tc), "
+        "rt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM rc), "
+        "wt AS (SELECT rc.bucket, CAST(round(("
+        "ln((CAST(COALESCE(tc.tc, 0) AS DOUBLE) + 0.5) / (tt + 256.0)) "
+        "- ln((CAST(rc.rc AS DOUBLE) + 0.5) / (rt + 256.0))"
+        ") * 1000000.0, 0) AS BIGINT) AS lwm "
+        "FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tt, rt), "
+        "s AS (SELECT doc_id, count(*) AS ng, "
+        "CAST(sum(lwm) AS BIGINT) AS lw "
+        "FROM b JOIN wt USING (bucket) GROUP BY doc_id), "
+        "lwts AS (SELECT d.doc_id, "
+        "CAST(COALESCE(ng, 0) AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(lw, 0) AS BIGINT) AS logweight_micro "
+        "FROM documents d LEFT JOIN s USING (doc_id)) ")
+
+
+def _nb_classifier_sql() -> str:
+    """DuckDB replica of classify.nb_classify on (documents, lang):
+    closed-form multinomial NB with Lidstone alpha=1, micro-unit longs
+    per token occurrence, argmax ties broken on label order. Docs with
+    tokens carry all labels in ``dl``; zero-token docs fall through the
+    left join to prior-only scores — same branch as the Spark side."""
+    return (
+        f"WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks "
+        "FROM documents), "
+        "ex AS (SELECT lang AS label, unnest(toks) AS token FROM tok), "
+        "cnt AS (SELECT label, token, count(*) AS c FROM ex "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS t FROM cnt "
+        "GROUP BY 1), "
+        "nd AS (SELECT lang AS label, count(*) AS ndocs FROM documents "
+        "GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+        "pri AS (SELECT label, CAST(round(ln(ndocs / n) * 1000000.0, 0) "
+        "AS BIGINT) AS prior FROM nd, n), "
+        "v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v "
+        "FROM cnt), "
+        "docex AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+        "lp AS (SELECT doc_id, tot.label, CAST(round(ln("
+        "(CAST(COALESCE(c, 0) AS DOUBLE) + 1.0) / (t + v)"
+        ") * 1000000.0, 0) AS BIGINT) AS lpm "
+        "FROM docex CROSS JOIN tot CROSS JOIN v "
+        "LEFT JOIN cnt ON cnt.label = tot.label "
+        "AND cnt.token = docex.token), "
+        "dl AS (SELECT doc_id, label, CAST(sum(lpm) AS BIGINT) AS ll "
+        "FROM lp GROUP BY 1, 2), "
+        "sc AS (SELECT d.doc_id, p.label, "
+        "COALESCE(dl.ll, 0) + p.prior AS score "
+        "FROM documents d CROSS JOIN pri p "
+        "LEFT JOIN dl ON dl.doc_id = d.doc_id AND dl.label = p.label), "
+        "best AS (SELECT doc_id, label AS predicted_label, "
+        "score AS score_micro, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, label) AS rn FROM sc) "
+        "SELECT d.doc_id, d.lang AS label, predicted_label, score_micro "
+        "FROM best JOIN documents d USING (doc_id) WHERE rn = 1")
 
 
 def _hex2int64_sql(hexpr: str) -> str:
@@ -4287,6 +4429,36 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN nb > 0 THEN "
             "CAST(trunc(smicro / nb) AS BIGINT) END AS avg_logprob_micro "
             "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id",
+        "dsir_logweights":
+            _dsir_lw_sql() + "SELECT doc_id, n_grams, logweight_micro "
+            "FROM lwts",
+        "dsir_resample":
+            _dsir_lw_sql() +
+            "SELECT doc_id, n_grams, logweight_micro, "
+            "CAST(floor(CAST(logweight_micro AS DOUBLE) / 2.0 "
+            "+ CAST(CAST(round(-ln(-ln("
+            f"(({_hex2int32_sql('md5(CAST(doc_id AS VARCHAR))')}) "
+            "% 1048576 + 0.5) / 1048576.0"
+            ")) * 1000000.0, 0) AS BIGINT) AS DOUBLE)) AS BIGINT) "
+            "AS sample_key_micro "
+            "FROM lwts ORDER BY sample_key_micro DESC, doc_id LIMIT 50",
+        "nb_classifier": _nb_classifier_sql(),
+        "contamination_safe_split":
+            _GROUND_TRUTH_PAIRS.replace("WITH sh", "WITH RECURSIVE sh")
+            .rstrip() + ", "
+            "pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS ("
+            "SELECT DISTINCT a, a FROM edges "
+            "UNION "
+            "SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node), "
+            "clusters AS (SELECT node, min(r) AS comp FROM reach "
+            "GROUP BY node) "
+            "SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component_id, "
+            "CASE WHEN ((COALESCE(c.comp, d.doc_id) % 1000003) * 31 + 7) "
+            "% 100 < 10 THEN 'eval' ELSE 'train' END AS split "
+            "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node",
         "inverted_index_stats":
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS term FROM documents), "

@@ -729,3 +729,34 @@ def similarity_join(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def contamination_safe_split(df: DataFrame, pairs: DataFrame,
+                             eval_pct: int = 10, id_col: str = "doc_id",
+                             n_buckets: int = 100,
+                             salt: int = 7) -> DataFrame:
+    """Train/eval split that near-duplicates can NEVER straddle:
+    ``(id_col, component_id, split)`` where the whole near-dup cluster
+    follows its component id into one side. Splitting documents
+    independently leaks eval answers into training through paraphrase
+    duplicates (the standard contamination failure LSH dedup exists to
+    prevent); bucketing the CLUSTER id closes that door by
+    construction.
+
+    The split decision is :func:`sampling.bucket_expr` over the
+    component id — deterministic pure arithmetic, so the split is
+    reproducible in any engine and resampling-stable as the corpus
+    grows (documents only change side if their cluster's minimum id
+    changes). Docs in no pair are singleton clusters of themselves.
+    Cost: the cluster resolution itself; the split is a codegen'd
+    expression on top."""
+    from sleeper_spark.functions.sampling import bucket_expr
+    comp = connected_components(pairs)
+    labeled = (df.select(id_col)
+               .join(comp, id_col, "left")
+               .withColumn("component_id",
+                           F.coalesce("component_id", F.col(id_col))))
+    return labeled.select(
+        id_col, "component_id",
+        F.when(bucket_expr("component_id", n_buckets, salt) < eval_pct,
+               F.lit("eval")).otherwise(F.lit("train")).alias("split"))
