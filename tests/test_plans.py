@@ -448,3 +448,32 @@ def test_hybrid_search_takeordered_caps_no_cartesian_blowup(spark, entry):
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dsir_weight_table_broadcasts_no_python(spark, entry):
+    """DSIR scoring: the <=B-row log-weight table reaches the gram join
+    as a BroadcastHashJoin (never sort-merge on the exploded gram
+    stream) and the whole pipeline is JVM expressions — no Python
+    workers in the hot path."""
+    plan = plan_of(entry.q_dsir_logweights(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_resample_is_takeordered(spark, entry):
+    """Gumbel-top-k resampling must plan as TakeOrderedAndProject:
+    per-partition k-row heaps, no global Sort before the Limit."""
+    plan = plan_of(entry.q_dsir_resample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"GlobalLimit.*\n.*Sort\b", plan)
+
+
+def test_nb_classifier_broadcast_fanout_no_python(spark, entry):
+    """NB scoring fans each token occurrence across the label list via
+    broadcast joins (labels and vocab are tiny) — the only shuffles are
+    the count aggregates and the per-doc argmax window; no Python."""
+    plan = plan_of(entry.q_nb_classifier(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
