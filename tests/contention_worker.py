@@ -71,13 +71,16 @@ def delete_rows(data_dir: str, name: str, src: str,
     return path, kept.num_rows, n_del
 
 
-def main(store_path: str, data_dir: str, worker: int, rounds: int) -> None:
+def main(store_path: str, data_dir: str, worker: int, rounds: int,
+         key_base: int | None = None) -> None:
     st = StateStore(store_path, schema())
+    if key_base is None:
+        key_base = worker * rounds * 100
     ingests = compactions = deletes = rows_deleted = lost_races = 0
     for i in range(rounds):
         # ingest: keys unique per (worker, round) so row accounting is exact
         fn = write_file(data_dir, f"w{worker}-i{i}.parquet",
-                        (worker * rounds + i) * 100, 100)
+                        key_base + i * 100, 100)
         assert st.add_files(
             [FileReference(fn, "root", 100,
                            only_contains_data_for_this_partition=True)],
@@ -138,4 +141,5 @@ def main(store_path: str, data_dir: str, worker: int, rounds: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+         int(sys.argv[5]) if len(sys.argv) > 5 else None)
