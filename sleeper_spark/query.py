@@ -341,6 +341,51 @@ class QueryExecutor:
             files = [f for f in files if file_may_contain_keys(f, pts)]
         return files
 
+    def explain_scan(self, query: Query) -> dict:
+        """Scan audit: how many physical files each pruning tier
+        eliminated for this query, BEFORE reading any data. At 100 TB
+        this is the observability a user needs to see whether their
+        layout (key sort, Z-order, blooms, sidecar stats) is actually
+        paying: a range query that scans every file isn't wrong, it's
+        unpruned — and nothing in the result reveals that.
+
+        Tiers, applied in plan order (monotonically non-increasing):
+        partition-region pruning (QueryPlanner), sidecar footer
+        min/max value skipping, first-row-key Bloom (point queries).
+        ``rows_upper_bound`` sums the surviving references' recorded
+        row counts — the worst-case rows the scan can touch.
+        Metadata-only: no Spark job runs."""
+        leaf_queries = QueryPlanner(self.store).split_into_leaf_queries(
+            query)
+        files_total = {r.filename for r in self.store.all_references()}
+        after_part = sorted({f.filename for lq in leaf_queries
+                             for f in lq.files})
+        after_vr = after_part
+        if query.value_ranges:
+            after_vr = [f for f in after_part
+                        if _file_may_match(f, query.value_ranges)]
+        after_bloom = after_vr
+        pts = bloom_points(query, self.schema.row_key_names[0])
+        if pts is not None:
+            after_bloom = [f for f in after_vr
+                           if file_may_contain_keys(f, pts)]
+        surviving = set(after_bloom)
+        rows_ub = sum(r.number_of_rows for r in
+                      self.store.all_references()
+                      if r.filename in surviving)
+        return {
+            "files_total": len(files_total),
+            "leaf_partitions_hit": len(leaf_queries),
+            "files_after_partition_pruning": len(after_part),
+            "files_after_value_skipping": len(after_vr),
+            "files_after_bloom": len(after_bloom),
+            "pruned_by_partition": len(files_total) - len(after_part),
+            "pruned_by_value_stats": len(after_part) - len(after_vr),
+            "pruned_by_bloom": len(after_vr) - len(after_bloom),
+            "files_scanned": after_bloom,
+            "rows_upper_bound": rows_ub,
+        }
+
     def execute(self, query: Query, now_millis: int) -> DataFrame:
         reject_value_ranges_on_aggregation(
             query.value_ranges, self.table_aggregations)

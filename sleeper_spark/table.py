@@ -290,6 +290,16 @@ class SleeperTable:
             table_iterators=self.props.iterators,
         )
 
+    def explain_query(self, query: Query) -> dict:
+        """Metadata-only scan audit for ``query`` (no Spark job): per
+        pruning tier — partition regions, sidecar min/max value
+        skipping, point-lookup Blooms — how many files survived, plus
+        the surviving file list and a worst-case row bound. The operator
+        a user runs to check their layout is actually pruning before
+        paying for the scan (see QueryExecutor.explain_scan)."""
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        return self.executor().explain_scan(query)
+
     def query(self, query: Query, now_millis: int | None = None) -> DataFrame:
         now_millis = now_millis if now_millis is not None else int(time.time() * 1000)
         # pick up other writers' commits at most every cache-TTL seconds
