@@ -2517,6 +2517,34 @@ def _run_stream_to_view(out: DataFrame, name: str, mode: str) -> None:
     q.awaitTermination(300)
 
 
+def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join
+    (streaming.interval_join_streams): each view event matched to the
+    same user's click events within the following hour, run to
+    completion with availableNow. State per side is bounded by the
+    1-hour delay at any stream length; the batch oracle is the plain
+    time-bounded self-join, which the append-mode stream must equal
+    exactly."""
+    from sleeper_spark import streaming as streaming_mod
+
+    def side(et: str, ts_name: str, id_name: str) -> DataFrame:
+        s = _events_stream(spark, sf)
+        return s.where(F.col("event_type") == et).select(
+            "user_id", F.timestamp_micros(F.col("ts")).alias(ts_name),
+            F.col("event_id").alias(id_name))
+
+    out = streaming_mod.interval_join_streams(
+        side("view", "view_ts", "view_id"),
+        side("click", "click_ts", "click_id"),
+        on=["user_id"], left_ts="view_ts", right_ts="click_ts",
+        max_delay="1 hour")
+    _run_stream_to_view(out, "q_streaming_ivj", "append")
+    return spark.sql(
+        "SELECT view_id, click_id, user_id, "
+        "unix_micros(click_ts) - unix_micros(view_ts) AS lag_us "
+        "FROM q_streaming_ivj")
+
+
 def q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming last-writer-wins: the events stream micro-batch-ingests
     into a max_by-aggregated SleeperTable (stream_ingest's exactly-once
@@ -2964,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
         "streaming_session_window": q_streaming_session_window,
         "full_outer_join": q_full_outer_join,
         "grouped_collect": q_grouped_collect,
@@ -4251,6 +4280,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_total, "
             "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "
             "FROM events GROUP BY user_id",
+        "streaming_interval_join":
+            "SELECT v.event_id AS view_id, c.event_id AS click_id, "
+            "v.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS lag_us "
+            "FROM events v JOIN events c ON v.user_id = c.user_id "
+            "AND v.event_type = 'view' AND c.event_type = 'click' "
+            "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR",
         "streaming_approx_distinct":
             "WITH h AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
             "md5(CAST(user_id AS VARCHAR)) AS hx FROM events "

@@ -225,6 +225,51 @@ def windowed_approx_distinct(
                     "register", "rho_max"))
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: match a right-side row
+    to a left-side row sharing ``on`` keys when it arrives within
+    ``(left_ts, left_ts + max_delay]`` event time — the
+    impression→click / request→response correlation every event
+    pipeline runs. The time bound plus watermarks on BOTH sides is what
+    lets Spark expire join state (an unbounded stream-stream equi-join
+    would buffer each side forever); state held per side is
+    ~``max_delay`` worth of rows, independent of stream length — the
+    100 TB/day property.
+
+    ``left_ts``/``right_ts`` must be distinct TIMESTAMP column names
+    (both survive into the output so consumers can compute the lag).
+    The join keys keep one copy. Works identically on batch frames
+    (watermarks are a no-op there), so a batch backfill and the live
+    stream share this exact plan."""
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must differ (both are returned; "
+            "rename one side before joining)")
+    lf, rf = left, right
+    if lf.isStreaming:
+        lf = lf.withWatermark(left_ts, max_delay)
+    if rf.isStreaming:
+        rf = rf.withWatermark(right_ts, max_delay)
+    cond = None
+    for k in on:
+        c = lf[k] == rf[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (rf[right_ts] > lf[left_ts]) & (
+        rf[right_ts] <= lf[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    joined = lf.join(rf, cond, how)
+    # exactly one copy of each join key (the left's, which outer rows
+    # of a left-outer join also populate)
+    return joined.drop(*[rf[k] for k in on])
+
+
 def ageoff_stream(stream_df: DataFrame, f: AgeOffFilter, now_millis: int) -> DataFrame:
     """P3 ageOff on a stream: drop expired/null rows (state-TTL analog).
     ``now`` is fixed per trigger for determinism, as in the batch path."""

@@ -428,3 +428,51 @@ def test_windowed_approx_distinct_bounded_state(spark, tmp_path,
     for w, regs in by_win.items():
         est = cardinality.hll_estimate(regs, p=8)
         assert abs(est - exact[w]) <= max(2.0, 0.12 * exact[w]), (w, est, exact[w])
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path,
+                                             events_stream_dir):
+    """Stream-stream interval join: views joined to the same user's
+    clicks within 1 hour; the availableNow run must produce EXACTLY the
+    batch join's rows (same plan, watermarks a no-op in batch)."""
+    to_ts = F.timestamp_micros(F.expr(f"ts div {_ts_per_us()}"))
+
+    def sides(df):
+        views = df.where(F.col("event_type") == "view").select(
+            "user_id", to_ts.alias("view_ts"),
+            F.col("event_id").alias("view_id"))
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", to_ts.alias("click_ts"),
+            F.col("event_id").alias("click_id"))
+        return views, clicks
+
+    sv, sc = sides(_read_stream(spark, events_stream_dir))
+    out = streaming.interval_join_streams(
+        sv, sc, on=["user_id"], left_ts="view_ts", right_ts="click_ts",
+        max_delay="1 hour")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("ivj")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = {(r.view_id, r.click_id)
+           for r in spark.sql("SELECT * FROM ivj").collect()}
+
+    bv, bc = sides(spark.read.schema(EVENTS_READ_SCHEMA)
+                   .parquet(events_stream_dir))
+    want = {(r.view_id, r.click_id)
+            for r in streaming.interval_join_streams(
+                bv, bc, on=["user_id"], left_ts="view_ts",
+                right_ts="click_ts", max_delay="1 hour").collect()}
+    assert got == want
+    assert len(got) > 0
+    # one copy of the join key survives
+    assert [c for c in spark.table("ivj").columns].count("user_id") == 1
+
+
+def test_interval_join_requires_distinct_ts_names(spark,
+                                                  events_stream_dir):
+    s = _read_stream(spark, events_stream_dir)
+    with pytest.raises(ValueError):
+        streaming.interval_join_streams(s, s, on=["user_id"],
+                                        left_ts="ts", right_ts="ts")
