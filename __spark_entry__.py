@@ -2810,6 +2810,35 @@ def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         max_mean_token_len=9.0).select("doc_id", "lang", "source")
 
 
+def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed corpus-construction pipeline as ONE declarative
+    plan: Gopher-rules quality filter → exact-dup keep-one →
+    deterministic train/eval split → per-(split, lang) shipping stats
+    (doc counts + token totals). No stage materialises: Catalyst fuses
+    the filter into the scan, the dedup is one hash-agg + semi-join,
+    and the split is an arithmetic expression — the end-to-end shape a
+    pretraining data pipeline runs nightly over 100 TB. Oracle replays
+    every stage's arithmetic."""
+    from sleeper_spark.functions import corpus
+    from sleeper_spark.functions.sampling import bucket_expr
+    from sleeper_spark.functions.text import token_count
+
+    doc = _load(spark, sf, "documents")
+    kept = corpus.quality_filter(
+        doc, min_tokens=25, max_punct_ratio=0.1,
+        max_dup_ngram_frac=0.4, min_mean_token_len=4.2,
+        max_mean_token_len=9.0)
+    uniq = dedup.drop_exact_duplicates(kept)
+    return (uniq.select(
+                F.when(bucket_expr("doc_id", 100, 7) < 10,
+                       F.lit("eval")).otherwise(F.lit("train"))
+                .alias("split"),
+                "lang", token_count("text").alias("n_toks"))
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("tokens_total")))
+
+
 def q_skewed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Salted skew-safe join (functions/skew.py): purchases join a
     per-user stats side on a (hypothetically hot) user_id, the left
@@ -2954,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "source_mix": q_source_mix,
         "quality_filter": q_quality_filter,
+        "corpus_pipeline": q_corpus_pipeline,
         "skewed_join": q_skewed_join,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -4590,6 +4620,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_toks >= 25 AND n_toks <= 100000 "
             "AND punct_ratio <= 0.1 AND dup_frac <= 0.4 "
             "AND mean_len >= 4.2 AND mean_len <= 9.0",
+        "corpus_pipeline":
+            f"WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS tk "
+            "FROM documents), "
+            "m AS (SELECT doc_id, lang, md5(text) AS h, "
+            "len(tk) AS n_toks, "
+            "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) "
+            "AS DOUBLE) / greatest(length(text), 1) AS punct_ratio, "
+            "CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) "
+            "/ greatest(len(tk), 1) AS mean_len, "
+            "CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), "
+            "i -> array_to_string(tk[i:i+2], ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END AS g FROM t), "
+            "s AS (SELECT *, CASE WHEN len(g) > 0 THEN "
+            "CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) "
+            "ELSE 0.0 END AS dup_frac FROM m), "
+            "f AS (SELECT doc_id, lang, n_toks, h FROM s "
+            "WHERE n_toks >= 25 AND n_toks <= 100000 "
+            "AND punct_ratio <= 0.1 AND dup_frac <= 0.4 "
+            "AND mean_len >= 4.2 AND mean_len <= 9.0), "
+            "k AS (SELECT h, min(doc_id) AS doc_id FROM f GROUP BY h), "
+            "r AS (SELECT f.* FROM f JOIN k USING (h, doc_id)) "
+            "SELECT CASE WHEN ((doc_id % 1000003) * 31 + 7) % 100 < 10 "
+            "THEN 'eval' ELSE 'train' END AS split, lang, "
+            "count(*) AS n_docs, "
+            "CAST(sum(n_toks) AS BIGINT) AS tokens_total "
+            "FROM r GROUP BY 1, 2",
         # the salt must never leak: the oracle is the PLAIN join
         "skewed_join":
             "WITH p AS (SELECT event_id, user_id FROM events "
