@@ -136,8 +136,27 @@ def ingest_dataframe(
     if strategy == "rdd":
         sorted_df = _rdd_sorted(df, tree, schema)
     else:
+        # row/sort keys are NON-NULLABLE by contract
+        # (Schema.java:275-295); a null row key would fall into the
+        # CASE chain's `otherwise` leaf, violate that leaf's region
+        # invariant, and then be filtered out by EVERY read's
+        # leaf-region guard — silently lost data. Fail the write job
+        # loudly instead: the guard is one codegen'd null check per
+        # row, evaluated inside the partition-id expression so Catalyst
+        # can never prune it.
+        null_any = None
+        for n in schema.key_names:
+            c = F.col(n).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        leaf_expr = F.when(
+            null_any,
+            F.raise_error(F.lit(
+                "null key: row/sort key fields are non-nullable "
+                f"(fields {list(schema.key_names)}) — filter or "
+                "quarantine null-key rows before ingest"))
+        ).otherwise(tree.leaf_id_column())
         tagged = df.select(*[f.name for f in schema.all_fields()]).withColumn(
-            PARTITION_COL, tree.leaf_id_column()
+            PARTITION_COL, leaf_expr
         )
         if strategy == "global_sort":
             sorted_df = tagged.orderBy(PARTITION_COL, *schema.key_names)
@@ -156,14 +175,21 @@ def ingest_dataframe(
                 )
         else:
             raise ValueError(f"unknown ingest strategy {strategy!r}")
-    (
-        sorted_df
-        .write.option("compression", props.compression)
-        .option("parquet.block.size", str(props.row_group_bytes))
-        .option("parquet.page.size", str(props.page_bytes))
-        .partitionBy(PARTITION_COL)
-        .parquet(out_dir)
-    )
+    try:
+        (
+            sorted_df
+            .write.option("compression", props.compression)
+            .option("parquet.block.size", str(props.row_group_bytes))
+            .option("parquet.page.size", str(props.page_bytes))
+            .partitionBy(PARTITION_COL)
+            .parquet(out_dir)
+        )
+    except Exception:
+        # failed write job (e.g. the null-key guard fired): nothing is
+        # committed, so the partial output is unreferenced forever —
+        # remove it now rather than leaking it past GC's visibility
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
 
     refs = _manifest_from_written_dir(out_dir)
     # quantile sketch sidecar per file (Sketches.java:45-62), computed on

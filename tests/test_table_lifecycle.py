@@ -912,3 +912,45 @@ class TestZOrderLayout:
         with pytest.raises(ValueError, match="unknown layout"):
             t.ingest(self._rows(spark), layout="hilbert",
                      layout_cols=["a"])
+
+
+class TestNullKeyRejection:
+    """Row/sort keys are non-nullable (reference Schema contract): a
+    null key MUST fail the ingest loudly. Before the guard it fell
+    into the CASE chain's `otherwise` leaf, violated that leaf's
+    region invariant, and every read's leaf-region filter silently
+    dropped the row — permanent data loss with a green ingest."""
+
+    def _table(self, spark, tmp_path, **kw):
+        from pyspark.sql import types as T
+        sch = Schema(row_key_fields=(Field("k", T.LongType()),),
+                     sort_key_fields=(Field("s", T.LongType()),),
+                     value_fields=(Field("v", T.LongType()),))
+        return SleeperTable.create(spark, str(tmp_path / "nk"), sch,
+                                   split_points=[50], **kw)
+
+    def test_null_row_key_fails_ingest(self, spark, tmp_path):
+        import pytest as _pytest
+        t = self._table(spark, tmp_path)
+        bad = spark.createDataFrame([(1, 1, 10), (None, 2, 20)],
+                                    "k long, s long, v long")
+        with _pytest.raises(Exception, match="null key"):
+            t.ingest(bad)
+        # nothing committed, nothing half-written in the manifest
+        assert t.store.all_references() == []
+
+    def test_null_sort_key_fails_ingest(self, spark, tmp_path):
+        import pytest as _pytest
+        t = self._table(spark, tmp_path)
+        bad = spark.createDataFrame([(1, None, 10)],
+                                    "k long, s long, v long")
+        with _pytest.raises(Exception, match="null key"):
+            t.ingest(bad)
+
+    def test_null_value_field_is_fine(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        ok = spark.createDataFrame([(1, 1, None), (99, 2, 30)],
+                                   "k long, s long, v long")
+        t.ingest(ok)
+        got = sorted((r.k, r.s, r.v) for r in t.full_scan().collect())
+        assert got == [(1, 1, None), (99, 2, 30)]
