@@ -3116,10 +3116,14 @@ def _nb_classifier_sql() -> str:
         "ex AS (SELECT lang AS label, unnest(toks) AS token FROM tok), "
         "cnt AS (SELECT label, token, count(*) AS c FROM ex "
         "GROUP BY 1, 2), "
-        "tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS t FROM cnt "
-        "GROUP BY 1), "
         "nd AS (SELECT lang AS label, count(*) AS ndocs FROM documents "
         "GROUP BY 1), "
+        # tot from nd LEFT JOIN counts: a label whose docs have no
+        # tokens keeps its alpha-floor likelihoods (classify.nb_train
+        # fixed the same hazard engine-side)
+        "tot AS (SELECT nd.label, CAST(COALESCE(tc.t, 0) AS DOUBLE) "
+        "AS t FROM nd LEFT JOIN (SELECT label, sum(c) AS t FROM cnt "
+        "GROUP BY 1) tc USING (label)), "
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
         "pri AS (SELECT label, CAST(round(ln(ndocs / n) * 1000000.0, 0) "
         "AS BIGINT) AS prior FROM nd, n), "

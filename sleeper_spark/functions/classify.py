@@ -46,9 +46,16 @@ def nb_train(df: DataFrame, text_col: str = "text",
     totals = counts.groupBy("label").agg(F.sum("c").alias("t_total"))
     ndocs = df.groupBy(lab).agg(F.count("*").alias("n_docs"))
     n = df.agg(F.count("*").alias("n_total"))
-    label_stats = (totals.join(ndocs, "label")
+    # ndocs LEFT-joins totals: a label whose training docs contain no
+    # tokens has no count rows, but it still has a prior and must stay
+    # a candidate class (its likelihoods are the pure alpha floor) —
+    # an inner join would silently drop it from the model, found by
+    # the exactness property test (test_classify_property.py)
+    label_stats = (ndocs.join(totals, "label", "left")
                    .crossJoin(F.broadcast(n))
-                   .select("label", "t_total", "n_docs",
+                   .select("label",
+                           F.coalesce("t_total", F.lit(0)).cast("long")
+                           .alias("t_total"), "n_docs",
                            F.round(F.log(F.col("n_docs").cast("double")
                                          / F.col("n_total").cast("double"))
                                    * 1e6).cast("long")
