@@ -2538,7 +2538,18 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         side("click", "click_ts", "click_id"),
         on=["user_id"], left_ts="view_ts", right_ts="click_ts",
         max_delay="1 hour")
-    _run_stream_to_view(out, "q_streaming_ivj", "append")
+    # a streaming job sizes its state partitioning to its throughput
+    # when the checkpoint is created (the count is then locked in) —
+    # a stream-stream join keeps FOUR state stores per partition, so
+    # 32 near-empty partitions are pure per-batch commit overhead at
+    # this volume (measured 9.4s -> 2.4s); a 100 TB deployment sets
+    # this to its real parallelism the same way
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _run_stream_to_view(out, "q_streaming_ivj", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(
         "SELECT view_id, click_id, user_id, "
         "unix_micros(click_ts) - unix_micros(view_ts) AS lag_us "
