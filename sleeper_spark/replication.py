@@ -55,7 +55,23 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     a caught-up replica polls empty).
 
     ``max_seqs`` bounds how much source history one step covers — the
-    backpressure knob for a replica catching up from far behind."""
+    backpressure knob for a replica catching up from far behind.
+
+    Schema drift is refused loudly: if the source evolved (e.g.
+    ``add_value_column``) and the replica did not, silently ingesting
+    would DROP the new column from shipped rows (ingest projects to the
+    replica's schema) — replicate the evolution first, then the data."""
+    src_cols = [(f.name, f.dtype.simpleString())
+                for f in src.schema.all_fields()]
+    dst_cols = [(f.name, f.dtype.simpleString())
+                for f in dst.schema.all_fields()]
+    if src_cols != dst_cols:
+        raise ValueError(
+            "replica schema differs from source "
+            f"(source {src_cols} vs replica {dst_cols}): apply the "
+            "same schema evolution to the replica before syncing — "
+            "ingesting through the narrower schema would silently drop "
+            "columns")
     from_seq = applied_seq(dst, prefix)
     rows, to_seq = src.poll_changes(from_seq, max_seqs=max_seqs)
     if to_seq == from_seq:

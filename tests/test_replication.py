@@ -109,3 +109,30 @@ class TestReplication:
         # the feed shipped the RAW appends; the replica's own read-time
         # collapse yields the identical aggregate view
         assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_schema_drift_refused_then_syncs_after_evolution(
+            self, spark, tmp_path):
+        from pyspark.sql import types as T2
+        from sleeper_spark.schema import Field as F2
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema())
+        src.ingest(_rows(spark, 0, 20))
+        replication.sync_to_head(src, dst)
+
+        # source evolves; an unsuspecting sync must refuse LOUDLY (a
+        # silent sync would drop the new column from shipped rows)
+        src.add_value_column(F2("extra", T2.LongType(), True))
+        src.ingest(_rows(spark, 20, 30).withColumn(
+            "extra", F.col("k") * 100))
+        with pytest.raises(ValueError, match="schema"):
+            replication.sync(src, dst)
+
+        # evolve the replica the same way -> sync flows, column intact
+        dst.add_value_column(F2("extra", T2.LongType(), True))
+        replication.sync_to_head(src, dst)
+        got = sorted((r.k, r.v, r.extra)
+                     for r in dst.full_scan().collect())
+        want = sorted((r.k, r.v, r.extra)
+                      for r in src.full_scan().collect())
+        assert got == want
+        assert any(e is not None for _, _, e in got)
