@@ -477,3 +477,16 @@ def test_nb_classifier_broadcast_fanout_no_python(spark, entry):
         "BroadcastNestedLoopJoin") >= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_pipeline_fused_no_python_no_cartesian(spark, entry):
+    """The composed pipeline (filter -> dedup -> split -> stats) must
+    stay one fused Catalyst plan: hash aggregates for the dedup and the
+    stats, no Python workers, no cartesian, and the quality predicate
+    evaluated scan-side (a Filter above the documents scan, not above
+    the join)."""
+    plan = plan_of(entry.q_corpus_pipeline(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (dedup, stats)
+    assert "LeftSemi" in plan  # keep-one representative join
