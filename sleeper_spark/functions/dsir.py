@@ -75,21 +75,17 @@ def fit_bucket_counts(df: DataFrame, text_col: str = "text",
             .groupBy("bucket").agg(F.count("*").alias("cnt")))
 
 
-def dsir_logweight_table(target: DataFrame, raw: DataFrame,
-                         text_col: str = "text",
-                         n_buckets: int = DEFAULT_BUCKETS,
-                         alpha: float = 0.5) -> DataFrame:
-    """Per-bucket importance log-weight table ``(bucket, lw_micro)``:
-    ``round(1e6 * (ln p̂_target(b) - ln q̂_raw(b)))`` with Lidstone
-    smoothing ``(c + alpha) / (total + alpha * B)`` on both sides.
-    ≤ n_buckets rows — broadcastable at any corpus scale. Buckets never
-    observed in EITHER corpus are absent; their weight is zero-ish and
-    they cannot appear in a scored document drawn from ``raw`` anyway
-    (the raw fit sees every raw gram)."""
-    tc = fit_bucket_counts(target, text_col, n_buckets) \
-        .withColumnRenamed("cnt", "tc")
-    rc = fit_bucket_counts(raw, text_col, n_buckets) \
-        .withColumnRenamed("cnt", "rc")
+def logweight_table_from_counts(target_counts: DataFrame,
+                                raw_counts: DataFrame,
+                                n_buckets: int = DEFAULT_BUCKETS,
+                                alpha: float = 0.5) -> DataFrame:
+    """Weight table from ALREADY-FITTED ``(bucket, cnt)`` statistics —
+    the incremental path: persist the two count tables once (each is
+    ≤ n_buckets rows), then score every future batch against them
+    without re-reading either corpus (same pattern as the persisted
+    MinHash band index, dedup.incremental_minhash_pairs)."""
+    tc = target_counts.withColumnRenamed("cnt", "tc")
+    rc = raw_counts.withColumnRenamed("cnt", "rc")
     totals = tc.agg(F.sum("tc").alias("tt")) \
         .crossJoin(rc.agg(F.sum("rc").alias("rt")))
     ab = float(alpha) * n_buckets
@@ -103,6 +99,46 @@ def dsir_logweight_table(target: DataFrame, raw: DataFrame,
                          F.round(lw * 1e6).cast("long").alias("lw_micro"))
 
 
+def dsir_logweight_table(target: DataFrame, raw: DataFrame,
+                         text_col: str = "text",
+                         n_buckets: int = DEFAULT_BUCKETS,
+                         alpha: float = 0.5) -> DataFrame:
+    """Per-bucket importance log-weight table ``(bucket, lw_micro)``:
+    ``round(1e6 * (ln p̂_target(b) - ln q̂_raw(b)))`` with Lidstone
+    smoothing ``(c + alpha) / (total + alpha * B)`` on both sides.
+    ≤ n_buckets rows — broadcastable at any corpus scale. Buckets never
+    observed in EITHER corpus are absent; their weight is zero-ish and
+    they cannot appear in a scored document drawn from ``raw`` anyway
+    (the raw fit sees every raw gram)."""
+    return logweight_table_from_counts(
+        fit_bucket_counts(target, text_col, n_buckets),
+        fit_bucket_counts(raw, text_col, n_buckets),
+        n_buckets, alpha)
+
+
+def score_with_weights(docs: DataFrame, weight_table: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Score ANY document batch against a (possibly persisted) weight
+    table: explode grams → broadcast join → exact integer per-doc sums.
+    Grams hashing to a bucket absent from the table (never seen in the
+    fitted corpora) contribute nothing — at scoring time there is no
+    principled weight for them, and dropping beats inventing one."""
+    ex = docs.select(F.col(id_col),
+                     F.explode(hashed_gram_buckets(text_col, n_buckets))
+                     .alias("bucket"))
+    scored = (ex.join(F.broadcast(weight_table), "bucket")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_grams"),
+                   F.sum("lw_micro").alias("logweight_micro")))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("logweight_micro", F.lit(0)).cast("long")
+                    .alias("logweight_micro")))
+
+
 def dsir_logweights(raw: DataFrame, target: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
                     n_buckets: int = DEFAULT_BUCKETS,
@@ -114,19 +150,7 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     covers every raw document). Plan shape: explode → broadcast join to
     the ≤B-row weight table → one hash aggregate."""
     wt = dsir_logweight_table(target, raw, text_col, n_buckets, alpha)
-    ex = raw.select(F.col(id_col),
-                    F.explode(hashed_gram_buckets(text_col, n_buckets))
-                    .alias("bucket"))
-    scored = (ex.join(F.broadcast(wt), "bucket")
-              .groupBy(id_col)
-              .agg(F.count("*").alias("n_grams"),
-                   F.sum("lw_micro").alias("logweight_micro")))
-    return (raw.select(id_col).join(scored, id_col, "left")
-            .select(id_col,
-                    F.coalesce("n_grams", F.lit(0)).cast("long")
-                    .alias("n_grams"),
-                    F.coalesce("logweight_micro", F.lit(0)).cast("long")
-                    .alias("logweight_micro")))
+    return score_with_weights(raw, wt, text_col, id_col, n_buckets)
 
 
 def deterministic_gumbel_micro(id_col: Column | str) -> Column:

@@ -134,3 +134,37 @@ class TestContaminationSafeSplit:
         b = sorted((r.doc_id, r.split) for r in
                    dedup.contamination_safe_split(df, pairs).collect())
         assert a == b
+
+
+class TestIncrementalDsir:
+    def test_persisted_counts_score_new_batch(self, spark, corpus,
+                                              tmp_path):
+        """The incremental path: fit once, persist the two ≤B-row count
+        tables, score a NEW batch against the reloaded statistics —
+        byte-identical to scoring through a fresh fit of the same
+        corpora (no re-read of either corpus at scoring time)."""
+        target = corpus.where(F.col("domain") == "code")
+        tc = dsir.fit_bucket_counts(target, n_buckets=128)
+        rc = dsir.fit_bucket_counts(corpus, n_buckets=128)
+        tc.write.parquet(str(tmp_path / "tc"))
+        rc.write.parquet(str(tmp_path / "rc"))
+
+        new = spark.createDataFrame(
+            [(100, "def lambda yield import"),
+             (101, "the cat and the mat"),
+             (102, "")],
+            "doc_id long, text string")
+        wt = dsir.logweight_table_from_counts(
+            spark.read.parquet(str(tmp_path / "tc")),
+            spark.read.parquet(str(tmp_path / "rc")), n_buckets=128)
+        got = {r.doc_id: (r.n_grams, r.logweight_micro)
+               for r in dsir.score_with_weights(new, wt,
+                                                n_buckets=128).collect()}
+        # fresh-fit reference over the same corpora
+        wt2 = dsir.dsir_logweight_table(target, corpus, n_buckets=128)
+        want = {r.doc_id: (r.n_grams, r.logweight_micro)
+                for r in dsir.score_with_weights(new, wt2,
+                                                 n_buckets=128).collect()}
+        assert got == want
+        assert got[100][1] > got[101][1]  # code-like doc scores higher
+        assert got[102] == (0, 0)
