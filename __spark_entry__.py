@@ -1678,6 +1678,21 @@ def q_contamination_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.contamination_safe_split(doc, pairs, eval_pct=10)
 
 
+def q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-corpus DISTRIBUTED k-means (similarity.kmeans_distributed):
+    Lloyd's iterations as Spark aggregates over micro-quantized integer
+    vectors — assignment is k codegen'd literal-centroid distances,
+    the update one posexplode sum; integer arithmetic end-to-end makes
+    the result independent of partitioning and bit-reproducible in the
+    SQL oracle (which replays both iterations and the final
+    assignment). Driver state = k x dim centroid longs per round."""
+    from sleeper_spark.functions import similarity
+    emb = _load(spark, sf, "embeddings")
+    out = similarity.kmeans_distributed(emb, k=8, iterations=2)
+    return out.select("vec_id", F.col("cluster").cast("long")
+                      .alias("cluster"))
+
+
 def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword ranking + cosine vector ranking
     fused by reciprocal rank (search.rrf_fuse). Each list caps at its
@@ -2985,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "nb_classifier": q_nb_classifier,
         "contamination_safe_split": q_contamination_safe_split,
+        "kmeans_assign": q_kmeans_assign,
         "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
@@ -3158,6 +3174,54 @@ def _nb_classifier_sql() -> str:
         "ORDER BY score DESC, label) AS rn FROM sc) "
         "SELECT d.doc_id, d.lang AS label, predicted_label, score_micro "
         "FROM best JOIN documents d USING (doc_id) WHERE rn = 1")
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB replica of similarity.kmeans_distributed: micro-quantized
+    integer vectors, per-iteration (assign via min (dist, cluster),
+    update via per-dim integer sums + trunc of one shared double,
+    absent clusters keep their centroid), then the final assignment.
+    Pure CTE unrolling — the iteration count is compile-time."""
+    dist = ("list_sum(list_transform(range(1, len(m.v) + 1), i -> "
+            "(m.v[CAST(i AS INTEGER)] - {c}.c[CAST(i AS INTEGER)]) * "
+            "(m.v[CAST(i AS INTEGER)] - {c}.c[CAST(i AS INTEGER)])))")
+
+    def assign(name: str, cents: str) -> str:
+        d = dist.format(c=cents)
+        return (f"{name} AS (SELECT vec_id, v, cluster FROM ("
+                f"SELECT m.vec_id, m.v, {cents}.cluster, "
+                f"row_number() OVER (PARTITION BY m.vec_id "
+                f"ORDER BY {d}, {cents}.cluster) AS rn "
+                f"FROM mic m CROSS JOIN {cents}) WHERE rn = 1)")
+
+    def update(n: int, prev_cents: str) -> str:
+        return (
+            f"e{n} AS (SELECT cluster, generate_subscripts(v, 1) AS dim, "
+            f"unnest(v) AS x FROM a{n}), "
+            f"u{n} AS (SELECT cluster, dim, "
+            "CAST(trunc(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) "
+            f"AS cx FROM e{n} GROUP BY 1, 2), "
+            f"g{n} AS (SELECT cluster, list(cx ORDER BY dim) AS c "
+            f"FROM u{n} GROUP BY cluster), "
+            f"c{n} AS (SELECT p.cluster, COALESCE(g{n}.c, p.c) AS c "
+            f"FROM {prev_cents} p LEFT JOIN g{n} USING (cluster))")
+
+    parts = [
+        "WITH mic AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cluster, v AS c FROM "
+        f"(SELECT vec_id, v FROM mic ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for n in range(1, iterations + 1):
+        parts.append(assign(f"a{n}", prev))
+        parts.append(update(n, prev))
+        prev = f"c{n}"
+    parts.append(assign("afinal", prev))
+    return (", ".join(parts)
+            + " SELECT vec_id, cluster FROM afinal")
 
 
 def _hex2int64_sql(hexpr: str) -> str:
@@ -4539,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN ((COALESCE(c.comp, d.doc_id) % 1000003) * 31 + 7) "
             "% 100 < 10 THEN 'eval' ELSE 'train' END AS split "
             "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node",
+        "kmeans_assign": _kmeans_sql(k=8, iterations=2),
         "inverted_index_stats":
             "WITH e AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS term FROM documents), "

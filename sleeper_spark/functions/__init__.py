@@ -21,6 +21,11 @@ Spark provides those natively. This package adds the non-trivial pieces:
                   contract)
 - ``layout``      Z-order (Morton) clustering keys for multi-dim
                   row-group pruning; deterministic corpus shuffle
+- ``dsir``        DSIR importance resampling (hashed n-gram models,
+                  deterministic portable Gumbel-top-k; incremental
+                  scoring against persisted count tables)
+- ``classify``    closed-form multinomial Naive Bayes (training = hash
+                  aggregates, the model IS DataFrames)
 
 Design rules applied throughout: built-in ``pyspark.sql.functions`` and
 higher-order functions first (JVM-side, codegen'd); every operator is

@@ -1066,3 +1066,85 @@ def ivf_pq_topk(
     )
     scored = _exclude_self(scored, id_col, query_id_col)
     return _adc_rank_topk(scored, k, id_col, query_id_col)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) — whole-corpus training, integer-exact
+# ---------------------------------------------------------------------------
+
+def quantize_micro(vec_col: Column | str) -> Column:
+    """Vector quantized to micro-unit longs: ``round(x * 1e6)`` per
+    dimension. Integer sums are exact in ANY aggregation order, which is
+    what makes whole-corpus distributed k-means deterministic and
+    oracle-checkable (float partial sums would drift with partitioning)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * 1e6)
+                       .cast("long"))
+
+
+def _sq_l2_micro(vec: Column, centroid: list[int]) -> Column:
+    """Squared L2 distance between a micro-long vector column and a
+    literal micro centroid. Bounds: |diff| ≤ ~4e6 ⇒ diff² ≤ 1.6e13;
+    × 4096 dims ≤ 6.6e16 < 2^63 — int64-safe at any realistic dim."""
+    lit = F.lit(centroid).cast("array<long>")
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d)
+
+
+def kmeans_distributed(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", k: int = 8,
+                       iterations: int = 2) -> DataFrame:
+    """Lloyd's k-means over the WHOLE corpus as Spark aggregates —
+    the scale path when a bounded-sample fit (train_ivf_centroids)
+    isn't representative enough. Per iteration: one codegen'd
+    assignment pass (k literal-centroid distances, argmin with
+    lowest-cluster tiebreak) and one posexplode → (cluster, dim) SUM —
+    integer-exact over micro-quantized vectors, so the result is a
+    deterministic function of the data regardless of partitioning, and
+    a SQL oracle reproduces it bit-for-bit. Driver state per round is
+    k×dim longs (the centroids) — broadcast-sized at any corpus scale.
+
+    Init = the k lowest-id vectors (deterministic, the same convention
+    as the bounded-sample trainers). New centroid coordinate =
+    ``trunc(sum / count)`` of one shared IEEE double — engine-agreed.
+    Empty clusters keep their previous centroid. Returns
+    ``(id_col, cluster)`` assignments after ``iterations`` rounds."""
+    q = df.select(F.col(id_col), quantize_micro(vec_col).alias("__v"))
+
+    cents = [list(r["__v"]) for r in
+             q.orderBy(id_col).limit(k).collect()]  # k×dim driver longs
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = [_sq_l2_micro(F.col("__v"), c).alias(f"__d{i}")
+                 for i, c in enumerate(cents)]
+        withd = frame.select(id_col, "__v", *dists)
+        # argmin with ties to the LOWEST cluster id: cluster i wins only
+        # when strictly closer than every lower-indexed cluster
+        expr = F.lit(0)
+        for i in range(1, k):
+            cond = None
+            for j in range(i):
+                c = F.col(f"__d{i}") < F.col(f"__d{j}")
+                cond = c if cond is None else (cond & c)
+            expr = F.when(cond, F.lit(i)).otherwise(expr)
+        return withd.withColumn("cluster", expr)
+
+    import math
+    dim = len(cents[0])
+    for _ in range(iterations):
+        sums = (assign(q).select("cluster", F.posexplode("__v")
+                                 .alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect())
+        acc = {r.cluster: [0] * dim for r in sums}
+        for r in sums:
+            # the int64 SUM is exact in any order; long→double is
+            # IEEE-defined on the same value in every engine, so
+            # trunc(sum/n) is deterministic at any corpus scale
+            acc[r.cluster][r.dim] = int(math.trunc(float(r.s) / r.n))
+        for c, vec in acc.items():
+            cents[c] = vec  # absent (empty) clusters keep their centroid
+
+    return assign(q).select(id_col, "cluster")

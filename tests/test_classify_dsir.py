@@ -168,3 +168,29 @@ class TestIncrementalDsir:
         assert got == want
         assert got[100][1] > got[101][1]  # code-like doc scores higher
         assert got[102] == (0, 0)
+
+
+class TestKmeansDistributed:
+    def test_partitioning_invariant_and_separates(self, spark):
+        """Integer-exact Lloyd's must produce the SAME assignment under
+        any partitioning, and on a corpus with two obvious blobs the
+        blobs may not share a cluster."""
+        from sleeper_spark.functions import similarity
+        rows = []
+        for i in range(30):
+            rows.append((i, [10.0 + (i % 3) * 0.01, 10.0, 10.0, 10.0]))
+        for i in range(30, 60):
+            rows.append((i, [-10.0, -10.0 - (i % 3) * 0.01, -10.0,
+                             -10.0]))
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        a = {r.vec_id: r.cluster for r in
+             similarity.kmeans_distributed(df, k=2, iterations=3)
+             .collect()}
+        b = {r.vec_id: r.cluster for r in
+             similarity.kmeans_distributed(df.repartition(7), k=2,
+                                           iterations=3).collect()}
+        assert a == b  # deterministic under partitioning
+        blob1 = {a[i] for i in range(30)}
+        blob2 = {a[i] for i in range(30, 60)}
+        assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2

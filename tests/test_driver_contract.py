@@ -57,7 +57,7 @@ def test_every_query_has_an_oracle():
     # the pruned branch diff, BPE pair counting, the zero-shuffle
     # co-keyed join, the incremental materialized view, the secondary
     # index, RRF hybrid search, and bigram LM quality scoring
-    assert len(qk) == 138
+    assert len(qk) == 139
 
 
 def test_entry_smoke(spark):
