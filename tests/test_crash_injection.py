@@ -58,14 +58,25 @@ def test_sigkill_mid_loop_never_corrupts_the_log(tmp_path, kill_after):
          str(w * 100_000_000)],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         for w in (0, 1)]
-    time.sleep(kill_after)
+    # wait until the workers are demonstrably MID-WORK (a few commits
+    # in the log) before starting the kill timer — a fixed sleep alone
+    # could land before the interpreters finish importing on a loaded
+    # machine, which would test nothing
+    tx_dir = os.path.join(store_path, "transactions")
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        live = [n for n in os.listdir(tx_dir)
+                if not n.startswith(".tmp-")]
+        if len(live) >= 4:
+            break
+        time.sleep(0.05)
+    time.sleep(kill_after)  # now the kill point is genuinely arbitrary
     for p in victims:
         p.send_signal(signal.SIGKILL)
     for p in victims:
         p.wait(timeout=30)
 
     # (1) no torn transaction under a committed name
-    tx_dir = os.path.join(store_path, "transactions")
     n_txs = 0
     for name in os.listdir(tx_dir):
         if name.startswith(".tmp-"):
