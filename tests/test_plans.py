@@ -490,3 +490,13 @@ def test_corpus_pipeline_fused_no_python_no_cartesian(spark, entry):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x (dedup, stats)
     assert "LeftSemi" in plan  # keep-one representative join
+
+
+def test_kmeans_assignment_pass_literal_centroids_no_python(spark, entry):
+    """Distributed k-means: the assignment pass is k literal-centroid
+    distance expressions over the scan — no Python workers, no join
+    (centroids are literals, not a table), no cartesian."""
+    plan = plan_of(entry.q_kmeans_assign(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # centroid literals, never a join
