@@ -87,6 +87,35 @@ def sibling_spark_procs() -> int:
     return max(0, n - 1)  # our own driver JVM is one of them
 
 
+def compaction_load_gate(noise: dict, label: str,
+                         max_wait_s: float = 180.0) -> None:
+    """Refuse-or-annotate guard for the compaction benches (the gated
+    metrics): a run started under real load must not silently become the
+    official record.  Waits up to ``max_wait_s`` for the box to go quiet,
+    then stamps the telemetry + a boolean verdict into the noise block.
+    "Quiet" = load1 <= cores/4 OR the spin probe reads near-idle (this
+    VM reports phantom D-state load with the CPU 100% idle, so loadavg
+    alone cannot be the refusing signal — the spin probe is authoritative)."""
+    cores = os.cpu_count() or 1
+    deadline = time.perf_counter() + max_wait_s
+    while True:
+        load1 = os.getloadavg()[0]
+        spin = spin_probe_ms()
+        quiet = load1 <= cores / 4 or spin <= 120.0
+        if quiet or time.perf_counter() >= deadline:
+            break
+        log(f"{label}: load1 {load1:.1f} > cores/4 ({cores / 4:.0f}) and "
+            f"spin {spin:.0f}ms — waiting for quiet")
+        time.sleep(10)
+    noise[f"{label}_load1_at_start"] = round(load1, 1)
+    noise[f"{label}_spin_ms_at_start"] = spin
+    noise[f"{label}_load_gate_ok"] = bool(quiet)
+    if not quiet:
+        log(f"WARNING: {label} starting under load (load1 {load1:.1f}, "
+            f"spin {spin:.0f}ms) — record is annotated load_gate_ok=false "
+            f"and should not be trusted as the gate number")
+
+
 def time_query(spark, name, fn, sf_dir) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -450,12 +479,14 @@ def main() -> None:
     # (the headline gate metric) is min-of-2; the Spark fallback engine is
     # timed once (it is 10x the cost and not the gated number).
     large_rows = int(os.environ.get("SPARK_GRAFT_LARGE_ROWS", "50000000"))
+    compaction_load_gate(noise, "compaction_large")
     large = bench_compaction_large(spark, large_rows)
 
     # phase 4 (exclusive): the full-algebra (map_sum) compaction shape,
     # both engines — smaller rowcount, the Spark engine is ~3x slower
     # and it is the comparison, not the gate
     mapagg_rows = int(os.environ.get("SPARK_GRAFT_MAPAGG_ROWS", "10000000"))
+    compaction_load_gate(noise, "compaction_mapagg")
     mapagg = bench_compaction_mapagg(spark, mapagg_rows)
     noise["loadavg_end"] = [round(v, 1) for v in os.getloadavg()]
     noise["spin_ms_end"] = spin_probe_ms()

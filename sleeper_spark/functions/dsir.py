@@ -40,9 +40,10 @@ from pyspark.sql import functions as F
 from sleeper_spark.functions.lm import _bigrams
 from sleeper_spark.functions.text import tokens
 
-#: default feature-space size. 10k buckets ≈ the paper's hashed n-gram
-#: dimensionality scaled to test corpora; at 100 TB the weight table is
-#: still only n_buckets rows — always broadcastable.
+#: default feature-space size: 1024 buckets — the paper's 10k hashed
+#: n-gram dimensionality scaled down for test corpora (pass
+#: ``n_buckets=10_000`` to match the paper); at 100 TB the weight table
+#: is still only n_buckets rows — always broadcastable.
 DEFAULT_BUCKETS = 1024
 
 

@@ -236,12 +236,53 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     train_rows: int | None = None,
+    method: str = "sample",
+    iterations: int = 4,
 ) -> list[list[float]]:
-    """Train the IVF coarse quantizer on a BOUNDED deterministic sample:
-    the ``train_rows`` lowest-id vectors (default ``nlist * 256``, the
-    classic FAISS sizing guide). The plan is a TakeOrderedAndProject —
-    driver transfer is capped at train_rows rows no matter how large the
-    corpus is, never a full-corpus collect."""
+    """Train the IVF coarse quantizer.
+
+    ``method="sample"`` (default): spherical k-means on a BOUNDED
+    deterministic sample — the ``train_rows`` lowest-id vectors
+    (default ``nlist * 256``, the classic FAISS sizing guide). The plan
+    is a TakeOrderedAndProject — driver transfer is capped at
+    train_rows rows no matter how large the corpus is, never a
+    full-corpus collect.
+
+    ``method="distributed"``: Lloyd's over the WHOLE corpus via
+    :func:`_kmeans_micro` (the scale path when the bounded sample
+    under-represents tail clusters — e.g. a corpus whose cluster mass
+    is skewed by ingest order). Vectors are unit-normalized FIRST, so
+    the micro-integer L2 argmin is the same ordering as the spherical
+    trainers' cosine argmax; the returned centroids are re-normalized
+    floats, drop-in for ``ivf_topk(..., centroids=...)``. Driver state
+    is nlist×dim longs per round, independent of corpus size.
+
+    Measured on the sf0.01 embeddings table (500 vectors, dim=64,
+    every vector as query, k=10, nlist=16, nprobe=2, vs brute-force
+    ground truth): recall@10 = 0.372 sample-trained vs 0.371
+    corpus-trained (4 iterations) —
+    parity on this uniform synthetic corpus, as expected; the
+    distributed path exists for skewed corpora where the id-prefix
+    sample misses whole modes, at the price of ``iterations``
+    full-corpus passes instead of one bounded collect."""
+    if method == "distributed":
+        norm = F.sqrt(F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x))
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        q = corpus.select(F.col(id_col),
+                          quantize_micro(unit).alias("__v"))
+        cents_micro, _ = _kmeans_micro(q, id_col, nlist, iterations)
+        out = []
+        for c in cents_micro:
+            v = np.asarray(c, dtype=np.float64) / 1e6
+            v = v / max(float(np.linalg.norm(v)), 1e-12)
+            out.append([float(x) for x in v])
+        return out
+    if method != "sample":
+        raise ValueError(f"unknown train method {method!r}")
     if train_rows is None:
         train_rows = nlist * 256
     rows = (
@@ -1111,24 +1152,30 @@ def kmeans_distributed(df: DataFrame, vec_col: str = "embedding",
     Empty clusters keep their previous centroid. Returns
     ``(id_col, cluster)`` assignments after ``iterations`` rounds."""
     q = df.select(F.col(id_col), quantize_micro(vec_col).alias("__v"))
+    cents, assign = _kmeans_micro(q, id_col, k, iterations)
+    return assign(q).select(id_col, "cluster")
 
+
+def _kmeans_micro(q: DataFrame, id_col: str, k: int, iterations: int):
+    """The Lloyd's loop shared by :func:`kmeans_distributed` (returns
+    assignments) and :func:`train_ivf_centroids` method='distributed'
+    (returns the centroids themselves). ``q`` is ``(id_col, __v)`` with
+    ``__v`` micro-quantized longs. Returns ``(cents, assign)`` where
+    ``cents`` is the final k×dim micro-long centroid list and
+    ``assign`` maps a frame with ``__v`` to one with ``cluster``."""
     cents = [list(r["__v"]) for r in
              q.orderBy(id_col).limit(k).collect()]  # k×dim driver longs
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = [_sq_l2_micro(F.col("__v"), c).alias(f"__d{i}")
-                 for i, c in enumerate(cents)]
-        withd = frame.select(id_col, "__v", *dists)
-        # argmin with ties to the LOWEST cluster id: cluster i wins only
-        # when strictly closer than every lower-indexed cluster
-        expr = F.lit(0)
-        for i in range(1, k):
-            cond = None
-            for j in range(i):
-                c = F.col(f"__d{i}") < F.col(f"__d{j}")
-                cond = c if cond is None else (cond & c)
-            expr = F.when(cond, F.lit(i)).otherwise(expr)
-        return withd.withColumn("cluster", expr)
+        dists = [_sq_l2_micro(F.col("__v"), c) for c in cents]
+        withd = frame.select(id_col, "__v", F.array(*dists).alias("__ds"))
+        # argmin with ties to the LOWEST cluster id: array_position
+        # returns the FIRST index holding the min (1-based). O(k) plan
+        # nodes — the pairwise when-chain this replaces was O(k²),
+        # which capped usable k at ~dozens before plan size blew up.
+        cluster = (F.array_position(F.col("__ds"), F.array_min("__ds"))
+                   - 1).cast("int")
+        return withd.withColumn("cluster", cluster)
 
     import math
     dim = len(cents[0])
@@ -1147,4 +1194,4 @@ def kmeans_distributed(df: DataFrame, vec_col: str = "embedding",
         for c, vec in acc.items():
             cents[c] = vec  # absent (empty) clusters keep their centroid
 
-    return assign(q).select(id_col, "cluster")
+    return cents, assign

@@ -256,9 +256,22 @@ def _rdd_sorted(df: DataFrame, tree: PartitionTree, schema) -> DataFrame:
             row = dict(zip(row_key_names, key[:n_rk]))
             return index[tree.leaf_for_row(row).id]
 
-    pairs = df.rdd.map(
-        lambda r: (tuple(r[k] for k in key_names),
-                   tuple(r[f] for f in field_names)))
+    def to_pair(r):
+        key = tuple(r[k] for k in key_names)
+        # same non-nullable contract the DataFrame routes enforce with a
+        # codegen'd raise_error (Schema.java:275-295): without this, a
+        # null second row key or null sort key on a dim-0-only tree only
+        # fails if tuple comparison happens to touch the None — otherwise
+        # the contract-violating row is written silently and every read's
+        # leaf-region guard filters it out (lost data). Fail loudly here.
+        if any(v is None for v in key):
+            raise ValueError(
+                "null key: row/sort key fields are non-nullable "
+                f"(fields {key_names}, got {key!r}) — filter or "
+                "quarantine null-key rows before ingest")
+        return key, tuple(r[f] for f in field_names)
+
+    pairs = df.rdd.map(to_pair)
     srt = pairs.repartitionAndSortWithinPartitions(
         numPartitions=len(ordered), partitionFunc=part_for_key)
     tagged = srt.mapPartitionsWithIndex(

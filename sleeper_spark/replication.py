@@ -11,7 +11,9 @@ the reference collapse at arbitrary compaction times,
 docs/usage/data-processing.md:88-93).
 
 Crash safety without a checkpoint file: each sync ingests under a job
-id that ENCODES the replicated seq range (``cdf-sync-<from>-<to>``),
+id that ENCODES the source identity and the replicated seq range
+(``cdf-sync-<src-ident>-<from>-<to>``, so multiple sources feeding one
+replica keep independent watermarks),
 and the applied watermark is recovered from the replica's own durable
 ``ingest_jobs_seen`` log. A sync that crashes after its ingest commit
 simply replays as a no-op (the state store's ingest idempotency
@@ -31,6 +33,18 @@ from typing import Any
 JOB_PREFIX = "cdf-sync-"
 
 
+def source_prefix(src: Any) -> str:
+    """Default job-id prefix for replication from ``src``: derived from
+    the source's identity (its table path), so two different sources
+    syncing into ONE replica keep independent watermarks. With a shared
+    prefix, ``applied_seq`` would take the max ``to`` across BOTH
+    sources' job ids even though their seq spaces are unrelated — the
+    lagging source's data would be silently skipped."""
+    import hashlib
+    ident = hashlib.md5(str(src.path).encode()).hexdigest()[:10]
+    return f"{JOB_PREFIX}{ident}-"
+
+
 def applied_seq(dst: Any, prefix: str = JOB_PREFIX) -> int:
     """The source seq the replica has durably applied: the largest
     ``to`` of any ``cdf-sync-<from>-<to>`` ingest job in the replica's
@@ -47,7 +61,7 @@ def applied_seq(dst: Any, prefix: str = JOB_PREFIX) -> int:
 
 
 def sync(src: Any, dst: Any, max_seqs: int | None = None,
-         prefix: str = JOB_PREFIX) -> dict:
+         prefix: str | None = None) -> dict:
     """One incremental replication step: poll the source's change feed
     past the replica's applied watermark and ingest the appended rows
     under the range-encoded job id. Returns a summary dict; repeated
@@ -61,17 +75,9 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     ``add_value_column``) and the replica did not, silently ingesting
     would DROP the new column from shipped rows (ingest projects to the
     replica's schema) — replicate the evolution first, then the data."""
-    src_cols = [(f.name, f.dtype.simpleString())
-                for f in src.schema.all_fields()]
-    dst_cols = [(f.name, f.dtype.simpleString())
-                for f in dst.schema.all_fields()]
-    if src_cols != dst_cols:
-        raise ValueError(
-            "replica schema differs from source "
-            f"(source {src_cols} vs replica {dst_cols}): apply the "
-            "same schema evolution to the replica before syncing — "
-            "ingesting through the narrower schema would silently drop "
-            "columns")
+    _check_schema(src, dst)
+    if prefix is None:
+        prefix = source_prefix(src)
     from_seq = applied_seq(dst, prefix)
     rows, to_seq = src.poll_changes(from_seq, max_seqs=max_seqs)
     if to_seq == from_seq:
@@ -85,8 +91,87 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
             "caught_up": to_seq >= head}
 
 
+def _check_schema(src: Any, dst: Any) -> None:
+    src_cols = [(f.name, f.dtype.simpleString())
+                for f in src.schema.all_fields()]
+    dst_cols = [(f.name, f.dtype.simpleString())
+                for f in dst.schema.all_fields()]
+    if src_cols != dst_cols:
+        raise ValueError(
+            "replica schema differs from source "
+            f"(source {src_cols} vs replica {dst_cols}): apply the "
+            "same schema evolution to the replica before syncing — "
+            "ingesting through the narrower schema would silently drop "
+            "columns")
+
+
+def sync_via_tail(src: Any, dst: Any, staging_dir: str,
+                  max_seqs: int | None = None,
+                  prefix: str | None = None) -> dict:
+    """One replication step driven by the change-feed tail
+    (:class:`sleeper_spark.streaming.ChangeFeedTail`) instead of a
+    direct poll: the tail lands each (from, to] range crash-safely as
+    ONE deterministically-named parquet file in ``staging_dir``, and
+    the replica ingests landed ranges IN ORDER under the same
+    range-encoded job ids :func:`sync` uses. One range-landing code
+    path, one idempotency story — and the staging dir doubles as a
+    file-source stream (``tail.read_stream``), so the same landing
+    feeds the replica AND any streaming consumers.
+
+    Crash safety is the composition of the two parts' own guarantees:
+    the tail replays a pending range onto the same file name, and a
+    landed-but-not-ingested file is re-discovered by the next call
+    (ingest job ids dedupe in the replica's state store). A fresh tail
+    pointed at an already-partially-synced replica fast-forwards its
+    checkpoint to the replica's applied watermark instead of re-landing
+    history. Ranges are applied strictly in watermark order; a gap
+    (staging dir manually pruned below the watermark chain) raises
+    rather than silently skipping source data."""
+    import os
+    import re
+
+    from sleeper_spark.streaming import ChangeFeedTail
+
+    _check_schema(src, dst)
+    if prefix is None:
+        prefix = source_prefix(src)
+    tail = ChangeFeedTail(src, staging_dir, max_seqs=max_seqs)
+    applied = applied_seq(dst, prefix)
+    if tail.state["seq"] == 0 and not tail.state.get("pending"):
+        # fresh staging dir, possibly pre-synced replica: start the
+        # tail at the replica's watermark, not at the dawn of the log
+        tail.state["seq"] = applied
+        tail._save()
+    landed_rows = tail.drain()
+    start_applied = applied
+    ranges = []
+    for fn in os.listdir(staging_dir):
+        m = re.fullmatch(r"changes-(\d{12})-(\d{12})\.parquet", fn)
+        if m:
+            ranges.append((int(m.group(1)) - 1, int(m.group(2)), fn))
+    files_ingested = 0
+    for from_seq, to_seq, fn in sorted(ranges):
+        if to_seq <= applied:
+            continue  # already applied (or another consumer's history)
+        if from_seq > applied:
+            raise RuntimeError(
+                f"replication gap: replica applied up to seq {applied} "
+                f"but the next staged range starts at {from_seq} — a "
+                "staged file below the watermark chain was removed; "
+                "re-land it (fresh staging dir) or re-seed the replica")
+        rows = dst.spark.read.parquet(os.path.join(staging_dir, fn))
+        dst.ingest(rows, job_id=f"{prefix}{from_seq}-{to_seq}")
+        files_ingested += 1
+        applied = to_seq
+    head = src.store.current_seq
+    return {"from_seq": start_applied, "to_seq": applied,
+            "landed_rows": landed_rows,
+            "files_ingested": files_ingested,
+            "caught_up": applied >= head}
+
+
 def sync_to_head(src: Any, dst: Any, max_seqs: int | None = None,
-                 prefix: str = JOB_PREFIX,
+                 prefix: str | None = None,
                  max_steps: int = 10_000) -> list[dict]:
     """Run :func:`sync` steps until the replica is caught up with the
     source head observed at each step. Bounded by ``max_steps`` as a

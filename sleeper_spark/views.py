@@ -194,16 +194,40 @@ class SecondaryIndex:
     def refresh(self, max_seqs: int | None = None) -> int:
         return self._mv.refresh(max_seqs=max_seqs)
 
-    def lookup(self, value, now_millis: int | None = None) -> DataFrame:
+    #: above this many postings the lookup stops materialising keys on
+    #: the driver and semi-joins instead — the selectivity point where a
+    #: warehouse would also abandon the index nested-loop for a join
+    HOT_VALUE_THRESHOLD = 10_000
+
+    def lookup(self, value, now_millis: int | None = None,
+               hot_threshold: int | None = None) -> DataFrame:
         """Source rows where ``value_col = value``: index point query
         (partition-pruned + Bloom-skipped) → bounded key set →
-        batch_exact_key_query on the source. Driver holds only the
-        matching keys — the value's selectivity, never the table."""
+        batch_exact_key_query on the source. Driver holds at most
+        ``hot_threshold`` matching keys, never the table.
+
+        Hot values (more postings than the threshold — a skewed status
+        flag, a default enum) switch to the distributed path: the
+        postings DataFrame LEFT SEMI-joins the source scan on the row
+        keys, so the driver materialises nothing and the join shuffles
+        only the matching keys. The two paths return identical rows;
+        the threshold probe is one ``limit(threshold+1)`` job whose
+        rows are reused as the key set on the cold path (no second
+        index read)."""
+        threshold = (self.HOT_VALUE_THRESHOLD
+                     if hot_threshold is None else hot_threshold)
         postings = self.index.exact_key_query(
             now_millis, **{self.value_col: value})
-        keys = [{k: row[k] for k in self._src_keys}
-                for row in postings.collect()]
-        if not keys:
+        head = postings.limit(threshold + 1).collect()
+        if not head:
             return self.source.spark.createDataFrame(
                 [], self.source.schema.to_struct_type())
-        return self.source.batch_exact_key_query(keys, now_millis)
+        if len(head) <= threshold:
+            keys = [{k: row[k] for k in self._src_keys} for row in head]
+            return self.source.batch_exact_key_query(keys, now_millis)
+        # hot value: distributed semi-join, no driver key set. Postings
+        # may repeat a key across index files pre-compaction — semi-join
+        # semantics dedupe for free.
+        return self.source.full_scan(now_millis).join(
+            postings.select(*self._src_keys),
+            on=self._src_keys, how="leftsemi")

@@ -398,6 +398,32 @@ class TestSimilarity:
             embeddings, queries, dim=dim, k=5, nlist=8, nprobe=3).collect()}
         assert len(part & exact) / len(exact) >= 0.5  # partial-probe recall
 
+    def test_ivf_with_distributed_trained_centroids(self, spark, embeddings):
+        """train_ivf_centroids(method='distributed') — whole-corpus
+        Lloyd's — must produce unit centroids that drop into ivf_topk
+        and reach recall comparable to the sample trainer."""
+        from sleeper_spark.functions.similarity import (
+            brute_force_topk, ivf_topk, train_ivf_centroids)
+        import numpy as np
+        dim = len(embeddings.first().embedding)
+        cents = train_ivf_centroids(
+            embeddings, nlist=8, method="distributed", iterations=2)
+        assert len(cents) == 8 and all(len(c) == dim for c in cents)
+        for c in cents:  # re-normalized floats, drop-in for ivf_topk
+            assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-9
+        queries = embeddings.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = {(r.query_id, r.vec_id) for r in
+                 brute_force_topk(embeddings, queries, k=5).collect()}
+        full = {(r.query_id, r.vec_id) for r in ivf_topk(
+            embeddings, queries, dim=dim, k=5, nlist=8, nprobe=8,
+            centroids=cents).collect()}
+        assert full == exact  # full probe == exhaustive, any centroids
+        part = {(r.query_id, r.vec_id) for r in ivf_topk(
+            embeddings, queries, dim=dim, k=5, nlist=8, nprobe=3,
+            centroids=cents).collect()}
+        assert len(part & exact) / len(exact) >= 0.5
+
     def test_ivf_no_cartesian_and_cell_pruning(self, spark, embeddings):
         from sleeper_spark.functions.similarity import ivf_topk
         dim = len(embeddings.first().embedding)

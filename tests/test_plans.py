@@ -500,3 +500,21 @@ def test_kmeans_assignment_pass_literal_centroids_no_python(spark, entry):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # centroid literals, never a join
+
+
+def test_kmeans_assignment_plan_is_linear_in_k(spark, entry):
+    """The argmin is array_position(array_min) over ONE k-element
+    distance array — O(k) plan nodes. The pairwise when-chain it
+    replaced was O(k²), which blew up plan size (and analysis time)
+    before k reached the hundreds. Pin linearity by comparing plan
+    text size at k=8 vs k=64 (assignment pass only, iterations=0):
+    quadratic growth would be ~64x, linear is ~8x."""
+    from sleeper_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p8 = plan_of(similarity.kmeans_distributed(emb, k=8, iterations=0))
+    p64 = plan_of(similarity.kmeans_distributed(emb, k=64, iterations=0))
+    assert "Join" not in p64 and "BatchEvalPython" not in p64
+    # one argmin node regardless of k
+    assert p64.count("array_position") == p64.count("array_min") == 1
+    assert len(p64) < 14 * len(p8)  # linear-ish; O(k^2) would be ~64x

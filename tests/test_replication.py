@@ -69,7 +69,7 @@ class TestReplication:
         # (what a restarted syncer would do if it died before observing
         # its own commit) dedupes in the state store — zero new refs
         rows, to_seq = src.poll_changes(0)
-        job = f"{replication.JOB_PREFIX}0-{to_seq}"
+        job = f"{replication.source_prefix(src)}0-{to_seq}"
         assert dst.ingest(rows, job_id=job) == []
         assert _sorted_rows(dst) == _sorted_rows(src)
 
@@ -108,6 +108,91 @@ class TestReplication:
         replication.sync_to_head(src, dst)
         # the feed shipped the RAW appends; the replica's own read-time
         # collapse yields the identical aggregate view
+        assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_two_sources_one_replica_independent_watermarks(
+            self, spark, tmp_path):
+        """The default prefix is derived from SOURCE identity: two
+        sources with unrelated seq spaces syncing into one replica
+        must not corrupt each other's watermark (a shared prefix would
+        max the ``to`` across both and silently skip the lagging
+        source's data)."""
+        a = SleeperTable.create(spark, str(tmp_path / "a"), _schema())
+        b = SleeperTable.create(spark, str(tmp_path / "b"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "d"), _schema())
+        # a runs far ahead in seq space before b syncs at all
+        for i in range(4):
+            a.ingest(_rows(spark, i * 10, (i + 1) * 10))
+        replication.sync_to_head(a, dst)
+        b.ingest(_rows(spark, 1000, 1020))
+        s = replication.sync(b, dst)
+        assert s["files_ingested"] >= 1  # NOT skipped by a's watermark
+        want = sorted(_sorted_rows(a) + _sorted_rows(b))
+        assert _sorted_rows(dst) == want
+        # each source's watermark is its own
+        assert (replication.applied_seq(dst, replication.source_prefix(b))
+                == b.store.current_seq)
+
+    def test_tail_replica_converges_with_sync_replica(self, spark,
+                                                      tmp_path):
+        """sync_via_tail (replication through ChangeFeedTail's staged
+        landings) must converge to the same rows as the direct sync
+        path — including across a simulated poller crash — and its
+        staging dir stays a valid stream source."""
+        import os
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        d1 = SleeperTable.create(spark, str(tmp_path / "d1"), _schema())
+        d2 = SleeperTable.create(spark, str(tmp_path / "d2"), _schema())
+        staging = str(tmp_path / "staging")
+        src.ingest(_rows(spark, 0, 60))
+        src.ingest(_rows(spark, 60, 90))
+
+        replication.sync_to_head(src, d1)
+        s = replication.sync_via_tail(src, d2, staging)
+        assert s["caught_up"] and s["files_ingested"] >= 1
+        assert _sorted_rows(d2) == _sorted_rows(d1) == _sorted_rows(src)
+
+        # crash BETWEEN landing and ingest: drain landed a range but
+        # the replica never saw it — the next sync_via_tail must pick
+        # the staged file up purely from the directory + job-id dedupe
+        from sleeper_spark.streaming import ChangeFeedTail
+        src.ingest(_rows(spark, 90, 120))
+        tail = ChangeFeedTail(src, staging)
+        tail.drain()  # "crashed" here: staged but not ingested
+        s2 = replication.sync_via_tail(src, d2, staging)
+        assert s2["files_ingested"] >= 1 and s2["caught_up"]
+
+        # crash DURING landing: forcing the pending intent to replay
+        # must not duplicate rows in the replica
+        src.ingest(_rows(spark, 120, 130))
+        tail2 = ChangeFeedTail(src, staging)
+        _, head = src.poll_changes(tail2.state["seq"])
+        tail2.state["pending"] = [tail2.state["seq"], head]
+        tail2._save()  # intent written, then "crash" before the write
+        s3 = replication.sync_via_tail(src, d2, staging)
+        assert s3["caught_up"]
+        assert _sorted_rows(d2) == _sorted_rows(src)
+
+        # the staged landings double as a batch-readable feed with
+        # exactly the shipped rows (stream-source shape: same files)
+        fed = spark.read.schema(src.schema.to_struct_type()).parquet(
+            os.path.join(staging, "changes-*.parquet"))
+        assert sorted((r.k, r.v) for r in fed.collect()) \
+            == _sorted_rows(src)
+
+    def test_tail_fast_forwards_on_presynced_replica(self, spark,
+                                                     tmp_path):
+        """Pointing a FRESH staging dir at a replica that already
+        synced directly must not re-land (or re-ingest) history: the
+        tail checkpoint fast-forwards to the replica's watermark."""
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema())
+        src.ingest(_rows(spark, 0, 40))
+        replication.sync_to_head(src, dst)  # direct path first
+        src.ingest(_rows(spark, 40, 50))
+        s = replication.sync_via_tail(src, dst, str(tmp_path / "st2"))
+        assert s["caught_up"]
+        assert s["landed_rows"] == 10  # only the delta, never history
         assert _sorted_rows(dst) == _sorted_rows(src)
 
     def test_schema_drift_refused_then_syncs_after_evolution(

@@ -113,6 +113,42 @@ class TestSplitFromSketches:
         assert dim == 0
         assert point == "k-02500" or abs(int(point[2:]) - 2500) <= 5
 
+    def test_degenerate_first_dim_rotates_to_second(self, spark, tmp_path):
+        """Dimension rotation (FindPartitionSplitPoint.java:45-94): a
+        constant FIRST row key has no usable median (min == max), so
+        the splitter must fall through to the second dimension instead
+        of giving up — and the resulting tree must be balanced."""
+        from sleeper_spark import maintenance
+
+        schema = Schema(
+            (Field("a", T.StringType()), Field("b", T.LongType())), (),
+            (Field("v", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "rot"), schema)
+        t.ingest(spark.range(4000).select(
+            F.lit("const").alias("a"), F.col("id").alias("b"),
+            F.col("id").alias("v")))
+        t.props.partition_split_threshold = 1000
+
+        # sketch path first (spark=None proves it stays metadata-only)
+        out = maintenance.split_partitions_if_needed(
+            None, t.store, t.props)
+        assert out == ["root"]
+        root = t.store.tree["root"]
+        assert root.dimension == 1  # rotated past the degenerate dim 0
+        left, right = t.store.tree.leaves()
+        boundary = (left.region.range_for("b").max
+                    or right.region.range_for("b").max)
+        assert abs(boundary - 2000) <= 10  # balanced: median of 0..3999
+        assert t.full_scan().count() == 4000  # queries exact post-split
+
+        # bounded-scan fallback path must rotate identically
+        files = [r.filename for r in t.store.all_references()]
+        from sleeper_spark.sketches import find_split_point
+        full = Region((Range("a", None, None), Range("b", None, None)))
+        found = find_split_point(spark, schema, files, full)
+        assert found is not None and found[0] == 1
+        assert abs(found[1] - 2000) <= 10
+
     def test_union_across_files_weights_by_rows(self, spark, tmp_path):
         """A big and a small file: the merged median must reflect row
         counts, not file counts — the whole point of a mergeable sketch."""

@@ -947,6 +947,24 @@ class TestNullKeyRejection:
         with _pytest.raises(Exception, match="null key"):
             t.ingest(bad)
 
+    def test_null_key_fails_rdd_strategy_too(self, spark, tmp_path):
+        """The rdd bulk-import route bypasses the DataFrame-level
+        raise_error guard; on a dim-0-only tree its partitioner only
+        inspects key[0], so a null SECOND key (the sort key here)
+        would be written silently unless the rdd map itself checks.
+        All three strategies must fail loudly on the same contract."""
+        import pytest as _pytest
+        t = self._table(spark, tmp_path)
+        bad_sort = spark.createDataFrame([(1, None, 10)],
+                                         "k long, s long, v long")
+        with _pytest.raises(Exception, match="null key"):
+            t.ingest(bad_sort, strategy="rdd")
+        bad_row = spark.createDataFrame([(None, 2, 20)],
+                                        "k long, s long, v long")
+        with _pytest.raises(Exception, match="null key"):
+            t.ingest(bad_row, strategy="rdd")
+        assert t.store.all_references() == []
+
     def test_null_value_field_is_fine(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         ok = spark.createDataFrame([(1, 1, None), (99, 2, 30)],

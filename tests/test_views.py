@@ -157,6 +157,34 @@ class TestSecondaryIndex:
                       ev.where(F.col("user_id") == uid).collect())
         assert got == want
 
+    def test_hot_value_lookup_semi_join_path(self, spark, tmp_path):
+        """A skewed value (more postings than the threshold) must take
+        the distributed semi-join path — no driver key materialisation
+        — and return EXACTLY the rows the cold collect path returns."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        # skew: remap most events onto one hot user id
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 8, F.lit(7)).otherwise(
+                F.col("user_id")))
+        src.ingest(skewed)
+        idx.refresh()
+        n_hot = skewed.where("user_id = 7").count()
+        assert n_hot > 20
+        # hot path (threshold below the posting count) vs cold path
+        # (threshold above it): identical row multisets
+        hot = sorted(tuple(r) for r in
+                     idx.lookup(7, hot_threshold=20).collect())
+        cold = sorted(tuple(r) for r in
+                      idx.lookup(7, hot_threshold=n_hot + 1).collect())
+        want = sorted(tuple(r) for r in
+                      skewed.where("user_id = 7").collect())
+        assert hot == cold == want and len(want) == n_hot
+        # the hot plan is a semi-join, not a broadcast of collected keys
+        plan = idx.lookup(7, hot_threshold=20)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "LeftSemi" in plan
+
     def test_create_guards(self, spark, tmp_path):
         from sleeper_spark.views import SecondaryIndex
         schema = Schema(

@@ -4,6 +4,14 @@ entry and its oracle_sql() side-by-side at sf0.01 and compare
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
+Set CHECK_ORACLE_JSON=<path> to also write a machine-format record
+(per-query ``{rows_match, schema_match, hash_match, err}``) — the
+committed ``CORRECTNESS_full_r{N}.json`` artifact that covers the full
+registry, complementing the driver's rotating 50-query subset. When the
+run is chunked across processes (the parallel sf1 sweep), each chunk
+appends to the same file: existing entries for other queries are kept,
+entries for re-run queries are overwritten.
+
 By default the oracle side is fetched via DuckDB's pandas bridge
 (``cur.df()``), which reproduces the driver's typing behaviour —
 notably HUGEINT (e.g. from ``sum(BIGINT) OVER``) degrading to
@@ -90,6 +98,14 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
+
+    def rec(name, rows_match=False, schema_match=False, hash_match=False,
+            err=None, mode="oracle", n_rows=None):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "err": err, "mode": mode,
+                        "n_rows": n_rows}
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -110,10 +126,13 @@ def main() -> int:
                          for row in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            rec(name, err=f"spark error: {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows)")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                mode="rows_only", n_rows=len(srows))
             continue
         try:
             cur = con.execute(oracles[name])
@@ -136,14 +155,19 @@ def main() -> int:
                     for row in pdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
+            rec(name, err=f"oracle error: {e}")
             failures += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            rec(name, rows_match=len(srows) == len(orows),
+                err="schema mismatch", n_rows=len(srows))
             failures += 1
             continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            rec(name, schema_match=True, err="rowcount mismatch",
+                n_rows=len(srows))
             failures += 1
             continue
         names_sorted = sorted(scols)
@@ -160,10 +184,41 @@ def main() -> int:
                 print(f"      spark-only : {r}")
             for r, _ in diff_o:
                 print(f"      oracle-only: {r}")
+            rec(name, rows_match=True, schema_match=True,
+                err="value mismatch", n_rows=len(srows))
             failures += 1
             continue
         print(f"ok    {name}: {len(srows)} rows hash-match")
+        rec(name, rows_match=True, schema_match=True, hash_match=True,
+            n_rows=len(srows))
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    out_path = os.environ.get("CHECK_ORACLE_JSON")
+    if out_path:
+        import json
+        merged: dict[str, dict] = {}
+        if os.path.exists(out_path):  # chunked sweeps append
+            try:
+                merged = json.load(open(out_path)).get("queries", {})
+            except (OSError, ValueError):
+                merged = {}
+        merged.update(record)
+        n_green = sum(1 for v in merged.values()
+                      if v["hash_match"] and not v["err"])
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(merged),
+            "n_green": n_green,
+            "n_failures": len(merged) - n_green,
+            "fetch_mode": "tuples" if os.environ.get(
+                "CHECK_ORACLE_FETCH") == "tuples" else "pandas",
+            "queries": dict(sorted(merged.items())),
+        }
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as f:
+            json.dump(summary, f, indent=1)
+            f.write("\n")
+        os.replace(tmp_path, out_path)
+        print(f"wrote {out_path}: {n_green}/{len(merged)} green")
     return 1 if failures else 0
 
 
