@@ -696,9 +696,16 @@ def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     rev = (li.groupBy("l_suppkey")
            .agg(F.round(F.sum(_revenue_dec()), 2).cast("double")
                 .alias("total_revenue")))
-    top = rev.agg(F.max("total_revenue").alias("__max"))
+    # window max instead of a rev->max self-join: ONE lineitem scan
+    # (the view-reused-twice shape scaled 3.3x at sf1 because the
+    # quarter agg ran twice). The window's input is one row per
+    # supplier — dimension-bounded, so the single-partition global max
+    # is over an aggregate, never the fact table.
+    rev = rev.withColumn(
+        "__max", F.max("total_revenue").over(
+            Window.partitionBy(F.lit(1))))
     return (
-        rev.join(F.broadcast(top), rev.total_revenue == F.col("__max"))
+        rev.where(F.col("total_revenue") == F.col("__max"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select(F.col("s_suppkey"), F.col("s_name"), "total_revenue")
         .orderBy("s_suppkey")
@@ -2558,7 +2565,11 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     # a stream-stream join keeps FOUR state stores per partition, so
     # 32 near-empty partitions are pure per-batch commit overhead at
     # this volume (measured 9.4s -> 2.4s); a 100 TB deployment sets
-    # this to its real parallelism the same way
+    # this to its real parallelism the same way. The override is
+    # session-global while the stream runs (restored in finally) —
+    # safe under the sequential bench/oracle drivers; a concurrent
+    # caller would need its own SparkSession to avoid planning under
+    # the temporary value
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -2732,6 +2743,97 @@ def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         F.count(F.lit(1)).alias("n"))
+
+
+def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized aggregates (functions/stats.py): l_extendedprice
+    clipped to its EXACT [p05, p95] order statistics — thresholds from
+    a distributed cumulative histogram (distinct-value hash-agg +
+    range-partitioned prefix sum; no single-partition window, no
+    approxQuantile nondeterminism), the clip a codegen'd
+    least/greatest over the scan. Sums in cents-longs so both engines
+    agree bit-for-bit."""
+    from sleeper_spark.functions import stats
+
+    li = _load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice") \
+        .where(F.col("l_extendedprice").isNotNull())
+    clipped = stats.winsorize(li, "l_extendedprice", 0.05, 0.95,
+                              out_col="clip")
+    return clipped.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("clip") * 100).cast("long"))
+        .alias("sum_clip_cents"),
+        F.min(F.round(F.col("clip") * 100).cast("long"))
+        .alias("min_clip_cents"),
+        F.max(F.round(F.col("clip") * 100).cast("long"))
+        .alias("max_clip_cents"),
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier quarantine (stats.mad_outliers): flag rows where
+    |x - median| > 3 * MAD, both thresholds EXACT order statistics from
+    distributed prefix-sum histograms — a corrupt extreme row cannot
+    drag the fence the way it drags a stddev. Flag is one codegen'd
+    comparison; output is the per-type quarantine tally."""
+    from sleeper_spark.functions import stats
+
+    ev = _load(spark, sf, "events").select("event_type", "value") \
+        .where(F.col("value").isNotNull())
+    flagged = stats.mad_outliers(ev, "value", k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
+
+
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment decontamination (corpus.containment_pairs):
+    eval excerpts (first 40 tokens of every 10th document) checked for
+    containment INSIDE full train documents — the leak Jaccard misses
+    (a short eval question pasted into a long train doc has near-zero
+    Jaccard but containment ~1). Shingle-bucketed equi-join, hot-shingle
+    guard, work ∝ shared content — never pairwise."""
+    from sleeper_spark.functions import corpus
+    from sleeper_spark.functions.text import tokens
+
+    doc = _load(spark, sf, "documents")
+    test = doc.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens("text"), 1, 40), " ").alias("text"))
+    out = corpus.containment_pairs(test, doc, "text", "doc_id",
+                                   ngram=5, threshold=0.8)
+    return out.select(
+        "test_id", "train_id",
+        F.col("n_shared").cast("int").alias("n_shared"),
+        F.col("n_test_shingles").cast("int").alias("n_test_shingles"),
+        "containment")
+
+
+def q_secondary_index_hot(spark: SparkSession, sf: str) -> DataFrame:
+    """Secondary-index lookup on a SKEWED value (views.SecondaryIndex
+    with postings above the hot threshold): the lookup must abandon the
+    driver key set for a distributed LEFT SEMI join — same rows as the
+    cold path, no driver materialisation. Events remapped so ~80% of
+    rows share one hot user id (oracle: plain WHERE over the remap)."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = _load(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 8, F.lit(7))
+        .otherwise(F.col("user_id")).alias("user_id"),
+        "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_sidxh_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    idx = SecondaryIndex.create(src, os.path.join(tmp, "idx"),
+                                "user_id", split_points=[50])
+    src.ingest(ev)
+    idx.refresh()
+    return idx.lookup(7, hot_threshold=100)
 
 
 def q_grouped_collect(spark: SparkSession, sf: str) -> DataFrame:
@@ -2930,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cokeyed_join": q_cokeyed_join,
         "materialized_view": q_materialized_view,
         "secondary_index": q_secondary_index,
+        "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
         "security_iterator": q_security_iterator,
@@ -2991,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_overlap": q_verbatim_overlap,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_check": q_contamination_check,
+        "containment_pairs": q_containment_pairs,
         "keyword_search_all": q_keyword_search_all,
         "keyword_search_any": q_keyword_search_any,
         "bm25_search": q_bm25_search,
@@ -3027,6 +3131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_quantize": q_embedding_quantize,
         "quantiles": q_quantiles,
+        "winsorize": q_winsorize,
+        "mad_outliers": q_mad_outliers,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -3767,6 +3873,11 @@ def oracle_sql() -> dict[str, str]:
         "secondary_index":
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (7, 42, 99)",
+        "secondary_index_hot":
+            "SELECT event_id, user_id, event_type FROM ("
+            "SELECT event_id, CASE WHEN event_id % 10 < 8 THEN 7 "
+            "ELSE user_id END AS user_id, event_type FROM events) "
+            "WHERE user_id = 7",
         "materialized_view":
             "SELECT user_id, event_type, count(*) AS n, "
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
@@ -4469,6 +4580,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT test_id, CAST(count(DISTINCT train_id) AS INTEGER) AS n_train_docs, "
             "CAST(count(DISTINCT sh) AS INTEGER) AS n_shared_shingles "
             "FROM t JOIN tr USING (sh) GROUP BY test_id",
+        # asymmetric containment: test side = first-40-token excerpts,
+        # train side = full docs; same 5-gram shingles + hot guard as
+        # contamination_check; containment = n_shared / n_test_shingles
+        "containment_pairs":
+            f"WITH tks AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "tst AS (SELECT doc_id AS test_id, tk[1:40] AS t FROM tks "
+            "WHERE doc_id % 10 = 0), "
+            "tsh AS (SELECT test_id, unnest(CASE WHEN len(t) >= 5 THEN "
+            "list_distinct(list_transform(range(1, len(t) - 3), "
+            "i -> array_to_string(t[i:i+4], ' '))) "
+            "ELSE CAST([] AS VARCHAR[]) END) AS sh FROM tst), "
+            "sizes AS (SELECT test_id, count(*) AS n_test_shingles "
+            "FROM tsh GROUP BY 1), "
+            "trh0 AS (SELECT doc_id AS train_id, unnest(CASE WHEN "
+            "len(tk) >= 5 THEN "
+            "list_distinct(list_transform(range(1, len(tk) - 3), "
+            "i -> array_to_string(tk[i:i+4], ' '))) "
+            "ELSE CAST([] AS VARCHAR[]) END) AS sh FROM tks), "
+            "trh AS (SELECT train_id, sh FROM (SELECT train_id, sh, "
+            "count(*) OVER (PARTITION BY sh) AS df FROM trh0) "
+            "WHERE df <= 1000), "
+            "p AS (SELECT test_id, train_id, count(*) AS n_shared "
+            "FROM tsh JOIN trh USING (sh) GROUP BY 1, 2) "
+            "SELECT p.test_id, p.train_id, "
+            "CAST(n_shared AS INTEGER) AS n_shared, "
+            "CAST(n_test_shingles AS INTEGER) AS n_test_shingles, "
+            "n_shared / n_test_shingles AS containment "
+            "FROM p JOIN sizes USING (test_id) "
+            "WHERE n_shared / n_test_shingles >= 0.8",
         # per-vector int8 quantization recomputed code-for-code; inputs
         # are float32 so exact .5 ties at the 6th decimal cannot occur
         "embedding_quantize":
@@ -4483,6 +4623,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n "
             "FROM events GROUP BY event_type",
+        # exact percentile_disc thresholds rebuilt from the same rank
+        # arithmetic stats.exact_quantiles uses (smallest value whose
+        # cumulative count reaches ceil(q*n)); clip + cents-long sums
+        "winsorize":
+            "WITH v AS (SELECT l_returnflag, l_extendedprice AS x "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+            "n AS (SELECT count(*) AS n FROM v), "
+            "c AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM "
+            "(SELECT x, count(*) AS cnt FROM v GROUP BY x)), "
+            "lo AS (SELECT min(x) AS lo FROM c, n "
+            "WHERE cum >= greatest(1, ceil(0.05 * n.n))), "
+            "hi AS (SELECT min(x) AS hi FROM c, n "
+            "WHERE cum >= greatest(1, ceil(0.95 * n.n))) "
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(least(greatest(x, lo), hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS sum_clip_cents, "
+            "CAST(min(CAST(round(least(greatest(x, lo), hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS min_clip_cents, "
+            "CAST(max(CAST(round(least(greatest(x, lo), hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS max_clip_cents, "
+            "count(*) AS n FROM v, lo, hi GROUP BY l_returnflag",
+        # median and MAD rebuilt via the same rank arithmetic, twice
+        # (second histogram over |x - median|); 3*MAD fence inline
+        "mad_outliers":
+            "WITH v AS (SELECT event_type, value AS x FROM events "
+            "WHERE value IS NOT NULL), "
+            "n AS (SELECT count(*) AS n FROM v), "
+            "c AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM "
+            "(SELECT x, count(*) AS cnt FROM v GROUP BY x)), "
+            "med AS (SELECT min(x) AS m FROM c, n "
+            "WHERE cum >= greatest(1, ceil(0.5 * n.n))), "
+            "d AS (SELECT abs(x - m) AS dx FROM v, med), "
+            "c2 AS (SELECT dx, sum(cnt) OVER (ORDER BY dx) AS cum FROM "
+            "(SELECT dx, count(*) AS cnt FROM d GROUP BY dx)), "
+            "mad AS (SELECT min(dx) AS mad FROM c2, n "
+            "WHERE cum >= greatest(1, ceil(0.5 * n.n))) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CASE WHEN abs(x - m) > 3.0 * mad "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM v, med, mad GROUP BY event_type",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
         "grouped_collect":

@@ -159,6 +159,63 @@ def contamination_check(
     )
 
 
+def containment_pairs(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    threshold: float = 0.5,
+    max_train_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC contamination: per (test, train) pair, the fraction
+    of the TEST document's shingles present in the train document —
+    ``|shingles(test) ∩ shingles(train)| / |shingles(test)|``.
+
+    This is the leak Jaccard misses: a 200-token eval question pasted
+    verbatim into a 50k-token train document has near-zero Jaccard
+    (the union is dominated by the train doc) but containment ~1.0.
+    Published decontamination recipes gate on exactly this ratio.
+
+    Same scale shape as :func:`contamination_check`: shingle-exploded
+    equi-join bucketed by shingle (work ∝ shared content, never
+    pairwise over the corpora), with the C4-style hot-shingle guard
+    dropping train-side boilerplate (df > ``max_train_df``) before the
+    join. The guard removes boilerplate from the NUMERATOR only, so
+    guarded containment is a lower bound — template chrome can't push
+    a pair over the threshold. ``shingles()`` is distinct-per-doc, so
+    plain counts are exact set sizes.
+
+    Output: ``test_id, train_id, n_shared, n_test_shingles,
+    containment`` for pairs with containment >= ``threshold``.
+    """
+    t = test_df.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(shingles(text_col, ngram)).alias("sh"))
+    sizes = t.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("n_test_shingles"))
+    tr = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingles(text_col, ngram)).alias("sh"))
+    if max_train_df is not None:
+        hot = (tr.groupBy("sh")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .where(F.col("__df") > max_train_df)
+               .select("sh"))
+        tr = tr.join(F.broadcast(hot), "sh", "left_anti")
+    pairs = (t.join(tr, "sh")
+             .groupBy("test_id", "train_id")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    # sizes is one row per test doc — the small side by convention;
+    # AQE broadcasts it when it fits
+    return (pairs.join(sizes, "test_id")
+            .withColumn("containment",
+                        F.col("n_shared") / F.col("n_test_shingles"))
+            .where(F.col("containment") >= threshold)
+            .select("test_id", "train_id", "n_shared",
+                    "n_test_shingles", "containment"))
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

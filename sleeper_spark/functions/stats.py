@@ -1,0 +1,145 @@
+"""Exact order statistics at scale: distributed cumulative histograms,
+exact quantiles, and winsorization (outlier clipping at exact
+percentiles) — the robust-stats step a data pipeline runs before
+length/price/score features feed a filter or a model.
+
+Everything here is EXACT (rank arithmetic over a value histogram), not
+approximate: ``approxQuantile`` answers drift with sampling, which makes
+them un-oracle-able and unstable across runs; these are deterministic
+functions of the data, so a SQL engine reproduces them bit-for-bit.
+
+Scale shape: the only shuffle is a hash aggregation to DISTINCT VALUES
+(cost ∝ distinct values, not rows — map-side partial counts do the heavy
+lifting), and the cumulative sum over the sorted histogram is a
+DISTRIBUTED prefix sum: range-partition the values, per-partition
+cumsum, plus a driver-computed per-partition offset (P scalars). No
+single-partition global window anywhere, so a 100 TB column with
+billions of distinct values still spreads across the cluster. For
+continuous doubles, quantize first (e.g. cents) to bound the histogram;
+the quantile of the quantized column brackets the true one by the
+quantization step.
+
+No reference analog (the reference has no numeric analytics beyond
+aggregation); this generalises the quantile-sketch sidecar machinery
+(sketches.py) to exact, ad-hoc columns.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative_histogram(df: DataFrame, col: str,
+                         n_parts: int | None = None) -> DataFrame:
+    """``(value, cnt, cum)`` per distinct value of ``col``, where
+    ``cum`` is the number of rows with value <= this value (NULLs are
+    excluded — order statistics are undefined over NULL).
+
+    The prefix sum is distributed: values are range-partitioned, each
+    partition cumsums locally, and the cross-partition offsets are a
+    P-row driver computation. ``cum`` is a pure function of the data —
+    partition boundaries (which Spark samples nondeterministically)
+    cancel out of offset + local-cumsum.
+    """
+    sess = df.sparkSession
+    if n_parts is None:
+        n_parts = sess.sparkContext.defaultParallelism
+    hist = (df.where(F.col(col).isNotNull())
+            .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+    ranged = hist.repartitionByRange(n_parts, F.col(col)).withColumn(
+        "__part", F.spark_partition_id())
+    # cache: the per-partition totals pass and the cumsum pass must see
+    # the SAME partitioning (re-execution could re-sample range bounds)
+    ranged = ranged.localCheckpoint(eager=False)
+    totals = {r["__part"]: r["t"] for r in
+              ranged.groupBy("__part").agg(F.sum("cnt").alias("t"))
+              .collect()}  # P scalars on the driver
+    if not totals:  # empty/all-NULL input: F.create_map() of zero
+        # entries types as map<void,void> and fails analysis below
+        return ranged.select(F.col(col).alias("value"), "cnt",
+                             F.lit(None).cast("long").alias("cum"))
+    offsets, acc = {}, 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("__part").orderBy(col)
+    return (ranged
+            .withColumn("cum", F.sum("cnt").over(w) + off_map[F.col("__part")])
+            .select(F.col(col).alias("value"), "cnt", "cum"))
+
+
+def exact_quantiles(df: DataFrame, col: str,
+                    qs: list[float]) -> list[Any]:
+    """The exact q-th order statistics of ``col``: for each q, the
+    smallest value whose cumulative count reaches ``ceil(q * n)``
+    (percentile_disc semantics — an actual data value, never an
+    interpolation). One aggregation job answers every q at once;
+    driver transfer is len(qs) scalars."""
+    ch = cumulative_histogram(df, col)
+    n = ch.agg(F.max("cum")).first()[0]
+    if n is None:
+        return [None for _ in qs]
+    aggs = []
+    for i, q in enumerate(qs):
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        rank = max(1, math.ceil(q * n))
+        aggs.append(F.min(F.when(F.col("cum") >= rank,
+                                 F.col("value"))).alias(f"q{i}"))
+    row = ch.agg(*aggs).first()
+    return [row[f"q{i}"] for i in range(len(qs))]
+
+
+def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
+    """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
+    is the median of ``|x - median|`` — the robust spread measure that,
+    unlike stddev, one corrupt 1e308 row cannot drag to infinity. Two
+    quantile passes over value histograms; both results are actual data
+    values (or exact absolute differences of them), so a SQL engine
+    reproduces them bit-for-bit."""
+    med = exact_quantiles(df, col, [0.5])[0]
+    if med is None:
+        return None, None
+    dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("__dev"))
+    mad = exact_quantiles(dev, "__dev", [0.5])[0]
+    return med, mad
+
+
+def mad_outliers(df: DataFrame, col: str, k: float = 3.0,
+                 out_col: str = "is_outlier") -> DataFrame:
+    """Flag rows where ``|x - median| > k * MAD`` — the robust outlier
+    rule (a MAD-based z-score) a pipeline uses to quarantine corrupt
+    numeric features before they poison aggregates. The two thresholds
+    are driver scalars; the flag is one codegen'd comparison over the
+    scan. NULLs flag NULL (unknown, not outlier)."""
+    med, mad = median_abs_deviation(df, col)
+    if med is None:
+        return df.withColumn(out_col, F.lit(None).cast("boolean"))
+    return df.withColumn(
+        out_col, F.abs(F.col(col) - F.lit(med)) > F.lit(k * mad))
+
+
+def winsorize(df: DataFrame, col: str, lower: float = 0.01,
+              upper: float = 0.99, out_col: str | None = None) -> DataFrame:
+    """Clip ``col`` to its exact [p_lower, p_upper] order statistics —
+    the standard tail-taming transform before means/sums over heavy-
+    tailed features (document lengths, prices, scores). The thresholds
+    are two driver scalars; the clip itself is a codegen'd
+    least/greatest over the scan — no second shuffle, no UDF. NULLs
+    pass through unclipped (they carry no magnitude to clip)."""
+    lo, hi = exact_quantiles(df, col, [lower, upper])
+    out = out_col or col
+    if lo is None:  # empty (or all-NULL) input: nothing to clip
+        return df.withColumn(out, F.col(col))
+    # explicit NULL pass-through: Spark's greatest/least SKIP nulls
+    # (greatest(NULL, lo) = lo), which would silently conjure a value
+    # for a NULL row instead of keeping it NULL
+    clip = F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
+    return df.withColumn(
+        out, F.when(F.col(col).isNull(), F.lit(None)).otherwise(clip))

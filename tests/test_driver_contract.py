@@ -56,8 +56,12 @@ def test_every_query_has_an_oracle():
     # exact prefix-filtering similarity join, sharded heavy hitters,
     # the pruned branch diff, BPE pair counting, the zero-shuffle
     # co-keyed join, the incremental materialized view, the secondary
-    # index, RRF hybrid search, and bigram LM quality scoring
-    assert len(qk) == 139
+    # index, RRF hybrid search, and bigram LM quality scoring —
+    # round 7 adds exact winsorization (distributed prefix-sum
+    # quantiles), MAD outlier quarantine, asymmetric containment
+    # decontamination, and the hot-value secondary-index semi-join
+    # lookup
+    assert len(qk) == 143
 
 
 def test_entry_smoke(spark):

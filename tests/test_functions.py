@@ -744,6 +744,38 @@ class TestCorpus:
         assert out[10].n_train_docs == 2
         assert out[10].n_shared_shingles >= 2
 
+    def test_containment_catches_what_jaccard_misses(self, spark):
+        """A short eval doc pasted verbatim inside a LONG train doc:
+        Jaccard is tiny (union dominated by the train doc) but
+        containment is exactly 1.0 — the ratio decontamination gates
+        on. A partial overlap scores proportionally; disjoint pairs
+        never appear."""
+        from sleeper_spark.functions.corpus import containment_pairs
+        eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i}" for i in range(200))
+        test = spark.createDataFrame(
+            [(10, eval_text),
+             (20, "totally disjoint content nothing shared here at all")],
+            ["doc_id", "text"])
+        train = spark.createDataFrame(
+            [(1, f"{filler} {eval_text} {filler}"),
+             (2, "unrelated training document body text")],
+            ["doc_id", "text"])
+        out = {(r.test_id, r.train_id): r for r in
+               containment_pairs(test, train, ngram=5,
+                                 threshold=0.5).collect()}
+        assert set(out) == {(10, 1)}
+        r = out[(10, 1)]
+        assert r.containment == 1.0  # fully contained
+        assert r.n_shared == r.n_test_shingles == 4  # 8 tokens, 5-grams
+        # half-overlap: only the first 6 eval tokens appear in train
+        train2 = spark.createDataFrame(
+            [(3, f"{filler} alpha beta gamma delta epsilon zeta")],
+            ["doc_id", "text"])
+        half = containment_pairs(test, train2, ngram=5,
+                                 threshold=0.1).collect()
+        assert len(half) == 1 and half[0].containment == 0.5  # 2 of 4
+
     def test_contamination_hot_shingle_cap(self, spark):
         """Planted boilerplate: a shingle shared by 50 train docs must be
         dropped pre-join (C4-style guard) — it is chrome, not leakage —

@@ -1,0 +1,110 @@
+"""Exact order statistics (functions/stats.py): distributed cumulative
+histogram, exact quantiles, winsorization — checked against independent
+driver-side computations on real testdata."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sleeper_spark.functions import stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet") \
+        .select("event_id", "value")
+
+
+def _py_quantile(vals, q):
+    """Independent model: smallest value whose rank reaches ceil(q*n)."""
+    s = sorted(vals)
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+class TestExactQuantiles:
+    def test_matches_pure_python_order_statistics(self, spark, events):
+        vals = [r.value for r in events.collect() if r.value is not None]
+        qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+        got = stats.exact_quantiles(events, "value", qs)
+        want = [_py_quantile(vals, q) for q in qs]
+        assert got == want
+
+    def test_cumulative_histogram_is_partition_invariant(self, spark,
+                                                         events):
+        """cum must be a pure function of the data: identical whether
+        the prefix sum runs over 2 or 11 range partitions."""
+        a = {(r.value, r.cnt, r.cum) for r in
+             stats.cumulative_histogram(events, "value", 2).collect()}
+        b = {(r.value, r.cnt, r.cum) for r in
+             stats.cumulative_histogram(events, "value", 11).collect()}
+        assert a == b
+        n = events.where(F.col("value").isNotNull()).count()
+        assert max(c for _, _, c in a) == n
+        # cum is strictly increasing in value order, by cnt each step
+        rows = sorted(a)
+        acc = 0
+        for v, cnt, cum in rows:
+            acc += cnt
+            assert cum == acc
+
+    def test_invalid_q_and_empty_input(self, spark, events):
+        with pytest.raises(ValueError, match="outside"):
+            stats.exact_quantiles(events, "value", [1.5])
+        empty = events.where("value IS NULL AND value IS NOT NULL")
+        assert stats.exact_quantiles(empty, "value", [0.5]) == [None]
+
+
+class TestMadOutliers:
+    def test_matches_pure_python_model(self, spark, events):
+        vals = [r.value for r in events.collect() if r.value is not None]
+        med = _py_quantile(vals, 0.5)
+        mad = _py_quantile([abs(v - med) for v in vals], 0.5)
+        want = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
+        got = stats.mad_outliers(
+            events.where(F.col("value").isNotNull()), "value", k=3.0)
+        assert got.where("is_outlier").count() == want
+
+    def test_robust_to_one_corrupt_row(self, spark):
+        """The whole point vs stddev fences: one 1e12 row must be THE
+        outlier, not widen the fence until nothing is."""
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(100)] + [(100, 1e12)],
+            "id long, x double")
+        out = {r.id for r in
+               stats.mad_outliers(df, "x").where("is_outlier").collect()}
+        assert out == {100}
+
+
+class TestWinsorize:
+    def test_equals_driver_side_clip(self, spark, events):
+        vals = [r.value for r in events.collect() if r.value is not None]
+        lo, hi = _py_quantile(vals, 0.05), _py_quantile(vals, 0.95)
+        got = sorted(
+            r.w for r in stats.winsorize(
+                events.where(F.col("value").isNotNull()),
+                "value", 0.05, 0.95, out_col="w").collect())
+        want = sorted(min(max(v, lo), hi) for v in vals)
+        assert got == want
+        assert got[0] == lo and got[-1] == hi
+
+    def test_nulls_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 1000.0), (4, 20.0), (5, 30.0)],
+            "id long, x double")
+        out = {r.id: r.x for r in
+               stats.winsorize(df, "x", 0.0, 0.5).collect()}
+        assert out[2] is None  # NULL carries no magnitude to clip
+        assert out[3] == 20.0  # p50 of (10,20,30,1000) clips the tail
+
+    def test_plan_has_no_python_and_clip_is_scan_side(self, spark,
+                                                      events):
+        """The clip itself must be a codegen'd projection — no UDF, no
+        extra shuffle beyond the (already-run) threshold jobs."""
+        df = stats.winsorize(events, "value", 0.05, 0.95, out_col="w")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # thresholds are literals
