@@ -2786,6 +2786,34 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
 
 
+def q_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group order statistics (stats.grouped_quantiles): p50
+    and p95 of event value per event type as percentile_disc order
+    statistics — one per-group histogram + PARTITIONED window prefix
+    sum (distributes by group; contrast the `quantiles` query, whose
+    interpolated percentile is a different definition)."""
+    from sleeper_spark.functions import stats
+
+    ev = _load(spark, sf, "events").select("event_type", "value")
+    return stats.grouped_quantiles(
+        ev, ["event_type"], "value", {"p50": 0.5, "p95": 0.95})
+
+
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (timeseries.funnel_counts): users who
+    viewed, then clicked strictly after their first view, then
+    purchased after that reach — k-1 shrinking hash-agg/join stages,
+    per-user state never on the driver."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events").select(
+        "user_id", "event_type", "ts_us").where(
+        F.col("ts_us").isNotNull())
+    return timeseries.funnel_counts(
+        ev, ["view", "click", "purchase"],
+        user_col="user_id", step_col="event_type", ts_col="ts_us")
+
+
 def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment decontamination (corpus.containment_pairs):
     eval excerpts (first 40 tokens of every 10th document) checked for
@@ -3133,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "winsorize": q_winsorize,
         "mad_outliers": q_mad_outliers,
+        "grouped_quantiles": q_grouped_quantiles,
+        "funnel": q_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4663,6 +4693,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN abs(x - m) > 3.0 * mad "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
             "FROM v, med, mad GROUP BY event_type",
+        # per-group percentile_disc via partitioned rank arithmetic
+        "grouped_quantiles":
+            "WITH v AS (SELECT event_type, value AS x FROM events "
+            "WHERE value IS NOT NULL), "
+            "h AS (SELECT event_type, x, count(*) AS cnt FROM v "
+            "GROUP BY 1, 2), "
+            "c AS (SELECT event_type, x, "
+            "sum(cnt) OVER (PARTITION BY event_type ORDER BY x) AS cum, "
+            "sum(cnt) OVER (PARTITION BY event_type) AS n FROM h) "
+            "SELECT event_type, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.5 * n)) THEN x END) "
+            "AS p50, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.95 * n)) THEN x END) "
+            "AS p95, CAST(max(n) AS BIGINT) AS n "
+            "FROM c GROUP BY event_type",
+        # funnel: each stage's reach = min ts strictly after the
+        # previous stage's reach; counts only shrink
+        "funnel":
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t "
+            "FROM events WHERE ts IS NOT NULL), "
+            "s0 AS (SELECT user_id, min(t) AS t FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s1 AS (SELECT e.user_id, min(e.t) AS t FROM e "
+            "JOIN s0 USING (user_id) "
+            "WHERE e.event_type = 'click' AND e.t > s0.t GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.t) AS t FROM e "
+            "JOIN s1 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND e.t > s1.t GROUP BY 1) "
+            "SELECT 'view' AS step, CAST(0 AS INTEGER) AS step_index, "
+            "(SELECT count(*) FROM s0) AS n_users "
+            "UNION ALL SELECT 'click', CAST(1 AS INTEGER), "
+            "(SELECT count(*) FROM s1) "
+            "UNION ALL SELECT 'purchase', CAST(2 AS INTEGER), "
+            "(SELECT count(*) FROM s2)",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
         "grouped_collect":

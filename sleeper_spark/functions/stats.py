@@ -96,6 +96,40 @@ def exact_quantiles(df: DataFrame, col: str,
     return [row[f"q{i}"] for i in range(len(qs))]
 
 
+def grouped_quantiles(df: DataFrame, group_cols: list[str], col: str,
+                      qs: dict[str, float]) -> DataFrame:
+    """Exact per-group order statistics in one shuffle-bounded pass:
+    ``qs`` maps output column name -> q, e.g. ``{"p50": 0.5, "p95":
+    0.95}``. Per-(group, value) histogram, per-group window cumsum
+    (PARTITIONED by group, so the prefix sum distributes across the
+    cluster — only a single group with a huge distinct-value set would
+    concentrate; quantize such columns first), then every q answered
+    from one final hash aggregation. Same percentile_disc semantics as
+    :func:`exact_quantiles` (smallest value whose cumulative count
+    reaches ceil(q*n) within its group); output also carries ``n`` —
+    the group's non-NULL row count."""
+    for q in qs.values():
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    hist = (df.where(F.col(col).isNotNull())
+            .groupBy(*group_cols, col)
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy(*group_cols).orderBy(col)
+    wg = Window.partitionBy(*group_cols)
+    h = (hist.withColumn("cum", F.sum("cnt").over(w))
+         .withColumn("__n", F.sum("cnt").over(wg)))
+    aggs = [
+        F.min(F.when(
+            F.col("cum") >= F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(q) * F.col("__n"))),
+            F.col(col))).alias(name)
+        for name, q in qs.items()
+    ]
+    return h.groupBy(*group_cols).agg(
+        *aggs, F.max("__n").alias("n"))
+
+
 def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
     """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
     is the median of ``|x - median|`` — the robust spread measure that,

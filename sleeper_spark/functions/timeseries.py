@@ -153,3 +153,49 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
         .where((F.col(left_ts) >= F.col(r_start))
                & (F.col(left_ts) < F.col(r_end)))
     return out.drop("__b__")
+
+
+def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
+                  step_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1, then
+    step 2 STRICTLY AFTER their first step 1, then step 3 after that
+    reach, and so on — the conversion measurement (view → click →
+    purchase) every event pipeline ships.
+
+    Each stage is a hash aggregation producing a per-user reach-time
+    table (one row per surviving user) joined to the next step's
+    events — k-1 equi-joins on the user key for k steps, per-user
+    state never leaving the executors, no ordered collect_list, no
+    window over a user's whole history. A funnel over 10^9 users is
+    k hash-aggs over tables that only SHRINK stage by stage.
+
+    Semantics: reach time of stage i = min event time of ``steps[i]``
+    strictly after the user's stage-(i-1) reach time (the classic
+    unbounded-window funnel; filter ``df`` by a time range first for a
+    windowed variant). Output: ``step, step_index, n_users``,
+    monotonically non-increasing in ``step_index``.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (df.where(F.col(step_col) == steps[0])
+           .groupBy(user_col)
+           .agg(F.min(ts_col).alias("__reach")))
+    spark = df.sparkSession
+    out_rows = [(str(steps[0]), 0)]
+    counts = [cur.count()]
+    for s in steps[1:]:
+        nxt = (df.where(F.col(step_col) == s)
+               .join(cur, user_col)
+               .where(F.col(ts_col) > F.col("__reach"))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("__reach")))
+        # localCheckpoint: each stage feeds the next; without it stage k
+        # re-runs every earlier join (k^2 scans of the event table)
+        nxt = nxt.localCheckpoint(eager=False)
+        cur = nxt
+        out_rows.append((str(s), len(out_rows)))
+        counts.append(cur.count())
+    return spark.createDataFrame(
+        [(s, i, int(c)) for (s, i), c in zip(out_rows, counts)],
+        "step string, step_index int, n_users long")

@@ -59,9 +59,9 @@ def test_every_query_has_an_oracle():
     # index, RRF hybrid search, and bigram LM quality scoring —
     # round 7 adds exact winsorization (distributed prefix-sum
     # quantiles), MAD outlier quarantine, asymmetric containment
-    # decontamination, and the hot-value secondary-index semi-join
-    # lookup
-    assert len(qk) == 143
+    # decontamination, the hot-value secondary-index semi-join lookup,
+    # per-group exact quantiles, and the ordered conversion funnel
+    assert len(qk) == 145
 
 
 def test_entry_smoke(spark):

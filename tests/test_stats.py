@@ -56,6 +56,30 @@ class TestExactQuantiles:
         assert stats.exact_quantiles(empty, "value", [0.5]) == [None]
 
 
+class TestGroupedQuantiles:
+    def test_matches_per_group_python_model(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet") \
+            .select("event_type", "value")
+        rows = [(r.event_type, r.value) for r in ev.collect()
+                if r.value is not None]
+        groups = {}
+        for t, v in rows:
+            groups.setdefault(t, []).append(v)
+        got = {r.event_type: (r.p50, r.p95, r.n) for r in
+               stats.grouped_quantiles(
+                   ev, ["event_type"], "value",
+                   {"p50": 0.5, "p95": 0.95}).collect()}
+        want = {t: (_py_quantile(vs, 0.5), _py_quantile(vs, 0.95),
+                    len(vs)) for t, vs in groups.items()}
+        assert got == want
+
+    def test_invalid_q(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        with pytest.raises(ValueError, match="outside"):
+            stats.grouped_quantiles(ev, ["event_type"], "value",
+                                    {"bad": 2.0})
+
+
 class TestMadOutliers:
     def test_matches_pure_python_model(self, spark, events):
         vals = [r.value for r in events.collect() if r.value is not None]

@@ -133,3 +133,39 @@ def test_asof_property_vs_duckdb(spark):
             "SELECT l.k, l.t, l.lid, r.v FROM l ASOF LEFT JOIN r "
             "ON l.k = r.k AND r.t <= l.t").fetchall())
         assert got == want, f"case {case}"
+
+
+class TestFunnel:
+    def test_ordering_matters(self, spark):
+        """A user who clicks BEFORE their first view must not convert
+        past the view stage; counts never increase stage over stage."""
+        from sleeper_spark.functions.timeseries import funnel_counts
+        rows = [
+            # u1: full ordered funnel
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            # u2: clicked before viewing -> stops at view
+            (2, "click", 5), (2, "view", 10),
+            # u3: view+click ordered, purchase BEFORE click -> 2 stages
+            (3, "view", 1), (3, "purchase", 2), (3, "click", 3),
+            # u4: never viewed -> never enters
+            (4, "click", 1), (4, "purchase", 2),
+            # u5: view then a SECOND view then click (min view counts)
+            (5, "view", 50), (5, "view", 60), (5, "click", 55),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long")
+        out = {r.step: (r.step_index, r.n_users) for r in
+               funnel_counts(df, ["view", "click", "purchase"],
+                             ts_col="ts").collect()}
+        assert out == {"view": (0, 4),       # u1 u2 u3 u5
+                       "click": (1, 3),      # u1 u3 u5 (after first view)
+                       "purchase": (2, 1)}   # u1 only
+
+    def test_strictly_after_excludes_ties(self, spark):
+        from sleeper_spark.functions.timeseries import funnel_counts
+        df = spark.createDataFrame(
+            [(1, "view", 10), (1, "click", 10)],
+            "user_id long, event_type string, ts long")
+        out = {r.step: r.n_users for r in
+               funnel_counts(df, ["view", "click"], ts_col="ts").collect()}
+        assert out == {"view": 1, "click": 0}  # tie is not 'after'
