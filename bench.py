@@ -87,6 +87,27 @@ def sibling_spark_procs() -> int:
     return max(0, n - 1)  # our own driver JVM is one of them
 
 
+def arrow_probe_ms() -> float:
+    """Fixed single-thread pyarrow sort+merge workload (~100ms idle):
+    the same kernel class the Arrow compaction engine runs. The
+    documented host-level slowdown inflates THIS probe alongside the
+    compaction benches while the pure-Python spin probe stays flat —
+    recording it turns 'the record looks slow' into attributable
+    machine-state evidence, independent of our engine."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rng = np.random.RandomState(7)
+    t = pa.table({"k": rng.randint(0, 1 << 40, 2_000_000),
+                  "v": rng.randint(0, 100, 2_000_000)})
+    t0 = time.perf_counter()
+    idx = pc.sort_indices(t, sort_keys=[("k", "ascending")])
+    taken = t.take(idx)
+    pa.TableGroupBy(taken, "k").aggregate([("v", "sum")])
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def compaction_load_gate(noise: dict, label: str,
                          max_wait_s: float = 180.0) -> None:
     """Refuse-or-annotate guard for the compaction benches (the gated
@@ -439,6 +460,7 @@ def main() -> None:
     noise: dict = {
         "loadavg_start": [round(v, 1) for v in os.getloadavg()],
         "spin_ms_start": spin_probe_ms(),
+        "arrow_probe_ms_start": arrow_probe_ms(),
         "sibling_spark_procs_start": sibling_spark_procs(),
         "per_query": {},
     }
@@ -458,6 +480,7 @@ def main() -> None:
             log(f"{name}: FAILED {type(e).__name__}: {e}")
             timings[name] = -1.0
     noise["spin_ms_after_queries"] = spin_probe_ms()
+    noise["arrow_probe_ms_after_queries"] = arrow_probe_ms()
 
     # phase 2 (exclusive): lifecycle ingest + compaction, min-of-2.
     # One untimed warm-up first: the lifecycle path's first run after the
@@ -490,6 +513,7 @@ def main() -> None:
     mapagg = bench_compaction_mapagg(spark, mapagg_rows)
     noise["loadavg_end"] = [round(v, 1) for v in os.getloadavg()]
     noise["spin_ms_end"] = spin_probe_ms()
+    noise["arrow_probe_ms_end"] = arrow_probe_ms()
     noise["sibling_spark_procs_end"] = sibling_spark_procs()
 
     cores = int(cpus)

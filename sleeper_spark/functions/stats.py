@@ -35,6 +35,11 @@ from pyspark.sql import functions as F
 
 def cumulative_histogram(df: DataFrame, col: str,
                          n_parts: int | None = None) -> DataFrame:
+    return _cumhist(df, col, n_parts)[0]
+
+
+def _cumhist(df: DataFrame, col: str,
+             n_parts: int | None = None) -> tuple[DataFrame, int]:
     """``(value, cnt, cum)`` per distinct value of ``col``, where
     ``cum`` is the number of rows with value <= this value (NULLs are
     excluded — order statistics are undefined over NULL).
@@ -44,6 +49,10 @@ def cumulative_histogram(df: DataFrame, col: str,
     P-row driver computation. ``cum`` is a pure function of the data —
     partition boundaries (which Spark samples nondeterministically)
     cancel out of offset + local-cumsum.
+
+    Also returns ``n`` (the non-NULL row total), already known on the
+    driver from the partition totals — callers must not pay another
+    aggregation job to re-learn it.
     """
     sess = df.sparkSession
     if n_parts is None:
@@ -60,8 +69,8 @@ def cumulative_histogram(df: DataFrame, col: str,
               .collect()}  # P scalars on the driver
     if not totals:  # empty/all-NULL input: F.create_map() of zero
         # entries types as map<void,void> and fails analysis below
-        return ranged.select(F.col(col).alias("value"), "cnt",
-                             F.lit(None).cast("long").alias("cum"))
+        return (ranged.select(F.col(col).alias("value"), "cnt",
+                              F.lit(None).cast("long").alias("cum")), 0)
     offsets, acc = {}, 0
     for p in sorted(totals):
         offsets[p] = acc
@@ -71,7 +80,7 @@ def cumulative_histogram(df: DataFrame, col: str,
     w = Window.partitionBy("__part").orderBy(col)
     return (ranged
             .withColumn("cum", F.sum("cnt").over(w) + off_map[F.col("__part")])
-            .select(F.col(col).alias("value"), "cnt", "cum"))
+            .select(F.col(col).alias("value"), "cnt", "cum"), acc)
 
 
 def exact_quantiles(df: DataFrame, col: str,
@@ -81,9 +90,8 @@ def exact_quantiles(df: DataFrame, col: str,
     (percentile_disc semantics — an actual data value, never an
     interpolation). One aggregation job answers every q at once;
     driver transfer is len(qs) scalars."""
-    ch = cumulative_histogram(df, col)
-    n = ch.agg(F.max("cum")).first()[0]
-    if n is None:
+    ch, n = _cumhist(df, col)
+    if not n:
         return [None for _ in qs]
     aggs = []
     for i, q in enumerate(qs):
