@@ -518,3 +518,43 @@ def test_kmeans_assignment_plan_is_linear_in_k(spark, entry):
     # one argmin node regardless of k
     assert p64.count("array_position") == p64.count("array_min") == 1
     assert len(p64) < 14 * len(p8)  # linear-ish; O(k^2) would be ~64x
+
+
+def test_containment_pairs_bucketed_never_pairwise(spark, entry):
+    """The containment join must stay shingle-bucketed: hash joins on
+    the shingle key, the hot-shingle guard as a broadcast anti-join,
+    no cartesian pair space, no Python workers."""
+    plan = plan_of(entry.q_containment_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftAnti" in plan          # hot-shingle guard pre-join
+    assert "BroadcastHashJoin" in plan  # guard list broadcast
+
+
+def test_grouped_quantiles_partitioned_window_no_python(spark, entry):
+    """The per-group prefix sum must run as a PARTITIONED window (its
+    exchange hash-partitions by the group key — work spreads across
+    the cluster), never a single-partition global window, and the
+    whole plan stays JVM-side."""
+    plan = plan_of(entry.q_grouped_quantiles(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # histogram + final, partial+final
+
+
+def test_winsorize_thresholds_are_literals_no_second_shuffle(spark, entry):
+    """After the (already-run) threshold jobs, the winsorize query's
+    remaining plan is scan -> clip -> partial/final agg: the clip is a
+    codegen'd least/greatest over literals, no join against a
+    threshold table, no Python."""
+    plan = plan_of(entry.q_winsorize(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan  # thresholds embedded as literals
+    assert "HashAggregate" in plan
+
+
+def test_mad_outliers_fences_are_literals(spark, entry):
+    plan = plan_of(entry.q_mad_outliers(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan  # median/MAD embedded as literals
