@@ -27,7 +27,8 @@ Append-only sources only (the reference's model: rows leave via
 ageOff, not deletes): ``delete_where`` on the source emits nothing in
 the change feed and would silently drift the view — so refresh scans
 the window's retained transactions and REFUSES to advance past a
-detected delete.
+detected delete. The recovery path is :meth:`MaterializedView.rebuild`
+(crash-safe snapshot recompute; see its docstring).
 
 Reference analog: none (no derived tables); built from this engine's
 change feed + idempotent ingest + aggregation tables.
@@ -95,6 +96,11 @@ class MaterializedView:
         content-neutral metadata) advance the checkpoint without a
         Spark job."""
         state = self._load_state()
+        if "rebuild_to" in state:
+            # a crash-interrupted rebuild left its intent: finish it
+            # first (idempotent), then continue incrementally
+            self.rebuild()
+            state = self._load_state()
         from_seq = state["seq"]
         batch, to_seq = self.source.poll_changes(from_seq,
                                                  max_seqs=max_seqs)
@@ -112,6 +118,47 @@ class MaterializedView:
         state["seq"] = to_seq
         self._save_state(state)
         return to_seq - from_seq
+
+    # ------------------------------------------------------------------
+    def rebuild(self) -> int:
+        """Full rebuild — the recovery path after the incremental
+        contract is invalidated (``delete_where`` on the source trips
+        ``refresh`` permanently, because the change feed carries
+        appends only). Snapshot-consistent AND crash-safe:
+
+        1. the source head seq is captured and persisted as a
+           ``rebuild_to`` INTENT before anything is touched;
+        2. the destination's file manifest is cleared (old files become
+           ordinary GC candidates; pre-rebuild states stay readable via
+           ``as_of``);
+        3. the transform of the source's ``as_of(head)`` snapshot is
+           ingested — pinned at the head, so appends racing past it are
+           NOT double-counted (they replay through later refreshes);
+        4. the checkpoint jumps to the head, clearing the intent.
+
+        A crash anywhere in 2-3 leaves the intent in place; the next
+        ``rebuild()`` (or ``refresh``, which resumes it automatically)
+        re-clears and re-ingests — the clear wipes any partial attempt,
+        so the retry ingest needs no job-id dedup to stay exactly-once.
+        If GC already deleted snapshot files the ``as_of`` read raises,
+        naming them (the GC delay bounds rebuild-ability, same as any
+        time travel). Returns the head seq the view now reflects."""
+        import uuid
+
+        state = self._load_state()
+        head = state.get("rebuild_to")
+        if head is None:
+            self.source.store.refresh_if_stale(0)
+            head = self.source.store.current_seq
+            state["rebuild_to"] = head
+            self._save_state(state)  # durable intent BEFORE any write
+        snap = self.source.as_of(seq=head)
+        self.dest.store.clear_files()
+        delta = self.transform(snap.full_scan())
+        self.dest.ingest(delta,
+                         job_id=f"mv-rebuild-{head}-{uuid.uuid4().hex[:8]}")
+        self._save_state({"seq": head})
+        return head
 
 
 class SecondaryIndex:
@@ -193,6 +240,12 @@ class SecondaryIndex:
 
     def refresh(self, max_seqs: int | None = None) -> int:
         return self._mv.refresh(max_seqs=max_seqs)
+
+    def rebuild(self) -> int:
+        """Recover the index after a source ``delete_where`` (which
+        trips incremental refresh): crash-safe snapshot rebuild of the
+        postings — see :meth:`MaterializedView.rebuild`."""
+        return self._mv.rebuild()
 
     #: above this many postings the lookup stops materialising keys on
     #: the driver and semi-joins instead — the selectivity point where a

@@ -100,6 +100,52 @@ class TestMaterializedView:
         with pytest.raises(ValueError, match="delete_where"):
             mv.refresh()
 
+    def test_rebuild_recovers_from_source_delete(self, spark, tmp_path):
+        """The recovery path: delete trips refresh -> rebuild() makes
+        the view equal the batch recompute of the POST-DELETE source,
+        and incremental refresh works again afterwards."""
+        src, dest, mv, ev = _mk(spark, tmp_path)
+        src.ingest(ev)
+        mv.refresh()
+        src.delete_where(regions=[Region.of(Range("event_id", 0, 500))])
+        with pytest.raises(ValueError, match="delete_where"):
+            mv.refresh()
+        head = mv.rebuild()
+        assert head == src.store.current_seq
+        assert _view_state(dest) == _expected(ev.where("event_id >= 500"))
+        # the incremental path resumes cleanly past the rebuild
+        more = ev.select(
+            F.col("event_id") + 10000, "user_id", "event_type", "value"
+        ).toDF("event_id", "user_id", "event_type", "value")
+        src.ingest(more)
+        assert mv.refresh() > 0
+        assert _view_state(dest) == _expected(
+            ev.where("event_id >= 500").unionByName(more))
+
+    def test_rebuild_crash_between_clear_and_checkpoint(self, spark,
+                                                        tmp_path):
+        """Crash-interrupted rebuild: the persisted intent makes the
+        next refresh() re-run the clear+ingest, so a partial attempt
+        can neither double-count nor survive as a half-built view."""
+        src, dest, mv, ev = _mk(spark, tmp_path)
+        src.ingest(ev)
+        mv.refresh()
+        src.delete_where(regions=[Region.of(Range("event_id", 0, 500))])
+        # simulate the crash: intent persisted, destination cleared,
+        # a PARTIAL delta ingested, checkpoint never advanced
+        head = src.store.current_seq
+        state = mv._load_state()
+        state["rebuild_to"] = head
+        mv._save_state(state)
+        dest.store.clear_files()
+        partial = mv.transform(
+            src.as_of(seq=head).full_scan().limit(37))
+        dest.ingest(partial, job_id="mv-rebuild-crashed-attempt")
+        # refresh() must finish the rebuild first, then advance
+        mv.refresh()
+        assert "rebuild_to" not in mv._load_state()
+        assert _view_state(dest) == _expected(ev.where("event_id >= 500"))
+
 
 class TestSecondaryIndex:
     def _mk(self, spark, tmp_path):
@@ -184,6 +230,25 @@ class TestSecondaryIndex:
         plan = idx.lookup(7, hot_threshold=20)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "LeftSemi" in plan
+
+    def test_index_rebuild_after_source_delete(self, spark, tmp_path):
+        """delete_where on the indexed source: refresh trips, rebuild
+        restores exact lookups (deleted rows gone from the postings)."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev)
+        idx.refresh()
+        uid = ev.where("event_id >= 500").first().user_id
+        src.delete_where(regions=[Region.of(Range("event_id", 0, 500))])
+        with pytest.raises(ValueError, match="delete_where"):
+            idx.refresh()
+        idx.rebuild()
+        got = sorted(r.event_id for r in idx.lookup(uid).collect())
+        want = sorted(r.event_id for r in ev.where(
+            (F.col("user_id") == uid) & (F.col("event_id") >= 500)
+        ).collect())
+        assert got == want and got
+        # no stale postings for deleted rows
+        assert idx.index.full_scan().where("event_id < 500").count() == 0
 
     def test_create_guards(self, spark, tmp_path):
         from sleeper_spark.views import SecondaryIndex
