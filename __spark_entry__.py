@@ -2786,6 +2786,23 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
 
 
+def q_equidepth_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile binning (stats.equidepth_buckets): l_extendedprice cut
+    at its exact quartile order statistics; assignment is a codegen'd
+    count-of-fences over a 3-literal array (no join, no second
+    shuffle). Output is the bucket histogram with cents-long bounds."""
+    from sleeper_spark.functions import stats
+
+    li = _load(spark, sf, "lineitem").select("l_extendedprice") \
+        .where(F.col("l_extendedprice").isNotNull())
+    b = stats.equidepth_buckets(li, "l_extendedprice", 4)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"))
+
+
 def q_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group order statistics (stats.grouped_quantiles): p50
     and p95 of event value per event type as percentile_disc order
@@ -3162,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "mad_outliers": q_mad_outliers,
         "grouped_quantiles": q_grouped_quantiles,
+        "equidepth_buckets": q_equidepth_buckets,
         "funnel": q_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -4708,6 +4726,23 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN cum >= greatest(1, ceil(0.95 * n)) THEN x END) "
             "AS p95, CAST(max(n) AS BIGINT) AS n "
             "FROM c GROUP BY event_type",
+        # quartile fences via the same rank arithmetic; bucket = count
+        # of fences <= x (fence values land in the upper bucket)
+        "equidepth_buckets":
+            "WITH v AS (SELECT l_extendedprice AS x FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "n AS (SELECT count(*) AS n FROM v), "
+            "c AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM "
+            "(SELECT x, count(*) AS cnt FROM v GROUP BY x)), "
+            "f AS (SELECT q, min(x) AS fence FROM c, n, "
+            "(VALUES (0.25), (0.5), (0.75)) t(q) "
+            "WHERE cum >= greatest(1, ceil(q * n.n)) GROUP BY q), "
+            "b AS (SELECT x, (SELECT CAST(count(*) AS INTEGER) FROM f "
+            "WHERE x >= fence) AS bucket FROM v) "
+            "SELECT bucket, count(*) AS n, "
+            "CAST(min(round(x * 100)) AS BIGINT) AS min_cents, "
+            "CAST(max(round(x * 100)) AS BIGINT) AS max_cents "
+            "FROM b GROUP BY bucket",
         # funnel: each stage's reach = min ts strictly after the
         # previous stage's reach; counts only shrink
         "funnel":

@@ -138,6 +138,34 @@ def grouped_quantiles(df: DataFrame, group_cols: list[str], col: str,
         *aggs, F.max("__n").alias("n"))
 
 
+def equidepth_buckets(df: DataFrame, col: str, n_buckets: int = 8,
+                      out_col: str = "bucket") -> DataFrame:
+    """Quantile (equi-depth) binning — the KBinsDiscretizer shape a
+    feature pipeline runs before a model: bucket i collects rows
+    between the i/B and (i+1)/B order statistics, so buckets hold
+    ~equal row counts regardless of the distribution. The B-1 fences
+    are exact order statistics (driver scalars from ONE aggregation
+    job); the assignment is a codegen'd count-of-fences-<=-x over a
+    literal array — no join, no second shuffle, NULLs bucket NULL.
+
+    Ties share a bucket (assignment is a pure function of the value),
+    so heavily-skewed columns may leave some buckets empty — the
+    deterministic trade; jitter the column first if strict balance
+    matters more than reproducibility."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    fences = exact_quantiles(
+        df, col, [i / n_buckets for i in range(1, n_buckets)])
+    if fences[0] is None:  # empty/all-NULL input
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    arr = F.lit(fences)
+    bucket = F.size(F.filter(arr, lambda f: F.col(col) >= f)).cast("int")
+    return df.withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None).cast("int"))
+        .otherwise(bucket))
+
+
 def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
     """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
     is the median of ``|x - median|`` — the robust spread measure that,

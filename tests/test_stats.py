@@ -56,6 +56,36 @@ class TestExactQuantiles:
         assert stats.exact_quantiles(empty, "value", [0.5]) == [None]
 
 
+class TestEquidepthBuckets:
+    def test_balanced_counts_and_model_agreement(self, spark, events):
+        ev = events.where(F.col("value").isNotNull())
+        vals = [r.value for r in ev.collect()]
+        fences = [_py_quantile(vals, i / 4) for i in range(1, 4)]
+        got = {r.event_id: r.bucket for r in
+               stats.equidepth_buckets(ev, "value", 4).collect()}
+        want = {}
+        by_val = {r.event_id: r.value for r in ev.collect()}
+        for i, v in by_val.items():
+            want[i] = sum(1 for f in fences if v >= f)
+        assert got == want
+        from collections import Counter
+        counts = Counter(got.values())
+        n = len(vals)
+        # equi-depth: each quartile within ~2% of n/4 on near-unique data
+        assert set(counts) == {0, 1, 2, 3}
+        assert all(abs(c - n / 4) <= max(2, 0.02 * n)
+                   for c in counts.values())
+
+    def test_nulls_and_guards(self, spark):
+        df = spark.createDataFrame([(1, 1.0), (2, None), (3, 9.0)],
+                                   "id long, x double")
+        out = {r.id: r.bucket for r in
+               stats.equidepth_buckets(df, "x", 2).collect()}
+        assert out[2] is None
+        with pytest.raises(ValueError, match="n_buckets"):
+            stats.equidepth_buckets(df, "x", 1)
+
+
 class TestGroupedQuantiles:
     def test_matches_per_group_python_model(self, spark):
         ev = spark.read.parquet(f"{SF}/events.parquet") \
