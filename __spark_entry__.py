@@ -2786,6 +2786,27 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
 
 
+def q_grouped_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group winsorization (stats.grouped_winsorize): each return
+    flag clipped to ITS OWN exact [p05, p95] — per-domain tail taming,
+    where one heavy-tailed group must not set the fences for all.
+    Thresholds are one grouped_quantiles pass broadcast-joined back;
+    the clip is codegen'd. Cents-long sums for bit parity."""
+    from sleeper_spark.functions import stats
+
+    li = _load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice") \
+        .where(F.col("l_extendedprice").isNotNull())
+    c = stats.grouped_winsorize(li, ["l_returnflag"], "l_extendedprice",
+                                0.05, 0.95, out_col="clip")
+    cents = F.round(F.col("clip") * 100).cast("long")
+    return c.groupBy("l_returnflag").agg(
+        F.sum(cents).alias("sum_clip_cents"),
+        F.min(cents).alias("min_clip_cents"),
+        F.max(cents).alias("max_clip_cents"),
+        F.count(F.lit(1)).alias("n"))
+
+
 def q_equidepth_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile binning (stats.equidepth_buckets): l_extendedprice cut
     at its exact quartile order statistics; assignment is a codegen'd
@@ -3179,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "mad_outliers": q_mad_outliers,
         "grouped_quantiles": q_grouped_quantiles,
+        "grouped_winsorize": q_grouped_winsorize,
         "equidepth_buckets": q_equidepth_buckets,
         "funnel": q_funnel,
         "ann_brute_force": q_ann_brute_force,
@@ -4726,6 +4748,27 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN cum >= greatest(1, ceil(0.95 * n)) THEN x END) "
             "AS p95, CAST(max(n) AS BIGINT) AS n "
             "FROM c GROUP BY event_type",
+        # per-group fences via PARTITIONED rank arithmetic, joined back
+        "grouped_winsorize":
+            "WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS x "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+            "c AS (SELECT g, x, "
+            "sum(cnt) OVER (PARTITION BY g ORDER BY x) AS cum, "
+            "sum(cnt) OVER (PARTITION BY g) AS n FROM "
+            "(SELECT g, x, count(*) AS cnt FROM v GROUP BY 1, 2)), "
+            "t AS (SELECT g, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.05 * n)) THEN x "
+            "END) AS lo, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.95 * n)) THEN x "
+            "END) AS hi FROM c GROUP BY g) "
+            "SELECT g AS l_returnflag, "
+            "CAST(sum(CAST(round(least(greatest(x, lo), hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS sum_clip_cents, "
+            "CAST(min(CAST(round(least(greatest(x, lo), hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS min_clip_cents, "
+            "CAST(max(CAST(round(least(greatest(x, lo), hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS max_clip_cents, "
+            "count(*) AS n FROM v JOIN t USING (g) GROUP BY g",
         # quartile fences via the same rank arithmetic; bucket = count
         # of fences <= x (fence values land in the upper bucket)
         "equidepth_buckets":

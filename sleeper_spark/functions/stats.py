@@ -54,6 +54,12 @@ def _cumhist(df: DataFrame, col: str,
     driver from the partition totals — callers must not pay another
     aggregation job to re-learn it.
     """
+    if col in ("cnt", "cum", "__part"):
+        # names that must coexist with `col` inside the plan (the
+        # final 'value' alias is applied after, so col='value' is fine)
+        raise ValueError(
+            f"column name {col!r} collides with the histogram's "
+            "internal cnt/cum/__part columns — alias it first")
     sess = df.sparkSession
     if n_parts is None:
         n_parts = sess.sparkContext.defaultParallelism
@@ -116,9 +122,13 @@ def grouped_quantiles(df: DataFrame, group_cols: list[str], col: str,
     :func:`exact_quantiles` (smallest value whose cumulative count
     reaches ceil(q*n) within its group); output also carries ``n`` —
     the group's non-NULL row count."""
-    for q in qs.values():
+    for name, q in qs.items():
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
+        if name in (*group_cols, col, "n", "cnt", "cum", "__n"):
+            raise ValueError(
+                f"output name {name!r} collides with a group/input "
+                "column or the reserved n/cnt/cum names")
     hist = (df.where(F.col(col).isNotNull())
             .groupBy(*group_cols, col)
             .agg(F.count(F.lit(1)).alias("cnt")))
@@ -164,6 +174,32 @@ def equidepth_buckets(df: DataFrame, col: str, n_buckets: int = 8,
         out_col,
         F.when(F.col(col).isNull(), F.lit(None).cast("int"))
         .otherwise(bucket))
+
+
+def grouped_winsorize(df: DataFrame, group_cols: list[str], col: str,
+                      lower: float = 0.01, upper: float = 0.99,
+                      out_col: str | None = None) -> DataFrame:
+    """Per-group winsorization — clip ``col`` to each GROUP's own
+    exact [p_lower, p_upper] order statistics (a web corpus clips
+    document lengths per domain, not globally: one long-form domain
+    must not set the fences for all). Thresholds come from one
+    :func:`grouped_quantiles` pass (one row per group — broadcast-
+    joinable at any corpus scale); the clip is a codegen'd
+    least/greatest after the join. NULLs pass through; rows whose
+    group never produced thresholds (all-NULL group) pass through
+    unclipped."""
+    th = grouped_quantiles(df, group_cols, col,
+                           {"__lo": lower, "__hi": upper})
+    joined = df.join(
+        F.broadcast(th.select(*group_cols, "__lo", "__hi")),
+        group_cols, "left")
+    out = out_col or col
+    clip = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(
+        out,
+        F.when(F.col(col).isNull() | F.col("__lo").isNull(),
+               F.col(col)).otherwise(clip)
+    ).drop("__lo", "__hi")
 
 
 def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:

@@ -60,9 +60,9 @@ def test_every_query_has_an_oracle():
     # round 7 adds exact winsorization (distributed prefix-sum
     # quantiles), MAD outlier quarantine, asymmetric containment
     # decontamination, the hot-value secondary-index semi-join lookup,
-    # per-group exact quantiles, equi-depth quantile binning, and the
-    # ordered conversion funnel
-    assert len(qk) == 146
+    # per-group exact quantiles and winsorize, equi-depth quantile
+    # binning, and the ordered conversion funnel
+    assert len(qk) == 147
 
 
 def test_entry_smoke(spark):

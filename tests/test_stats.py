@@ -109,6 +109,45 @@ class TestGroupedQuantiles:
             stats.grouped_quantiles(ev, ["event_type"], "value",
                                     {"bad": 2.0})
 
+    def test_reserved_name_collisions_refused(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        with pytest.raises(ValueError, match="collides"):
+            stats.grouped_quantiles(ev, ["event_type"], "value",
+                                    {"n": 0.5})
+        with pytest.raises(ValueError, match="collides"):
+            stats.exact_quantiles(
+                ev.select(F.col("value").alias("cnt")), "cnt", [0.5])
+
+
+class TestGroupedWinsorize:
+    def test_per_group_fences_differ_from_global(self, spark):
+        """Two groups with disjoint scales: each clips at ITS OWN
+        fences — the long-form group's tail must not clip the short
+        group (which a global winsorize would get wrong)."""
+        rows = [("a", float(v)) for v in range(1, 21)] + \
+               [("b", float(v * 1000)) for v in range(1, 21)]
+        df = spark.createDataFrame(
+            [(i, g, v) for i, (g, v) in enumerate(rows)],
+            "id long, g string, x double")
+        out = stats.grouped_winsorize(df, ["g"], "x", 0.1, 0.9,
+                                      out_col="w")
+        got = {(r.g, r.x): r.w for r in out.collect()}
+        # group a: fences at p10=2, p90=18; group b: 2000 / 18000
+        assert got[("a", 1.0)] == 2.0 and got[("a", 20.0)] == 18.0
+        assert got[("b", 1000.0)] == 2000.0
+        assert got[("b", 20000.0)] == 18000.0
+        assert got[("a", 10.0)] == 10.0  # mid-range untouched
+
+    def test_null_value_and_all_null_group_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", None), (3, "a", 500.0),
+             (4, "a", 6.0), (5, "z", None)],
+            "id long, g string, x double")
+        out = {r.id: r.w for r in stats.grouped_winsorize(
+            df, ["g"], "x", 0.0, 0.5, out_col="w").collect()}
+        assert out[2] is None and out[5] is None
+        assert out[3] == 6.0  # clipped to group-a p50
+
 
 class TestMadOutliers:
     def test_matches_pure_python_model(self, spark, events):
