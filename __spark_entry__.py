@@ -2852,6 +2852,23 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
         user_col="user_id", step_col="event_type", ts_col="ts_us")
 
 
+def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-window funnel (timeseries.funnel_counts max_gap):
+    each hop must land within 1 day of the previous stage's reach —
+    the production funnel shape (unbounded funnels overcount stale
+    conversions). Same shrinking hash-agg stages; the gap is one extra
+    codegen'd predicate in each join."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events").select(
+        "user_id", "event_type", "ts_us").where(
+        F.col("ts_us").isNotNull())
+    return timeseries.funnel_counts(
+        ev, ["view", "click", "purchase"],
+        user_col="user_id", step_col="event_type", ts_col="ts_us",
+        max_gap=86_400_000_000)
+
+
 def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment decontamination (corpus.containment_pairs):
     eval excerpts (first 40 tokens of every 10th document) checked for
@@ -3203,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_winsorize": q_grouped_winsorize,
         "equidepth_buckets": q_equidepth_buckets,
         "funnel": q_funnel,
+        "funnel_windowed": q_funnel_windowed,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4799,6 +4817,26 @@ def oracle_sql() -> dict[str, str]:
             "s2 AS (SELECT e.user_id, min(e.t) AS t FROM e "
             "JOIN s1 USING (user_id) "
             "WHERE e.event_type = 'purchase' AND e.t > s1.t GROUP BY 1) "
+            "SELECT 'view' AS step, CAST(0 AS INTEGER) AS step_index, "
+            "(SELECT count(*) FROM s0) AS n_users "
+            "UNION ALL SELECT 'click', CAST(1 AS INTEGER), "
+            "(SELECT count(*) FROM s1) "
+            "UNION ALL SELECT 'purchase', CAST(2 AS INTEGER), "
+            "(SELECT count(*) FROM s2)",
+        # same chain with a 1-day conversion window on each hop
+        "funnel_windowed":
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t "
+            "FROM events WHERE ts IS NOT NULL), "
+            "s0 AS (SELECT user_id, min(t) AS t FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s1 AS (SELECT e.user_id, min(e.t) AS t FROM e "
+            "JOIN s0 USING (user_id) "
+            "WHERE e.event_type = 'click' AND e.t > s0.t "
+            "AND e.t <= s0.t + 86400000000 GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.t) AS t FROM e "
+            "JOIN s1 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND e.t > s1.t "
+            "AND e.t <= s1.t + 86400000000 GROUP BY 1) "
             "SELECT 'view' AS step, CAST(0 AS INTEGER) AS step_index, "
             "(SELECT count(*) FROM s0) AS n_users "
             "UNION ALL SELECT 'click', CAST(1 AS INTEGER), "

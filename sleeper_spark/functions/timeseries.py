@@ -157,7 +157,8 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
 
 def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
                   step_col: str = "event_type",
-                  ts_col: str = "ts") -> DataFrame:
+                  ts_col: str = "ts",
+                  max_gap: int | None = None) -> DataFrame:
     """Ordered-funnel analysis: how many users completed step 1, then
     step 2 STRICTLY AFTER their first step 1, then step 3 after that
     reach, and so on — the conversion measurement (view → click →
@@ -171,10 +172,13 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
     k hash-aggs over tables that only SHRINK stage by stage.
 
     Semantics: reach time of stage i = min event time of ``steps[i]``
-    strictly after the user's stage-(i-1) reach time (the classic
-    unbounded-window funnel; filter ``df`` by a time range first for a
-    windowed variant). Output: ``step, step_index, n_users``,
-    monotonically non-increasing in ``step_index``.
+    strictly after the user's stage-(i-1) reach time — the classic
+    unbounded-window funnel. ``max_gap`` (same unit as ``ts_col``)
+    bounds each HOP: stage i must occur within ``max_gap`` of the
+    stage-(i-1) reach, the standard conversion-window semantics
+    (filter ``df`` by a time range first to bound the whole funnel
+    instead). Output: ``step, step_index, n_users``, monotonically
+    non-increasing in ``step_index``.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -185,9 +189,12 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
     out_rows = [(str(steps[0]), 0)]
     counts = [cur.count()]
     for s in steps[1:]:
+        after = F.col(ts_col) > F.col("__reach")
+        if max_gap is not None:
+            after = after & (F.col(ts_col) <= F.col("__reach") + max_gap)
         nxt = (df.where(F.col(step_col) == s)
                .join(cur, user_col)
-               .where(F.col(ts_col) > F.col("__reach"))
+               .where(after)
                .groupBy(user_col)
                .agg(F.min(ts_col).alias("__reach")))
         # localCheckpoint: each stage feeds the next; without it stage k

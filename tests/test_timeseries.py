@@ -161,6 +161,29 @@ class TestFunnel:
                        "click": (1, 3),      # u1 u3 u5 (after first view)
                        "purchase": (2, 1)}   # u1 only
 
+    def test_max_gap_bounds_each_hop(self, spark):
+        """Conversion-window semantics: stage i must land within
+        max_gap of the stage-(i-1) reach. A user whose click comes too
+        late converts at view only — and the clock restarts at EACH
+        reach (u3 purchases within gap of its click even though far
+        from its view)."""
+        from sleeper_spark.functions.timeseries import funnel_counts
+        rows = [
+            (1, "view", 0), (1, "click", 5), (1, "purchase", 9),
+            (2, "view", 0), (2, "click", 50),       # click too late
+            (3, "view", 0), (3, "click", 10), (3, "purchase", 19),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long")
+        out = {r.step: r.n_users for r in funnel_counts(
+            df, ["view", "click", "purchase"], ts_col="ts",
+            max_gap=10).collect()}
+        assert out == {"view": 3, "click": 2, "purchase": 2}
+        # unbounded: everyone converts fully
+        out2 = {r.step: r.n_users for r in funnel_counts(
+            df, ["view", "click", "purchase"], ts_col="ts").collect()}
+        assert out2 == {"view": 3, "click": 3, "purchase": 2}
+
     def test_strictly_after_excludes_ties(self, spark):
         from sleeper_spark.functions.timeseries import funnel_counts
         df = spark.createDataFrame(
