@@ -87,8 +87,13 @@ def logweight_table_from_counts(target_counts: DataFrame,
     MinHash band index, dedup.incremental_minhash_pairs)."""
     tc = target_counts.withColumnRenamed("cnt", "tc")
     rc = raw_counts.withColumnRenamed("cnt", "rc")
-    totals = tc.agg(F.sum("tc").alias("tt")) \
-        .crossJoin(rc.agg(F.sum("rc").alias("rt")))
+    # coalesce: an EMPTY count table (e.g. a target sample with no
+    # grams yet) sums to NULL, which would NULL every weight — and the
+    # scorer's final coalesce would then silently report 0 instead of
+    # the smoothed (c+alpha)/(0+alpha*B) weights. Caught by the
+    # hypothesis property test on an all-empty target.
+    totals = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt")) \
+        .crossJoin(rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("rt")))
     ab = float(alpha) * n_buckets
     joined = tc.join(rc, "bucket", "full_outer") \
         .crossJoin(F.broadcast(totals))
