@@ -2869,6 +2869,19 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
         max_gap=86_400_000_000)
 
 
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention (timeseries.retention_cohorts): users cohorted
+    by first-activity day, per-day activity counts per cohort. The raw
+    event volume collapses to distinct (user, day) in the FIRST hash
+    aggregation — the only full pass; everything after joins
+    aggregate-sized tables."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events").select("user_id", "ts_us")
+    return timeseries.retention_cohorts(
+        ev, user_col="user_id", ts_col="ts_us", period=86_400_000_000)
+
+
 def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment decontamination (corpus.containment_pairs):
     eval excerpts (first 40 tokens of every 10th document) checked for
@@ -3221,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_buckets": q_equidepth_buckets,
         "funnel": q_funnel,
         "funnel_windowed": q_funnel_windowed,
+        "retention_cohorts": q_retention_cohorts,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4843,6 +4857,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM s1) "
             "UNION ALL SELECT 'purchase', CAST(2 AS INTEGER), "
             "(SELECT count(*) FROM s2)",
+        # distinct (user, day) once; cohort = min day per user
+        "retention_cohorts":
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS p FROM events "
+            "WHERE ts IS NOT NULL), "
+            "f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1) "
+            "SELECT cohort, CAST(p - cohort AS INTEGER) AS period_offset, "
+            "count(*) AS n_users FROM a JOIN f USING (user_id) "
+            "GROUP BY 1, 2",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
         "grouped_collect":

@@ -206,3 +206,35 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
     return spark.createDataFrame(
         [(s, i, int(c)) for (s, i), c in zip(out_rows, counts)],
         "step string, step_index int, n_users long")
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period: int = 86_400_000_000) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users are
+    cohorted by the period of their FIRST activity, and each later
+    period they act in increments their cohort's retention count.
+    Output ``(cohort, period_offset, n_users)``; offset 0 is the
+    cohort's size, and for a fixed cohort the counts are
+    non-increasing only in aggregate product terms (a user CAN skip a
+    period and return — this reports activity, not survival).
+
+    Plan shape: distinct (user, period) pairs via one hash aggregation
+    (the raw event volume collapses immediately — at 100 TB this is
+    the only pass over the events), per-user first period from the
+    same table, a join on the user key (both sides are already
+    aggregates), and a final count. ``period`` uses integer ``div`` on
+    the timestamp column, so cohort boundaries are exact for int64
+    epoch values far beyond double precision."""
+    if period <= 0:
+        raise ValueError(f"period must be positive, got {period}")
+    p = F.expr(f"`{ts_col}` div {int(period)}")
+    acts = (df.where(F.col(ts_col).isNotNull())
+            .select(F.col(user_col), p.alias("__p"))
+            .distinct())
+    firsts = acts.groupBy(user_col).agg(F.min("__p").alias("cohort"))
+    return (acts.join(firsts, user_col)
+            .groupBy("cohort",
+                     (F.col("__p") - F.col("cohort")).cast("int")
+                     .alias("period_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -61,9 +61,9 @@ def test_every_query_has_an_oracle():
     # quantiles), MAD outlier quarantine, asymmetric containment
     # decontamination, the hot-value secondary-index semi-join lookup,
     # per-group exact quantiles and winsorize, equi-depth quantile
-    # binning, and the ordered conversion funnel (unbounded + 1-day
-    # conversion-window variants)
-    assert len(qk) == 148
+    # binning, the ordered conversion funnel (unbounded + 1-day
+    # conversion-window variants), and cohort retention
+    assert len(qk) == 149
 
 
 def test_entry_smoke(spark):

@@ -192,3 +192,35 @@ class TestFunnel:
         out = {r.step: r.n_users for r in
                funnel_counts(df, ["view", "click"], ts_col="ts").collect()}
         assert out == {"view": 1, "click": 0}  # tie is not 'after'
+
+
+class TestRetentionCohorts:
+    def test_known_cohorts_with_gap_return(self, spark):
+        """u1 starts day 0 and acts on days 0,1,3 (skips 2 - activity,
+        not survival); u2 starts day 1; u3 acts twice in one day (the
+        distinct collapses it)."""
+        from sleeper_spark.functions.timeseries import retention_cohorts
+        D = 10  # period
+        rows = [
+            (1, 0), (1, 12), (1, 35),          # days 0, 1, 3
+            (2, 11), (2, 25),                  # days 1, 2
+            (3, 5), (3, 7),                    # day 0 twice
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long")
+        got = {(r.cohort, r.period_offset): r.n_users for r in
+               retention_cohorts(df, ts_col="ts", period=D).collect()}
+        assert got == {(0, 0): 2,   # u1, u3
+                       (0, 1): 1,   # u1 day 1
+                       (0, 3): 1,   # u1 day 3 (day 2 skipped)
+                       (1, 0): 1,   # u2
+                       (1, 1): 1}   # u2 day 2
+
+    def test_null_ts_excluded_and_guard(self, spark):
+        import pytest as _pytest
+        from sleeper_spark.functions.timeseries import retention_cohorts
+        df = spark.createDataFrame([(1, None), (2, 5)],
+                                   "user_id long, ts long")
+        out = retention_cohorts(df, ts_col="ts", period=10).collect()
+        assert len(out) == 1 and out[0].n_users == 1
+        with _pytest.raises(ValueError, match="period"):
+            retention_cohorts(df, ts_col="ts", period=0)
