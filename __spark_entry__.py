@@ -2869,6 +2869,22 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
         max_gap=86_400_000_000)
 
 
+def q_typo_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded edit-distance pair join (dedup.edit_distance_pairs):
+    12-char document-prefix keys within 1 Levenshtein edit — the
+    typo-duplicate class shingle methods structurally miss at short
+    lengths. SymSpell deletion-neighborhood candidates, exact JVM
+    levenshtein refilter; oracle = all-pairs with a length prefilter
+    (feasible DuckDB-side at oracle scale; the engine never goes
+    all-pairs)."""
+    from sleeper_spark.functions import dedup
+
+    doc = _load(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, 12).alias("k"))
+    return dedup.edit_distance_pairs(doc, "k", "doc_id", max_dist=1)
+
+
 def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (timeseries.retention_cohorts): users cohorted
     by first-activity day, per-day activity counts per cohort. The raw
@@ -3235,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "funnel_windowed": q_funnel_windowed,
         "retention_cohorts": q_retention_cohorts,
+        "typo_dedup_pairs": q_typo_dedup_pairs,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4857,6 +4874,17 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM s1) "
             "UNION ALL SELECT 'purchase', CAST(2 AS INTEGER), "
             "(SELECT count(*) FROM s2)",
+        # exact ground truth: all-pairs levenshtein with the sound
+        # length prefilter (oracle-scale only; the engine uses
+        # deletion-neighborhood candidates, never all-pairs)
+        "typo_dedup_pairs":
+            "WITH v AS (SELECT doc_id, substr(lower(text), 1, 12) AS s "
+            "FROM documents WHERE text IS NOT NULL) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist "
+            "FROM v a JOIN v b ON a.doc_id < b.doc_id "
+            "AND abs(length(a.s) - length(b.s)) <= 1 "
+            "WHERE levenshtein(a.s, b.s) <= 1",
         # distinct (user, day) once; cohort = min day per user
         "retention_cohorts":
             "WITH a AS (SELECT DISTINCT user_id, "

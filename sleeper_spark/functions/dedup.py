@@ -760,3 +760,91 @@ def contamination_safe_split(df: DataFrame, pairs: DataFrame,
         id_col, "component_id",
         F.when(bucket_expr("component_id", n_buckets, salt) < eval_pct,
                F.lit("eval")).otherwise(F.lit("train")).alias("split"))
+
+
+def _delete_one(c: Column) -> Column:
+    """Array of strings obtained by deleting each single character of
+    ``c`` (empty array for the empty string — sequence(1, 0) would run
+    DESCENDING, the same guard as shingles())."""
+    L = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, L)))
+    return F.when(L >= 1, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def deletion_variants(c: Column, max_dist: int) -> Column:
+    """The SymSpell delete-neighborhood: every string reachable from
+    ``c`` by deleting up to ``max_dist`` characters (distinct,
+    including ``c`` itself). If edit_distance(a, b) <= d then the two
+    neighborhoods intersect (delete the characters touched by the
+    alignment on each side), so an equi-join on variants is a COMPLETE
+    candidate generator for a bounded-distance join; the exact
+    levenshtein refilter restores precision."""
+    out = F.array_distinct(F.concat(F.array(c), _delete_one(c)))
+    for _ in range(max_dist - 1):
+        out = F.array_distinct(F.concat(
+            out, F.flatten(F.transform(out, _delete_one))))
+    return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """All pairs of rows whose ``key_col`` strings are within
+    ``max_dist`` Levenshtein edits — the TYPO-duplicate join (titles,
+    names, product keys) that shingle/MinHash methods structurally
+    miss at short lengths (one edit in a 10-char key destroys most of
+    its shingles, but two 10k-char documents need ~thousands of edits
+    to fall below a Jaccard threshold).
+
+    Scale shape: SymSpell deletion-neighborhood candidate generation —
+    each key expands to O(len^max_dist) delete variants (a pure map),
+    candidates equi-join on the variant hash bucket, then the exact
+    JVM ``levenshtein`` refilter. Work ∝ keys sharing a variant, never
+    all-pairs; the per-variant bucket caveat matches the LSH band
+    joins (a boilerplate key shared by M rows costs M² in its bucket —
+    dedupe exact duplicates first). ``max_len`` bounds the variant
+    fan-out; longer keys raise rather than silently exploding the map
+    stage (truncate keys first — a bounded-edit join on long texts is
+    the wrong tool; use the shingle/MinHash family).
+
+    Output: ``id_a, id_b, dist`` (ids ordered, exact distances,
+    dist <= max_dist). Reference analog: none.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if max_dist > 2:
+        raise ValueError(
+            "max_dist > 2 explodes the deletion neighborhood "
+            "(O(len^d) variants per key); use the shingle/MinHash "
+            "family for looser matching")
+    over = df.where(F.length(key_col) > max_len).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"{key_col!r} holds strings longer than max_len={max_len} "
+            f"(e.g. {over[0][key_col][:40]!r}...) — truncate or hash "
+            "the key first; the variant fan-out is O(len^max_dist)")
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__s"),
+        F.explode(deletion_variants(F.col(key_col), max_dist))
+        .alias("__v"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.__v") == F.col("b.__v"))
+                   & (F.col("a.__id") < F.col("b.__id"))
+                   & (F.abs(F.length("a.__s") - F.length("b.__s"))
+                      <= max_dist))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("a.__s").alias("__sa"),
+                    F.col("b.__id").alias("id_b"),
+                    F.col("b.__s").alias("__sb"))
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein("__sa", "__sb"))
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))

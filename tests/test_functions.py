@@ -1487,3 +1487,64 @@ class TestRRF:
             [(5, 1.0), (3, 1.0)], ["doc_id", "score"])
         rows = rrf_fuse([a], k=2).collect()
         assert [r.doc_id for r in rows] == [3, 5]  # id breaks the tie
+
+
+class TestEditDistancePairs:
+    def test_planted_typos_found_exactly(self, spark):
+        """Substitution, deletion, insertion at distance 1; a distance-2
+        pair appears only at max_dist=2; unrelated keys never pair."""
+        from sleeper_spark.functions.dedup import edit_distance_pairs
+        rows = [(1, "spark table"), (2, "spork table"),   # sub
+                (3, "spark tble"),                        # del
+                (4, "sparkk table"),                      # ins
+                (5, "spork tble"),                        # 2 edits from 1
+                (6, "completely different")]
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        d1 = {(r.id_a, r.id_b): r.dist for r in
+              edit_distance_pairs(df, "k", max_dist=1).collect()}
+        assert d1 == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (2, 5): 1,
+                      (3, 5): 1}
+        d2 = {(r.id_a, r.id_b): r.dist for r in
+              edit_distance_pairs(df, "k", max_dist=2).collect()}
+        assert d2[(1, 5)] == 2 and d2[(2, 3)] == 2
+        assert all(v <= 2 for v in d2.values())
+        assert not any(6 in p for p in d2)
+
+    def test_complete_vs_brute_force_random(self, spark):
+        """Deletion-neighborhood candidates must find EVERY pair a
+        brute-force all-pairs levenshtein finds (completeness is the
+        theorem; the refilter gives precision for free)."""
+        import itertools
+        import random
+        from sleeper_spark.functions.dedup import edit_distance_pairs
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[len(b)]
+
+        rng = random.Random(7)
+        keys = ["".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+                for _ in range(40)]
+        df = spark.createDataFrame(list(enumerate(keys)),
+                                   "doc_id long, k string")
+        for d in (1, 2):
+            got = {(r.id_a, r.id_b, r.dist) for r in
+                   edit_distance_pairs(df, "k", max_dist=d).collect()}
+            want = {(i, j, lev(keys[i], keys[j]))
+                    for i, j in itertools.combinations(range(40), 2)
+                    if lev(keys[i], keys[j]) <= d}
+            assert got == want, f"max_dist={d}"
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+        from sleeper_spark.functions.dedup import edit_distance_pairs
+        df = spark.createDataFrame([(1, "x" * 100)], "doc_id long, k string")
+        with _pytest.raises(ValueError, match="max_len"):
+            edit_distance_pairs(df, "k")
+        with _pytest.raises(ValueError, match="max_dist"):
+            edit_distance_pairs(df, "k", max_dist=3)
