@@ -558,3 +558,29 @@ def test_mad_outliers_fences_are_literals(spark, entry):
     plan = plan_of(entry.q_mad_outliers(spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan  # median/MAD embedded as literals
+
+
+def test_funnel_and_retention_stay_hash_joins(spark, entry):
+    """The analytics trio added in round 7 must keep their joins as
+    hash joins on the user key — no cartesian, no nested loop, no
+    Python — and retention's only full-volume pass is the first
+    distinct (hash aggregate)."""
+    for q in (entry.q_funnel_windowed, entry.q_retention_cohorts):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoop" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+    plan = plan_of(entry.q_retention_cohorts(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # distinct + firsts + final
+
+
+def test_typo_pairs_variant_equi_join_no_cartesian(spark, entry):
+    """The edit-distance join must be an EQUI-join on the deletion
+    variant (plus pushed residual filters), with the levenshtein
+    refilter JVM-side — never a cartesian pair space or a Python
+    worker."""
+    plan = plan_of(entry.q_typo_dedup_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan  # exact refilter inside the plan
