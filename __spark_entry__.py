@@ -2898,6 +2898,22 @@ def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         ev, user_col="user_id", ts_col="ts_us", period=86_400_000_000)
 
 
+def q_grouped_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group MAD quarantine (stats.grouped_mad_outliers): each
+    event type gets ITS OWN median/MAD fence — segment-local outliers
+    a global fence misses. Two grouped-quantile passes broadcast back;
+    per-type tallies."""
+    from sleeper_spark.functions import stats
+
+    ev = _load(spark, sf, "events").select("event_type", "value") \
+        .where(F.col("value").isNotNull())
+    flagged = stats.grouped_mad_outliers(ev, ["event_type"], "value",
+                                         k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
+
+
 def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment decontamination (corpus.containment_pairs):
     eval excerpts (first 40 tokens of every 10th document) checked for
@@ -3245,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "winsorize": q_winsorize,
         "mad_outliers": q_mad_outliers,
+        "grouped_mad_outliers": q_grouped_mad_outliers,
         "grouped_quantiles": q_grouped_quantiles,
         "grouped_winsorize": q_grouped_winsorize,
         "equidepth_buckets": q_equidepth_buckets,
@@ -4797,6 +4814,30 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN cum >= greatest(1, ceil(0.95 * n)) THEN x END) "
             "AS p95, CAST(max(n) AS BIGINT) AS n "
             "FROM c GROUP BY event_type",
+        # per-group median/MAD fences via two PARTITIONED rank passes
+        "grouped_mad_outliers":
+            "WITH v AS (SELECT event_type AS g, value AS x FROM events "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT g, x, "
+            "sum(cnt) OVER (PARTITION BY g ORDER BY x) AS cum, "
+            "sum(cnt) OVER (PARTITION BY g) AS n FROM "
+            "(SELECT g, x, count(*) AS cnt FROM v GROUP BY 1, 2)), "
+            "med AS (SELECT g, min(CASE WHEN cum >= "
+            "greatest(1, ceil(0.5 * n)) THEN x END) AS m FROM c "
+            "GROUP BY g), "
+            "d AS (SELECT v.g, abs(x - m) AS dx FROM v JOIN med "
+            "USING (g)), "
+            "c2 AS (SELECT g, dx, "
+            "sum(cnt) OVER (PARTITION BY g ORDER BY dx) AS cum, "
+            "sum(cnt) OVER (PARTITION BY g) AS n FROM "
+            "(SELECT g, dx, count(*) AS cnt FROM d GROUP BY 1, 2)), "
+            "mad AS (SELECT g, min(CASE WHEN cum >= "
+            "greatest(1, ceil(0.5 * n)) THEN dx END) AS mad FROM c2 "
+            "GROUP BY g) "
+            "SELECT g AS event_type, count(*) AS n, "
+            "CAST(sum(CASE WHEN abs(x - m) > 3.0 * mad THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_outliers "
+            "FROM v JOIN med USING (g) JOIN mad USING (g) GROUP BY g",
         # per-group fences via PARTITIONED rank arithmetic, joined back
         "grouped_winsorize":
             "WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS x "

@@ -202,6 +202,35 @@ def grouped_winsorize(df: DataFrame, group_cols: list[str], col: str,
     ).drop("__lo", "__hi")
 
 
+def grouped_mad_outliers(df: DataFrame, group_cols: list[str], col: str,
+                         k: float = 3.0,
+                         out_col: str = "is_outlier") -> DataFrame:
+    """Per-group MAD outlier fences: flag rows where
+    ``|x - median_g| > k * MAD_g`` with BOTH statistics computed per
+    group — a metric whose scale varies by segment (latency per
+    endpoint, price per category) needs per-group fences or the widest
+    group swallows everyone else's outliers. Two
+    :func:`grouped_quantiles` passes (each one row per group,
+    broadcast-joined back); the flag is a codegen'd comparison. NULL
+    values — and rows of an all-NULL group, which has no fences —
+    flag NULL (unknown, not outlier)."""
+    med = grouped_quantiles(df, group_cols, col, {"__med": 0.5}) \
+        .select(*group_cols, "__med")
+    j1 = df.join(F.broadcast(med), group_cols, "left")
+    dev = j1.select(*group_cols,
+                    F.abs(F.col(col) - F.col("__med")).alias("__dev"))
+    mad = grouped_quantiles(dev, group_cols, "__dev", {"__mad": 0.5}) \
+        .select(*group_cols, "__mad")
+    return (j1.join(F.broadcast(mad), group_cols, "left")
+            .withColumn(
+                out_col,
+                F.when(F.col(col).isNull() | F.col("__med").isNull(),
+                       F.lit(None).cast("boolean"))
+                .otherwise(F.abs(F.col(col) - F.col("__med"))
+                           > F.lit(k) * F.col("__mad")))
+            .drop("__med", "__mad"))
+
+
 def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
     """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
     is the median of ``|x - median|`` — the robust spread measure that,

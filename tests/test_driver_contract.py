@@ -62,9 +62,9 @@ def test_every_query_has_an_oracle():
     # decontamination, the hot-value secondary-index semi-join lookup,
     # per-group exact quantiles and winsorize, equi-depth quantile
     # binning, the ordered conversion funnel (unbounded + 1-day
-    # conversion-window variants), cohort retention, and the bounded
-    # edit-distance typo-dup join
-    assert len(qk) == 150
+    # conversion-window variants), cohort retention, per-group MAD
+    # fences, and the bounded edit-distance typo-dup join
+    assert len(qk) == 151
 
 
 def test_entry_smoke(spark):

@@ -201,3 +201,40 @@ class TestWinsorize:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Exchange" not in plan  # thresholds are literals
+
+
+class TestGroupedMadOutliers:
+    def test_per_group_fences_catch_segment_outliers(self, spark):
+        """Group b's scale is 1000x group a's: a global fence would
+        never flag a's corrupt row; per-group fences flag exactly one
+        row in each group."""
+        rows = [("a", float(i % 7)) for i in range(50)] + \
+               [("a", 1e6)] + \
+               [("b", float((i % 7) * 1000)) for i in range(50)] + \
+               [("b", 1e12)]
+        df = spark.createDataFrame(
+            [(i, g, v) for i, (g, v) in enumerate(rows)],
+            "id long, g string, x double")
+        out = stats.grouped_mad_outliers(df, ["g"], "x")
+        flagged = {(r.g, r.x) for r in out.where("is_outlier").collect()}
+        assert flagged == {("a", 1e6), ("b", 1e12)}
+
+    def test_matches_per_group_python_model(self, spark, events):
+        ev = spark.read.parquet(f"{SF}/events.parquet") \
+            .select("event_type", "value") \
+            .where(F.col("value").isNotNull())
+        per = {}
+        for r in ev.collect():
+            per.setdefault(r.event_type, []).append(r.value)
+        want = {}
+        for g, vs in per.items():
+            m = _py_quantile(vs, 0.5)
+            mad = _py_quantile([abs(v - m) for v in vs], 0.5)
+            want[g] = sum(1 for v in vs if abs(v - m) > 3.0 * mad)
+        got = {r.event_type: r.n for r in
+               stats.grouped_mad_outliers(ev, ["event_type"], "value")
+               .where("is_outlier")
+               .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+        for g, n in want.items():
+            assert got.get(g, 0) == n
