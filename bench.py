@@ -114,27 +114,35 @@ def compaction_load_gate(noise: dict, label: str,
     metrics): a run started under real load must not silently become the
     official record.  Waits up to ``max_wait_s`` for the box to go quiet,
     then stamps the telemetry + a boolean verdict into the noise block.
-    "Quiet" = load1 <= cores/4 OR the spin probe reads near-idle (this
-    VM reports phantom D-state load with the CPU 100% idle, so loadavg
-    alone cannot be the refusing signal — the spin probe is authoritative)."""
+    "Quiet" = (load1 <= cores/4 OR the spin probe reads near-idle) AND
+    the Arrow probe reads near-idle.  This VM reports phantom D-state
+    load with the CPU 100% idle, so loadavg alone cannot be the refusing
+    signal; and round 7 proved the pure-Python spin probe stays flat
+    (32-42ms) while the Arrow kernels — the actual gated workload — run
+    7.8x degraded, so the Arrow probe is a REQUIRED conjunct: a gate
+    that passes while Arrow runs slow is measuring the machine, not the
+    engine."""
     cores = os.cpu_count() or 1
     deadline = time.perf_counter() + max_wait_s
     while True:
         load1 = os.getloadavg()[0]
         spin = spin_probe_ms()
-        quiet = load1 <= cores / 4 or spin <= 120.0
+        arrow = arrow_probe_ms()
+        quiet = (load1 <= cores / 4 or spin <= 120.0) and arrow <= 200.0
         if quiet or time.perf_counter() >= deadline:
             break
-        log(f"{label}: load1 {load1:.1f} > cores/4 ({cores / 4:.0f}) and "
-            f"spin {spin:.0f}ms — waiting for quiet")
+        log(f"{label}: load1 {load1:.1f}, spin {spin:.0f}ms, "
+            f"arrow {arrow:.0f}ms — waiting for quiet")
         time.sleep(10)
     noise[f"{label}_load1_at_start"] = round(load1, 1)
     noise[f"{label}_spin_ms_at_start"] = spin
+    noise[f"{label}_arrow_probe_at_start"] = arrow
     noise[f"{label}_load_gate_ok"] = bool(quiet)
     if not quiet:
-        log(f"WARNING: {label} starting under load (load1 {load1:.1f}, "
-            f"spin {spin:.0f}ms) — record is annotated load_gate_ok=false "
-            f"and should not be trusted as the gate number")
+        log(f"WARNING: {label} starting degraded (load1 {load1:.1f}, "
+            f"spin {spin:.0f}ms, arrow {arrow:.0f}ms) — record is "
+            f"annotated load_gate_ok=false and should not be trusted "
+            f"as the gate number")
 
 
 def time_query(spark, name, fn, sf_dir) -> float:
