@@ -2733,6 +2733,49 @@ def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.quantize_embeddings(emb, "embedding", "vec_id")
 
 
+def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile-sketch tier (stats.sketch_quantiles): ad-hoc
+    percentiles of lineitem's RAW near-unique double price column in
+    O(sketch), not O(distinct) — mapInArrow per-partition equi-depth
+    summaries, an applyInPandas tree-merge level capping driver
+    transfer at merge_groups*(k+1) rows however many partitions the
+    scan has, and a driver rank-union pick (reference analog: per-file
+    DataSketches sidecars unioned driver-side, Sketches.java:45-62).
+
+    The sketch value is deterministic only per file layout (never per
+    q-on-paper), so the ORACLE checks the documented guarantee instead:
+    each estimate's exact rank interval [count(<v)+1, count(<=v)],
+    measured by ONE codegen'd verification aggregate, must intersect
+    target±budget with budget = sketch_rank_budget(n). All other output
+    columns (n, target_rank, budget) are integer-exact data functions
+    DuckDB recomputes."""
+    from sleeper_spark.functions import stats
+
+    li = _load(spark, sf, "lineitem").select("l_extendedprice") \
+        .where(F.col("l_extendedprice").isNotNull())
+    rational_qs = [("p25", 1, 4), ("p50", 1, 2),
+                   ("p95", 19, 20), ("p99", 99, 100)]
+    vals, n = stats.sketch_quantiles(
+        li, "l_extendedprice", [num / den for _, num, den in rational_qs])
+    budget = stats.sketch_rank_budget(n)
+    aggs = []
+    for i, v in enumerate(vals):
+        aggs.append(F.sum((F.col("l_extendedprice") < F.lit(v))
+                          .cast("long")).alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("l_extendedprice") <= F.lit(v))
+                          .cast("long")).alias(f"le{i}"))
+    row = li.agg(*aggs).first()
+    out = []
+    for i, (qname, num, den) in enumerate(rational_qs):
+        target = max(1, (num * n + den - 1) // den)  # exact ceil(q*n)
+        ok = (row[f"le{i}"] >= target - budget
+              and row[f"lt{i}"] < target + budget)
+        out.append((qname, n, target, budget, bool(ok)))
+    return spark.createDataFrame(
+        out, "qname string, n long, target_rank long, budget long, "
+             "ok boolean")
+
+
 def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group exact interpolated percentiles (median / p95 of event
     value per event type) — the distribution-sanity profile a pipeline
@@ -2798,7 +2841,8 @@ def q_grouped_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         "l_returnflag", "l_extendedprice") \
         .where(F.col("l_extendedprice").isNotNull())
     c = stats.grouped_winsorize(li, ["l_returnflag"], "l_extendedprice",
-                                0.05, 0.95, out_col="clip")
+                                0.05, 0.95, out_col="clip",
+                                pin_broadcast=True)  # 3 known groups
     cents = F.round(F.col("clip") * 100).cast("long")
     return c.groupBy("l_returnflag").agg(
         F.sum(cents).alias("sum_clip_cents"),
@@ -2908,7 +2952,8 @@ def q_grouped_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     ev = _load(spark, sf, "events").select("event_type", "value") \
         .where(F.col("value").isNotNull())
     flagged = stats.grouped_mad_outliers(ev, ["event_type"], "value",
-                                         k=3.0)
+                                         k=3.0,
+                                         pin_broadcast=True)  # few types
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
@@ -3259,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_quantize": q_embedding_quantize,
         "quantiles": q_quantiles,
+        "sketch_quantiles": q_sketch_quantiles,
         "winsorize": q_winsorize,
         "mad_outliers": q_mad_outliers,
         "grouped_mad_outliers": q_grouped_mad_outliers,
@@ -4759,6 +4805,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n "
             "FROM events GROUP BY event_type",
+        # sketch tier: the estimate moves within the rank budget across
+        # file layouts, so the oracle pins the GUARANTEE — n, the exact
+        # integer-ceil target ranks, the documented budget
+        # (sketch_rank_budget: ceil(4n/k)+8, k=2048), and ok=TRUE. The
+        # Spark side measures each estimate's true rank interval with an
+        # exact aggregate; a sketch answer outside target±budget turns
+        # ok false and hash-mismatches.
+        "sketch_quantiles":
+            "WITH s AS (SELECT count(*) AS n FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "q(qname, num, den) AS (VALUES ('p25', 1, 4), ('p50', 1, 2), "
+            "('p95', 19, 20), ('p99', 99, 100)) "
+            "SELECT q.qname AS qname, s.n AS n, "
+            "greatest(1, (q.num * s.n + q.den - 1) // q.den) AS target_rank, "
+            "(4 * s.n + 2047) // 2048 + 8 AS budget, TRUE AS ok "
+            "FROM q, s",
         # exact percentile_disc thresholds rebuilt from the same rank
         # arithmetic stats.exact_quantiles uses (smallest value whose
         # cumulative count reaches ceil(q*n)); clip + cents-long sums

@@ -32,6 +32,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sleeper_spark.sketches import _spaced_ranks
+
 
 def cumulative_histogram(df: DataFrame, col: str,
                          n_parts: int | None = None) -> DataFrame:
@@ -176,23 +178,40 @@ def equidepth_buckets(df: DataFrame, col: str, n_buckets: int = 8,
         .otherwise(bucket))
 
 
+def _threshold_join(df: DataFrame, th: DataFrame, group_cols: list[str],
+                    pin_broadcast: bool) -> DataFrame:
+    """Left-join a one-row-per-group threshold table back onto the
+    rows. The join strategy is ADAPTIVE by default: no broadcast hint,
+    so AQE converts the shuffle join to a broadcast join at runtime
+    when the built side proves small (the common categorical-group
+    case) but falls back to a plain shuffle join when the group key is
+    high-cardinality (per-user / per-document fences over 1e9 groups
+    would OOM a forced broadcast). ``pin_broadcast=True`` restores the
+    compile-time hint for callers who KNOW the group count is small
+    and want the exchange elided from the initial plan."""
+    if pin_broadcast:
+        th = F.broadcast(th)
+    return df.join(th, group_cols, "left")
+
+
 def grouped_winsorize(df: DataFrame, group_cols: list[str], col: str,
                       lower: float = 0.01, upper: float = 0.99,
-                      out_col: str | None = None) -> DataFrame:
+                      out_col: str | None = None,
+                      pin_broadcast: bool = False) -> DataFrame:
     """Per-group winsorization — clip ``col`` to each GROUP's own
     exact [p_lower, p_upper] order statistics (a web corpus clips
     document lengths per domain, not globally: one long-form domain
     must not set the fences for all). Thresholds come from one
-    :func:`grouped_quantiles` pass (one row per group — broadcast-
-    joinable at any corpus scale); the clip is a codegen'd
-    least/greatest after the join. NULLs pass through; rows whose
+    :func:`grouped_quantiles` pass (one row per group); the join back
+    is adaptive (see :func:`_threshold_join`), and the clip is a
+    codegen'd least/greatest after it. NULLs pass through; rows whose
     group never produced thresholds (all-NULL group) pass through
     unclipped."""
     th = grouped_quantiles(df, group_cols, col,
                            {"__lo": lower, "__hi": upper})
-    joined = df.join(
-        F.broadcast(th.select(*group_cols, "__lo", "__hi")),
-        group_cols, "left")
+    joined = _threshold_join(
+        df, th.select(*group_cols, "__lo", "__hi"),
+        group_cols, pin_broadcast)
     out = out_col or col
     clip = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
     return joined.withColumn(
@@ -204,24 +223,25 @@ def grouped_winsorize(df: DataFrame, group_cols: list[str], col: str,
 
 def grouped_mad_outliers(df: DataFrame, group_cols: list[str], col: str,
                          k: float = 3.0,
-                         out_col: str = "is_outlier") -> DataFrame:
+                         out_col: str = "is_outlier",
+                         pin_broadcast: bool = False) -> DataFrame:
     """Per-group MAD outlier fences: flag rows where
     ``|x - median_g| > k * MAD_g`` with BOTH statistics computed per
     group — a metric whose scale varies by segment (latency per
     endpoint, price per category) needs per-group fences or the widest
     group swallows everyone else's outliers. Two
-    :func:`grouped_quantiles` passes (each one row per group,
-    broadcast-joined back); the flag is a codegen'd comparison. NULL
-    values — and rows of an all-NULL group, which has no fences —
-    flag NULL (unknown, not outlier)."""
+    :func:`grouped_quantiles` passes (each one row per group, joined
+    back adaptively — see :func:`_threshold_join`); the flag is a
+    codegen'd comparison. NULL values — and rows of an all-NULL group,
+    which has no fences — flag NULL (unknown, not outlier)."""
     med = grouped_quantiles(df, group_cols, col, {"__med": 0.5}) \
         .select(*group_cols, "__med")
-    j1 = df.join(F.broadcast(med), group_cols, "left")
+    j1 = _threshold_join(df, med, group_cols, pin_broadcast)
     dev = j1.select(*group_cols,
                     F.abs(F.col(col) - F.col("__med")).alias("__dev"))
     mad = grouped_quantiles(dev, group_cols, "__dev", {"__mad": 0.5}) \
         .select(*group_cols, "__mad")
-    return (j1.join(F.broadcast(mad), group_cols, "left")
+    return (_threshold_join(j1, mad, group_cols, pin_broadcast)
             .withColumn(
                 out_col,
                 F.when(F.col(col).isNull() | F.col("__med").isNull(),
@@ -231,7 +251,172 @@ def grouped_mad_outliers(df: DataFrame, group_cols: list[str], col: str,
             .drop("__med", "__mad"))
 
 
-def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
+# ---------------------------------------------------------------------------
+# mergeable quantile-sketch tier: raw continuous doubles, O(sketch) not
+# O(distinct)
+# ---------------------------------------------------------------------------
+
+def _np_rank_est(vals, ranks, rows: int, xs):
+    """Vectorized estimate of #rows with value < x under one equi-depth
+    summary (numpy port of sketches._FieldSketch._raw_rank: the stored
+    (rank, value) pairs bracket x; take the known lower bound + 1)."""
+    import numpy as np
+
+    j = np.searchsorted(vals, xs, side="left")
+    jm = np.clip(j - 1, 0, len(ranks) - 1)
+    jc = np.clip(j, 0, len(ranks) - 1)
+    inner = np.minimum(ranks[jm] + 1, ranks[jc])
+    return np.where(j == 0, 0, np.where(j == len(vals), rows, inner))
+
+
+def _summaries_to_arrays(rows_iter):
+    """Group collected (pid, rank, value, rows) records into per-pid
+    numpy summaries [(ranks, sorted values, rows), ...]."""
+    import numpy as np
+
+    by_pid: dict[int, list] = {}
+    for pid, rank, value, rows in rows_iter:
+        by_pid.setdefault(pid, []).append((rank, value, rows))
+    out = []
+    for pid in sorted(by_pid):
+        recs = sorted(by_pid[pid])
+        out.append((np.array([r[0] for r in recs], dtype=np.int64),
+                    np.array([r[1] for r in recs], dtype=np.float64),
+                    int(recs[0][2])))
+    return out
+
+
+def _rank_union_pick(parts, targets):
+    """For each target rank, the candidate value (union of all stored
+    summary values) whose summed rank estimate is nearest — ties to the
+    smaller value (deterministic). Returns (picked values, their
+    estimated ranks)."""
+    import numpy as np
+
+    cands = np.unique(np.concatenate([p[1] for p in parts]))
+    cr = np.zeros(len(cands), dtype=np.int64)
+    for ranks, vals, rows in parts:
+        cr += _np_rank_est(vals, ranks, rows, cands)
+    t = np.asarray(targets, dtype=np.int64)
+    j = np.clip(np.searchsorted(cr, t, side="left"), 0, len(cands) - 1)
+    jm = np.clip(j - 1, 0, len(cands) - 1)
+    pick = np.where(np.abs(cr[jm] - t) <= np.abs(cr[j] - t), jm, j)
+    return cands[pick], cr[pick]
+
+
+def sketch_quantiles(df: DataFrame, col: str, qs: list[float],
+                     k: int = 2048, merge_groups: int | None = 64
+                     ) -> tuple[list[float | None], int]:
+    """Quantile ESTIMATES over a raw continuous double column in one
+    pass, O(sketch) not O(distinct) — the tier :func:`exact_quantiles`
+    defers to when values are near-unique (its histogram would be the
+    column; module doc says "quantize first", this is the no-quantize
+    alternative). Returns ``(values, n)``.
+
+    Shape (the mergeable-sketch tree, reference analog: the per-file
+    DataSketches sidecars unioned driver-side,
+    java/common/sketches/src/main/java/sleeper/sketches/Sketches.java:45-62):
+
+    - level 0 — ``mapInArrow`` per partition: sort the partition's
+      values (numpy, no Python-object rows), keep <= k+1 evenly spaced
+      (rank, value) samples + the row count. Output is P*(k+1) tiny
+      rows; the full column never leaves the executors.
+    - level 1 (``merge_groups`` is not None) — ``applyInPandas`` over
+      ``pid % merge_groups``: rank-union each group's summaries into
+      ONE <= k+1-entry summary. Caps what the driver collects at
+      ``merge_groups * (k+1)`` rows however many partitions the scan
+      has — the 100 TB knob (at P=10^5, level 0 alone would hand the
+      driver 10^8 rows).
+    - final — driver rank-union over the collected summaries, answer
+      every q as the candidate value with summed rank estimate nearest
+      ``ceil(q*n)`` (percentile_disc-flavored: always an actual data
+      value).
+
+    Error: each level's sampling contributes <= n/k rank error and the
+    candidate spacing another <= n/k, so the returned value's TRUE rank
+    is within ``~4n/k`` of ``ceil(q*n)`` (<= 2n/k with
+    ``merge_groups=None``). Use :data:`sketch_rank_budget` for the
+    documented bound.
+
+    Determinism: the result is a pure function of (data, partitioning,
+    k, merge_groups) — no RNG anywhere. A stable file layout (a parquet
+    scan with fixed maxPartitionBytes, no preceding shuffle) therefore
+    reproduces bit-for-bit across runs; after a repartition() the
+    estimate may legally move within the rank budget, which is why the
+    registry oracle checks the budget, not the value. NaNs are rejected
+    loudly (they have no rank); NULLs are excluded like every order
+    statistic here."""
+    import numpy as np
+    import pyarrow as pa
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    src = (df.where(F.col(col).isNotNull())
+           .select(F.col(col).cast("double").alias("v"),
+                   F.spark_partition_id().alias("pid")))
+    out_schema = "pid long, rank long, value double, rows long"
+
+    def summarize(batches):
+        chunks, pid = [], None
+        for b in batches:
+            if b.num_rows:
+                chunks.append(b.column(0).to_numpy(zero_copy_only=False))
+                pid = b.column(1)[0].as_py()
+        if not chunks:
+            return
+        v = np.concatenate(chunks)
+        if np.isnan(v).any():
+            raise ValueError(
+                f"sketch_quantiles: NaN in column {col!r} — NaN has no "
+                "rank; filter or impute first")
+        v.sort()
+        n = len(v)
+        ranks = np.array(_spaced_ranks(n, k), dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(np.full(len(ranks), pid), type=pa.int64()),
+             pa.array(ranks), pa.array(v[ranks]),
+             pa.array(np.full(len(ranks), n), type=pa.int64())],
+            names=["pid", "rank", "value", "rows"])
+
+    summaries = src.mapInArrow(summarize, out_schema)
+
+    if merge_groups is not None:
+        def merge_group(pdf):
+            import pandas as pd
+            parts = _summaries_to_arrays(
+                zip(pdf["pid"], pdf["rank"], pdf["value"], pdf["rows"]))
+            total = sum(p[2] for p in parts)
+            targets = np.array(_spaced_ranks(total, k), dtype=np.int64)
+            vals, _ = _rank_union_pick(parts, targets)
+            gid = int(pdf["gid"].iloc[0])
+            return pd.DataFrame({"pid": gid, "rank": targets,
+                                 "value": vals, "rows": total})
+
+        summaries = (summaries
+                     .withColumn("gid", F.col("pid") % merge_groups)
+                     .groupBy("gid")
+                     .applyInPandas(merge_group, out_schema))
+
+    parts = _summaries_to_arrays(
+        (r["pid"], r["rank"], r["value"], r["rows"])
+        for r in summaries.collect())
+    if not parts:
+        return [None for _ in qs], 0
+    n = sum(p[2] for p in parts)
+    targets = [max(1, math.ceil(q * n)) for q in qs]
+    vals, _ = _rank_union_pick(parts, targets)
+    return [float(v) for v in vals], n
+
+
+def sketch_rank_budget(n: int, k: int = 2048,
+                       merge_groups: int | None = 64) -> int:
+    """The documented worst-case |true_rank - ceil(q*n)| for
+    :func:`sketch_quantiles` output (see its error paragraph), plus a
+    small constant for endpoint rounding. Integer arithmetic (never
+    float ceil) so a SQL oracle reproduces it exactly at any n."""
+    levels = 4 if merge_groups is not None else 2
+    return -(-(levels * n) // k) + 8
     """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
     is the median of ``|x - median|`` — the robust spread measure that,
     unlike stddev, one corrupt 1e308 row cannot drag to infinity. Two

@@ -47,9 +47,25 @@ def source_prefix(src: Any) -> str:
 
 def applied_seq(dst: Any, prefix: str = JOB_PREFIX) -> int:
     """The source seq the replica has durably applied: the largest
-    ``to`` of any ``cdf-sync-<from>-<to>`` ingest job in the replica's
-    own transaction log. Recovered from the log, so it survives any
-    crash that the log survives."""
+    ``to`` of any ``cdf-sync-...-<from>-<to>`` ingest job in the
+    replica's own transaction log. Recovered from the log, so it
+    survives any crash that the log survives.
+
+    Migration: replicas synced before job ids became source-scoped
+    hold legacy ``cdf-sync-<from>-<to>`` ids (no identity segment).
+    When a source-scoped prefix matches NO jobs, fall back to the
+    legacy-id watermark — otherwise the first post-upgrade sync would
+    read watermark 0 and re-ingest the entire source history under new
+    ids that don't dedupe against the old ones, duplicating every
+    pre-existing replica row. The fallback is only consulted when the
+    scoped prefix is empty, so a replica fed by MULTIPLE sources that
+    has at least one post-upgrade sync per source is unaffected; a
+    multi-source replica with ONLY legacy ids was already broken under
+    the shared watermark (documented in :func:`source_prefix`) and the
+    fallback preserves its old behavior rather than silently skipping
+    data."""
+    import re
+
     best = 0
     for j in dst.store.ingest_jobs_seen:
         if j.startswith(prefix):
@@ -57,6 +73,12 @@ def applied_seq(dst: Any, prefix: str = JOB_PREFIX) -> int:
                 best = max(best, int(j.rsplit("-", 1)[-1]))
             except ValueError:
                 continue
+    if best == 0 and prefix != JOB_PREFIX:
+        legacy = re.compile(re.escape(JOB_PREFIX) + r"(\d+)-(\d+)$")
+        for j in dst.store.ingest_jobs_seen:
+            m = legacy.fullmatch(j)
+            if m:
+                best = max(best, int(m.group(2)))
     return best
 
 
@@ -159,6 +181,20 @@ def sync_via_tail(src: Any, dst: Any, staging_dir: str,
                 f"but the next staged range starts at {from_seq} — a "
                 "staged file below the watermark chain was removed; "
                 "re-land it (fresh staging dir) or re-seed the replica")
+        if from_seq < applied:
+            # staged range straddles the watermark (possible only when
+            # sync(max_seqs=...) and tail staging were mixed on one
+            # replica): the staged file holds plain table rows with no
+            # seq column, so the already-applied prefix cannot be
+            # filtered out — ingesting it whole would duplicate those
+            # rows. Refuse loudly, like the gap case.
+            raise RuntimeError(
+                f"replication overlap: replica applied up to seq "
+                f"{applied} but staged range ({from_seq}, {to_seq}] "
+                "straddles that watermark — direct sync() and "
+                "sync_via_tail were mixed on this replica; re-land "
+                "from a fresh staging dir (the tail fast-forwards to "
+                "the replica's watermark) instead of reusing this one")
         rows = dst.spark.read.parquet(os.path.join(staging_dir, fn))
         dst.ingest(rows, job_id=f"{prefix}{from_seq}-{to_seq}")
         files_ingested += 1

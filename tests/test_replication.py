@@ -221,3 +221,44 @@ class TestReplication:
                       for r in src.full_scan().collect())
         assert got == want
         assert any(e is not None for _, _, e in got)
+
+    def test_legacy_watermark_migrates_to_scoped_prefix(self, spark,
+                                                        tmp_path):
+        """A replica synced BEFORE job ids became source-scoped holds
+        legacy 'cdf-sync-<from>-<to>' ids. The first post-upgrade sync
+        (scoped default prefix) must recover the watermark from those
+        legacy ids — NOT read 0 and re-ingest the entire source history
+        under new ids that don't dedupe against the old ones."""
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema())
+        src.ingest(_rows(spark, 0, 40))
+        # pre-upgrade sync: identity-less legacy prefix
+        replication.sync(src, dst, prefix=replication.JOB_PREFIX)
+        n_before = dst.full_scan().count()
+        assert n_before == 40
+        # post-upgrade sync under the scoped default: caught up, no-op
+        s = replication.sync(src, dst)
+        assert s["files_ingested"] == 0 and s["caught_up"]
+        assert dst.full_scan().count() == n_before  # no duplication
+        # new appends flow under the scoped ids
+        src.ingest(_rows(spark, 40, 60))
+        replication.sync_to_head(src, dst)
+        assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_straddling_staged_range_refused(self, spark, tmp_path):
+        """A staged range that STRADDLES the replica watermark (only
+        possible when direct sync and tail staging were mixed on one
+        replica) must raise, not re-ingest the already-applied prefix:
+        the staged file holds plain rows with no seq column, so the
+        overlap cannot be filtered out."""
+        from sleeper_spark.streaming import ChangeFeedTail
+
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema())
+        src.ingest(_rows(spark, 0, 10))
+        src.ingest(_rows(spark, 10, 20))
+        staging = str(tmp_path / "staging")
+        ChangeFeedTail(src, staging).drain()  # lands (0, head] as one range
+        replication.sync(src, dst, max_seqs=1)  # watermark INTO the range
+        with pytest.raises(RuntimeError, match="straddles"):
+            replication.sync_via_tail(src, dst, staging)

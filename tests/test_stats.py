@@ -148,6 +148,88 @@ class TestGroupedWinsorize:
         assert out[2] is None and out[5] is None
         assert out[3] == 6.0  # clipped to group-a p50
 
+    def test_high_cardinality_groups_no_forced_broadcast(self, spark):
+        """A per-user/per-document fence table can hold 1e9 rows — the
+        default threshold join must NOT carry a compile-time broadcast
+        hint (AQE picks the strategy from the ACTUAL built-side size at
+        runtime; a forced broadcast of a high-cardinality group table
+        OOMs the driver). Run at 1e6 distinct groups to prove the
+        shuffle-join path really executes, and pin the absence of the
+        hint in the optimized plan."""
+        df = spark.range(1_000_000).select(
+            F.col("id").alias("g"),
+            (F.col("id") % 97).cast("double").alias("x"))
+        out = stats.grouped_winsorize(df, ["g"], "x", 0.0, 1.0,
+                                      out_col="w")
+        logical = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical  # no forced broadcast
+        pinned = stats.grouped_winsorize(df, ["g"], "x", 0.0, 1.0,
+                                         out_col="w",
+                                         pin_broadcast=True)
+        assert "ResolvedHint" in \
+            pinned._jdf.queryExecution().optimizedPlan().toString()
+        # single-value groups: clip is the identity; the count proves
+        # the 1e6-group shuffle join actually ran
+        assert out.where("w = x").count() == 1_000_000
+
+    def test_adaptive_and_pinned_paths_agree(self, spark):
+        rows = [(i, "ab"[i % 2], float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, g string, x double")
+        a = {r.id: r.w for r in stats.grouped_winsorize(
+            df, ["g"], "x", 0.1, 0.9, out_col="w").collect()}
+        b = {r.id: r.w for r in stats.grouped_winsorize(
+            df, ["g"], "x", 0.1, 0.9, out_col="w",
+            pin_broadcast=True).collect()}
+        assert a == b
+        ao = {r.id: r.is_outlier for r in stats.grouped_mad_outliers(
+            df, ["g"], "x").collect()}
+        bo = {r.id: r.is_outlier for r in stats.grouped_mad_outliers(
+            df, ["g"], "x", pin_broadcast=True).collect()}
+        assert ao == bo
+
+
+class TestSketchQuantiles:
+    def test_rank_budget_holds_on_near_unique_doubles(self, spark):
+        """The tier exists exactly for columns where the exact
+        histogram would blow up: ~50k near-unique doubles. Every
+        estimate's TRUE rank must sit within the documented budget of
+        ceil(q*n), and n must be exact."""
+        import numpy as np
+        rng = np.random.RandomState(11)
+        data = (rng.lognormal(3.0, 1.5, 50_000)).tolist()
+        df = spark.createDataFrame([(v,) for v in data], "x double")
+        qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+        vals, n = stats.sketch_quantiles(df, "x", qs, k=512,
+                                         merge_groups=8)
+        assert n == len(data)
+        budget = stats.sketch_rank_budget(n, k=512, merge_groups=8)
+        s = sorted(data)
+        for q, v in zip(qs, vals):
+            target = max(1, math.ceil(q * n))
+            lt = sum(1 for x in s if x < v)
+            le = sum(1 for x in s if x <= v)
+            assert le >= target - budget and lt < target + budget, \
+                (q, v, lt, le, target, budget)
+            assert v in data  # always an actual data value
+
+    def test_flat_merge_and_small_inputs(self, spark):
+        df = spark.createDataFrame([(float(v),) for v in range(1, 101)],
+                                   "x double")
+        vals, n = stats.sketch_quantiles(df, "x", [0.0, 0.5, 1.0],
+                                         merge_groups=None)
+        assert n == 100
+        assert vals[0] == 1.0 and vals[2] == 100.0
+        assert abs(vals[1] - 50.0) <= 2.0  # tiny n: near-exact
+        empty = df.where("x IS NULL")
+        assert stats.sketch_quantiles(empty, "x", [0.5]) == ([None], 0)
+
+    def test_nan_refused_and_bad_q(self, spark):
+        df = spark.createDataFrame([(1.0,), (float("nan"),)], "x double")
+        with pytest.raises(Exception, match="NaN"):
+            stats.sketch_quantiles(df, "x", [0.5])
+        with pytest.raises(ValueError, match="outside"):
+            stats.sketch_quantiles(df, "x", [1.5])
+
 
 class TestMadOutliers:
     def test_matches_pure_python_model(self, spark, events):

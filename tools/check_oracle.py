@@ -194,7 +194,18 @@ def main() -> int:
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     out_path = os.environ.get("CHECK_ORACLE_JSON")
     if out_path:
+        import fcntl
         import json
+
+        # chunked sweeps of the registry run in PARALLEL processes and
+        # merge into one file: the read-modify-write below must be
+        # atomic per process or two chunks finishing together silently
+        # drop each other's query entries. An exclusive flock on a
+        # sidecar lock file serialises the whole merge (the lock file,
+        # not out_path itself, is locked — os.replace swaps the inode
+        # out from under an fd-based lock).
+        lock = open(out_path + ".lock", "a")
+        fcntl.flock(lock, fcntl.LOCK_EX)
         merged: dict[str, dict] = {}
         if os.path.exists(out_path):  # chunked sweeps append
             try:
@@ -218,6 +229,8 @@ def main() -> int:
             json.dump(summary, f, indent=1)
             f.write("\n")
         os.replace(tmp_path, out_path)
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
         print(f"wrote {out_path}: {n_green}/{len(merged)} green")
     return 1 if failures else 0
 
