@@ -1478,6 +1478,39 @@ def q_sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def q_grouped_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-docs-per-language deterministic reservoir
+    (sampling.grouped_reservoir): rows rank by (md5(doc_id), doc_id)
+    inside their group — an engine-portable scramble, so DuckDB picks
+    the IDENTICAL rows; WindowGroupLimit truncates each group to 3
+    map-side before the shuffle."""
+    doc = _load(spark, sf, "documents")
+    return sampling.grouped_reservoir(doc, ["lang"], "doc_id", 3,
+                                      rank_col="rk") \
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+def q_grouped_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quantile binning (stats.grouped_equidepth_buckets):
+    event values cut at each event type's OWN exact quartile fences —
+    per-domain feature binning. Fences collapse to one array row per
+    group, join back adaptively, assignment is a codegen'd
+    count-of-fences over the array. Output is the per-(type, bucket)
+    histogram with cents-long value sums."""
+    from sleeper_spark.functions import stats
+
+    ev = _load(spark, sf, "events").select("event_type", "value")
+    b = stats.grouped_equidepth_buckets(ev, ["event_type"], "value",
+                                        n_buckets=4, out_col="bucket",
+                                        pin_broadcast=True)  # few types
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        # floor, not round: both engines share the float64 product, so
+        # floor is bit-identical; round's half-rule is not
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("long"))
+        .alias("sum_value_micros"))
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Backward as-of join (functions/timeseries.py): each click event
     picks up the user's most recent at-or-before purchase value. Union +
@@ -2629,6 +2662,34 @@ def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
         "FROM q_streaming_window")
 
 
+def q_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous conversion funnel (streaming.streaming_funnel):
+    per-user reach depth maintained across micro-batches via
+    applyInPandasWithState (sorted per-step event-time state, chain
+    re-derived per batch — exact under any arrival order). Run to
+    completion with availableNow; final counts must hash-match the
+    BATCH funnel oracle on the same data. Depth updates are monotone,
+    so final depth = max over the update stream; per-step counts are
+    one conditional aggregate over the depth table."""
+    from sleeper_spark import streaming as streaming_mod
+
+    steps = ["view", "click", "purchase"]
+    stream = _events_stream(spark, sf).select(
+        "user_id", "event_type", "ts")
+    out = streaming_mod.streaming_funnel(
+        stream, steps, user_col="user_id", step_col="event_type",
+        ts_col="ts")
+    _run_stream_to_view(out, "q_streaming_funnel", "update")
+    depth = spark.sql("SELECT user, max(depth) AS d "
+                      "FROM q_streaming_funnel GROUP BY user")
+    row = depth.agg(*[
+        F.sum((F.col("d") >= i + 1).cast("long")).alias(f"c{i}")
+        for i in range(len(steps))]).first()
+    return spark.createDataFrame(
+        [(s, i, int(row[f"c{i}"] or 0)) for i, s in enumerate(steps)],
+        "step string, step_index int, n_users long")
+
+
 def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
     per-user running totals equal the batch aggregate. Values stream as
@@ -3262,6 +3323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "sample_reservoir": q_sample_reservoir,
+        "grouped_reservoir": q_grouped_reservoir,
+        "grouped_equidepth": q_grouped_equidepth,
         "pack_token_budget": q_pack_token_budget,
         "doc_chunks": q_doc_chunks,
         "verbatim_overlap": q_verbatim_overlap,
@@ -3334,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (availableNow, hash-checked against batch SQL)
         "streaming_upsert": q_streaming_upsert,
         "streaming_window": q_streaming_window,
+        "streaming_funnel": q_streaming_funnel,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "streaming_dedup": q_streaming_dedup,
@@ -4616,6 +4680,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "ORDER BY ((doc_id % 1000003) * 31 + 7) % 1000003, doc_id "
             "LIMIT 100",
+        # per-group reservoir: identical md5-of-decimal-string scramble
+        # in both engines -> the exact same 3 rows per language
+        "grouped_reservoir":
+            "SELECT lang, doc_id, rk FROM ("
+            "SELECT lang, doc_id, CAST(row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
+            "AS rk FROM documents) t WHERE rk <= 3",
+        # per-group quartile fences via the PARTITIONED rank idiom, then
+        # bucket = count of own-group fences <= x; NULL x buckets NULL
+        "grouped_equidepth":
+            "WITH v AS (SELECT event_type, value AS x FROM events), "
+            "c AS (SELECT event_type, x, "
+            "sum(cnt) OVER (PARTITION BY event_type ORDER BY x) AS cum, "
+            "sum(cnt) OVER (PARTITION BY event_type) AS n FROM "
+            "(SELECT event_type, x, count(*) AS cnt FROM v "
+            "WHERE x IS NOT NULL GROUP BY 1, 2)), "
+            "f AS (SELECT event_type, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.25 * n)) THEN x END) "
+            "AS f1, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.5 * n)) THEN x END) "
+            "AS f2, "
+            "min(CASE WHEN cum >= greatest(1, ceil(0.75 * n)) THEN x END) "
+            "AS f3 FROM c GROUP BY event_type), "
+            "b AS (SELECT v.event_type, CASE WHEN v.x IS NULL THEN NULL "
+            "ELSE CAST(v.x >= f.f1 AS INTEGER) "
+            "+ CAST(v.x >= f.f2 AS INTEGER) "
+            "+ CAST(v.x >= f.f3 AS INTEGER) END AS bucket, v.x AS x "
+            "FROM v LEFT JOIN f ON v.event_type = f.event_type) "
+            "SELECT event_type, CAST(bucket AS INTEGER) AS bucket, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micros FROM b GROUP BY 1, 2",
         "pack_token_budget":
             "SELECT doc_id, source, n_tokens, "
             "CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id "
@@ -4678,6 +4775,25 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window":
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events "
             "FROM events GROUP BY date_trunc('day', ts)",
+        # the streaming funnel must converge to the BATCH funnel's
+        # counts on the same data — the oracle IS the batch chain
+        "streaming_funnel":
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t "
+            "FROM events WHERE ts IS NOT NULL), "
+            "s0 AS (SELECT user_id, min(t) AS t FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s1 AS (SELECT e.user_id, min(e.t) AS t FROM e "
+            "JOIN s0 USING (user_id) "
+            "WHERE e.event_type = 'click' AND e.t > s0.t GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.t) AS t FROM e "
+            "JOIN s1 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND e.t > s1.t GROUP BY 1) "
+            "SELECT 'view' AS step, CAST(0 AS INTEGER) AS step_index, "
+            "(SELECT count(*) FROM s0) AS n_users "
+            "UNION ALL SELECT 'click', CAST(1 AS INTEGER), "
+            "(SELECT count(*) FROM s1) "
+            "UNION ALL SELECT 'purchase', CAST(2 AS INTEGER), "
+            "(SELECT count(*) FROM s2)",
         "streaming_running_totals":
             "SELECT user_id, count(*) AS n_total, "
             "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "

@@ -95,7 +95,13 @@ def _match_mask(tbl, regions, value_ranges):
 def _rewrite_one(desc: dict) -> tuple:
     """Executor task: rewrite ONE (file, partition) reference without
     the matching rows. Returns (partition_id, in_path, out_path|None,
-    rows_kept, rows_deleted)."""
+    rows_kept, rows_deleted, tomb_path|None).
+
+    The DELETED rows (own & match — region-filtered per reference, so
+    a file split across child partitions never tombstones a row twice)
+    land as a tombstone parquet beside the rewrite: the observable
+    record incremental consumers (materialized views, secondary
+    indexes) apply instead of rebuilding from a snapshot."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -108,8 +114,15 @@ def _rewrite_one(desc: dict) -> tuple:
     keep = own & ~match
     n_keep = int(keep.sum())
     n_del = int(own.sum()) - n_keep
+    tomb_path = None
+    if n_del:
+        tomb_path = desc["tomb_path"]
+        pq.write_table(tbl.filter(pa.array(own & match)), tomb_path,
+                       compression=desc["compression"],
+                       data_page_size=desc["page_bytes"])
     if n_keep == 0:
-        return (desc["partition_id"], desc["in_path"], None, 0, n_del)
+        return (desc["partition_id"], desc["in_path"], None, 0, n_del,
+                tomb_path)
     out = tbl.filter(pa.array(keep))
     pq.write_table(out, desc["out_path"],
                    compression=desc["compression"],
@@ -125,7 +138,7 @@ def _rewrite_one(desc: dict) -> tuple:
         pass
     sketches.write_sidecar(desc["out_path"], sk)
     return (desc["partition_id"], desc["in_path"], desc["out_path"],
-            n_keep, n_del)
+            n_keep, n_del, tomb_path)
 
 
 #: same driver-threads-vs-executors threshold as sidecar building
@@ -192,6 +205,8 @@ def delete_where(table: "SleeperTable",
         descs.append({
             "in_path": ref.filename,
             "out_path": os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            "tomb_path": os.path.join(out_dir,
+                                      f"tombstone-{i:05d}.parquet"),
             "partition_id": ref.partition_id,
             "partition_ranges": list(tree[ref.partition_id].region.ranges),
             "regions": list(regions or []),
@@ -212,10 +227,13 @@ def delete_where(table: "SleeperTable",
         results = sc.parallelize(descs, slices).map(_rewrite_one).collect()
 
     replacements = []
+    tombstones = []
     rows_deleted = files_rewritten = files_removed = 0
     now = None
-    for pid, in_path, out_path, n_keep, n_del in results:
+    for pid, in_path, out_path, n_keep, n_del, tomb_path in results:
         rows_deleted += n_del
+        if tomb_path is not None:
+            tombstones.append(tomb_path)
         if out_path is None:
             files_removed += 1
             replacements.append((pid, [in_path], []))
@@ -226,11 +244,13 @@ def delete_where(table: "SleeperTable",
                 number_of_rows=n_keep,
                 only_contains_data_for_this_partition=True)]))
     store.replace_file_references_batch(
-        replacements, allow_empty_outputs=True)
+        replacements, allow_empty_outputs=True,
+        job_id=job_id, tombstones=sorted(tombstones))
     return {"rows_deleted": rows_deleted,
             "files_rewritten": files_rewritten,
             "files_removed": files_removed,
             "files_untouched": untouched,
+            "tombstone_files": len(tombstones),
             "job_id": job_id}
 
 

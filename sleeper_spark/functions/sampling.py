@@ -112,6 +112,35 @@ def reservoir_sample(df: DataFrame, key: str, n: int,
             .limit(n))
 
 
+def grouped_reservoir(df: DataFrame, group_cols: list[str], key: str,
+                      n_per_group: int,
+                      rank_col: str | None = None) -> DataFrame:
+    """EXACT n-per-group deterministic reservoir — the "n examples per
+    domain" selection step, pairing the per-group stats operators.
+    Rows rank inside their group by ``(md5(key), key)`` and the first N
+    survive.
+
+    Why md5 and not :func:`bucket_expr`: the congruential bucket is
+    MONOTONE in the key below ``_P/31`` (~32k), so for small-id groups
+    "sample n" would degenerate to "first n by id" — fine for
+    fraction-gating whole buckets, not for a reservoir meant to look
+    uniform. md5 of the key's decimal string is an engine-portable
+    scramble (DuckDB: ``md5(CAST(k AS VARCHAR))``), so the exact same
+    rows survive in any SQL engine, every run — no RNG state anywhere.
+
+    Scale shape: one shuffle on the group columns; WindowGroupLimit
+    truncates each group to N rows MAP-SIDE before the exchange, so the
+    shuffle carries ~N rows per group however large the groups are.
+    ``rank_col`` optionally keeps the 1-based rank in the output."""
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
+    out = (df.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") <= n_per_group))
+    if rank_col is None:
+        return out.drop("__rk")
+    return out.withColumnRenamed("__rk", rank_col)
+
+
 def mix_sample(df: DataFrame, key: str, percent: Column,
                n_buckets: int = 100, salt: int = 7) -> DataFrame:
     """Domain-mixing sample: keep each row with a per-row target

@@ -194,6 +194,40 @@ def _threshold_join(df: DataFrame, th: DataFrame, group_cols: list[str],
     return df.join(th, group_cols, "left")
 
 
+def grouped_equidepth_buckets(df: DataFrame, group_cols: list[str],
+                              col: str, n_buckets: int = 8,
+                              out_col: str = "bucket",
+                              pin_broadcast: bool = False) -> DataFrame:
+    """Per-group quantile binning: bucket i collects rows between the
+    GROUP's own i/B and (i+1)/B exact order statistics — feature
+    binning per domain, the grouped twin of :func:`equidepth_buckets`
+    (a price feature binned globally puts every luxury-category row in
+    the top bucket; per-category fences restore resolution). All B-1
+    fences for every group come from ONE :func:`grouped_quantiles`
+    pass, collapse to a per-group ARRAY column (one row per group),
+    join back adaptively (:func:`_threshold_join`), and assignment is
+    a codegen'd count-of-fences-<=-x over the array — no per-bucket
+    shuffles, no UDF. NULL values — and rows of an all-NULL group,
+    which has no fences — bucket NULL. Ties share a bucket, same as
+    the global variant."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = {f"__f{i}": i / n_buckets for i in range(1, n_buckets)}
+    th = grouped_quantiles(df, group_cols, col, qs)
+    fences = th.select(
+        *group_cols,
+        F.array(*[F.col(f"__f{i}") for i in range(1, n_buckets)])
+        .alias("__fences"))
+    joined = _threshold_join(df, fences, group_cols, pin_broadcast)
+    bucket = F.size(F.filter(F.col("__fences"),
+                             lambda f: F.col(col) >= f)).cast("int")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(col).isNull() | F.col("__fences").isNull(),
+               F.lit(None).cast("int")).otherwise(bucket)
+    ).drop("__fences")
+
+
 def grouped_winsorize(df: DataFrame, group_cols: list[str], col: str,
                       lower: float = 0.01, upper: float = 0.99,
                       out_col: str | None = None,
@@ -404,7 +438,10 @@ def sketch_quantiles(df: DataFrame, col: str, qs: list[float],
     if not parts:
         return [None for _ in qs], 0
     n = sum(p[2] for p in parts)
-    targets = [max(1, math.ceil(q * n)) for q in qs]
+    # the union ranks count rows STRICTLY below a candidate, i.e. the
+    # candidate's 0-based position — the percentile_disc target
+    # ceil(q*n) is a 1-based cum rank, so aim one below it
+    targets = [max(1, math.ceil(q * n)) - 1 for q in qs]
     vals, _ = _rank_union_pick(parts, targets)
     return [float(v) for v in vals], n
 
@@ -417,6 +454,9 @@ def sketch_rank_budget(n: int, k: int = 2048,
     float ceil) so a SQL oracle reproduces it exactly at any n."""
     levels = 4 if merge_groups is not None else 2
     return -(-(levels * n) // k) + 8
+
+
+def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
     """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
     is the median of ``|x - median|`` — the robust spread measure that,
     unlike stddev, one corrupt 1e308 row cannot drag to infinity. Two

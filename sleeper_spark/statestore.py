@@ -442,6 +442,11 @@ class StateStore:
                 for d in outs:
                     out = FileReference.from_json(d)
                     self.files.setdefault(out.filename, {})[out.partition_id] = out
+            # delete_where tombstones are never referenced: queue them
+            # for GC at commit time so they live exactly as long as the
+            # replaced inputs (the GC delay = the consumer-lag bound)
+            for tomb in tx.get("tombstones", ()):
+                self.gc_queue[tomb] = tx.get("time", 0.0)
         elif t == "SPLIT_PARTITION":
             assert self.tree is not None
             self.tree.apply_split(
@@ -543,6 +548,8 @@ class StateStore:
         replacements: list[tuple[str, list[str],
                                  "FileReference | list[FileReference]"]],
         allow_empty_outputs: bool = False,
+        job_id: str | None = None,
+        tombstones: list[str] | None = None,
     ) -> None:
         """Commit MANY compaction jobs' reference swaps as ONE
         transaction (ReplaceFileReferencesTransaction.java:54-59 carries
@@ -553,7 +560,14 @@ class StateStore:
         range-part files (subrange-parallel compaction). Compaction must
         always produce output (even an empty file keeps the swap
         uniform); ``allow_empty_outputs`` is for delete_where, where a
-        fully-deleted reference is legitimately replaced by nothing."""
+        fully-deleted reference is legitimately replaced by nothing.
+
+        ``job_id``/``tombstones`` are stamped onto the transaction by
+        delete_where: the tombstone files hold the DELETED rows, making
+        the deletion observable to incremental consumers
+        (``SleeperTable.deleted_rows_between``). Tombstones enter the
+        GC queue at commit time — like replaced inputs, they live for
+        the GC delay, which is the documented bound on consumer lag."""
         def build() -> dict[str, Any]:
             now = time.time()
             for partition_id, input_files, _ in replacements:
@@ -576,8 +590,13 @@ class StateStore:
                         for o in outs
                     ],
                 })
-            return {"type": "REPLACE_FILE_REFERENCES", "jobs": jobs,
-                    "time": now}
+            tx: dict[str, Any] = {"type": "REPLACE_FILE_REFERENCES",
+                                  "jobs": jobs, "time": now}
+            if job_id is not None:
+                tx["jobId"] = job_id
+            if tombstones:
+                tx["tombstones"] = list(tombstones)
+            return tx
 
         self._commit_with_retry(build)
 

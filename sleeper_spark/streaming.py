@@ -316,6 +316,100 @@ def stateful_running_totals(
     )
 
 
+def streaming_funnel(
+    stream_df: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap: int | None = None,
+    max_events_per_step: int = 100_000,
+) -> DataFrame:
+    """Continuous ordered-funnel: the streaming composition of
+    ``timeseries.funnel_counts`` — per-user reach depth maintained
+    across micro-batches via ``applyInPandasWithState``, so conversion
+    counts update as events arrive instead of re-running k passes over
+    the event table.
+
+    State per user: the SORTED DISTINCT event times of each funnel
+    step (k int64 arrays — the same per-user footprint a session
+    window holds). Each batch merges its events and RE-DERIVES the
+    reach chain (reach_i = min step-i time strictly after reach_{i-1},
+    hop-bounded by ``max_gap`` like the batch operator), which makes
+    the result EXACT under any arrival order — a late-arriving step-1
+    event that lowers reach_1 correctly re-enables step-2 events that
+    were already seen. Greedy reach-only state (just k reach scalars)
+    cannot do that; order-exactness is what lets the final counts
+    hash-match the batch funnel on the same data (the registry gate).
+
+    Emitted rows: ``(user, depth)`` per touched user per batch; depth
+    is MONOTONE non-decreasing (more events never shrink a chain), so
+    the final depth table is ``max(depth) per user`` over the update
+    stream. Rows with NULL user or time are dropped (the batch
+    operator's joins drop NULL users past stage 0; feed it non-NULL
+    data for exact parity — the registry query's source has none).
+
+    ``max_events_per_step`` bounds per-user state and raises loudly
+    beyond it (a key that hot needs sessionization first), keeping the
+    state store's per-key row bounded at any stream length.
+    Integer event times only — exact comparisons, no float drift."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        cur = [list(c) if c is not None else []
+               for c in (state.get if state.exists
+                         else [[]] * k)]
+        for pdf in pdfs:
+            for s, t in zip(pdf["__step"], pdf["__t"]):
+                cur[step_idx[s]].append(int(t))
+        arrs = []
+        for c in cur:
+            if len(c) > max_events_per_step:
+                raise ValueError(
+                    f"user {key[0]!r} holds {len(c)} events for one "
+                    f"funnel step (cap {max_events_per_step}) — "
+                    "sessionize or pre-filter before funneling")
+            arrs.append(np.unique(np.asarray(c, dtype=np.int64)))
+        depth, reach = 0, None
+        for i in range(k):
+            a = arrs[i]
+            if i == 0:
+                if not len(a):
+                    break
+                reach = a[0]
+            else:
+                j = int(np.searchsorted(a, reach, side="right"))
+                if j >= len(a) or (max_gap is not None
+                                   and a[j] > reach + max_gap):
+                    break
+                reach = a[j]
+            depth = i + 1
+        state.update(tuple(a.tolist() for a in arrs))
+        yield pd.DataFrame({"user": [key[0]], "depth": [depth]})
+
+    src = (stream_df
+           .where(F.col(step_col).isin(list(steps))
+                  & F.col(user_col).isNotNull()
+                  & F.col(ts_col).isNotNull())
+           .select(F.col(user_col).alias("user"),
+                   F.col(step_col).alias("__step"),
+                   F.col(ts_col).cast("long").alias("__t")))
+    state_schema = T.StructType([
+        T.StructField(f"t{i}", T.ArrayType(T.LongType())) for i in range(k)])
+    out_schema = T.StructType([
+        T.StructField("user", stream_df.schema[user_col].dataType),
+        T.StructField("depth", T.IntegerType()),
+    ])
+    return src.groupBy("user").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 class ChangeFeedTail:
     """Bridge a table's change data feed into Structured Streaming: each
     :meth:`drain` polls ``poll_changes`` (bounded by ``max_seqs``) and

@@ -210,6 +210,41 @@ class SleeperTable:
         return (self.spark.read.schema(struct).parquet(*files)
                 .select(*[f.name for f in self.schema.all_fields()]))
 
+    def deleted_rows_between(self, from_seq: int,
+                             to_seq: int | None = None) -> DataFrame:
+        """Deletion feed: the rows REMOVED by ``delete_where`` commits
+        in ``(from_seq, to_seq]``, read from the tombstone files each
+        delete's rewrite landed (deletes.py) — the counterpart of
+        ``added_rows_between`` that lets an incremental consumer (a
+        materialized view, a secondary index) APPLY a delete instead of
+        rebuilding from a snapshot. Cost ∝ deleted rows, never table
+        size. Compactions, splits and GC contribute nothing; a delete
+        that matched zero rows wrote no tombstones and contributes
+        nothing. Tombstones share the replaced inputs' GC clock, so the
+        same rule applies: a GC'd tombstone raises here by name — size
+        the GC delay to your consumers' max lag. Deletes committed
+        BEFORE this engine recorded tombstones are invisible here
+        (consumers detect them via the transaction shape and refuse —
+        see views._window_has_legacy_deletes)."""
+        from sleeper_spark.statestore import StateStoreException
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        txs = self.store.transactions_between(from_seq, to_seq)
+        files = sorted({
+            t for _, tx in txs
+            if tx.get("type") == "REPLACE_FILE_REFERENCES"
+            for t in tx.get("tombstones", ())})
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise StateStoreException(
+                f"deletion feed needs {len(missing)} garbage-collected "
+                f"tombstone(s): {missing[:3]} — raise the GC delay to "
+                "cover your consumers' lag")
+        struct = self.schema.to_struct_type()
+        if not files:
+            return self.spark.createDataFrame([], struct)
+        return (self.spark.read.schema(struct).parquet(*files)
+                .select(*[f.name for f in self.schema.all_fields()]))
+
     def poll_changes(self, from_seq: int,
                      max_seqs: int | None = None) -> tuple[DataFrame, int]:
         """Bounded change-feed poll: returns ``(appended_rows,
@@ -491,8 +526,11 @@ class SleeperTable:
         filters — claim them under a ``delete-*`` job id, and swap all
         rewrites in ONE transaction. Returns the audit dict
         ``{rows_deleted, files_rewritten, files_removed,
-        files_untouched, job_id}``. Pre-delete states stay readable via
-        ``as_of``; the change feed does not emit deletions."""
+        files_untouched, tombstone_files, job_id}``. Pre-delete states
+        stay readable via ``as_of``; the ADDED-rows change feed does not
+        emit deletions — incremental consumers read the deleted rows
+        from :meth:`deleted_rows_between` (tombstone files landed by the
+        rewrite, GC'd on the replaced inputs' clock)."""
         from sleeper_spark.deletes import delete_where as _dw
         return _dw(self, regions=regions, value_ranges=value_ranges)
 

@@ -23,12 +23,19 @@ Because step 5 is the engine's own collapse, the view equals the
 batch recomputation REGARDLESS of how refreshes were batched — the
 same associativity argument the streaming upsert relies on.
 
-Append-only sources only (the reference's model: rows leave via
-ageOff, not deletes): ``delete_where`` on the source emits nothing in
-the change feed and would silently drift the view — so refresh scans
-the window's retained transactions and REFUSES to advance past a
-detected delete. The recovery path is :meth:`MaterializedView.rebuild`
-(crash-safe snapshot recompute; see its docstring).
+Deletes: ``delete_where`` lands the removed rows as tombstone files
+recorded on its commit (deletes.py), so a view constructed with an
+``on_delete`` handler maintains itself THROUGH deletes incrementally —
+``refresh`` splits the window at each delete commit and applies the
+segments in log order (appends, delete, appends, ...), checkpointing
+after every segment so a crash replays at most one segment. Cost of a
+point delete ∝ deleted rows, never source size. Views without
+``on_delete`` (non-subtractable aggregates like min/max) keep the old
+contract: refresh REFUSES to advance past a delete and the recovery
+path is :meth:`MaterializedView.rebuild` (crash-safe snapshot
+recompute). Deletes committed by pre-tombstone engine versions carry no
+tombstones and always refuse — their removed rows are unrecoverable
+from the log.
 
 Reference analog: none (no derived tables); built from this engine's
 change feed + idempotent ingest + aggregation tables.
@@ -46,13 +53,23 @@ from pyspark.sql import DataFrame
 class MaterializedView:
     """Binds (source table, destination table, transform). State (the
     change-feed checkpoint) lives in ``<dest>/mview.json`` so any
-    process can resume it."""
+    process can resume it.
+
+    ``on_delete(deleted_rows_df, job_id)`` — optional handler applying
+    one delete commit's tombstoned rows to the destination. It MUST be
+    idempotent (a crash between handler and checkpoint replays it):
+    ingesting negated deltas under the given job id (sum-algebra
+    views — ingest dedupes by job id) and exact-key ``delete_where``
+    on the destination (secondary indexes — re-deleting is a no-op)
+    both qualify. Without a handler, refresh refuses at deletes."""
 
     def __init__(self, source, dest,
-                 transform: Callable[[DataFrame], DataFrame]):
+                 transform: Callable[[DataFrame], DataFrame],
+                 on_delete: Callable[[DataFrame, str], None] | None = None):
         self.source = source
         self.dest = dest
         self.transform = transform
+        self.on_delete = on_delete
         self._state_path = os.path.join(dest.path, "mview.json")
 
     # ------------------------------------------------------------------
@@ -68,33 +85,103 @@ class MaterializedView:
             json.dump(state, f)
         os.replace(tmp, self._state_path)
 
-    @staticmethod
-    def _window_has_deletes(txs) -> bool:
-        """Drift tripwire: deletes never appear in the change feed, so
-        a delete_where inside the refresh window means the view can no
-        longer be maintained incrementally. Detected from the retained
-        log: a delete claims its rewrites under a ``delete-*`` job id
-        (deletes.py) and is the only writer allowed to commit
-        empty-output replacements."""
+    _REFUSE_MSG = (
+        "source table saw a delete_where this view cannot apply "
+        "incrementally inside the refresh window — the view would "
+        "drift; pass on_delete= to maintain through deletes, or "
+        "rebuild it from scratch")
+
+    def _plan_window(self, txs) -> tuple[list[int], int | None]:
+        """Classify the window's transactions for delete handling.
+        Returns ``(delete_seqs, barrier)``: the seqs of delete commits
+        whose tombstones must be applied in order, and an optional seq
+        to STOP BEFORE (an in-flight delete claim whose commit has not
+        landed yet — content-neutral itself, but advancing past it
+        would skip the commit's ordering slot).
+
+        Raises on LEGACY deletes (pre-tombstone commits): a jobless
+        empty-output replacement, or a ``delete-*`` claim whose
+        replacement exists in the log without the new-style ``jobId``
+        stamp — their removed rows are unrecoverable from the log."""
+        delete_seqs: list[int] = []
+        replace_jids = set()
         for _seq, tx in txs:
-            if tx.get("type") == "ASSIGN_JOB_IDS" and any(
-                    str(a.get("jobId", "")).startswith("delete-")
-                    for a in tx.get("assignments", ())):
-                return True
-            if tx.get("type") == "REPLACE_FILE_REFERENCES" and any(
-                    not j.get("outputFiles") for j in tx.get("jobs", ())):
-                return True
-        return False
+            if tx.get("type") == "REPLACE_FILE_REFERENCES":
+                replace_jids.add(str(tx.get("jobId", "")))
+        barrier: int | None = None
+        for seq, tx in txs:
+            t = tx.get("type")
+            if t == "REPLACE_FILE_REFERENCES":
+                jid = str(tx.get("jobId", ""))
+                if tx.get("tombstones"):
+                    delete_seqs.append(seq)
+                elif jid.startswith("delete-"):
+                    pass  # new-style zero-row delete: content-neutral
+                elif any(not j.get("outputFiles")
+                         for j in tx.get("jobs", ())):
+                    raise ValueError(self._REFUSE_MSG)  # legacy delete
+            elif t == "ASSIGN_JOB_IDS":
+                for a in tx.get("assignments", ()):
+                    jid = str(a.get("jobId", ""))
+                    if not jid.startswith("delete-"):
+                        continue
+                    if jid in replace_jids:
+                        continue  # commit in window, classified above
+                    # claim without a commit in the window. If the
+                    # claim is still outstanding at head, the delete is
+                    # IN FLIGHT: the claim itself is content-neutral,
+                    # but stop before it so the commit's ordering slot
+                    # is re-planned next refresh (a legacy commit could
+                    # otherwise slip past disguised as a compaction).
+                    # If nothing is claimed anymore, the commit already
+                    # landed somewhere later: new-style commits carry
+                    # the jobId stamp — found means a future window
+                    # applies it; not found means a LEGACY jobless
+                    # commit whose removed rows are unrecoverable.
+                    if any(r.job_id == jid for r in
+                           self.source.store.all_references()):
+                        if barrier is None or seq < barrier:
+                            barrier = seq
+                        continue
+                    later = list(
+                        self.source.store.transactions_between(seq))
+                    if any(tx2.get("type") == "UNASSIGN_JOB_IDS"
+                           and tx2.get("jobId") == jid
+                           for _s2, tx2 in later):
+                        continue  # abandoned claim: nothing committed
+                    if not any(
+                            tx2.get("type") == "REPLACE_FILE_REFERENCES"
+                            and str(tx2.get("jobId", "")) == jid
+                            for _s2, tx2 in later):
+                        raise ValueError(self._REFUSE_MSG)
+        return sorted(delete_seqs), barrier
+
+    def _advance_appends(self, state: dict, from_seq: int,
+                         to_seq: int) -> None:
+        """Apply the appends in ``(from_seq, to_seq]`` and checkpoint.
+        Windows holding no ADD_FILES commits (compaction, splits, GC —
+        content-neutral metadata) advance the checkpoint without a
+        Spark job. The delta ingest's job id encodes the seq window —
+        segment boundaries are a pure function of the log, so a
+        crash-replay regenerates the SAME id and dedupes."""
+        if to_seq <= from_seq:
+            return
+        txs = self.source.store.transactions_between(from_seq, to_seq)
+        if any(tx.get("type") == "ADD_FILES" for _s, tx in txs):
+            batch = self.source.added_rows_between(from_seq, to_seq)
+            delta = self.transform(batch)
+            self.dest.ingest(delta, job_id=f"mv-{from_seq}-{to_seq}")
+        state["seq"] = to_seq
+        self._save_state(state)
 
     # ------------------------------------------------------------------
     def refresh(self, max_seqs: int | None = None) -> int:
         """Advance the view through the source's new commits; returns
         the number of source seqs consumed. Idempotent across crashes:
-        the delta ingest's job id encodes the seq window, so a replay
-        after a crash between commit and checkpoint persist skips.
-        Windows holding no ADD_FILES commits (compaction, splits, GC —
-        content-neutral metadata) advance the checkpoint without a
-        Spark job."""
+        every segment (append window or single delete commit)
+        checkpoints on completion and replays as a no-op — append
+        ingests dedupe by job id, delete handlers are idempotent by
+        contract (class doc)."""
         state = self._load_state()
         if "rebuild_to" in state:
             # a crash-interrupted rebuild left its intent: finish it
@@ -102,22 +189,29 @@ class MaterializedView:
             self.rebuild()
             state = self._load_state()
         from_seq = state["seq"]
-        batch, to_seq = self.source.poll_changes(from_seq,
-                                                 max_seqs=max_seqs)
-        if to_seq == from_seq:
+        self.source.store.refresh_if_stale(0)
+        head = self.source.store.current_seq
+        to_seq = min(head, from_seq + max_seqs) \
+            if max_seqs is not None else head
+        if to_seq <= from_seq:
             return 0
         txs = self.source.store.transactions_between(from_seq, to_seq)
-        if self._window_has_deletes(txs):
-            raise ValueError(
-                "source table saw delete_where inside this refresh "
-                "window — the change feed carries appends only, so the "
-                "view would drift; rebuild it from scratch")
-        if any(tx.get("type") == "ADD_FILES" for _s, tx in txs):
-            delta = self.transform(batch)
-            self.dest.ingest(delta, job_id=f"mv-{from_seq}-{to_seq}")
-        state["seq"] = to_seq
-        self._save_state(state)
-        return to_seq - from_seq
+        delete_seqs, barrier = self._plan_window(txs)
+        if barrier is not None:
+            delete_seqs = [d for d in delete_seqs if d < barrier]
+            to_seq = barrier - 1
+        if delete_seqs and self.on_delete is None:
+            raise ValueError(self._REFUSE_MSG)
+        cur = from_seq
+        for dseq in delete_seqs:
+            self._advance_appends(state, cur, dseq - 1)
+            deleted = self.source.deleted_rows_between(dseq - 1, dseq)
+            self.on_delete(deleted, f"mv-del-{dseq}")
+            state["seq"] = dseq
+            self._save_state(state)
+            cur = dseq
+        self._advance_appends(state, cur, to_seq)
+        return max(0, to_seq - from_seq)
 
     # ------------------------------------------------------------------
     def rebuild(self) -> int:
@@ -180,13 +274,21 @@ class SecondaryIndex:
 
     NULL values are never indexed (key fields are non-null; same
     contract as SQL b-tree lookups on IS NOT NULL predicates). The
-    index inherits MaterializedView's exactly-once refresh and its
-    append-only tripwire. Reference analog: none (value columns are
+    index inherits MaterializedView's exactly-once refresh, and
+    maintains itself THROUGH source ``delete_where`` incrementally via
+    the tombstone feed (:meth:`_apply_source_delete`) — rebuild() is
+    only the mass-delete path. Reference analog: none (value columns are
     unindexed in the reference; fine-grained lookups exist only on row
     keys) — this is the generalisation of the keyword search module's
     persisted postings table (functions/search.py) to arbitrary
     scalar value columns.
     """
+
+    #: largest per-delete-commit distinct (value, key) set maintained
+    #: incrementally; beyond it (a mass delete) the exact point-delete
+    #: plan on the postings stops being the cheap path and a snapshot
+    #: rebuild is — refuse loudly and say so
+    MAX_INCREMENTAL_DELETE_KEYS = 10_000
 
     def __init__(self, source, index_table):
         from dataclasses import replace as _replace  # noqa: F401
@@ -202,7 +304,57 @@ class SecondaryIndex:
                     .where(F.col(self.value_col).isNotNull())
                     .select(self.value_col, *self._src_keys))
 
-        self._mv = MaterializedView(source, index_table, transform)
+        self._mv = MaterializedView(source, index_table, transform,
+                                    on_delete=self._apply_source_delete)
+
+    def _apply_source_delete(self, deleted: DataFrame,
+                             job_id: str) -> None:
+        """Apply one source ``delete_where``'s tombstoned rows to the
+        postings incrementally — a point delete on a 100 TB source must
+        not re-read the table. A posting (value, key) is dropped only
+        if NO surviving source row still carries that exact pair
+        (checked with one ``batch_exact_key_query`` over the affected
+        keys — a delete predicate on a DIFFERENT value column can
+        remove one of two duplicate-keyed rows while the other keeps
+        the indexed value alive). Idempotent: re-running re-deletes
+        already-absent postings (a no-op plan) and re-skips alive
+        pairs, so a crash between handler and checkpoint is safe."""
+        from pyspark.sql import functions as F
+
+        from sleeper_spark.ranges import Region
+
+        def norm(v):
+            return bytes(v) if isinstance(v, bytearray) else v
+
+        cap = self.MAX_INCREMENTAL_DELETE_KEYS
+        head = (deleted.where(F.col(self.value_col).isNotNull())
+                .select(self.value_col, *self._src_keys).distinct()
+                .limit(cap + 1).collect())
+        if not head:
+            return
+        if len(head) > cap:
+            raise ValueError(
+                f"delete commit tombstoned more than {cap} distinct "
+                "(value, key) postings — a mass delete; rebuild() the "
+                "index instead of maintaining it point-wise")
+        pairs = {(norm(r[self.value_col]),
+                  tuple(norm(r[k]) for k in self._src_keys))
+                 for r in head}
+        keyset = [dict(zip(self._src_keys, kk))
+                  for kk in {kk for _, kk in pairs}]
+        alive = {(norm(r[self.value_col]),
+                  tuple(norm(r[k]) for k in self._src_keys))
+                 for r in self.source.batch_exact_key_query(keyset)
+                 .select(self.value_col, *self._src_keys).collect()}
+        drop = sorted(pairs - alive)
+        if not drop:
+            return
+        regions = [
+            Region.exact(self.index.schema,
+                         **{self.value_col: v,
+                            **dict(zip(self._src_keys, kk))})
+            for v, kk in drop]
+        self.index.delete_where(regions=regions)
 
     @staticmethod
     def create(source, path: str, value_col: str,
@@ -242,9 +394,11 @@ class SecondaryIndex:
         return self._mv.refresh(max_seqs=max_seqs)
 
     def rebuild(self) -> int:
-        """Recover the index after a source ``delete_where`` (which
-        trips incremental refresh): crash-safe snapshot rebuild of the
-        postings — see :meth:`MaterializedView.rebuild`."""
+        """Snapshot rebuild of the postings — the recovery path for
+        MASS deletes (beyond MAX_INCREMENTAL_DELETE_KEYS per commit)
+        and for legacy pre-tombstone delete transactions; ordinary
+        point deletes maintain incrementally through refresh(). See
+        :meth:`MaterializedView.rebuild`."""
         return self._mv.rebuild()
 
     #: above this many postings the lookup stops materialising keys on

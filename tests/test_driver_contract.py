@@ -63,8 +63,11 @@ def test_every_query_has_an_oracle():
     # per-group exact quantiles and winsorize, equi-depth quantile
     # binning, the ordered conversion funnel (unbounded + 1-day
     # conversion-window variants), cohort retention, per-group MAD
-    # fences, and the bounded edit-distance typo-dup join
-    assert len(qk) == 151
+    # fences, and the bounded edit-distance typo-dup join —
+    # round 8 adds the mergeable quantile-sketch tier (raw continuous
+    # doubles, budget-verified), the per-group md5 reservoir, per-group
+    # equi-depth binning, and the continuous streaming funnel
+    assert len(qk) == 155
 
 
 def test_entry_smoke(spark):

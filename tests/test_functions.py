@@ -1139,6 +1139,34 @@ class TestReviewFixes:
         n = sample_fraction(df, "id", 7).count()
         assert n < 200  # a 7% sample must not keep all 500 negative ids
 
+    def test_grouped_reservoir_exact_k_and_model_agreement(self, spark):
+        """Exact n per group, rows picked by the md5 scramble — checked
+        against an independent hashlib model, including a group smaller
+        than n (keeps all its rows) and determinism across runs."""
+        import hashlib
+
+        from sleeper_spark.functions.sampling import grouped_reservoir
+        rows = [(i, "g%d" % (i % 3)) for i in range(90)] + \
+               [(1000, "tiny"), (1001, "tiny")]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = grouped_reservoir(df, ["g"], "id", 5, rank_col="rk")
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, []).append((r.rk, r.id))
+        want = {}
+        for i, g in rows:
+            want.setdefault(g, []).append(
+                (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for g, pairs in want.items():
+            ids = [i for _, i in sorted(pairs)][:5]
+            assert [i for _, i in sorted(got[g])] == ids, g
+        assert len(got["tiny"]) == 2  # undersized group keeps all
+        again = {tuple(sorted((r.g, r.id) for r in
+                 grouped_reservoir(df, ["g"], "id", 5).collect()))}
+        assert again == {tuple(sorted(
+            (g, i) for g, pr in want.items()
+            for _, i in sorted(pr)[:5]))}
+
     def test_asof_join_rejects_colliding_payload_names(self, spark):
         import pytest as _pytest
         from sleeper_spark.functions.timeseries import asof_join

@@ -162,12 +162,12 @@ class TestGroupedWinsorize:
         out = stats.grouped_winsorize(df, ["g"], "x", 0.0, 1.0,
                                       out_col="w")
         logical = out._jdf.queryExecution().optimizedPlan().toString()
-        assert "ResolvedHint" not in logical  # no forced broadcast
+        assert "broadcast" not in logical.lower()  # no forced hint
         pinned = stats.grouped_winsorize(df, ["g"], "x", 0.0, 1.0,
                                          out_col="w",
                                          pin_broadcast=True)
-        assert "ResolvedHint" in \
-            pinned._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in pinned._jdf.queryExecution() \
+            .optimizedPlan().toString().lower()
         # single-value groups: clip is the identity; the count proves
         # the 1e6-group shuffle join actually ran
         assert out.where("w = x").count() == 1_000_000
@@ -186,6 +186,40 @@ class TestGroupedWinsorize:
         bo = {r.id: r.is_outlier for r in stats.grouped_mad_outliers(
             df, ["g"], "x", pin_broadcast=True).collect()}
         assert ao == bo
+
+
+class TestGroupedEquidepth:
+    def test_per_group_fences_and_nulls(self, spark):
+        """Each group buckets at ITS OWN quartiles: two groups with
+        disjoint scales both spread across all 4 buckets (a global cut
+        would put all of group b in bucket 3). NULL values and all-NULL
+        groups bucket NULL."""
+        rows = [(i, "a", float(i % 20 + 1)) for i in range(40)] + \
+               [(100 + i, "b", float((i % 20 + 1) * 1000))
+                for i in range(40)] + \
+               [(900, "a", None), (901, "z", None)]
+        df = spark.createDataFrame(rows, "id long, g string, x double")
+        out = stats.grouped_equidepth_buckets(df, ["g"], "x", 4)
+        got = {r.id: r.bucket for r in out.collect()}
+        assert got[900] is None and got[901] is None
+        for g, base in (("a", 0), ("b", 100)):
+            buckets = [got[base + i] for i in range(40)]
+            assert set(buckets) == {0, 1, 2, 3}, g
+        # independent model for group a: fences = smallest value with
+        # cum >= ceil(q*40) over values 1..20 each twice -> 5, 10, 15
+        vals = sorted([r[2] for r in rows if r[1] == "a"
+                       and r[2] is not None])
+        fences = [vals[max(1, math.ceil(q * len(vals))) - 1]
+                  for q in (0.25, 0.5, 0.75)]
+        for i in range(40):
+            x = float(i % 20 + 1)
+            want = sum(1 for f in fences if x >= f)
+            assert got[i] == want, (i, x, fences)
+
+    def test_rejects_tiny_bucket_count(self, spark):
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="n_buckets"):
+            stats.grouped_equidepth_buckets(df, [], "x", 1)
 
 
 class TestSketchQuantiles:

@@ -476,3 +476,74 @@ def test_interval_join_requires_distinct_ts_names(spark,
     with pytest.raises(ValueError):
         streaming.interval_join_streams(s, s, on=["user_id"],
                                         left_ts="ts", right_ts="ts")
+
+
+def test_streaming_funnel_matches_batch_and_late_arrival(spark, tmp_path):
+    """The continuous funnel must converge to the batch funnel's
+    counts even under ADVERSARIAL cross-batch arrival order: clicks
+    and purchases land in earlier micro-batches than the views that
+    enable them (maxFilesPerTrigger=1 pins the batch boundaries), so a
+    greedy reach-only state would undercount every stage past 0."""
+    from sleeper_spark.functions.timeseries import funnel_counts
+
+    rows_late = [  # batch 1: effects before causes
+        (1, "click", 200), (1, "purchase", 300),
+        (2, "click", 150),
+        (3, "purchase", 50),
+    ]
+    rows_early = [  # batch 2: the enabling views (and one more hop)
+        (1, "view", 100),
+        (2, "view", 100), (2, "purchase", 175),  # view<click<purchase: full depth
+        (3, "view", 100),  # purchase at 50 precedes the view: no hop
+        (4, "view", 500),
+    ]
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    schema = "user_id long, event_type string, ts long"
+    spark.createDataFrame(rows_late, schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows_early, schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*")))
+    out = streaming.streaming_funnel(
+        stream, ["view", "click", "purchase"], ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("sfunnel")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "fckpt")).start())
+    q.awaitTermination(120)
+    got = {r.user: r.d for r in spark.sql(
+        "SELECT user, max(depth) AS d FROM sfunnel GROUP BY user"
+    ).collect()}
+    assert got == {1: 3, 2: 3, 3: 1, 4: 1}
+    # and the per-step counts equal the batch operator's on this data
+    batch = spark.createDataFrame(rows_late + rows_early, schema)
+    want = {r.step_index: r.n_users for r in funnel_counts(
+        batch, ["view", "click", "purchase"], ts_col="ts").collect()}
+    counts = {i: sum(1 for d in got.values() if d >= i + 1)
+              for i in range(3)}
+    assert counts == want == {0: 4, 1: 2, 2: 2}
+
+
+def test_streaming_funnel_max_gap_and_cap(spark, tmp_path):
+    rows = [(1, "view", 100), (1, "click", 5000),
+            (2, "view", 100), (2, "click", 150)]
+    schema = "user_id long, event_type string, ts long"
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out = streaming.streaming_funnel(
+        stream, ["view", "click"], ts_col="ts", max_gap=100)
+    q = (out.writeStream.format("memory").queryName("gfunnel")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "gckpt")).start())
+    q.awaitTermination(120)
+    got = {r.user: r.d for r in spark.sql(
+        "SELECT user, max(depth) AS d FROM gfunnel GROUP BY user"
+    ).collect()}
+    assert got == {1: 1, 2: 2}  # user 1's click misses the 100-gap
+    with pytest.raises(ValueError, match="at least one step"):
+        streaming.streaming_funnel(stream, [])

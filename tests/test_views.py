@@ -100,6 +100,48 @@ class TestMaterializedView:
         with pytest.raises(ValueError, match="delete_where"):
             mv.refresh()
 
+    def test_sum_view_maintains_through_delete_with_on_delete(
+            self, spark, tmp_path):
+        """A sum-algebra view with an on_delete handler (negated deltas
+        under the provided job id) converges through delete_where with
+        NO rebuild — appends on both sides of the delete apply in log
+        order, and a replay from a stale checkpoint is exactly-once
+        (append job ids dedupe; the delete's negation job id dedupes)."""
+        src, dest, mv0, ev = _mk(spark, tmp_path)
+
+        def on_delete(deleted, job_id):
+            neg = deleted.select(
+                "user_id", "event_type",
+                F.lit(-1).cast("long").alias("n"),
+                (-F.round(F.col("value") * 100)).cast("long")
+                .alias("v_cents"))
+            dest.ingest(neg, job_id=job_id)
+
+        mv = MaterializedView(src, dest, mv0.transform,
+                              on_delete=on_delete)
+        src.ingest(ev)
+        mv.refresh()
+        pre_delete_state = mv._load_state()
+        src.delete_where(regions=[Region.of(Range("event_id", 0, 500))])
+        more = ev.select(
+            F.col("event_id") + 10000, "user_id", "event_type", "value"
+        ).toDF("event_id", "user_id", "event_type", "value")
+        src.ingest(more)
+        assert mv.refresh() >= 2  # delete segment + append segment
+
+        def nonzero(state):
+            return {k: v for k, v in state.items() if v != (0, 0)}
+
+        want = _expected(ev.where("event_id >= 500").unionByName(more))
+        assert nonzero(_view_state(dest)) == want
+        # exactly-once replay: roll the checkpoint back BEFORE the
+        # delete and refresh again — every segment must dedupe
+        mv._save_state(pre_delete_state)
+        assert mv.refresh() >= 2
+        assert nonzero(_view_state(dest)) == want
+        dest.compact()  # physical collapse drops nothing
+        assert nonzero(_view_state(dest)) == want
+
     def test_rebuild_recovers_from_source_delete(self, spark, tmp_path):
         """The recovery path: delete trips refresh -> rebuild() makes
         the view equal the batch recompute of the POST-DELETE source,
@@ -231,24 +273,73 @@ class TestSecondaryIndex:
             .executedPlan().toString()
         assert "LeftSemi" in plan
 
-    def test_index_rebuild_after_source_delete(self, spark, tmp_path):
-        """delete_where on the indexed source: refresh trips, rebuild
-        restores exact lookups (deleted rows gone from the postings)."""
+    def test_index_maintains_incrementally_through_delete(
+            self, spark, tmp_path):
+        """delete_where on the indexed source: refresh applies the
+        tombstoned rows point-wise (NO rebuild, no source re-read) and
+        converges with a from-scratch index — including appends on
+        both sides of the delete applied in log order."""
         src, idx, ev = self._mk(spark, tmp_path)
-        src.ingest(ev)
+        src.ingest(ev.where("event_id < 700"))
         idx.refresh()
-        uid = ev.where("event_id >= 500").first().user_id
+        uid = ev.where("event_id >= 500 AND event_id < 700") \
+            .first().user_id
         src.delete_where(regions=[Region.of(Range("event_id", 0, 500))])
-        with pytest.raises(ValueError, match="delete_where"):
-            idx.refresh()
-        idx.rebuild()
+        src.ingest(ev.where("event_id >= 700"))  # append AFTER delete
+        consumed = idx.refresh()  # one call drains both segments
+        assert consumed >= 2
         got = sorted(r.event_id for r in idx.lookup(uid).collect())
         want = sorted(r.event_id for r in ev.where(
             (F.col("user_id") == uid) & (F.col("event_id") >= 500)
         ).collect())
         assert got == want and got
-        # no stale postings for deleted rows
+        # no stale postings for deleted rows; converged with scratch
         assert idx.index.full_scan().where("event_id < 500").count() == 0
+        scratch = {(r.user_id, r.event_id) for r in
+                   ev.where("event_id >= 500")
+                   .where(F.col("user_id").isNotNull())
+                   .select("user_id", "event_id").collect()}
+        assert {(r.user_id, r.event_id) for r in
+                idx.index.full_scan().collect()} == scratch
+
+    def test_index_delete_keeps_pair_alive_via_duplicate_key(
+            self, spark, tmp_path):
+        """A delete predicate on a DIFFERENT column can remove one of
+        two rows sharing (value, key): the posting must survive because
+        the other source row still carries the indexed value."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        dup = spark.createDataFrame(
+            [(50, 7777, "a"), (50, 7777, "b")], ev.schema)
+        src.ingest(ev.where("event_id >= 500").union(dup))
+        idx.refresh()
+        # delete only the "a" twin (value_ranges on event_type)
+        src.delete_where(
+            regions=[Region.of(Range("event_id", 50, 51))],
+            value_ranges=[Range("event_type", "a", "a",
+                                max_inclusive=True)])
+        idx.refresh()
+        got = sorted(tuple(r) for r in idx.lookup(7777).collect())
+        assert got == [(50, 7777, "b")]  # posting alive, row findable
+
+    def test_index_mass_delete_refuses_then_rebuild_recovers(
+            self, spark, tmp_path, monkeypatch):
+        """Beyond the per-commit cap the point-wise plan is the wrong
+        tool: refresh refuses loudly and rebuild() recovers."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev)
+        idx.refresh()
+        monkeypatch.setattr(type(idx), "MAX_INCREMENTAL_DELETE_KEYS", 10)
+        src.delete_where(regions=[Region.of(Range("event_id", 0, 500))])
+        with pytest.raises(ValueError, match="rebuild"):
+            idx.refresh()
+        idx.rebuild()
+        assert idx.index.full_scan().where("event_id < 500").count() == 0
+        uid = ev.where("event_id >= 500").first().user_id
+        got = sorted(r.event_id for r in idx.lookup(uid).collect())
+        want = sorted(r.event_id for r in ev.where(
+            (F.col("user_id") == uid) & (F.col("event_id") >= 500)
+        ).collect())
+        assert got == want
 
     def test_create_guards(self, spark, tmp_path):
         from sleeper_spark.views import SecondaryIndex
