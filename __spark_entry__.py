@@ -1511,6 +1511,130 @@ def q_grouped_equidepth(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sum_value_micros"))
 
 
+def q_grouped_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group train/val/test split (sampling.grouped_exact_split):
+    every language contributes floor-exact 75/12.5/12.5 proportions —
+    arithmetic counts, not binomial ones, so rare languages keep their
+    val share. Rank scramble is (md5(doc_id), doc_id), portable to any
+    engine. Output: per-(lang, split) counts plus an id-sum coverage
+    check that pins the exact row assignment, not just the sizes."""
+    doc = _load(spark, sf, "documents").select("lang", "doc_id")
+    s = sampling.grouped_exact_split(
+        doc, ["lang"], "doc_id",
+        # exact binary cumulative fractions (0.75, 0.875): the fence
+        # products are the same float64 in every engine
+        {"train": 0.75, "val": 0.125, "test": 0.125})
+    return s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"))
+
+
+def q_interleave_domains(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic round-robin training order
+    (sampling.interleave_domains): pos = (rank_in_source - 1) * D +
+    source_index — reading by pos cycles web/code/wiki instead of
+    streaming each source en bloc. No global row_number (the classic
+    single-partition choke): one domain-partitioned window plus a pure
+    per-row position formula. Value-pinned by the full (doc_id, pos)
+    assignment."""
+    doc = _load(spark, sf, "documents").select("source", "doc_id")
+    return (sampling.interleave_domains(doc, "source", "doc_id")
+            .select("doc_id", "source", "pos"))
+
+
+# contact text derived from real customer columns with the SAME SQL
+# expression on both engines (this testdata's customer has no
+# phone/comment columns): a third of rows carry an email + a phone, a
+# third an IPv4 plus a non-address decoy (1234.5.6.7 — four digits
+# break the \b anchor), a third are clean — so the audit counts and the
+# masking are both non-trivially value-pinned
+_PII_CONTACT = (
+    "CASE WHEN c_custkey % 3 = 0 THEN "
+    "concat('reach ', c_name, ' at user', CAST(c_custkey AS STRING), "
+    "'@mail.example.org or ', CAST(10 + c_custkey % 80 AS STRING), "
+    "'-', lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), "
+    "'-', lpad(CAST(c_custkey * 7 % 1000 AS STRING), 3, '0'), "
+    "'-', lpad(CAST(c_custkey * 13 % 10000 AS STRING), 4, '0')) "
+    "WHEN c_custkey % 3 = 1 THEN "
+    "concat(c_name, ' last seen from ', "
+    "CAST(c_custkey % 256 AS STRING), '.', "
+    "CAST(c_nationkey % 256 AS STRING), '.0.', "
+    "CAST(c_custkey * 3 % 256 AS STRING), ' build 1234.5.6.7') "
+    "ELSE concat(c_name, ' segment ', c_mktsegment, ' opted out') END"
+)
+
+
+def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII audit sweep (functions/pii.py): per-row email/ipv4/phone
+    match counts over derived customer contact text, rolled up per
+    market segment — the masking-debt report a corpus owner reads
+    before shipping a shard. Pure codegen'd regexp_count, zero shuffle
+    before the final rollup; patterns restricted to the
+    Java-regex/RE2 shared subset so the SQL oracle is exact."""
+    from sleeper_spark.functions import pii
+
+    cu = _load(spark, sf, "customer").select(
+        "c_mktsegment", F.expr(_PII_CONTACT).alias("contact"))
+    c = pii.pii_counts(cu, "contact")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("n_affected"))
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking (pii.pii_redact): every email/ipv4/phone span in the
+    contact text replaced by its kind token, applied in fixed order
+    (masks contain no digits/@ so later patterns cannot re-match inside
+    an earlier mask). One codegen'd projection — the oracle compares
+    the FULL redacted strings row by row, so the masking itself is
+    value-pinned, not just counted."""
+    from sleeper_spark.functions import pii
+
+    cu = _load(spark, sf, "customer").select(
+        "c_custkey", F.expr(_PII_CONTACT).alias("contact"))
+    return (pii.pii_redact(cu, "contact", out_col="redacted")
+            .select("c_custkey", "redacted"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters (stats.heavy_hitters): the document tokens
+    with frequency > n/40, found with a per-partition Misra-Gries
+    candidate pass (bounded memory, O(k x P) candidate rows) and an
+    exact broadcast-semi recount — never a full-cardinality shuffle.
+    The integer count*k > n cut makes the output an exact function of
+    the data, so the plain GROUP BY oracle hash-matches."""
+    from sleeper_spark.functions import stats
+
+    tok = (_load(spark, sf, "documents")
+           .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+           .where(F.col("tok") != ""))
+    return stats.heavy_hitters(tok, "tok", k=40).select(
+        F.col("v").alias("tok"), "n_rows")
+
+
+def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group robust feature scaling (stats.grouped_robust_scale):
+    (value - median_type) / MAD_type with EXACT per-type order
+    statistics — RobustScaler semantics, deterministic where a
+    float-summed z-score is not. Output pins the scaled doubles via
+    floored-micros sums per type (shared IEEE operands -> identical
+    quotients in any engine). Zero-MAD and NULL rows scale NULL."""
+    from sleeper_spark.functions import stats
+
+    ev = _load(spark, sf, "events").select("event_type", "value")
+    s = stats.grouped_robust_scale(ev, ["event_type"], "value",
+                                   out_col="scaled",
+                                   pin_broadcast=True)  # few types
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("scaled").isNull().cast("long")).alias("n_null"),
+        F.sum(F.floor(F.col("scaled") * 1_000_000).cast("long"))
+        .alias("sum_scaled_micros"))
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Backward as-of join (functions/timeseries.py): each click event
     picks up the user's most recent at-or-before purchase value. Union +
@@ -3325,6 +3449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_reservoir": q_sample_reservoir,
         "grouped_reservoir": q_grouped_reservoir,
         "grouped_equidepth": q_grouped_equidepth,
+        "grouped_split": q_grouped_split,
+        "interleave_domains": q_interleave_domains,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "heavy_hitters": q_heavy_hitters,
+        "robust_scale": q_robust_scale,
         "pack_token_budget": q_pack_token_budget,
         "doc_chunks": q_doc_chunks,
         "verbatim_overlap": q_verbatim_overlap,
@@ -4713,6 +4843,99 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, "
             "CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) "
             "AS sum_value_micros FROM b GROUP BY 1, 2",
+        # exact per-group split: same md5 rank scramble, fences at
+        # floor(0.75*n)/floor(0.875*n) (exact binary fractions ->
+        # identical float64 products in both engines)
+        "grouped_split":
+            "WITH r AS (SELECT lang, doc_id, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
+            "AS rk, count(*) OVER (PARTITION BY lang) AS n "
+            "FROM documents), "
+            "a AS (SELECT lang, doc_id, CASE "
+            "WHEN rk <= floor(0.75 * n) THEN 'train' "
+            "WHEN rk <= floor(0.875 * n) THEN 'val' "
+            "ELSE 'test' END AS split FROM r) "
+            "SELECT lang, split, count(*) AS n, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids "
+            "FROM a GROUP BY 1, 2",
+        # round-robin interleave: pos = (rank_in_source - 1) * D + idx,
+        # idx = position of the source in its sorted distinct list
+        "interleave_domains":
+            "WITH d AS (SELECT source AS s, CAST(row_number() OVER "
+            "(ORDER BY source) AS BIGINT) - 1 AS idx FROM "
+            "(SELECT DISTINCT source FROM documents)), "
+            "nd AS (SELECT count(*) AS dn FROM d), "
+            "r AS (SELECT doc_id, source, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
+            "AS rk FROM documents) "
+            "SELECT doc_id, source, "
+            "CAST((rk - 1) * dn + idx AS BIGINT) AS pos "
+            "FROM r JOIN d ON r.source = d.s CROSS JOIN nd",
+        # shared Java-regex/RE2 subset; DuckDB counts via
+        # regexp_extract_all (left-to-right non-overlapping, same as
+        # Spark's regexp_count)
+        "pii_scan":
+            "WITH c AS (SELECT c_mktsegment, "
+            f"{_PII_CONTACT} AS t FROM customer), "
+            "k AS (SELECT c_mktsegment, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne, "
+            "len(regexp_extract_all(t, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS ni, "
+            "len(regexp_extract_all(t, "
+            "'\\b\\d{2,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS np "
+            "FROM c) "
+            "SELECT c_mktsegment, count(*) AS n_rows, "
+            "CAST(sum(ne) AS BIGINT) AS n_email, "
+            "CAST(sum(ni) AS BIGINT) AS n_ipv4, "
+            "CAST(sum(np) AS BIGINT) AS n_phone, "
+            "CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_affected FROM k GROUP BY c_mktsegment",
+        # masks applied in the same fixed order (email, ipv4, phone);
+        # 'g' = replace all, matching Spark regexp_replace
+        "pii_redact":
+            "SELECT c_custkey, regexp_replace(regexp_replace("
+            f"regexp_replace({_PII_CONTACT}, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[EMAIL]', 'g'), "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'), "
+            "'\\b\\d{2,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', "
+            "'[PHONE]', 'g') AS redacted FROM customer",
+        # exact heavy hitters: count * k > n, k = 40
+        "heavy_hitters":
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "v AS (SELECT tok FROM t WHERE tok IS NOT NULL AND tok <> ''), "
+            "n AS (SELECT count(*) AS n FROM v) "
+            "SELECT tok, count(*) AS n_rows FROM v, n "
+            "GROUP BY tok, n.n HAVING count(*) * 40 > n.n",
+        # robust scaling: exact per-type median/MAD (rank idiom), then
+        # (x - med) / mad floored to micros; NULL x and zero-MAD scale
+        # NULL. Row count n spans ALL rows (NULLs included)
+        "robust_scale":
+            "WITH v AS (SELECT event_type AS g, value AS x FROM events), "
+            "nn AS (SELECT g, x FROM v WHERE x IS NOT NULL), "
+            "c AS (SELECT g, x, sum(cnt) OVER (PARTITION BY g ORDER BY x) "
+            "AS cum, sum(cnt) OVER (PARTITION BY g) AS n FROM "
+            "(SELECT g, x, count(*) AS cnt FROM nn GROUP BY 1, 2)), "
+            "med AS (SELECT g, min(CASE WHEN cum >= greatest(1, "
+            "ceil(0.5 * n)) THEN x END) AS m FROM c GROUP BY g), "
+            "d AS (SELECT nn.g, abs(x - m) AS dx FROM nn JOIN med USING (g)), "
+            "c2 AS (SELECT g, dx, sum(cnt) OVER (PARTITION BY g ORDER BY dx) "
+            "AS cum, sum(cnt) OVER (PARTITION BY g) AS n FROM "
+            "(SELECT g, dx, count(*) AS cnt FROM d GROUP BY 1, 2)), "
+            "mad AS (SELECT g, min(CASE WHEN cum >= greatest(1, "
+            "ceil(0.5 * n)) THEN dx END) AS mad FROM c2 GROUP BY g), "
+            "s AS (SELECT v.g, CASE WHEN v.x IS NULL OR m IS NULL "
+            "OR mad = 0.0 THEN NULL ELSE (v.x - m) / mad END AS sc "
+            "FROM v LEFT JOIN med USING (g) LEFT JOIN mad USING (g)) "
+            "SELECT g AS event_type, count(*) AS n, "
+            "CAST(sum(CASE WHEN sc IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_null, "
+            "CAST(sum(CAST(floor(sc * 1000000.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_scaled_micros FROM s GROUP BY g",
         "pack_token_budget":
             "SELECT doc_id, source, n_tokens, "
             "CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id "

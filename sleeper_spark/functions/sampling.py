@@ -153,3 +153,80 @@ def mix_sample(df: DataFrame, key: str, percent: Column,
     table: no shuffle, no per-source scans, reproducible across runs
     and engines."""
     return df.where(bucket_expr(key, n_buckets, salt) < percent)
+
+
+def grouped_exact_split(df: DataFrame, group_cols: list[str], key: str,
+                        fractions: dict[str, float],
+                        split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split with EXACT per-group counts:
+    every group contributes floor-exact proportions to every split, so
+    a rare language is never starved out of val by sampling variance
+    (``sample_fraction``'s per-row coin gives binomial counts; this
+    gives arithmetic ones). Rows rank inside their group by the same
+    engine-portable ``(md5(key), key)`` scramble as
+    :func:`grouped_reservoir`; split i takes ranks in
+    ``(floor(c_{i-1} * n_g), floor(c_i * n_g)]`` where c_i are the
+    cumulative fractions — remainder rows (from flooring) fall to the
+    LAST split, making the assignment a total function. Fractions must
+    sum to 1 (within 1e-9). One shuffle on the group columns; the rank
+    window and the group-count window share it. The whole rule is pure
+    rank arithmetic — a SQL oracle reproduces the exact assignment."""
+    tot = sum(fractions.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {tot}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    names = list(fractions.keys())
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
+    wg = Window.partitionBy(*group_cols)
+    rk = F.row_number().over(w)
+    n_g = F.count(F.lit(1)).over(wg)
+    # cumulative-fraction fences as floor(c_i * n); shared float64
+    # products, floor not round, so every engine lands the same fence
+    cum = 0.0
+    assign = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        fence = F.floor(F.lit(cum) * n_g)
+        cond = rk <= fence
+        assign = (F.when(cond, F.lit(name)) if assign is None
+                  else assign.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    assign = last if assign is None else assign.otherwise(last)
+    return (df.withColumn("__rk", rk).withColumn("__ng", n_g)
+            .withColumn(split_col, assign)
+            .drop("__rk", "__ng"))
+
+
+def interleave_domains(df: DataFrame, domain_col: str, key: str,
+                       pos_col: str = "pos") -> DataFrame:
+    """Deterministic round-robin domain interleave for TRAINING ORDER:
+    assign every row a strictly-ordered position such that reading in
+    position order cycles through the domains (one web doc, one code
+    doc, one wiki doc, ...) instead of streaming each domain's shard
+    en bloc — the curriculum-mixing step after :func:`mix_sample`
+    decides WHAT to keep, this decides WHEN it is seen.
+
+    ``pos = (rank_g - 1) * D + domain_index``: rank within the domain
+    by the portable ``(md5(key), key)`` scramble, D = number of
+    domains, domain_index from the sorted domain list. Positions are a
+    pure per-row computation off one domain-partitioned window plus a
+    D-row broadcast join — NO global row_number (a single-partition
+    window is the classic driver-choke at scale); the sequence has
+    gaps once short domains run dry (a domain's slot goes unused) but
+    order is what matters for a data loader, not density. Writing
+    sorted by ``pos`` range-partitions cleanly since rank dominates
+    the ordering."""
+    domains = [r[0] for r in
+               df.select(domain_col).distinct().collect()
+               if r[0] is not None]  # NULL domain -> NULL pos below
+    if not domains:
+        return df.withColumn(pos_col, F.lit(None).cast("long"))
+    d = len(domains)
+    idx = F.array_position(
+        F.lit(sorted(domains)), F.col(domain_col)).cast("long") - 1
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(key).asc())
+    rk = F.row_number().over(w).cast("long")
+    return df.withColumn(pos_col, (rk - F.lit(1)) * d + idx)

@@ -503,3 +503,113 @@ def winsorize(df: DataFrame, col: str, lower: float = 0.01,
     clip = F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
     return df.withColumn(
         out, F.when(F.col(col).isNull(), F.lit(None)).otherwise(clip))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int,
+                  with_share: bool = False) -> DataFrame:
+    """EXACTLY the values of ``col`` with frequency > n/k, with exact
+    counts — heavy-hitter mining (dominant tokens, hot keys, spam
+    boilerplate) when the column's cardinality is far too large for
+    ``groupBy(col).count()`` to shuffle (a 100 TB token column has
+    billions of distinct values; its heavy hitters number at most k-1).
+    Complements :func:`sleeper_spark.functions.frequency.sharded_top_items`
+    (exact TOP-K, one full-cardinality hash agg — right when distinct
+    values fit a shuffle): this is the THRESHOLD query (all values over
+    an n/k share) whose shuffle stays O(k x P) at any cardinality.
+
+    Two passes, both bounded:
+
+    1. CANDIDATES — per-partition Misra-Gries with k-1 counters
+       (``mapInArrow``; per Arrow batch a vectorized ``value_counts``
+       merges into the summary, then one decrement step caps it). If a
+       value's GLOBAL count exceeds n/k it must exceed n_p/k in SOME
+       partition (pigeonhole over the partition sums), and Misra-Gries
+       never evicts such a value, so the union of survivors is a
+       SUPERSET of every true heavy hitter: no false negatives. At most
+       (k-1) x P candidate rows total leave the executors.
+    2. RECOUNT — the distinct candidates broadcast back onto the scan
+       (left-semi), an exact hash-agg counts ONLY matching rows
+       (map-side combine reduces each partition to <= k-1 rows), and
+       ``count * k > n`` keeps exactly the true heavy hitters: no false
+       positives. Integer comparison — no float threshold drift, so a
+       SQL oracle (``HAVING count(*) * k > n``) matches bit-for-bit.
+
+    The shuffle carries O(k x P) rows regardless of cardinality; the
+    driver holds nothing but n. Values compare as strings (the summary
+    dict keys the string form; the recount casts both sides), so mixed
+    exact numeric types dedupe textually — cast upstream if that
+    matters. NULLs are excluded (a NULL is not a value). Deterministic:
+    candidate survival may vary with partitioning, but the RECOUNTED
+    output set is a pure function of the data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = (df.where(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("v")))
+
+    cap = k - 1
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for b in batches:
+            if not b.num_rows:
+                continue
+            vc = pc.value_counts(b.column(0))
+            for val, cnt in zip(vc.field("values").to_pylist(),
+                                vc.field("counts").to_pylist()):
+                counts[val] = counts.get(val, 0) + cnt
+            if len(counts) > cap:
+                # subtract the (cap+1)-th largest count from all: the
+                # Misra-Gries decrement, batched — undercounts by at
+                # most n_p/k total, never evicts a local heavy hitter
+                cut = sorted(counts.values(), reverse=True)[cap]
+                counts = {v: c - cut for v, c in counts.items()
+                          if c > cut}
+        if counts:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counts.keys()), type=pa.string())],
+                names=["v"])
+
+    candidates = src.mapInArrow(mg, "v string").distinct()
+    n = src.count()
+    hits = (src.join(F.broadcast(candidates), "v", "leftsemi")
+            .groupBy("v").agg(F.count(F.lit(1)).alias("n_rows"))
+            .where(F.col("n_rows") * k > F.lit(n)))
+    if with_share:
+        hits = hits.withColumn(
+            "share", F.col("n_rows") / F.lit(n).cast("double"))
+    return hits
+
+
+def grouped_robust_scale(df: DataFrame, group_cols: list[str], col: str,
+                         out_col: str | None = None,
+                         pin_broadcast: bool = False) -> DataFrame:
+    """Robust per-group feature scaling: ``(x - median_g) / MAD_g`` —
+    sklearn's RobustScaler shape, per domain, with EXACT order
+    statistics (a z-score's mean/stddev are dragged arbitrarily far by
+    one corrupt row; the median/MAD pair is not, and unlike
+    float-summed means it is deterministic, so a SQL oracle reproduces
+    the scaled doubles bit-for-bit — subtraction and division of
+    identical IEEE operands). Two :func:`grouped_quantiles` passes
+    joined back adaptively (:func:`_threshold_join`), scaling itself
+    codegen'd. NULL x, an all-NULL group, and a zero-MAD group (scale
+    undefined: >=half the group sits AT the median) all yield NULL."""
+    out = out_col or f"{col}_scaled"
+    med = grouped_quantiles(df, group_cols, col, {"__med": 0.5}) \
+        .select(*group_cols, "__med")
+    j1 = _threshold_join(df, med, group_cols, pin_broadcast)
+    dev = j1.select(*group_cols,
+                    F.abs(F.col(col) - F.col("__med")).alias("__dev"))
+    mad = grouped_quantiles(dev, group_cols, "__dev", {"__mad": 0.5}) \
+        .select(*group_cols, "__mad")
+    return (_threshold_join(j1, mad, group_cols, pin_broadcast)
+            .withColumn(
+                out,
+                F.when(F.col(col).isNull() | F.col("__med").isNull()
+                       | (F.col("__mad") == 0.0), F.lit(None)
+                       .cast("double"))
+                .otherwise((F.col(col) - F.col("__med"))
+                           / F.col("__mad")))
+            .drop("__med", "__mad"))

@@ -1167,6 +1167,77 @@ class TestReviewFixes:
             (g, i) for g, pr in want.items()
             for _, i in sorted(pr)[:5]))}
 
+    def test_grouped_exact_split_counts_and_model(self, spark):
+        """Floor-exact per-group proportions, remainder to the last
+        split, total assignment, agreement with a hashlib model."""
+        import hashlib
+
+        from sleeper_spark.functions.sampling import grouped_exact_split
+        rows = [(i, "g%d" % (i % 3)) for i in range(101)] + \
+               [(1000, "tiny")]  # n=1 group: all remainder -> test
+        df = spark.createDataFrame(rows, "id long, g string")
+        fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+        out = grouped_exact_split(df, ["g"], "id", fr)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, {}).setdefault(r.split, []).append(r.id)
+        model = {}
+        for i, g in rows:
+            model.setdefault(g, []).append(
+                (hashlib.md5(str(i).encode()).hexdigest(), i))
+        import math
+        for g, pairs in model.items():
+            ids = [i for _, i in sorted(pairs)]
+            n = len(ids)
+            f1, f2 = math.floor(0.75 * n), math.floor(0.875 * n)
+            want = {"train": ids[:f1], "val": ids[f1:f2],
+                    "test": ids[f2:]}
+            want = {k: sorted(v) for k, v in want.items() if v}
+            have = {k: sorted(v) for k, v in got[g].items()}
+            assert have == want, g
+        # n=1: floor(0.75)=floor(0.875)=0 -> the single row is 'test'
+        assert got["tiny"] == {"test": [1000]}
+        # every row assigned exactly once
+        assert out.count() == len(rows)
+
+    def test_grouped_exact_split_validates_fractions(self, spark):
+        import pytest as _pytest
+
+        from sleeper_spark.functions.sampling import grouped_exact_split
+        df = spark.createDataFrame([(1, "a")], "id long, g string")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            grouped_exact_split(df, ["g"], "id", {"a": 0.5, "b": 0.4})
+
+    def test_interleave_domains_round_robin(self, spark):
+        """Positions are unique, strictly ordered, and reading in pos
+        order cycles the domains while all are live; a NULL domain
+        gets a NULL pos."""
+        from sleeper_spark.functions.sampling import interleave_domains
+        rows = [(i, ["web", "code", "wiki"][i % 3]) for i in range(30)]
+        rows += [(99, None)]
+        df = spark.createDataFrame(rows, "id long, d string")
+        out = interleave_domains(df, "d", "id")
+        got = [(r.pos, r.d) for r in out.where(F.col("pos").isNotNull())
+               .orderBy("pos").collect()]
+        assert len(got) == 30
+        assert len({p for p, _ in got}) == 30  # unique positions
+        # equal-sized domains: perfect 3-cycle in pos order
+        doms = [d for _, d in got]
+        assert doms == ["code", "web", "wiki"] * 10
+        assert out.where(F.col("d").isNull()).first().pos is None
+
+    def test_interleave_domains_unequal_sizes_keep_order(self, spark):
+        """A depleted domain leaves gaps, never reorders: within each
+        domain pos is increasing in rank, and the k-th smallest
+        positions while all domains are live include every domain."""
+        from sleeper_spark.functions.sampling import interleave_domains
+        rows = [(i, "big") for i in range(20)] + [(100, "small")]
+        df = spark.createDataFrame(rows, "id long, d string")
+        got = [(r.pos, r.d) for r in
+               interleave_domains(df, "d", "id").orderBy("pos").collect()]
+        assert len({p for p, _ in got}) == 21
+        assert {d for _, d in got[:2]} == {"big", "small"}
+
     def test_asof_join_rejects_colliding_payload_names(self, spark):
         import pytest as _pytest
         from sleeper_spark.functions.timeseries import asof_join

@@ -584,3 +584,41 @@ def test_typo_pairs_variant_equi_join_no_cartesian(spark, entry):
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "levenshtein" in plan  # exact refilter inside the plan
+
+
+def test_pii_scan_zero_shuffle_before_rollup(spark, entry):
+    """The PII sweep is pure codegen'd regex projection: exactly the
+    final rollup's exchange, no Python, no join."""
+    plan = plan_of(entry.q_pii_scan(spark, SF))
+    assert plan.count("Exchange") <= 2  # partial/final agg pair
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark, entry):
+    """The recount joins the scan against the candidate set as a
+    BROADCAST left-semi — the full-cardinality shuffle the operator
+    exists to avoid must not appear."""
+    plan = plan_of(entry.q_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouped_split_single_group_shuffle(spark, entry):
+    """Rank and group-count windows share ONE hash-partitioning by the
+    group column; assignment itself is codegen'd CASE arithmetic."""
+    from sleeper_spark.functions.sampling import grouped_exact_split
+    doc = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("lang", "doc_id")
+    plan = plan_of(grouped_exact_split(
+        doc, ["lang"], "doc_id",
+        {"train": 0.75, "val": 0.125, "test": 0.125}))
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_interleave_no_global_window(spark, entry):
+    """Positions come from a DOMAIN-partitioned window plus per-row
+    arithmetic — never a single-partition global row_number."""
+    plan = plan_of(entry.q_interleave_domains(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "Python" not in plan

@@ -354,3 +354,85 @@ class TestGroupedMadOutliers:
                .collect()}
         for g, n in want.items():
             assert got.get(g, 0) == n
+
+
+class TestHeavyHitters:
+    def test_exact_threshold_set_vs_brute_force(self, spark):
+        """Output must be EXACTLY {v: freq > n/k} with exact counts —
+        superset from Misra-Gries candidates, trimmed by the recount —
+        on skewed data spread over many partitions."""
+        rows = (["hot"] * 400 + ["warm"] * 120
+                + [f"cold{i}" for i in range(480)])
+        df = spark.createDataFrame([(v,) for v in rows], ["v"]) \
+            .repartition(16)
+        n = len(rows)
+        for k in (3, 8, 100):
+            want = {}
+            for v in rows:
+                want[v] = want.get(v, 0) + 1
+            want = {v: c for v, c in want.items() if c * k > n}
+            got = {r.v: r.n_rows for r in
+                   stats.heavy_hitters(df, "v", k).collect()}
+            assert got == want, k
+
+    def test_nulls_excluded_and_share(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [(None,)] * 10 + [("b",)] * 2, ["v"])
+        out = stats.heavy_hitters(df, "v", 2, with_share=True).collect()
+        # n = 8 non-null; only 'a' (6) exceeds 8/2
+        assert [(r.v, r.n_rows, r.share) for r in out] == [("a", 6, 0.75)]
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([("a",)], ["v"])
+        with pytest.raises(ValueError, match="k must be"):
+            stats.heavy_hitters(df, "v", 1)
+
+    def test_numeric_column_counts_textually(self, spark):
+        df = spark.createDataFrame([(7,)] * 5 + [(8,)], ["v"])
+        got = {r.v: r.n_rows
+               for r in stats.heavy_hitters(df, "v", 2).collect()}
+        assert got == {"7": 5}
+
+
+class TestGroupedRobustScale:
+    def test_matches_pure_python_model(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet") \
+            .select("event_type", "value")
+        per = {}
+        for r in ev.collect():
+            if r.value is not None:
+                per.setdefault(r.event_type, []).append(r.value)
+        out = stats.grouped_robust_scale(
+            ev, ["event_type"], "value", out_col="sc")
+        agg = {r.event_type: (r.n, r.s) for r in out.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.floor(F.col("sc") * 1e6).cast("long"))
+                    .alias("s")).collect()}
+        for g, vs in per.items():
+            m = _py_quantile(vs, 0.5)
+            mad = _py_quantile([abs(v - m) for v in vs], 0.5)
+            if mad == 0.0:
+                want_s = None
+            else:
+                want_s = sum(
+                    math.floor((v - m) / mad * 1e6) for v in vs)
+            assert agg[g][1] == want_s, g
+
+    def test_zero_mad_and_null_scale_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 9.0),
+             ("b", 1.0), ("b", 3.0), ("b", None)],
+            "g string, x double")
+        got = {(r.g, r.x): r.sc for r in stats.grouped_robust_scale(
+            df, ["g"], "x", out_col="sc").collect()}
+        # group a: median 1, MAD 0 -> all NULL
+        assert got[("a", 1.0)] is None and got[("a", 9.0)] is None
+        # group b: median 1 (rank ceil(.5*2)=1), MAD = median(|x-1|) of
+        # {0, 2} = 0 -> NULL too; swap to a 3-value group for a real one
+        df2 = spark.createDataFrame(
+            [("c", 1.0), ("c", 2.0), ("c", 5.0)], "g string, x double")
+        got2 = {r.x: r.sc for r in stats.grouped_robust_scale(
+            df2, ["g"], "x", out_col="sc").collect()}
+        # median 2, deviations {1, 0, 3} -> MAD 1
+        assert got2 == {1.0: -1.0, 2.0: 0.0, 5.0: 3.0}
+        assert got[("b", None)] is None
