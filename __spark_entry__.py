@@ -1542,6 +1542,50 @@ def q_interleave_domains(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "source", "pos"))
 
 
+def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing event-time features (timeseries.rolling_features): per
+    user, count and micro-long value sum over the past hour and past
+    day at EVERY event — feature-store materialisation. All spans share
+    one shuffle + sort on user_id (RANGE frames over a single
+    partitioned ordering); sums are per-item floored micros so window
+    accumulation order cannot move the result. Rolled up per event_type
+    to keep the pinned output compact while covering every row."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_us")
+    r = timeseries.rolling_features(
+        ev, ["user_id"], "ts_us", "value",
+        {"1h": 3_600_000_000, "1d": 86_400_000_000})
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_1h").alias("sum_n_1h"),
+        F.sum("n_1d").alias("sum_n_1d"),
+        F.sum("sum_1h_micros").alias("sum_v_1h_micros"),
+        F.sum("sum_1d_micros").alias("sum_v_1d_micros"))
+
+
+def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props analytics: the JSON ``props`` column's
+    ``$.k`` field extracted JVM-side (get_json_object — codegen'd
+    Jackson path, no Python) and histogrammed per decile bucket with
+    event counts — schema-on-read over an opaque payload column, the
+    shape every event pipeline needs before promoting a JSON field to
+    a real column. NULL / non-numeric extracts bucket NULL."""
+    ev = _load(spark, sf, "events").select("props")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .withColumn("bucket",
+                        F.when(F.col("k").isNull(), F.lit(None)
+                               .cast("long"))
+                        .otherwise(F.expr("k div 10")))
+            .groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k")))
+
+
 # contact text derived from real customer columns with the SAME SQL
 # expression on both engines (this testdata's customer has no
 # phone/comment columns): a third of rows carry an email + a phone, a
@@ -2814,6 +2858,39 @@ def q_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "step string, step_index int, n_users long")
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous heavy-hitter mining
+    (streaming.streaming_heavy_hitters): document tokens stream
+    through bucketed Misra-Gries state (O(k) per bucket at any stream
+    length), then finalize_heavy_hitters recounts the drained
+    candidate union exactly — the streaming candidates plus the batch
+    cut give EXACTLY the tokens with freq > n/40, so the result
+    hash-matches the plain GROUP BY oracle (and the batch
+    heavy_hitters operator) on the same data."""
+    import shutil
+    import tempfile as _tf
+
+    from sleeper_spark import streaming as streaming_mod
+
+    d = _tf.mkdtemp(prefix="stream_hh_")
+    shutil.copy(os.path.join(sf, "documents.parquet"),
+                os.path.join(d, "documents.parquet"))
+    doc_schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+    stream = (spark.readStream.schema(doc_schema).parquet(d)
+              .select(F.explode(F.split(F.col("text"), " "))
+                      .alias("tok"))
+              .where(F.col("tok") != ""))
+    out = streaming_mod.streaming_heavy_hitters(stream, "tok", k=40)
+    _run_stream_to_view(out, "q_streaming_hh", "update")
+    batch = (_load(spark, sf, "documents")
+             .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+             .where(F.col("tok") != ""))
+    return streaming_mod.finalize_heavy_hitters(
+        spark.table("q_streaming_hh"), batch, "tok", k=40) \
+        .select(F.col("v").alias("tok"), "n_rows")
+
+
 def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
     per-user running totals equal the batch aggregate. Values stream as
@@ -3451,6 +3528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_equidepth": q_grouped_equidepth,
         "grouped_split": q_grouped_split,
         "interleave_domains": q_interleave_domains,
+        "rolling_features": q_rolling_features,
+        "props_extract": q_props_extract,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
@@ -3528,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": q_streaming_upsert,
         "streaming_window": q_streaming_window,
         "streaming_funnel": q_streaming_funnel,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "streaming_dedup": q_streaming_dedup,
@@ -4873,6 +4953,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, "
             "CAST((rk - 1) * dn + idx AS BIGINT) AS pos "
             "FROM r JOIN d ON r.source = d.s CROSS JOIN nd",
+        # trailing RANGE windows over epoch micros; inner window sums of
+        # per-item floored micros (integer, order-independent), outer
+        # sums cast from HUGEINT
+        "rolling_features":
+            "WITH e AS (SELECT event_id, user_id, event_type, value, "
+            "epoch_us(ts) AS t FROM events), "
+            "w AS (SELECT event_type, "
+            "count(*) OVER (PARTITION BY user_id ORDER BY t "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n1h, "
+            "count(*) OVER (PARTITION BY user_id ORDER BY t "
+            "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n1d, "
+            "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY t "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS s1h, "
+            "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY t "
+            "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS s1d FROM e) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(n1h) AS BIGINT) AS sum_n_1h, "
+            "CAST(sum(n1d) AS BIGINT) AS sum_n_1d, "
+            "CAST(sum(s1h) AS BIGINT) AS sum_v_1h_micros, "
+            "CAST(sum(s1d) AS BIGINT) AS sum_v_1d_micros "
+            "FROM w GROUP BY event_type",
+        # JVM-side JSON path extraction; TRY_CAST mirrors Spark's
+        # NULL-on-bad-cast; // is floor division on BIGINT like div
+        "props_extract":
+            "WITH k AS (SELECT TRY_CAST(json_extract_string(props, "
+            "'$.k') AS BIGINT) AS k FROM events) "
+            "SELECT CASE WHEN k IS NULL THEN NULL ELSE k // 10 END "
+            "AS bucket, count(*) AS n, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "min(k) AS min_k, max(k) AS max_k "
+            "FROM k GROUP BY 1",
         # shared Java-regex/RE2 subset; DuckDB counts via
         # regexp_extract_all (left-to-right non-overlapping, same as
         # Spark's regexp_count)
@@ -5017,6 +5132,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM s1) "
             "UNION ALL SELECT 'purchase', CAST(2 AS INTEGER), "
             "(SELECT count(*) FROM s2)",
+        # streaming MG candidates + exact recount == the plain batch
+        # threshold query (same cut as heavy_hitters, k = 40)
+        "streaming_heavy_hitters":
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "v AS (SELECT tok FROM t WHERE tok IS NOT NULL AND tok <> ''), "
+            "n AS (SELECT count(*) AS n FROM v) "
+            "SELECT tok, count(*) AS n_rows FROM v, n "
+            "GROUP BY tok, n.n HAVING count(*) * 40 > n.n",
         "streaming_running_totals":
             "SELECT user_id, count(*) AS n_total, "
             "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "

@@ -238,3 +238,37 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
                      (F.col("__p") - F.col("cohort")).cast("int")
                      .alias("period_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def rolling_features(df: DataFrame, on: list[str], ts: str,
+                     value: str, windows: dict[str, int],
+                     micros_scale: int = 1_000_000) -> DataFrame:
+    """Trailing event-time window features per entity: for each row and
+    each named window span (``{"1h": 3600_000_000}``, in the units of
+    ``ts``) emit ``n_<name>`` (row count) and ``sum_<name>_micros``
+    (the value summed as floored micro-unit longs) over
+    ``[ts - span, ts]`` — the rolling activity/spend features a
+    feature-store materialises before training.
+
+    One shuffle on the entity key; every span shares that single sort
+    (Spark evaluates all RANGE frames over one partitioned ordering, so
+    k windows cost one exchange + one sort, not k). RANGE frames
+    include ties-in-ts as peers — same semantics as SQL RANGE, so an
+    oracle reproduces rows bit-for-bit. The per-item micro-quantization
+    (floor, then integer sum) keeps the sums order-independent where a
+    float running sum is not — the property every oracle here relies
+    on (integer addition commutes; float addition does not). NULL
+    values contribute count but not sum (floor(NULL) sums as NULL-skip
+    in both engines)."""
+    out = df
+    v_micros = F.floor(F.col(value) * micros_scale).cast("long")
+    out = out.withColumn("__vm", v_micros)
+    for name, span in windows.items():
+        w = (Window.partitionBy(*on).orderBy(F.col(ts).cast("long"))
+             .rangeBetween(-int(span), 0))
+        out = (out
+               .withColumn(f"n_{name}",
+                           F.count(F.lit(1)).over(w).cast("long"))
+               .withColumn(f"sum_{name}_micros",
+                           F.sum("__vm").over(w).cast("long")))
+    return out.drop("__vm")

@@ -546,3 +546,98 @@ def dedup_stream(
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(key_cols).select(*key_cols)
     return df.dropDuplicates(key_cols).select(*key_cols)
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    k: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Continuous Misra-Gries candidate maintenance — the streaming
+    half of :func:`sleeper_spark.functions.stats.heavy_hitters`: the
+    incoming stream's values hash into ``n_buckets`` groups and each
+    group's state holds an MG summary with k-1 counters, updated per
+    micro-batch via ``applyInPandasWithState``. Because buckets
+    PARTITION the value space, a value's whole stream lands in one
+    bucket, and bucket row count n_b <= n makes the classic guarantee
+    only stronger: any value with GLOBAL frequency > n/k is always
+    among its bucket's survivors — the candidate union never loses a
+    true heavy hitter, at any stream length, in O(k) state per bucket.
+
+    Emits one row per touched bucket per batch:
+    ``(bucket, upd, cands array<string>, n_b long)`` with ``upd`` a
+    monotone per-bucket update counter — the LATEST row per bucket
+    (max upd) is the live summary. Candidates are a SUPERSET with
+    estimate error <= n_b/k; for the exact final answer run
+    :func:`finalize_heavy_hitters` over the accumulated updates plus a
+    batch view of the same data (candidate recount — the same
+    integer-exact count*k > n cut as the batch operator, so the result
+    hash-matches the plain GROUP BY oracle). NULL values are dropped;
+    values compare as strings, like the batch operator."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cap = k - 1
+    src = (stream_df.where(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("v"))
+           .withColumn("bucket",
+                       F.pmod(F.hash(F.col("v")), n_buckets)))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            vals, cnts, n_b, upd = state.get
+            counts = dict(zip(vals, cnts))
+        else:
+            counts, n_b, upd = {}, 0, 0
+        for pdf in pdfs:
+            n_b += len(pdf)
+            for val, cnt in pdf["v"].value_counts().items():
+                counts[val] = counts.get(val, 0) + int(cnt)
+            if len(counts) > cap:
+                cut = sorted(counts.values(), reverse=True)[cap]
+                counts = {v: c - cut for v, c in counts.items()
+                          if c > cut}
+        upd += 1
+        state.update((list(counts.keys()),
+                      [int(c) for c in counts.values()],
+                      int(n_b), int(upd)))
+        yield pd.DataFrame({
+            "bucket": [key[0]], "upd": [upd],
+            "cands": [list(counts.keys())], "n_b": [int(n_b)]})
+
+    state_schema = T.StructType([
+        T.StructField("vals", T.ArrayType(T.StringType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ])
+    out_schema = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("upd", T.LongType()),
+        T.StructField("cands", T.ArrayType(T.StringType())),
+        T.StructField("n_b", T.LongType()),
+    ])
+    return src.groupBy("bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def finalize_heavy_hitters(updates_df: DataFrame, data_df: DataFrame,
+                           col: str, k: int) -> DataFrame:
+    """Exact answer from a drained candidate stream: keep each
+    bucket's LATEST summary (max ``upd``), union its candidates, and
+    recount them exactly against a batch view of the same data —
+    identical second pass to the batch operator, so the output is the
+    exact ``{v: freq > n/k}`` set regardless of how candidates were
+    accumulated. ``updates_df`` is the (completed) output of
+    :func:`streaming_heavy_hitters`; ``data_df`` the batch frame."""
+    latest = (updates_df.groupBy("bucket")
+              .agg(F.max_by("cands", "upd").alias("cands")))
+    candidates = (latest.select(F.explode("cands").alias("v"))
+                  .distinct())
+    src = (data_df.where(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("v")))
+    n = src.count()
+    return (src.join(F.broadcast(candidates), "v", "leftsemi")
+            .groupBy("v").agg(F.count(F.lit(1)).alias("n_rows"))
+            .where(F.col("n_rows") * k > F.lit(n)))

@@ -547,3 +547,39 @@ def test_streaming_funnel_max_gap_and_cap(spark, tmp_path):
     assert got == {1: 1, 2: 2}  # user 1's click misses the 100-gap
     with pytest.raises(ValueError, match="at least one step"):
         streaming.streaming_funnel(stream, [])
+
+
+def test_streaming_heavy_hitters_cross_batch_exact(spark, tmp_path):
+    """MG state must persist across micro-batches and the finalize
+    recount must trim candidate noise exactly: a cold-value flood in
+    batch 1 forces decrements before the true heavy hitter's bulk
+    arrives in batch 2 (maxFilesPerTrigger=1 pins the boundaries)."""
+    b1 = [("hot",)] * 30 + [(f"cold{i}",) for i in range(299)]
+    b2 = [("hot",)] * 171 + [("warm",)] * 60 + \
+         [(f"late{i}",) for i in range(40)]
+    src = tmp_path / "hhsrc"
+    src.mkdir()
+    spark.createDataFrame(b1, "v string").coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, "v string").coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema("v string")
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = streaming.streaming_heavy_hitters(stream, "v", k=3,
+                                            n_buckets=4)
+    q = (out.writeStream.format("memory").queryName("shh")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "hhckpt")).start())
+    q.awaitTermination(120)
+    batch = spark.createDataFrame(b1 + b2, "v string")
+    got = {(r.v, r.n_rows) for r in streaming.finalize_heavy_hitters(
+        spark.table("shh"), batch, "v", k=3).collect()}
+    n = len(b1) + len(b2)
+    want = {}
+    for (v,) in b1 + b2:
+        want[v] = want.get(v, 0) + 1
+    want = {(v, c) for v, c in want.items() if c * 3 > n}
+    assert got == want
+    # n = 600: hot (201*3 = 603 > 600) is in; warm (60) and the cold
+    # flood are out — the recount trimmed every surviving candidate
+    assert ("hot", 201) in got and len(got) == 1

@@ -224,3 +224,40 @@ class TestRetentionCohorts:
         assert len(out) == 1 and out[0].n_users == 1
         with _pytest.raises(ValueError, match="period"):
             retention_cohorts(df, ts_col="ts", period=0)
+
+
+class TestRollingFeatures:
+    def test_matches_pure_python_model(self, spark):
+        """Trailing [t - span, t] counts and micro-sums per entity vs a
+        brute-force model, ties-in-ts included as RANGE peers."""
+        import math
+
+        from sleeper_spark.functions.timeseries import rolling_features
+        rows = [(1, 0, 1.5), (1, 50, 2.25), (1, 50, None), (1, 100, 4.0),
+                (1, 161, 8.0), (2, 10, 1.0), (2, 200, 2.0)]
+        df = spark.createDataFrame(rows, "u long, t long, v double")
+        out = rolling_features(df, ["u"], "t", "v", {"w": 60})
+        got = {(r.u, r.t, r.v): (r.n_w, r.sum_w_micros)
+               for r in out.collect()}
+        assert len(got) == len(rows)  # the None-v tie is a distinct key
+        for u, t, v in rows:
+            frame = [(uu, tt, vv) for uu, tt, vv in rows
+                     if uu == u and t - 60 <= tt <= t]
+            n = len(frame)
+            micros = [math.floor(vv * 1e6) for _, _, vv in frame
+                      if vv is not None]
+            s = sum(micros) if micros else None
+            assert got[(u, t, v)] == (n, s), (u, t)
+        # ties at t=50 are peers: BOTH rows see both (RANGE semantics)
+        assert got[(1, 50, 2.25)][0] == 3
+        # t=161 excludes t=100? no: 161-60=101 > 100 -> only itself
+        assert got[(1, 161, 8.0)] == (1, 8_000_000)
+
+    def test_multiple_spans_share_one_exchange(self, spark):
+        from sleeper_spark.functions.timeseries import rolling_features
+        df = spark.createDataFrame(
+            [(1, 0, 1.0), (1, 5, 2.0)], "u long, t long, v double")
+        out = rolling_features(df, ["u"], "t", "v",
+                               {"a": 10, "b": 100})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
