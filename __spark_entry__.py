@@ -1586,6 +1586,38 @@ def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
                 F.max("k").alias("max_k")))
 
 
+def q_grouped_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-rank transform (stats.grouped_cdf): every event's
+    value mapped to P(X <= x) within its own event type — rank-based
+    feature normalisation, invariant to per-group scale and outliers.
+    Histogram + group-partitioned cumsum + join back; raw rows never
+    enter a window. cdf = cum/n is a long/long IEEE division, so
+    cume_dist() in any engine reproduces it bit-for-bit; pinned via
+    floored-micros sums per type."""
+    from sleeper_spark.functions import stats
+
+    ev = _load(spark, sf, "events").select("event_type", "value")
+    c = stats.grouped_cdf(ev, ["event_type"], "value", out_col="cdf")
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cdf").isNull().cast("long")).alias("n_null_cdf"),
+        F.sum(F.floor(F.col("cdf") * 1_000_000).cast("long"))
+        .alias("sum_cdf_micros"))
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data profiling (functions/profile.py): per-column
+    row/null/exact-distinct counts for the whole lineitem table in ONE
+    aggregation job (multi-distinct EXPAND) — the ANALYZE TABLE
+    tripwire before trusting a new drop. The 100 TB steady state reads
+    the same numbers from per-file HLL/sidecar summaries
+    (cardinality.py, sketches.py); this is the exact ad-hoc tier."""
+    from sleeper_spark.functions import profile
+
+    li = _load(spark, sf, "lineitem")
+    return profile.profile_columns(li)
+
+
 # contact text derived from real customer columns with the SAME SQL
 # expression on both engines (this testdata's customer has no
 # phone/comment columns): a third of rows carry an email + a phone, a
@@ -3530,6 +3562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_domains": q_interleave_domains,
         "rolling_features": q_rolling_features,
         "props_extract": q_props_extract,
+        "grouped_cdf": q_grouped_cdf,
+        "table_profile": q_table_profile,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
@@ -4978,6 +5012,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(s1h) AS BIGINT) AS sum_v_1h_micros, "
             "CAST(sum(s1d) AS BIGINT) AS sum_v_1d_micros "
             "FROM w GROUP BY event_type",
+        # empirical CDF: cume_dist over the non-null rows per group is
+        # exactly cum/n; NULL values get NULL (counted separately)
+        "grouped_cdf":
+            "WITH v AS (SELECT event_type AS g, value AS x FROM events), "
+            "nn AS (SELECT g, cume_dist() OVER (PARTITION BY g "
+            "ORDER BY x) AS cdf FROM v WHERE x IS NOT NULL), "
+            "agg AS (SELECT g, count(*) AS n_nonnull, "
+            "CAST(sum(CAST(floor(cdf * 1000000.0) AS BIGINT)) AS BIGINT) "
+            "AS s FROM nn GROUP BY g), "
+            "tot AS (SELECT g, count(*) AS n, "
+            "CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_null FROM v GROUP BY g) "
+            "SELECT tot.g AS event_type, tot.n AS n, "
+            "tot.n_null AS n_null_cdf, agg.s AS sum_cdf_micros "
+            "FROM tot LEFT JOIN agg ON tot.g = agg.g",
+        "table_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+            "FROM lineitem"
+            for c in ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_linenumber", "l_quantity", "l_extendedprice",
+                      "l_discount", "l_tax", "l_returnflag",
+                      "l_linestatus", "l_shipdate"]),
         # JVM-side JSON path extraction; TRY_CAST mirrors Spark's
         # NULL-on-bad-cast; // is floor division on BIGINT like div
         "props_extract":

@@ -613,3 +613,30 @@ def grouped_robust_scale(df: DataFrame, group_cols: list[str], col: str,
                 .otherwise((F.col(col) - F.col("__med"))
                            / F.col("__mad")))
             .drop("__med", "__mad"))
+
+
+def grouped_cdf(df: DataFrame, group_cols: list[str], col: str,
+                out_col: str = "cdf") -> DataFrame:
+    """Empirical CDF / percentile-rank transform per group:
+    ``P(X <= x)`` within the row's own group — the rank-based feature
+    normalisation (a value's standing among its peers) that, unlike
+    min-max or z-score, is invariant to the group's scale and outliers
+    entirely. The inverse view of :func:`grouped_quantiles`.
+
+    Shape: one hash-agg to the per-(group, value) histogram (cost ∝
+    distinct values), a group-partitioned window cumsum over it, and a
+    join back on (group, value) — the raw rows never enter a window,
+    so a group with billions of rows but bounded distinct values costs
+    its histogram, not its row count. cdf = cum/n is a long/long IEEE
+    division — any SQL engine's ``cume_dist()`` reproduces it
+    bit-for-bit. NULL values (and rows of an all-NULL group) get NULL."""
+    keys = [*group_cols, col]
+    hist = (df.where(F.col(col).isNotNull())
+            .groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt")))
+    w = Window.partitionBy(*group_cols).orderBy(col)
+    wg = Window.partitionBy(*group_cols)
+    cd = (hist.withColumn("__cum", F.sum("__cnt").over(w))
+          .withColumn("__n", F.sum("__cnt").over(wg))
+          .select(*keys,
+                  (F.col("__cum") / F.col("__n")).alias(out_col)))
+    return df.join(cd, keys, "left")

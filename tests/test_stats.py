@@ -436,3 +436,50 @@ class TestGroupedRobustScale:
         # median 2, deviations {1, 0, 3} -> MAD 1
         assert got2 == {1.0: -1.0, 2.0: 0.0, 5.0: 3.0}
         assert got[("b", None)] is None
+
+
+class TestGroupedCdf:
+    def test_matches_model_with_ties_and_nulls(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+             ("a", None), ("b", 7.0)], "g string, x double")
+        got = {(r.g, r.x): r.cdf for r in
+               stats.grouped_cdf(df, ["g"], "x").collect()}
+        # group a: n=4; P(X<=1)=0.25, P(X<=2)=0.75 (ties share the
+        # max rank), P(X<=5)=1.0; NULL -> NULL; singleton group -> 1.0
+        assert got[("a", 1.0)] == 0.25
+        assert got[("a", 2.0)] == 0.75
+        assert got[("a", 5.0)] == 1.0
+        assert got[("a", None)] is None
+        assert got[("b", 7.0)] == 1.0
+
+    def test_raw_rows_never_enter_a_window(self, spark):
+        """The window runs over the HISTOGRAM (one row per distinct
+        value), then joins back — visible as the join in the plan."""
+        df = spark.createDataFrame(
+            [("a", float(i % 5)) for i in range(100)],
+            "g string, x double")
+        out = stats.grouped_cdf(df, ["g"], "x")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan and "Window" in plan
+
+
+class TestProfileColumns:
+    def test_counts_exact(self, spark):
+        from sleeper_spark.functions import profile
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", 1.5), (3, None, 1.5),
+             (3, "b", None)], "id long, s string, v double")
+        got = {r.column: (r.n, r.n_null, r.n_distinct) for r in
+               profile.profile_columns(df).collect()}
+        assert got == {"id": (4, 0, 3), "s": (4, 1, 2),
+                       "v": (4, 2, 1)}
+
+    def test_subset_and_validation(self, spark):
+        from sleeper_spark.functions import profile
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        assert profile.profile_columns(df, ["s"]).count() == 1
+        with pytest.raises(ValueError, match="unknown"):
+            profile.profile_columns(df, ["nope"])
+        with pytest.raises(ValueError, match="no columns"):
+            profile.profile_columns(df, [])
