@@ -1641,13 +1641,13 @@ _PII_CONTACT = (
 
 
 def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
-    """PII audit sweep (functions/pii.py): per-row email/ipv4/phone
+    """PII audit sweep (text.pii_counts): per-row email/ipv4/phone
     match counts over derived customer contact text, rolled up per
     market segment — the masking-debt report a corpus owner reads
     before shipping a shard. Pure codegen'd regexp_count, zero shuffle
     before the final rollup; patterns restricted to the
     Java-regex/RE2 shared subset so the SQL oracle is exact."""
-    from sleeper_spark.functions import pii
+    from sleeper_spark.functions import text as pii
 
     cu = _load(spark, sf, "customer").select(
         "c_mktsegment", F.expr(_PII_CONTACT).alias("contact"))
@@ -1661,13 +1661,13 @@ def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
-    """PII masking (pii.pii_redact): every email/ipv4/phone span in the
+    """PII masking (text.pii_redact): every email/ipv4/phone span in the
     contact text replaced by its kind token, applied in fixed order
     (masks contain no digits/@ so later patterns cannot re-match inside
     an earlier mask). One codegen'd projection — the oracle compares
     the FULL redacted strings row by row, so the masking itself is
     value-pinned, not just counted."""
-    from sleeper_spark.functions import pii
+    from sleeper_spark.functions import text as pii
 
     cu = _load(spark, sf, "customer").select(
         "c_custkey", F.expr(_PII_CONTACT).alias("contact"))

@@ -154,3 +154,54 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(F.col(id_col), *counts,
                      scrubbed.alias("text_scrubbed"))
+
+
+#: kind -> (pattern, mask) for the CONFIGURABLE audit/redaction tier
+#: below. Same engine-portable regex subset as PII_PATTERNS (shared by
+#: Java regex and RE2 — character classes, bounded repetition,
+#: non-capturing groups, \b; no backreferences or lookaround). The
+#: phone pattern here is STRUCTURED (2/3-3-3-4 groupings) where
+#: pii_scrub's is a loose digit-run: prefer this one when false
+#: positives on ordinary numbers matter, pii_scrub's when recall does.
+PII_KIND_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "[EMAIL]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IPV4]"),
+    "phone": (r"\b\d{2,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+}
+
+
+def pii_counts(df: DataFrame, text_col: str,
+               patterns: dict[str, tuple[str, str]] | None = None,
+               prefix: str = "n_") -> DataFrame:
+    """Per-row match counts for each pattern kind: one
+    ``{prefix}{kind}`` int column per pattern plus ``{prefix}pii``
+    with the total — the audit half, decoupled from masking (unlike
+    :func:`pii_scrub`, counts are taken INDEPENDENTLY on the raw text
+    per kind, and NULL text counts NULL — absent data is not "clean"
+    data). Pure codegen'd ``regexp_count``, zero shuffle."""
+    pats = PII_KIND_PATTERNS if patterns is None else patterns
+    out = df
+    total: Column | None = None
+    for kind, (pat, _) in pats.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        out = out.withColumn(f"{prefix}{kind}", c)
+        total = c if total is None else total + c
+    assert total is not None, "patterns must be non-empty"
+    return out.withColumn(f"{prefix}pii", total)
+
+
+def pii_redact(df: DataFrame, text_col: str,
+               patterns: dict[str, tuple[str, str]] | None = None,
+               out_col: str | None = None) -> DataFrame:
+    """Mask every match of every pattern, in mapping order — each
+    kind's mask token contains no digits or ``@``, so later patterns
+    can never re-match inside an earlier mask (order-stable output,
+    same argument as :data:`PII_PATTERNS`). In-place by default
+    (``out_col`` to keep the original). Pure nested
+    ``regexp_replace`` — one codegen'd projection, zero shuffle."""
+    pats = PII_KIND_PATTERNS if patterns is None else patterns
+    expr: Column = F.col(text_col)
+    for pat, mask in pats.values():
+        expr = F.regexp_replace(expr, pat, mask)
+    return df.withColumn(out_col or text_col, expr)

@@ -5,7 +5,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from sleeper_spark.functions import pii
+from sleeper_spark.functions import text as pii
 
 ROWS = [
     (1, "mail me at alice.smith+spam@example.co.uk or bob@x.io today"),
@@ -61,7 +61,7 @@ def test_duckdb_parity_on_shared_subset(spark, docs):
         if t is None:
             continue
         red = t
-        for pat, mask in pii.PII_PATTERNS.values():
+        for pat, mask in pii.PII_KIND_PATTERNS.values():
             red = con.execute(
                 "SELECT regexp_replace(?, ?, ?, 'g')",
                 [red, pat, mask]).fetchone()[0]
