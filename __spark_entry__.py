@@ -2923,6 +2923,32 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("v").alias("tok"), "n_rows")
 
 
+def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous sessionization (streaming.streaming_sessionize):
+    per-user session count / span / largest session maintained across
+    micro-batches, gaps-and-islands RE-DERIVED per batch over sorted
+    per-key event-time state so late bridge events merge sessions
+    exactly. Final answer = latest update per key (max_by on the
+    monotone upd counter); the batch gaps-and-islands oracle over
+    DISTINCT (user, ts) must hash-match. 30-minute gap."""
+    from sleeper_spark import streaming as streaming_mod
+
+    stream = _events_stream(spark, sf).select("user_id", "ts")
+    out = streaming_mod.streaming_sessionize(
+        stream, "user_id", "ts", gap=1_800_000_000)
+    _run_stream_to_view(out, "q_streaming_sessionize", "update")
+    return (spark.table("q_streaming_sessionize").groupBy("key")
+            .agg(F.max_by("n_sessions", "upd").alias("n_sessions"),
+                 F.max_by("span_micros", "upd").alias("span_micros"),
+                 F.max_by("max_session_len", "upd")
+                 .alias("max_session_len"))
+            .select(F.col("key").alias("user_id"),
+                    F.col("n_sessions").cast("long").alias("n_sessions"),
+                    "span_micros",
+                    F.col("max_session_len").cast("long")
+                    .alias("max_session_len")))
+
+
 def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
     per-user running totals equal the batch aggregate. Values stream as
@@ -3642,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "streaming_funnel": q_streaming_funnel,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "streaming_sessionize": q_streaming_sessionize,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "streaming_dedup": q_streaming_dedup,
@@ -5200,6 +5227,27 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(*) AS n FROM v) "
             "SELECT tok, count(*) AS n_rows FROM v, n "
             "GROUP BY tok, n.n HAVING count(*) * 40 > n.n",
+        # batch gaps-and-islands over DISTINCT (user, ts) micros; the
+        # streaming re-derivation must converge to exactly this
+        "streaming_sessionize":
+            "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) AS t "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "g AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t) > 1800000000 "
+            "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL "
+            "THEN 1 ELSE 0 END AS st FROM e), "
+            "s AS (SELECT user_id, t, sum(st) OVER (PARTITION BY user_id "
+            "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+            "per AS (SELECT user_id, sid, count(*) AS n FROM s "
+            "GROUP BY 1, 2), "
+            "spans AS (SELECT user_id, max(t) - min(t) AS span_micros "
+            "FROM s GROUP BY user_id) "
+            "SELECT per.user_id, "
+            "CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(max(spans.span_micros) AS BIGINT) AS span_micros, "
+            "CAST(max(per.n) AS BIGINT) AS max_session_len "
+            "FROM per JOIN spans ON per.user_id = spans.user_id "
+            "GROUP BY per.user_id",
         "streaming_running_totals":
             "SELECT user_id, count(*) AS n_total, "
             "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_total "

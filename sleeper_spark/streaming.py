@@ -641,3 +641,86 @@ def finalize_heavy_hitters(updates_df: DataFrame, data_df: DataFrame,
     return (src.join(F.broadcast(candidates), "v", "leftsemi")
             .groupBy("v").agg(F.count(F.lit(1)).alias("n_rows"))
             .where(F.col("n_rows") * k > F.lit(n)))
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    max_events_per_key: int = 100_000,
+) -> DataFrame:
+    """Continuous sessionization — the streaming composition of
+    ``timeseries.sessionize``: per-key session statistics maintained
+    across micro-batches via ``applyInPandasWithState``.
+
+    Same exactness idiom as :func:`streaming_funnel`: state per key is
+    the SORTED DISTINCT event times seen so far, and each batch merges
+    its events then RE-DERIVES the gaps-and-islands segmentation over
+    the full set — so a late event that BRIDGES two sessions (lands in
+    a gap, pulling both sides within ``gap`` of it) correctly merges
+    them, which incremental per-session counters cannot do. Emitted per
+    touched key per batch: ``(key, upd, n_sessions, span_micros,
+    max_session_len)`` — n_sessions can go DOWN when a bridge arrives,
+    so read the LATEST row per key (``max_by`` on the monotone ``upd``
+    counter), never an aggregate over updates.
+
+    Spark's built-in ``session_window`` aggregation covers windowed
+    counts; this exists for session STATISTICS over the key's whole
+    history (session count, spans, largest session) with exact
+    late-data semantics — the shape the batch operator answers, so the
+    batch oracle must match at stream completion. Distinct event times
+    only (duplicate (key, ts) pairs collapse, matching DISTINCT-input
+    batch semantics; feed deduplicated streams for exact parity).
+    ``max_events_per_key`` raises loudly when one key's history
+    outgrows sane state (sessionize offline instead)."""
+    if gap <= 0:
+        raise ValueError(f"gap must be positive, got {gap}")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            cur, upd = list(state.get[0]), int(state.get[1])
+        else:
+            cur, upd = [], 0
+        for pdf in pdfs:
+            cur.extend(int(t) for t in pdf["__t"])
+        if len(cur) > max_events_per_key:
+            raise ValueError(
+                f"key {key[0]!r} holds {len(cur)} events (cap "
+                f"{max_events_per_key}) — sessionize offline")
+        ts = np.unique(np.asarray(cur, dtype=np.int64))
+        gaps = np.diff(ts)
+        starts = int((gaps > gap).sum()) + 1 if len(ts) else 0
+        if len(ts):
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(gaps > gap) + 1, [len(ts)]))
+            lens = np.diff(bounds)
+            max_len = int(lens.max())
+            span = int(ts[-1] - ts[0])
+        else:
+            max_len, span = 0, 0
+        upd += 1
+        state.update((ts.tolist(), upd))
+        yield pd.DataFrame({
+            "key": [key[0]], "upd": [upd], "n_sessions": [starts],
+            "span_micros": [span], "max_session_len": [max_len]})
+
+    src = (stream_df
+           .where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+           .select(F.col(key_col).alias("key"),
+                   F.col(ts_col).cast("long").alias("__t")))
+    state_schema = T.StructType([
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType())])
+    out_schema = T.StructType([
+        T.StructField("key", stream_df.schema[key_col].dataType),
+        T.StructField("upd", T.LongType()),
+        T.StructField("n_sessions", T.IntegerType()),
+        T.StructField("span_micros", T.LongType()),
+        T.StructField("max_session_len", T.IntegerType()),
+    ])
+    return src.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

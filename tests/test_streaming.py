@@ -583,3 +583,55 @@ def test_streaming_heavy_hitters_cross_batch_exact(spark, tmp_path):
     # n = 600: hot (201*3 = 603 > 600) is in; warm (60) and the cold
     # flood are out — the recount trimmed every surviving candidate
     assert ("hot", 201) in got and len(got) == 1
+
+
+def test_streaming_sessionize_bridge_event_merges(spark, tmp_path):
+    """A late event that lands INSIDE a gap must merge the two sessions
+    around it — the case incremental per-session counters get wrong.
+    Batch 1: THREE sessions ({0,100}, {2500}, {5000,5100}) with gap
+    1000. Batch 2: events at 900 and 1800 chain-bridge the first two:
+    100->900 (800 apart), 900->1800 (900), 1800->2500 (700);
+    2500->5000 stays a gap.
+    Final: sessions {0,100,900,1800,2500} and {5000,5100} -> 2 sessions,
+    max len 5."""
+    b1 = [(1, 0), (1, 100), (1, 2500), (1, 5000), (1, 5100), (2, 7)]
+    b2 = [(1, 900), (1, 1800), (2, 7)]  # dup (2,7) collapses
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    schema = "user_id long, ts long"
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = streaming.streaming_sessionize(stream, "user_id", "ts",
+                                         gap=1000)
+    q = (out.writeStream.format("memory").queryName("ssz")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "sckpt")).start())
+    q.awaitTermination(120)
+    got = {r.key: (r.n_sessions, r.span_micros, r.max_session_len)
+           for r in spark.sql(
+               "SELECT key, max_by(n_sessions, upd) AS n_sessions, "
+               "max_by(span_micros, upd) AS span_micros, "
+               "max_by(max_session_len, upd) AS max_session_len "
+               "FROM ssz GROUP BY key").collect()}
+    assert got[1] == (2, 5100, 5)
+    assert got[2] == (1, 0, 1)
+    # and mid-stream the count was transiently HIGHER (3 sessions
+    # after batch 1): the update stream recorded both states
+    hist = sorted(r.n_sessions for r in spark.sql(
+        "SELECT n_sessions FROM ssz WHERE key = 1").collect())
+    assert hist == [2, 3]
+
+
+def test_streaming_sessionize_guards(spark, tmp_path):
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    spark.createDataFrame([(1, 5)], "user_id long, ts long") \
+        .coalesce(1).write.parquet(str(src / "b"))
+    stream = spark.readStream.schema("user_id long, ts long") \
+        .parquet(str(src / "*"))
+    with pytest.raises(ValueError, match="gap must be"):
+        streaming.streaming_sessionize(stream, "user_id", "ts", gap=0)
