@@ -622,3 +622,35 @@ def test_interleave_no_global_window(spark, entry):
     plan = plan_of(entry.q_interleave_domains(spark, SF))
     assert "SinglePartition" not in plan, plan
     assert "Python" not in plan
+
+
+def test_props_extract_prunes_to_props_column(spark, entry):
+    """JSON promotion reads ONLY the props column — a scan pulling the
+    whole events schema for a one-field extract is wrong at 100 TB."""
+    plan = plan_of(entry.q_props_extract(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"props"}, cols
+    assert "Python" not in plan
+
+
+def test_robust_scale_and_cdf_no_python_no_cartesian(spark, entry):
+    for fn in (entry.q_robust_scale, entry.q_grouped_cdf):
+        plan = plan_of(fn(spark, SF))
+        assert "Python" not in plan, fn
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_profile_single_expand_aggregation(spark, entry):
+    """The whole profile is ONE aggregation job: the multi-distinct
+    EXPAND shape, not one scan per column."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = plan_of(li.agg(
+        *[F.count_distinct(li[c]).alias(c) for c in li.columns[:3]]))
+    # profile_columns collects a single agg row and returns a local
+    # relation built from it, so pin the plan shape on the same agg
+    # expression it issues
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
