@@ -2782,8 +2782,20 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     exactly."""
     from sleeper_spark import streaming as streaming_mod
 
+    # a streaming job sizes its state partitioning to its throughput
+    # when the checkpoint is created (the count is then locked in) —
+    # a stream-stream join keeps FOUR state stores per partition, so
+    # 32 near-empty partitions are pure per-batch commit overhead at
+    # this volume (measured 9.4s -> 2.4s); a 100 TB deployment sets
+    # this to its real parallelism the same way. The override lives in
+    # a CLONED session (shared SparkContext, private conf + catalog),
+    # so a concurrent caller of the parent session never plans under
+    # the temporary value — closes the round-7 concurrency nit
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+
     def side(et: str, ts_name: str, id_name: str) -> DataFrame:
-        s = _events_stream(spark, sf)
+        s = _events_stream(s2, sf)
         return s.where(F.col("event_type") == et).select(
             "user_id", F.timestamp_micros(F.col("ts")).alias(ts_name),
             F.col("event_id").alias(id_name))
@@ -2793,23 +2805,9 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         side("click", "click_ts", "click_id"),
         on=["user_id"], left_ts="view_ts", right_ts="click_ts",
         max_delay="1 hour")
-    # a streaming job sizes its state partitioning to its throughput
-    # when the checkpoint is created (the count is then locked in) —
-    # a stream-stream join keeps FOUR state stores per partition, so
-    # 32 near-empty partitions are pure per-batch commit overhead at
-    # this volume (measured 9.4s -> 2.4s); a 100 TB deployment sets
-    # this to its real parallelism the same way. The override is
-    # session-global while the stream runs (restored in finally) —
-    # safe under the sequential bench/oracle drivers; a concurrent
-    # caller would need its own SparkSession to avoid planning under
-    # the temporary value
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        _run_stream_to_view(out, "q_streaming_ivj", "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.sql(
+    _run_stream_to_view(out, "q_streaming_ivj", "append")
+    # the memory sink registered in the CLONE's catalog
+    return s2.sql(
         "SELECT view_id, click_id, user_id, "
         "unix_micros(click_ts) - unix_micros(view_ts) AS lag_us "
         "FROM q_streaming_ivj")
