@@ -15,6 +15,7 @@ Reference surfaces:
 from __future__ import annotations
 
 import abc
+import json
 import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
@@ -153,11 +154,109 @@ class CallbackResultsOutput(ResultsOutput):
                                      error=f"{type(e).__name__}: {e}")
 
 
+class SpoolQueueResultsOutput(ResultsOutput):
+    """Message-queue transport over a spool DIRECTORY — the runnable
+    analog of the reference's SQSResultsOutput
+    (java/query/query-runner/src/main/java/sleeper/query/runner/output/
+    SQSResultsOutput.java: results as batched JSON messages on a queue;
+    this container has no queue service, so the queue is a directory
+    any consumer — or a real queue forwarder — tails).
+
+    Exactly-once delivery contract:
+
+    - each ≤``batch_size``-row message lands as
+      ``{query_id}-{seq:06d}.jsonl`` via hidden-temp write + atomic
+      ``os.replace`` — consumers never observe a torn message;
+    - the COMMIT POINT is the ``{query_id}.done`` marker (message and
+      row counts inside), written last: a publisher crash mid-stream
+      leaves messages but no marker, and the retry REWRITES the same
+      deterministic names then re-attempts the marker — consumers that
+      honor the marker see each query's results exactly once, however
+      many times publish() ran;
+    - re-publishing a completed query_id is a refused no-op (the
+      marker exists; queues do not deliver twice).
+
+    Streaming-shaped like the callback sink: ``toLocalIterator`` pulls
+    one partition at a time, so the driver holds one batch, never the
+    result set."""
+
+    def __init__(self, spool_dir: str, batch_size: int = 1000):
+        self.spool_dir = spool_dir
+        self.batch_size = batch_size
+
+    def _land(self, name: str, payload: str) -> str:
+        tmp = os.path.join(self.spool_dir, f".tmp-{name}")
+        final = os.path.join(self.spool_dir, name)
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, final)
+        return final
+
+    def publish(self, query_id: str, results: DataFrame) -> ResultsOutputInfo:
+        try:
+            os.makedirs(self.spool_dir, exist_ok=True)
+            marker = os.path.join(self.spool_dir, f"{query_id}.done")
+            if os.path.exists(marker):
+                return ResultsOutputInfo(
+                    query_id, [marker],
+                    error="already published (marker exists) — a queue "
+                          "does not deliver twice; use a new query_id")
+            seq = n = 0
+            batch: list[str] = []
+
+            def flush():
+                nonlocal seq, n, batch
+                if batch:
+                    self._land(f"{query_id}-{seq:06d}.jsonl",
+                               "\n".join(batch))
+                    seq += 1
+                    n += len(batch)
+                    batch = []
+
+            for row in results.toJSON().toLocalIterator():
+                batch.append(row)
+                if len(batch) >= self.batch_size:
+                    flush()
+            flush()
+            self._land(f"{query_id}.done",
+                       json.dumps({"messages": seq, "rows": n}))
+            return ResultsOutputInfo(query_id, [self.spool_dir], rows=n)
+        except Exception as e:  # noqa: BLE001
+            return ResultsOutputInfo(query_id, [self.spool_dir],
+                                     error=f"{type(e).__name__}: {e}")
+
+
+def read_spool(spool_dir: str, query_id: str) -> list[dict]:
+    """Consumer side of :class:`SpoolQueueResultsOutput`: the committed
+    rows of one query, in message order — raises if the query has no
+    ``.done`` marker (uncommitted: the publisher crashed or is still
+    streaming) or if the marker's counts disagree with the spool (a
+    torn queue — atomic replace makes this unreachable without manual
+    tampering)."""
+    marker = os.path.join(spool_dir, f"{query_id}.done")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"query {query_id!r} is not committed in {spool_dir!r} "
+            "(no .done marker)")
+    with open(marker) as f:
+        meta = json.load(f)
+    rows: list[dict] = []
+    for i in range(meta["messages"]):
+        with open(os.path.join(spool_dir,
+                               f"{query_id}-{i:06d}.jsonl")) as f:
+            rows.extend(json.loads(ln) for ln in f.read().splitlines())
+    if len(rows) != meta["rows"]:
+        raise ValueError(
+            f"spool for {query_id!r} holds {len(rows)} rows, marker "
+            f"says {meta['rows']} — torn queue")
+    return rows
+
+
 def results_output_from_config(config: dict[str, Any]) -> ResultsOutput:
     """Build a transport from a config map — the reference's
     query-processing-config flavor (``resultsOutput`` type + per-type
     properties, QueryProcessingConfig.java). Types: ``parquet``,
-    ``json``, ``callback``."""
+    ``json``, ``callback``, ``spool``."""
     kind = config.get("type", "parquet")
     if kind == "parquet":
         return ParquetResultsOutput(
@@ -168,8 +267,11 @@ def results_output_from_config(config: dict[str, Any]) -> ResultsOutput:
         return CallbackResultsOutput(
             config["send"], int(config.get("batch_size", 1000)),
             config.get("location", "callback"))
+    if kind == "spool":
+        return SpoolQueueResultsOutput(
+            config["spool_dir"], int(config.get("batch_size", 1000)))
     raise ValueError(f"unknown results output type {kind!r}; "
-                     "expected parquet | json | callback")
+                     "expected parquet | json | callback | spool")
 
 
 def bulk_export(table: SleeperTable, dest: str) -> dict[str, str]:

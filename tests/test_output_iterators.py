@@ -200,3 +200,64 @@ class TestCustomIterators:
         assert q2.query_time_iterators == q.query_time_iterators
         assert q2.sql == q.sql
         assert q2.regions[0].ranges[0].min == 1
+
+
+class TestSpoolQueueTransport:
+    def test_publish_consume_roundtrip(self, spark, tmp_path,
+                                       events_table):
+        t, ev = events_table
+        res = t.query(Query([Region.of(Range("event_id", 0, 200))]))
+        sink = output.SpoolQueueResultsOutput(str(tmp_path / "q"),
+                                              batch_size=37)
+        info = sink.publish("q-1", res)
+        assert info.error is None
+        rows = output.read_spool(str(tmp_path / "q"), "q-1")
+        assert info.rows == len(rows) == ev.where("event_id < 200").count()
+        assert {r["event_id"] for r in rows} == {
+            r.event_id for r in ev.where("event_id < 200").collect()}
+        # uneven batching landed multiple messages + a marker
+        msgs = [f for f in os.listdir(tmp_path / "q")
+                if f.startswith("q-1-")]
+        assert len(msgs) == -(-len(rows) // 37)
+
+    def test_crash_replay_is_exactly_once(self, spark, tmp_path,
+                                          events_table):
+        """A publisher crash mid-stream leaves messages but NO marker:
+        the consumer refuses the uncommitted spool, and the retry
+        rewrites the SAME names then commits — exactly-once however
+        many times publish ran."""
+        t, ev = events_table
+        res = t.query(Query([Region.of(Range("event_id", 0, 150))]))
+        spool = str(tmp_path / "q")
+        sink = output.SpoolQueueResultsOutput(spool, batch_size=20)
+
+        crashed = {"n": 0}
+        orig = sink._land
+
+        def land_then_crash(name, payload):
+            if name.endswith(".done") and crashed["n"] == 0:
+                crashed["n"] = 1
+                raise OSError("simulated crash before commit marker")
+            return orig(name, payload)
+
+        sink._land = land_then_crash
+        info1 = sink.publish("q-2", res)
+        assert info1.error is not None  # reported, not raised
+        with pytest.raises(FileNotFoundError, match="not committed"):
+            output.read_spool(spool, "q-2")
+        # retry commits; consumer sees the rows exactly once
+        info2 = sink.publish("q-2", res)
+        assert info2.error is None
+        rows = output.read_spool(spool, "q-2")
+        assert len(rows) == ev.where("event_id < 150").count()
+        assert len({r["event_id"] for r in rows}) == len(rows)
+        # a third publish refuses (queues do not deliver twice)
+        info3 = sink.publish("q-2", res)
+        assert info3.error and "already published" in info3.error
+
+    def test_config_builder(self, tmp_path):
+        sink = output.results_output_from_config(
+            {"type": "spool", "spool_dir": str(tmp_path / "s"),
+             "batch_size": 5})
+        assert isinstance(sink, output.SpoolQueueResultsOutput)
+        assert sink.batch_size == 5
