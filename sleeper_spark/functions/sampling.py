@@ -211,9 +211,11 @@ def interleave_domains(df: DataFrame, domain_col: str, key: str,
     ``pos = (rank_g - 1) * D + domain_index``: rank within the domain
     by the portable ``(md5(key), key)`` scramble, D = number of
     domains, domain_index from the sorted domain list. Positions are a
-    pure per-row computation off one domain-partitioned window plus a
-    D-row broadcast join — NO global row_number (a single-partition
-    window is the classic driver-choke at scale); the sequence has
+    pure per-row computation off one domain-partitioned window plus an
+    array_position over the D-element literal domain list (D driver
+    scalars — domains are few by definition) — NO global row_number (a
+    single-partition window is the classic driver-choke at scale); the
+    sequence has
     gaps once short domains run dry (a domain's slot goes unused) but
     order is what matters for a data loader, not density. Writing
     sorted by ``pos`` range-partitions cleanly since rank dominates

@@ -535,7 +535,10 @@ def heavy_hitters(df: DataFrame, col: str, k: int,
        SQL oracle (``HAVING count(*) * k > n``) matches bit-for-bit.
 
     The shuffle carries O(k x P) rows regardless of cardinality; the
-    driver holds nothing but n. Values compare as strings (the summary
+    driver holds nothing but n. The candidate broadcast is safe BY
+    CONSTRUCTION (unlike an unbounded per-group threshold table): k is
+    bounded by pass 1's per-partition counter memory, so k x P strings
+    is small wherever pass 1 could run at all. Values compare as strings (the summary
     dict keys the string form; the recount casts both sides), so mixed
     exact numeric types dedupe textually — cast upstream if that
     matters. NULLs are excluded (a NULL is not a value). Deterministic:
