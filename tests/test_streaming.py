@@ -635,3 +635,17 @@ def test_streaming_sessionize_guards(spark, tmp_path):
         .parquet(str(src / "*"))
     with pytest.raises(ValueError, match="gap must be"):
         streaming.streaming_sessionize(stream, "user_id", "ts", gap=0)
+
+
+def test_interval_join_query_leaves_parent_conf_untouched(spark):
+    """The registry interval-join sizes its state partitioning in a
+    CLONED session: the parent session's shuffle partitioning must be
+    identical before and after (the round-7 concurrency nit)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as em
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = em.q_streaming_interval_join(spark, SF_DIR)
+    assert out.count() >= 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
