@@ -461,6 +461,38 @@ def q_secondary_index(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_composite_index(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPOSITE secondary index (views.SecondaryIndex on TWO value
+    columns): postings keyed (event_type, user_id, event_id) — the
+    multi-column b-tree shape; a lookup supplies both columns and runs
+    one LSM point query on the index (partition-pruned on the leading
+    column, Bloom-skipped) then batch_exact_key_query on the source.
+    Includes a delete_where maintained INCREMENTALLY through the
+    tombstone feed before the lookups. Oracle = plain two-column WHERE
+    over the surviving rows."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_cidx_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    idx = SecondaryIndex.create(src, os.path.join(tmp, "idx"),
+                                ["event_type", "user_id"])
+    src.ingest(ev)
+    idx.refresh()
+    src.delete_where(regions=[Region.of(Range("event_id", 0, 1000))])
+    idx.refresh()  # incremental tombstone application, no rebuild
+    out = idx.lookup(("click", 7))
+    for pair in (("view", 42), ("purchase", 99)):
+        out = out.unionByName(idx.lookup(pair))
+    return out
+
+
 def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Zero-shuffle co-keyed join (joins.py): orders and a
     lineitem-derived table share row key + split points, so each leaf
@@ -3523,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cokeyed_join": q_cokeyed_join,
         "materialized_view": q_materialized_view,
         "secondary_index": q_secondary_index,
+        "composite_index": q_composite_index,
         "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
@@ -4388,6 +4421,13 @@ def oracle_sql() -> dict[str, str]:
         "secondary_index":
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (7, 42, 99)",
+        # composite two-column lookups over the post-delete survivors
+        "composite_index":
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE event_id >= 1000 AND ("
+            "(event_type = 'click' AND user_id = 7) OR "
+            "(event_type = 'view' AND user_id = 42) OR "
+            "(event_type = 'purchase' AND user_id = 99))",
         "secondary_index_hot":
             "SELECT event_id, user_id, event_type FROM ("
             "SELECT event_id, CASE WHEN event_id % 10 < 8 THEN 7 "

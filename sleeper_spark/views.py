@@ -256,9 +256,13 @@ class MaterializedView:
 
 
 class SecondaryIndex:
-    """Point lookups on a VALUE column without scanning the table: a
-    postings SleeperTable keyed ``(value_col, *source row keys)``,
-    maintained incrementally as a :class:`MaterializedView`.
+    """Point lookups on VALUE columns without scanning the table: a
+    postings SleeperTable keyed ``(*value_cols, *source row keys)``,
+    maintained incrementally as a :class:`MaterializedView`. One
+    indexed column is the plain warehouse secondary index; several make
+    a COMPOSITE index (multi-column b-tree analog: lookups supply all
+    indexed columns, and leading-prefix ranges ride the index table's
+    own ``range_key_query``).
 
     The lookup path composes machinery the engine already has, the way
     a warehouse secondary index does:
@@ -291,18 +295,27 @@ class SecondaryIndex:
     MAX_INCREMENTAL_DELETE_KEYS = 10_000
 
     def __init__(self, source, index_table):
-        from dataclasses import replace as _replace  # noqa: F401
-
         self.source = source
         self.index = index_table
-        self.value_col = index_table.schema.row_key_fields[0].name
         self._src_keys = [f.name for f in source.schema.row_key_fields]
+        # the index is keyed (*value_cols, *source row keys): the
+        # leading fields before the source-key suffix are the indexed
+        # columns — one for a plain index, several for a COMPOSITE one
+        n_vals = (len(index_table.schema.row_key_fields)
+                  - len(self._src_keys))
+        self.value_cols = [f.name for f in
+                           index_table.schema.row_key_fields[:n_vals]]
+        #: first indexed column (the whole key for single-column
+        #: indexes) — kept for the original single-column API
+        self.value_col = self.value_cols[0]
 
         def transform(batch: DataFrame) -> DataFrame:
             from pyspark.sql import functions as F
-            return (batch
-                    .where(F.col(self.value_col).isNotNull())
-                    .select(self.value_col, *self._src_keys))
+            cond = F.lit(True)
+            for c in self.value_cols:
+                cond = cond & F.col(c).isNotNull()
+            return (batch.where(cond)
+                    .select(*self.value_cols, *self._src_keys))
 
         self._mv = MaterializedView(source, index_table, transform,
                                     on_delete=self._apply_source_delete)
@@ -326,9 +339,12 @@ class SecondaryIndex:
         def norm(v):
             return bytes(v) if isinstance(v, bytearray) else v
 
+        cond = F.lit(True)
+        for c in self.value_cols:
+            cond = cond & F.col(c).isNotNull()
         cap = self.MAX_INCREMENTAL_DELETE_KEYS
-        head = (deleted.where(F.col(self.value_col).isNotNull())
-                .select(self.value_col, *self._src_keys).distinct()
+        head = (deleted.where(cond)
+                .select(*self.value_cols, *self._src_keys).distinct()
                 .limit(cap + 1).collect())
         if not head:
             return
@@ -337,28 +353,36 @@ class SecondaryIndex:
                 f"delete commit tombstoned more than {cap} distinct "
                 "(value, key) postings — a mass delete; rebuild() the "
                 "index instead of maintaining it point-wise")
-        pairs = {(norm(r[self.value_col]),
+        pairs = {(tuple(norm(r[c]) for c in self.value_cols),
                   tuple(norm(r[k]) for k in self._src_keys))
                  for r in head}
         keyset = [dict(zip(self._src_keys, kk))
                   for kk in {kk for _, kk in pairs}]
-        alive = {(norm(r[self.value_col]),
+        alive = {(tuple(norm(r[c]) for c in self.value_cols),
                   tuple(norm(r[k]) for k in self._src_keys))
                  for r in self.source.batch_exact_key_query(keyset)
-                 .select(self.value_col, *self._src_keys).collect()}
+                 .select(*self.value_cols, *self._src_keys).collect()}
         drop = sorted(pairs - alive)
         if not drop:
             return
         regions = [
             Region.exact(self.index.schema,
-                         **{self.value_col: v,
+                         **{**dict(zip(self.value_cols, vv)),
                             **dict(zip(self._src_keys, kk))})
-            for v, kk in drop]
+            for vv, kk in drop]
         self.index.delete_where(regions=regions)
 
     @staticmethod
-    def create(source, path: str, value_col: str,
+    def create(source, path: str, value_col: "str | list[str]",
                split_points=None) -> "SecondaryIndex":
+        """``value_col`` may be one column name or a LIST of names —
+        the latter builds a COMPOSITE index keyed
+        ``(*value_cols, *source row keys)``: lookups supply every
+        indexed column (a warehouse multi-column b-tree; leading-prefix
+        range scans work through the index table's own
+        ``range_key_query`` since the first indexed column is its
+        leading row key). ``split_points`` partition on the FIRST
+        indexed column."""
         from dataclasses import replace as _replace
 
         import pyspark.sql.types as T
@@ -366,19 +390,25 @@ class SecondaryIndex:
         from sleeper_spark.schema import Schema
         from sleeper_spark.table import SleeperTable
 
-        fld = next((f for f in source.schema.value_fields
-                    if f.name == value_col), None)
-        if fld is None:
-            raise ValueError(f"{value_col!r} is not a value column of "
-                             "the source table")
-        if not isinstance(fld.dtype, (T.IntegerType, T.LongType,
-                                      T.StringType, T.BinaryType)):
-            raise ValueError(
-                f"secondary index keys must be int/long/string/binary, "
-                f"got {fld.dtype} for {value_col!r}")
+        names = ([value_col] if isinstance(value_col, str)
+                 else list(value_col))
+        if not names:
+            raise ValueError("value_col must name at least one column")
+        flds = []
+        for name in names:
+            fld = next((f for f in source.schema.value_fields
+                        if f.name == name), None)
+            if fld is None:
+                raise ValueError(f"{name!r} is not a value column of "
+                                 "the source table")
+            if not isinstance(fld.dtype, (T.IntegerType, T.LongType,
+                                          T.StringType, T.BinaryType)):
+                raise ValueError(
+                    f"secondary index keys must be int/long/string/"
+                    f"binary, got {fld.dtype} for {name!r}")
+            flds.append(_replace(fld, nullable=False))
         idx_schema = Schema(
-            (_replace(fld, nullable=False),)
-            + tuple(source.schema.row_key_fields))
+            tuple(flds) + tuple(source.schema.row_key_fields))
         idx = SleeperTable.create(source.spark, path, idx_schema,
                                   split_points=split_points)
         return SecondaryIndex(source, idx)
@@ -420,11 +450,21 @@ class SecondaryIndex:
         only the matching keys. The two paths return identical rows;
         the threshold probe is one ``limit(threshold+1)`` job whose
         rows are reused as the key set on the cold path (no second
-        index read)."""
+        index read).
+
+        For a COMPOSITE index pass a tuple/list with one value per
+        indexed column (in index order); a single scalar addresses the
+        single-column case."""
         threshold = (self.HOT_VALUE_THRESHOLD
                      if hot_threshold is None else hot_threshold)
+        vals = (list(value) if isinstance(value, (tuple, list))
+                else [value])
+        if len(vals) != len(self.value_cols):
+            raise ValueError(
+                f"lookup needs one value per indexed column "
+                f"{self.value_cols}, got {len(vals)}")
         postings = self.index.exact_key_query(
-            now_millis, **{self.value_col: value})
+            now_millis, **dict(zip(self.value_cols, vals)))
         head = postings.limit(threshold + 1).collect()
         if not head:
             return self.source.spark.createDataFrame(

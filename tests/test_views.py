@@ -351,3 +351,76 @@ class TestSecondaryIndex:
             SecondaryIndex.create(src, str(tmp_path / "gi"), "d")
         with pytest.raises(ValueError, match="not a value column"):
             SecondaryIndex.create(src, str(tmp_path / "gj"), "k")
+
+
+class TestCompositeSecondaryIndex:
+    def _mk(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .select("event_id", "user_id", "event_type")
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "csrc"), schema,
+                                  split_points=[500])
+        idx = SecondaryIndex.create(src, str(tmp_path / "cidx"),
+                                    ["event_type", "user_id"])
+        return src, idx, ev
+
+    def test_composite_lookup_equals_two_column_filter(self, spark,
+                                                       tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev)
+        idx.refresh()
+        assert idx.value_cols == ["event_type", "user_id"]
+        pair = ev.groupBy("event_type", "user_id").count() \
+            .orderBy(F.col("count").desc()).first()
+        got = sorted(tuple(r) for r in
+                     idx.lookup((pair.event_type, pair.user_id))
+                     .collect())
+        want = sorted(tuple(r) for r in ev.where(
+            (F.col("event_type") == pair.event_type)
+            & (F.col("user_id") == pair.user_id)).collect())
+        assert got == want and want
+        # wrong arity raises by name
+        with pytest.raises(ValueError, match="one value per indexed"):
+            idx.lookup(pair.event_type)
+
+    def test_composite_null_in_any_indexed_col_never_indexed(
+            self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev.limit(0).union(spark.createDataFrame(
+            [(999999, None, "x"), (999998, 7, None)], ev.schema)))
+        src.ingest(ev)
+        idx.refresh()
+        n_idx = idx.index.full_scan().count()
+        assert n_idx == ev.where(
+            "event_type IS NOT NULL AND user_id IS NOT NULL").count()
+
+    def test_composite_incremental_delete_maintenance(self, spark,
+                                                      tmp_path):
+        """delete_where -> refresh (no rebuild) converges with a
+        from-scratch composite index."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev)
+        idx.refresh()
+        src.delete_where(regions=[Region.of(Range("event_id", 0, 300))])
+        idx.refresh()
+        from sleeper_spark.views import SecondaryIndex
+        fresh = SecondaryIndex.create(src, str(tmp_path / "cidx2"),
+                                      ["event_type", "user_id"])
+        fresh.refresh()
+        a = sorted(tuple(r) for r in idx.index.full_scan().collect())
+        b = sorted(tuple(r) for r in fresh.index.full_scan().collect())
+        assert a == b
+        pair = ev.where("event_id >= 300") \
+            .groupBy("event_type", "user_id").count() \
+            .orderBy(F.col("count").desc()).first()
+        got = {r.event_id for r in
+               idx.lookup((pair.event_type, pair.user_id)).collect()}
+        want = {r.event_id for r in ev.where(
+            (F.col("event_id") >= 300)
+            & (F.col("event_type") == pair.event_type)
+            & (F.col("user_id") == pair.user_id)).collect()}
+        assert got == want
