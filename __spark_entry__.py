@@ -1618,6 +1618,22 @@ def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
                 F.max("k").alias("max_k")))
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language boilerplate phrases
+    (corpus.grouped_boilerplate_ngrams): each language's top-3
+    trigrams by DOCUMENT frequency (min 3 docs) — the C4 chrome
+    detector, per domain so small languages aren't drowned by the
+    global top-k. Per-doc distinct grams -> one hash agg -> group-
+    partitioned rank truncated map-side (WindowGroupLimit);
+    deterministic tie-break on the gram string."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents").select("lang", "doc_id", "text")
+    return corpus.grouped_boilerplate_ngrams(
+        doc, ["lang"], n=3, k=3, min_df=3).select(
+        "lang", "ngram", "df", F.col("rank").cast("int").alias("rank"))
+
+
 def q_grouped_cdf(spark: SparkSession, sf: str) -> DataFrame:
     """Percentile-rank transform (stats.grouped_cdf): every event's
     value mapped to P(X <= x) within its own event type — rank-based
@@ -3621,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "grouped_cdf": q_grouped_cdf,
         "table_profile": q_table_profile,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
@@ -5077,6 +5094,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(s1h) AS BIGINT) AS sum_v_1h_micros, "
             "CAST(sum(s1d) AS BIGINT) AS sum_v_1d_micros "
             "FROM w GROUP BY event_type",
+        # per-doc DISTINCT trigrams -> doc frequency -> per-lang top-3,
+        # ties by gram string (deterministic in both engines)
+        "boilerplate_ngrams":
+            f"WITH t AS (SELECT lang, doc_id, {_TOKS} AS tk "
+            "FROM documents), "
+            "g AS (SELECT lang, doc_id, unnest(list_distinct("
+            "list_transform(range(1, greatest(len(tk) - 1, 1)), "
+            "i -> array_to_string(tk[i:i+2], ' ')))) AS ngram FROM t), "
+            "c AS (SELECT lang, ngram, count(*) AS df FROM g "
+            "GROUP BY 1, 2 HAVING count(*) >= 3), "
+            "r AS (SELECT lang, ngram, CAST(df AS BIGINT) AS df, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY df DESC, ngram) AS INTEGER) AS rank FROM c) "
+            "SELECT lang, ngram, df, rank FROM r WHERE rank <= 3",
         # empirical CDF: cume_dist over the non-null rows per group is
         # exactly cum/n; NULL values get NULL (counted separately)
         "grouped_cdf":

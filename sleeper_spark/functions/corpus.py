@@ -583,3 +583,39 @@ def bpe_segment(col: Column | str,
     for a, b in merges:
         sym = F.transform(sym, _apply_rule(a + " " + b, a + b))
     return F.flatten(F.transform(sym, lambda s: F.split(s, " ")))
+
+
+def grouped_boilerplate_ngrams(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate phrases: the top-``k`` n-grams of each
+    group ranked by DOCUMENT frequency (distinct docs containing the
+    phrase — cross-document repetition is what makes chrome/license
+    headers boilerplate; within-doc loops are repetition_scores'
+    business). The per-DOMAIN twin of :func:`ngram_top_counts`: one
+    corpus's navigation chrome differs per language/site, so a global
+    top-k drowns the small domains.
+
+    Shape: per-doc DISTINCT grams explode (array_distinct caps each
+    doc's contribution at one per phrase), one hash aggregation to
+    (group, gram, df) — cost ∝ distinct phrases, map-side combined —
+    then a group-partitioned rank that Spark truncates map-side
+    (WindowGroupLimit) before the exchange. Ties rank by the gram
+    string: deterministic top-k in any engine. Phrases below
+    ``min_df`` docs are dropped (df=1 is not boilerplate)."""
+    grams = df.select(
+        *group_cols, F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(ngrams(text_col, n))).alias("ngram"))
+    counts = (grams.groupBy(*group_cols, "ngram")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") >= min_df))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("df").desc(), F.col("ngram").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

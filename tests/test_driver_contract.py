@@ -67,7 +67,7 @@ def test_every_query_has_an_oracle():
     # round 8 adds the mergeable quantile-sketch tier (raw continuous
     # doubles, budget-verified), the per-group md5 reservoir, per-group
     # equi-depth binning, and the continuous streaming funnel
-    assert len(qk) == 168
+    assert len(qk) == 169
 
 
 def test_entry_smoke(spark):

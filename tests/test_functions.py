@@ -906,6 +906,33 @@ class TestCorpusFrequency:
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
 
+    def test_grouped_boilerplate_by_doc_frequency(self, spark):
+        """Doc frequency, not occurrence count: a phrase repeated 10x
+        inside ONE doc is repetition, not boilerplate; per-doc distinct
+        caps its contribution at 1. Ranks per group, ties by gram."""
+        from sleeper_spark.functions.corpus import (
+            grouped_boilerplate_ngrams)
+        df = spark.createDataFrame(
+            [(1, "en", "click here now " * 10),     # df 1 despite x10
+             (2, "en", "click here now please"),
+             (3, "en", "click here now thanks"),
+             (4, "en", "one two three"),
+             (5, "de", "impressum datenschutz agb x"),
+             (6, "de", "impressum datenschutz agb y")],
+            ["doc_id", "lang", "text"])
+        got = {(r.lang, r.ngram): (r.df, r.rank) for r in
+               grouped_boilerplate_ngrams(
+                   df, ["lang"], n=3, k=2, min_df=2).collect()}
+        assert got[("en", "click here now")] == (3, 1)
+        assert got[("de", "impressum datenschutz agb")] == (2, 1)
+        # min_df drops singletons; k caps per group
+        assert all(v[0] >= 2 for v in got.values())
+        assert all(v[1] <= 2 for v in got.values())
+        plan = grouped_boilerplate_ngrams(
+            df, ["lang"], n=3, k=2, min_df=2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
     def test_repetition_scores(self, spark):
         from sleeper_spark.functions.corpus import repetition_scores
         df = spark.createDataFrame(
