@@ -171,11 +171,11 @@ def grouped_exact_split(df: DataFrame, group_cols: list[str], key: str,
     sum to 1 (within 1e-9). One shuffle on the group columns; the rank
     window and the group-count window share it. The whole rule is pure
     rank arithmetic — a SQL oracle reproduces the exact assignment."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
     tot = sum(fractions.values())
     if abs(tot - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {tot}")
-    if not fractions:
-        raise ValueError("fractions must be non-empty")
     names = list(fractions.keys())
     h = F.md5(F.col(key).cast("string"))
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())

@@ -51,21 +51,16 @@ def applied_seq(dst: Any, prefix: str = JOB_PREFIX) -> int:
     replica's own transaction log. Recovered from the log, so it
     survives any crash that the log survives.
 
-    Migration: replicas synced before job ids became source-scoped
-    hold legacy ``cdf-sync-<from>-<to>`` ids (no identity segment).
-    When a source-scoped prefix matches NO jobs, fall back to the
-    legacy-id watermark — otherwise the first post-upgrade sync would
-    read watermark 0 and re-ingest the entire source history under new
-    ids that don't dedupe against the old ones, duplicating every
-    pre-existing replica row. The fallback is only consulted when the
-    scoped prefix is empty, so a replica fed by MULTIPLE sources that
-    has at least one post-upgrade sync per source is unaffected; a
-    multi-source replica with ONLY legacy ids was already broken under
-    the shared watermark (documented in :func:`source_prefix`) and the
-    fallback preserves its old behavior rather than silently skipping
-    data."""
-    import re
-
+    Only jobs under the SCOPED ``prefix`` count — a replica that holds
+    legacy identity-less ``cdf-sync-<from>-<to>`` ids (pre-upgrade
+    syncs) reads 0 here until :func:`migrate_legacy_watermark` has
+    recorded those ids' watermark under the scoped prefix. The old
+    implicit fallback (consult legacy ids whenever the scoped prefix
+    is empty) was a data-loss hazard: a source NEWLY added to a
+    replica carrying ANOTHER source's legacy ids would inherit that
+    other source's watermark instead of its correct 0 and silently
+    skip its first seqs. Migration is therefore an explicit, one-time,
+    durably-recorded act, never a read-time heuristic."""
     best = 0
     for j in dst.store.ingest_jobs_seen:
         if j.startswith(prefix):
@@ -73,17 +68,55 @@ def applied_seq(dst: Any, prefix: str = JOB_PREFIX) -> int:
                 best = max(best, int(j.rsplit("-", 1)[-1]))
             except ValueError:
                 continue
-    if best == 0 and prefix != JOB_PREFIX:
-        legacy = re.compile(re.escape(JOB_PREFIX) + r"(\d+)-(\d+)$")
-        for j in dst.store.ingest_jobs_seen:
-            m = legacy.fullmatch(j)
-            if m:
-                best = max(best, int(m.group(2)))
     return best
 
 
+def legacy_seq(dst: Any) -> int:
+    """The watermark held by legacy identity-less job ids
+    (``cdf-sync-<from>-<to>``, pre-source-scoping syncs). 0 when the
+    replica has no pre-upgrade history."""
+    import re
+
+    legacy = re.compile(re.escape(JOB_PREFIX) + r"(\d+)-(\d+)$")
+    best = 0
+    for j in dst.store.ingest_jobs_seen:
+        m = legacy.fullmatch(j)
+        if m:
+            best = max(best, int(m.group(2)))
+    return best
+
+
+def migrate_legacy_watermark(dst: Any, prefix: str) -> int:
+    """One-time upgrade of a replica synced before job ids became
+    source-scoped: rewrite the legacy ids' watermark under ``prefix``
+    by committing a zero-file marker transaction whose job id
+    (``<prefix>migrated-<to>``) parses to the legacy ``to`` in
+    :func:`applied_seq`. The marker lives in the replica's own
+    transaction log — as durable and crash-safe as the watermark
+    itself — and the commit is idempotent (ingest-job id dedupe), so
+    replaying the migration is a no-op.
+
+    Call this exactly once per PRE-UPGRADE source (the source whose
+    syncs produced the legacy ids). Never call it for a source newly
+    added to the replica: its correct watermark is 0, and inheriting
+    another source's legacy ``to`` would silently skip its first seqs.
+    Only the operator knows which source the legacy ids belong to —
+    that is why this is an explicit call and not a read-time fallback.
+
+    No-op (returns the existing watermark) when the scoped prefix
+    already has jobs or there is no legacy history. Returns the
+    scoped watermark after migration."""
+    scoped = applied_seq(dst, prefix)
+    if scoped > 0:
+        return scoped
+    legacy_to = legacy_seq(dst)
+    if legacy_to > 0:
+        dst.store.add_files([], job_id=f"{prefix}migrated-{legacy_to}")
+    return applied_seq(dst, prefix)
+
+
 def sync(src: Any, dst: Any, max_seqs: int | None = None,
-         prefix: str | None = None) -> dict:
+         prefix: str | None = None, migrate_legacy: bool = False) -> dict:
     """One incremental replication step: poll the source's change feed
     past the replica's applied watermark and ingest the appended rows
     under the range-encoded job id. Returns a summary dict; repeated
@@ -93,6 +126,13 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     ``max_seqs`` bounds how much source history one step covers — the
     backpressure knob for a replica catching up from far behind.
 
+    ``migrate_legacy=True`` performs the one-time
+    :func:`migrate_legacy_watermark` upgrade first — pass it on the
+    first post-upgrade sync of a replica whose history was written by
+    the pre-source-scoping version FROM THIS SOURCE, and never for a
+    newly-added source (see the migration docstring for why the
+    distinction cannot be inferred).
+
     Schema drift is refused loudly: if the source evolved (e.g.
     ``add_value_column``) and the replica did not, silently ingesting
     would DROP the new column from shipped rows (ingest projects to the
@@ -100,6 +140,8 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     _check_schema(src, dst)
     if prefix is None:
         prefix = source_prefix(src)
+    if migrate_legacy and prefix != JOB_PREFIX:
+        migrate_legacy_watermark(dst, prefix)
     from_seq = applied_seq(dst, prefix)
     rows, to_seq = src.poll_changes(from_seq, max_seqs=max_seqs)
     if to_seq == from_seq:

@@ -342,10 +342,20 @@ def streaming_funnel(
     cannot do that; order-exactness is what lets the final counts
     hash-match the batch funnel on the same data (the registry gate).
 
-    Emitted rows: ``(user, depth)`` per touched user per batch; depth
-    is MONOTONE non-decreasing (more events never shrink a chain), so
+    Emitted rows: ``(user, depth)`` per touched user per batch. With
+    ``max_gap=None`` (the default, and the registry query) depth is
+    MONOTONE non-decreasing — more events never shrink a chain — so
     the final depth table is ``max(depth) per user`` over the update
-    stream. Rows with NULL user or time are dropped (the batch
+    stream. With ``max_gap`` SET that monotonicity does NOT hold: a
+    late-arriving EARLIER step-0 event lowers reach_0 and can break a
+    previously-satisfied hop bound (step0 {100}, step1 {105}, gap 10
+    -> depth 2; late step0 at t=1 -> depth 1), so ``max(depth)`` can
+    disagree with the final re-derived answer. max_gap consumers must
+    take the LATEST update per user (``max_by(depth, update_seq)`` on
+    an external sequence, or the last micro-batch's emission) — each
+    emitted row is always the exact batch answer for the events seen
+    so far; only the cross-update max shortcut is gap-unsafe.
+    Rows with NULL user or time are dropped (the batch
     operator's joins drop NULL users past stage 0; feed it non-NULL
     data for exact parity — the registry query's source has none).
 

@@ -161,17 +161,30 @@ class MaterializedView:
         """Apply the appends in ``(from_seq, to_seq]`` and checkpoint.
         Windows holding no ADD_FILES commits (compaction, splits, GC —
         content-neutral metadata) advance the checkpoint without a
-        Spark job. The delta ingest's job id encodes the seq window —
-        segment boundaries are a pure function of the log, so a
-        crash-replay regenerates the SAME id and dedupes."""
+        Spark job.
+
+        Segment boundaries are NOT a pure function of the log alone —
+        ``to_seq`` depends on the source head at planning time, and a
+        barrier from an in-flight ``delete-*`` claim depends on
+        whether the claim is still outstanding when the plan runs. So
+        before ingesting, the planned segment end is PERSISTED as an
+        intent (``segment_to`` in the state file): a crash between
+        ``dest.ingest`` and the final checkpoint replays the IDENTICAL
+        window and job id (``mv-{from}-{to}``) even if the head
+        advanced or the in-flight delete committed meanwhile, and the
+        ingest-job dedupe makes the replay a no-op instead of
+        re-ingesting the overlap under a different id."""
         if to_seq <= from_seq:
             return
         txs = self.source.store.transactions_between(from_seq, to_seq)
         if any(tx.get("type") == "ADD_FILES" for _s, tx in txs):
+            state["segment_to"] = to_seq
+            self._save_state(state)  # durable intent BEFORE the write
             batch = self.source.added_rows_between(from_seq, to_seq)
             delta = self.transform(batch)
             self.dest.ingest(delta, job_id=f"mv-{from_seq}-{to_seq}")
         state["seq"] = to_seq
+        state.pop("segment_to", None)
         self._save_state(state)
 
     # ------------------------------------------------------------------
@@ -188,6 +201,15 @@ class MaterializedView:
             # first (idempotent), then continue incrementally
             self.rebuild()
             state = self._load_state()
+        if "segment_to" in state:
+            # a crash-interrupted segment left its intent: replay the
+            # EXACT planned window (same job id -> ingest dedupes if
+            # the crash fell after the commit) before re-planning —
+            # re-planning first could pick a different first-segment
+            # end (head advanced, in-flight delete resolved) whose job
+            # id would not dedupe against the half-applied one
+            self._advance_appends(state, state["seq"],
+                                  state["segment_to"])
         from_seq = state["seq"]
         self.source.store.refresh_if_stale(0)
         head = self.source.store.current_seq

@@ -236,14 +236,48 @@ class TestReplication:
         replication.sync(src, dst, prefix=replication.JOB_PREFIX)
         n_before = dst.full_scan().count()
         assert n_before == 40
-        # post-upgrade sync under the scoped default: caught up, no-op
-        s = replication.sync(src, dst)
+        # without explicit migration the scoped watermark reads 0 —
+        # the implicit fallback is gone (it lost data for a NEW source
+        # on a replica carrying another source's legacy ids)
+        assert replication.applied_seq(
+            dst, replication.source_prefix(src)) == 0
+        # explicit one-time migration on the first post-upgrade sync
+        s = replication.sync(src, dst, migrate_legacy=True)
         assert s["files_ingested"] == 0 and s["caught_up"]
         assert dst.full_scan().count() == n_before  # no duplication
-        # new appends flow under the scoped ids
+        # the marker is durable: subsequent DEFAULT syncs see the
+        # migrated watermark, and a replay of the migration is a no-op
+        assert replication.applied_seq(
+            dst, replication.source_prefix(src)) > 0
+        replication.migrate_legacy_watermark(
+            dst, replication.source_prefix(src))
+        assert dst.full_scan().count() == n_before
+        # new appends flow under the scoped ids without the flag
         src.ingest(_rows(spark, 40, 60))
         replication.sync_to_head(src, dst)
         assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_new_source_on_legacy_replica_starts_at_zero(self, spark,
+                                                         tmp_path):
+        """A source NEWLY added to a replica that carries ANOTHER
+        source's legacy identity-less job ids must start at watermark
+        0 — under the old implicit fallback it inherited the other
+        source's legacy 'to' and silently skipped its first seqs."""
+        a = SleeperTable.create(spark, str(tmp_path / "a"), _schema())
+        b = SleeperTable.create(spark, str(tmp_path / "b"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema())
+        a.ingest(_rows(spark, 0, 30))
+        # pre-upgrade history from source a under the legacy prefix
+        replication.sync(a, dst, prefix=replication.JOB_PREFIX)
+        assert dst.full_scan().count() == 30
+        # source b is new post-upgrade: its watermark is 0 and its
+        # first sync ships ALL its rows (the old fallback skipped them)
+        b.ingest(_rows(spark, 100, 120))
+        assert replication.applied_seq(
+            dst, replication.source_prefix(b)) == 0
+        s = replication.sync(b, dst)
+        assert s["files_ingested"] > 0
+        assert dst.full_scan().count() == 50
 
     def test_straddling_staged_range_refused(self, spark, tmp_path):
         """A staged range that STRADDLES the replica watermark (only

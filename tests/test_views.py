@@ -78,6 +78,44 @@ class TestMaterializedView:
         mv.refresh()
         assert _view_state(dest) == _expected(ev)
 
+    def test_crash_replay_reuses_planned_segment_despite_plan_drift(
+            self, spark, tmp_path):
+        """The segment end is persisted as an INTENT before the delta
+        ingest: a refresh that crashes between ``dest.ingest`` and the
+        checkpoint must replay the IDENTICAL window/job id even when
+        re-planning would now pick a different first-segment end —
+        here because (a) an in-flight ``delete-*`` claim that formed
+        the barrier resolves before the replay and (b) the source head
+        advances. Without the intent the replay plans ``mv-0-<head>``
+        which does not dedupe against the committed ``mv-0-<barrier>``
+        and the overlap is ingested twice (silent view drift)."""
+        src, dest, mv, ev = _mk(spark, tmp_path)
+        src.ingest(ev.where("event_id < 400"))
+        # an in-flight delete claim: outstanding at plan time, so the
+        # planner barriers the window just before it
+        ref = next(iter(src.store.all_references()))
+        src.store.assign_job_ids("delete-inflight-drift", [ref])
+        real_save = mv._save_state
+        calls = {"n": 0}
+
+        def crashing_save(state):
+            calls["n"] += 1
+            if calls["n"] == 2:  # intent save ok; crash on checkpoint
+                raise RuntimeError("injected crash after ingest")
+            real_save(state)
+
+        mv._save_state = crashing_save
+        with pytest.raises(RuntimeError, match="injected crash"):
+            mv.refresh()
+        mv._save_state = real_save
+        # before the replay, BOTH drift sources fire: the claim is
+        # abandoned (no barrier next plan) and the head advances
+        src.store.unassign_job_ids("delete-inflight-drift")
+        src.ingest(ev.where("event_id >= 400"))
+        mv.refresh()
+        assert _view_state(dest) == _expected(ev)  # exactly once
+        assert mv.refresh() == 0
+
     def test_bounded_refresh_drains_in_steps(self, spark, tmp_path):
         src, dest, mv, ev = _mk(spark, tmp_path)
         for third in range(3):
