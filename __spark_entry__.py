@@ -493,6 +493,42 @@ def q_composite_index(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_composite_index_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-prefix RANGE lookup on the composite index
+    (views.SecondaryIndex.lookup_prefix_range): exact value on the
+    leading indexed column + a range on the next one — the b-tree
+    ``WHERE a = x AND b BETWEEN lo AND hi`` shape. The prefix columns
+    are the postings table's leading row keys, so the region rides the
+    index table's own partition pruning + sidecar min/max skipping
+    (scan-audit-pinned in tests/test_views.py), then the bounded key
+    set feeds batch_exact_key_query on the source with the predicate
+    re-applied as a residual. Runs after a delete_where maintained
+    incrementally through the tombstone feed, like composite_index.
+    Oracle = plain prefix+BETWEEN WHERE over the surviving rows."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_cidxr_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    idx = SecondaryIndex.create(src, os.path.join(tmp, "idx"),
+                                ["event_type", "user_id"],
+                                split_points=["purchase", "view"])
+    src.ingest(ev)
+    idx.refresh()
+    src.delete_where(regions=[Region.of(Range("event_id", 0, 1000))])
+    idx.refresh()  # incremental tombstone application, no rebuild
+    a = idx.lookup_prefix_range(["click"], 100, 5000,
+                                max_inclusive=True)
+    b = idx.lookup_prefix_range(["view"], 0, 50)
+    return a.unionByName(b)
+
+
 def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Zero-shuffle co-keyed join (joins.py): orders and a
     lineitem-derived table share row key + split points, so each leaf
@@ -3572,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialized_view": q_materialized_view,
         "secondary_index": q_secondary_index,
         "composite_index": q_composite_index,
+        "composite_index_range": q_composite_index_range,
         "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
@@ -4445,6 +4482,13 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'click' AND user_id = 7) OR "
             "(event_type = 'view' AND user_id = 42) OR "
             "(event_type = 'purchase' AND user_id = 99))",
+        # prefix + BETWEEN over the post-delete survivors
+        "composite_index_range":
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE event_id >= 1000 AND ("
+            "(event_type = 'click' AND user_id BETWEEN 100 AND 5000) "
+            "OR (event_type = 'view' AND user_id >= 0 "
+            "AND user_id < 50))",
         "secondary_index_hot":
             "SELECT event_id, user_id, event_type FROM ("
             "SELECT event_id, CASE WHEN event_id % 10 < 8 THEN 7 "

@@ -476,7 +476,16 @@ class SecondaryIndex:
 
         For a COMPOSITE index pass a tuple/list with one value per
         indexed column (in index order); a single scalar addresses the
-        single-column case."""
+        single-column case.
+
+        Both paths post-filter ``value_col = value`` as a residual:
+        source row keys are not necessarily unique, and a
+        duplicate-keyed row can carry a DIFFERENT indexed value — the
+        postings guarantee every matching row is found; the residual
+        drops the co-keyed extras (exactly a warehouse index scan +
+        residual predicate)."""
+        from pyspark.sql import functions as F
+
         threshold = (self.HOT_VALUE_THRESHOLD
                      if hot_threshold is None else hot_threshold)
         vals = (list(value) if isinstance(value, (tuple, list))
@@ -485,6 +494,9 @@ class SecondaryIndex:
             raise ValueError(
                 f"lookup needs one value per indexed column "
                 f"{self.value_cols}, got {len(vals)}")
+        residual = F.lit(True)
+        for c, v in zip(self.value_cols, vals):
+            residual = residual & (F.col(c) == F.lit(v))
         postings = self.index.exact_key_query(
             now_millis, **dict(zip(self.value_cols, vals)))
         head = postings.limit(threshold + 1).collect()
@@ -493,10 +505,77 @@ class SecondaryIndex:
                 [], self.source.schema.to_struct_type())
         if len(head) <= threshold:
             keys = [{k: row[k] for k in self._src_keys} for row in head]
-            return self.source.batch_exact_key_query(keys, now_millis)
+            return (self.source.batch_exact_key_query(keys, now_millis)
+                    .where(residual))
         # hot value: distributed semi-join, no driver key set. Postings
         # may repeat a key across index files pre-compaction — semi-join
         # semantics dedupe for free.
-        return self.source.full_scan(now_millis).join(
+        return (self.source.full_scan(now_millis).join(
             postings.select(*self._src_keys),
             on=self._src_keys, how="leftsemi")
+            .where(residual))
+
+    def lookup_prefix_range(self, prefix, lo, hi, *,
+                            min_inclusive: bool = True,
+                            max_inclusive: bool = False,
+                            now_millis: int | None = None,
+                            hot_threshold: int | None = None) -> DataFrame:
+        """Source rows matching a LEADING-PREFIX range predicate:
+        exact values for the first ``len(prefix)`` indexed columns plus
+        ``lo <= col < hi`` (bounds configurable; None = unbounded) on
+        the NEXT indexed column — the multi-column b-tree's
+        ``WHERE a = x AND b BETWEEN lo AND hi`` shape. ``prefix`` may
+        be empty, making this a pure range lookup on the first indexed
+        column (the only shape a single-column index supports).
+
+        Rides the index table's own range machinery: the prefix
+        columns are the postings table's LEADING row keys, so one
+        multi-dimension region (point ranges on the prefix, the value
+        range on the next key) goes through the same partition pruning
+        + sidecar min/max file skipping as any ``range_key_query`` —
+        only index files whose key range can intersect the predicate
+        are opened, then the bounded key set feeds
+        ``batch_exact_key_query`` on the source exactly like
+        :meth:`lookup` (same hot-value semi-join fallback past
+        ``hot_threshold`` postings).
+
+        Results are post-filtered by the same predicate: source row
+        keys are not necessarily unique, and a duplicate-keyed source
+        row can carry indexed values OUTSIDE the range — the postings
+        guarantee every matching row is FOUND (no false negatives);
+        the residual filter removes the co-keyed extras (no false
+        positives). Same two-step contract as a warehouse index scan
+        plus residual predicate."""
+        from sleeper_spark.query import Query
+        from sleeper_spark.ranges import Range, Region
+
+        prefix = (list(prefix) if isinstance(prefix, (tuple, list))
+                  else [prefix])
+        m = len(prefix)
+        if m >= len(self.value_cols):
+            raise ValueError(
+                f"prefix covers all {len(self.value_cols)} indexed "
+                f"column(s) — use lookup() for an exact match, or "
+                f"shorten the prefix so one column remains for the "
+                f"range")
+        rcol = self.value_cols[m]
+        ranges = [Range(c, v, v, True, True)
+                  for c, v in zip(self.value_cols, prefix)]
+        ranges.append(Range(rcol, lo, hi, min_inclusive, max_inclusive))
+        region = Region(tuple(ranges))
+        residual = region.to_column()
+        threshold = (self.HOT_VALUE_THRESHOLD
+                     if hot_threshold is None else hot_threshold)
+        postings = self.index.query(Query([region]), now_millis)
+        head = postings.limit(threshold + 1).collect()
+        if not head:
+            return self.source.spark.createDataFrame(
+                [], self.source.schema.to_struct_type())
+        if len(head) <= threshold:
+            keys = [{k: row[k] for k in self._src_keys} for row in head]
+            return (self.source.batch_exact_key_query(keys, now_millis)
+                    .where(residual))
+        return (self.source.full_scan(now_millis)
+                .join(postings.select(*self._src_keys),
+                      on=self._src_keys, how="leftsemi")
+                .where(residual))

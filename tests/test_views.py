@@ -425,6 +425,85 @@ class TestCompositeSecondaryIndex:
         with pytest.raises(ValueError, match="one value per indexed"):
             idx.lookup(pair.event_type)
 
+    def test_prefix_range_lookup_equals_filter_and_prunes(
+            self, spark, tmp_path):
+        """lookup_prefix_range(et, lo, hi) == WHERE et = x AND uid
+        BETWEEN lo AND hi, on BOTH the cold (batch point lookup) and
+        hot (semi-join) paths; and the index-side region provably
+        PRUNES index files (scan-audit tier, like explain_query)."""
+        from sleeper_spark.query import Query
+        from sleeper_spark.views import SecondaryIndex
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet") \
+            .select("event_id", "user_id", "event_type")
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "psrc"), schema,
+                                  split_points=[500])
+        # split the INDEX on its leading key so pruning has partitions
+        # to drop
+        ets = sorted(r.event_type for r in
+                     ev.select("event_type").distinct().dropna()
+                     .collect())
+        idx = SecondaryIndex.create(src, str(tmp_path / "pidx"),
+                                    ["event_type", "user_id"],
+                                    split_points=ets[1:])
+        src.ingest(ev)
+        idx.refresh()
+        et = ets[0]
+        uids = sorted(r.user_id for r in ev.where(
+            F.col("event_type") == et).select("user_id").dropna()
+            .distinct().collect())
+        lo, hi = uids[0], uids[len(uids) // 2]
+        want = sorted(tuple(r) for r in ev.where(
+            (F.col("event_type") == et) & (F.col("user_id") >= lo)
+            & (F.col("user_id") <= hi)).collect())
+        cold = sorted(tuple(r) for r in idx.lookup_prefix_range(
+            [et], lo, hi, max_inclusive=True).collect())
+        hot = sorted(tuple(r) for r in idx.lookup_prefix_range(
+            [et], lo, hi, max_inclusive=True, hot_threshold=1)
+            .collect())
+        assert cold == hot == want and want
+        # scan audit: the region opens only the leading-key partition's
+        # index files, not the whole postings table
+        region = Region.of(Range("event_type", et, et,
+                                 max_inclusive=True),
+                           Range("user_id", lo, hi,
+                                 max_inclusive=True))
+        audit = idx.index.explain_query(Query([region]))
+        assert (audit["files_after_partition_pruning"]
+                < audit["files_total"]), audit
+        # empty prefix = pure range on the FIRST indexed column
+        lo2, hi2 = ets[0], ets[0]
+        got0 = sorted(tuple(r) for r in idx.lookup_prefix_range(
+            [], lo2, hi2, max_inclusive=True).collect())
+        want0 = sorted(tuple(r) for r in ev.where(
+            F.col("event_type") == ets[0]).dropna(
+                subset=["user_id"]).collect())
+        assert got0 == want0
+        with pytest.raises(ValueError, match="prefix covers all"):
+            idx.lookup_prefix_range([et, 1], 0, 1)
+
+    def test_lookup_residual_drops_cokeyed_other_values(
+            self, spark, tmp_path):
+        """Two source rows share a row key but carry DIFFERENT indexed
+        values: the postings find both keys, and the residual filter
+        must drop the co-keyed row whose value is outside the
+        predicate (no false positives)."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        dup = spark.createDataFrame(
+            [(77, 1111, "aaa"), (77, 2222, "bbb")], ev.schema)
+        src.ingest(dup)
+        idx.refresh()
+        got = sorted(tuple(r) for r in
+                     idx.lookup(("aaa", 1111)).collect())
+        assert got == [(77, 1111, "aaa")]
+        got_r = sorted(tuple(r) for r in idx.lookup_prefix_range(
+            ["aaa"], 0, 5000).collect())
+        assert got_r == [(77, 1111, "aaa")]
+
     def test_composite_null_in_any_indexed_col_never_indexed(
             self, spark, tmp_path):
         src, idx, ev = self._mk(spark, tmp_path)
