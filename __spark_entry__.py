@@ -3178,6 +3178,61 @@ def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
              "ok boolean")
 
 
+def q_grouped_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-GROUP mergeable sketch quantiles
+    (stats.grouped_sketch_quantiles): lineitem's raw near-unique
+    double price column per l_returnflag in O(sketch) per group —
+    mapInArrow per-(partition, group) equi-depth summaries, an
+    applyInPandas merge level bounding any task's input at
+    merge_groups*(k+1) rows per group at any partition count, and a
+    final per-group rank-union (no driver collection; one row per
+    group). The grouped twin of sketch_quantiles, for when
+    grouped_quantiles' exact per-(group, value) histograms degenerate
+    on continuous data.
+
+    Like the global sketch, the estimate is layout-deterministic, not
+    q-on-paper-deterministic, so the ORACLE checks the documented
+    per-group rank budget: each estimate's exact rank interval
+    [count(<v)+1, count(<=v)] within its group must intersect
+    target±budget, budget = sketch_rank_budget(n_g). All other output
+    columns are integer-exact functions of the data."""
+    from sleeper_spark.functions import stats
+
+    li = _load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice") \
+        .where(F.col("l_extendedprice").isNotNull())
+    rational_qs = [("p50", 1, 2), ("p95", 19, 20)]
+    res = stats.grouped_sketch_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        {qn: num / den for qn, num, den in rational_qs})
+    groups = sorted(res.collect(), key=lambda r: r.l_returnflag)
+    aggs = []
+    for i, r in enumerate(groups):
+        cond = F.col("l_returnflag") == F.lit(r.l_returnflag)
+        for qn, _, _ in rational_qs:
+            v = F.lit(r[qn])
+            aggs.append(F.sum(
+                (cond & (F.col("l_extendedprice") < v)).cast("long")
+            ).alias(f"lt{i}_{qn}"))
+            aggs.append(F.sum(
+                (cond & (F.col("l_extendedprice") <= v)).cast("long")
+            ).alias(f"le{i}_{qn}"))
+    row = li.agg(*aggs).first()
+    out = []
+    for i, r in enumerate(groups):
+        n = r.n
+        budget = stats.sketch_rank_budget(n)
+        for qn, num, den in rational_qs:
+            target = max(1, (num * n + den - 1) // den)
+            ok = (row[f"le{i}_{qn}"] >= target - budget
+                  and row[f"lt{i}_{qn}"] < target + budget)
+            out.append((r.l_returnflag, qn, n, target, budget,
+                        bool(ok)))
+    return spark.createDataFrame(
+        out, "l_returnflag string, qname string, n long, "
+             "target_rank long, budget long, ok boolean")
+
+
 def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group exact interpolated percentiles (median / p95 of event
     value per event type) — the distribution-sanity profile a pipeline
@@ -3722,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "quantiles": q_quantiles,
         "sketch_quantiles": q_sketch_quantiles,
+        "grouped_sketch_quantiles": q_grouped_sketch_quantiles,
         "winsorize": q_winsorize,
         "mad_outliers": q_mad_outliers,
         "grouped_mad_outliers": q_grouped_mad_outliers,
@@ -5502,6 +5558,20 @@ def oracle_sql() -> dict[str, str]:
             "('p95', 19, 20), ('p99', 99, 100)) "
             "SELECT q.qname AS qname, s.n AS n, "
             "greatest(1, (q.num * s.n + q.den - 1) // q.den) AS target_rank, "
+            "(4 * s.n + 2047) // 2048 + 8 AS budget, TRUE AS ok "
+            "FROM q, s",
+        # per-group rank-budget bracket, same integer arithmetic per
+        # l_returnflag
+        "grouped_sketch_quantiles":
+            "WITH s AS (SELECT l_returnflag, count(*) AS n "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "GROUP BY l_returnflag), "
+            "q(qname, num, den) AS (VALUES ('p50', 1, 2), "
+            "('p95', 19, 20)) "
+            "SELECT s.l_returnflag AS l_returnflag, q.qname AS qname, "
+            "s.n AS n, "
+            "greatest(1, (q.num * s.n + q.den - 1) // q.den) "
+            "AS target_rank, "
             "(4 * s.n + 2047) // 2048 + 8 AS budget, TRUE AS ok "
             "FROM q, s",
         # exact percentile_disc thresholds rebuilt from the same rank

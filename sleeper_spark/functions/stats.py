@@ -456,6 +456,164 @@ def sketch_rank_budget(n: int, k: int = 2048,
     return -(-(levels * n) // k) + 8
 
 
+def grouped_sketch_quantiles(df: DataFrame, group_cols: list[str],
+                             col: str, qs: dict[str, float],
+                             k: int = 2048, merge_groups: int | None = 64
+                             ) -> DataFrame:
+    """PER-GROUP quantile estimates over a raw continuous double
+    column — the grouped twin of :func:`sketch_quantiles`, for the
+    case :func:`grouped_quantiles`'s exact histograms degenerate on
+    (near-unique values make the per-(group, value) histogram the
+    column itself). ``qs`` maps output column name -> q. Returns one
+    row per group: group cols, one double per requested q, and ``n``
+    (the group's non-NULL count). Same rank-error budget per group as
+    the global sketch: the true rank of each returned value is within
+    ``sketch_rank_budget(n_group, k, merge_groups)`` of
+    ``ceil(q * n_group)``.
+
+    Shape (the same three-level mergeable tree, keyed by group):
+
+    - level 0 — ``mapInArrow`` per partition: numpy-sort each group's
+      values WITHIN the partition, emit <= k+1 evenly spaced
+      (rank, value) samples + the count per (group, partition). Raw
+      rows never leave their executor; the summary stream is
+      ``groups-touched-per-partition * (k+1)`` tiny rows.
+    - level 1 (``merge_groups`` is not None) — ``applyInPandas`` over
+      ``(group, pid % merge_groups)``: rank-union each cell's
+      summaries into one. Caps any single downstream task's input at
+      ``merge_groups * (k+1)`` rows per group at ANY partition count —
+      at P=10^5 a hot group would otherwise feed 2*10^8 summary rows
+      into its final task.
+    - level 2 — ``applyInPandas`` per group: union the group's
+      summaries and answer every q (percentile_disc-flavored: an
+      actual data value). One output row per group; nothing is
+      collected on the driver.
+
+    Determinism matches the global sketch: a pure function of (data,
+    partitioning, k, merge_groups) — no RNG; the registry oracle
+    checks the rank budget, not the value. NaNs raise; NULL values are
+    excluded; NULL group keys group together (SQL GROUP BY
+    semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for name, q in qs.items():
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        if name in (*group_cols, col, "n", "pid", "rank", "value",
+                    "rows", "gid"):
+            raise ValueError(
+                f"output name {name!r} collides with a group/input "
+                "column or a reserved summary name")
+    gfields = [df.schema[c] for c in group_cols]
+    gschema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in gfields)
+    sum_schema = (f"{gschema_ddl}, pid long, rank long, value double, "
+                  f"rows long")
+    from pyspark.sql import types as ST
+    _pa_of = {ST.StringType: pa.string(), ST.LongType: pa.int64(),
+              ST.IntegerType: pa.int32(), ST.ShortType: pa.int16(),
+              ST.DoubleType: pa.float64(), ST.FloatType: pa.float32(),
+              ST.BinaryType: pa.binary(), ST.BooleanType: pa.bool_(),
+              ST.DateType: pa.date32()}
+    try:
+        g_pa_fields = [pa.field(f.name, _pa_of[type(f.dataType)])
+                       for f in gfields]
+    except KeyError as e:
+        raise ValueError(
+            f"unsupported group column type {e} for the sketch "
+            "summary stream — cast the group key to a scalar type "
+            "first") from None
+    sum_pa_schema = pa.schema(
+        g_pa_fields + [pa.field("pid", pa.int64()),
+                       pa.field("rank", pa.int64()),
+                       pa.field("value", pa.float64()),
+                       pa.field("rows", pa.int64())])
+    src = (df.where(F.col(col).isNotNull())
+           .select(*group_cols,
+                   F.col(col).cast("double").alias("__v"),
+                   F.spark_partition_id().alias("__pid")))
+
+    def summarize(batches):
+        tbl_batches = [b for b in batches if b.num_rows]
+        if not tbl_batches:
+            return
+        pdf = pa.Table.from_batches(tbl_batches).to_pandas()
+        pid = int(pdf["__pid"].iloc[0])
+        out = {c: [] for c in group_cols}
+        ranks_out, vals_out, rows_out = [], [], []
+        import pandas as pd
+        for gkey, sub in pdf.groupby(group_cols, dropna=False,
+                                     sort=False):
+            gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+            v = sub["__v"].to_numpy(dtype=np.float64, copy=True)
+            if np.isnan(v).any():
+                raise ValueError(
+                    f"grouped_sketch_quantiles: NaN in column {col!r}"
+                    " — NaN has no rank; filter or impute first")
+            v.sort()
+            n = len(v)
+            ranks = np.array(_spaced_ranks(n, k), dtype=np.int64)
+            for c, gv in zip(group_cols, gkey):
+                out[c].extend([None if pd.isna(gv) else gv]
+                              * len(ranks))
+            ranks_out.extend(ranks.tolist())
+            vals_out.extend(v[ranks].tolist())
+            rows_out.extend([n] * len(ranks))
+        arrays = [pa.array(out[f.name], type=f.type)
+                  for f in sum_pa_schema if f.name in out]
+        arrays += [
+            pa.array([pid] * len(ranks_out), type=pa.int64()),
+            pa.array(ranks_out, type=pa.int64()),
+            pa.array(vals_out, type=pa.float64()),
+            pa.array(rows_out, type=pa.int64())]
+        yield from pa.table(arrays,
+                            schema=sum_pa_schema).to_batches()
+
+    summaries = src.mapInArrow(summarize, sum_schema)
+
+    if merge_groups is not None:
+        def merge_cell(key, pdf):
+            import pandas as pd
+            parts = _summaries_to_arrays(
+                zip(pdf["pid"], pdf["rank"], pdf["value"], pdf["rows"]))
+            total = sum(p[2] for p in parts)
+            targets = np.array(_spaced_ranks(total, k), dtype=np.int64)
+            vals, _ = _rank_union_pick(parts, targets)
+            gid = int(key[-1])
+            data = {c: [kv] * len(targets)
+                    for c, kv in zip(group_cols, key[:-1])}
+            data.update({"pid": gid, "rank": targets, "value": vals,
+                         "rows": total})
+            return pd.DataFrame(data)
+
+        summaries = (summaries
+                     .withColumn("gid", F.col("pid") % merge_groups)
+                     .groupBy(*group_cols, "gid")
+                     .applyInPandas(merge_cell, sum_schema))
+
+    qnames = list(qs)
+    out_schema = (f"{gschema_ddl}, "
+                  + ", ".join(f"`{name}` double" for name in qnames)
+                  + ", n long")
+
+    def finalize(key, pdf):
+        import pandas as pd
+        parts = _summaries_to_arrays(
+            zip(pdf["pid"], pdf["rank"], pdf["value"], pdf["rows"]))
+        n = sum(p[2] for p in parts)
+        targets = [max(1, math.ceil(q * n)) - 1 for q in qs.values()]
+        vals, _ = _rank_union_pick(parts, targets)
+        data = {c: [kv] for c, kv in zip(group_cols, key)}
+        data.update({name: [float(v)]
+                     for name, v in zip(qnames, vals)})
+        data["n"] = [n]
+        return pd.DataFrame(data)
+
+    return summaries.groupBy(*group_cols).applyInPandas(
+        finalize, out_schema)
+
+
 def median_abs_deviation(df: DataFrame, col: str) -> tuple[Any, Any]:
     """``(median, MAD)`` of ``col``, both EXACT order statistics: MAD
     is the median of ``|x - median|`` — the robust spread measure that,

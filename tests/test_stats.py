@@ -265,6 +265,61 @@ class TestSketchQuantiles:
             stats.sketch_quantiles(df, "x", [1.5])
 
 
+class TestGroupedSketchQuantiles:
+    def test_rank_budget_holds_per_group(self, spark):
+        """The grouped twin: ~20k near-unique doubles per group across
+        3 skewed groups. Every group's estimates must sit within THAT
+        group's budget of ceil(q*n_g), n_g exact per group."""
+        import numpy as np
+        rng = np.random.RandomState(17)
+        rows, model = [], {}
+        for g, size in (("a", 30_000), ("b", 12_000), ("c", 500)):
+            data = (rng.lognormal(2.0 + len(g), 1.2, size)).tolist()
+            model[g] = sorted(data)
+            rows += [(g, v) for v in data]
+        df = spark.createDataFrame(rows, "g string, x double")
+        qs = {"p10": 0.10, "p50": 0.5, "p99": 0.99}
+        out = {r.g: r for r in stats.grouped_sketch_quantiles(
+            df, ["g"], "x", qs, k=512, merge_groups=8).collect()}
+        assert set(out) == set(model)
+        for g, s in model.items():
+            r = out[g]
+            n = r.n
+            assert n == len(s)
+            budget = stats.sketch_rank_budget(n, k=512, merge_groups=8)
+            for qname, q in qs.items():
+                v = r[qname]
+                target = max(1, math.ceil(q * n))
+                lt = sum(1 for x in s if x < v)
+                le = sum(1 for x in s if x <= v)
+                assert le >= target - budget and lt < target + budget, \
+                    (g, qname, v, lt, le, target, budget)
+                assert v in s  # an actual data value of ITS group
+
+    def test_null_group_and_flat_merge(self, spark):
+        df = spark.createDataFrame(
+            [(None, float(v)) for v in range(1, 101)]
+            + [("g", float(v)) for v in range(1, 11)],
+            "g string, x double")
+        out = {r.g: r for r in stats.grouped_sketch_quantiles(
+            df, ["g"], "x", {"p50": 0.5}, merge_groups=None).collect()}
+        assert set(out) == {None, "g"}
+        assert out[None].n == 100 and abs(out[None].p50 - 50.0) <= 2.0
+        assert out["g"].n == 10 and abs(out["g"].p50 - 5.0) <= 2.0
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError, match="outside"):
+            stats.grouped_sketch_quantiles(df, ["g"], "x", {"p": 1.5})
+        with pytest.raises(ValueError, match="collides"):
+            stats.grouped_sketch_quantiles(df, ["g"], "x", {"rank": 0.5})
+        nan = spark.createDataFrame([("a", float("nan"))],
+                                    "g string, x double")
+        with pytest.raises(Exception, match="NaN"):
+            stats.grouped_sketch_quantiles(
+                nan, ["g"], "x", {"p50": 0.5}).collect()
+
+
 class TestMadOutliers:
     def test_matches_pure_python_model(self, spark, events):
         vals = [r.value for r in events.collect() if r.value is not None]
