@@ -2094,6 +2094,24 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.dedup_lines(doc)
 
 
+def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate removal (corpus.strip_boilerplate_lines) — the C4
+    cleaning step AFTER detection: every line appearing in >= 3
+    distinct documents of its language is chrome and ALL its
+    occurrences are dropped (dedup_lines keeps the first; cleaning
+    keeps none). Docs pre-split into sentence lines like line_dedup so
+    the planted near-duplicates genuinely share lines. Per-group line
+    document frequency by hash agg + anti-join back — no hot-key
+    window; the oracle replays the same shared detected set in one
+    SQL expression."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\. ", ".\n"))
+    return corpus.strip_boilerplate_lines(
+        doc.select("lang", "doc_id", "text"), ["lang"], min_df=3)
+
+
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub (functions/text.py pii_scrub): emails/IPs/phone runs
     redacted by chained regexp_replace, counted before replacement. The
@@ -3031,6 +3049,30 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("max_session_len")))
 
 
+def q_streaming_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous cohort retention (streaming.streaming_retention):
+    per-user sorted distinct activity periods maintained across
+    micro-batches, cohort + offsets RE-DERIVED per batch so a late
+    earlier event re-cohorts the user exactly (incremental counters
+    cannot undo a cohort shift). Final table = latest update per user
+    (max_by on the monotone upd counter), exploded and counted — must
+    hash-match the batch retention_cohorts oracle on the same data.
+    Day periods over epoch-micro timestamps."""
+    from sleeper_spark import streaming as streaming_mod
+
+    stream = _events_stream(spark, sf).select("user_id", "ts")
+    out = streaming_mod.streaming_retention(
+        stream, "user_id", "ts", period=86_400_000_000)
+    _run_stream_to_view(out, "q_streaming_retention", "update")
+    return (spark.table("q_streaming_retention").groupBy("user")
+            .agg(F.max_by("cohort", "upd").alias("cohort"),
+                 F.max_by("offsets", "upd").alias("offsets"))
+            .select("cohort",
+                    F.explode("offsets").alias("period_offset"))
+            .groupBy("cohort", "period_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
 def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
     per-user running totals equal the batch aggregate. Values stream as
@@ -3752,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "inverted_index_stats": q_inverted_index_stats,
         "line_dedup": q_line_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
         "pii_scrub": q_pii_scrub,
         "zorder_key": q_zorder_key,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3810,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_funnel": q_streaming_funnel,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_retention": q_streaming_retention,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_approx_distinct": q_streaming_approx_distinct,
         "streaming_dedup": q_streaming_dedup,
@@ -5750,6 +5794,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cohort, CAST(p - cohort AS INTEGER) AS period_offset, "
             "count(*) AS n_users FROM a JOIN f USING (user_id) "
             "GROUP BY 1, 2",
+        # the streaming twin must converge to the batch cohort table
+        "streaming_retention":
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS p FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1) "
+            "SELECT cohort, CAST(p - cohort AS INTEGER) AS period_offset, "
+            "count(*) AS n_users FROM a JOIN f USING (user_id) "
+            "GROUP BY 1, 2",
         "streaming_dedup":
             "SELECT DISTINCT user_id, event_type FROM events",
         "grouped_collect":
@@ -5898,6 +5951,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, CAST(len(l) AS INTEGER) AS n_lines, "
             "CAST(coalesce(n_kept, 0) AS INTEGER) AS n_kept, "
             "coalesce(text_dedup, '') AS text_dedup "
+            "FROM t LEFT JOIN p USING (doc_id)",
+        # C4 cleaning: a line in >= 3 distinct docs of its language is
+        # boilerplate; ALL its occurrences are dropped (one shared
+        # detected set b, anti-joined back)
+        "boilerplate_strip":
+            "WITH t AS (SELECT lang, doc_id, "
+            "str_split(regexp_replace(text, '\\. ', '.' || chr(10), 'g'), "
+            "chr(10)) AS l FROM documents), "
+            "e AS (SELECT lang, doc_id, generate_subscripts(l, 1) - 1 "
+            "AS line_no, unnest(l) AS line FROM t), "
+            "b AS (SELECT lang, line FROM "
+            "(SELECT DISTINCT lang, doc_id, line FROM e) "
+            "GROUP BY lang, line HAVING count(*) >= 3), "
+            "k AS (SELECT e.doc_id, e.line_no, e.line FROM e "
+            "LEFT JOIN b ON e.lang = b.lang AND e.line = b.line "
+            "WHERE b.line IS NULL), "
+            "p AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY line_no) "
+            "AS text_stripped FROM k GROUP BY doc_id) "
+            "SELECT t.lang, t.doc_id, "
+            "CAST(len(l) AS INTEGER) AS n_lines, "
+            "CAST(coalesce(n_kept, 0) AS INTEGER) AS n_kept, "
+            "coalesce(text_stripped, '') AS text_stripped "
             "FROM t LEFT JOIN p USING (doc_id)",
         # progressive counts: each pattern counted on the text as the
         # scrub sees it (matches text.pii_scrub's substitution counts)

@@ -619,3 +619,68 @@ def grouped_boilerplate_ngrams(
         F.col("df").desc(), F.col("ngram").asc())
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """Boilerplate REMOVAL — the step after detection in the C4
+    pipeline: a line appearing in ``min_df`` or more DISTINCT documents
+    of its group (language/site/domain) is chrome (navigation, cookie
+    banners, license headers), and every occurrence is stripped from
+    every document of that group. Line-level exact match — the C4
+    rule; reference-free (no known-good phrase list needed:
+    cross-document repetition itself is the evidence).
+
+    Differs from :func:`dedup_lines` in WHAT survives: dedup keeps the
+    FIRST occurrence of a repeated line (dedup semantics); this drops
+    ALL occurrences once the line crosses the boilerplate threshold
+    (cleaning semantics — the first cookie banner is as worthless as
+    the millionth), and scopes the evidence per group so one
+    language's chrome never bleeds into another's threshold.
+
+    Shape: explode lines with position; per-group line document
+    frequency via ``distinct -> hash agg`` (per-doc distinct first, so
+    a single doc repeating its own line cannot manufacture
+    boilerplate); LEFT ANTI join back on (group, line) — the
+    boilerplate set is a tiny fraction of distinct lines, which AQE
+    broadcasts when it fits — then reassemble per doc by line_no.
+    Everything is hash aggregation + joins: combine-friendly,
+    no hot-key window. NULL group keys join null-unsafely (their lines
+    are never stripped), matching plain SQL equality.
+
+    Output: ``group_cols..., id_col, n_lines, n_kept, text_stripped``
+    — every input doc appears (possibly with empty ``text_stripped``),
+    so downstream counts stay honest."""
+    lines = F.split(F.col(text_col), "\n")
+    e = df.select(
+        *group_cols, F.col(id_col),
+        F.posexplode(lines).alias("line_no", "line"))
+    boiler = (e.select(*group_cols, id_col, "line").distinct()
+              .groupBy(*group_cols, "line")
+              .agg(F.count(F.lit(1)).alias("__df"))
+              .where(F.col("__df") >= min_df)
+              .select(*group_cols, "line"))
+    kept = e.join(boiler, [*group_cols, "line"], "left_anti")
+    per_doc = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("line_no", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("text_stripped")))
+    totals = df.select(
+        *group_cols, F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(lines)).alias("n_lines"))
+    return (totals.join(per_doc, id_col, "left")
+            .select(*group_cols, id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).cast("int")
+                    .alias("n_kept"),
+                    F.coalesce("text_stripped", F.lit(""))
+                    .alias("text_stripped")))

@@ -734,3 +734,91 @@ def streaming_sessionize(
     return src.groupBy("key").applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_retention(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: int = 86_400_000_000,
+    max_periods_per_key: int = 100_000,
+) -> DataFrame:
+    """Continuous cohort retention — the streaming composition of
+    ``timeseries.retention_cohorts``: per-user activity periods
+    maintained across micro-batches via ``applyInPandasWithState``,
+    so the cohort table updates as events arrive instead of re-passing
+    the event history.
+
+    Same exactness idiom as :func:`streaming_funnel` /
+    :func:`streaming_sessionize`: state per user is the SORTED
+    DISTINCT activity periods (``ts div period``, computed JVM-side
+    for bit-parity with the batch operator's integer division), and
+    each batch merges its periods then RE-DERIVES cohort + offsets
+    over the full set. That re-derivation is what makes late data
+    exact: a late EARLIER event re-cohorts the user and shifts every
+    offset, which incremental (cohort, offset) counters cannot undo.
+
+    Emitted per touched user per batch: ``(user, upd, cohort,
+    offsets)`` — the user's cohort period and their int array of
+    period offsets. ``upd`` is the per-user monotone update counter;
+    the final retention table is the LATEST row per user
+    (``max_by(offsets, upd)``), exploded and counted::
+
+        updates.groupBy("user")
+               .agg(F.max_by("cohort", "upd").alias("cohort"),
+                    F.max_by("offsets", "upd").alias("offsets"))
+               .select("cohort", F.explode("offsets").alias("period_offset"))
+               .groupBy("cohort", "period_offset")
+               .agg(F.count("*").alias("n_users"))
+
+    which hash-matches the batch ``retention_cohorts`` on the same
+    data (the registry gate). State is bounded by DISTINCT PERIODS per
+    user — days active, not events — naturally tiny at day
+    granularity; ``max_periods_per_key`` raises loudly beyond it.
+    NULL users/timestamps are dropped, like the batch operator."""
+    if period <= 0:
+        raise ValueError(f"period must be positive, got {period}")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            cur, upd = list(state.get[0]), int(state.get[1])
+        else:
+            cur, upd = [], 0
+        for pdf in pdfs:
+            cur.extend(int(p) for p in pdf["__p"])
+        ps = np.unique(np.asarray(cur, dtype=np.int64))
+        if len(ps) > max_periods_per_key:
+            raise ValueError(
+                f"user {key[0]!r} holds {len(ps)} distinct activity "
+                f"periods (cap {max_periods_per_key}) — widen `period` "
+                "or cohort offline")
+        cohort = int(ps[0])
+        offsets = (ps - cohort).astype(np.int32)
+        upd += 1
+        state.update((ps.tolist(), upd))
+        yield pd.DataFrame({
+            "user": [key[0]], "upd": [upd], "cohort": [cohort],
+            "offsets": [offsets.tolist()]})
+
+    # integer division JVM-side: `div` truncates like the batch
+    # operator's expr, so stream and batch agree on every boundary
+    src = (stream_df
+           .where(F.col(user_col).isNotNull()
+                  & F.col(ts_col).isNotNull())
+           .select(F.col(user_col).alias("user"),
+                   F.expr(f"`{ts_col}` div {int(period)}")
+                   .alias("__p")))
+    state_schema = T.StructType([
+        T.StructField("periods", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType())])
+    out_schema = T.StructType([
+        T.StructField("user", stream_df.schema[user_col].dataType),
+        T.StructField("upd", T.LongType()),
+        T.StructField("cohort", T.LongType()),
+        T.StructField("offsets", T.ArrayType(T.IntegerType())),
+    ])
+    return src.groupBy("user").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

@@ -933,6 +933,48 @@ class TestCorpusFrequency:
             ._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
 
+    def test_strip_boilerplate_lines_drops_all_occurrences(self, spark):
+        """Cleaning semantics: a line in >= min_df distinct docs of
+        its group loses EVERY occurrence (dedup keeps the first);
+        within-doc repetition alone never crosses the threshold; one
+        group's chrome does not strip another group's identical
+        line."""
+        from sleeper_spark.functions.corpus import (
+            strip_boilerplate_lines)
+        df = spark.createDataFrame(
+            [(1, "en", "cookie banner\nreal text one"),
+             (2, "en", "cookie banner\nreal text two"),
+             (3, "en", "cookie banner\nmore real text"),
+             (4, "en", "self repeat\nself repeat\nself repeat"),
+             (5, "de", "cookie banner\nechter text")],
+            ["doc_id", "lang", "text"])
+        got = {r.doc_id: r for r in strip_boilerplate_lines(
+            df, ["lang"], min_df=3).collect()}
+        # the en banner (df 3) is gone from ALL three docs
+        for d in (1, 2, 3):
+            assert "cookie banner" not in got[d].text_stripped
+            assert got[d].n_lines == 2 and got[d].n_kept == 1
+        # within-doc repetition: df 1, survives intact
+        assert got[4].n_kept == 3
+        # de's identical line has df 1 IN ITS GROUP: survives
+        assert got[5].text_stripped == "cookie banner\nechter text"
+        assert got[5].lang == "de"
+
+    def test_strip_boilerplate_lines_null_text_and_empty_doc(
+            self, spark):
+        from sleeper_spark.functions.corpus import (
+            strip_boilerplate_lines)
+        df = spark.createDataFrame(
+            [(1, "en", "b\nx"), (2, "en", "b\ny"), (3, "en", None),
+             (4, "en", "b")],
+            "doc_id long, lang string, text string")
+        got = {r.doc_id: r for r in strip_boilerplate_lines(
+            df, ["lang"], min_df=3).collect()}
+        assert got[3].n_lines == 0 and got[3].text_stripped == ""
+        # doc 4 was ONLY the boilerplate line: present, empty
+        assert got[4].n_lines == 1 and got[4].n_kept == 0
+        assert got[4].text_stripped == ""
+
     def test_repetition_scores(self, spark):
         from sleeper_spark.functions.corpus import repetition_scores
         df = spark.createDataFrame(

@@ -626,6 +626,64 @@ def test_streaming_sessionize_bridge_event_merges(spark, tmp_path):
     assert hist == [2, 3]
 
 
+def test_streaming_retention_late_event_recohorts(spark, tmp_path):
+    """A late EARLIER event must RE-COHORT its user, shifting every
+    offset — the case incremental (cohort, offset) counters cannot
+    undo. Day = 100 units here. Batch 1: user 1 active at days 5 and 7
+    (cohort 5, offsets {0, 2}); user 2 at day 5. Batch 2: user 1's
+    LATE event at day 3 arrives — cohort moves to 3, offsets become
+    {0, 2, 4}. Final table must equal the batch operator on the full
+    data."""
+    from sleeper_spark.functions.timeseries import retention_cohorts
+
+    b1 = [(1, 500), (1, 510), (1, 700), (2, 500)]
+    b2 = [(1, 300), (2, 501)]  # late day-3 event; dup day for user 2
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    schema = "user_id long, ts long"
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = streaming.streaming_retention(stream, "user_id", "ts",
+                                        period=100)
+    q = (out.writeStream.format("memory").queryName("sret")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "rckpt")).start())
+    q.awaitTermination(120)
+    got = {(r.cohort, r.period_offset): r.n_users for r in spark.sql(
+        "SELECT cohort, period_offset, count(*) AS n_users FROM ("
+        "SELECT user, max_by(cohort, upd) AS cohort, "
+        "explode(max_by(offsets, upd)) AS period_offset "
+        "FROM sret GROUP BY user) GROUP BY cohort, period_offset"
+    ).collect()}
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = {(r.cohort, r.period_offset): r.n_users
+            for r in retention_cohorts(batch, "user_id", "ts",
+                                       period=100).collect()}
+    assert got == want
+    assert got[(3, 0)] == 1 and got[(3, 4)] == 1  # re-cohorted user 1
+    assert got[(5, 0)] == 1                        # user 2 stayed
+    assert (5, 2) not in got  # user 1's old cohort rows are gone
+    # mid-stream the user really was in cohort 5 (update history)
+    hist = sorted(r.cohort for r in spark.sql(
+        "SELECT cohort FROM sret WHERE user = 1").collect())
+    assert hist == [3, 5]
+
+
+def test_streaming_retention_guards(spark, tmp_path):
+    src = tmp_path / "rgsrc"
+    src.mkdir()
+    spark.createDataFrame([(1, 5)], "user_id long, ts long") \
+        .coalesce(1).write.parquet(str(src / "b"))
+    stream = spark.readStream.schema("user_id long, ts long") \
+        .parquet(str(src / "*"))
+    with pytest.raises(ValueError, match="period must be"):
+        streaming.streaming_retention(stream, "user_id", "ts", period=0)
+
+
 def test_streaming_sessionize_guards(spark, tmp_path):
     src = tmp_path / "gsrc"
     src.mkdir()
