@@ -493,6 +493,67 @@ def q_composite_index(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write UPDATE (updates.py, table.update_where): rows in
+    a key range get two value columns reassigned (constant + NULL) in
+    ONE atomic REPLACE commit — matching rows rewritten with
+    assignments applied, kept rows byte-identical, both outputs sorted
+    (keys not assignable), old versions tombstoned and new versions
+    stamped for the incremental feeds. File-level pruning (partition
+    regions, footer min/max, Blooms) bounds the rewrite to the files
+    that can match — never the table. Crash-atomicity is pinned by
+    tests/test_updates.py (kill between rewrite and commit leaves the
+    old version readable). Oracle = CASE WHEN over the same rows."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_upd_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev)
+    res = table.update_where(
+        {"event_type": "redacted", "value": None},
+        regions=[Region.of(Range("event_id", 2000, 2500))])
+    assert res["rows_updated"] > 0
+    return table.full_scan()
+
+
+def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel (table.as_of, table.py:135; the append-only
+    transaction log makes historical reads free): ingest events,
+    capture the head seq, delete_where a key range AND compact, then
+    read back ``as_of`` the pre-delete seq. The snapshot must return
+    the FULL pre-delete dataset even though the current head has both
+    dropped rows (tombstone feed) and rewritten files — locking the
+    no-lost-history contract behind the oracle gate (GC delay is what
+    bounds how far back this stays valid; nothing here is collected).
+    Oracle = the plain full dataset."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_tt_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev)
+    pre_delete_seq = table.store.current_seq
+    table.delete_where(
+        regions=[Region.of(Range("event_id", 1000, 4000))])
+    table.compact()  # rewrite current files; history must survive
+    assert table.full_scan().where(
+        "event_id >= 1000 AND event_id < 4000").isEmpty()
+    return table.as_of(seq=pre_delete_seq).full_scan()
+
+
 def q_composite_index_range(spark: SparkSession, sf: str) -> DataFrame:
     """Leading-prefix RANGE lookup on the composite index
     (views.SecondaryIndex.lookup_prefix_range): exact value on the
@@ -3706,6 +3767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secondary_index": q_secondary_index,
         "composite_index": q_composite_index,
         "composite_index_range": q_composite_index_range,
+        "time_travel": q_time_travel,
+        "update_where": q_update_where,
         "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
@@ -4582,6 +4645,16 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'click' AND user_id = 7) OR "
             "(event_type = 'view' AND user_id = 42) OR "
             "(event_type = 'purchase' AND user_id = 99))",
+        # the pre-delete snapshot IS the full dataset
+        "time_travel":
+            "SELECT event_id, user_id, event_type, value FROM events",
+        # copy-on-write UPDATE == CASE WHEN over the same rows
+        "update_where":
+            "SELECT event_id, user_id, "
+            "CASE WHEN event_id >= 2000 AND event_id < 2500 "
+            "THEN 'redacted' ELSE event_type END AS event_type, "
+            "CASE WHEN event_id >= 2000 AND event_id < 2500 "
+            "THEN NULL ELSE value END AS value FROM events",
         # prefix + BETWEEN over the post-delete survivors
         "composite_index_range":
             "SELECT event_id, user_id, event_type FROM events "

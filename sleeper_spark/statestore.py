@@ -550,6 +550,7 @@ class StateStore:
         allow_empty_outputs: bool = False,
         job_id: str | None = None,
         tombstones: list[str] | None = None,
+        updates: list[str] | None = None,
     ) -> None:
         """Commit MANY compaction jobs' reference swaps as ONE
         transaction (ReplaceFileReferencesTransaction.java:54-59 carries
@@ -567,7 +568,14 @@ class StateStore:
         the deletion observable to incremental consumers
         (``SleeperTable.deleted_rows_between``). Tombstones enter the
         GC queue at commit time — like replaced inputs, they live for
-        the GC delay, which is the documented bound on consumer lag."""
+        the GC delay, which is the documented bound on consumer lag.
+
+        ``updates`` is stamped by update_where: the subset of output
+        files that hold the NEW versions of updated rows (they are
+        ordinary LIVE references, not GC candidates — the stamp is
+        metadata that makes the update observable to
+        ``SleeperTable.updated_rows_between`` without re-deriving it
+        from a diff)."""
         def build() -> dict[str, Any]:
             now = time.time()
             for partition_id, input_files, _ in replacements:
@@ -596,6 +604,8 @@ class StateStore:
                 tx["jobId"] = job_id
             if tombstones:
                 tx["tombstones"] = list(tombstones)
+            if updates:
+                tx["updates"] = list(updates)
             return tx
 
         self._commit_with_retry(build)

@@ -245,6 +245,37 @@ class SleeperTable:
         return (self.spark.read.schema(struct).parquet(*files)
                 .select(*[f.name for f in self.schema.all_fields()]))
 
+    def updated_rows_between(self, from_seq: int,
+                             to_seq: int | None = None) -> DataFrame:
+        """Update feed: the NEW versions of rows rewritten by
+        ``update_where`` commits in ``(from_seq, to_seq]``, read from
+        the updated-rows output files the transaction stamped
+        (updates.py) — paired with :meth:`deleted_rows_between` (which
+        carries the OLD versions from the same commits' tombstones),
+        an incremental consumer applies an update as delete-old +
+        ingest-new instead of rebuilding from a snapshot. Cost ∝
+        updated rows. The stamped files are ordinary live references;
+        one a LATER compaction already collected raises here by name —
+        same GC-delay-vs-consumer-lag rule as every feed."""
+        from sleeper_spark.statestore import StateStoreException
+        self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
+        txs = self.store.transactions_between(from_seq, to_seq)
+        files = sorted({
+            u for _, tx in txs
+            if tx.get("type") == "REPLACE_FILE_REFERENCES"
+            for u in tx.get("updates", ())})
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise StateStoreException(
+                f"update feed needs {len(missing)} garbage-collected "
+                f"file(s): {missing[:3]} — raise the GC delay to "
+                "cover your consumers' lag")
+        struct = self.schema.to_struct_type()
+        if not files:
+            return self.spark.createDataFrame([], struct)
+        return (self.spark.read.schema(struct).parquet(*files)
+                .select(*[f.name for f in self.schema.all_fields()]))
+
     def poll_changes(self, from_seq: int,
                      max_seqs: int | None = None) -> tuple[DataFrame, int]:
         """Bounded change-feed poll: returns ``(appended_rows,
@@ -533,6 +564,26 @@ class SleeperTable:
         rewrite, GC'd on the replaced inputs' clock)."""
         from sleeper_spark.deletes import delete_where as _dw
         return _dw(self, regions=regions, value_ranges=value_ranges)
+
+    def update_where(self, assignments: dict,
+                     regions: list[Region] | None = None,
+                     value_ranges: list[Range] | None = None) -> dict:
+        """Copy-on-write row UPDATE (updates.py module doc): the
+        value-assignment twin of :meth:`delete_where` — matching rows
+        are rewritten with ``assignments`` applied (constant per
+        column, or a callable over the old rows' arrow table), kept
+        rows byte-identical, both outputs sorted (keys are not
+        assignable), all swapped in ONE transaction stamped with the
+        old versions (tombstones) and the new versions (``updates``).
+        Returns ``{rows_updated, files_rewritten, files_untouched,
+        tombstone_files, update_files, job_id}``. Pre-update states
+        stay readable via ``as_of``; incremental consumers apply the
+        change as delete-old + ingest-new via
+        :meth:`deleted_rows_between` / :meth:`updated_rows_between`
+        (MaterializedView.refresh does exactly that)."""
+        from sleeper_spark.updates import update_where as _uw
+        return _uw(self, assignments, regions=regions,
+                   value_ranges=value_ranges)
 
     def describe(self) -> dict:
         """Operator's one-call table summary — all driver-side metadata

@@ -86,24 +86,27 @@ class MaterializedView:
         os.replace(tmp, self._state_path)
 
     _REFUSE_MSG = (
-        "source table saw a delete_where this view cannot apply "
-        "incrementally inside the refresh window — the view would "
-        "drift; pass on_delete= to maintain through deletes, or "
-        "rebuild it from scratch")
+        "source table saw a delete_where/update_where this view cannot "
+        "apply incrementally inside the refresh window — the view "
+        "would drift; pass on_delete= to maintain through "
+        "deletes/updates, or rebuild it from scratch")
 
-    def _plan_window(self, txs) -> tuple[list[int], int | None]:
-        """Classify the window's transactions for delete handling.
-        Returns ``(delete_seqs, barrier)``: the seqs of delete commits
-        whose tombstones must be applied in order, and an optional seq
-        to STOP BEFORE (an in-flight delete claim whose commit has not
-        landed yet — content-neutral itself, but advancing past it
-        would skip the commit's ordering slot).
+    def _plan_window(self, txs) -> tuple[list[tuple[int, str]],
+                                         int | None]:
+        """Classify the window's transactions for delete/update
+        handling. Returns ``(events, barrier)``: ``events`` is the
+        ordered ``(seq, kind)`` list of content-changing commits —
+        ``"delete"`` (tombstones to apply) or ``"update"`` (tombstones
+        to apply + new versions to ingest) — and ``barrier`` an
+        optional seq to STOP BEFORE (an in-flight delete/update claim
+        whose commit has not landed yet — content-neutral itself, but
+        advancing past it would skip the commit's ordering slot).
 
         Raises on LEGACY deletes (pre-tombstone commits): a jobless
         empty-output replacement, or a ``delete-*`` claim whose
         replacement exists in the log without the new-style ``jobId``
         stamp — their removed rows are unrecoverable from the log."""
-        delete_seqs: list[int] = []
+        events: list[tuple[int, str]] = []
         replace_jids = set()
         for _seq, tx in txs:
             if tx.get("type") == "REPLACE_FILE_REFERENCES":
@@ -113,17 +116,19 @@ class MaterializedView:
             t = tx.get("type")
             if t == "REPLACE_FILE_REFERENCES":
                 jid = str(tx.get("jobId", ""))
-                if tx.get("tombstones"):
-                    delete_seqs.append(seq)
-                elif jid.startswith("delete-"):
-                    pass  # new-style zero-row delete: content-neutral
+                if tx.get("updates"):
+                    events.append((seq, "update"))
+                elif tx.get("tombstones"):
+                    events.append((seq, "delete"))
+                elif jid.startswith(("delete-", "update-")):
+                    pass  # zero-row delete/update: content-neutral
                 elif any(not j.get("outputFiles")
                          for j in tx.get("jobs", ())):
                     raise ValueError(self._REFUSE_MSG)  # legacy delete
             elif t == "ASSIGN_JOB_IDS":
                 for a in tx.get("assignments", ()):
                     jid = str(a.get("jobId", ""))
-                    if not jid.startswith("delete-"):
+                    if not jid.startswith(("delete-", "update-")):
                         continue
                     if jid in replace_jids:
                         continue  # commit in window, classified above
@@ -154,7 +159,7 @@ class MaterializedView:
                             and str(tx2.get("jobId", "")) == jid
                             for _s2, tx2 in later):
                         raise ValueError(self._REFUSE_MSG)
-        return sorted(delete_seqs), barrier
+        return sorted(events), barrier
 
     def _advance_appends(self, state: dict, from_seq: int,
                          to_seq: int) -> None:
@@ -218,17 +223,28 @@ class MaterializedView:
         if to_seq <= from_seq:
             return 0
         txs = self.source.store.transactions_between(from_seq, to_seq)
-        delete_seqs, barrier = self._plan_window(txs)
+        events, barrier = self._plan_window(txs)
         if barrier is not None:
-            delete_seqs = [d for d in delete_seqs if d < barrier]
+            events = [e for e in events if e[0] < barrier]
             to_seq = barrier - 1
-        if delete_seqs and self.on_delete is None:
+        if events and self.on_delete is None:
             raise ValueError(self._REFUSE_MSG)
         cur = from_seq
-        for dseq in delete_seqs:
+        for dseq, kind in events:
             self._advance_appends(state, cur, dseq - 1)
             deleted = self.source.deleted_rows_between(dseq - 1, dseq)
             self.on_delete(deleted, f"mv-del-{dseq}")
+            if kind == "update":
+                # an update is delete-old + ingest-new: the handler
+                # above removed the old versions; the stamped new
+                # versions re-enter through the transform under a
+                # deterministic job id, so a crash-replay of this
+                # segment dedupes (handler idempotent by contract,
+                # ingest by job id)
+                updated = self.source.updated_rows_between(
+                    dseq - 1, dseq)
+                self.dest.ingest(self.transform(updated),
+                                 job_id=f"mv-upd-{dseq}")
             state["seq"] = dseq
             self._save_state(state)
             cur = dseq

@@ -66,8 +66,12 @@ def test_every_query_has_an_oracle():
     # fences, and the bounded edit-distance typo-dup join —
     # round 8 adds the mergeable quantile-sketch tier (raw continuous
     # doubles, budget-verified), the per-group md5 reservoir, per-group
-    # equi-depth binning, and the continuous streaming funnel
-    assert len(qk) == 169
+    # equi-depth binning, and the continuous streaming funnel —
+    # round 9 adds the composite-index leading-prefix range lookup,
+    # per-group sketch quantiles, C4 boilerplate line stripping,
+    # streaming cohort retention, the time-travel snapshot read, and
+    # copy-on-write update_where
+    assert len(qk) == 175
 
 
 def test_entry_smoke(spark):
