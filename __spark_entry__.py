@@ -523,6 +523,43 @@ def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Atomic MERGE / full-row upsert (merge.py, table.merge_upsert):
+    the warehouse MERGE INTO — target rows for the source's row keys
+    REPLACED by the source's rows, unseen keys INSERTED, in ONE
+    MERGE_FILES transaction (replace + add components land together;
+    no half-upserted window, unlike a delete+ingest composition).
+    Candidates pruned by per-key tree descent + Blooms and claimed
+    like compactions; insert files come from the standard commit-free
+    ingest writer. Crash atomicity and view/index maintenance pinned
+    in tests/test_merge_upsert.py. Oracle = anti-join + union over
+    the same deterministic source."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_merge_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev)
+    src = (ev.where("event_id >= 1000 AND event_id < 1500")
+           .select("event_id", "user_id",
+                   F.lit("merged").alias("event_type"),
+                   (F.col("value") * 2).alias("value"))
+           .unionByName(
+               ev.where("event_id < 200").select(
+                   (F.col("event_id") + 20000000).alias("event_id"),
+                   "user_id", F.lit("inserted").alias("event_type"),
+                   "value")))
+    res = table.merge_upsert(src)
+    assert res["rows_inserted"] > 0 and res["rows_replaced"] > 0
+    return table.full_scan()
+
+
 def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Time travel (table.as_of, table.py:135; the append-only
     transaction log makes historical reads free): ingest events,
@@ -3769,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_index_range": q_composite_index_range,
         "time_travel": q_time_travel,
         "update_where": q_update_where,
+        "merge_upsert": q_merge_upsert,
         "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
@@ -4648,6 +4686,19 @@ def oracle_sql() -> dict[str, str]:
         # the pre-delete snapshot IS the full dataset
         "time_travel":
             "SELECT event_id, user_id, event_type, value FROM events",
+        # MERGE == target anti-join source keys, union the source
+        "merge_upsert":
+            "WITH src AS ("
+            "SELECT event_id, user_id, 'merged' AS event_type, "
+            "value * 2 AS value FROM events "
+            "WHERE event_id >= 1000 AND event_id < 1500 "
+            "UNION ALL "
+            "SELECT event_id + 20000000, user_id, 'inserted', value "
+            "FROM events WHERE event_id < 200) "
+            "SELECT e.event_id, e.user_id, e.event_type, e.value "
+            "FROM events e WHERE e.event_id NOT IN "
+            "(SELECT event_id FROM src) "
+            "UNION ALL SELECT * FROM src",
         # copy-on-write UPDATE == CASE WHEN over the same rows
         "update_where":
             "SELECT event_id, user_id, "

@@ -113,13 +113,49 @@ def ingest_dataframe(
     """
     store.check_writable()  # BEFORE any data write - a read-only
     # time-travel view must not orphan a full sorted dataset
-    schema = store.schema
     # caller-supplied job ids make the ADD_FILES commit idempotent
     # (streaming micro-batch replay); fresh ids otherwise
     if job_id is not None and job_id in store.ingest_jobs_seen:
         return []  # replayed job: committed previously, skip the write too
     job_id = job_id if job_id is not None else f"ingest-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(data_dir, f"{job_id}-{uuid.uuid4().hex[:8]}")
+    refs = write_sorted_files(
+        df, tree, store, out_dir, props, strategy=strategy,
+        layout=layout, layout_cols=layout_cols,
+        layout_files_per_leaf=layout_files_per_leaf,
+        layout_bits=layout_bits)
+    if not store.add_files(refs, job_id=job_id):
+        # replay detected only inside the commit's re-validation (a
+        # concurrent writer applied this job id after the pre-check at
+        # the top): the files + sketch sidecars just written are
+        # referenced by nothing and GC will never see them — delete now
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return []
+    return refs
+
+
+def write_sorted_files(
+    df: DataFrame,
+    tree: PartitionTree,
+    store: StateStore,
+    out_dir: str,
+    props: TableProperties,
+    strategy: str = "local_sort",
+    layout: str | None = None,
+    layout_cols: list[str] | None = None,
+    layout_files_per_leaf: int = 8,
+    layout_bits: int = 16,
+) -> list[FileReference]:
+    """The WRITE phase of ingest, commit-free: land ``df`` as sorted
+    per-leaf-partition files (+ sketch/Bloom sidecars) under
+    ``out_dir`` and return the uncommitted references. ``ingest_dataframe``
+    commits them as ADD_FILES; ``merge.merge_upsert`` folds them into
+    its single atomic MERGE_FILES transaction instead — uncommitted
+    output is invisible to every reader and never enters GC, so a
+    caller that crashes before its commit leaves orphan bytes, not a
+    state change (same guarantee the failed-write cleanup below relies
+    on)."""
+    schema = store.schema
     leaves = tree.leaves()
 
     # shuffle width tracks the CLUSTER, not the leaf count: partitionBy
@@ -197,13 +233,6 @@ def ingest_dataframe(
     sketches.write_sidecars_distributed(
         df.sparkSession, [r.filename for r in refs],
         schema.key_names, props.sketch_size)
-    if not store.add_files(refs, job_id=job_id):
-        # replay detected only inside the commit's re-validation (a
-        # concurrent writer applied this job id after the pre-check at
-        # the top): the files + sketch sidecars just written are
-        # referenced by nothing and GC will never see them — delete now
-        shutil.rmtree(out_dir, ignore_errors=True)
-        return []
     return refs
 
 

@@ -25,10 +25,11 @@ Beyond-reference surface (the reference replicates via S3 itself);
 this is the disaster-recovery / cross-region story an on-prem
 deployment needs.
 
-Scope: the feed ships APPENDS only. A source that ran ``delete_where``
-or ``update_where`` diverges from its replica (neither removal nor
-reassignment flows through ``poll_changes`` — both are REPLACE
-commits, invisible to the append feed by design); re-seed the replica
+Scope: the feed ships APPENDS only. A source that ran ``delete_where``,
+``update_where`` or ``merge_upsert`` diverges from its replica (a
+merge's INSERTS flow, but no removal or reassignment does — REPLACE
+and MERGE commits are invisible to the append feed's removal side by
+design); re-seed the replica
 (fresh destination + full sync) after destructive source operations,
 or replicate at the application layer by writing versioned rows and
 compacting with last-writer-wins aggregation instead of updating in

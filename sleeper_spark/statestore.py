@@ -11,7 +11,8 @@ Reference semantics (docs/design.md:135-199; core/statestore/):
   ADD_FILES, REPLACE_FILE_REFERENCES (compaction commit),
   SPLIT_PARTITION, EXTEND_PARTITION_TREE (atomic multi-split),
   ASSIGN_JOB_IDS, SPLIT_FILE_REFERENCES, INITIALISE_PARTITIONS,
-  CLEAR_PARTITIONS, DELETE_FILES, CLEAR_FILES.
+  CLEAR_PARTITIONS, DELETE_FILES, CLEAR_FILES — plus the
+  beyond-reference MERGE_FILES (atomic replace+add, merge.py).
 
 Implementation: each transaction is one JSON file
 ``<table>/statestore/transactions/{seq:012d}.json`` created with
@@ -447,6 +448,33 @@ class StateStore:
             # replaced inputs (the GC delay = the consumer-lag bound)
             for tomb in tx.get("tombstones", ()):
                 self.gc_queue[tomb] = tx.get("time", 0.0)
+        elif t == "MERGE_FILES":
+            # atomic MERGE (merge.py): a REPLACE component (matched key
+            # groups dropped from candidate files) and an ADD component
+            # (the source batch's sorted per-leaf files) applied as ONE
+            # state change — no interleaving, no half-upserted window
+            jid = tx.get("jobId")
+            if jid is not None:
+                if jid in self.ingest_jobs_seen:
+                    return  # idempotent merge commit replayed
+                self.ingest_jobs_seen.add(jid)
+            for job in tx["jobs"]:
+                pid = job["partitionId"]
+                for fn in job["inputFiles"]:
+                    refs = self.files.get(fn, {})
+                    refs.pop(pid, None)
+                    if not refs:
+                        self.files.pop(fn, None)
+                        self.gc_queue[fn] = tx.get("time", 0.0)
+                for d in job.get("outputFiles", ()):
+                    out = FileReference.from_json(d)
+                    self.files.setdefault(
+                        out.filename, {})[out.partition_id] = out
+            for d in tx.get("addFiles", ()):
+                r = FileReference.from_json(d)
+                self.files.setdefault(r.filename, {})[r.partition_id] = r
+            for tomb in tx.get("tombstones", ()):
+                self.gc_queue[tomb] = tx.get("time", 0.0)
         elif t == "SPLIT_PARTITION":
             assert self.tree is not None
             self.tree.apply_split(
@@ -606,6 +634,59 @@ class StateStore:
                 tx["tombstones"] = list(tombstones)
             if updates:
                 tx["updates"] = list(updates)
+            return tx
+
+        self._commit_with_retry(build)
+
+    def merge_files(
+        self,
+        replacements: list[tuple[str, list[str],
+                                 "FileReference | list[FileReference]"]],
+        add_refs: list[FileReference],
+        job_id: str,
+        tombstones: list[str] | None = None,
+    ) -> None:
+        """Commit an atomic MERGE (merge.py): swap the rewritten
+        candidate references (matched key groups removed; empty
+        outputs allowed — a fully-matched file is replaced by nothing)
+        AND add the source batch's files in ONE transaction. The two
+        components land together or not at all — there is never a
+        window where the old versions are gone and the new rows are
+        not yet visible (the hole a delete_where + ingest composition
+        would have). Idempotent on ``job_id`` (a replayed commit is
+        skipped by the log, like ingest); ``tombstones`` carry the
+        replaced key groups' old rows for the deletion feed and GC on
+        the replaced inputs' clock."""
+        add_refs = list(add_refs)
+
+        def build() -> dict[str, Any] | None:
+            if job_id in self.ingest_jobs_seen:
+                return None  # replayed commit: already in the log
+            now = time.time()
+            for partition_id, input_files, _ in replacements:
+                for fn in input_files:
+                    if self.files.get(fn, {}).get(partition_id) is None:
+                        raise StateStoreException(
+                            f"{fn} not referenced in {partition_id}")
+            jobs = []
+            for pid, input_files, out in replacements:
+                outs = out if isinstance(out, list) else [out]
+                jobs.append({
+                    "partitionId": pid,
+                    "inputFiles": input_files,
+                    "outputFiles": [
+                        replace(o, last_update_time=now).to_json()
+                        for o in outs
+                    ],
+                })
+            tx: dict[str, Any] = {
+                "type": "MERGE_FILES", "jobs": jobs,
+                "addFiles": [replace(r, last_update_time=now).to_json()
+                             for r in add_refs],
+                "jobId": job_id, "time": now,
+            }
+            if tombstones:
+                tx["tombstones"] = list(tombstones)
             return tx
 
         self._commit_with_retry(build)

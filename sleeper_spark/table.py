@@ -190,10 +190,18 @@ class SleeperTable:
         # pinned at open time and every poll returns empty forever
         self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
         txs = self.store.transactions_between(from_seq, to_seq)
+        # MERGE commits carry their insert files as "addFiles" — new
+        # content, so it belongs in this feed (the REMOVAL half of a
+        # merge is only visible via deleted_rows_between; consumers
+        # that must observe it, like MaterializedView, classify the
+        # commit by type instead of relying on this feed alone)
         files = [
             f["filename"]
-            for _, tx in txs if tx.get("type") == "ADD_FILES"
-            for f in tx.get("files", [])
+            for _, tx in txs
+            for f in (tx.get("files", [])
+                      if tx.get("type") == "ADD_FILES"
+                      else tx.get("addFiles", [])
+                      if tx.get("type") == "MERGE_FILES" else [])
         ]
         # one physical file can appear once per partition reference;
         # read each exactly once
@@ -231,7 +239,8 @@ class SleeperTable:
         txs = self.store.transactions_between(from_seq, to_seq)
         files = sorted({
             t for _, tx in txs
-            if tx.get("type") == "REPLACE_FILE_REFERENCES"
+            if tx.get("type") in ("REPLACE_FILE_REFERENCES",
+                                  "MERGE_FILES")
             for t in tx.get("tombstones", ())})
         missing = [f for f in files if not os.path.exists(f)]
         if missing:
@@ -584,6 +593,22 @@ class SleeperTable:
         from sleeper_spark.updates import update_where as _uw
         return _uw(self, assignments, regions=regions,
                    value_ranges=value_ranges)
+
+    def merge_upsert(self, source_df: DataFrame,
+                     cap: int = 100_000) -> dict:
+        """Atomic MERGE / full-row upsert by row key (merge.py module
+        doc): the target's rows for every source row key are REPLACED
+        by the source's rows for that key; keys the target lacks are
+        INSERTED — one ``MERGE_FILES`` transaction, so readers see
+        wholly-before or wholly-after, never the half-upserted window
+        a delete+ingest composition has. Candidates pruned by per-key
+        tree descent + Blooms and claimed like compactions; bounded by
+        ``cap`` distinct source keys (CDC-batch tool — bulk
+        restatements should ingest + last-writer-wins compact).
+        Returns ``{rows_inserted, rows_replaced, files_rewritten,
+        files_removed, files_untouched, tombstone_files, job_id}``."""
+        from sleeper_spark.merge import merge_upsert as _mu
+        return _mu(self, source_df, cap=cap)
 
     def describe(self) -> dict:
         """Operator's one-call table summary — all driver-side metadata

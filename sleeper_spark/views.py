@@ -109,12 +109,18 @@ class MaterializedView:
         events: list[tuple[int, str]] = []
         replace_jids = set()
         for _seq, tx in txs:
-            if tx.get("type") == "REPLACE_FILE_REFERENCES":
+            if tx.get("type") in ("REPLACE_FILE_REFERENCES",
+                                  "MERGE_FILES"):
                 replace_jids.add(str(tx.get("jobId", "")))
         barrier: int | None = None
         for seq, tx in txs:
             t = tx.get("type")
-            if t == "REPLACE_FILE_REFERENCES":
+            if t == "MERGE_FILES":
+                # atomic upsert: tombstoned old groups + addFiles
+                # inserts in one commit — handled as delete-old +
+                # ingest-new at its own seq
+                events.append((seq, "merge"))
+            elif t == "REPLACE_FILE_REFERENCES":
                 jid = str(tx.get("jobId", ""))
                 if tx.get("updates"):
                     events.append((seq, "update"))
@@ -128,7 +134,8 @@ class MaterializedView:
             elif t == "ASSIGN_JOB_IDS":
                 for a in tx.get("assignments", ()):
                     jid = str(a.get("jobId", ""))
-                    if not jid.startswith(("delete-", "update-")):
+                    if not jid.startswith(("delete-", "update-",
+                                           "merge-")):
                         continue
                     if jid in replace_jids:
                         continue  # commit in window, classified above
@@ -155,7 +162,9 @@ class MaterializedView:
                            for _s2, tx2 in later):
                         continue  # abandoned claim: nothing committed
                     if not any(
-                            tx2.get("type") == "REPLACE_FILE_REFERENCES"
+                            tx2.get("type") in (
+                                "REPLACE_FILE_REFERENCES",
+                                "MERGE_FILES")
                             and str(tx2.get("jobId", "")) == jid
                             for _s2, tx2 in later):
                         raise ValueError(self._REFUSE_MSG)
@@ -234,16 +243,18 @@ class MaterializedView:
             self._advance_appends(state, cur, dseq - 1)
             deleted = self.source.deleted_rows_between(dseq - 1, dseq)
             self.on_delete(deleted, f"mv-del-{dseq}")
-            if kind == "update":
-                # an update is delete-old + ingest-new: the handler
-                # above removed the old versions; the stamped new
-                # versions re-enter through the transform under a
-                # deterministic job id, so a crash-replay of this
-                # segment dedupes (handler idempotent by contract,
-                # ingest by job id)
-                updated = self.source.updated_rows_between(
-                    dseq - 1, dseq)
-                self.dest.ingest(self.transform(updated),
+            if kind in ("update", "merge"):
+                # update/merge = delete-old + ingest-new: the handler
+                # above removed the old versions; the new versions
+                # (update commits stamp them as `updates`, merge
+                # commits carry them as addFiles in the append feed)
+                # re-enter through the transform under a deterministic
+                # job id, so a crash-replay of this segment dedupes
+                # (handler idempotent by contract, ingest by job id)
+                new_rows = (self.source.updated_rows_between(
+                    dseq - 1, dseq) if kind == "update"
+                    else self.source.added_rows_between(dseq - 1, dseq))
+                self.dest.ingest(self.transform(new_rows),
                                  job_id=f"mv-upd-{dseq}")
             state["seq"] = dseq
             self._save_state(state)

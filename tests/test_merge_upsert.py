@@ -1,0 +1,213 @@
+"""Atomic MERGE / full-row upsert (merge.py): key-group replacement +
+insert in one MERGE_FILES transaction, crash atomicity, feeds, and
+incremental view maintenance through a merge."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sleeper_spark.properties import TableProperties
+from sleeper_spark.schema import Field, Schema
+from sleeper_spark.statestore import StateStoreException
+from sleeper_spark.table import SleeperTable
+
+
+def _schema():
+    return Schema(
+        row_key_fields=(Field("key", T.StringType()),),
+        sort_key_fields=(Field("seq", T.LongType()),),
+        value_fields=(Field("value", T.LongType()),
+                      Field("status", T.StringType(), True)),
+    )
+
+
+def _rows(spark, lo, hi, status="old"):
+    return spark.range(lo, hi).select(
+        F.format_string("k-%06d", F.col("id")).alias("key"),
+        F.col("id").alias("seq"),
+        F.col("id").alias("value"),
+        F.lit(status).alias("status"))
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SleeperTable.create(spark, str(tmp_path / "t"), _schema(),
+                            split_points=["k-001000"])
+    t.ingest(_rows(spark, 0, 1000))
+    t.ingest(_rows(spark, 1000, 2000))
+    return t
+
+
+def _src(spark):
+    """Replace keys 100-199 (one row each, new sort key) and insert
+    5000-5049."""
+    return spark.range(100, 200).union(spark.range(5000, 5050)).select(
+        F.format_string("k-%06d", F.col("id")).alias("key"),
+        F.lit(0).cast("long").alias("seq"),
+        (F.col("id") * 10).alias("value"),
+        F.lit("merged").alias("status"))
+
+
+class TestMergeUpsert:
+    def test_replace_and_insert_semantics(self, spark, table):
+        pre = table.store.current_seq
+        res = table.merge_upsert(_src(spark))
+        assert res["rows_inserted"] == 150
+        assert res["rows_replaced"] == 100
+        assert res["files_untouched"] >= 1  # right partition untouched
+        got = table.full_scan()
+        assert got.count() == 2000 - 100 + 150
+        assert got.where("status = 'merged'").count() == 150
+        # matched key GROUPS are fully replaced (old sort-key rows gone)
+        assert got.where(
+            "key >= 'k-000100' AND key < 'k-000200' "
+            "AND status <> 'merged'").count() == 0
+        assert got.where("key < 'k-000100' AND status <> 'old'") \
+            .count() == 0
+        # one atomic seq: history before it has no merged rows at all
+        old = table.as_of(seq=pre).full_scan()
+        assert old.count() == 2000
+        assert old.where("status = 'merged'").count() == 0
+        # feeds: old groups in the deletion feed, ALL source rows in
+        # the append feed
+        assert table.deleted_rows_between(pre).count() == 100
+        assert table.added_rows_between(pre).count() == 150
+        # engine invariants survive: compaction + point lookups
+        table.compact()
+        assert table.full_scan().count() == 2050
+        assert table.exact_key_query(key="k-000150").first().value \
+            == 1500
+        assert table.exact_key_query(key="k-005001").first().status \
+            == "merged"
+
+    def test_single_transaction_atomicity_on_crash(self, spark, table,
+                                                   monkeypatch):
+        """Kill after every file is written but before the ONE commit:
+        the table must serve the old version in full — no half-upserted
+        state is even representable, because the replace and add halves
+        live in the same transaction."""
+        before = sorted(tuple(r) for r in table.full_scan().collect())
+        store = table.store
+        real = store.merge_files
+
+        def crashing(*a, **kw):
+            raise RuntimeError("injected crash before commit")
+
+        monkeypatch.setattr(store, "merge_files", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            table.merge_upsert(_src(spark))
+        monkeypatch.setattr(store, "merge_files", real)
+        after = sorted(tuple(r) for r in table.full_scan().collect())
+        assert after == before
+        # abandoned claim blocks, unassign recovers, retry lands once
+        jid = next(r.job_id for r in store.all_references()
+                   if r.job_id is not None)
+        assert jid.startswith("merge-")
+        with pytest.raises(StateStoreException, match="claimed"):
+            table.merge_upsert(_src(spark))
+        store.unassign_job_ids(jid)
+        res = table.merge_upsert(_src(spark))
+        assert res["rows_inserted"] == 150
+        assert table.full_scan().count() == 2050
+
+    def test_commit_replay_is_idempotent(self, spark, table):
+        res = table.merge_upsert(_src(spark))
+        n = table.full_scan().count()
+        # a re-delivered MERGE commit with the same job id is skipped
+        table.store.merge_files([], [], res["job_id"])
+        assert table.full_scan().count() == n
+
+    def test_insert_only_and_empty_source(self, spark, table):
+        res = table.merge_upsert(_rows(spark, 9000, 9010, "new"))
+        assert res["rows_replaced"] == 0 and res["rows_inserted"] == 10
+        assert res["files_rewritten"] == 0  # Blooms pruned every file
+        empty = _rows(spark, 0, 0)
+        res2 = table.merge_upsert(empty)
+        assert res2["job_id"] is None
+        assert table.full_scan().count() == 2010
+
+    def test_guards(self, spark, table):
+        with pytest.raises(ValueError, match="more than 5 distinct"):
+            table.merge_upsert(_rows(spark, 0, 100), cap=5)
+        with pytest.raises(ValueError, match="missing table column"):
+            table.merge_upsert(_rows(spark, 0, 10).drop("status"))
+        bad = spark.createDataFrame(
+            [(None, 0, 0, "x")],
+            "key string, seq long, value long, status string")
+        with pytest.raises(ValueError, match="null row key"):
+            table.merge_upsert(bad)
+
+    def test_sum_view_maintains_through_merge(self, spark, tmp_path,
+                                              table):
+        from sleeper_spark.views import MaterializedView
+
+        vschema = Schema(
+            (Field("status", T.StringType()),), (),
+            (Field("n", T.LongType()), Field("v", T.LongType())))
+        dest = SleeperTable.create(
+            spark, str(tmp_path / "view"), vschema,
+            TableProperties(aggregations="sum(n), sum(v)"))
+
+        def transform(batch):
+            return batch.where(F.col("status").isNotNull()).select(
+                "status", F.lit(1).cast("long").alias("n"),
+                F.col("value").alias("v"))
+
+        def on_delete(deleted, job_id):
+            dest.ingest(transform(deleted)
+                        .withColumn("n", -F.col("n"))
+                        .withColumn("v", -F.col("v")), job_id=job_id)
+
+        mv = MaterializedView(table, dest, transform,
+                              on_delete=on_delete)
+        mv.refresh()
+        table.merge_upsert(_src(spark))
+        table.ingest(_rows(spark, 3000, 3100))  # append after merge
+        assert mv.refresh() >= 2
+        got = {r.status: (r.n, r.v) for r in
+               dest.full_scan().collect() if r.n != 0}
+        want = {r.status: (r.n, r.v) for r in
+                table.full_scan().groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("v")).collect()}
+        assert got == want
+        assert got["merged"] == (150, sum(
+            i * 10 for i in list(range(100, 200))
+            + list(range(5000, 5050))))
+
+    def test_view_without_handler_refuses_merge(self, spark, tmp_path,
+                                                table):
+        from sleeper_spark.views import MaterializedView
+
+        vschema = Schema(
+            (Field("status", T.StringType()),), (),
+            (Field("n", T.LongType()),))
+        dest = SleeperTable.create(
+            spark, str(tmp_path / "v2"), vschema,
+            TableProperties(aggregations="sum(n)"))
+        mv = MaterializedView(
+            table, dest,
+            lambda b: b.where(F.col("status").isNotNull())
+            .select("status", F.lit(1).cast("long").alias("n")))
+        mv.refresh()
+        table.merge_upsert(_src(spark))
+        with pytest.raises(ValueError, match="delete_where/update"):
+            mv.refresh()
+
+    def test_secondary_index_maintains_through_merge(self, spark,
+                                                     tmp_path, table):
+        from sleeper_spark.views import SecondaryIndex
+
+        idx = SecondaryIndex.create(table, str(tmp_path / "idx"),
+                                    "status")
+        idx.refresh()
+        table.merge_upsert(_src(spark))
+        idx.refresh()
+        assert idx.lookup("merged").count() == 150
+        assert idx.lookup("old").count() == 1900
+        fresh = SecondaryIndex.create(table, str(tmp_path / "idx2"),
+                                      "status")
+        fresh.refresh()
+        a = sorted(tuple(r) for r in idx.index.full_scan().collect())
+        b = sorted(tuple(r) for r in fresh.index.full_scan().collect())
+        assert a == b
