@@ -123,9 +123,7 @@ def _rewrite_merge_one(desc: dict) -> tuple:
 
 
 def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
-                 cap: int = 100_000) -> dict:
-    from pyspark.sql import functions as F
-
+                 cap: int = 100_000, job_id: str | None = None) -> dict:
     from sleeper_spark.ingest import write_sorted_files
 
     schema = table.schema
@@ -143,6 +141,24 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
     store.refresh_if_stale(0)
     tree = store.tree
     assert tree is not None, "table not initialised"
+
+    if job_id is not None and not job_id.startswith("merge-"):
+        # the claim-barrier and commit classification key off the
+        # prefix; an unprefixed claim would look like a compaction's
+        raise ValueError(
+            f"merge job ids must start with 'merge-', got {job_id!r}")
+    # caller-supplied job ids make the WHOLE merge idempotent (the
+    # streaming micro-batch replay contract, same as ingest): a
+    # re-delivered batch whose commit already landed is skipped before
+    # any work, and one that crashed mid-flight re-claims its own
+    # candidates and recommits under the same id
+    if job_id is not None and job_id in store.ingest_jobs_seen:
+        return {"rows_inserted": 0, "rows_replaced": 0,
+                "files_rewritten": 0, "files_removed": 0,
+                "files_untouched":
+                sum(1 for _ in store.all_references()),
+                "tombstone_files": 0, "job_id": job_id,
+                "replayed": True}
 
     head = (source_df.select(*key_names).distinct()
             .limit(cap + 1).collect())
@@ -177,18 +193,26 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
     candidates = [r for r in by_ref.values()
                   if file_may_contain_keys(r.filename, pts)]
     n_total_refs = sum(1 for _ in store.all_references())
+    if job_id is None:
+        job_id = f"merge-{uuid.uuid4().hex[:12]}"
     for ref in candidates:
-        if ref.job_id is not None:
+        if ref.job_id is not None and ref.job_id != job_id:
             raise StateStoreException(
                 f"{ref.filename} (partition {ref.partition_id}) is "
                 f"claimed by job {ref.job_id}; finish or abandon it "
                 "before merging")
-
-    job_id = f"merge-{uuid.uuid4().hex[:12]}"
-    if candidates:
-        store.assign_job_ids(job_id, candidates)
+    # refs already carrying OUR job id are a crashed attempt's claims:
+    # re-claim only the rest and carry on (the retry owns them)
+    to_claim = [r for r in candidates if r.job_id != job_id]
+    if to_claim:
+        store.assign_job_ids(job_id, to_claim)
 
     out_dir = os.path.join(table.data_dir, job_id)
+    # a crashed attempt under the SAME (caller-supplied) job id left
+    # uncommitted bytes here — the ingest_jobs_seen pre-check above
+    # proves nothing references them, so the retry starts clean
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     # insert files FIRST (commit-free): on any failure below they are
     # unreferenced bytes, not a state change

@@ -822,3 +822,52 @@ def streaming_retention(
     return src.groupBy("user").applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def stream_merge(
+    table: SleeperTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    cap: int = 100_000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously apply a CDC stream to a SleeperTable as
+    exactly-once MERGE upserts: each micro-batch runs
+    ``table.merge_upsert`` (merge.py — key groups replaced, unseen
+    keys inserted, ONE atomic MERGE_FILES commit) under a
+    deterministic ``merge-<checkpoint>-batch-<id>`` job id. The
+    streaming twin of :func:`stream_ingest` for sources that emit row
+    VERSIONS rather than appends (database CDC, dimension snapshots).
+
+    Exactly-once across crashes is the same two-legged contract as
+    streaming ingest: the checkpoint replays an unacknowledged batch,
+    and the merge's job-id idempotence makes the replay a no-op when
+    the commit already landed — and a RESUMPTION when it did not (a
+    crash between the claim and the commit leaves candidates claimed
+    by this very job id; the retry re-claims its own and recommits).
+
+    Per-batch cost is the merge's plan: per-key tree descent + Bloom
+    pruning rewrites only files holding matched keys — a CDC batch
+    touching k keys rewrites O(k) files, never the table. ``cap``
+    bounds the per-batch distinct keys (merge is the CDC tool; a
+    stream restating the whole table should ``stream_ingest`` into a
+    ``max_by`` last-writer-wins aggregation table instead)."""
+    import hashlib
+
+    ckpt_key = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_upsert(
+            batch_df, cap=cap,
+            job_id=f"merge-{ckpt_key}-batch-{batch_id}")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

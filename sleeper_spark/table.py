@@ -595,7 +595,8 @@ class SleeperTable:
                    value_ranges=value_ranges)
 
     def merge_upsert(self, source_df: DataFrame,
-                     cap: int = 100_000) -> dict:
+                     cap: int = 100_000,
+                     job_id: str | None = None) -> dict:
         """Atomic MERGE / full-row upsert by row key (merge.py module
         doc): the target's rows for every source row key are REPLACED
         by the source's rows for that key; keys the target lacks are
@@ -608,7 +609,7 @@ class SleeperTable:
         Returns ``{rows_inserted, rows_replaced, files_rewritten,
         files_removed, files_untouched, tombstone_files, job_id}``."""
         from sleeper_spark.merge import merge_upsert as _mu
-        return _mu(self, source_df, cap=cap)
+        return _mu(self, source_df, cap=cap, job_id=job_id)
 
     def describe(self) -> dict:
         """Operator's one-call table summary — all driver-side metadata

@@ -211,3 +211,75 @@ class TestMergeUpsert:
         a = sorted(tuple(r) for r in idx.index.full_scan().collect())
         b = sorted(tuple(r) for r in fresh.index.full_scan().collect())
         assert a == b
+
+
+class TestStreamMerge:
+    def test_cdc_stream_applies_exactly_once(self, spark, tmp_path,
+                                             table):
+        """Two CDC micro-batches (pinned by maxFilesPerTrigger): the
+        second RE-UPDATES a key the first touched — last batch wins,
+        exactly the versioned-row contract. Final state equals
+        applying the batches sequentially."""
+        from sleeper_spark import streaming
+
+        b1 = _src(spark)                            # 100-199 + 5000-5049
+        b2 = spark.range(150, 160).select(          # re-update 150-159
+            F.format_string("k-%06d", F.col("id")).alias("key"),
+            F.lit(1).cast("long").alias("seq"),
+            (F.col("id") * 100).alias("value"),
+            F.lit("v2").alias("status"))
+        src = tmp_path / "cdc"
+        src.mkdir()
+        b1.coalesce(1).write.parquet(str(src / "b1"))
+        b2.coalesce(1).write.parquet(str(src / "b2"))
+        stream = (spark.readStream
+                  .schema("key string, seq long, value long, "
+                          "status string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = streaming.stream_merge(table, stream,
+                                   str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = table.full_scan()
+        assert got.count() == 2050
+        assert got.where("status = 'v2'").count() == 10
+        assert got.where("key = 'k-000155'").first().value == 15500
+        assert got.where("status = 'merged'").count() == 140
+        # a FRESH stream over the same source + checkpoint replays
+        # nothing (job-id idempotence underneath the checkpoint)
+        stream2 = (spark.readStream
+                   .schema("key string, seq long, value long, "
+                           "status string")
+                   .parquet(str(src / "*")))
+        q2 = streaming.stream_merge(table, stream2,
+                                    str(tmp_path / "ckpt"))
+        q2.awaitTermination(120)
+        assert table.full_scan().count() == 2050
+
+    def test_replayed_job_id_is_noop_and_crash_reclaims(self, spark,
+                                                        table):
+        res = table.merge_upsert(_src(spark), job_id="merge-fixed-1")
+        assert res["rows_inserted"] == 150
+        replay = table.merge_upsert(_src(spark), job_id="merge-fixed-1")
+        assert replay.get("replayed") and replay["rows_inserted"] == 0
+        assert table.full_scan().count() == 2050
+        # crash between claim and commit, then retry with the SAME id:
+        # the retry re-claims its own candidates and completes
+        store = table.store
+        real = store.merge_files
+
+        def crashing(*a, **kw):
+            raise RuntimeError("boom")
+
+        store.merge_files = crashing
+        b2 = _rows(spark, 300, 320, "v2")
+        with pytest.raises(RuntimeError):
+            table.merge_upsert(b2, job_id="merge-fixed-2")
+        store.merge_files = real
+        assert any(r.job_id == "merge-fixed-2"
+                   for r in store.all_references())
+        res2 = table.merge_upsert(b2, job_id="merge-fixed-2")
+        assert res2["rows_replaced"] == 20
+        assert table.full_scan().where("status = 'v2'").count() == 20
+        with pytest.raises(ValueError, match="must start with"):
+            table.merge_upsert(b2, job_id="not-prefixed")
