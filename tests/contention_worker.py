@@ -77,6 +77,7 @@ def main(store_path: str, data_dir: str, worker: int, rounds: int,
     if key_base is None:
         key_base = worker * rounds * 100
     ingests = compactions = deletes = rows_deleted = lost_races = 0
+    merges = rows_replaced = rows_merged_in = 0
     for i in range(rounds):
         # ingest: keys unique per (worker, round) so row accounting is exact
         fn = write_file(data_dir, f"w{worker}-i{i}.parquet",
@@ -134,9 +135,45 @@ def main(store_path: str, data_dir: str, worker: int, rounds: int,
                 allow_empty_outputs=True)
             deletes += 1
             rows_deleted += n_del
+        if i % 7 == 6:
+            # MERGE attempt (merge.py analog at protocol level): claim
+            # one unassigned file under a merge-* job, drop its first
+            # rows (the "replaced key groups") AND add a fresh file of
+            # brand-new unique keys — both halves in ONE MERGE_FILES
+            # commit, raced and SIGKILL-able like everything else here
+            st.reload()
+            refs = [r for r in st.references_for_partition("root")
+                    if r.job_id is None][:1]
+            if not refs:
+                continue
+            job = f"merge-w{worker}-{i}"
+            try:
+                st.assign_job_ids(job, refs)
+            except StateStoreException:
+                lost_races += 1
+                continue
+            out, n_keep, n_rep = delete_rows(
+                data_dir, f"w{worker}-mk{i}.parquet",
+                refs[0].filename, 3)
+            add_fn = write_file(
+                data_dir, f"w{worker}-ma{i}.parquet",
+                50_000_000 + key_base + i * 100, 7)
+            outs = [] if out is None else [FileReference(
+                out, "root", n_keep,
+                only_contains_data_for_this_partition=True)]
+            st.merge_files(
+                [("root", [refs[0].filename], outs)],
+                [FileReference(add_fn, "root", 7,
+                               only_contains_data_for_this_partition=True)],
+                job)
+            merges += 1
+            rows_replaced += n_rep
+            rows_merged_in += 7
     print(json.dumps({"worker": worker, "ingests": ingests,
                       "compactions": compactions, "deletes": deletes,
                       "rows_deleted": rows_deleted,
+                      "merges": merges, "rows_replaced": rows_replaced,
+                      "rows_merged_in": rows_merged_in,
                       "lost_races": lost_races}))
 
 

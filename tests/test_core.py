@@ -989,15 +989,18 @@ class TestMultiProcessContention:
         # present once OR was deleted exactly once — never duplicated,
         # never lost
         n_deleted = sum(s["rows_deleted"] for s in stats)
+        n_replaced = sum(s["rows_replaced"] for s in stats)
+        n_merged_in = sum(s["rows_merged_in"] for s in stats)
         assert sum(s["deletes"] for s in stats) >= 1
-        assert sum(r.number_of_rows for r in refs) == \
-            2 * rounds * 100 - n_deleted
+        assert sum(s["merges"] for s in stats) >= 1
+        expected = 2 * rounds * 100 - n_deleted - n_replaced + n_merged_in
+        assert sum(r.number_of_rows for r in refs) == expected
         keys = []
         import pyarrow.parquet as _pq
         for r in refs:
             keys.extend(_pq.read_table(r.filename,
                                        columns=["k"]).column("k").to_pylist())
-        assert len(keys) == len(set(keys)) == 2 * rounds * 100 - n_deleted
+        assert len(keys) == len(set(keys)) == expected
         # no file assigned to a job that never finished its replace: any
         # leftover assignment means a worker crashed mid-compaction,
         # which this test's workers never do
