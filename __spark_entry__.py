@@ -523,6 +523,36 @@ def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_check_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time CHECK constraints (TableProperties.constraints —
+    the Delta CONSTRAINT analog): a SQL boolean over the row enforced
+    as a codegen'd guard INSIDE the partition-id expression (zero
+    extra scan, same anti-pruning idiom as the null-key guard); a
+    violating row fails the write job before anything commits, and
+    NULL passes like SQL CHECK. The violation/atomicity/merge-gate
+    paths are pinned in tests/test_table_lifecycle.py; this entry
+    proves the PASS path end-to-end: a constrained ingest of
+    satisfying rows commits and scans back exactly. Oracle = the same
+    rows (the constraint validates, never filters)."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value") \
+        .where("event_id < 2000")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_ck_")
+    table = SleeperTable.create(
+        spark, os.path.join(tmp, "t"), schema,
+        TableProperties(constraints=(
+            "event_id >= 0 AND event_type IN ('click', 'view', "
+            "'purchase', 'signup', 'error')")),
+        split_points=[1000])
+    table.ingest(ev)
+    return table.full_scan()
+
+
 def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Atomic MERGE / full-row upsert (merge.py, table.merge_upsert):
     the warehouse MERGE INTO — target rows for the source's row keys
@@ -3807,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "update_where": q_update_where,
         "merge_upsert": q_merge_upsert,
+        "check_constraints": q_check_constraints,
         "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
@@ -4686,6 +4717,10 @@ def oracle_sql() -> dict[str, str]:
         # the pre-delete snapshot IS the full dataset
         "time_travel":
             "SELECT event_id, user_id, event_type, value FROM events",
+        # the constraint validates, never filters: same rows back
+        "check_constraints":
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE event_id < 2000",
         # MERGE == target anti-join source keys, union the source
         "merge_upsert":
             "WITH src AS ("

@@ -169,6 +169,11 @@ def write_sorted_files(
         raise ValueError(f"unknown layout {layout!r}")
     if layout == "zorder" and strategy != "local_sort":
         raise ValueError("layout='zorder' requires strategy='local_sort'")
+    if props.constraints and strategy == "rdd":
+        raise ValueError(
+            "CHECK constraints are enforced inside the DataFrame "
+            "partition-id expression; strategy='rdd' bypasses it — "
+            "use local_sort or global_sort on constrained tables")
     if strategy == "rdd":
         sorted_df = _rdd_sorted(df, tree, schema)
     else:
@@ -190,7 +195,22 @@ def write_sorted_files(
                 "null key: row/sort key fields are non-nullable "
                 f"(fields {list(schema.key_names)}) — filter or "
                 "quarantine null-key rows before ingest"))
-        ).otherwise(tree.leaf_id_column())
+        )
+        if props.constraints:
+            # CHECK constraint guard, same anti-pruning idiom as the
+            # null-key check: embedded in the partition-id expression,
+            # so Catalyst can never optimize it away and no second
+            # pass over the data runs. SQL CHECK semantics — NULL
+            # passes, only FALSE rejects.
+            violates = ~F.coalesce(
+                F.expr(props.constraints).cast("boolean"), F.lit(True))
+            leaf_expr = leaf_expr.when(
+                violates,
+                F.raise_error(F.lit(
+                    "CHECK constraint violated: a row failed "
+                    f"{props.constraints!r} — filter or quarantine "
+                    "violating rows before ingest")))
+        leaf_expr = leaf_expr.otherwise(tree.leaf_id_column())
         tagged = df.select(*[f.name for f in schema.all_fields()]).withColumn(
             PARTITION_COL, leaf_expr
         )

@@ -60,6 +60,15 @@ class TableProperties:
     # (sleeper.table.query.processor.cache.timeout is minutes in the
     # reference, QueryPlanner.java:111-149; default 1 minute)
     query_cache_timeout_seconds: float = 60.0
+    # CHECK constraint (beyond-reference, Delta CONSTRAINT analog): a
+    # SQL boolean expression over the table's columns, enforced on
+    # every WRITE path that goes through the ingest writer (ingest,
+    # stream_ingest, merge_upsert inserts) as a codegen'd per-row guard
+    # inside the partition-id expression — zero extra scan, a violating
+    # row fails the write job loudly before anything commits. SQL CHECK
+    # semantics: NULL evaluates as pass; only FALSE rejects. NOT
+    # enforced by update_where assignments (documented there).
+    constraints: str = ""
     extra: dict[str, Any] = field(default_factory=dict)
 
     def validate(self, schema: Schema) -> None:

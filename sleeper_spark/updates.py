@@ -46,6 +46,11 @@ Aggregation-configured tables refuse updates entirely: physical
 pre-collapse rows are not the user-visible values, so "set value
 where ..." would be ill-defined (same rule as value-range deletes).
 
+CHECK constraints (``TableProperties.constraints``) are an ingest-gate
+and are NOT re-evaluated on update assignments — the rewrite is an
+arrow-side kernel with no SQL evaluator; callers assigning values on a
+constrained table own keeping them within the constraint.
+
 Change-feed note: like deletes, updates do NOT flow through the
 append-only ``added_rows_between`` feed — incremental consumers read
 ``updated_rows_between``/``deleted_rows_between`` (MaterializedView

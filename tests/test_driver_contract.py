@@ -70,8 +70,9 @@ def test_every_query_has_an_oracle():
     # round 9 adds the composite-index leading-prefix range lookup,
     # per-group sketch quantiles, C4 boilerplate line stripping,
     # streaming cohort retention, the time-travel snapshot read, and
-    # copy-on-write update_where, and atomic MERGE upsert
-    assert len(qk) == 176
+    # copy-on-write update_where, atomic MERGE upsert, and CHECK
+    # constraints
+    assert len(qk) == 177
 
 
 def test_entry_smoke(spark):

@@ -972,3 +972,76 @@ class TestNullKeyRejection:
         t.ingest(ok)
         got = sorted((r.k, r.s, r.v) for r in t.full_scan().collect())
         assert got == [(1, 1, None), (99, 2, 30)]
+
+
+class TestCheckConstraints:
+    def _mk(self, spark, tmp_path, constraint):
+        from pyspark.sql import types as T
+
+        from sleeper_spark.properties import TableProperties
+        from sleeper_spark.schema import Field, Schema
+        from sleeper_spark.table import SleeperTable
+
+        schema = Schema(
+            (Field("k", T.LongType()),), (),
+            (Field("v", T.LongType(), True),
+             Field("s", T.StringType(), True)))
+        return SleeperTable.create(
+            spark, str(tmp_path / "ct"), schema,
+            TableProperties(constraints=constraint))
+
+    def test_violation_fails_loudly_and_commits_nothing(self, spark,
+                                                        tmp_path):
+        import pytest as _pytest
+
+        t = self._mk(spark, tmp_path, "v >= 0 AND s IN ('a', 'b')")
+        ok = spark.createDataFrame([(1, 5, "a"), (2, 0, "b")],
+                                   "k long, v long, s string")
+        t.ingest(ok)
+        assert t.full_scan().count() == 2
+        bad = spark.createDataFrame([(3, -1, "a")],
+                                    "k long, v long, s string")
+        with _pytest.raises(Exception, match="CHECK constraint"):
+            t.ingest(bad)
+        # nothing committed, no orphan state
+        assert t.full_scan().count() == 2
+        bad2 = spark.createDataFrame([(4, 1, "zz")],
+                                     "k long, v long, s string")
+        with _pytest.raises(Exception, match="CHECK constraint"):
+            t.ingest(bad2)
+
+    def test_null_passes_like_sql_check(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, "v >= 0")
+        df = spark.createDataFrame([(1, None, "x")],
+                                   "k long, v long, s string")
+        t.ingest(df)  # NULL v: unknown -> pass (SQL CHECK semantics)
+        assert t.full_scan().count() == 1
+
+    def test_merge_inserts_and_stream_go_through_the_gate(
+            self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        t = self._mk(spark, tmp_path, "v >= 0")
+        t.ingest(spark.createDataFrame([(1, 5, "a")],
+                                       "k long, v long, s string"))
+        bad_src = spark.createDataFrame([(9, -3, "a")],
+                                        "k long, v long, s string")
+        with _pytest.raises(Exception, match="CHECK constraint"):
+            t.merge_upsert(bad_src)
+        assert t.full_scan().count() == 1
+        # a valid merge still lands
+        t.merge_upsert(spark.createDataFrame(
+            [(1, 7, "b"), (2, 8, "c")], "k long, v long, s string"))
+        assert t.full_scan().count() == 2
+        assert t.exact_key_query(k=1).first().v == 7
+
+    def test_rdd_strategy_refused_on_constrained_table(self, spark,
+                                                       tmp_path):
+        import pytest as _pytest
+
+        t = self._mk(spark, tmp_path, "v >= 0")
+        df = spark.createDataFrame([(1, 5, "a")],
+                                   "k long, v long, s string")
+        with _pytest.raises(ValueError, match="rdd"):
+            t.ingest(df, strategy="rdd")
