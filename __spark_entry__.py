@@ -523,6 +523,41 @@ def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_functional_index(spark: SparkSession, sf: str) -> DataFrame:
+    """FUNCTIONAL secondary index (views.SecondaryIndex with expr= —
+    the CREATE INDEX ON expression(...) shape): postings keyed by a
+    DERIVED column, here the event's day bucket ``ts_us div
+    86400000000``, persisted in the index table's properties so load()
+    restores the derivation. The first three days of surviving events
+    are answered via lookup_prefix_range on the derived key — index
+    partition pruning + batch point lookups on the source, with the
+    residual re-derived over source rows. Includes a delete_where
+    maintained incrementally (the handler re-derives the expression
+    on tombstoned rows). Oracle recomputes the same integer-division
+    bucket in SQL."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts_us")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("ts_us", T.LongType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_fidx_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    idx = SecondaryIndex.create(
+        src, os.path.join(tmp, "idx"), "day",
+        expr={"day": "ts_us div 86400000000"})
+    src.ingest(ev)
+    idx.refresh()
+    src.delete_where(regions=[Region.of(Range("event_id", 0, 1000))])
+    idx.refresh()  # incremental, re-derives the expression
+    d0 = ev.agg(F.min(F.expr("ts_us div 86400000000"))).first()[0]
+    return idx.lookup_prefix_range([], int(d0), int(d0) + 3)
+
+
 def q_check_constraints(spark: SparkSession, sf: str) -> DataFrame:
     """Ingest-time CHECK constraints (TableProperties.constraints —
     the Delta CONSTRAINT analog): a SQL boolean over the row enforced
@@ -3838,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where": q_update_where,
         "merge_upsert": q_merge_upsert,
         "check_constraints": q_check_constraints,
+        "functional_index": q_functional_index,
         "secondary_index_hot": q_secondary_index_hot,
         "upsert_last_writer": q_upsert_last_writer,
         "bulk_export": q_bulk_export,
@@ -4717,6 +4753,15 @@ def oracle_sql() -> dict[str, str]:
         # the pre-delete snapshot IS the full dataset
         "time_travel":
             "SELECT event_id, user_id, event_type, value FROM events",
+        # derived-day bucket recomputed in SQL over survivors
+        "functional_index":
+            "WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d "
+            "FROM events) "
+            "SELECT event_id, user_id, event_type, "
+            "epoch_us(ts) AS ts_us FROM events, d0 "
+            "WHERE event_id >= 1000 "
+            "AND epoch_us(ts) // 86400000000 >= d0.d "
+            "AND epoch_us(ts) // 86400000000 < d0.d + 3",
         # the constraint validates, never filters: same rows back
         "check_constraints":
             "SELECT event_id, user_id, event_type, value FROM events "

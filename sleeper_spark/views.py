@@ -357,17 +357,37 @@ class SecondaryIndex:
         #: first indexed column (the whole key for single-column
         #: indexes) — kept for the original single-column API
         self.value_col = self.value_cols[0]
+        #: FUNCTIONAL index support: indexed name -> SQL expression
+        #: over the source row (persisted in the index table's
+        #: properties, so load() restores the same derivation). A name
+        #: absent here indexes the plain source column.
+        self.exprs: dict[str, str] = dict(
+            index_table.props.extra.get("index_exprs", {}))
 
-        def transform(batch: DataFrame) -> DataFrame:
-            from pyspark.sql import functions as F
-            cond = F.lit(True)
-            for c in self.value_cols:
-                cond = cond & F.col(c).isNotNull()
-            return (batch.where(cond)
-                    .select(*self.value_cols, *self._src_keys))
-
-        self._mv = MaterializedView(source, index_table, transform,
+        self._mv = MaterializedView(source, index_table,
+                                    self._project,
                                     on_delete=self._apply_source_delete)
+
+    def _indexed_col(self, name: str):
+        """The indexed value as a Column over SOURCE rows: the
+        persisted expression for a functional column, the plain column
+        otherwise."""
+        from pyspark.sql import functions as F
+        return (F.expr(self.exprs[name]) if name in self.exprs
+                else F.col(name))
+
+    def _project(self, batch: DataFrame) -> DataFrame:
+        """Source rows -> index rows: derive/select the indexed
+        columns + source keys, drop NULL indexed values (never
+        indexed — same contract as SQL expression indexes)."""
+        from pyspark.sql import functions as F
+        proj = batch.select(
+            *[self._indexed_col(c).alias(c) for c in self.value_cols],
+            *self._src_keys)
+        cond = F.lit(True)
+        for c in self.value_cols:
+            cond = cond & F.col(c).isNotNull()
+        return proj.where(cond)
 
     def _apply_source_delete(self, deleted: DataFrame,
                              job_id: str) -> None:
@@ -381,19 +401,13 @@ class SecondaryIndex:
         the indexed value alive). Idempotent: re-running re-deletes
         already-absent postings (a no-op plan) and re-skips alive
         pairs, so a crash between handler and checkpoint is safe."""
-        from pyspark.sql import functions as F
-
         from sleeper_spark.ranges import Region
 
         def norm(v):
             return bytes(v) if isinstance(v, bytearray) else v
 
-        cond = F.lit(True)
-        for c in self.value_cols:
-            cond = cond & F.col(c).isNotNull()
         cap = self.MAX_INCREMENTAL_DELETE_KEYS
-        head = (deleted.where(cond)
-                .select(*self.value_cols, *self._src_keys).distinct()
+        head = (self._project(deleted).distinct()
                 .limit(cap + 1).collect())
         if not head:
             return
@@ -409,8 +423,9 @@ class SecondaryIndex:
                   for kk in {kk for _, kk in pairs}]
         alive = {(tuple(norm(r[c]) for c in self.value_cols),
                   tuple(norm(r[k]) for k in self._src_keys))
-                 for r in self.source.batch_exact_key_query(keyset)
-                 .select(*self.value_cols, *self._src_keys).collect()}
+                 for r in self._project(
+                     self.source.batch_exact_key_query(keyset))
+                 .collect()}
         drop = sorted(pairs - alive)
         if not drop:
             return
@@ -423,7 +438,8 @@ class SecondaryIndex:
 
     @staticmethod
     def create(source, path: str, value_col: "str | list[str]",
-               split_points=None) -> "SecondaryIndex":
+               split_points=None,
+               expr: "dict[str, str] | None" = None) -> "SecondaryIndex":
         """``value_col`` may be one column name or a LIST of names —
         the latter builds a COMPOSITE index keyed
         ``(*value_cols, *source row keys)``: lookups supply every
@@ -431,34 +447,80 @@ class SecondaryIndex:
         range scans work through the index table's own
         ``range_key_query`` since the first indexed column is its
         leading row key). ``split_points`` partition on the FIRST
-        indexed column."""
+        indexed column.
+
+        ``expr`` makes it a FUNCTIONAL index (CREATE INDEX ON
+        lower(email) / a date-truncation / a json path): a mapping
+        from an indexed NAME in ``value_col`` to a SQL expression over
+        the source row, e.g. ``create(src, p, "day",
+        expr={"day": "ts_us div 86400000000"})``. The expression's
+        type is resolved against the source schema (must land on an
+        int/long/string/binary key type — cast inside the expression
+        if needed), it MUST be deterministic (it re-evaluates on
+        refresh, delete maintenance, and rebuild), and it persists in
+        the index table's properties so ``load()`` restores the same
+        derivation. Plain names and expression names mix freely in a
+        composite index."""
         from dataclasses import replace as _replace
 
         import pyspark.sql.types as T
 
-        from sleeper_spark.schema import Schema
+        from sleeper_spark.schema import Field, Schema
         from sleeper_spark.table import SleeperTable
 
         names = ([value_col] if isinstance(value_col, str)
                  else list(value_col))
         if not names:
             raise ValueError("value_col must name at least one column")
+        exprs = dict(expr or {})
+        unknown = sorted(set(exprs) - set(names))
+        if unknown:
+            raise ValueError(
+                f"expr names {unknown} are not in value_col {names}")
+        key_types = (T.IntegerType, T.LongType, T.StringType,
+                     T.BinaryType)
         flds = []
         for name in names:
+            if name in exprs:
+                # resolve the expression's type against the source
+                # schema — analysis only, no job runs
+                probe = source.spark.createDataFrame(
+                    [], source.schema.to_struct_type())
+                try:
+                    dtype = probe.selectExpr(
+                        f"({exprs[name]}) AS `{name}`") \
+                        .schema[name].dataType
+                except Exception as e:  # noqa: BLE001
+                    raise ValueError(
+                        f"index expression for {name!r} does not "
+                        f"resolve against the source schema: {e}"
+                    ) from None
+                if not isinstance(dtype, key_types):
+                    raise ValueError(
+                        f"index expression for {name!r} resolves to "
+                        f"{dtype.simpleString()}; index keys must be "
+                        "int/long/string/binary — cast inside the "
+                        "expression")
+                flds.append(Field(name, dtype, False))
+                continue
             fld = next((f for f in source.schema.value_fields
                         if f.name == name), None)
             if fld is None:
                 raise ValueError(f"{name!r} is not a value column of "
-                                 "the source table")
-            if not isinstance(fld.dtype, (T.IntegerType, T.LongType,
-                                          T.StringType, T.BinaryType)):
+                                 "the source table (pass expr= to "
+                                 "index a derived expression)")
+            if not isinstance(fld.dtype, key_types):
                 raise ValueError(
                     f"secondary index keys must be int/long/string/"
                     f"binary, got {fld.dtype} for {name!r}")
             flds.append(_replace(fld, nullable=False))
         idx_schema = Schema(
             tuple(flds) + tuple(source.schema.row_key_fields))
-        idx = SleeperTable.create(source.spark, path, idx_schema,
+        from sleeper_spark.properties import TableProperties
+        props = TableProperties()
+        if exprs:
+            props.extra["index_exprs"] = exprs
+        idx = SleeperTable.create(source.spark, path, idx_schema, props,
                                   split_points=split_points)
         return SecondaryIndex(source, idx)
 
@@ -523,7 +585,8 @@ class SecondaryIndex:
                 f"{self.value_cols}, got {len(vals)}")
         residual = F.lit(True)
         for c, v in zip(self.value_cols, vals):
-            residual = residual & (F.col(c) == F.lit(v))
+            # over SOURCE rows, so functional columns re-derive
+            residual = residual & (self._indexed_col(c) == F.lit(v))
         postings = self.index.exact_key_query(
             now_millis, **dict(zip(self.value_cols, vals)))
         head = postings.limit(threshold + 1).collect()
@@ -590,7 +653,18 @@ class SecondaryIndex:
                   for c, v in zip(self.value_cols, prefix)]
         ranges.append(Range(rcol, lo, hi, min_inclusive, max_inclusive))
         region = Region(tuple(ranges))
-        residual = region.to_column()
+        # residual over SOURCE rows: functional columns re-derive via
+        # their persisted expression (Region.to_column would reference
+        # a column the source does not have)
+        from pyspark.sql import functions as F
+        residual = F.lit(True)
+        for r in region.ranges:
+            rc = r.canonicalise()
+            col = self._indexed_col(rc.field)
+            if rc.min is not None:
+                residual = residual & (col >= F.lit(rc.min))
+            if rc.max is not None:
+                residual = residual & (col < F.lit(rc.max))
         threshold = (self.HOT_VALUE_THRESHOLD
                      if hot_threshold is None else hot_threshold)
         postings = self.index.query(Query([region]), now_millis)

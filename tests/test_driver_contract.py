@@ -71,8 +71,8 @@ def test_every_query_has_an_oracle():
     # per-group sketch quantiles, C4 boilerplate line stripping,
     # streaming cohort retention, the time-travel snapshot read, and
     # copy-on-write update_where, atomic MERGE upsert, and CHECK
-    # constraints
-    assert len(qk) == 177
+    # constraints and the functional (expression) secondary index
+    assert len(qk) == 178
 
 
 def test_entry_smoke(spark):

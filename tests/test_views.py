@@ -391,6 +391,78 @@ class TestSecondaryIndex:
             SecondaryIndex.create(src, str(tmp_path / "gj"), "k")
 
 
+class TestFunctionalSecondaryIndex:
+    def _mk(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .select("event_id", "user_id", "event_type") \
+            .withColumn("ts_us", F.col("event_id") * 10_000_000)
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True),
+             Field("ts_us", T.LongType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "fsrc"), schema,
+                                  split_points=[500])
+        idx = SecondaryIndex.create(
+            src, str(tmp_path / "fidx"), "bucket",
+            expr={"bucket": "ts_us div 1000000000"})
+        return src, idx, ev
+
+    def test_expression_index_lookup_equals_derived_filter(
+            self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev)
+        idx.refresh()
+        got = sorted(tuple(r) for r in idx.lookup(3).collect())
+        want = sorted(tuple(r) for r in ev.where(
+            F.expr("ts_us div 1000000000") == 3).collect())
+        assert got == want and want
+        # range over the derived column
+        got_r = sorted(tuple(r) for r in idx.lookup_prefix_range(
+            [], 2, 4).collect())
+        want_r = sorted(tuple(r) for r in ev.where(
+            "ts_us div 1000000000 >= 2 AND ts_us div 1000000000 < 4"
+        ).collect())
+        assert got_r == want_r and want_r
+
+    def test_expression_persists_through_load_and_delete(
+            self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        src, idx, ev = self._mk(spark, tmp_path)
+        src.ingest(ev)
+        idx.refresh()
+        # load() restores the derivation from the persisted properties
+        re = SecondaryIndex.load(src, str(tmp_path / "fidx"))
+        assert re.exprs == {"bucket": "ts_us div 1000000000"}
+        n3 = re.lookup(3).count()
+        assert n3 == ev.where(
+            F.expr("ts_us div 1000000000") == 3).count()
+        # incremental delete maintenance re-derives the expression
+        src.delete_where(regions=[Region.of(Range("event_id", 300,
+                                                  350))])
+        re.refresh()
+        got = sorted(r.event_id for r in re.lookup(3).collect())
+        want = sorted(r.event_id for r in ev.where(
+            (F.expr("ts_us div 1000000000") == 3)
+            & ~((F.col("event_id") >= 300) & (F.col("event_id") < 350))
+        ).collect())
+        assert got == want
+
+    def test_create_guards(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        src, _, _ = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="does not resolve"):
+            SecondaryIndex.create(src, str(tmp_path / "g1"), "x",
+                                  expr={"x": "nonexistent_col + 1"})
+        with pytest.raises(ValueError, match="must be"):
+            SecondaryIndex.create(src, str(tmp_path / "g2"), "x",
+                                  expr={"x": "ts_us / 2.0"})  # double
+        with pytest.raises(ValueError, match="not in value_col"):
+            SecondaryIndex.create(src, str(tmp_path / "g3"), "x",
+                                  expr={"y": "ts_us div 2"})
+
+
 class TestCompositeSecondaryIndex:
     def _mk(self, spark, tmp_path):
         from sleeper_spark.views import SecondaryIndex
