@@ -654,3 +654,60 @@ def test_table_profile_single_expand_aggregation(spark, entry):
     # expression it issues
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_boilerplate_strip_anti_join_no_cartesian_one_tokenize(spark):
+    """The C4 strip plan: per-group line DF via hash aggregation, a
+    LEFT ANTI equi-join back (AQE may broadcast the detected set —
+    never a cartesian/NL join), and per-doc reassembly as hash
+    aggregation. No Python anywhere."""
+    from sleeper_spark.functions.corpus import strip_boilerplate_lines
+    doc = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("lang", "doc_id", "text")
+    plan = plan_of(strip_boilerplate_lines(doc, ["lang"], min_df=3))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_grouped_sketch_quantiles_summary_only_shuffles(spark):
+    """The grouped sketch tree shuffles SUMMARIES, never raw rows: the
+    full column enters mapInArrow straight off the scan (no Exchange
+    between scan and the level-0 summarizer), and everything after is
+    grouped over the tiny summary stream."""
+    from sleeper_spark.functions import stats
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_returnflag", "l_extendedprice")
+    df = stats.grouped_sketch_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5})
+    plan = plan_of(df)
+    # level 0 runs on scan output: the first Exchange in the plan tree
+    # (bottom-up) must sit ABOVE the ArrowEvalPythonExec/mapInArrow
+    scan_to_arrow = plan.split("Exchange")[-1]  # bottom fragment
+    assert "PythonMapInArrow" in scan_to_arrow or \
+        "MapInArrow" in scan_to_arrow, scan_to_arrow[:500]
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_range_hot_path_semi_join(spark, tmp_path):
+    """lookup_prefix_range past the hot threshold plans the same
+    distributed LeftSemi as lookup — the driver never materializes a
+    hot range's key set."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "user_id", "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    src = SleeperTable.create(spark, str(tmp_path / "hsrc"), schema)
+    idx = SecondaryIndex.create(src, str(tmp_path / "hidx"),
+                                ["event_type", "user_id"])
+    src.ingest(ev)
+    idx.refresh()
+    df = idx.lookup_prefix_range(["click"], 0, 10_000_000,
+                                 hot_threshold=5)
+    assert "LeftSemi" in plan_of(df)
