@@ -233,7 +233,7 @@ class SleeperTable:
         the GC delay to your consumers' max lag. Deletes committed
         BEFORE this engine recorded tombstones are invisible here
         (consumers detect them via the transaction shape and refuse —
-        see views._window_has_legacy_deletes)."""
+        see views.MaterializedView._plan_window)."""
         from sleeper_spark.statestore import StateStoreException
         self.store.refresh_if_stale(self.props.query_cache_timeout_seconds)
         txs = self.store.transactions_between(from_seq, to_seq)

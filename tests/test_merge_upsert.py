@@ -283,3 +283,45 @@ class TestStreamMerge:
         assert table.full_scan().where("status = 'v2'").count() == 20
         with pytest.raises(ValueError, match="must start with"):
             table.merge_upsert(b2, job_id="not-prefixed")
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+batch_strategy = st.lists(
+    st.lists(st.tuples(st.integers(0, 30),        # key
+                       st.integers(0, 3),         # sort seq
+                       st.integers(-100, 100)),   # value
+             min_size=0, max_size=12),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=batch_strategy)
+def test_merge_sequence_matches_dict_model(spark, tmp_path_factory,
+                                           batches):
+    """Property: any sequence of merge batches leaves the table equal
+    to the obvious model — a dict keyed by row key whose value is the
+    LAST batch's full row group for that key (within one batch,
+    duplicate (key, seq) rows all survive: merge replaces groups, it
+    does not dedupe the source)."""
+    tmp = tmp_path_factory.mktemp("mprop")
+    schema = Schema(
+        row_key_fields=(Field("key", T.LongType()),),
+        sort_key_fields=(Field("seq", T.LongType()),),
+        value_fields=(Field("value", T.LongType()),))
+    t = SleeperTable.create(spark, str(tmp / "t"), schema,
+                            split_points=[15])
+    model: dict[int, list[tuple]] = {}
+    for bi, batch in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, s, v) for k, s, v in batch] or
+            spark.sparkContext.emptyRDD(),
+            "key long, seq long, value long")
+        t.merge_upsert(df)
+        for k in {k for k, _, _ in batch}:
+            model[k] = [(k, s, v) for kk, s, v in batch if kk == k]
+    got = sorted(tuple(r) for r in t.full_scan().collect())
+    want = sorted(row for rows in model.values() for row in rows)
+    assert got == want
