@@ -90,6 +90,16 @@ def _apply_assignments(tbl, assignments: dict, dtypes: dict):
     import pyarrow as pa
 
     for name, val in assignments.items():
+        if name not in tbl.schema.names:
+            # a file written BEFORE add_value_column lacks the column
+            # entirely (reads null-fill it); materialize it as nulls so
+            # the assignment lands — the rewrite carries the evolved
+            # shape forward for its rows
+            dtype = dtypes.get(name)
+            tbl = tbl.append_column(
+                pa.field(name, _pa_type_from_simple(dtype), True),
+                pa.nulls(tbl.num_rows,
+                         _pa_type_from_simple(dtype)))
         idx = tbl.schema.get_field_index(name)
         field = tbl.schema.field(idx)
         if callable(val):
@@ -326,4 +336,21 @@ def _pa_type(dtype):
     t = m.get(type(dtype))
     if t is None:
         raise ValueError(f"unsupported assignment target type {dtype}")
+    return t
+
+
+def _pa_type_from_simple(simple: str):
+    """Spark simpleString -> pyarrow type (executor-side, where only
+    the serialized desc is available)."""
+    import pyarrow as pa
+
+    m = {"string": pa.string(), "bigint": pa.int64(),
+         "int": pa.int32(), "smallint": pa.int16(),
+         "double": pa.float64(), "float": pa.float32(),
+         "binary": pa.binary(), "boolean": pa.bool_(),
+         "date": pa.date32()}
+    t = m.get(simple)
+    if t is None:
+        raise ValueError(
+            f"unsupported assignment target type {simple!r}")
     return t

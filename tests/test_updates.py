@@ -271,3 +271,28 @@ class TestIncrementalConsumersThroughUpdate:
         a = sorted(tuple(r) for r in idx.index.full_scan().collect())
         b = sorted(tuple(r) for r in fresh.index.full_scan().collect())
         assert a == b
+
+
+def test_update_assigns_to_schema_evolved_column(spark, tmp_path):
+    """Assigning a column ADDED by schema evolution: files written
+    before add_value_column lack the column physically; the rewrite
+    must materialize it (nulls -> assigned value) instead of crashing
+    mid-claim."""
+    from sleeper_spark.schema import Field as _Field
+    t = SleeperTable.create(spark, str(tmp_path / "evo"), _schema(),
+                            split_points=["k-001000"])
+    t.ingest(_rows(spark, 0, 100))          # pre-evolution file
+    t.add_value_column(_Field("note", T.StringType(), True))
+    res = t.update_where(
+        {"note": "backfilled"},
+        regions=[Region.of(Range("key", "k-000010", "k-000020"))])
+    assert res["rows_updated"] == 10
+    got = t.full_scan()
+    assert got.where("note = 'backfilled'").count() == 10
+    assert got.where(
+        "key >= 'k-000010' AND key < 'k-000020' AND note IS NULL"
+    ).count() == 0
+    # untouched rows read NULL for the evolved column
+    assert got.where("key < 'k-000010' AND note IS NOT NULL") \
+        .count() == 0
+    assert got.count() == 100
