@@ -497,11 +497,16 @@ def grouped_sketch_quantiles(df: DataFrame, group_cols: list[str],
     import numpy as np
     import pyarrow as pa
 
+    reserved = ("pid", "rank", "value", "rows", "gid", "n")
+    for g in group_cols:
+        if g in reserved:
+            raise ValueError(
+                f"group column {g!r} collides with a reserved summary "
+                f"name {reserved} — alias it before sketching")
     for name, q in qs.items():
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
-        if name in (*group_cols, col, "n", "pid", "rank", "value",
-                    "rows", "gid"):
+        if name in (*group_cols, col, *reserved):
             raise ValueError(
                 f"output name {name!r} collides with a group/input "
                 "column or a reserved summary name")

@@ -71,6 +71,12 @@ def _keys_mask(tbl, key_names: list[str], keys: list[tuple]):
     import pandas as pd
 
     def norm(s):
+        # arrow->pandas yields bytes (never bytearray) for binary and
+        # native dtypes for numerics — the lambda normalization only
+        # matters for object columns, so numeric key columns skip the
+        # per-value Python call entirely
+        if s.dtype != object:
+            return s
         return s.map(lambda v: bytes(v) if isinstance(v, bytearray)
                      else v)
 
