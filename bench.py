@@ -108,7 +108,19 @@ def arrow_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
-def arrow_probe_reference_ms(n: int = 3) -> float:
+# Generous absolute backstop for the Arrow probe (ms). The RELATIVE
+# gate is the signal (see arrow_probe_reference_ms); this ceiling only
+# exists so a reference captured on an already-degraded box cannot
+# wave a contaminated run through — the r9 ADVICE failure mode. It is
+# sized at ~2.5x the chronic idle regime this VM has shown for three
+# rounds (650-800ms), i.e. it never fires on the known-good baseline
+# and only trips when the box is degraded beyond anything we have
+# accepted as a record.
+ARROW_PROBE_ABS_CEILING_MS = 2000.0
+
+
+def arrow_probe_reference_ms(n: int = 3, max_wait_s: float = 120.0,
+                             noise: dict | None = None) -> float:
     """The run's idle reference for the Arrow probe: min of ``n``
     back-to-back probes taken at bench start. The gate then measures
     RELATIVE degradation against this, not an absolute threshold — an
@@ -117,8 +129,41 @@ def arrow_probe_reference_ms(n: int = 3) -> float:
     is exactly what happened across rounds 7-8 (idle Arrow moved from
     ~90ms to ~700ms while pure-Python spin stayed flat; a fixed 200ms
     gate carried no signal either round). min-of-N so a single GC pause
-    or scheduler hiccup cannot inflate the reference itself."""
-    return min(arrow_probe_ms() for _ in range(n))
+    or scheduler hiccup cannot inflate the reference itself.
+
+    The reference itself is QUALIFIED before being accepted: if load1 /
+    the spin probe read busy, or the min-of-N exceeds the generous
+    absolute ceiling, we wait (bounded by ``max_wait_s``) and re-sample
+    — a reference captured on an already-degraded box would inflate the
+    1.2x limit and stamp load_gate_ok=true on a contaminated record,
+    the exact failure the gate exists to catch. If the box never goes
+    quiet, the last sample is returned and the noise block records
+    ``arrow_probe_ref_under_load: true`` so the record is loudly
+    attributable."""
+    cores = os.cpu_count() or 1
+    deadline = time.perf_counter() + max_wait_s
+    while True:
+        load1 = os.getloadavg()[0]
+        spin = spin_probe_ms()
+        ref = min(arrow_probe_ms() for _ in range(n))
+        host_quiet = load1 <= cores / 4 or spin <= 120.0
+        ref_sane = ref <= ARROW_PROBE_ABS_CEILING_MS
+        if (host_quiet and ref_sane) or time.perf_counter() >= deadline:
+            break
+        log(f"arrow_probe_reference: load1 {load1:.1f}, spin {spin:.0f}ms, "
+            f"ref {ref:.0f}ms (ceiling {ARROW_PROBE_ABS_CEILING_MS:.0f}ms) "
+            "— box busy, re-sampling reference")
+        time.sleep(10)
+    under_load = not (host_quiet and ref_sane)
+    if noise is not None:
+        noise["arrow_probe_ref_under_load"] = under_load
+        noise["arrow_probe_ref_load1"] = round(load1, 1)
+        noise["arrow_probe_ref_spin_ms"] = spin
+    if under_load:
+        log(f"WARNING: arrow probe reference {ref:.0f}ms captured under "
+            f"load (load1 {load1:.1f}, spin {spin:.0f}ms) — relative gate "
+            "limits derived from it are suspect; record annotated")
+    return ref
 
 
 def compaction_load_gate(noise: dict, label: str, arrow_ref_ms: float,
@@ -128,9 +173,12 @@ def compaction_load_gate(noise: dict, label: str, arrow_ref_ms: float,
     official record.  Waits up to ``max_wait_s`` for the box to go quiet,
     then stamps the telemetry + a boolean verdict into the noise block.
     "Quiet" = (load1 <= cores/4 OR the spin probe reads near-idle) AND
-    the Arrow probe reads within 1.5x the run's OWN idle reference
-    (min-of-3 probes at bench start — see
-    :func:`arrow_probe_reference_ms` for why relative, not absolute).
+    the Arrow probe reads within 1.2x the run's OWN idle reference
+    (min-of-3 QUALIFIED probes at bench start — see
+    :func:`arrow_probe_reference_ms` for why relative, not absolute)
+    AND under the generous absolute ceiling
+    (:data:`ARROW_PROBE_ABS_CEILING_MS`) that backstops an inflated
+    reference.
     This VM reports phantom D-state load with the CPU 100% idle, so
     loadavg alone cannot be the refusing signal; and round 7 proved the
     pure-Python spin probe stays flat (32-42ms) while the Arrow kernels
@@ -140,7 +188,7 @@ def compaction_load_gate(noise: dict, label: str, arrow_ref_ms: float,
     run, which is what contaminates a min-of-2 metric. Absolute probe
     values stay in the noise block for cross-run comparison."""
     cores = os.cpu_count() or 1
-    arrow_limit = 1.5 * arrow_ref_ms
+    arrow_limit = min(1.2 * arrow_ref_ms, ARROW_PROBE_ABS_CEILING_MS)
     deadline = time.perf_counter() + max_wait_s
     while True:
         load1 = os.getloadavg()[0]
@@ -324,8 +372,10 @@ def bench_compaction_large(spark, n_rows: int) -> dict[str, float]:
     log("compaction_large: worker warm-up done")
 
     out: dict[str, float] = {}
-    # arrow (the gated metric) is min-of-2; spark fallback timed once
-    for engine, reps in (("arrow", 2), ("spark", 1)):
+    # arrow (the gated metric) is best-of-3 (r9 VERDICT Next #1: a
+    # min-of-2 leaves one contaminated rep able to decide the record on
+    # a box with chronic background drift); spark fallback timed once
+    for engine, reps in (("arrow", 3), ("spark", 1)):
         times = []
         for rep in range(reps):
             props = TableProperties(compaction_files_batch_size=n_files,
@@ -424,7 +474,8 @@ def bench_compaction_mapagg(spark, n_rows: int) -> dict[str, float]:
     props_base = dict(compaction_files_batch_size=n_files,
                       aggregations="sum(n), map_sum(tags)")
     out: dict[str, float] = {}
-    for engine, reps in (("arrow", 2), ("spark", 1)):
+    # arrow best-of-3 for the same reason as compaction_large
+    for engine, reps in (("arrow", 3), ("spark", 1)):
         times = []
         for rep in range(reps):
             table = SleeperTable.create(
@@ -488,15 +539,15 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
-    arrow_ref = arrow_probe_reference_ms()
     noise: dict = {
         "loadavg_start": [round(v, 1) for v in os.getloadavg()],
         "spin_ms_start": spin_probe_ms(),
         "arrow_probe_ms_start": arrow_probe_ms(),
-        "arrow_probe_ref_ms": round(arrow_ref, 1),
         "sibling_spark_procs_start": sibling_spark_procs(),
         "per_query": {},
     }
+    arrow_ref = arrow_probe_reference_ms(noise=noise)
+    noise["arrow_probe_ref_ms"] = round(arrow_ref, 1)
     if noise["sibling_spark_procs_start"]:
         log(f"WARNING: {noise['sibling_spark_procs_start']} sibling Spark "
             "JVM(s) detected — timings will be contaminated")
@@ -532,7 +583,7 @@ def main() -> None:
     log(f"lifecycle: ingest {ingest_s:.2f}s, compaction {compaction_s:.2f}s, {n_rows} rows")
 
     # phase 3 (exclusive): the 50M-row single-job shape. The Arrow engine
-    # (the headline gate metric) is min-of-2; the Spark fallback engine is
+    # (the headline gate metric) is best-of-3; the Spark fallback engine is
     # timed once (it is 10x the cost and not the gated number).
     large_rows = int(os.environ.get("SPARK_GRAFT_LARGE_ROWS", "50000000"))
     compaction_load_gate(noise, "compaction_large", arrow_ref)

@@ -159,6 +159,7 @@ def delete_where(table: "SleeperTable",
             "are not the user-visible values, so the predicate would "
             "be ill-defined; delete by key regions instead")
     store = table.store
+    store.check_writable()  # upfront, same error surface as ingest/merge
     store.refresh_if_stale(0)
     tree = store.tree
     assert tree is not None, "table not initialised"
@@ -259,3 +260,250 @@ class _QueryShim:
 
     def __init__(self, regions):
         self.regions = regions
+
+
+def _rewrite_exact_one(desc: dict) -> tuple:
+    """Executor task: rewrite ONE (file, partition) reference without
+    the rows that EXACTLY match (null-safe, all columns) a bounded
+    tombstone row set. Same return contract as :func:`_rewrite_one`.
+
+    Matching is two-phase so the python-level exact comparison never
+    touches the bulk of the file: a vectorized ``is_in`` prefilter on
+    the first row-key column narrows to rows sharing a key with some
+    tombstone (≈ the tombstone count for point deletes), then only
+    those survivors are compared tuple-wise against the set. Both
+    sides are cast to the tombstone table's Arrow schema first, so
+    type-representation drift (e.g. timestamp unit) cannot cause a
+    silent non-match. Float NaN never equals itself (IEEE), so NaN
+    rows are not matchable — documented in delete_exact_rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sleeper_spark import bloom as bl
+    from sleeper_spark import sketches
+
+    tomb = pa.ipc.open_stream(desc["rows_ipc"]).read_all()
+    tbl = pq.read_table(desc["in_path"])
+    own = _mask_ranges(tbl, desc["partition_ranges"])
+    k0 = desc["key_names"][0]
+    pre = pc.fill_null(pc.is_in(
+        tbl.column(k0),
+        value_set=tomb.column(k0).combine_chunks().unique()), False)
+    cand_idx = np.nonzero(own & pre.to_numpy(zero_copy_only=False))[0]
+    match = np.zeros(tbl.num_rows, dtype=bool)
+    if len(cand_idx):
+        sub = (tbl.take(pa.array(cand_idx))
+               .select(tomb.column_names).cast(tomb.schema))
+        tomb_set = set(zip(*(c.to_pylist() for c in tomb.columns))) \
+            if tomb.num_rows else set()
+        rows = zip(*(c.to_pylist() for c in sub.columns))
+        hits = [i for i, row in zip(cand_idx, rows) if row in tomb_set]
+        match[hits] = True
+    keep = own & ~match
+    n_keep = int(keep.sum())
+    n_del = int(own.sum()) - n_keep
+    tomb_path = None
+    if n_del:
+        tomb_path = desc["tomb_path"]
+        pq.write_table(tbl.filter(pa.array(own & match)), tomb_path,
+                       compression=desc["compression"],
+                       data_page_size=desc["page_bytes"])
+    else:
+        # nothing matched in this reference: signal a no-op so the
+        # driver releases the claim instead of committing a pointless
+        # 1:1 rewrite
+        return (desc["partition_id"], desc["in_path"], desc["in_path"],
+                n_keep, 0, None)
+    if n_keep == 0:
+        return (desc["partition_id"], desc["in_path"], None, 0, n_del,
+                tomb_path)
+    out = tbl.filter(pa.array(keep))
+    pq.write_table(out, desc["out_path"],
+                   compression=desc["compression"],
+                   data_page_size=desc["page_bytes"])
+    keys = desc["key_names"]
+    sk = sketches.sketch_from_arrow_columns(
+        {k: out.column(k) for k in keys}, n_keep, desc["sketch_k"])
+    try:
+        b = bl.build_bloom(keys[0], out.column(keys[0]), n_keep)
+        if b is not None:
+            sk["bloom"] = b
+    except TypeError:
+        pass
+    sketches.write_sidecar(desc["out_path"], sk)
+    return (desc["partition_id"], desc["in_path"], desc["out_path"],
+            n_keep, n_del, tomb_path)
+
+
+def delete_exact_rows(table: "SleeperTable", rows: "object",
+                      cap: int = 1_000_000) -> dict:
+    """Copy-on-write deletion of an EXPLICIT row set: every table row
+    that exactly equals (null-safe, all columns) some row of ``rows``
+    (a Spark DataFrame in the table's schema) is removed — ALL copies
+    of a matched row, mirroring predicate-delete multiplicity. This is
+    the primitive CDC replication uses to apply a source
+    ``delete_where``'s tombstones on a converged replica
+    (replication.sync_cdc), where the original predicate is not
+    recoverable from the log but the removed rows are.
+
+    Not allowed on aggregation-configured tables: physical
+    pre-collapse rows are not the user-visible values, so exact-row
+    matching against a differently-compacted table is ill-defined —
+    the CDC path applies key-exact ``delete_where`` there instead
+    (source deletes on aggregation tables are key-region only, so
+    whole key groups are the unit either way).
+
+    ``cap`` bounds the driver-side row set (this is the point-delete
+    tool; a mass delete should re-seed/rebuild instead). Rows whose
+    float columns hold NaN are refused (NaN never equals itself, so
+    they could never match). Plan/claim/rewrite/commit shape is
+    delete_where's; references where nothing matched release their
+    claim instead of rewriting 1:1."""
+    import math
+
+    import pyarrow as pa
+
+    store = table.store
+    store.check_writable()
+    store.refresh_if_stale(0)
+    tree = store.tree
+    assert tree is not None, "table not initialised"
+    if table.props.aggregations:
+        raise ValueError(
+            "delete_exact_rows is not allowed on an "
+            "aggregation-configured table: physical pre-collapse rows "
+            "are not the user-visible values; delete by key regions "
+            "instead")
+
+    need = [f.name for f in table.schema.all_fields()]
+    missing = [c for c in need if c not in set(rows.columns)]
+    if missing:
+        raise ValueError(
+            f"rows frame is missing table column(s) {missing}")
+    tomb = rows.select(*need).limit(cap + 1).toArrow()
+    if tomb.num_rows > cap:
+        raise ValueError(
+            f"more than {cap} rows to delete — a mass delete; re-seed "
+            "or rebuild the table instead of point-deleting")
+    # dedupe (multiplicity lives in the TABLE, not the request) and
+    # refuse unmatchable NaN rows loudly rather than silently skipping
+    tomb = tomb.group_by(tomb.column_names).aggregate([])
+    for col in tomb.columns:
+        if pa.types.is_floating(col.type):
+            vals = col.to_pylist()
+            if any(v is not None and math.isnan(v) for v in vals):
+                raise ValueError(
+                    "rows contain float NaN, which never equals "
+                    "itself and can never match — filter those rows "
+                    "or delete them by key regions")
+    if tomb.num_rows == 0:
+        return {"rows_deleted": 0, "files_rewritten": 0,
+                "files_removed": 0,
+                "files_untouched": sum(1 for _ in
+                                       store.all_references()),
+                "tombstone_files": 0, "job_id": None}
+
+    key_names = [f.name for f in table.schema.row_key_fields]
+
+    def norm(v):
+        return bytes(v) if isinstance(v, bytearray) else v
+
+    key_tuples = {tuple(norm(v) for v in kk) for kk in zip(
+        *(tomb.column(k).to_pylist() for k in key_names))}
+    for kk in key_tuples:
+        if any(v is None for v in kk):
+            raise ValueError("null row key in rows to delete — key "
+                             "fields are non-nullable")
+    leaf_ids = {tree.leaf_for_row(dict(zip(key_names, kk))).id
+                for kk in key_tuples}
+    pts = sorted({kk[0] for kk in key_tuples})
+    by_ref: dict[tuple[str, str], FileReference] = {}
+    for lid in leaf_ids:
+        for ref in store.files_for_leaf_query(lid):
+            by_ref[(ref.filename, ref.partition_id)] = ref
+    n_total = sum(1 for _ in store.all_references())
+    candidates = [r for r in by_ref.values()
+                  if file_may_contain_keys(r.filename, pts)]
+    if not candidates:
+        return {"rows_deleted": 0, "files_rewritten": 0,
+                "files_removed": 0, "files_untouched": n_total,
+                "tombstone_files": 0, "job_id": None}
+    for ref in candidates:
+        if ref.job_id is not None:
+            raise StateStoreException(
+                f"{ref.filename} (partition {ref.partition_id}) is "
+                f"claimed by job {ref.job_id}; finish or abandon it "
+                "before deleting from it")
+
+    job_id = f"delete-{uuid.uuid4().hex[:12]}"
+    store.assign_job_ids(job_id, candidates)
+    out_dir = os.path.join(table.data_dir, job_id)
+    os.makedirs(out_dir, exist_ok=True)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tomb.schema) as w:
+        w.write_table(tomb)
+    rows_ipc = sink.getvalue().to_pybytes()
+    descs = []
+    for i, ref in enumerate(candidates):
+        descs.append({
+            "in_path": ref.filename,
+            "out_path": os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            "tomb_path": os.path.join(out_dir,
+                                      f"tombstone-{i:05d}.parquet"),
+            "partition_id": ref.partition_id,
+            "partition_ranges": list(
+                tree[ref.partition_id].region.ranges),
+            "rows_ipc": rows_ipc,
+            "compression": table.props.compression,
+            "page_bytes": table.props.page_bytes,
+            "key_names": list(table.schema.key_names),
+            "sketch_k": table.props.sketch_size,
+        })
+    total = sum(os.path.getsize(d["in_path"]) for d in descs)
+    if total < _DRIVER_SIDE_BYTES:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, len(descs))) as ex:
+            results = list(ex.map(_rewrite_exact_one, descs))
+    else:
+        sc = table.spark.sparkContext
+        slices = min(len(descs), 4 * sc.defaultParallelism)
+        results = sc.parallelize(descs, slices) \
+            .map(_rewrite_exact_one).collect()
+
+    replacements = []
+    tombstones = []
+    rows_deleted = files_rewritten = files_removed = untouched_noop = 0
+    for pid, in_path, out_path, n_keep, n_del, tomb_path in results:
+        if n_del == 0:
+            untouched_noop += 1  # claim released below, file untouched
+            continue
+        rows_deleted += n_del
+        if tomb_path is not None:
+            tombstones.append(tomb_path)
+        if out_path is None:
+            files_removed += 1
+            replacements.append((pid, [in_path], []))
+        else:
+            files_rewritten += 1
+            replacements.append((pid, [in_path], [FileReference(
+                filename=out_path, partition_id=pid,
+                number_of_rows=n_keep,
+                only_contains_data_for_this_partition=True)]))
+    if replacements:
+        store.replace_file_references_batch(
+            replacements, allow_empty_outputs=True,
+            job_id=job_id, tombstones=sorted(tombstones))
+    if untouched_noop:
+        # release the claims on references where nothing matched —
+        # AFTER the replace commit so a crash in between leaves only
+        # recoverable claims (unassign_job_ids is the documented
+        # recovery), never a lost delete
+        store.unassign_job_ids(job_id)
+    return {"rows_deleted": rows_deleted,
+            "files_rewritten": files_rewritten,
+            "files_removed": files_removed,
+            "files_untouched": n_total - files_rewritten - files_removed,
+            "tombstone_files": len(tombstones),
+            "job_id": job_id if replacements else None}

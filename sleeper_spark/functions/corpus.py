@@ -666,7 +666,14 @@ def strip_boilerplate_lines(
               .where(F.col("__df") >= min_df)
               .select(*group_cols, "line"))
     kept = e.join(boiler, [*group_cols, "line"], "left_anti")
-    per_doc = (kept.groupBy(id_col)
+    # reassemble + rejoin on (*group_cols, id_col), not id_col alone:
+    # ids need only be unique WITHIN their group (the natural shape for
+    # per-language/per-site corpora this API invites) — keying on the
+    # bare id would interleave same-id docs from different groups into
+    # one text_stripped and fan out the final join. Null-safe equality
+    # so NULL group keys (whose lines are never stripped — see above)
+    # still get their reassembled text back.
+    per_doc = (kept.groupBy(*group_cols, id_col)
                .agg(F.count(F.lit(1)).alias("n_kept"),
                     F.array_join(
                         F.transform(
@@ -678,8 +685,15 @@ def strip_boilerplate_lines(
         *group_cols, F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(0))
         .otherwise(F.size(lines)).alias("n_lines"))
-    return (totals.join(per_doc, id_col, "left")
-            .select(*group_cols, id_col, "n_lines",
+    t, p = totals.alias("__sbl_t"), per_doc.alias("__sbl_p")
+    cond = None
+    for c in [*group_cols, id_col]:
+        eq = F.col(f"__sbl_t.{c}").eqNullSafe(F.col(f"__sbl_p.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return (t.join(p, cond, "left")
+            .select(*[F.col(f"__sbl_t.{c}") for c in group_cols],
+                    F.col(f"__sbl_t.{id_col}").alias(id_col),
+                    F.col("__sbl_t.n_lines"),
                     F.coalesce("n_kept", F.lit(0)).cast("int")
                     .alias("n_kept"),
                     F.coalesce("text_stripped", F.lit(""))

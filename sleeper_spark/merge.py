@@ -158,20 +158,26 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
     # re-delivered batch whose commit already landed is skipped before
     # any work, and one that crashed mid-flight re-claims its own
     # candidates and recommits under the same id
-    if job_id is not None and job_id in store.ingest_jobs_seen:
+    # Every exit returns the SAME key set so callers aggregating merge
+    # stats never branch on shape. files_untouched uniformly means
+    # "references present at call time that THIS call did not rewrite
+    # or remove" — for a replayed or empty merge that is all of them
+    # (the original run's result already reported its own candidates).
+    def _noop_result(job: str | None, replayed: bool) -> dict:
         return {"rows_inserted": 0, "rows_replaced": 0,
                 "files_rewritten": 0, "files_removed": 0,
                 "files_untouched":
                 sum(1 for _ in store.all_references()),
-                "tombstone_files": 0, "job_id": job_id,
-                "replayed": True}
+                "tombstone_files": 0, "job_id": job,
+                "replayed": replayed}
+
+    if job_id is not None and job_id in store.ingest_jobs_seen:
+        return _noop_result(job_id, replayed=True)
 
     head = (source_df.select(*key_names).distinct()
             .limit(cap + 1).collect())
     if not head:
-        return {"rows_inserted": 0, "rows_replaced": 0,
-                "files_rewritten": 0, "files_untouched":
-                len(list(store.all_references())), "job_id": None}
+        return _noop_result(job_id, replayed=False)
     if len(head) > cap:
         raise ValueError(
             f"merge source has more than {cap} distinct row keys — "
@@ -283,4 +289,5 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
             "files_removed": files_removed,
             "files_untouched": n_total_refs - len(candidates),
             "tombstone_files": len(tombstones),
-            "job_id": job_id}
+            "job_id": job_id,
+            "replayed": False}

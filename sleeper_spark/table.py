@@ -574,6 +574,19 @@ class SleeperTable:
         from sleeper_spark.deletes import delete_where as _dw
         return _dw(self, regions=regions, value_ranges=value_ranges)
 
+    def delete_exact_rows(self, rows: DataFrame,
+                          cap: int = 1_000_000) -> dict:
+        """Copy-on-write deletion of an EXPLICIT row set (null-safe
+        full-row equality; deletes.delete_exact_rows) — the primitive
+        CDC replication uses to apply a source delete's tombstones on
+        a converged replica, where the original predicate is not
+        recoverable from the log but the removed rows are. Same
+        plan/claim/rewrite/commit shape and audit dict as
+        :meth:`delete_where`; refused on aggregation-configured
+        tables (key-region deletes are the unit there)."""
+        from sleeper_spark.deletes import delete_exact_rows as _der
+        return _der(self, rows, cap=cap)
+
     def update_where(self, assignments: dict,
                      regions: list[Region] | None = None,
                      value_ranges: list[Range] | None = None) -> dict:

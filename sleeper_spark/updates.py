@@ -216,6 +216,10 @@ def update_where(table: "SleeperTable",
                     f"{value_fields[name].dtype.simpleString()}: {e}"
                 ) from None
     store = table.store
+    # fail BEFORE the candidate scan on a read-only (time-travel) view —
+    # merge_upsert and ingest guard upfront; failing only inside the
+    # assign_job_ids commit would burn the full rewrite first (r9 ADVICE)
+    store.check_writable()
     store.refresh_if_stale(0)
     tree = store.tree
     assert tree is not None, "table not initialised"

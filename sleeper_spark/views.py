@@ -50,6 +50,90 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 
+def classify_window(store, txs, refuse_msg: str
+                    ) -> tuple[list[tuple[int, str]], int | None]:
+    """Classify a log window's transactions for delete/update/merge
+    handling — shared by every incremental consumer that must apply
+    content-changing commits in order (materialized views, secondary
+    indexes, CDC replication). Returns ``(events, barrier)``:
+    ``events`` is the ordered ``(seq, kind)`` list of content-changing
+    commits — ``"delete"`` (tombstones to apply), ``"update"``
+    (tombstones to apply + new versions to ingest) or ``"merge"``
+    (tombstoned old groups + inserted rows in one commit) — and
+    ``barrier`` an optional seq to STOP BEFORE (an in-flight
+    delete/update claim whose commit has not landed yet —
+    content-neutral itself, but advancing past it would skip the
+    commit's ordering slot).
+
+    Raises ``ValueError(refuse_msg)`` on LEGACY deletes (pre-tombstone
+    commits): a jobless empty-output replacement, or a ``delete-*``
+    claim whose replacement exists in the log without the new-style
+    ``jobId`` stamp — their removed rows are unrecoverable from the
+    log."""
+    events: list[tuple[int, str]] = []
+    replace_jids = set()
+    for _seq, tx in txs:
+        if tx.get("type") in ("REPLACE_FILE_REFERENCES",
+                              "MERGE_FILES"):
+            replace_jids.add(str(tx.get("jobId", "")))
+    barrier: int | None = None
+    for seq, tx in txs:
+        t = tx.get("type")
+        if t == "MERGE_FILES":
+            # atomic upsert: tombstoned old groups + addFiles
+            # inserts in one commit — handled as delete-old +
+            # ingest-new at its own seq
+            events.append((seq, "merge"))
+        elif t == "REPLACE_FILE_REFERENCES":
+            jid = str(tx.get("jobId", ""))
+            if tx.get("updates"):
+                events.append((seq, "update"))
+            elif tx.get("tombstones"):
+                events.append((seq, "delete"))
+            elif jid.startswith(("delete-", "update-")):
+                pass  # zero-row delete/update: content-neutral
+            elif any(not j.get("outputFiles")
+                     for j in tx.get("jobs", ())):
+                raise ValueError(refuse_msg)  # legacy delete
+        elif t == "ASSIGN_JOB_IDS":
+            for a in tx.get("assignments", ()):
+                jid = str(a.get("jobId", ""))
+                if not jid.startswith(("delete-", "update-",
+                                       "merge-")):
+                    continue
+                if jid in replace_jids:
+                    continue  # commit in window, classified above
+                # claim without a commit in the window. If the
+                # claim is still outstanding at head, the delete is
+                # IN FLIGHT: the claim itself is content-neutral,
+                # but stop before it so the commit's ordering slot
+                # is re-planned next refresh (a legacy commit could
+                # otherwise slip past disguised as a compaction).
+                # If nothing is claimed anymore, the commit already
+                # landed somewhere later: new-style commits carry
+                # the jobId stamp — found means a future window
+                # applies it; not found means a LEGACY jobless
+                # commit whose removed rows are unrecoverable.
+                if any(r.job_id == jid for r in
+                       store.all_references()):
+                    if barrier is None or seq < barrier:
+                        barrier = seq
+                    continue
+                later = list(store.transactions_between(seq))
+                if any(tx2.get("type") == "UNASSIGN_JOB_IDS"
+                       and tx2.get("jobId") == jid
+                       for _s2, tx2 in later):
+                    continue  # abandoned claim: nothing committed
+                if not any(
+                        tx2.get("type") in (
+                            "REPLACE_FILE_REFERENCES",
+                            "MERGE_FILES")
+                        and str(tx2.get("jobId", "")) == jid
+                        for _s2, tx2 in later):
+                    raise ValueError(refuse_msg)
+    return sorted(events), barrier
+
+
 class MaterializedView:
     """Binds (source table, destination table, transform). State (the
     change-feed checkpoint) lives in ``<dest>/mview.json`` so any
@@ -93,82 +177,8 @@ class MaterializedView:
 
     def _plan_window(self, txs) -> tuple[list[tuple[int, str]],
                                          int | None]:
-        """Classify the window's transactions for delete/update
-        handling. Returns ``(events, barrier)``: ``events`` is the
-        ordered ``(seq, kind)`` list of content-changing commits —
-        ``"delete"`` (tombstones to apply) or ``"update"`` (tombstones
-        to apply + new versions to ingest) — and ``barrier`` an
-        optional seq to STOP BEFORE (an in-flight delete/update claim
-        whose commit has not landed yet — content-neutral itself, but
-        advancing past it would skip the commit's ordering slot).
-
-        Raises on LEGACY deletes (pre-tombstone commits): a jobless
-        empty-output replacement, or a ``delete-*`` claim whose
-        replacement exists in the log without the new-style ``jobId``
-        stamp — their removed rows are unrecoverable from the log."""
-        events: list[tuple[int, str]] = []
-        replace_jids = set()
-        for _seq, tx in txs:
-            if tx.get("type") in ("REPLACE_FILE_REFERENCES",
-                                  "MERGE_FILES"):
-                replace_jids.add(str(tx.get("jobId", "")))
-        barrier: int | None = None
-        for seq, tx in txs:
-            t = tx.get("type")
-            if t == "MERGE_FILES":
-                # atomic upsert: tombstoned old groups + addFiles
-                # inserts in one commit — handled as delete-old +
-                # ingest-new at its own seq
-                events.append((seq, "merge"))
-            elif t == "REPLACE_FILE_REFERENCES":
-                jid = str(tx.get("jobId", ""))
-                if tx.get("updates"):
-                    events.append((seq, "update"))
-                elif tx.get("tombstones"):
-                    events.append((seq, "delete"))
-                elif jid.startswith(("delete-", "update-")):
-                    pass  # zero-row delete/update: content-neutral
-                elif any(not j.get("outputFiles")
-                         for j in tx.get("jobs", ())):
-                    raise ValueError(self._REFUSE_MSG)  # legacy delete
-            elif t == "ASSIGN_JOB_IDS":
-                for a in tx.get("assignments", ()):
-                    jid = str(a.get("jobId", ""))
-                    if not jid.startswith(("delete-", "update-",
-                                           "merge-")):
-                        continue
-                    if jid in replace_jids:
-                        continue  # commit in window, classified above
-                    # claim without a commit in the window. If the
-                    # claim is still outstanding at head, the delete is
-                    # IN FLIGHT: the claim itself is content-neutral,
-                    # but stop before it so the commit's ordering slot
-                    # is re-planned next refresh (a legacy commit could
-                    # otherwise slip past disguised as a compaction).
-                    # If nothing is claimed anymore, the commit already
-                    # landed somewhere later: new-style commits carry
-                    # the jobId stamp — found means a future window
-                    # applies it; not found means a LEGACY jobless
-                    # commit whose removed rows are unrecoverable.
-                    if any(r.job_id == jid for r in
-                           self.source.store.all_references()):
-                        if barrier is None or seq < barrier:
-                            barrier = seq
-                        continue
-                    later = list(
-                        self.source.store.transactions_between(seq))
-                    if any(tx2.get("type") == "UNASSIGN_JOB_IDS"
-                           and tx2.get("jobId") == jid
-                           for _s2, tx2 in later):
-                        continue  # abandoned claim: nothing committed
-                    if not any(
-                            tx2.get("type") in (
-                                "REPLACE_FILE_REFERENCES",
-                                "MERGE_FILES")
-                            and str(tx2.get("jobId", "")) == jid
-                            for _s2, tx2 in later):
-                        raise ValueError(self._REFUSE_MSG)
-        return sorted(events), barrier
+        return classify_window(self.source.store, txs,
+                               self._REFUSE_MSG)
 
     def _advance_appends(self, state: dict, from_seq: int,
                          to_seq: int) -> None:

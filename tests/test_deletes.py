@@ -157,3 +157,90 @@ class TestDeleteWhere:
         keys = sorted(r.key for r in t.full_scan().collect())
         assert keys == sorted(
             [f"k-{i:06d}" for i in list(range(0, 500)) + list(range(1500, 2000))])
+
+
+class TestDeleteExactRows:
+    def test_exact_rows_removed_all_copies(self, spark, table):
+        """Full-row match removes every copy; rows differing in ANY
+        column survive; untouched partitions are never claimed."""
+        # a duplicate copy of one row and a near-miss (same keys,
+        # different value)
+        extra = spark.createDataFrame(
+            [("k-000010", 10, 10),      # exact duplicate of row 10
+             ("k-000010", 10, 999)],    # same keys, different value
+            "key string, seq long, value long")
+        table.ingest(extra)
+        victims = spark.createDataFrame(
+            [("k-000010", 10, 10), ("k-001500", 1500, 1500)],
+            "key string, seq long, value long")
+        out = table.delete_exact_rows(victims)
+        assert out["rows_deleted"] == 3  # both copies + the k-001500
+        got = table.full_scan()
+        assert got.where("key = 'k-000010' AND value = 10").count() == 0
+        assert got.where("key = 'k-000010' AND value = 999").count() == 1
+        assert got.where("key = 'k-001500'").count() == 0
+        assert got.count() == 2002 - 3
+
+    def test_noop_reference_releases_claim(self, spark, table):
+        """A reference that passes bloom but matches nothing is not
+        rewritten and its claim is released (a later delete on it
+        must not raise 'claimed')."""
+        ghost = spark.createDataFrame(
+            [("k-000010", 10, 777777)],  # key exists, row does not
+            "key string, seq long, value long")
+        out = table.delete_exact_rows(ghost)
+        assert out["rows_deleted"] == 0
+        assert out["files_rewritten"] == 0 == out["files_removed"]
+        assert all(r.job_id is None
+                   for r in table.store.all_references())
+        # the real delete still works afterwards
+        out2 = table.delete_exact_rows(spark.createDataFrame(
+            [("k-000010", 10, 10)],
+            "key string, seq long, value long"))
+        assert out2["rows_deleted"] == 1
+
+    def test_null_safe_match_and_feed(self, spark, tmp_path):
+        """NULL value columns match null-safely (SQL equality would
+        miss them); the deletion is observable on the tombstone
+        feed like any delete_where."""
+        sch = Schema(
+            row_key_fields=(Field("key", T.StringType()),),
+            sort_key_fields=(),
+            value_fields=(Field("v", T.StringType(), True),))
+        t = SleeperTable.create(spark, str(tmp_path / "n"), sch)
+        t.ingest(spark.createDataFrame(
+            [("a", None), ("a", "x"), ("b", None)],
+            "key string, v string"))
+        pre = t.store.current_seq
+        out = t.delete_exact_rows(spark.createDataFrame(
+            [("a", None)], "key string, v string"))
+        assert out["rows_deleted"] == 1
+        assert sorted((r.key, r.v) for r in t.full_scan().collect()) \
+            == [("a", "x"), ("b", None)]
+        dead = t.deleted_rows_between(pre).collect()
+        assert [(r.key, r.v) for r in dead] == [("a", None)]
+
+    def test_guards(self, spark, table, tmp_path):
+        with pytest.raises(ValueError, match="more than 1 rows"):
+            table.delete_exact_rows(_rows(spark, 0, 10), cap=1)
+        with pytest.raises(ValueError, match="missing table column"):
+            table.delete_exact_rows(
+                spark.createDataFrame([("a",)], "key string"))
+        agg = SleeperTable.create(
+            spark, str(tmp_path / "agg"), _schema(),
+            __import__("sleeper_spark.properties",
+                       fromlist=["TableProperties"])
+            .TableProperties(aggregations="sum(value)"))
+        agg.ingest(_rows(spark, 0, 10))
+        with pytest.raises(ValueError, match="aggregation-configured"):
+            agg.delete_exact_rows(_rows(spark, 0, 1))
+        with pytest.raises(ValueError, match="NaN"):
+            sch = Schema(
+                row_key_fields=(Field("key", T.StringType()),),
+                sort_key_fields=(),
+                value_fields=(Field("f", T.DoubleType(), True),))
+            tf = SleeperTable.create(spark, str(tmp_path / "f"), sch)
+            tf.ingest(spark.createDataFrame(
+                [("a", 1.0)], "key string, f double"))
+            tf.delete_exact_rows(spark.createDataFrame(
+                [("a", float("nan"))], "key string, f double"))

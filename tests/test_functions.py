@@ -975,6 +975,29 @@ class TestCorpusFrequency:
         assert got[4].n_lines == 1 and got[4].n_kept == 0
         assert got[4].text_stripped == ""
 
+    def test_strip_boilerplate_lines_group_scoped_ids(self, spark):
+        """ids need only be unique WITHIN their group: the same doc_id
+        in two groups must come back as two separate rows with their
+        own reassembled text, not interleaved / fanned out (r9 ADVICE
+        corpus.py finding); and a NULL group key still gets its text
+        back (never stripped, null-safe rejoin)."""
+        from sleeper_spark.functions.corpus import (
+            strip_boilerplate_lines)
+        df = spark.createDataFrame(
+            [(1, "en", "banner\nen one"), (2, "en", "banner\nen two"),
+             (1, "de", "banner\nde eins"), (2, "de", "banner\nde zwei"),
+             (1, None, "banner\nno group")],
+            "doc_id long, lang string, text string")
+        rows = strip_boilerplate_lines(df, ["lang"], min_df=2).collect()
+        assert len(rows) == 5  # no fan-out
+        got = {(r.lang, r.doc_id): r for r in rows}
+        assert got[("en", 1)].text_stripped == "en one"
+        assert got[("de", 1)].text_stripped == "de eins"
+        assert got[("en", 2)].n_kept == 1
+        # NULL group: nothing stripped, text intact via null-safe join
+        assert got[(None, 1)].text_stripped == "banner\nno group"
+        assert got[(None, 1)].n_kept == 2
+
     def test_repetition_scores(self, spark):
         from sleeper_spark.functions.corpus import repetition_scores
         df = spark.createDataFrame(

@@ -124,6 +124,9 @@ class TestMergeUpsert:
         empty = _rows(spark, 0, 0)
         res2 = table.merge_upsert(empty)
         assert res2["job_id"] is None
+        # uniform result shape: every exit carries the full key set
+        assert set(res2) == set(res) and not res2["replayed"]
+        assert res2["files_removed"] == 0 == res2["tombstone_files"]
         assert table.full_scan().count() == 2010
 
     def test_guards(self, spark, table):

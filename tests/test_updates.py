@@ -296,3 +296,30 @@ def test_update_assigns_to_schema_evolved_column(spark, tmp_path):
     assert got.where("key < 'k-000010' AND note IS NOT NULL") \
         .count() == 0
     assert got.count() == 100
+
+
+def test_write_ops_fail_upfront_on_readonly_view(spark, tmp_path):
+    """update_where / delete_where on a time-travel view raise
+    check_writable BEFORE the candidate scan (same error surface as
+    ingest/merge_upsert) — no orphaned rewrite files, old version
+    readable (r9 ADVICE updates.py finding)."""
+    t = SleeperTable.create(spark, str(tmp_path / "ro"), _schema(),
+                            split_points=["k-001000"])
+    t.ingest(_rows(spark, 0, 100))
+    view = t.as_of(seq=t.store.current_seq)
+    data_files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t.data_dir) for f in fs)
+    with pytest.raises(StateStoreException, match="read-only"):
+        view.update_where(
+            {"status": "nope"},
+            regions=[Region.of(Range("key", "k-000000", "k-000050"))])
+    with pytest.raises(StateStoreException, match="read-only"):
+        view.delete_where(
+            regions=[Region.of(Range("key", "k-000000", "k-000050"))])
+    data_files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t.data_dir) for f in fs)
+    assert data_files_after == data_files_before  # nothing orphaned
+    assert t.full_scan().where("status = 'nope'").count() == 0
+    assert view.full_scan().count() == 100
