@@ -3836,6 +3836,115 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT DISTINCT user_id, event_type FROM q_streaming_dedup")
 
 
+def q_streaming_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once CDC stream merge (streaming.stream_merge,
+    streaming.py): a file-source CDC stream — three parquet files,
+    maxFilesPerTrigger=1, so three real micro-batches — applies to a
+    SleeperTable as atomic MERGE upserts under deterministic
+    ``merge-<ckpt>-batch-<id>`` job ids (replayed batches dedupe via
+    the merge replay contract, pytest-pinned in
+    tests/test_merge_upsert.py). Each CDC key appears in exactly one
+    batch, so the final table state is batching-independent: base rows
+    whose keys the CDC touched are replaced, unseen keys inserted.
+    Oracle = anti-join base to the CDC key set + union of the CDC
+    rows."""
+    from sleeper_spark import streaming as streaming_mod
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_smerge_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev)
+    # three disjoint-key CDC files -> three micro-batches
+    src_dir = os.path.join(tmp, "cdc")
+    os.makedirs(src_dir)
+    batches = [
+        ev.where("event_id >= 1000 AND event_id < 1400").select(
+            "event_id", "user_id", F.lit("merged").alias("event_type"),
+            (F.col("value") * 2).alias("value")),
+        ev.where("event_id < 150").select(
+            (F.col("event_id") + 20000000).alias("event_id"),
+            "user_id", F.lit("inserted").alias("event_type"), "value"),
+        ev.where("event_id >= 5000 AND event_id < 5300").select(
+            "event_id", "user_id",
+            F.lit("merged2").alias("event_type"),
+            (F.col("value") * 3).alias("value")),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(os.path.join(src_dir, f"b{i}"))
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(src_dir, "*", "*.parquet")))
+    flat = os.path.join(tmp, "cdc_flat")
+    os.makedirs(flat)
+    import shutil as _sh
+    for i, f in enumerate(files):
+        _sh.copy(f, os.path.join(flat, f"cdc-{i}.parquet"))
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", "1").parquet(flat))
+    q = streaming_mod.stream_merge(
+        table, stream, tempfile.mkdtemp(prefix="smerge_ckpt_"))
+    q.awaitTermination(300)
+    return table.full_scan()
+
+
+def q_replication_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete/update/merge-aware replication (replication.sync_cdc):
+    the source ingests events in two halves, then delete_where a key
+    range, update_where an assignment, merge_upsert a CDC batch, and
+    compacts; ONE sync_cdc call replays the full content history onto
+    a replica — appends ingest, the delete applies as exact-row
+    deletion of the tombstone feed, the update as delete-old +
+    ingest-new, the merge as a replica-side merge — strictly in log
+    order, each event individually durable and idempotent
+    (crash-replay pytest-pinned in tests/test_replication.py). The
+    returned frame is the REPLICA's full scan; oracle = SQL of the
+    net source state, which the replica must equal without ever being
+    re-seeded."""
+    from sleeper_spark import replication
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_repcdc_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    dst = SleeperTable.create(spark, os.path.join(tmp, "dst"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    src.ingest(ev.where("event_id < 4000"))
+    src.ingest(ev.where("event_id >= 4000"))
+    src.delete_where(
+        regions=[Region.of(Range("event_id", 1000, 2000))])
+    src.update_where(
+        {"event_type": "upd"},
+        regions=[Region.of(Range("event_id", 4000, 4500))])
+    src.merge_upsert(
+        ev.where("event_id >= 2000 AND event_id < 2300").select(
+            "event_id", "user_id", F.lit("merged").alias("event_type"),
+            (F.col("value") * 2).alias("value"))
+        .unionByName(ev.where("event_id < 100").select(
+            (F.col("event_id") + 30000000).alias("event_id"),
+            "user_id", F.lit("inserted").alias("event_type"),
+            "value")))
+    src.compact()  # rewrites must stay content-neutral in the replay
+    s = replication.sync_cdc(src, dst)
+    assert s["caught_up"] and s["deletes_applied"] == 1
+    assert s["updates_applied"] == 1 and s["merges_applied"] == 1
+    return dst.full_scan()
+
+
 # ---------------------------------------------------------------------------
 # the driver contract
 # ---------------------------------------------------------------------------
@@ -3872,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "update_where": q_update_where,
         "merge_upsert": q_merge_upsert,
+        "replication_cdc": q_replication_cdc,
         "check_constraints": q_check_constraints,
         "functional_index": q_functional_index,
         "secondary_index_hot": q_secondary_index_hot,
@@ -4017,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # streaming (availableNow, hash-checked against batch SQL)
         "streaming_upsert": q_streaming_upsert,
+        "streaming_merge": q_streaming_merge,
         "streaming_window": q_streaming_window,
         "streaming_funnel": q_streaming_funnel,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -4767,6 +4878,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, value FROM events "
             "WHERE event_id < 2000",
         # MERGE == target anti-join source keys, union the source
+        # CDC replication: net source state after delete + update +
+        # merge, which the replica must equal without a re-seed
+        "replication_cdc":
+            "WITH base AS ("
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE NOT (event_id >= 1000 AND event_id < 2000)), "
+            "upd AS ("
+            "SELECT event_id, user_id, "
+            "CASE WHEN event_id >= 4000 AND event_id < 4500 "
+            "THEN 'upd' ELSE event_type END AS event_type, value "
+            "FROM base), "
+            "m AS ("
+            "SELECT event_id, user_id, 'merged' AS event_type, "
+            "value * 2 AS value FROM events "
+            "WHERE event_id >= 2000 AND event_id < 2300 "
+            "UNION ALL "
+            "SELECT event_id + 30000000, user_id, 'inserted', value "
+            "FROM events WHERE event_id < 100) "
+            "SELECT u.event_id, u.user_id, u.event_type, u.value "
+            "FROM upd u WHERE u.event_id NOT IN "
+            "(SELECT event_id FROM m) "
+            "UNION ALL SELECT * FROM m",
         "merge_upsert":
             "WITH src AS ("
             "SELECT event_id, user_id, 'merged' AS event_type, "
@@ -4825,6 +4958,23 @@ def oracle_sql() -> dict[str, str]:
             "value, row_number() OVER (PARTITION BY user_id, event_type "
             "ORDER BY epoch_us(ts) DESC, value DESC) AS rn FROM events) "
             "SELECT user_id, event_type, ts_us, value FROM r WHERE rn = 1",
+        # final table state is batching-independent: each CDC key
+        # appears in exactly one micro-batch
+        "streaming_merge":
+            "WITH cdc AS ("
+            "SELECT event_id, user_id, 'merged' AS event_type, "
+            "value * 2 AS value FROM events "
+            "WHERE event_id >= 1000 AND event_id < 1400 "
+            "UNION ALL "
+            "SELECT event_id + 20000000, user_id, 'inserted', value "
+            "FROM events WHERE event_id < 150 "
+            "UNION ALL "
+            "SELECT event_id, user_id, 'merged2', value * 3 "
+            "FROM events WHERE event_id >= 5000 AND event_id < 5300) "
+            "SELECT e.event_id, e.user_id, e.event_type, e.value "
+            "FROM events e WHERE e.event_id NOT IN "
+            "(SELECT event_id FROM cdc) "
+            "UNION ALL SELECT * FROM cdc",
         "bulk_export":
             "SELECT user_id, event_type, count(*) AS n "
             "FROM events GROUP BY user_id, event_type",

@@ -25,15 +25,27 @@ Beyond-reference surface (the reference replicates via S3 itself);
 this is the disaster-recovery / cross-region story an on-prem
 deployment needs.
 
-Scope: the feed ships APPENDS only. A source that ran ``delete_where``,
-``update_where`` or ``merge_upsert`` diverges from its replica (a
-merge's INSERTS flow, but no removal or reassignment does — REPLACE
-and MERGE commits are invisible to the append feed's removal side by
-design); re-seed the replica
-(fresh destination + full sync) after destructive source operations,
-or replicate at the application layer by writing versioned rows and
-compacting with last-writer-wins aggregation instead of updating in
-place.
+Two tiers:
+
+- :func:`sync` ships the APPEND feed only, and REFUSES loudly when the
+  polled window contains a ``delete_where``/``update_where``/
+  ``merge_upsert`` commit (silently shipping a merge's insert half
+  while the replaced rows survive on the replica would leave duplicate
+  key versions — the r9 ADVICE finding). Append-only sources (the
+  common 100 TB ingest pipeline) pay zero classification overhead
+  beyond the window scan.
+- :func:`sync_cdc` replays the FULL content history: appends ingest,
+  ``delete_where`` commits apply as exact-row deletes of the tombstone
+  feed (key-exact ``delete_where`` on aggregation tables, where whole
+  key groups are the unit), ``update_where`` as delete-old +
+  ingest-new, and ``merge_upsert`` as a replica-side merge of the
+  commit's insert rows — each at its own seq, strictly in log order,
+  individually durable before the next event is touched. Every
+  event's application is idempotent (exact-row re-delete is a no-op,
+  ingests/merges dedupe by deterministic job id), so a crash anywhere
+  replays at most one event. The watermark stays side-file-free: each
+  applied event commits either its own ingest job or a zero-file
+  marker transaction whose id parses to the event seq.
 """
 
 from __future__ import annotations
@@ -146,7 +158,14 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     Schema drift is refused loudly: if the source evolved (e.g.
     ``add_value_column``) and the replica did not, silently ingesting
     would DROP the new column from shipped rows (ingest projects to the
-    replica's schema) — replicate the evolution first, then the data."""
+    replica's schema) — replicate the evolution first, then the data.
+
+    Destructive source commits are refused just as loudly: a
+    ``delete_where``/``update_where``/``merge_upsert`` in the polled
+    window means the append feed alone cannot converge the replica
+    (shipping a merge's insert half while the replaced rows survive
+    would leave duplicate key versions) — use :func:`sync_cdc`, or
+    re-seed."""
     _check_schema(src, dst)
     if prefix is None:
         prefix = source_prefix(src)
@@ -157,12 +176,183 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     if to_seq == from_seq:
         return {"from_seq": from_seq, "to_seq": to_seq,
                 "files_ingested": 0, "caught_up": True}
+    _refuse_destructive(src, from_seq, to_seq)
     job = f"{prefix}{from_seq}-{to_seq}"
     refs = dst.ingest(rows, job_id=job)
     head = src.store.current_seq
     return {"from_seq": from_seq, "to_seq": to_seq,
             "files_ingested": len(refs),
             "caught_up": to_seq >= head}
+
+
+_CDC_REFUSE_MSG = (
+    "source ran delete_where/update_where/merge_upsert in the "
+    "replicated window — the append-only feed cannot converge the "
+    "replica through it (a merge's insert half would ship while the "
+    "replaced rows survive, leaving duplicate key versions); use "
+    "replication.sync_cdc to replay the full content history, or "
+    "re-seed the replica")
+
+
+def _refuse_destructive(src: Any, from_seq: int, to_seq: int) -> None:
+    """Raise :data:`_CDC_REFUSE_MSG` if ``(from_seq, to_seq]`` holds a
+    content-destructive commit (tombstones/updates/merges), reusing
+    the views classifier (which also refuses legacy pre-tombstone
+    deletes — equally unconvergeable, for a different reason)."""
+    from sleeper_spark.views import classify_window
+
+    txs = src.store.transactions_between(from_seq, to_seq)
+    events, _barrier = classify_window(src.store, txs, _CDC_REFUSE_MSG)
+    if events:
+        raise ValueError(_CDC_REFUSE_MSG)
+
+
+def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
+             prefix: str | None = None,
+             delete_cap: int = 1_000_000,
+             merge_cap: int = 1_000_000) -> dict:
+    """One CDC replication step: replay the source's FULL content
+    history — appends, deletes, updates and merges — onto the replica,
+    strictly in log order. The delete/update-aware tier of
+    :func:`sync` (module doc): converges a replica through
+    ``delete_where`` / ``update_where`` / ``merge_upsert`` without a
+    re-seed, because the source commits carry everything needed
+    (tombstones = removed rows, ``updates`` = new versions, MERGE
+    addFiles = upserted rows).
+
+    Event application per kind, each individually durable before the
+    next event is touched:
+
+    - append window ``(a, b]`` → ``dst.ingest(job_id=prefix+"a-b")``
+      (idempotent by job id; windows with no ADD_FILES commit nothing
+      and cost nothing);
+    - ``delete`` at seq d → ``dst.delete_exact_rows(tombstones)``
+      (key-exact ``delete_where`` on aggregation tables, where source
+      deletes are key-region only and whole key groups are the unit),
+      then a zero-file marker transaction ``prefix+"applied-d"``
+      advances the watermark;
+    - ``update`` at seq d → exact-row delete of the old versions, then
+      ``dst.ingest(new_versions, job_id=prefix+"(d-1)-d")`` (the
+      ingest itself is the watermark);
+    - ``merge`` at seq d → ``dst.merge_upsert(insert_rows,
+      job_id="merge-"+prefix+"(d-1)-d")`` (durably idempotent via the
+      merge replay contract), then the marker.
+
+    Crash safety without a side file, same recovery story as
+    :func:`sync`: the watermark is recovered from the replica's own
+    log (:func:`applied_seq` parses the trailing seq of every job id
+    under ``prefix``), every application is idempotent against a
+    replica already holding its effect (re-deleting absent rows
+    no-ops, re-ingests/re-merges dedupe), and ordering is enforced by
+    never applying event N+1 before event N's watermark commit is
+    durable — so a replay can never re-apply an old delete AFTER rows
+    it would wrongly match were legitimately re-added.
+
+    An in-flight delete/update claim (commit not yet landed) is a
+    BARRIER: the step stops before its seq and reports
+    ``caught_up=False``; the next call re-plans. ``delete_cap`` /
+    ``merge_cap`` bound the driver-side row sets per event (a mass
+    delete should re-seed instead — the caps raise loudly)."""
+    from sleeper_spark.ranges import Region
+    from sleeper_spark.views import classify_window
+
+    _check_schema(src, dst)
+    if prefix is None:
+        prefix = source_prefix(src)
+    from_seq = applied_seq(dst, prefix)
+    src.store.refresh_if_stale(0)
+    head = src.store.current_seq
+    if from_seq > head:
+        raise ValueError(
+            f"replica watermark {from_seq} is beyond the source head "
+            f"{head} — wrong source, or stale/corrupt replica state")
+    to_seq = min(head, from_seq + max_seqs) \
+        if max_seqs is not None else head
+    summary = {"from_seq": from_seq, "to_seq": from_seq,
+               "files_ingested": 0, "deletes_applied": 0,
+               "updates_applied": 0, "merges_applied": 0,
+               "rows_deleted": 0, "caught_up": from_seq >= head}
+    if to_seq <= from_seq:
+        return summary
+    txs = src.store.transactions_between(from_seq, to_seq)
+    events, barrier = classify_window(src.store, txs, _CDC_REFUSE_MSG)
+    if barrier is not None:
+        events = [e for e in events if e[0] < barrier]
+        to_seq = barrier - 1
+        if to_seq <= from_seq:
+            return summary  # blocked on the in-flight claim
+
+    key_names = [f.name for f in src.schema.row_key_fields]
+
+    def _apply_appends(a: int, b: int) -> None:
+        if b <= a:
+            return
+        window = src.store.transactions_between(a, b)
+        # event seqs never fall inside an append window (the loop
+        # splits at every classified event), so ADD_FILES is the only
+        # content-carrying type here
+        if not any(tx.get("type") == "ADD_FILES" for _s, tx in window):
+            # content-neutral window (claims, compactions, splits):
+            # still advance the watermark durably, or a bounded
+            # catch-up (max_seqs) over neutral history would stall
+            # below the next content event forever
+            _mark(b)
+            return
+        rows = src.added_rows_between(a, b)
+        refs = dst.ingest(rows, job_id=f"{prefix}{a}-{b}")
+        summary["files_ingested"] += len(refs)
+
+    def _mark(seq: int) -> None:
+        # zero-file marker: parses to `seq` in applied_seq, durable in
+        # the replica's own log (the migrate_legacy_watermark pattern)
+        dst.store.add_files([], job_id=f"{prefix}applied-{seq}")
+
+    cur = from_seq
+    for eseq, kind in events:
+        _apply_appends(cur, eseq - 1)
+        if kind == "merge":
+            # replays of a half-applied step dedupe via the merge
+            # replay contract (ingest_jobs_seen)
+            ins = src.added_rows_between(eseq - 1, eseq)
+            dst.merge_upsert(ins, cap=merge_cap,
+                             job_id=f"merge-{prefix}{eseq - 1}-{eseq}")
+            _mark(eseq)
+            summary["merges_applied"] += 1
+        else:
+            old = src.deleted_rows_between(eseq - 1, eseq)
+            if dst.props.aggregations:
+                # aggregation tables: source deletes are key-region
+                # only → whole key groups; exact-key delete_where is
+                # the well-defined unit (physical pre-collapse rows
+                # differ between source and replica by design)
+                keys = old.select(*key_names).distinct() \
+                    .limit(delete_cap + 1).collect()
+                if len(keys) > delete_cap:
+                    raise ValueError(
+                        f"delete commit at seq {eseq} removed more "
+                        f"than {delete_cap} distinct keys — a mass "
+                        "delete; re-seed the replica instead")
+                if keys:
+                    res = dst.delete_where(regions=[
+                        Region.exact(dst.schema,
+                                     **{k: r[k] for k in key_names})
+                        for r in keys])
+                    summary["rows_deleted"] += res["rows_deleted"]
+            else:
+                res = dst.delete_exact_rows(old, cap=delete_cap)
+                summary["rows_deleted"] += res["rows_deleted"]
+            if kind == "update":
+                new = src.updated_rows_between(eseq - 1, eseq)
+                dst.ingest(new, job_id=f"{prefix}{eseq - 1}-{eseq}")
+                summary["updates_applied"] += 1
+            else:
+                _mark(eseq)
+                summary["deletes_applied"] += 1
+        cur = eseq
+    _apply_appends(cur, to_seq)
+    summary["to_seq"] = to_seq
+    summary["caught_up"] = barrier is None and to_seq >= head
+    return summary
 
 
 def _check_schema(src: Any, dst: Any) -> None:
@@ -211,6 +401,11 @@ def sync_via_tail(src: Any, dst: Any, staging_dir: str,
         prefix = source_prefix(src)
     tail = ChangeFeedTail(src, staging_dir, max_seqs=max_seqs)
     applied = applied_seq(dst, prefix)
+    # same refusal as sync(): the tail lands the APPEND feed only, so
+    # a destructive commit between the watermark and the head cannot
+    # be converged through this path
+    src.store.refresh_if_stale(0)
+    _refuse_destructive(src, applied, src.store.current_seq)
     if tail.state["seq"] == 0 and not tail.state.get("pending"):
         # fresh staging dir, possibly pre-synced replica: start the
         # tail at the replica's watermark, not at the dawn of the log
