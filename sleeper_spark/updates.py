@@ -46,10 +46,15 @@ Aggregation-configured tables refuse updates entirely: physical
 pre-collapse rows are not the user-visible values, so "set value
 where ..." would be ill-defined (same rule as value-range deletes).
 
-CHECK constraints (``TableProperties.constraints``) are an ingest-gate
-and are NOT re-evaluated on update assignments — the rewrite is an
-arrow-side kernel with no SQL evaluator; callers assigning values on a
-constrained table own keeping them within the constraint.
+CHECK constraints (``TableProperties.constraints``) ARE re-evaluated
+over the updated rows before the commit: the rewrite lands the
+new-version files first (commit-free bytes), then one Spark predicate
+pass over ONLY those files (cost ∝ updated rows, never the table)
+checks the constraint with SQL CHECK semantics (NULL passes, FALSE
+rejects). A violation aborts the whole update — claims released,
+outputs deleted, nothing committed, the old version stays readable —
+so an update can never smuggle out-of-constraint values past the
+ingest gate.
 
 Change-feed note: like deletes, updates do NOT flow through the
 append-only ``added_rows_between`` feed — incremental consumers read
@@ -292,6 +297,29 @@ def update_where(table: "SleeperTable",
         slices = min(len(descs), 4 * sc.defaultParallelism)
         results = sc.parallelize(descs, slices) \
             .map(_rewrite_update_one).collect()
+
+    if table.props.constraints:
+        # CHECK re-validation over the NEW versions only (module doc):
+        # still commit-free here, so aborting leaves unreferenced
+        # bytes, a released claim, and the old version readable
+        upd_paths = [r[4] for r in results if r[4] is not None]
+        if upd_paths:
+            from pyspark.sql import functions as F
+            violating = (
+                table.spark.read.parquet(*upd_paths)
+                .where(~F.coalesce(
+                    F.expr(table.props.constraints).cast("boolean"),
+                    F.lit(True))))
+            if not violating.isEmpty():
+                import shutil
+                store.unassign_job_ids(job_id)
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ValueError(
+                    "CHECK constraint violated: the assignment "
+                    f"produced rows failing "
+                    f"{table.props.constraints!r} — nothing was "
+                    "committed (claims released, outputs removed); "
+                    "fix the assignment or the predicate")
 
     replacements = []
     tombstones: list[str] = []

@@ -497,14 +497,28 @@ class SecondaryIndex:
                 probe = source.spark.createDataFrame(
                     [], source.schema.to_struct_type())
                 try:
-                    dtype = probe.selectExpr(
-                        f"({exprs[name]}) AS `{name}`") \
-                        .schema[name].dataType
+                    proj = probe.selectExpr(
+                        f"({exprs[name]}) AS `{name}`")
+                    dtype = proj.schema[name].dataType
                 except Exception as e:  # noqa: BLE001
                     raise ValueError(
                         f"index expression for {name!r} does not "
                         f"resolve against the source schema: {e}"
                     ) from None
+                # the derivation re-evaluates on refresh, delete
+                # maintenance and rebuild — a non-deterministic
+                # expression (rand(), uuid(), now()) would index a
+                # value no later re-derivation can reproduce, making
+                # tombstone maintenance silently wrong. Reject at
+                # create, when the operator can still fix it.
+                if not proj._jdf.queryExecution().analyzed() \
+                        .expressions().apply(0).deterministic():
+                    raise ValueError(
+                        f"index expression for {name!r} "
+                        f"({exprs[name]}) is non-deterministic — it "
+                        "re-evaluates on refresh/delete/rebuild and "
+                        "must reproduce the same value; use a "
+                        "deterministic derivation")
                 if not isinstance(dtype, key_types):
                     raise ValueError(
                         f"index expression for {name!r} resolves to "

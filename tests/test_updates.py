@@ -323,3 +323,40 @@ def test_write_ops_fail_upfront_on_readonly_view(spark, tmp_path):
     assert data_files_after == data_files_before  # nothing orphaned
     assert t.full_scan().where("status = 'nope'").count() == 0
     assert view.full_scan().count() == 100
+
+
+def test_check_constraints_enforced_on_update(spark, tmp_path):
+    """r9 VERDICT Next #4: a constrained table re-validates CHECK over
+    the updated rows before commit — a violating assignment raises,
+    nothing is committed, claims are released, the old version stays
+    readable; a conforming assignment (and one whose NULL result
+    passes, SQL CHECK semantics) goes through."""
+    from sleeper_spark.properties import TableProperties
+    t = SleeperTable.create(
+        spark, str(tmp_path / "c"), _schema(),
+        TableProperties(constraints="value >= 0"),
+        split_points=["k-001000"])
+    t.ingest(_rows(spark, 0, 100))
+    pre = t.store.current_seq
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.update_where(
+            {"value": -5},
+            regions=[Region.of(Range("key", "k-000010", "k-000020"))])
+    # nothing committed: the only log traffic is the claim + release
+    kinds = {tx.get("type")
+             for _s, tx in t.store.transactions_between(pre)}
+    assert kinds <= {"ASSIGN_JOB_IDS", "UNASSIGN_JOB_IDS"}
+    assert all(r.job_id is None for r in t.store.all_references())
+    assert t.full_scan().where("value < 0").count() == 0
+    # conforming update passes; NULL passes (CHECK semantics)
+    res = t.update_where(
+        {"value": 7},
+        regions=[Region.of(Range("key", "k-000010", "k-000020"))])
+    assert res["rows_updated"] == 10
+    res2 = t.update_where(
+        {"status": None},
+        regions=[Region.of(Range("key", "k-000030", "k-000040"))])
+    assert res2["rows_updated"] == 10
+    assert t.full_scan().where(
+        "key >= 'k-000010' AND key < 'k-000020' AND value = 7"
+    ).count() == 10

@@ -613,3 +613,68 @@ class TestCompositeSecondaryIndex:
             & (F.col("event_type") == pair.event_type)
             & (F.col("user_id") == pair.user_id)).collect()}
         assert got == want
+
+
+class TestFunctionalIndexExpressionSurface:
+    """r9 VERDICT Next #5: pin the supported expression surface beyond
+    the original long-division derivation — a string expression, a
+    two-column derivation, and the non-deterministic failure mode."""
+
+    def _src(self, spark, tmp_path):
+        ev = spark.createDataFrame(
+            [(i, i % 7, t) for i, t in enumerate(
+                ["Click", "VIEW", "click", "Purchase", "view"] * 40)],
+            "event_id long, user_id long, event_type string")
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "esrc"), schema,
+                                  split_points=[100])
+        return src, ev
+
+    def test_string_expression_lower(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        src, ev = self._src(spark, tmp_path)
+        idx = SecondaryIndex.create(
+            src, str(tmp_path / "lidx"), "lo",
+            expr={"lo": "lower(event_type)"})
+        src.ingest(ev)
+        idx.refresh()
+        got = sorted(r.event_id for r in idx.lookup("click").collect())
+        want = sorted(r.event_id for r in ev.where(
+            "lower(event_type) = 'click'").collect())
+        assert got == want and want
+        # delete maintenance re-derives the string expression
+        src.delete_where(
+            regions=[Region.of(Range("event_id", 0, 20))])
+        idx.refresh()
+        got2 = sorted(r.event_id
+                      for r in idx.lookup("click").collect())
+        assert got2 == [e for e in want if e >= 20]
+
+    def test_two_column_derivation(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        src, ev = self._src(spark, tmp_path)
+        idx = SecondaryIndex.create(
+            src, str(tmp_path / "tidx"), "tk",
+            expr={"tk": "concat(lower(event_type), '|', "
+                        "CAST(user_id % 2 AS STRING))"})
+        src.ingest(ev)
+        idx.refresh()
+        got = sorted(r.event_id
+                     for r in idx.lookup("view|1").collect())
+        want = sorted(r.event_id for r in ev.where(
+            "lower(event_type) = 'view' AND user_id % 2 = 1"
+        ).collect())
+        assert got == want and want
+
+    def test_nondeterministic_rejected_at_create(self, spark,
+                                                 tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        src, _ = self._src(spark, tmp_path)
+        for bad in ("CAST(rand() * 100 AS LONG)", "uuid()"):
+            with pytest.raises(ValueError,
+                               match="non-deterministic"):
+                SecondaryIndex.create(src, str(tmp_path / "nd"), "x",
+                                      expr={"x": bad})
