@@ -251,6 +251,32 @@ class TestDedup:
         n_pairs = pairs.count()
         assert n_pairs < n_docs * n_docs / 4  # not a cross join
 
+    def test_lsh_band_audit_reports_planted_hot_bucket(self, spark):
+        """r9 VERDICT Next #6: the pre-join band audit must surface a
+        skewed bucket as a NUMBER — 30 identical docs collide in every
+        band, so the heaviest buckets carry exactly C(30,2)=435
+        candidate pairs each, while the distinct filler docs stay off
+        the report entirely."""
+        from sleeper_spark.functions.dedup import lsh_band_audit
+        hot = [(i, "the exact same boilerplate page text repeated "
+                   "verbatim across mirrors") for i in range(30)]
+        cold = [(100 + i,
+                 f"unique document number {i} about topic {i * 7} "
+                 f"with distinct words w{i}a w{i}b w{i}c w{i}d")
+                for i in range(50)]
+        df = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+        audit = lsh_band_audit(df, num_hashes=16, bands=4, top_n=10)
+        rows = audit.collect()
+        assert rows, "hot bucket must be reported"
+        top = rows[0]
+        assert top.n_docs == 30 and top.n_pairs == 435
+        # identical docs collide in EVERY band — all 4 reported
+        assert {r.band for r in rows if r.n_docs == 30} \
+            == {0, 1, 2, 3}
+        # ordering contract: heaviest first
+        assert [r.n_pairs for r in rows] \
+            == sorted((r.n_pairs for r in rows), reverse=True)
+
 
 class TestSimilarity:
     def test_cosine_against_numpy(self, embeddings):
