@@ -625,6 +625,38 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_index_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-nested-loop JOIN (views.SecondaryIndex.lookup_join): a
+    small probe frame joins the events table THROUGH the secondary
+    index — probe values broadcast against the narrow postings scan,
+    the bounded matched-key set feeds batch_exact_key_query, so only
+    the source files holding those keys are read (partition-pruned +
+    Bloom-skipped). The 100 TB shape this exists for: a 1k-row probe
+    against a 10^5-file table touches a handful of files where a plain
+    DataFrame join would scan all of them. Pytest pins both paths
+    (bounded + hot fallback) equal to the plain join
+    (tests/test_views.py). Oracle = the plain inner join."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_ilj_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    idx = SecondaryIndex.create(src, os.path.join(tmp, "idx"),
+                                "user_id", split_points=[50])
+    src.ingest(ev)
+    idx.refresh()
+    probe = (ev.where("event_id < 30")
+             .select(F.col("user_id").alias("uid")).distinct()
+             .withColumn("tag", F.lit("probe")))
+    return idx.lookup_join(probe, on={"user_id": "uid"})
+
+
 def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Time travel (table.as_of, table.py:135; the append-only
     transaction log makes historical reads free): ingest events,
@@ -3976,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cokeyed_join": q_cokeyed_join,
         "materialized_view": q_materialized_view,
         "secondary_index": q_secondary_index,
+        "index_lookup_join": q_index_lookup_join,
         "composite_index": q_composite_index,
         "composite_index_range": q_composite_index_range,
         "time_travel": q_time_travel,
@@ -4854,6 +4887,12 @@ def oracle_sql() -> dict[str, str]:
         "secondary_index":
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (7, 42, 99)",
+        # index-nested-loop join == the plain inner join
+        "index_lookup_join":
+            "WITH p AS (SELECT DISTINCT user_id AS uid FROM events "
+            "WHERE event_id < 30) "
+            "SELECT p.uid, 'probe' AS tag, e.event_id, e.user_id, "
+            "e.event_type FROM p JOIN events e ON e.user_id = p.uid",
         # composite two-column lookups over the post-delete survivors
         "composite_index":
             "SELECT event_id, user_id, event_type FROM events "

@@ -678,3 +678,92 @@ class TestFunctionalIndexExpressionSurface:
                                match="non-deterministic"):
                 SecondaryIndex.create(src, str(tmp_path / "nd"), "x",
                                       expr={"x": bad})
+
+
+class TestIndexLookupJoin:
+    """Index-nested-loop join (SecondaryIndex.lookup_join): both the
+    bounded batch_exact_key_query path and the hot distributed
+    fallback must equal the plain inner join; functional indexes join
+    through their derivation."""
+
+    def _mk(self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        ev = spark.createDataFrame(
+            [(i, i % 50, ["click", "view", "buy"][i % 3])
+             for i in range(300)],
+            "event_id long, user_id long, event_type string")
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "jsrc"), schema,
+                                  split_points=[150])
+        idx = SecondaryIndex.create(src, str(tmp_path / "jidx"),
+                                    "user_id")
+        src.ingest(ev)
+        idx.refresh()
+        return src, idx, ev
+
+    def test_both_paths_equal_plain_join(self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        probe = spark.createDataFrame(
+            [(7, "a"), (13, "b"), (7, "c"), (9999, "d")],
+            "uid long, tag string")
+        want = sorted(
+            tuple(r) for r in probe.join(
+                ev, probe.uid == ev.user_id, "inner")
+            .select("uid", "tag", "event_id", "user_id", "event_type")
+            .collect())
+        for thr in (1, 1000):  # hot fallback, then bounded path
+            got = sorted(tuple(r) for r in idx.lookup_join(
+                probe, on={"user_id": "uid"},
+                hot_threshold=thr).collect())
+            assert got == want and want, f"threshold {thr}"
+
+    def test_empty_probe_and_null_values(self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        probe = spark.createDataFrame(
+            [(None, "n")], "uid long, tag string")
+        assert idx.lookup_join(probe, on={"user_id": "uid"}) \
+            .count() == 0  # NULL never matches (inner-join semantics)
+
+    def test_functional_index_joins_through_derivation(
+            self, spark, tmp_path):
+        from sleeper_spark.views import SecondaryIndex
+        ev = spark.createDataFrame(
+            [(i, i % 5, t) for i, t in enumerate(
+                ["Click", "VIEW", "click", "buy"] * 25)],
+            "event_id long, user_id long, event_type string")
+        schema = Schema(
+            (Field("event_id", T.LongType()),), (),
+            (Field("user_id", T.LongType(), True),
+             Field("event_type", T.StringType(), True)))
+        src = SleeperTable.create(spark, str(tmp_path / "fjs"), schema)
+        idx = SecondaryIndex.create(
+            src, str(tmp_path / "fji"), "lo",
+            expr={"lo": "lower(event_type)"})
+        src.ingest(ev)
+        idx.refresh()
+        probe = spark.createDataFrame([("click", 1), ("buy", 2)],
+                                      "word string, w long")
+        got = sorted(tuple(r) for r in idx.lookup_join(
+            probe, on={"lo": "word"}).collect())
+        want = sorted(tuple(r) for r in probe.join(
+            ev, F.lower(ev.event_type) == probe.word, "inner")
+            .select("word", "w", "event_id", "user_id", "event_type")
+            .collect())
+        assert got == want and want
+
+    def test_guards(self, spark, tmp_path):
+        src, idx, ev = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="missing"):
+            idx.lookup_join(
+                spark.createDataFrame([(1,)], "x long"), on={})
+        with pytest.raises(ValueError, match="lacks join column"):
+            idx.lookup_join(
+                spark.createDataFrame([(1,)], "x long"),
+                on={"user_id": "nope"})
+        with pytest.raises(ValueError, match="collide"):
+            idx.lookup_join(
+                spark.createDataFrame([(1, 2)],
+                                      "user_id long, event_id long"))
