@@ -696,7 +696,10 @@ class SecondaryIndex:
                 derived = derived.withColumn(
                     f"__iv_{c}", self._indexed_col(c))
                 cond = cond & (F.col(f"__iv_{c}") == F.col(on[c]))
-            out = probe_df.join(derived, cond, "inner")
+            # the probe is small by this operator's contract — pin the
+            # broadcast so the value join never sort-merges the
+            # (possibly large) matched source rows
+            out = F.broadcast(probe_df).join(derived, cond, "inner")
             return out.select(*probe_df.columns,
                               *[f.name for f in
                                 self.source.schema.all_fields()])

@@ -711,3 +711,30 @@ def test_prefix_range_hot_path_semi_join(spark, tmp_path):
     df = idx.lookup_prefix_range(["click"], 0, 10_000_000,
                                  hot_threshold=5)
     assert "LeftSemi" in plan_of(df)
+
+
+def test_index_lookup_join_bounded_path_no_source_exchange(
+        spark, tmp_path):
+    """lookup_join's bounded path: the probe restriction broadcasts
+    against the postings scan (never a sort-merge join), and the
+    source side is a batch_exact_key_query union of pruned file scans
+    — the final probe join is a BroadcastHashJoin/BroadcastNestedLoop
+    over a bounded row set, with no sort-merge join anywhere."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "user_id", "event_type")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    src = SleeperTable.create(spark, str(tmp_path / "ljsrc"), schema)
+    idx = SecondaryIndex.create(src, str(tmp_path / "ljidx"),
+                                "user_id")
+    src.ingest(ev)
+    idx.refresh()
+    probe = spark.createDataFrame([(7, "a"), (13, "b")],
+                                  "uid long, tag string")
+    df = idx.lookup_join(probe, on={"user_id": "uid"})
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "Broadcast" in plan
