@@ -625,6 +625,24 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_split_point_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-point advisor (maintenance.suggest_split_points): the 7
+    exact order-statistic keys that pre-balance an 8-way table on
+    lineitem.l_orderkey BEFORE the first bulk import (the reference
+    pre-splits its system-test tables for the same reason) — one
+    distributed cumulative-histogram job, percentile_disc semantics,
+    duplicates collapsed on skew. Pytest pins that the suggested
+    points actually balance an ingest within 2x
+    (tests/test_sketches.py). Oracle = the same integer-ceil rank
+    arithmetic in SQL."""
+    from sleeper_spark.maintenance import suggest_split_points
+    li = _load(spark, sf, "lineitem").select("l_orderkey")
+    pts = suggest_split_points(li, "l_orderkey", 8)
+    return spark.createDataFrame(
+        [(i + 1, int(p)) for i, p in enumerate(pts)],
+        "rank int, split_point long")
+
+
 def q_index_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
     """Index-nested-loop JOIN (views.SecondaryIndex.lookup_join): a
     small probe frame joins the events table THROUGH the secondary
@@ -4009,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialized_view": q_materialized_view,
         "secondary_index": q_secondary_index,
         "index_lookup_join": q_index_lookup_join,
+        "split_point_advisor": q_split_point_advisor,
         "composite_index": q_composite_index,
         "composite_index_range": q_composite_index_range,
         "time_travel": q_time_travel,
@@ -4887,6 +4906,21 @@ def oracle_sql() -> dict[str, str]:
         "secondary_index":
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (7, 42, 99)",
+        # advisor quantiles == integer-ceil rank arithmetic (the
+        # winsorize idiom), deduped then re-ranked
+        "split_point_advisor":
+            "WITH v AS (SELECT l_orderkey AS x FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL), "
+            "n AS (SELECT count(*) AS n FROM v), "
+            "c AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum FROM "
+            "(SELECT x, count(*) AS cnt FROM v GROUP BY x)), "
+            "qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, "
+            "0.75, 0.875]) AS q), "
+            "r AS (SELECT q, (SELECT min(x) FROM c, n "
+            "WHERE cum >= greatest(1, ceil(q * n.n))) AS pt FROM qs), "
+            "d AS (SELECT DISTINCT pt FROM r) "
+            "SELECT CAST(row_number() OVER (ORDER BY pt) AS INT) "
+            "AS rank, pt AS split_point FROM d",
         # index-nested-loop join == the plain inner join
         "index_lookup_join":
             "WITH p AS (SELECT DISTINCT user_id AS uid FROM events "

@@ -260,3 +260,45 @@ def verify_integrity(store: StateStore, schema,
 
     return {"ok": not errors, "errors": errors, "warnings": warnings,
             "files_checked": len(live), "orphans": orphans}
+
+
+def suggest_split_points(df, key_col: str, n_partitions: int,
+                         method: str = "exact") -> list:
+    """Split-point advisor for table onboarding: the N-1 key values
+    that divide ``df`` into ``n_partitions`` near-equal leaves —
+    what ``SleeperTable.create(split_points=...)`` wants so the very
+    first bulk import lands pre-balanced instead of hammering one
+    root leaf and splitting its way out (the reference pre-splits for
+    exactly this reason; see its system-test split-point files,
+    e.g. java/system-test: splitPoints). Returns a deduplicated,
+    sorted list (duplicate quantiles collapse on skewed keys — the
+    resulting table simply has fewer, honest leaves).
+
+    ``method="exact"``: percentile_disc order statistics from the
+    distributed cumulative histogram (stats.exact_quantiles) — one
+    aggregation job, any orderable key type (strings included), cost
+    O(distinct keys). ``method="sketch"``: the mergeable
+    sketch-quantile tier (stats.sketch_quantiles) for near-unique
+    DOUBLE keys where the exact histogram would be the column itself
+    — rank-bounded estimates, summaries never leave the executors.
+    """
+    from sleeper_spark.functions import stats
+
+    if n_partitions < 2:
+        raise ValueError(
+            f"n_partitions must be >= 2, got {n_partitions} (one "
+            "partition needs no split points)")
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    if method == "exact":
+        pts = stats.exact_quantiles(df.select(key_col), key_col, qs)
+    elif method == "sketch":
+        pts, _n = stats.sketch_quantiles(df, key_col, qs)
+    else:
+        raise ValueError(f"method must be 'exact' or 'sketch', "
+                         f"got {method!r}")
+    out, seen = [], set()
+    for p in pts:
+        if p is not None and p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out

@@ -434,3 +434,51 @@ class TestSortedColumnSketch:
 
         s = sk.SortedColumnSketch(64)
         assert s.field_dict() == {"ranks": [], "values": []}
+
+
+class TestSplitPointAdvisor:
+    def test_exact_points_balance_a_table(self, spark, tmp_path):
+        """Advisor quantiles pre-balance the very first ingest: 8-way
+        points over a uniform long key give leaves within 2x of each
+        other; string keys work through the same order statistics."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from sleeper_spark.maintenance import suggest_split_points
+        from sleeper_spark.schema import Field, Schema
+        from sleeper_spark.table import SleeperTable
+
+        df = spark.range(0, 8000).select(
+            (F.col("id") * 7919 % 8000).alias("k"),
+            F.col("id").alias("v"))
+        pts = suggest_split_points(df, "k", 8)
+        assert len(pts) == 7 and pts == sorted(pts)
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema,
+                                split_points=pts)
+        t.ingest(df)
+        counts = sorted(r.number_of_rows
+                        for r in t.store.all_references())
+        assert len(counts) == 8
+        assert counts[-1] <= 2 * counts[0]
+        # string keys: same machinery
+        sdf = df.select(F.format_string("s-%05d", F.col("k"))
+                        .alias("k"))
+        spts = suggest_split_points(sdf, "k", 4)
+        assert len(spts) == 3
+        assert all(isinstance(p, str) for p in spts)
+
+    def test_skewed_keys_dedupe_and_guards(self, spark):
+        from sleeper_spark.maintenance import suggest_split_points
+        # 90% one hot key: duplicate quantiles collapse
+        df = spark.createDataFrame(
+            [(7,)] * 90 + [(i,) for i in range(10)], "k long")
+        pts = suggest_split_points(df, "k", 8)
+        assert len(pts) == len(set(pts)) <= 7
+        assert 7 in pts
+        import pytest as _pt
+        with _pt.raises(ValueError, match=">= 2"):
+            suggest_split_points(df, "k", 1)
+        with _pt.raises(ValueError, match="method"):
+            suggest_split_points(df, "k", 4, method="wat")
