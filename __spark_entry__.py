@@ -2501,6 +2501,22 @@ def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
+def q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search (similarity.attribute_filtered_topk):
+    metadata predicate + exact cosine top-k — candidates must share
+    the query's ``label`` (the vector-DB "filtered search"). The
+    crossJoin becomes a broadcast equi-join on the attribute, so the
+    candidate set shrinks BEFORE scoring (pre-filter: recall within
+    the group exact by construction, where post-filtering an
+    unfiltered top-k under-fills selective filters). Oracle = the
+    brute-force cosine SQL with the label join added."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    return similarity.attribute_filtered_topk(
+        emb, queries, ["label"], k=10)
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (random-hyperplane signatures). The hyperplanes
     are seeded driver-side; the oracle embeds the SAME plane values as
@@ -4162,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "typo_dedup_pairs": q_typo_dedup_pairs,
         "ann_brute_force": q_ann_brute_force,
+        "ann_filtered": q_ann_filtered,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_recall": q_ann_recall,
@@ -5916,6 +5933,24 @@ def oracle_sql() -> dict[str, str]:
             "WHEN d IN ('2','3') THEN 2 ELSE 3 END) + 1 END) AS INTEGER) "
             "AS rho_max FROM parts GROUP BY day, register",
         "ann_brute_force": _ANN_BF_SQL,
+        # pre-filtered search: the BF cosine with the label equi-join
+        "ann_filtered":
+            "WITH q AS (SELECT vec_id AS query_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+            "s AS (SELECT query_id, vec_id, "
+            "round(list_dot_product(cv, qv) / "
+            "(sqrt(list_sum(list_transform(cv, x -> x * x))) "
+            "* sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) "
+            "AS cosine FROM c JOIN q USING (label) "
+            "WHERE vec_id <> query_id), "
+            "r AS (SELECT query_id, vec_id, cosine, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s) "
+            "SELECT query_id, vec_id, cosine, rank FROM r "
+            "WHERE rank <= 10",
         # 20-token rolling windows every 10; a span's identity is the
         # md5 of its joined tokens, recomputed here from the same
         # tokenizer so the value hash checks spans, not just counts

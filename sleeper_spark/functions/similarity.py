@@ -297,6 +297,56 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+def attribute_filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    match_cols: list[str],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Filtered vector search — each query's candidates must EQUAL its
+    attribute columns (the vector-DB "metadata filter + top-k": search
+    only among lang='en' docs, only this tenant's vectors, ...). Exact
+    cosine within the matching group.
+
+    Shape: the crossJoin of :func:`brute_force_topk` becomes a
+    broadcast EQUI-join on ``match_cols`` — the candidate set shrinks
+    from the corpus to the query's attribute group before any scoring,
+    and the WindowGroupLimit prune keeps the shuffle at <= k rows per
+    (partition, query) as usual. PRE-filtering, so recall within the
+    group is exact by construction (post-filtering an unfiltered ANN
+    top-k under-fills selective filters — the classic failure this
+    operator exists to avoid). At table scale, keying/partitioning the
+    corpus on the attribute columns lets the scan prune to matching
+    files before the join. NULL attributes never match (SQL equality),
+    matching WHERE semantics."""
+    if not match_cols:
+        raise ValueError("match_cols must name at least one attribute "
+                         "column (use brute_force_topk for unfiltered "
+                         "search)")
+    for frame, side in ((corpus, "corpus"), (queries, "queries")):
+        missing = sorted(set(match_cols) - set(frame.columns))
+        if missing:
+            raise ValueError(f"{side} frame lacks match column(s) "
+                             f"{missing}")
+    q = _with_norm(queries.select(
+        F.col(query_id_col), *match_cols,
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ), "__qvec", "__qnorm")
+    c = _with_norm(corpus.select(
+        F.col(id_col), *match_cols,
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ), "__cvec", "__cnorm")
+    scored = (
+        c.join(F.broadcast(q), on=match_cols)
+        .withColumn("cosine", _paired_cosine())
+    )
+    scored = _exclude_self(scored, id_col, query_id_col)
+    return _pruned_topk(scored, k, id_col, query_id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

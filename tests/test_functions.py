@@ -1765,3 +1765,46 @@ class TestEditDistancePairs:
             edit_distance_pairs(df, "k")
         with _pytest.raises(ValueError, match="max_dist"):
             edit_distance_pairs(df, "k", max_dist=3)
+
+
+class TestFilteredAnn:
+    def test_filtered_topk_equals_per_group_brute_force(
+            self, spark, embeddings):
+        import numpy as np
+        from sleeper_spark.functions.similarity import (
+            attribute_filtered_topk, brute_force_topk)
+        queries = embeddings.limit(3).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding")
+        got = attribute_filtered_topk(
+            embeddings, queries, ["label"], k=5).collect()
+        # ground truth: brute force restricted per query's label
+        for qid in {r.query_id for r in got}:
+            qrow = queries.where(F.col("query_id") == qid).first()
+            grp = embeddings.where(F.col("label") == qrow.label)
+            want = brute_force_topk(
+                grp, queries.where(F.col("query_id") == qid)
+                .select("query_id", "embedding"), k=5).collect()
+            mine = sorted((r.vec_id, r.cosine, r.rank)
+                          for r in got if r.query_id == qid)
+            ref = sorted((r.vec_id, r.cosine, r.rank) for r in want)
+            assert mine == ref and ref
+        # every result shares the query's label (pre-filter, not post)
+        lbl = {r.vec_id: r.label for r in embeddings.select(
+            "vec_id", "label").collect()}
+        qlbl = {r.query_id: r.label for r in queries.collect()}
+        assert all(lbl[r.vec_id] == qlbl[r.query_id] for r in got)
+
+    def test_null_attribute_never_matches_and_guards(self, spark):
+        from sleeper_spark.functions.similarity import (
+            attribute_filtered_topk)
+        c = spark.createDataFrame(
+            [(1, [1.0, 0.0], "en"), (2, [0.9, 0.1], None)],
+            "vec_id long, embedding array<double>, lang string")
+        q = spark.createDataFrame(
+            [(10, [1.0, 0.0], None)],
+            "query_id long, embedding array<double>, lang string")
+        assert attribute_filtered_topk(c, q, ["lang"], k=5).count() == 0
+        with pytest.raises(ValueError, match="at least one"):
+            attribute_filtered_topk(c, q, [], k=5)
+        with pytest.raises(ValueError, match="lacks match"):
+            attribute_filtered_topk(c, q, ["tenant"], k=5)
