@@ -625,6 +625,35 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_delete_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-row deletion (deletes.delete_exact_rows): remove an
+    EXPLICIT row set by null-safe full-row equality — the CDC-apply
+    primitive behind replication_cdc, here gated directly. Victims
+    are every 97th event (full rows, not a predicate pushed to the
+    engine: the delete receives the rows themselves); a same-key
+    near-miss row is ingested first and must SURVIVE, proving the
+    match is full-row, not key-level. Oracle = anti-join on all
+    columns."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_der_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    near_miss = ev.where("event_id % 97 = 0").select(
+        "event_id", "user_id", F.lit("near_miss").alias("event_type"),
+        "value")
+    table.ingest(ev.unionByName(near_miss))
+    res = table.delete_exact_rows(ev.where("event_id % 97 = 0"))
+    assert res["rows_deleted"] > 0
+    return table.full_scan()
+
+
 def q_split_point_advisor(spark: SparkSession, sf: str) -> DataFrame:
     """Split-point advisor (maintenance.suggest_split_points): the 7
     exact order-statistic keys that pre-balance an 8-way table on
@@ -4044,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secondary_index": q_secondary_index,
         "index_lookup_join": q_index_lookup_join,
         "split_point_advisor": q_split_point_advisor,
+        "delete_exact_rows": q_delete_exact_rows,
         "composite_index": q_composite_index,
         "composite_index_range": q_composite_index_range,
         "time_travel": q_time_travel,
@@ -4923,6 +4953,14 @@ def oracle_sql() -> dict[str, str]:
         "secondary_index":
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (7, 42, 99)",
+        # survivors = everything except the exact victim rows; the
+        # near-miss copies (same keys, different event_type) survive
+        "delete_exact_rows":
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE NOT (event_id % 97 = 0) "
+            "UNION ALL "
+            "SELECT event_id, user_id, 'near_miss' AS event_type, "
+            "value FROM events WHERE event_id % 97 = 0",
         # advisor quantiles == integer-ceil rank arithmetic (the
         # winsorize idiom), deduped then re-ranked
         "split_point_advisor":
