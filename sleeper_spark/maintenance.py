@@ -302,3 +302,65 @@ def suggest_split_points(df, key_col: str, n_partitions: int,
             seen.add(p)
             out.append(p)
     return out
+
+
+def vacuum_orphans(store: StateStore, props: TableProperties,
+                   data_dir: str,
+                   min_age_seconds: float | None = None) -> dict:
+    """Reclaim crashed-writer leaks: delete data-dir parquet (and its
+    sidecars) that is neither live-referenced nor GC-queued — the
+    bytes a writer that died between its data write and its commit
+    left behind, which the GC (O6) structurally cannot see because
+    they never entered any transaction. fsck (verify_integrity) only
+    REPORTS these; this is the reclaim step.
+
+    Safety rails, because "unreferenced right now" is not "garbage":
+    an IN-FLIGHT writer's files are unreferenced until its commit —
+    only files older (mtime) than ``min_age_seconds`` (default: the
+    table's GC delay, the same clock that already bounds every other
+    reclaim decision) are touched, so set it above your longest
+    conceivable write job. The state is refreshed to head immediately
+    before the scan, shrinking the stale-view window to scan time.
+    Time travel is unaffected: historical files live in the GC queue,
+    which is part of the known set. Returns ``{"deleted", "kept_young",
+    "bytes_reclaimed"}`` with the deleted paths for the audit log."""
+    import time as _time
+
+    store.refresh_if_stale(0)
+    if min_age_seconds is None:
+        min_age_seconds = props.gc_delay_seconds
+    known = {r.filename for r in store.all_references()} \
+        | set(store.gc_queue)
+    now = _time.time()
+    deleted, kept_young = [], []
+    bytes_reclaimed = 0
+    for root, _dirs, names in os.walk(data_dir):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(root, n)
+            if p in known:
+                continue
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue  # raced with its own writer/cleaner
+            if now - st.st_mtime < min_age_seconds:
+                kept_young.append(p)
+                continue
+            try:
+                os.remove(p)
+            except OSError:
+                continue
+            bytes_reclaimed += st.st_size
+            deleted.append(p)
+            from sleeper_spark.sketches import sidecar_path
+            sp = sidecar_path(p)
+            if os.path.exists(sp):
+                try:
+                    bytes_reclaimed += os.path.getsize(sp)
+                    os.remove(sp)
+                except OSError:
+                    pass
+    return {"deleted": deleted, "kept_young": kept_young,
+            "bytes_reclaimed": bytes_reclaimed}

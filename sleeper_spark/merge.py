@@ -43,9 +43,12 @@ commit-free.
 Incremental consumers: the commit carries tombstones (old rows of
 replaced key groups — the deletion feed) and its addFiles flow through
 ``added_rows_between``; MaterializedView applies a merge seq as
-delete-old + ingest-new. Replication's append-only feed ships the
-inserts but cannot ship the removals — like delete/update, a source
-that merges needs a replica re-seed (replication.py module doc).
+delete-old + ingest-new. Append-only replication (``replication.sync``)
+REFUSES a window holding a MERGE commit (shipping the insert half
+while the replaced rows survive would duplicate key versions);
+``replication.sync_cdc`` converges through it by replaying the commit
+as a replica-side merge of its insert rows (replication.py module
+doc).
 """
 
 from __future__ import annotations

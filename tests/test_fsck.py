@@ -128,3 +128,57 @@ class TestFsck:
         object.__setattr__(leaf, "parent_id", "nonexistent")
         r = table.verify_integrity()
         assert any("parent_id" in e for e in r["errors"]), errs(r)
+
+
+class TestVacuumOrphans:
+    def test_reclaims_old_orphans_keeps_live_young_and_history(
+            self, spark, tmp_path):
+        """Only unreferenced parquet older than min_age goes: live
+        files, GC-queued (time-travel) files, and young orphans all
+        survive; sidecars of deleted orphans go with them; fsck's
+        orphan warning clears."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from sleeper_spark.maintenance import (
+            vacuum_orphans, verify_integrity)
+        from sleeper_spark.schema import Field, Schema
+        from sleeper_spark.table import SleeperTable
+
+        schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType()),))
+        t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+        rows = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        t.ingest(rows)
+        t.ingest(rows)
+        t.compact()  # replaced inputs now sit in the GC queue
+        pre_seq = t.store.current_seq
+        # plant orphans: an old one (crashed writer) and a young one
+        # (in-flight writer)
+        old = os.path.join(t.data_dir, "crashed-job", "part-0.parquet")
+        os.makedirs(os.path.dirname(old))
+        young = os.path.join(t.data_dir, "inflight.parquet")
+        import shutil
+        src = next(iter(t.store.all_references())).filename
+        shutil.copy(src, old)
+        shutil.copy(src + ".sketch.json", old + ".sketch.json") \
+            if os.path.exists(src + ".sketch.json") else None
+        shutil.copy(src, young)
+        os.utime(old, (time.time() - 3600, time.time() - 3600))
+        res = vacuum_orphans(t.store, t.props, t.data_dir,
+                             min_age_seconds=600)
+        assert res["deleted"] == [old]
+        assert res["kept_young"] == [young]
+        assert res["bytes_reclaimed"] > 0
+        assert not os.path.exists(old)
+        assert os.path.exists(young)
+        # live + gc-queued untouched: reads and time travel still work
+        assert t.full_scan().count() == 200
+        assert t.as_of(seq=pre_seq).full_scan().count() == 200
+        fsck = verify_integrity(t.store, schema, t.data_dir)
+        assert old not in fsck["orphans"]
+        assert young in fsck["orphans"]  # still young, still reported
