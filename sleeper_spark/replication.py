@@ -333,9 +333,13 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
                         f"than {delete_cap} distinct keys — a mass "
                         "delete; re-seed the replica instead")
                 if keys:
+                    def _norm(v):
+                        return (bytes(v) if isinstance(v, bytearray)
+                                else v)
                     res = dst.delete_where(regions=[
                         Region.exact(dst.schema,
-                                     **{k: r[k] for k in key_names})
+                                     **{k: _norm(r[k])
+                                        for k in key_names})
                         for r in keys])
                     summary["rows_deleted"] += res["rows_deleted"]
             else:
@@ -401,17 +405,21 @@ def sync_via_tail(src: Any, dst: Any, staging_dir: str,
         prefix = source_prefix(src)
     tail = ChangeFeedTail(src, staging_dir, max_seqs=max_seqs)
     applied = applied_seq(dst, prefix)
-    # same refusal as sync(): the tail lands the APPEND feed only, so
-    # a destructive commit between the watermark and the head cannot
-    # be converged through this path
-    src.store.refresh_if_stale(0)
-    _refuse_destructive(src, applied, src.store.current_seq)
     if tail.state["seq"] == 0 and not tail.state.get("pending"):
         # fresh staging dir, possibly pre-synced replica: start the
         # tail at the replica's watermark, not at the dawn of the log
         tail.state["seq"] = applied
         tail._save()
     landed_rows = tail.drain()
+    # refusal AFTER the drain (which refreshes to the head it staged
+    # through): the tail lands the APPEND feed only, so a destructive
+    # commit anywhere past the watermark cannot be converged through
+    # this path — checking before the drain would leave a window for
+    # a commit landing in between to ship its insert half silently.
+    # Staged-but-unapplied files are harmless (the next call re-finds
+    # them); applying them is what this guards.
+    src.store.refresh_if_stale(0)
+    _refuse_destructive(src, applied, src.store.current_seq)
     start_applied = applied
     ranges = []
     for fn in os.listdir(staging_dir):

@@ -1,18 +1,23 @@
 #!/bin/bash
-# Round-artifact refresh, detachable: official sf0.1 bench record, the
-# sf1 (10x) bench, and the full-registry sf1 oracle sweep — run
-# STRICTLY sequentially (never time two Spark jobs concurrently).
-# Status lines append to /tmp/benches_status; outputs land in /tmp.
+# Round-artifact refresh, detachable: full-registry sf0.01 oracle sweep,
+# full-registry sf1 sweep, official sf0.1 bench record, and the sf1
+# (10x) bench — run STRICTLY sequentially (never time two Spark jobs
+# concurrently). Status lines append to /tmp/benches_status; outputs
+# land in /tmp. Run ONLY with no other Spark/pytest work on the box.
+CHECK_ORACLE_JSON=/tmp/correctness_full_r10.json \
+  python /root/repo/tools/check_oracle.py /root/testdata/sf0.01 \
+  > /tmp/sweep_sf001.log 2>&1
+echo "sf001sweep exit $?" >> /tmp/benches_status
+CHECK_ORACLE_JSON=/tmp/correctness_sf1.json \
+  python /root/repo/tools/check_oracle.py /tmp/sf1 \
+  > /tmp/sweep_sf1.log 2>&1
+echo "sf1sweep exit $?" >> /tmp/benches_status
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python /root/repo/bench.py \
-  > /tmp/bench_r09.json 2>/tmp/bench_r09.log
-echo "bench09 exit $?" >> /tmp/benches_status
-cp /root/repo/BENCH_DETAIL.json /tmp/bench_detail_r09_sf01.json
+  > /tmp/bench_r10.json 2>/tmp/bench_r10.log
+echo "bench10 exit $?" >> /tmp/benches_status
+cp /root/repo/BENCH_DETAIL.json /tmp/bench_detail_r10_sf01.json
 SPARK_GRAFT_SF_DIR=/tmp/sf1 python /root/repo/bench.py \
   > /tmp/bench_sf1.json 2>/tmp/bench_sf1.log
 echo "benchsf1 exit $?" >> /tmp/benches_status
 cp /root/repo/BENCH_DETAIL.json /tmp/bench_detail_sf1.json
-CHECK_ORACLE_JSON=/tmp/correctness_sf1_177.json \
-  python /root/repo/tools/check_oracle.py /tmp/sf1 \
-  > /tmp/sweep_sf1.log 2>&1
-echo "sf1sweep exit $?" >> /tmp/benches_status
 echo DONE >> /tmp/benches_status
