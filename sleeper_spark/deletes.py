@@ -294,8 +294,20 @@ def _rewrite_exact_one(desc: dict) -> tuple:
     cand_idx = np.nonzero(own & pre.to_numpy(zero_copy_only=False))[0]
     match = np.zeros(tbl.num_rows, dtype=bool)
     if len(cand_idx):
-        sub = (tbl.take(pa.array(cand_idx))
-               .select(tomb.column_names).cast(tomb.schema))
+        taken = tbl.take(pa.array(cand_idx))
+        # schema evolution: a pre-evolution file lacks later-added
+        # value columns physically — they read as NULL table-wide, so
+        # compare them as null columns instead of crashing mid-claim
+        # (the update_where rewrite handles the same case)
+        cols = []
+        for name in tomb.column_names:
+            if name in taken.column_names:
+                cols.append(taken.column(name))
+            else:
+                cols.append(pa.nulls(taken.num_rows,
+                                     tomb.schema.field(name).type))
+        sub = pa.table(dict(zip(tomb.column_names, cols))) \
+            .cast(tomb.schema)
         tomb_set = set(zip(*(c.to_pylist() for c in tomb.columns))) \
             if tomb.num_rows else set()
         rows = zip(*(c.to_pylist() for c in sub.columns))

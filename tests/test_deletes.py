@@ -244,3 +244,32 @@ class TestDeleteExactRows:
                 [("a", 1.0)], "key string, f double"))
             tf.delete_exact_rows(spark.createDataFrame(
                 [("a", float("nan"))], "key string, f double"))
+
+
+def test_delete_exact_rows_on_schema_evolved_table(spark, tmp_path):
+    """Pre-evolution files lack later-added columns physically (they
+    read as NULL): exact-row deletion must compare them null-safely
+    instead of crashing mid-claim, and only rows whose evolved column
+    matches (NULL vs value) are removed."""
+    from sleeper_spark.schema import Field as _F
+    t = SleeperTable.create(spark, str(tmp_path / "evo"), _schema())
+    t.ingest(_rows(spark, 0, 50))              # pre-evolution file
+    t.add_value_column(_F("note", T.StringType(), True))
+    t.ingest(spark.createDataFrame(
+        [("k-000010", 10, 10, "tagged")],
+        "key string, seq long, value long, note string"))
+    # victim 1: old row (note reads NULL) — null-safe match removes it
+    # victim 2: same keys but note='tagged' — removes the new row only
+    out = t.delete_exact_rows(spark.createDataFrame(
+        [("k-000007", 7, 7, None)],
+        "key string, seq long, value long, note string"))
+    assert out["rows_deleted"] == 1
+    out2 = t.delete_exact_rows(spark.createDataFrame(
+        [("k-000010", 10, 10, "tagged")],
+        "key string, seq long, value long, note string"))
+    assert out2["rows_deleted"] == 1
+    got = t.full_scan()
+    assert got.where("key = 'k-000007'").count() == 0
+    # the ORIGINAL k-000010 row (note NULL) survived
+    assert got.where("key = 'k-000010' AND note IS NULL").count() == 1
+    assert got.where("note = 'tagged'").count() == 0
