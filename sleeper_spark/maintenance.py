@@ -268,11 +268,16 @@ def suggest_split_points(df, key_col: str, n_partitions: int,
     that divide ``df`` into ``n_partitions`` near-equal leaves —
     what ``SleeperTable.create(split_points=...)`` wants so the very
     first bulk import lands pre-balanced instead of hammering one
-    root leaf and splitting its way out (the reference pre-splits for
-    exactly this reason; see its system-test split-point files,
-    e.g. java/system-test: splitPoints). Returns a deduplicated,
+    root leaf and splitting its way out. Reference analog:
+    EstimateSplitPoints.java (clients/.../table/partition/
+    EstimateSplitPoints.java:43-70, the estimateSplitPoints.sh
+    utility behind docs/usage/tables.md:80-104 "Pre-split
+    partitions") — it quantile-sketches a bounded row sample; this
+    advisor computes the same ranks distributed over the full frame
+    (exact) or via the mergeable sketch tier. Returns a deduplicated,
     sorted list (duplicate quantiles collapse on skewed keys — the
-    resulting table simply has fewer, honest leaves).
+    resulting table simply has fewer, honest leaves; the reference
+    dedupes identically, EstimateSplitPoints.java:71-73).
 
     ``method="exact"``: percentile_disc order statistics from the
     distributed cumulative histogram (stats.exact_quantiles) — one
