@@ -359,8 +359,7 @@ def vacuum_orphans(store: StateStore, props: TableProperties,
                 continue
             bytes_reclaimed += st.st_size
             deleted.append(p)
-            from sleeper_spark.sketches import sidecar_path
-            sp = sidecar_path(p)
+            sp = sidecar_path(p)  # module-level import (GC uses it too)
             if os.path.exists(sp):
                 try:
                     bytes_reclaimed += os.path.getsize(sp)

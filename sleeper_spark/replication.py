@@ -283,6 +283,7 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
             return summary  # blocked on the in-flight claim
 
     key_names = [f.name for f in src.schema.row_key_fields]
+    progressed = {"any": False}
 
     def _apply_appends(a: int, b: int) -> None:
         if b <= a:
@@ -290,16 +291,15 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
         window = src.store.transactions_between(a, b)
         # event seqs never fall inside an append window (the loop
         # splits at every classified event), so ADD_FILES is the only
-        # content-carrying type here
+        # content-carrying type here; a content-neutral window
+        # (claims, compactions, splits) commits nothing — if the
+        # whole call turns out neutral, ONE marker at the end
+        # advances the watermark (see below)
         if not any(tx.get("type") == "ADD_FILES" for _s, tx in window):
-            # content-neutral window (claims, compactions, splits):
-            # still advance the watermark durably, or a bounded
-            # catch-up (max_seqs) over neutral history would stall
-            # below the next content event forever
-            _mark(b)
             return
         rows = src.added_rows_between(a, b)
         refs = dst.ingest(rows, job_id=f"{prefix}{a}-{b}")
+        progressed["any"] = True
         summary["files_ingested"] += len(refs)
 
     def _mark(seq: int) -> None:
@@ -352,8 +352,17 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
             else:
                 _mark(eseq)
                 summary["deletes_applied"] += 1
+        progressed["any"] = True
         cur = eseq
     _apply_appends(cur, to_seq)
+    if not progressed["any"] and to_seq > from_seq:
+        # the whole window was content-neutral (claims, compactions,
+        # splits, GC): advance the watermark with ONE marker, or a
+        # bounded catch-up (max_seqs) over neutral history would stall
+        # below the next content event forever. One marker per CALL,
+        # not per segment — events and ingests carry their own
+        # watermark, so a call that applied anything needs none.
+        _mark(to_seq)
     summary["to_seq"] = to_seq
     summary["caught_up"] = barrier is None and to_seq >= head
     return summary
