@@ -470,6 +470,43 @@ def sync_via_tail(src: Any, dst: Any, staging_dir: str,
             "caught_up": applied >= head}
 
 
+def sync_cdc_to_head(src: Any, dst: Any, max_seqs: int | None = None,
+                     prefix: str | None = None,
+                     max_steps: int = 10_000,
+                     delete_cap: int = 1_000_000,
+                     merge_cap: int = 1_000_000) -> list[dict]:
+    """Run :func:`sync_cdc` steps until the replica is caught up with
+    the source head observed at each step — the CDC twin of
+    :func:`sync_to_head`, with the same ``max_steps`` runaway guard.
+    A persistent in-flight delete/update claim on the source keeps
+    ``caught_up`` false by design (the barrier); this surfaces as the
+    max_steps error rather than a silent spin."""
+    steps = []
+    blocked = 0
+    for _ in range(max_steps):
+        s = sync_cdc(src, dst, max_seqs=max_seqs, prefix=prefix,
+                     delete_cap=delete_cap, merge_cap=merge_cap)
+        steps.append(s)
+        if s["caught_up"]:
+            return steps
+        # a barrier step makes no progress; three consecutive
+        # no-progress steps means the claim is not resolving — say so
+        # instead of burning max_steps polls
+        if s["to_seq"] <= s["from_seq"]:
+            blocked += 1
+            if blocked >= 3:
+                raise RuntimeError(
+                    "replication blocked on an in-flight delete/"
+                    "update claim on the source for 3 consecutive "
+                    "steps — finish or abandon that job "
+                    "(unassign_job_ids), then resume")
+        else:
+            blocked = 0
+    raise RuntimeError(
+        f"replica still behind after {max_steps} sync_cdc steps — the "
+        "source is outrunning replication; raise max_seqs or max_steps")
+
+
 def sync_to_head(src: Any, dst: Any, max_seqs: int | None = None,
                  prefix: str | None = None,
                  max_steps: int = 10_000) -> list[dict]:

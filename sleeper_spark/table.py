@@ -587,6 +587,17 @@ class SleeperTable:
         from sleeper_spark.deletes import delete_exact_rows as _der
         return _der(self, rows, cap=cap)
 
+    def vacuum_orphans(self, min_age_seconds: float | None = None
+                       ) -> dict:
+        """Reclaim crashed-writer orphans GC cannot see
+        (maintenance.vacuum_orphans): data-dir parquet that is neither
+        live-referenced nor GC-queued and older than
+        ``min_age_seconds`` (default: the table's GC delay). Also runs
+        as a stage of the :meth:`vacuum` maintenance sweep."""
+        from sleeper_spark.maintenance import vacuum_orphans
+        return vacuum_orphans(self.store, self.props, self.data_dir,
+                              min_age_seconds=min_age_seconds)
+
     def update_where(self, assignments: dict,
                      regions: list[Region] | None = None,
                      value_ranges: list[Range] | None = None) -> dict:
@@ -712,21 +723,26 @@ class SleeperTable:
                now: float | None = None) -> dict[str, int]:
         """One-call maintenance sweep, the OPTIMIZE/VACUUM analog tying
         the background jobs together in their safe order: garbage-collect
-        dereferenced data files (O6, delay-protected), archive
+        dereferenced data files (O6, delay-protected), reclaim
+        crashed-writer orphans GC cannot see
+        (:meth:`vacuum_orphans`, min-age = the same GC delay), archive
         transactions already covered by a snapshot while retaining a
         ``keep_history_seqs`` time-travel window (default: one snapshot
         interval), then drop superseded snapshots (the base snapshot
         serving the retained window always survives). Returns counts per
         stage. Each stage is independently idempotent; the reference runs
-        the same three sweeps as separate scheduled jobs."""
+        the equivalent sweeps as separate scheduled jobs."""
         from sleeper_spark.statestore import SNAPSHOT_EVERY
         if keep_history_seqs is None:
             keep_history_seqs = SNAPSHOT_EVERY
         gc = maintenance.collect_garbage(self.store, self.props, now)
+        orphans = maintenance.vacuum_orphans(
+            self.store, self.props, self.data_dir)
         txs = self.store.delete_old_transactions(
             number_behind=keep_history_seqs, now=now)
         snaps = self.store.delete_old_snapshots(keep=keep_snapshots)
         return {"data_files_deleted": len(gc),
+                "orphan_files_deleted": len(orphans["deleted"]),
                 "transactions_archived": len(txs),
                 "snapshots_deleted": len(snaps)}
 

@@ -443,3 +443,30 @@ class TestSyncCdc:
         s2 = replication.sync_cdc(src, dst)
         assert s2["caught_up"]
         assert _fsorted(dst) == _fsorted(src)
+
+
+def test_sync_cdc_to_head_and_blocked_claim(spark, tmp_path):
+    """sync_cdc_to_head converges a multi-event history in bounded
+    steps, and reports a non-resolving in-flight claim loudly instead
+    of spinning."""
+    from sleeper_spark.ranges import Range, Region
+    src = SleeperTable.create(spark, str(tmp_path / "s"),
+                              _full_schema())
+    dst = SleeperTable.create(spark, str(tmp_path / "d"),
+                              _full_schema())
+    src.ingest(_frows(spark, 0, 80))
+    src.delete_where(regions=[Region.of(Range("k", 5, 15))])
+    src.ingest(_frows(spark, 80, 120))
+    steps = replication.sync_cdc_to_head(src, dst, max_seqs=2)
+    assert steps[-1]["caught_up"] and len(steps) >= 2
+    assert _fsorted(dst) == _fsorted(src)
+    # a stuck claim raises after 3 blocked steps
+    refs = list(src.store.all_references())
+    src.store.assign_job_ids("delete-stuck", refs)
+    src.ingest(_frows(spark, 200, 210))
+    with pytest.raises(RuntimeError, match="in-flight"):
+        replication.sync_cdc_to_head(src, dst)
+    src.store.unassign_job_ids("delete-stuck")
+    steps2 = replication.sync_cdc_to_head(src, dst)
+    assert steps2[-1]["caught_up"]
+    assert _fsorted(dst) == _fsorted(src)

@@ -1045,3 +1045,25 @@ class TestCheckConstraints:
                                    "k long, v long, s string")
         with _pytest.raises(ValueError, match="rdd"):
             t.ingest(df, strategy="rdd")
+
+
+def test_vacuum_sweep_includes_orphan_stage(spark, tmp_path):
+    """The one-call vacuum reports the orphan stage: a planted old
+    crashed-writer file is reclaimed, live files untouched."""
+    import os
+    import shutil
+    import time as _time
+
+    schema = Schema((Field("k", T.LongType()),), (),
+                    (Field("v", T.LongType(), nullable=True),))
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+    t.ingest(spark.range(20).selectExpr("id AS k", "id AS v"))
+    src = next(iter(t.store.all_references())).filename
+    orphan = os.path.join(t.data_dir, "dead-job", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    shutil.copy(src, orphan)
+    os.utime(orphan, (_time.time() - 10_000, _time.time() - 10_000))
+    out = t.vacuum()
+    assert out["orphan_files_deleted"] == 1
+    assert not os.path.exists(orphan)
+    assert t.full_scan().count() == 20

@@ -767,3 +767,33 @@ class TestIndexLookupJoin:
             idx.lookup_join(
                 spark.createDataFrame([(1, 2)],
                                       "user_id long, event_id long"))
+
+
+def test_lookup_join_composite_index(spark, tmp_path):
+    """lookup_join over a COMPOSITE index: the probe maps both indexed
+    columns; both paths equal the two-column plain join."""
+    from sleeper_spark.views import SecondaryIndex
+    ev = spark.createDataFrame(
+        [(i, i % 10, ["click", "view"][i % 2]) for i in range(200)],
+        "event_id long, user_id long, event_type string")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True)))
+    src = SleeperTable.create(spark, str(tmp_path / "cjs"), schema)
+    idx = SecondaryIndex.create(src, str(tmp_path / "cji"),
+                                ["event_type", "user_id"])
+    src.ingest(ev)
+    idx.refresh()
+    probe = spark.createDataFrame(
+        [("click", 4, "a"), ("view", 7, "b"), ("view", 4, "c")],
+        "t string, u long, tag string")
+    want = sorted(tuple(r) for r in probe.join(
+        ev, (probe.t == ev.event_type) & (probe.u == ev.user_id))
+        .select("t", "u", "tag", "event_id", "user_id", "event_type")
+        .collect())
+    for thr in (1, 1000):
+        got = sorted(tuple(r) for r in idx.lookup_join(
+            probe, on={"event_type": "t", "user_id": "u"},
+            hot_threshold=thr).collect())
+        assert got == want and want, f"threshold {thr}"
