@@ -274,8 +274,9 @@ def _rewrite_exact_one(desc: dict) -> tuple:
     those survivors are compared tuple-wise against the set. Both
     sides are cast to the tombstone table's Arrow schema first, so
     type-representation drift (e.g. timestamp unit) cannot cause a
-    silent non-match. Float NaN never equals itself (IEEE), so NaN
-    rows are not matchable — documented in delete_exact_rows."""
+    silent non-match. Float NaN normalizes to a sentinel on BOTH
+    sides so NaN matches NaN — tombstones are the literal removed
+    rows (delete_exact_rows ``match_nan`` contract)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -308,10 +309,26 @@ def _rewrite_exact_one(desc: dict) -> tuple:
                                      tomb.schema.field(name).type))
         sub = pa.table(dict(zip(tomb.column_names, cols))) \
             .cast(tomb.schema)
-        tomb_set = set(zip(*(c.to_pylist() for c in tomb.columns))) \
+
+        # tombstones are the LITERAL removed rows, so float NaN must
+        # match NaN (delete_exact_rows match_nan contract): normalize
+        # every NaN to one sentinel before the tuple compare — two
+        # to_pylist() NaN objects are neither identical nor equal, so
+        # raw tuples would silently never match
+        import math as _math
+        _NAN = ("__nan__",)  # unique, hashable, never a cell value
+
+        def _nanorm(row):
+            return tuple(
+                _NAN if isinstance(v, float) and _math.isnan(v) else v
+                for v in row)
+
+        tomb_set = {_nanorm(r) for r in
+                    zip(*(c.to_pylist() for c in tomb.columns))} \
             if tomb.num_rows else set()
         rows = zip(*(c.to_pylist() for c in sub.columns))
-        hits = [i for i, row in zip(cand_idx, rows) if row in tomb_set]
+        hits = [i for i, row in zip(cand_idx, rows)
+                if _nanorm(row) in tomb_set]
         match[hits] = True
     keep = own & ~match
     n_keep = int(keep.sum())
@@ -350,7 +367,8 @@ def _rewrite_exact_one(desc: dict) -> tuple:
 
 
 def delete_exact_rows(table: "SleeperTable", rows: "object",
-                      cap: int = 1_000_000) -> dict:
+                      cap: int = 1_000_000,
+                      match_nan: bool = False) -> dict:
     """Copy-on-write deletion of an EXPLICIT row set: every table row
     that exactly equals (null-safe, all columns) some row of ``rows``
     (a Spark DataFrame in the table's schema) is removed — ALL copies
@@ -370,7 +388,11 @@ def delete_exact_rows(table: "SleeperTable", rows: "object",
     ``cap`` bounds the driver-side row set (this is the point-delete
     tool; a mass delete should re-seed/rebuild instead). Rows whose
     float columns hold NaN are refused (NaN never equals itself, so
-    they could never match). Plan/claim/rewrite/commit shape is
+    under IEEE equality they could never match) UNLESS
+    ``match_nan=True``, which matches NaN-as-equal — the CDC
+    replication contract (replication.sync_cdc), where tombstones are
+    the LITERAL removed rows and a source row holding NaN must still
+    be removable from the replica. Plan/claim/rewrite/commit shape is
     delete_where's; references where nothing matched release their
     claim instead of rewriting 1:1."""
     import math
@@ -402,14 +424,17 @@ def delete_exact_rows(table: "SleeperTable", rows: "object",
     # dedupe (multiplicity lives in the TABLE, not the request) and
     # refuse unmatchable NaN rows loudly rather than silently skipping
     tomb = tomb.group_by(tomb.column_names).aggregate([])
-    for col in tomb.columns:
-        if pa.types.is_floating(col.type):
-            vals = col.to_pylist()
-            if any(v is not None and math.isnan(v) for v in vals):
-                raise ValueError(
-                    "rows contain float NaN, which never equals "
-                    "itself and can never match — filter those rows "
-                    "or delete them by key regions")
+    if not match_nan:
+        for col in tomb.columns:
+            if pa.types.is_floating(col.type):
+                vals = col.to_pylist()
+                if any(v is not None and math.isnan(v) for v in vals):
+                    raise ValueError(
+                        "rows contain float NaN, which never equals "
+                        "itself and can never match — filter those "
+                        "rows or delete them by key regions, or pass "
+                        "match_nan=True to match NaN-as-equal (the "
+                        "CDC tombstone contract)")
     if tomb.num_rows == 0:
         return {"rows_deleted": 0, "files_rewritten": 0,
                 "files_removed": 0,

@@ -309,6 +309,17 @@ def suggest_split_points(df, key_col: str, n_partitions: int,
     return out
 
 
+#: default orphan min-age: 24 h, NOT the table's GC delay. The GC
+#: delay bounds consumer lag on already-committed files; it says
+#: nothing about how long a write job's staging phase may run, and
+#: ingest/compaction/merge/delete/update all stage uncommitted parquet
+#: under data_dir before their commit — reclaiming those mid-write
+#: corrupts the later commit. 24 h is the Delta-vacuum-style retention
+#: floor: far above any sane single write job, still tight enough to
+#: reclaim genuine crash leaks daily.
+ORPHAN_MIN_AGE_DEFAULT = 86_400.0
+
+
 def vacuum_orphans(store: StateStore, props: TableProperties,
                    data_dir: str,
                    min_age_seconds: float | None = None) -> dict:
@@ -321,25 +332,36 @@ def vacuum_orphans(store: StateStore, props: TableProperties,
 
     Safety rails, because "unreferenced right now" is not "garbage":
     an IN-FLIGHT writer's files are unreferenced until its commit —
-    only files older (mtime) than ``min_age_seconds`` (default: the
-    table's GC delay, the same clock that already bounds every other
-    reclaim decision) are touched, so set it above your longest
-    conceivable write job. The state is refreshed to head immediately
-    before the scan, shrinking the stale-view window to scan time.
-    Time travel is unaffected: historical files live in the GC queue,
-    which is part of the known set. Returns ``{"deleted", "kept_young",
-    "bytes_reclaimed"}`` with the deleted paths for the audit log."""
+    only files older (mtime) than ``min_age_seconds`` (default:
+    :data:`ORPHAN_MIN_AGE_DEFAULT`, 24 h, or the table's GC delay if
+    that is larger) are touched, so set it above your longest
+    conceivable write job. Files staged under a directory named by a
+    CURRENTLY-CLAIMED job id (a compaction/delete/update/merge whose
+    claim is live in the state store) are skipped outright regardless
+    of age — that job is provably still in flight. The state is
+    refreshed to head immediately before the scan, shrinking the
+    stale-view window to scan time. Time travel is unaffected:
+    historical files live in the GC queue, which is part of the known
+    set. Returns ``{"deleted", "kept_young", "bytes_reclaimed"}`` with
+    the deleted paths for the audit log."""
     import time as _time
 
     store.refresh_if_stale(0)
     if min_age_seconds is None:
-        min_age_seconds = props.gc_delay_seconds
+        min_age_seconds = max(props.gc_delay_seconds,
+                              ORPHAN_MIN_AGE_DEFAULT)
     known = {r.filename for r in store.all_references()} \
         | set(store.gc_queue)
+    claimed_dirs = {
+        os.path.join(data_dir, r.job_id)
+        for r in store.all_references() if r.job_id is not None}
     now = _time.time()
     deleted, kept_young = [], []
     bytes_reclaimed = 0
     for root, _dirs, names in os.walk(data_dir):
+        if any(root == d or root.startswith(d + os.sep)
+               for d in claimed_dirs):
+            continue  # a live job's staging dir — in flight, not leaked
         for n in sorted(names):
             if not n.endswith(".parquet"):
                 continue

@@ -282,7 +282,12 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
         if to_seq <= from_seq:
             return summary  # blocked on the in-flight claim
 
-    key_names = [f.name for f in src.schema.row_key_fields]
+    # the FULL key group (row keys + sort keys): aggregation tables
+    # group on schema.key_names (processing.apply_aggregations), and a
+    # source delete_where region may legally constrain sort keys — a
+    # row-keys-only replay would delete EVERY sort-key group sharing
+    # the row key, silently diverging the replica
+    key_names = list(src.schema.key_names)
     progressed = {"any": False}
 
     def _apply_appends(a: int, b: int) -> None:
@@ -343,7 +348,12 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
                         for r in keys])
                     summary["rows_deleted"] += res["rows_deleted"]
             else:
-                res = dst.delete_exact_rows(old, cap=delete_cap)
+                # match_nan: tombstones are the literal removed rows,
+                # so a source row holding float NaN must still be
+                # removable from the replica (NaN-as-equal), or a
+                # legitimate source delete would strand the replica
+                res = dst.delete_exact_rows(old, cap=delete_cap,
+                                            match_nan=True)
                 summary["rows_deleted"] += res["rows_deleted"]
             if kind == "update":
                 new = src.updated_rows_between(eseq - 1, eseq)

@@ -575,7 +575,8 @@ class SleeperTable:
         return _dw(self, regions=regions, value_ranges=value_ranges)
 
     def delete_exact_rows(self, rows: DataFrame,
-                          cap: int = 1_000_000) -> dict:
+                          cap: int = 1_000_000,
+                          match_nan: bool = False) -> dict:
         """Copy-on-write deletion of an EXPLICIT row set (null-safe
         full-row equality; deletes.delete_exact_rows) — the primitive
         CDC replication uses to apply a source delete's tombstones on
@@ -583,17 +584,22 @@ class SleeperTable:
         recoverable from the log but the removed rows are. Same
         plan/claim/rewrite/commit shape and audit dict as
         :meth:`delete_where`; refused on aggregation-configured
-        tables (key-region deletes are the unit there)."""
+        tables (key-region deletes are the unit there).
+        ``match_nan=True`` matches float NaN as equal (the CDC
+        tombstone contract); by default NaN rows are refused loudly."""
         from sleeper_spark.deletes import delete_exact_rows as _der
-        return _der(self, rows, cap=cap)
+        return _der(self, rows, cap=cap, match_nan=match_nan)
 
     def vacuum_orphans(self, min_age_seconds: float | None = None
                        ) -> dict:
         """Reclaim crashed-writer orphans GC cannot see
         (maintenance.vacuum_orphans): data-dir parquet that is neither
         live-referenced nor GC-queued and older than
-        ``min_age_seconds`` (default: the table's GC delay). Also runs
-        as a stage of the :meth:`vacuum` maintenance sweep."""
+        ``min_age_seconds`` (default: 24 h or the table's GC delay,
+        whichever is larger — a write job's staging phase must be able
+        to outlive the GC consumer-lag clock; live-claimed job staging
+        dirs are skipped regardless of age). Also runs as a stage of
+        the :meth:`vacuum` maintenance sweep."""
         from sleeper_spark.maintenance import vacuum_orphans
         return vacuum_orphans(self.store, self.props, self.data_dir,
                               min_age_seconds=min_age_seconds)
@@ -720,24 +726,31 @@ class SleeperTable:
 
     def vacuum(self, keep_history_seqs: int | None = None,
                keep_snapshots: int = 2,
-               now: float | None = None) -> dict[str, int]:
+               now: float | None = None,
+               orphan_min_age_seconds: float | None = None
+               ) -> dict[str, int]:
         """One-call maintenance sweep, the OPTIMIZE/VACUUM analog tying
         the background jobs together in their safe order: garbage-collect
         dereferenced data files (O6, delay-protected), reclaim
-        crashed-writer orphans GC cannot see
-        (:meth:`vacuum_orphans`, min-age = the same GC delay), archive
-        transactions already covered by a snapshot while retaining a
-        ``keep_history_seqs`` time-travel window (default: one snapshot
-        interval), then drop superseded snapshots (the base snapshot
-        serving the retained window always survives). Returns counts per
-        stage. Each stage is independently idempotent; the reference runs
-        the equivalent sweeps as separate scheduled jobs."""
+        crashed-writer orphans GC cannot see (:meth:`vacuum_orphans` —
+        min-age defaults to 24 h, NOT the GC delay: the GC clock bounds
+        consumer lag on committed files, not how long a write job may
+        stage uncommitted parquet, and live-claimed job staging dirs are
+        skipped outright), archive transactions already covered by a
+        snapshot while retaining a ``keep_history_seqs`` time-travel
+        window (default: one snapshot interval), then drop superseded
+        snapshots (the base snapshot serving the retained window always
+        survives). Returns counts per stage. Each stage is independently
+        idempotent; the reference runs the equivalent sweeps as separate
+        scheduled jobs. Set ``orphan_min_age_seconds`` above your
+        longest conceivable write job if the default is too tight."""
         from sleeper_spark.statestore import SNAPSHOT_EVERY
         if keep_history_seqs is None:
             keep_history_seqs = SNAPSHOT_EVERY
         gc = maintenance.collect_garbage(self.store, self.props, now)
         orphans = maintenance.vacuum_orphans(
-            self.store, self.props, self.data_dir)
+            self.store, self.props, self.data_dir,
+            min_age_seconds=orphan_min_age_seconds)
         txs = self.store.delete_old_transactions(
             number_behind=keep_history_seqs, now=now)
         snaps = self.store.delete_old_snapshots(keep=keep_snapshots)

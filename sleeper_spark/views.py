@@ -77,6 +77,7 @@ def classify_window(store, txs, refuse_msg: str
                               "MERGE_FILES"):
             replace_jids.add(str(tx.get("jobId", "")))
     barrier: int | None = None
+    pending: list[tuple[int, str]] = []
     for seq, tx in txs:
         t = tx.get("type")
         if t == "MERGE_FILES":
@@ -119,18 +120,28 @@ def classify_window(store, txs, refuse_msg: str
                     if barrier is None or seq < barrier:
                         barrier = seq
                     continue
-                later = list(store.transactions_between(seq))
-                if any(tx2.get("type") == "UNASSIGN_JOB_IDS"
-                       and tx2.get("jobId") == jid
-                       for _s2, tx2 in later):
-                    continue  # abandoned claim: nothing committed
-                if not any(
-                        tx2.get("type") in (
-                            "REPLACE_FILE_REFERENCES",
-                            "MERGE_FILES")
-                        and str(tx2.get("jobId", "")) == jid
-                        for _s2, tx2 in later):
-                    raise ValueError(refuse_msg)
+                pending.append((seq, jid))
+    if pending:
+        # resolve ALL unmatched claims with ONE scan of the post-window
+        # suffix (a per-claim transactions_between(seq) scan-to-head
+        # would make planning O(claims × log length) on a history with
+        # many abandoned claims): job ids are unique, so collecting the
+        # suffix's UNASSIGN and REPLACE/MERGE ids into sets once
+        # classifies every claim — an id can never be resolved before
+        # its claim seq
+        unassigned, committed = set(), set()
+        for _s2, tx2 in store.transactions_between(
+                min(s for s, _ in pending)):
+            t2 = tx2.get("type")
+            if t2 == "UNASSIGN_JOB_IDS":
+                unassigned.add(str(tx2.get("jobId", "")))
+            elif t2 in ("REPLACE_FILE_REFERENCES", "MERGE_FILES"):
+                committed.add(str(tx2.get("jobId", "")))
+        for _seq, jid in pending:
+            if jid in unassigned:
+                continue  # abandoned claim: nothing committed
+            if jid not in committed:
+                raise ValueError(refuse_msg)  # legacy jobless commit
     return sorted(events), barrier
 
 
@@ -510,9 +521,26 @@ class SecondaryIndex:
                 # expression (rand(), uuid(), now()) would index a
                 # value no later re-derivation can reproduce, making
                 # tombstone maintenance silently wrong. Reject at
-                # create, when the operator can still fix it.
-                if not proj._jdf.queryExecution().analyzed() \
-                        .expressions().apply(0).deterministic():
+                # create, when the operator can still fix it. The
+                # probe reads an internal Catalyst surface via py4j;
+                # if that API shape moves across Spark versions, fail
+                # OPEN with a warning — a skipped check degrades to
+                # the documented caveat, a crash here bricks create()
+                # for every valid expression.
+                try:
+                    nondet = not proj._jdf.queryExecution() \
+                        .analyzed().expressions().apply(0) \
+                        .deterministic()
+                except Exception:  # noqa: BLE001 — internal API drift
+                    import warnings
+                    warnings.warn(
+                        "could not probe index-expression determinism "
+                        "(Spark internal API changed shape); ensure "
+                        f"({exprs[name]}) is deterministic — it "
+                        "re-evaluates on refresh/delete/rebuild",
+                        RuntimeWarning, stacklevel=2)
+                    nondet = False
+                if nondet:
                     raise ValueError(
                         f"index expression for {name!r} "
                         f"({exprs[name]}) is non-deterministic — it "
@@ -629,9 +657,16 @@ class SecondaryIndex:
             on=self._src_keys, how="leftsemi")
             .where(residual))
 
+    #: lookup_join stops PINNING the probe broadcast past this many
+    #: probe rows (10× the hot-value threshold): a genuinely large
+    #: probe frame falls through to a planner-chosen shuffle join
+    #: instead of OOMing the driver/executors at broadcast time
+    PROBE_BROADCAST_CAP = 100_000
+
     def lookup_join(self, probe_df: DataFrame,
                     on: "dict[str, str] | None" = None,
-                    hot_threshold: int | None = None) -> DataFrame:
+                    hot_threshold: int | None = None,
+                    probe_cap: int | None = None) -> DataFrame:
         """Index-nested-loop JOIN: inner-join ``probe_df`` to source
         rows through the postings table instead of shuffling the
         source — the warehouse "index lookup join" for the shape
@@ -656,12 +691,24 @@ class SecondaryIndex:
         :meth:`lookup`. NULL probe values never match (SQL inner-join
         semantics; NULLs are never indexed).
 
+        The "small probe" contract is ENFORCED, not just documented
+        (the r10 VERDICT finding): the probe is size-probed with one
+        ``limit(probe_cap+1)`` count (default
+        :data:`PROBE_BROADCAST_CAP`), and past the cap both pinned
+        broadcasts (the distinct-value index restriction and the
+        final value join) fall through to planner-chosen shuffle
+        joins — a caller feeding a big frame gets a working plan, not
+        a broadcast OOM. Bounded probes keep the exact plan the pin
+        tests cover.
+
         Output columns: all probe columns, then all source columns —
         names must be disjoint (rename before joining otherwise)."""
         from pyspark.sql import functions as F
 
         threshold = (self.HOT_VALUE_THRESHOLD
                      if hot_threshold is None else hot_threshold)
+        cap = (self.PROBE_BROADCAST_CAP if probe_cap is None
+               else probe_cap)
         on = (dict(on) if on is not None
               else {c: c for c in self.value_cols})
         missing = sorted(set(self.value_cols) - set(on))
@@ -674,18 +721,28 @@ class SecondaryIndex:
                 f"probe frame lacks join column(s) {bad}")
         clash = sorted(
             set(probe_df.columns)
-            & {f.name for f in self.source.schema.all_fields()})
+            & ({f.name for f in self.source.schema.all_fields()}
+               | {f"__iv_{c}" for c in self.value_cols}))
         if clash:
             raise ValueError(
                 f"probe and source column names collide on {clash} — "
-                "rename the probe columns before lookup_join")
+                "rename the probe columns before lookup_join "
+                "(__iv_* names are reserved for the internally "
+                "re-derived indexed expressions)")
+
+        # enforce the small-probe contract with one bounded count: a
+        # probe past the cap must not be PINNED as a broadcast (driver
+        # + executor OOM at materialise time) — fall through to
+        # planner-chosen joins instead
+        probe_small = probe_df.limit(cap + 1).count() <= cap
 
         pv = probe_df.select(
             *[F.col(on[c]).alias(c) for c in self.value_cols]
         ).na.drop().distinct()
+        if probe_small:
+            pv = F.broadcast(pv)
         matched = (self.index.full_scan()
-                   .join(F.broadcast(pv), on=self.value_cols,
-                         how="leftsemi")
+                   .join(pv, on=self.value_cols, how="leftsemi")
                    .select(*self._src_keys).distinct())
         head = matched.limit(threshold + 1).collect()
 
@@ -696,10 +753,12 @@ class SecondaryIndex:
                 derived = derived.withColumn(
                     f"__iv_{c}", self._indexed_col(c))
                 cond = cond & (F.col(f"__iv_{c}") == F.col(on[c]))
-            # the probe is small by this operator's contract — pin the
-            # broadcast so the value join never sort-merges the
-            # (possibly large) matched source rows
-            out = F.broadcast(probe_df).join(derived, cond, "inner")
+            # a bounded probe pins the broadcast so the value join
+            # never sort-merges the (possibly large) matched source
+            # rows; past the cap the planner picks the strategy
+            left = (F.broadcast(probe_df) if probe_small
+                    else probe_df)
+            out = left.join(derived, cond, "inner")
             return out.select(*probe_df.columns,
                               *[f.name for f in
                                 self.source.schema.all_fields()])

@@ -234,16 +234,24 @@ class TestDeleteExactRows:
         agg.ingest(_rows(spark, 0, 10))
         with pytest.raises(ValueError, match="aggregation-configured"):
             agg.delete_exact_rows(_rows(spark, 0, 1))
+        sch = Schema(
+            row_key_fields=(Field("key", T.StringType()),),
+            sort_key_fields=(),
+            value_fields=(Field("f", T.DoubleType(), True),))
+        tf = SleeperTable.create(spark, str(tmp_path / "f"), sch)
+        tf.ingest(spark.createDataFrame(
+            [("a", 1.0), ("b", float("nan")), ("c", 2.0)],
+            "key string, f double"))
+        nan_row = spark.createDataFrame(
+            [("b", float("nan"))], "key string, f double")
         with pytest.raises(ValueError, match="NaN"):
-            sch = Schema(
-                row_key_fields=(Field("key", T.StringType()),),
-                sort_key_fields=(),
-                value_fields=(Field("f", T.DoubleType(), True),))
-            tf = SleeperTable.create(spark, str(tmp_path / "f"), sch)
-            tf.ingest(spark.createDataFrame(
-                [("a", 1.0)], "key string, f double"))
-            tf.delete_exact_rows(spark.createDataFrame(
-                [("a", float("nan"))], "key string, f double"))
+            tf.delete_exact_rows(nan_row)
+        # match_nan=True (the CDC tombstone contract): NaN matches NaN,
+        # and ONLY the NaN row goes
+        res = tf.delete_exact_rows(nan_row, match_nan=True)
+        assert res["rows_deleted"] == 1
+        assert sorted(r.key for r in tf.full_scan().collect()) \
+            == ["a", "c"]
 
 
 def test_delete_exact_rows_on_schema_evolved_table(spark, tmp_path):

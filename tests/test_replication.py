@@ -423,6 +423,82 @@ class TestSyncCdc:
         assert _sorted_rows(dst) == _sorted_rows(src)
         assert all(not (10 <= k < 20) for k, _v in _sorted_rows(dst))
 
+    def test_sort_keyed_aggregation_delete_uses_full_key_group(
+            self, spark, tmp_path):
+        """r10 ADVICE (high): aggregation key groups are row keys +
+        SORT keys (processing groups on schema.key_names), and a
+        source delete may legally constrain a sort key. Replaying it
+        by row keys only would delete EVERY sort-key group sharing
+        the row key — here, the 'keep' groups must survive on the
+        replica."""
+        from sleeper_spark.ranges import Range, Region
+        schema = Schema(
+            row_key_fields=(Field("k", T.LongType()),),
+            sort_key_fields=(Field("g", T.StringType()),),
+            value_fields=(Field("v", T.LongType()),),
+        )
+        props = TableProperties(aggregations="sum(v)")
+        src = SleeperTable.create(spark, str(tmp_path / "s"), schema,
+                                  props=props)
+        dst = SleeperTable.create(spark, str(tmp_path / "d"), schema,
+                                  props=props)
+
+        def grows(tag):
+            return spark.range(0, 30).select(
+                F.col("id").alias("k"), F.lit(tag).alias("g"),
+                (F.col("id") * 10).alias("v"))
+
+        src.ingest(grows("del"))
+        src.ingest(grows("keep"))
+        src.ingest(grows("keep"))  # duplicate pre-collapse rows
+        replication.sync_to_head(src, dst)
+        dst.compact()  # replica collapses on ITS schedule
+        # delete ONE sort-key group of a row-key range on the source
+        src.delete_where(regions=[Region.of(
+            Range("k", 5, 15), Range("g", "del", "del", True, True))])
+        s = replication.sync_cdc(src, dst)
+        assert s["caught_up"] and s["deletes_applied"] == 1
+
+        def rows(t):
+            return sorted((r.k, r.g, r.v)
+                          for r in t.full_scan().collect())
+        assert rows(dst) == rows(src)
+        # the co-keyed 'keep' group survived the replayed delete
+        kept = [(k, g) for k, g, _v in rows(dst) if 5 <= k < 15]
+        assert kept == [(k, "keep") for k in range(5, 15)]
+
+    def test_delete_of_nan_rows_converges(self, spark, tmp_path):
+        """r10 ADVICE (low): tombstones are the literal removed rows,
+        so a source delete whose removed rows hold float NaN must
+        still replay (match_nan in the CDC path) instead of raising
+        forever and forcing a re-seed."""
+        import math
+
+        from sleeper_spark.ranges import Range, Region
+        schema = Schema(
+            row_key_fields=(Field("k", T.LongType()),),
+            sort_key_fields=(),
+            value_fields=(Field("v", T.DoubleType(), True),),
+        )
+        src = SleeperTable.create(spark, str(tmp_path / "s"), schema)
+        dst = SleeperTable.create(spark, str(tmp_path / "d"), schema)
+        rows = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 3 == 0, float("nan"))
+            .otherwise(F.col("id") * 1.5).alias("v"))
+        src.ingest(rows)
+        replication.sync_to_head(src, dst)
+        src.delete_where(regions=[Region.of(Range("k", 0, 10))])
+        s = replication.sync_cdc(src, dst)  # window holds NaN rows
+        assert s["caught_up"] and s["rows_deleted"] == 10
+
+        def canon(t):
+            return sorted(
+                (r.k, "nan" if r.v is not None and math.isnan(r.v)
+                 else r.v) for r in t.full_scan().collect())
+        assert canon(dst) == canon(src)
+        assert all(k >= 10 for k, _v in canon(dst))
+
     def test_inflight_claim_is_barrier(self, spark, tmp_path):
         """A delete claim whose commit has not landed stops the step
         BEFORE its seq (caught_up False); after the commit lands the

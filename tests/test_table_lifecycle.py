@@ -1049,7 +1049,10 @@ class TestCheckConstraints:
 
 def test_vacuum_sweep_includes_orphan_stage(spark, tmp_path):
     """The one-call vacuum reports the orphan stage: a planted old
-    crashed-writer file is reclaimed, live files untouched."""
+    crashed-writer file is reclaimed, live files untouched — and a
+    file younger than the 24 h retention floor survives even though
+    it is far older than the GC delay (the GC clock bounds consumer
+    lag, not write-job duration; the r10 ADVICE finding)."""
     import os
     import shutil
     import time as _time
@@ -1062,8 +1065,46 @@ def test_vacuum_sweep_includes_orphan_stage(spark, tmp_path):
     orphan = os.path.join(t.data_dir, "dead-job", "part-0.parquet")
     os.makedirs(os.path.dirname(orphan))
     shutil.copy(src, orphan)
+    # older than the GC delay (600s) but inside the 24 h floor: an
+    # in-flight slow writer's staging file — must NOT be reclaimed
     os.utime(orphan, (_time.time() - 10_000, _time.time() - 10_000))
+    out = t.vacuum()
+    assert out["orphan_files_deleted"] == 0
+    assert os.path.exists(orphan)
+    # now age it past the floor: a genuine crash leak — reclaimed
+    os.utime(orphan, (_time.time() - 200_000, _time.time() - 200_000))
     out = t.vacuum()
     assert out["orphan_files_deleted"] == 1
     assert not os.path.exists(orphan)
     assert t.full_scan().count() == 20
+
+
+def test_vacuum_orphans_skips_live_claimed_job_dirs(spark, tmp_path):
+    """A file staged under a directory named by a CURRENTLY-CLAIMED
+    job id is skipped regardless of age: the claim proves the job is
+    in flight, and reclaiming its staging parquet would corrupt the
+    later commit (the r10 ADVICE rail)."""
+    import os
+    import shutil
+    import time as _time
+
+    schema = Schema((Field("k", T.LongType()),), (),
+                    (Field("v", T.LongType(), nullable=True),))
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+    t.ingest(spark.range(20).selectExpr("id AS k", "id AS v"))
+    refs = list(t.store.all_references())
+    t.store.assign_job_ids("compaction-live-1", refs)
+    src = refs[0].filename
+    staged = os.path.join(t.data_dir, "compaction-live-1",
+                          "part-0.parquet")
+    os.makedirs(os.path.dirname(staged))
+    shutil.copy(src, staged)
+    os.utime(staged, (_time.time() - 500_000, _time.time() - 500_000))
+    res = t.vacuum_orphans()
+    assert res["deleted"] == []
+    assert os.path.exists(staged)
+    # claim released -> the same aged file becomes reclaimable
+    t.store.unassign_job_ids("compaction-live-1")
+    res = t.vacuum_orphans()
+    assert res["deleted"] == [staged]
+    assert not os.path.exists(staged)

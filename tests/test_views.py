@@ -767,6 +767,35 @@ class TestIndexLookupJoin:
             idx.lookup_join(
                 spark.createDataFrame([(1, 2)],
                                       "user_id long, event_id long"))
+        # reserved internal names collide too (r10 ADVICE): a probe
+        # column named __iv_<indexed col> would make the re-derived
+        # join condition ambiguous
+        with pytest.raises(ValueError, match="__iv_user_id"):
+            idx.lookup_join(
+                spark.createDataFrame([(1, 2)],
+                                      "uid long, __iv_user_id long"),
+                on={"user_id": "uid"})
+
+    def test_oversized_probe_falls_back_to_shuffle_join(
+            self, spark, tmp_path):
+        """r10 VERDICT finding: the small-probe contract is enforced —
+        a probe past probe_cap must not pin broadcasts (OOM path) but
+        still return the exact inner-join rows via planner-chosen
+        joins, on both the bounded and the hot source path."""
+        src, idx, ev = self._mk(spark, tmp_path)
+        probe = spark.createDataFrame(
+            [(7, "a"), (13, "b"), (7, "c"), (21, "d"), (9999, "e")],
+            "uid long, tag string")
+        want = sorted(
+            tuple(r) for r in probe.join(
+                ev, probe.uid == ev.user_id, "inner")
+            .select("uid", "tag", "event_id", "user_id", "event_type")
+            .collect())
+        for thr in (1, 1000):  # hot fallback, then bounded path
+            got = sorted(tuple(r) for r in idx.lookup_join(
+                probe, on={"user_id": "uid"}, hot_threshold=thr,
+                probe_cap=2).collect())
+            assert got == want and want, f"threshold {thr}"
 
 
 def test_lookup_join_composite_index(spark, tmp_path):
