@@ -4000,9 +4000,13 @@ def q_replication_cdc(spark: SparkSession, sf: str) -> DataFrame:
     ingest-new, the merge as a replica-side merge — strictly in log
     order, each event individually durable and idempotent
     (crash-replay pytest-pinned in tests/test_replication.py). The
-    returned frame is the REPLICA's full scan; oracle = SQL of the
-    net source state, which the replica must equal without ever being
-    re-seeded."""
+    source then EVOLVES its schema (add_value_column — an
+    EVOLVE_SCHEMA log record) and ingests wider rows; the same
+    sync_cdc call replays the evolution onto the replica before the
+    wider appends (r10 VERDICT Next #3). The returned frame is the
+    REPLICA's full scan; oracle = SQL of the net source state
+    (historic rows read the new column as NULL), which the replica
+    must equal without ever being re-seeded."""
     from sleeper_spark import replication
     ev = _load(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "value")
@@ -4033,12 +4037,21 @@ def q_replication_cdc(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("event_id") + 30000000).alias("event_id"),
             "user_id", F.lit("inserted").alias("event_type"),
             "value")))
+    # schema evolution mid-history: the EVOLVE_SCHEMA record replays
+    # onto the replica before the wider appends ship
+    src.add_value_column(Field("repl_note", T.StringType(), True))
+    src.ingest(ev.where("event_id >= 2300 AND event_id < 2400").select(
+        (F.col("event_id") + 40000000).alias("event_id"), "user_id",
+        F.lit("wide").alias("event_type"), "value",
+        F.concat(F.lit("n"), F.col("user_id").cast("string"))
+        .alias("repl_note")))
     src.compact()  # rewrites must stay content-neutral in the replay
     s = replication.sync_cdc(src, dst)
     # the delete/update ranges hold rows at sf>=0.01 (the driver's
     # oracle gate) and are empty at sf0.001 — the replica equals the
-    # oracle either way, so gate only on convergence here
+    # oracle either way, so gate on convergence + the evolution replay
     assert s["caught_up"]
+    assert s["schema_evolutions_applied"] == 1
     return dst.full_scan()
 
 
@@ -5026,10 +5039,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT event_id + 30000000, user_id, 'inserted', value "
             "FROM events WHERE event_id < 100) "
-            "SELECT u.event_id, u.user_id, u.event_type, u.value "
+            "SELECT u.event_id, u.user_id, u.event_type, u.value, "
+            "CAST(NULL AS VARCHAR) AS repl_note "
             "FROM upd u WHERE u.event_id NOT IN "
             "(SELECT event_id FROM m) "
-            "UNION ALL SELECT * FROM m",
+            "UNION ALL SELECT *, CAST(NULL AS VARCHAR) FROM m "
+            "UNION ALL "
+            "SELECT event_id + 40000000, user_id, 'wide', value, "
+            "'n' || CAST(user_id AS VARCHAR) "
+            "FROM events WHERE event_id >= 2300 AND event_id < 2400",
         "merge_upsert":
             "WITH src AS ("
             "SELECT event_id, user_id, 'merged' AS event_type, "

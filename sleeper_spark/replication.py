@@ -45,7 +45,9 @@ Two tiers:
   ingests/merges dedupe by deterministic job id), so a crash anywhere
   replays at most one event. The watermark stays side-file-free: each
   applied event commits either its own ingest job or a zero-file
-  marker transaction whose id parses to the event seq.
+  marker transaction whose id parses to the event seq. Source schema
+  evolutions (``EVOLVE_SCHEMA`` log records) replay automatically, so
+  an evolving source converges without operator intervention.
 """
 
 from __future__ import annotations
@@ -158,7 +160,9 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
     Schema drift is refused loudly: if the source evolved (e.g.
     ``add_value_column``) and the replica did not, silently ingesting
     would DROP the new column from shipped rows (ingest projects to the
-    replica's schema) — replicate the evolution first, then the data.
+    replica's schema) — replicate the evolution first, then the data
+    (or use :func:`sync_cdc`, which replays the source's
+    ``EVOLVE_SCHEMA`` records onto the replica automatically).
 
     Destructive source commits are refused just as loudly: a
     ``delete_where``/``update_where``/``merge_upsert`` in the polled
@@ -248,6 +252,23 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
     durable — so a replay can never re-apply an old delete AFTER rows
     it would wrongly match were legitimately re-added.
 
+    Schema evolution REPLAYS (r10 VERDICT Next #3): the source's
+    ``add_value_column``/``drop_value_column`` commits an
+    ``EVOLVE_SCHEMA`` record into its log; when a step sees schema
+    drift it replays ALL such records past the watermark onto the
+    replica (in log order, idempotently — an already-evolved replica
+    skips; a shape diverging from a record's stamped resulting schema
+    raises loudly). Replay is EAGER — ahead of the window's data
+    events, and even ahead of a bounded ``max_seqs`` horizon — and
+    must be: every feed reads through the source's HEAD schema, so
+    after a source DROP the shipped appends no longer carry the
+    column and the replica must drop it before ingesting them. Eager
+    is also safe: ingest projects to the replica schema, so pre-add
+    rows carry the new column as all-NULL and pre-drop rows lose only
+    values the drop erases anyway. Drift with NO evolution record
+    anywhere past the watermark still refuses loudly (manual/
+    divergent drift cannot converge).
+
     An in-flight delete/update claim (commit not yet landed) is a
     BARRIER: the step stops before its seq and reports
     ``caught_up=False``; the next call re-plans. ``delete_cap`` /
@@ -256,7 +277,6 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
     from sleeper_spark.ranges import Region
     from sleeper_spark.views import classify_window
 
-    _check_schema(src, dst)
     if prefix is None:
         prefix = source_prefix(src)
     from_seq = applied_seq(dst, prefix)
@@ -271,8 +291,10 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
     summary = {"from_seq": from_seq, "to_seq": from_seq,
                "files_ingested": 0, "deletes_applied": 0,
                "updates_applied": 0, "merges_applied": 0,
+               "schema_evolutions_applied": 0,
                "rows_deleted": 0, "caught_up": from_seq >= head}
     if to_seq <= from_seq:
+        _check_schema(src, dst)
         return summary
     txs = src.store.transactions_between(from_seq, to_seq)
     events, barrier = classify_window(src.store, txs, _CDC_REFUSE_MSG)
@@ -281,6 +303,35 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
         to_seq = barrier - 1
         if to_seq <= from_seq:
             return summary  # blocked on the in-flight claim
+
+    if _schemas_differ(src, dst):
+        # drift. Every feed (added/deleted/updated_rows_between) reads
+        # through the source's HEAD schema, so the only consistent
+        # replica shape is head's — find the evolution records that
+        # explain the drift and replay them ALL (in log order), even
+        # the ones past a bounded to_seq: schema is metadata, not
+        # content, and applying an add/drop "early" is safe precisely
+        # because ingest projects to the replica schema (pre-add rows
+        # carry the new column as all-NULL; pre-drop rows lose values
+        # the drop erases anyway). Replays are idempotent, so the
+        # EVOLVE seqs inside later windows skip as already-applied.
+        evolutions = [(s, tx) for s, tx in txs
+                      if tx.get("type") == "EVOLVE_SCHEMA"]
+        if to_seq < head:
+            evolutions = [
+                (s, tx) for s, tx
+                in src.store.transactions_between(from_seq)
+                if tx.get("type") == "EVOLVE_SCHEMA"]
+        if not evolutions:
+            # no evolution record anywhere past the watermark: the
+            # drift is manual/divergent — strict refusal
+            _check_schema(src, dst)
+        for _s, tx in sorted(evolutions):
+            if _apply_evolution(dst, tx):
+                summary["schema_evolutions_applied"] += 1
+        # after replaying every record the shapes must agree —
+        # anything else is a divergently-evolved replica
+        _check_schema(src, dst)
 
     # the FULL key group (row keys + sort keys): aggregation tables
     # group on schema.key_names (processing.apply_aggregations), and a
@@ -376,6 +427,63 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
     summary["to_seq"] = to_seq
     summary["caught_up"] = barrier is None and to_seq >= head
     return summary
+
+
+def _apply_evolution(dst: Any, tx: dict) -> bool:
+    """Apply one source EVOLVE_SCHEMA record to the replica,
+    idempotently: an already-applied action (crash replay, or an
+    operator who evolved the replica manually ahead of the sync)
+    skips; a replica whose shape after the action differs from the
+    record's stamped resulting schema raises loudly — a divergently
+    evolved replica cannot converge and must re-seed. Returns True
+    when the action actually changed the replica."""
+    import json as _json
+
+    from sleeper_spark.schema import Field, Schema
+
+    action = tx.get("action")
+    name = tx.get("name")
+    applied = False
+    have = {f.name: f for f in dst.schema.all_fields()}
+    if action == "add_value_column":
+        field = Field.from_json(tx["field"])
+        if name in have:
+            if have[name] != field:
+                raise ValueError(
+                    f"replica already has a column {name!r} with a "
+                    f"different shape than the source evolution adds "
+                    f"({have[name]} vs {field}) — divergently evolved "
+                    "replica; re-seed it")
+        else:
+            dst.add_value_column(field)
+            applied = True
+    elif action == "drop_value_column":
+        if name in have:
+            dst.drop_value_column(name)
+            applied = True
+    else:
+        raise ValueError(
+            f"unknown schema-evolution action {action!r} in the source "
+            "log — upgrade the replica's engine before syncing")
+    want = Schema.from_json(tx["schema"])
+    want_cols = [(f.name, f.dtype.simpleString())
+                 for f in want.all_fields()]
+    got_cols = [(f.name, f.dtype.simpleString())
+                for f in dst.schema.all_fields()]
+    if want_cols != got_cols:
+        raise ValueError(
+            "replica schema after replaying the source evolution "
+            f"({got_cols}) differs from the evolution's recorded "
+            f"resulting schema ({want_cols}) — divergently evolved "
+            "replica; re-seed it")
+    return applied
+
+
+def _schemas_differ(src: Any, dst: Any) -> bool:
+    return ([(f.name, f.dtype.simpleString())
+             for f in src.schema.all_fields()]
+            != [(f.name, f.dtype.simpleString())
+                for f in dst.schema.all_fields()])
 
 
 def _check_schema(src: Any, dst: Any) -> None:
@@ -484,19 +592,31 @@ def sync_cdc_to_head(src: Any, dst: Any, max_seqs: int | None = None,
                      prefix: str | None = None,
                      max_steps: int = 10_000,
                      delete_cap: int = 1_000_000,
-                     merge_cap: int = 1_000_000) -> list[dict]:
+                     merge_cap: int = 1_000_000,
+                     compact_replica: bool = True) -> list[dict]:
     """Run :func:`sync_cdc` steps until the replica is caught up with
     the source head observed at each step — the CDC twin of
     :func:`sync_to_head`, with the same ``max_steps`` runaway guard.
     A persistent in-flight delete/update claim on the source keeps
     ``caught_up`` false by design (the barrier); this surfaces as the
-    max_steps error rather than a silent spin."""
+    max_steps error rather than a silent spin.
+
+    ``compact_replica`` (default on) runs the replica's own
+    ``compact()`` after every step that progressed: each replayed
+    delete/update rewrites candidate files 1:1, so a long replay
+    otherwise accretes N generations of small files and replica reads
+    degrade. The call is the table's normal strategy-gated compaction
+    — planning is metadata-only and produces jobs only when the
+    strategy's thresholds trip (r10 VERDICT Next #6), so steady-state
+    steps pay one in-memory plan, not a rewrite."""
     steps = []
     blocked = 0
     for _ in range(max_steps):
         s = sync_cdc(src, dst, max_seqs=max_seqs, prefix=prefix,
                      delete_cap=delete_cap, merge_cap=merge_cap)
         steps.append(s)
+        if compact_replica and s["to_seq"] > s["from_seq"]:
+            dst.compact()
         if s["caught_up"]:
             return steps
         # a barrier step makes no progress; three consecutive

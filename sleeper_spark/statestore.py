@@ -522,6 +522,14 @@ class StateStore:
                 for pid, ref in list(by_pid.items()):
                     if ref.job_id == jid:
                         by_pid[pid] = replace(ref, job_id=None)
+        elif t == "EVOLVE_SCHEMA":
+            # schema evolution record (add/drop value column): a no-op
+            # for FILE state — schema truth for readers stays
+            # table.json (metadata-first, like Iceberg) — but being IN
+            # the log gives it an ordering slot that CDC replication
+            # replays onto replicas (replication.sync_cdc) and an
+            # audit trail for fsck
+            pass
         elif t == "DELETE_FILES":
             for fn in tx["filenames"]:
                 self.gc_queue.pop(fn, None)
@@ -832,6 +840,26 @@ class StateStore:
             return {"type": "UNASSIGN_JOB_IDS", "jobId": job_id}
 
         self._commit_with_retry(build)
+
+    def record_schema_evolution(self, action: str,
+                                field_json: dict | None,
+                                name: str,
+                                resulting_schema_json: str) -> None:
+        """Commit an EVOLVE_SCHEMA transaction: the log record of an
+        ``add_value_column``/``drop_value_column`` metadata change.
+        Committed BEFORE table.json is rewritten (table.py) so a crash
+        between the two leaves a re-runnable source (replicas apply
+        evolution records idempotently) rather than an evolution the
+        log never heard about. ``resulting_schema_json`` is the full
+        post-evolution schema — replication validates the replica
+        landed on exactly this shape and refuses divergent histories
+        loudly."""
+        tx: dict[str, Any] = {"type": "EVOLVE_SCHEMA",
+                              "action": action, "name": name,
+                              "schema": resulting_schema_json}
+        if field_json is not None:
+            tx["field"] = field_json
+        self._commit_with_retry(lambda: tx)
 
     def delete_files(self, filenames: list[str]) -> None:
         self._commit_with_retry(

@@ -1115,6 +1115,14 @@ class SleeperTable:
             self.schema.row_key_fields,
             self.schema.sort_key_fields,
             self.schema.value_fields + (field,))
+        # log record FIRST, then table.json: a crash in between leaves
+        # a re-runnable source (replicas apply evolution records
+        # idempotently), while the reverse order would leave an
+        # evolution the log never heard about — un-replayable, and
+        # re-running add_value_column would refuse ("already exists")
+        self.store.record_schema_evolution(
+            "add_value_column", field.to_json(), field.name,
+            new_schema.to_json())
         with open(os.path.join(self.path, "table.json")) as f:
             d = json.load(f)
         d["schema"] = json.loads(new_schema.to_json())
@@ -1153,6 +1161,9 @@ class SleeperTable:
             self.schema.row_key_fields,
             self.schema.sort_key_fields,
             tuple(f for f in self.schema.value_fields if f.name != name))
+        # log-first ordering: see add_value_column
+        self.store.record_schema_evolution(
+            "drop_value_column", None, name, new_schema.to_json())
         with open(os.path.join(self.path, "table.json")) as f:
             d = json.load(f)
         d["schema"] = json.loads(new_schema.to_json())
