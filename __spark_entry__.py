@@ -2546,6 +2546,43 @@ def q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, ["label"], k=10)
 
 
+def q_table_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search THROUGH the table layout
+    (similarity.table_filtered_topk, r10 VERDICT Next #5): the corpus
+    lives in a SleeperTable whose row keys LEAD with the attribute
+    column (label, vec_id), split on label — so the queries' distinct
+    labels become exact key regions and the scan PRUNES to the files
+    holding those labels (partition pruning + Bloom skipping, the
+    explain_query tiers) before any vector is read. The entry asserts
+    the file-level pruning it claims (pruned scan ≪ total files), then
+    scores exactly within groups like ann_filtered. Oracle = the same
+    label-equi-join brute-force cosine SQL — pruning must not change a
+    single result row."""
+    emb = _load(spark, sf, "embeddings")
+    schema = Schema(
+        (Field("label", T.IntegerType()), Field("vec_id", T.LongType())),
+        (),
+        (Field("embedding", T.ArrayType(T.FloatType()), True),))
+    tmp = tempfile.mkdtemp(prefix="sleeper_annflt_")
+    t = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                            TableProperties(),
+                            split_points=list(range(1, 10)))
+    t.ingest(emb.select("label", "vec_id", "embedding"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    # scan audit: the queries' labels must prune at the FILE level
+    from sleeper_spark.query import Query
+    q_labels = [r.label for r in
+                queries.select("label").distinct().collect()]
+    audit = t.explain_query(Query([
+        Region.exact(t.schema, label=lb) for lb in q_labels]))
+    assert 0 < audit["files_after_bloom"] < audit["files_total"], (
+        f"expected file-level pruning: {audit['files_after_bloom']} "
+        f"of {audit['files_total']} files survive for labels "
+        f"{sorted(q_labels)}")
+    return similarity.table_filtered_topk(t, queries, ["label"], k=10)
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (random-hyperplane signatures). The hyperplanes
     are seeded driver-side; the oracle embeds the SAME plane values as
@@ -4224,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_dedup_pairs": q_typo_dedup_pairs,
         "ann_brute_force": q_ann_brute_force,
         "ann_filtered": q_ann_filtered,
+        "table_ann_filtered": q_table_ann_filtered,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_recall": q_ann_recall,
@@ -5993,6 +6031,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": _ANN_BF_SQL,
         # pre-filtered search: the BF cosine with the label equi-join
         "ann_filtered":
+            "WITH q AS (SELECT vec_id AS query_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+            "s AS (SELECT query_id, vec_id, "
+            "round(list_dot_product(cv, qv) / "
+            "(sqrt(list_sum(list_transform(cv, x -> x * x))) "
+            "* sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) "
+            "AS cosine FROM c JOIN q USING (label) "
+            "WHERE vec_id <> query_id), "
+            "r AS (SELECT query_id, vec_id, cosine, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s) "
+            "SELECT query_id, vec_id, cosine, rank FROM r "
+            "WHERE rank <= 10",
+        # same math THROUGH the (label, vec_id)-keyed table: the
+        # file-pruned scan must not change a single result row
+        "table_ann_filtered":
             "WITH q AS (SELECT vec_id AS query_id, label, "
             "CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "

@@ -347,6 +347,69 @@ def attribute_filtered_topk(
     return _pruned_topk(scored, k, id_col, query_id_col)
 
 
+def table_filtered_topk(
+    table,
+    queries: DataFrame,
+    match_cols: list[str],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_cap: int = 10_000,
+) -> DataFrame:
+    """:func:`attribute_filtered_topk` THROUGH a SleeperTable whose
+    row keys LEAD with the attribute columns — the scan prunes to the
+    files that can hold matching attribute groups before any vector is
+    read (r10 VERDICT Next #5: "keying the corpus on the attribute
+    columns lets the scan prune to matching files", now wired).
+
+    Plan: (1) the queries' DISTINCT attribute tuples are collected
+    (bounded by ``query_cap`` — queries are the small side by this
+    operator's contract, like a lookup_join probe; past the cap it
+    raises loudly rather than building an unbounded region list);
+    (2) one exact Region per tuple routes through the table's normal
+    query path — partition pruning on the leading row keys plus
+    point-lookup Bloom skipping, the same tiers ``explain_query``
+    audits — so the corpus frame below reads ONLY matching files, not
+    the table; (3) the pre-filter equi-join + WindowGroupLimit prune
+    of :func:`attribute_filtered_topk` scores within groups exactly.
+
+    ``match_cols`` must be a PREFIX of the table's row keys — that is
+    what makes the pruning file-level (a suffix or value column would
+    filter rows, not files). Exact recall within each group, same
+    output shape as every top-k tier."""
+    from sleeper_spark.query import Query
+    from sleeper_spark.ranges import Region
+
+    row_keys = [f.name for f in table.schema.row_key_fields]
+    if list(match_cols) != row_keys[:len(match_cols)] or not match_cols:
+        raise ValueError(
+            f"match_cols {list(match_cols)} must be a non-empty prefix "
+            f"of the table's row keys {row_keys} — that prefix is what "
+            "lets the scan prune to matching files")
+    tuples = (queries.select(*match_cols).na.drop().distinct()
+              .limit(query_cap + 1).collect())
+    if len(tuples) > query_cap:
+        raise ValueError(
+            f"queries carry more than {query_cap} distinct attribute "
+            "tuples — not a filtered search; scan the table and use "
+            "attribute_filtered_topk directly")
+    if not tuples:
+        spark = table.spark
+        empty = spark.createDataFrame(
+            [], table.schema.to_struct_type())
+        return attribute_filtered_topk(
+            empty, queries.limit(0), list(match_cols), k=k,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col)
+    regions = [Region.exact(table.schema,
+                            **{c: r[c] for c in match_cols})
+               for r in tuples]
+    corpus = table.query(Query(regions))
+    return attribute_filtered_topk(
+        corpus, queries, list(match_cols), k=k, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

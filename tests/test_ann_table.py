@@ -150,6 +150,69 @@ def test_cell_clustered_later_ingest_prunes_too(spark, tmp_path):
     assert new - one_cell, "no new file was pruned"
 
 
+class TestTableFilteredTopk:
+    """similarity.table_filtered_topk (r10 VERDICT Next #5): filtered
+    vector search through a table whose row keys lead with the
+    attribute column — the scan must prune to matching files, and the
+    pruned result must equal the full-corpus filtered search row for
+    row."""
+
+    @pytest.fixture(scope="class")
+    def labeled_table(self, spark, tmp_path_factory):
+        from sleeper_spark.functions import similarity
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        schema = Schema(
+            (Field("label", T.IntegerType()),
+             Field("vec_id", T.LongType())), (),
+            (Field("embedding", T.ArrayType(T.FloatType()), True),))
+        t = SleeperTable.create(
+            spark, str(tmp_path_factory.mktemp("annflt") / "t"),
+            schema, TableProperties(),
+            split_points=list(range(1, 10)))
+        t.ingest(emb.select("label", "vec_id", "embedding"))
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding")
+        return t, emb, queries, similarity
+
+    def test_scan_prunes_to_matching_files(self, spark, labeled_table):
+        t, _emb, queries, _sim = labeled_table
+        labels = [r.label for r in
+                  queries.select("label").distinct().collect()]
+        audit = t.explain_query(Query([
+            Region.exact(t.schema, label=lb) for lb in labels]))
+        assert audit["files_total"] >= 10  # one file per label leaf
+        assert 0 < audit["files_after_bloom"] <= len(labels)
+        assert audit["pruned_by_partition"] > 0
+
+    def test_equals_full_corpus_filtered_search(self, spark,
+                                                labeled_table):
+        t, emb, queries, sim = labeled_table
+        got = sorted(tuple(r) for r in sim.table_filtered_topk(
+            t, queries, ["label"], k=5).collect())
+        want = sorted(tuple(r) for r in sim.attribute_filtered_topk(
+            emb, queries, ["label"], k=5).collect())
+        assert got == want and want
+
+    def test_contract_guards(self, spark, labeled_table):
+        t, _emb, queries, sim = labeled_table
+        # match_cols must be a leading row-key prefix
+        with pytest.raises(ValueError, match="prefix"):
+            sim.table_filtered_topk(t, queries, ["vec_id"])
+        with pytest.raises(ValueError, match="prefix"):
+            sim.table_filtered_topk(t, queries, [])
+        # bounded query-tuple collect
+        with pytest.raises(ValueError, match="distinct attribute"):
+            sim.table_filtered_topk(t, queries, ["label"],
+                                    query_cap=1)
+
+    def test_empty_queries_return_empty_frame(self, spark,
+                                              labeled_table):
+        t, _emb, queries, sim = labeled_table
+        out = sim.table_filtered_topk(t, queries.limit(0), ["label"])
+        assert out.count() == 0
+        assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
 def test_build_rejects_bad_cell_col(spark, tmp_path):
     schema = Schema((Field("k", T.LongType()),), (),
                     (Field("embedding", T.ArrayType(T.FloatType()), True),

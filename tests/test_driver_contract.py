@@ -72,7 +72,7 @@ def test_every_query_has_an_oracle():
     # streaming cohort retention, the time-travel snapshot read, and
     # copy-on-write update_where, atomic MERGE upsert, and CHECK
     # constraints and the functional (expression) secondary index
-    assert len(qk) == 184
+    assert len(qk) == 185
 
 
 def test_entry_smoke(spark):
