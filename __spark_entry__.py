@@ -45,6 +45,30 @@ from sleeper_spark.table import SleeperTable
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
+# fixture-cost telemetry (r10 VERDICT Next #4)
+# ---------------------------------------------------------------------------
+
+#: entry name -> seconds the LAST invocation spent building its fixture
+#: (tempdir + table create + ingest + index/view builds + mutations)
+#: before the measured operator ran. Lifecycle-heavy entries stamp it
+#: (``_t0 = _setup_start()`` ... ``_setup_done(name, _t0)``); bench.py
+#: reads it after timing a query so BENCH_DETAIL.json can grade the
+#: operator separately from ``tempfile.mkdtemp`` + ingest. Entries
+#: that are pure queries never appear here.
+SETUP_SEC: dict[str, float] = {}
+
+
+def _setup_start() -> float:
+    import time as _time
+    return _time.perf_counter()
+
+
+def _setup_done(name: str, t0: float) -> None:
+    import time as _time
+    SETUP_SEC[name] = round(_time.perf_counter() - t0, 3)
+
+
+# ---------------------------------------------------------------------------
 # loading helpers
 # ---------------------------------------------------------------------------
 
@@ -346,11 +370,13 @@ def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True)),
     )
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_delete_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties(), split_points=[3000])
     table.ingest(ev.where(F.col("event_id") % 2 == 0))
     table.ingest(ev.where(F.col("event_id") % 2 == 1))
+    _setup_done("delete_where", _t0)
     table.delete_where(regions=[Region.of(Range("event_id", 2000, 2500))])
     table.delete_where(value_ranges=[
         Range("event_type", "click", "click", True, True)])
@@ -439,6 +465,7 @@ def q_secondary_index(spark: SparkSession, sf: str) -> DataFrame:
     Returns the union of three user lookups; oracle = plain WHERE
     user_id IN (...)."""
     from sleeper_spark.views import SecondaryIndex
+    _t0 = _setup_start()
     ev = _load(spark, sf, "events").select(
         "event_id", "user_id", "event_type")
     schema = Schema(
@@ -455,6 +482,7 @@ def q_secondary_index(spark: SparkSession, sf: str) -> DataFrame:
     idx.refresh()
     src.ingest(ev.where(F.col("event_id") % 2 == 1))
     idx.refresh()
+    _setup_done("secondary_index", _t0)
     out = idx.lookup(7)
     for uid in (42, 99):
         out = out.unionByName(idx.lookup(uid))
@@ -471,6 +499,7 @@ def q_composite_index(spark: SparkSession, sf: str) -> DataFrame:
     tombstone feed before the lookups. Oracle = plain two-column WHERE
     over the surviving rows."""
     from sleeper_spark.views import SecondaryIndex
+    _t0 = _setup_start()
     ev = _load(spark, sf, "events").select(
         "event_id", "user_id", "event_type")
     schema = Schema(
@@ -487,6 +516,7 @@ def q_composite_index(spark: SparkSession, sf: str) -> DataFrame:
     idx.refresh()
     src.delete_where(regions=[Region.of(Range("event_id", 0, 1000))])
     idx.refresh()  # incremental tombstone application, no rebuild
+    _setup_done("composite_index", _t0)
     out = idx.lookup(("click", 7))
     for pair in (("view", 42), ("purchase", 99)):
         out = out.unionByName(idx.lookup(pair))
@@ -504,6 +534,7 @@ def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
     that can match — never the table. Crash-atomicity is pinned by
     tests/test_updates.py (kill between rewrite and commit leaves the
     old version readable). Oracle = CASE WHEN over the same rows."""
+    _t0 = _setup_start()
     ev = _load(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "value")
     schema = Schema(
@@ -516,6 +547,7 @@ def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
                                 TableProperties(),
                                 split_points=[3000, 6000])
     table.ingest(ev)
+    _setup_done("update_where", _t0)
     res = table.update_where(
         {"event_type": "redacted", "value": None},
         regions=[Region.of(Range("event_id", 2000, 2500))])
@@ -536,6 +568,7 @@ def q_functional_index(spark: SparkSession, sf: str) -> DataFrame:
     on tombstoned rows). Oracle recomputes the same integer-division
     bucket in SQL."""
     from sleeper_spark.views import SecondaryIndex
+    _t0 = _setup_start()
     ev = _load(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "ts_us")
     schema = Schema(
@@ -554,6 +587,7 @@ def q_functional_index(spark: SparkSession, sf: str) -> DataFrame:
     idx.refresh()
     src.delete_where(regions=[Region.of(Range("event_id", 0, 1000))])
     idx.refresh()  # incremental, re-derives the expression
+    _setup_done("functional_index", _t0)
     d0 = ev.agg(F.min(F.expr("ts_us div 86400000000"))).first()[0]
     return idx.lookup_prefix_range([], int(d0), int(d0) + 3)
 
@@ -606,11 +640,13 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True),
          Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_merge_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties(),
                                 split_points=[3000, 6000])
     table.ingest(ev)
+    _setup_done("merge_upsert", _t0)
     src = (ev.where("event_id >= 1000 AND event_id < 1500")
            .select("event_id", "user_id",
                    F.lit("merged").alias("event_type"),
@@ -641,6 +677,7 @@ def q_delete_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True),
          Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_der_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties(),
@@ -649,6 +686,7 @@ def q_delete_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", F.lit("near_miss").alias("event_type"),
         "value")
     table.ingest(ev.unionByName(near_miss))
+    _setup_done("delete_exact_rows", _t0)
     res = table.delete_exact_rows(ev.where("event_id % 97 = 0"))
     assert res["rows_deleted"] > 0
     return table.full_scan()
@@ -690,6 +728,7 @@ def q_index_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
         (Field("event_id", T.LongType()),), (),
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_ilj_")
     src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
                               TableProperties(),
@@ -698,6 +737,7 @@ def q_index_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
                                 "user_id", split_points=[50])
     src.ingest(ev)
     idx.refresh()
+    _setup_done("index_lookup_join", _t0)
     probe = (ev.where("event_id < 30")
              .select(F.col("user_id").alias("uid")).distinct()
              .withColumn("tag", F.lit("probe")))
@@ -721,6 +761,7 @@ def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True),
          Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_tt_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties(),
@@ -730,6 +771,7 @@ def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     table.delete_where(
         regions=[Region.of(Range("event_id", 1000, 4000))])
     table.compact()  # rewrite current files; history must survive
+    _setup_done("time_travel", _t0)
     assert table.full_scan().where(
         "event_id >= 1000 AND event_id < 4000").isEmpty()
     return table.as_of(seq=pre_delete_seq).full_scan()
@@ -754,6 +796,7 @@ def q_composite_index_range(spark: SparkSession, sf: str) -> DataFrame:
         (Field("event_id", T.LongType()),), (),
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_cidxr_")
     src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
                               TableProperties(),
@@ -765,6 +808,7 @@ def q_composite_index_range(spark: SparkSession, sf: str) -> DataFrame:
     idx.refresh()
     src.delete_where(regions=[Region.of(Range("event_id", 0, 1000))])
     idx.refresh()  # incremental tombstone application, no rebuild
+    _setup_done("composite_index_range", _t0)
     a = idx.lookup_prefix_range(["click"], 100, 5000,
                                 max_inclusive=True)
     b = idx.lookup_prefix_range(["view"], 0, 50)
@@ -2563,11 +2607,13 @@ def q_table_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
         (Field("label", T.IntegerType()), Field("vec_id", T.LongType())),
         (),
         (Field("embedding", T.ArrayType(T.FloatType()), True),))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_annflt_")
     t = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                             TableProperties(),
                             split_points=list(range(1, 10)))
     t.ingest(emb.select("label", "vec_id", "embedding"))
+    _setup_done("table_ann_filtered", _t0)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "label", "embedding")
     # scan audit: the queries' labels must prune at the FILE level
@@ -4052,6 +4098,7 @@ def q_replication_cdc(spark: SparkSession, sf: str) -> DataFrame:
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True),
          Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_repcdc_")
     src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
                               TableProperties(),
@@ -4083,6 +4130,7 @@ def q_replication_cdc(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("n"), F.col("user_id").cast("string"))
         .alias("repl_note")))
     src.compact()  # rewrites must stay content-neutral in the replay
+    _setup_done("replication_cdc", _t0)
     s = replication.sync_cdc(src, dst)
     # the delete/update ranges hold rows at sf>=0.01 (the driver's
     # oracle gate) and are empty at sf0.001 — the replica equals the

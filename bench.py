@@ -118,6 +118,18 @@ def arrow_probe_ms() -> float:
 # accepted as a record.
 ARROW_PROBE_ABS_CEILING_MS = 2000.0
 
+# ---------------------------------------------------------------------------
+# headline floors (BASELINE.md): the reference's own numbers that a
+# committed record must meet SIMULTANEOUSLY (r10 VERDICT Next #1 — the
+# round-10 records each passed a different subset under different load).
+# A gated metric that misses its floor at sf>=0.1 earns one re-gated
+# retry; the final record stamps headline_gates so a miss is loud.
+# ---------------------------------------------------------------------------
+INGEST_FLOOR_RPS = 160_144        # BASELINE.md ingest rows/s/process
+LIFECYCLE_COMPACTION_FLOOR_RPS = 211_266  # BASELINE.md Java compaction
+MAPAGG_FLOOR_RPS = 2_900_000      # reference DataFusion map-agg floor
+LARGE_FLOOR_RPS = 3_504_890       # BASELINE.md DataFusion 50M-row job
+
 
 def arrow_probe_reference_ms(n: int = 3, max_wait_s: float = 120.0,
                              noise: dict | None = None) -> float:
@@ -225,12 +237,29 @@ def time_query(spark, name, fn, sf_dir) -> float:
 
 def time_query_min2(spark, name, fn, sf_dir, noise: dict) -> float:
     """min-of-2: a single inflated run (GC pause, scheduler hiccup,
-    concurrent load spike) cannot contaminate the recorded number."""
+    concurrent load spike) cannot contaminate the recorded number.
+
+    Load re-run (r10 VERDICT Next #7): when the host reads BUSY at
+    measurement time — load1 above cores/4 AND the spin probe above
+    the near-idle bound (the same conjunction every gate here uses,
+    because this VM reports phantom D-state load while 100% idle) —
+    one extra rep runs and the min of three is kept, so a noise block
+    like r10's three phantom streaming 'regressions' (code unchanged,
+    per-query load1 7.5-13.9) cannot enter the record. The rerun is
+    recorded in the noise block."""
+    cores = os.cpu_count() or 1
     load1 = os.getloadavg()[0]
+    spin = spin_probe_ms()
     t1 = time_query(spark, name, fn, sf_dir)
     t2 = time_query(spark, name, fn, sf_dir)
-    noise[name] = {"t1": round(t1, 3), "t2": round(t2, 3),
-                   "load1": round(load1, 1)}
+    rec = {"t1": round(t1, 3), "t2": round(t2, 3),
+           "load1": round(load1, 1), "spin_ms": spin}
+    if load1 > cores / 4 and spin > 120.0:
+        t3 = time_query(spark, name, fn, sf_dir)
+        rec["t3_load_rerun"] = round(t3, 3)
+        noise[name] = rec
+        return min(t1, t2, t3)
+    noise[name] = rec
     return min(t1, t2)
 
 
@@ -555,6 +584,7 @@ def main() -> None:
     # phase 1 (exclusive): the query inventory, one query at a time,
     # min-of-2 each. lifecycle + compaction_large run strictly AFTER.
     timings: dict[str, float] = {}
+    fixture_split: dict[str, dict] = {}
     for name, fn in entry_mod.queries().items():
         try:
             timings[name] = round(
@@ -563,10 +593,23 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"{name}: FAILED {type(e).__name__}: {e}")
             timings[name] = -1.0
+        # fixture-cost split (r10 VERDICT Next #4): lifecycle-heavy
+        # entries stamp their setup seconds (table build + ingest +
+        # mutations) into entry_mod.SETUP_SEC; recording
+        # {setup_sec, query_sec} lets round-over-round comparison and
+        # the slowest5 list grade the OPERATOR, not tempfile.mkdtemp.
+        setup = entry_mod.SETUP_SEC.get(name)
+        if setup is not None and timings[name] > 0:
+            fixture_split[name] = {
+                "setup_sec": setup,
+                "query_sec": round(max(0.0, timings[name] - setup), 3)}
     noise["spin_ms_after_queries"] = spin_probe_ms()
     noise["arrow_probe_ms_after_queries"] = arrow_probe_ms()
 
-    # phase 2 (exclusive): lifecycle ingest + compaction, min-of-2.
+    # phase 2 (exclusive): lifecycle ingest + compaction, min-of-2,
+    # LOAD-GATED like the compaction phases (r10 VERDICT Next #1 — the
+    # r10 official record's ingest fell below baseline under load while
+    # its gate only covered the compaction metrics).
     # One untimed warm-up first: the lifecycle path's first run after the
     # query phase pays JIT + shuffle-service cold costs that inflate this
     # latency-dominated small shape ~5-10x (measured 1.7s first run vs
@@ -577,9 +620,22 @@ def main() -> None:
                     if os.path.exists(os.path.join(
                         os.path.dirname(sf_dir.rstrip("/")), "sf0.001"))
                     else sf_dir)
+    compaction_load_gate(noise, "lifecycle", arrow_ref)
     ingest_s, compaction_s, n_rows = bench_lifecycle(spark, sf_dir)
     ingest_s2, compaction_s2, _ = bench_lifecycle(spark, sf_dir)
     ingest_s, compaction_s = min(ingest_s, ingest_s2), min(compaction_s, compaction_s2)
+    # targeted retry: if the min-of-2 still misses the baseline floor,
+    # the reps were load-degraded — re-gate (waits for quiet) and take
+    # one more rep. ONE retry, loudly recorded: a record that passes
+    # only via unbounded retries would be a different kind of lie.
+    if sf >= 0.1 and n_rows / ingest_s < INGEST_FLOOR_RPS:
+        log(f"ingest {n_rows / ingest_s:,.0f} rows/s under the "
+            f"{INGEST_FLOOR_RPS:,} baseline floor — re-gating + 1 retry")
+        compaction_load_gate(noise, "lifecycle_retry", arrow_ref)
+        ingest_s3, compaction_s3, _ = bench_lifecycle(spark, sf_dir)
+        noise["lifecycle_retry_ingest_s"] = round(ingest_s3, 3)
+        ingest_s = min(ingest_s, ingest_s3)
+        compaction_s = min(compaction_s, compaction_s3)
     log(f"lifecycle: ingest {ingest_s:.2f}s, compaction {compaction_s:.2f}s, {n_rows} rows")
 
     # phase 3 (exclusive): the 50M-row single-job shape. The Arrow engine
@@ -595,6 +651,18 @@ def main() -> None:
     mapagg_rows = int(os.environ.get("SPARK_GRAFT_MAPAGG_ROWS", "10000000"))
     compaction_load_gate(noise, "compaction_mapagg", arrow_ref)
     mapagg = bench_compaction_mapagg(spark, mapagg_rows)
+    # targeted retry against the reference's own floor (see ingest):
+    # the r10 driver record's mapagg fell to 2.58M under a load spike
+    # its gate stamped ok at start — the degradation arrived mid-phase
+    if sf >= 0.1 and mapagg["rows"] / mapagg["arrow"] < MAPAGG_FLOOR_RPS:
+        log(f"mapagg Arrow {mapagg['rows'] / mapagg['arrow']:,.0f} "
+            f"rows/s under the {MAPAGG_FLOOR_RPS:,} reference floor — "
+            "re-gating + 1 retry")
+        compaction_load_gate(noise, "compaction_mapagg_retry", arrow_ref)
+        m2 = bench_compaction_mapagg(spark, mapagg_rows)
+        noise["mapagg_retry_arrow_s"] = round(m2["arrow"], 3)
+        if m2["arrow"] < mapagg["arrow"]:
+            mapagg = m2
     noise["loadavg_end"] = [round(v, 1) for v in os.getloadavg()]
     noise["spin_ms_end"] = spin_probe_ms()
     noise["arrow_probe_ms_end"] = arrow_probe_ms()
@@ -635,17 +703,34 @@ def main() -> None:
         "compaction_mapagg_spark_rows_per_sec": round(mapagg["rows"] / mapagg["spark"]),
         "detail_file": "BENCH_DETAIL.json",
     }
+    # one record, ALL headline gates, stamped together (Next #1): a
+    # record where any of these is false must not be committed as the
+    # round's official number — rerun on a quiet box instead.
+    gates = {
+        "ingest": summary["ingest_rows_per_sec"] >= INGEST_FLOOR_RPS,
+        "lifecycle_compaction":
+            summary["compaction_rows_per_sec"]
+            >= LIFECYCLE_COMPACTION_FLOOR_RPS,
+        "compaction_large":
+            summary["compaction_large_rows_per_sec"] >= LARGE_FLOOR_RPS,
+        "compaction_mapagg":
+            summary["compaction_mapagg_rows_per_sec"] >= MAPAGG_FLOOR_RPS,
+    }
+    gates["all_ok"] = all(gates.values())
+    if sf >= 0.1:  # the floors are sf0.1+ numbers; sf0.01 smoke runs
+        summary["headline_gates"] = gates  # would stamp false noise
     # per-query timings + the full contention-telemetry block are too big
     # for the driver's 2000-char stdout tail (round 4's record came back
     # `parsed: null`); they live in BENCH_DETAIL.json beside the repo.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings, "noise": noise}, f,
+        json.dump({**summary, "queries": timings,
+                   "fixture_split": fixture_split, "noise": noise}, f,
                   indent=1, sort_keys=True)
     line = json.dumps(summary)
     if len(line) > 1800:  # belt-and-braces: never overflow the tail again
-        for k in ("slowest5", "failures"):
+        for k in ("slowest5", "failures", "headline_gates"):
             summary.pop(k, None)
         line = json.dumps(summary)
     print(line)
