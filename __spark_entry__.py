@@ -661,6 +661,79 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return table.full_scan()
 
 
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution end-to-end (table.add_value_column /
+    drop_value_column — metadata-only ADD/DROP COLUMN, now also an
+    EVOLVE_SCHEMA log record CDC replication replays): half the events
+    ingest BEFORE a ``note`` column exists (those rows must read back
+    NULL-padded), half after (carrying real values), then ``value`` is
+    DROPPED and a compaction rewrites the files through the evolved
+    schema — so the scan crosses pre-evolution files, post-evolution
+    files, and physically-materialized rewrites in one result. Oracle
+    = CASE on which half each row ingested in."""
+    _t0 = _setup_start()
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_evo_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev.where("event_id % 2 = 0"))
+    table.add_value_column(Field("note", T.StringType(), True))
+    table.ingest(ev.where("event_id % 2 = 1").withColumn(
+        "note", F.concat(F.lit("n"), F.col("user_id").cast("string"))))
+    table.drop_value_column("value")
+    table.compact()  # materialize both evolutions physically
+    _setup_done("schema_evolution", _t0)
+    return table.full_scan()
+
+
+def q_merge_when(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional MERGE (merge.merge_when, table.merge_when): the
+    Delta/ANSI MERGE INTO clause surface in one atomic MERGE_FILES
+    commit — WHEN MATCHED AND t.event_type='purchase' THEN DELETE,
+    WHEN MATCHED AND t.event_type='click' THEN UPDATE SET (type
+    renamed, value = t.value + s.value, expressions over both sides),
+    WHEN NOT MATCHED THEN INSERT. Matched rows hitting neither clause
+    — and every key group no clause touches — keep their physical
+    files (pytest-pinned). Oracle = the same CASE/anti-join algebra
+    in SQL."""
+    _t0 = _setup_start()
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    tmp = tempfile.mkdtemp(prefix="sleeper_mw_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev)
+    _setup_done("merge_when", _t0)
+    src = (ev.where("event_id >= 1000 AND event_id < 1600")
+           .select("event_id", "user_id",
+                   F.lit("src").alias("event_type"),
+                   (F.col("value") * 3).alias("value"))
+           .unionByName(ev.where("event_id < 150").select(
+               (F.col("event_id") + 25000000).alias("event_id"),
+               "user_id", F.lit("inserted").alias("event_type"),
+               "value")))
+    table.merge_when(
+        src,
+        update_set={"event_type": "'cond_upd'",
+                    "value": "t.value + s.value"},
+        update_condition="t.event_type = 'click'",
+        delete_condition="t.event_type = 'purchase'")
+    return table.full_scan()
+
+
 def q_delete_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-row deletion (deletes.delete_exact_rows): remove an
     EXPLICIT row set by null-safe full-row equality — the CDC-apply
@@ -1917,6 +1990,23 @@ def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_1d").alias("sum_n_1d"),
         F.sum("sum_1h_micros").alias("sum_v_1h_micros"),
         F.sum("sum_1d_micros").alias("sum_v_1d_micros"))
+
+
+def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling (timeseries.gap_fill): per-user DAILY
+    buckets over the events span, one row per day INCLUDING days with
+    no events, value carried forward (LOCF) across the gaps and
+    ``n_rows=0`` marking filled buckets — the densification a
+    featurizer needs before windowed models. One (user, bucket)
+    groupBy, a sequence+explode dense spine (rows ∝ span/step), a
+    co-keyed left join, one window pass; no UDF, no driver loop.
+    Oracle = the same spine via generate_series + last_value IGNORE
+    NULLS in SQL."""
+    from sleeper_spark.functions import timeseries
+
+    ev = _load(spark, sf, "events").select("user_id", "value", "ts_us")
+    return timeseries.gap_fill(
+        ev, ["user_id"], "ts_us", 86_400_000_000, "value")
 
 
 def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -4179,6 +4269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "update_where": q_update_where,
         "merge_upsert": q_merge_upsert,
+        "merge_when": q_merge_when,
+        "schema_evolution": q_schema_evolution,
         "replication_cdc": q_replication_cdc,
         "check_constraints": q_check_constraints,
         "functional_index": q_functional_index,
@@ -4244,6 +4336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": q_grouped_split,
         "interleave_domains": q_interleave_domains,
         "rolling_features": q_rolling_features,
+        "gap_fill": q_gap_fill,
         "props_extract": q_props_extract,
         "grouped_cdf": q_grouped_cdf,
         "table_profile": q_table_profile,
@@ -5146,6 +5239,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e WHERE e.event_id NOT IN "
             "(SELECT event_id FROM src) "
             "UNION ALL SELECT * FROM src",
+        # pre-evolution rows NULL-pad the added column; the dropped
+        # column vanishes for every row
+        "schema_evolution":
+            "SELECT event_id, user_id, event_type, "
+            "CASE WHEN event_id % 2 = 1 "
+            "THEN 'n' || CAST(user_id AS VARCHAR) "
+            "ELSE CAST(NULL AS VARCHAR) END AS note "
+            "FROM events",
+        # conditional MERGE: delete purchases, bump clicks by s.value,
+        # leave other matched rows untouched, insert unmatched keys
+        "merge_when":
+            "WITH src AS ("
+            "SELECT event_id, user_id, 'src' AS event_type, "
+            "value * 3 AS value FROM events "
+            "WHERE event_id >= 1000 AND event_id < 1600 "
+            "UNION ALL "
+            "SELECT event_id + 25000000, user_id, 'inserted', value "
+            "FROM events WHERE event_id < 150) "
+            "SELECT e.event_id, e.user_id, e.event_type, e.value "
+            "FROM events e WHERE e.event_id NOT IN "
+            "(SELECT event_id FROM src) "
+            "UNION ALL "
+            "SELECT e.event_id, e.user_id, "
+            "CASE WHEN e.event_type = 'click' THEN 'cond_upd' "
+            "ELSE e.event_type END, "
+            "CASE WHEN e.event_type = 'click' THEN e.value + s.value "
+            "ELSE e.value END "
+            "FROM events e JOIN src s USING (event_id) "
+            "WHERE e.event_type <> 'purchase' "
+            "UNION ALL "
+            "SELECT s.event_id, s.user_id, s.event_type, s.value "
+            "FROM src s WHERE s.event_id NOT IN "
+            "(SELECT event_id FROM events)",
         # copy-on-write UPDATE == CASE WHEN over the same rows
         "update_where":
             "SELECT event_id, user_id, "
@@ -5826,6 +5952,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(s1h) AS BIGINT) AS sum_v_1h_micros, "
             "CAST(sum(s1d) AS BIGINT) AS sum_v_1d_micros "
             "FROM w GROUP BY event_type",
+        # dense daily spine per user + LOCF carry-forward; n_rows=0
+        # marks a filled gap
+        "gap_fill":
+            "WITH b AS (SELECT user_id, "
+            "(epoch_us(ts) // 86400000000) * 86400000000 AS bucket_ts, "
+            "max(value) AS v, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "span AS (SELECT user_id, min(bucket_ts) AS mn, "
+            "max(bucket_ts) AS mx FROM b GROUP BY 1), "
+            "spine AS (SELECT user_id, "
+            "unnest(generate_series(mn, mx, 86400000000)) AS bucket_ts "
+            "FROM span), "
+            "j AS (SELECT s.user_id, s.bucket_ts, b.v, b.n "
+            "FROM spine s LEFT JOIN b USING (user_id, bucket_ts)) "
+            "SELECT user_id, bucket_ts, "
+            "CAST(last_value(v IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY bucket_ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS DOUBLE) AS value, "
+            "CAST(coalesce(n, 0) AS BIGINT) AS n_rows FROM j",
         # per-doc DISTINCT trigrams -> doc frequency -> per-lang top-3,
         # ties by gram string (deterministic in both engines)
         "boilerplate_ngrams":

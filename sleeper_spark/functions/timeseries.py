@@ -240,6 +240,57 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+def gap_fill(df: DataFrame, on: list[str], ts: str, step: int,
+             value: str, fill: str = "locf") -> DataFrame:
+    """Regularize an event series: bucket ``ts`` to ``step``-sized
+    intervals per entity, emit ONE row per bucket across each entity's
+    [min, max] span — including the buckets that had no events — and
+    fill the gaps (``locf`` carry-forward, ``zero``, or ``none`` to
+    leave NULL). The time-series densification every
+    training-pipeline featurizer needs before windowed models (a
+    rolling mean over a series with holes is silently wrong).
+
+    Output: ``on`` + ``bucket_ts`` (long, bucket start in ts units) +
+    ``<value>`` (the bucket's max, filled per ``fill``) + ``n_rows``
+    (source rows in the bucket; 0 marks a filled gap).
+
+    Scale shape: one groupBy shuffle keyed (entity, bucket) for the
+    in-bucket aggregate, one per-entity min/max aggregate whose dense
+    spine is generated with ``sequence``+``explode`` (rows ∝ span/step
+    per entity — pick ``step`` so spans stay thousands, not billions;
+    the explode is narrow and never collects), a co-keyed left join,
+    and one window pass for the carry-forward. No UDF, no driver
+    loop; skewed entities are ordinary window skew (AQE)."""
+    if fill not in ("locf", "zero", "none"):
+        raise ValueError(f"fill must be locf|zero|none, got {fill!r}")
+    if step <= 0:
+        raise ValueError("step must be a positive ts-unit interval")
+    bucket = (F.floor(F.col(ts).cast("long") / step) * step) \
+        .cast("long")
+    b = (df.withColumn("bucket_ts", bucket)
+         .groupBy(*on, "bucket_ts")
+         .agg(F.max(value).alias("__v"),
+              F.count(F.lit(1)).alias("__n")))
+    spine = (b.groupBy(*on)
+             .agg(F.min("bucket_ts").alias("__mn"),
+                  F.max("bucket_ts").alias("__mx"))
+             .select(*on, F.explode(F.sequence(
+                 F.col("__mn"), F.col("__mx"),
+                 F.lit(step).cast("long"))).alias("bucket_ts")))
+    j = spine.join(b, on=[*on, "bucket_ts"], how="left")
+    filled = F.col("__v")
+    if fill == "locf":
+        w = (Window.partitionBy(*on).orderBy("bucket_ts")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        filled = F.last("__v", ignorenulls=True).over(w)
+    elif fill == "zero":
+        filled = F.coalesce(F.col("__v"), F.lit(0).cast("double"))
+    return j.select(
+        *on, "bucket_ts", filled.alias(value),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+        .alias("n_rows"))
+
+
 def rolling_features(df: DataFrame, on: list[str], ts: str,
                      value: str, windows: dict[str, int],
                      micros_scale: int = 1_000_000) -> DataFrame:

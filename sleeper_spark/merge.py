@@ -132,7 +132,12 @@ def _rewrite_merge_one(desc: dict) -> tuple:
 
 
 def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
-                 cap: int = 100_000, job_id: str | None = None) -> dict:
+                 cap: int = 100_000, job_id: str | None = None,
+                 delete_keys: "list[tuple] | None" = None) -> dict:
+    """See the module doc. ``delete_keys`` (key tuples in row-key
+    order) names key groups to REPLACE WITH NOTHING in the same atomic
+    commit — the building block :func:`merge_when`'s WHEN MATCHED ...
+    DELETE clause rides; counted against the same ``cap``."""
     from sleeper_spark.ingest import write_sorted_files
 
     schema = table.schema
@@ -179,9 +184,9 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
 
     head = (source_df.select(*key_names).distinct()
             .limit(cap + 1).collect())
-    if not head:
+    if not head and not delete_keys:
         return _noop_result(job_id, replayed=False)
-    if len(head) > cap:
+    if len(head) + len(delete_keys or ()) > cap:
         raise ValueError(
             f"merge source has more than {cap} distinct row keys — "
             "MERGE is the CDC-batch tool; bulk restatements should "
@@ -198,6 +203,16 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
         return bytes(v) if isinstance(v, bytearray) else v
 
     keys = [tuple(norm(row[k]) for k in key_names) for row in head]
+    seen_keys = set(keys)
+    for kk in delete_keys or ():
+        if len(kk) != len(key_names) or any(v is None for v in kk):
+            raise ValueError(
+                f"delete_keys entries must be non-null tuples in "
+                f"row-key order {key_names}, got {kk!r}")
+        kk = tuple(norm(v) for v in kk)
+        if kk not in seen_keys:
+            seen_keys.add(kk)
+            keys.append(kk)
     leaf_ids = {tree.leaf_for_row(dict(zip(key_names, kk))).id
                 for kk in keys}
     by_ref: dict[tuple[str, str], FileReference] = {}
@@ -294,3 +309,149 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
             "tombstone_files": len(tombstones),
             "job_id": job_id,
             "replayed": False}
+
+
+def merge_when(table: "SleeperTable", source_df: "DataFrame",
+               update_set: "dict[str, str] | None" = None,
+               update_condition: "str | None" = None,
+               delete_condition: "str | None" = None,
+               insert: bool = True,
+               cap: int = 100_000,
+               job_id: str | None = None) -> dict:
+    """Conditional MERGE — the full Delta/ANSI ``MERGE INTO`` clause
+    surface, atomic in ONE ``MERGE_FILES`` commit:
+
+    - ``WHEN MATCHED [AND update_condition] THEN UPDATE SET
+      update_set`` — matched target rows get the assignments applied
+      (expressions may reference target columns as ``t.<col>`` and
+      source columns as ``s.<col>``);
+    - ``WHEN MATCHED [AND delete_condition] THEN DELETE`` — matched
+      target rows satisfying it are removed (evaluated BEFORE the
+      update clause, Delta's clause-order semantics);
+    - ``WHEN NOT MATCHED THEN INSERT`` (``insert=True``) — source rows
+      whose key the target lacks are inserted as-is.
+
+    Matching is by the table's ROW KEY fields, and the source must be
+    UNIQUE per row key (raises otherwise — the same several-matches
+    error Delta throws, because two source rows updating one target
+    row is non-deterministic). Unlike :func:`merge_upsert` (full-group
+    replacement by the source's rows), the clauses here are ROW-level
+    within each matched key group: on duplicate-keyed / sort-keyed
+    tables every target row of the group pairs with its key's single
+    source row, conditions evaluate per pair, and the group's
+    replacement is its transformed survivors.
+
+    Scale shape: the bounded distinct key set (``cap``) routes through
+    ``batch_exact_key_query`` — only the files holding matched keys
+    are read to build the replacement rows — and key groups NO clause
+    touches are left physically untouched (they never enter the merge
+    key set, so their files are not rewritten). The commit itself is
+    :func:`merge_upsert` with ``delete_keys`` for fully-deleted
+    groups: same atomicity, same tombstone/insert feeds, same
+    idempotent-by-job-id replay contract, so every incremental
+    consumer (views, indexes, CDC replication) applies it like any
+    merge."""
+    from pyspark.sql import functions as F
+
+    if update_condition is not None and update_set is None:
+        raise ValueError("update_condition without update_set")
+    if update_set is None and delete_condition is None:
+        raise ValueError(
+            "merge_when needs at least one WHEN MATCHED clause "
+            "(update_set and/or delete_condition); for plain full-row "
+            "upsert use merge_upsert")
+    schema = table.schema
+    key_names = [f.name for f in schema.row_key_fields]
+    need = [f.name for f in schema.all_fields()]
+    missing = [c for c in need if c not in set(source_df.columns)]
+    if missing:
+        raise ValueError(
+            f"merge source is missing table column(s) {missing}")
+    bad_assign = sorted(set(update_set or ()) - set(need))
+    if bad_assign:
+        raise ValueError(
+            f"update_set assigns unknown column(s) {bad_assign}")
+    bad_keys = sorted(set(update_set or ()) & set(schema.key_names))
+    if bad_keys:
+        raise ValueError(
+            f"update_set assigns key column(s) {bad_keys} — keys "
+            "order data on disk and are not assignable (delete + "
+            "insert under the new key instead)")
+    source_df = source_df.select(*need)
+
+    head = (source_df.groupBy(*key_names).count()
+            .limit(cap + 1).collect())
+    if len(head) > cap:
+        raise ValueError(
+            f"merge source has more than {cap} distinct row keys — "
+            "MERGE is the CDC-batch tool (see merge_upsert)")
+    dups = [tuple(r[k] for k in key_names) for r in head
+            if r["count"] > 1]
+    if dups:
+        raise ValueError(
+            f"merge source has multiple rows for row key(s) "
+            f"{dups[:3]}{'...' if len(dups) > 3 else ''} — conditional "
+            "MERGE requires a source unique per row key (several "
+            "source rows updating one target row is "
+            "non-deterministic)")
+    if not head:
+        res = merge_upsert(table, source_df.limit(0), cap=cap,
+                           job_id=job_id)
+        res["groups_deleted"] = res["groups_touched"] = 0
+        return res
+    src_keys = [{k: r[k] for k in key_names} for r in head]
+
+    # matched target rows: only the files holding these keys are read
+    matched = table.batch_exact_key_query(src_keys)
+    t = matched.alias("t")
+    s = source_df.alias("s")
+    joined = t.join(F.broadcast(s), on=key_names, how="inner")
+    del_cond = (F.expr(delete_condition) if delete_condition
+                else F.lit(False))
+    upd_cond = (F.expr(update_condition) if update_condition
+                else F.lit(True)) if update_set else F.lit(False)
+    # delete evaluates first (Delta clause order); survivors carry the
+    # update assignments where their condition holds, else stay as-is.
+    # Join output columns: key names (coalesced), then t-only cols,
+    # then s-only cols — target columns resolve via the t alias.
+    affected = del_cond | upd_cond
+
+    def out_col(c):
+        base = F.col(c) if c in key_names else F.col(f"t.{c}")
+        if update_set and c in update_set:
+            return F.when(upd_cond, F.expr(update_set[c])) \
+                .otherwise(base).alias(c)
+        return base.alias(c)
+
+    survivors = joined.where(~del_cond)
+    replacement = survivors.select(*[out_col(c) for c in need])
+    # key groups some clause actually touched: only they re-merge;
+    # untouched groups keep their physical files
+    touched = (joined.where(affected).select(*key_names).distinct()
+               .limit(cap + 1).collect())
+    touched_keys = {tuple(r[k] for k in key_names) for r in touched}
+    if touched_keys:
+        touched_df = table.spark.createDataFrame(
+            [dict(zip(key_names, kk)) for kk in sorted(touched_keys)],
+            matched.select(*key_names).schema)
+        replacement = replacement.join(F.broadcast(touched_df),
+                                       on=key_names, how="leftsemi")
+    else:
+        replacement = replacement.limit(0)
+    # fully-deleted groups: touched but no surviving row
+    surviving_keys = {tuple(r[k] for k in key_names) for r in
+                      replacement.select(*key_names).distinct()
+                      .limit(cap + 1).collect()}
+    delete_keys = sorted(touched_keys - surviving_keys)
+
+    frame = replacement
+    if insert:
+        inserts = s.join(matched.select(*key_names).distinct(),
+                         on=key_names, how="leftanti") \
+            .select(*need)
+        frame = replacement.unionByName(inserts)
+    res = merge_upsert(table, frame, cap=cap, job_id=job_id,
+                       delete_keys=delete_keys)
+    res["groups_deleted"] = len(delete_keys)
+    res["groups_touched"] = len(touched_keys)
+    return res

@@ -641,6 +641,28 @@ class SleeperTable:
         from sleeper_spark.merge import merge_upsert as _mu
         return _mu(self, source_df, cap=cap, job_id=job_id)
 
+    def merge_when(self, source_df: DataFrame,
+                   update_set: dict[str, str] | None = None,
+                   update_condition: str | None = None,
+                   delete_condition: str | None = None,
+                   insert: bool = True,
+                   cap: int = 100_000,
+                   job_id: str | None = None) -> dict:
+        """Conditional MERGE (merge.merge_when) — the Delta/ANSI
+        ``MERGE INTO`` clause surface in ONE atomic commit: ``WHEN
+        MATCHED [AND update_condition] THEN UPDATE SET update_set``
+        (expressions over ``t.<col>``/``s.<col>``), ``WHEN MATCHED
+        [AND delete_condition] THEN DELETE`` (clause-ordered first),
+        ``WHEN NOT MATCHED THEN INSERT`` (``insert=True``). Matching
+        is by row key; the source must be unique per key; key groups
+        no clause touches keep their physical files. Same atomicity,
+        feeds, and replay contract as :meth:`merge_upsert`."""
+        from sleeper_spark.merge import merge_when as _mw
+        return _mw(self, source_df, update_set=update_set,
+                   update_condition=update_condition,
+                   delete_condition=delete_condition,
+                   insert=insert, cap=cap, job_id=job_id)
+
     def describe(self) -> dict:
         """Operator's one-call table summary — all driver-side metadata
         (partition tree + manifest + sidecar presence), no data reads:

@@ -72,7 +72,7 @@ def test_every_query_has_an_oracle():
     # streaming cohort retention, the time-travel snapshot read, and
     # copy-on-write update_where, atomic MERGE upsert, and CHECK
     # constraints and the functional (expression) secondary index
-    assert len(qk) == 185
+    assert len(qk) == 188
 
 
 def test_entry_smoke(spark):

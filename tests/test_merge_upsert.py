@@ -216,6 +216,116 @@ class TestMergeUpsert:
         assert a == b
 
 
+class TestMergeWhen:
+    """Conditional MERGE (merge.merge_when): Delta-style WHEN MATCHED
+    UPDATE/DELETE + WHEN NOT MATCHED INSERT, one atomic commit,
+    row-level clauses within key groups, untouched groups' files never
+    rewritten."""
+
+    def _cond_src(self, spark):
+        """Source touching keys 100-159 (unique per key) + 2 new keys:
+        value >= 130*10 -> delete clause; others -> update clause."""
+        return spark.range(100, 160).union(
+            spark.range(9000, 9002)).select(
+            F.format_string("k-%06d", F.col("id")).alias("key"),
+            F.lit(0).cast("long").alias("seq"),
+            (F.col("id") * 10).alias("value"),
+            F.lit("src").alias("status"))
+
+    def test_clause_semantics_atomic(self, spark, table):
+        pre = table.store.current_seq
+        res = table.merge_when(
+            self._cond_src(spark),
+            update_set={"status": "'bumped'",
+                        "value": "t.value + s.value"},
+            update_condition="s.value < 1300",
+            delete_condition="s.value >= 1300")
+        # 30 keys updated, 30 deleted, 2 inserted; one commit
+        assert res["groups_deleted"] == 30
+        assert res["groups_touched"] == 60
+        assert res["rows_inserted"] == 30 + 2  # replacements + inserts
+        got = table.full_scan()
+        # deleted: keys 130-159 gone entirely
+        assert got.where(
+            "key >= 'k-000130' AND key < 'k-000160'").count() == 0
+        # updated: keys 100-129 carry t.value + s.value = id + id*10
+        upd = got.where("status = 'bumped'")
+        assert upd.count() == 30
+        assert upd.where("value <> seq * 11").count() == 0
+        # untouched rows byte-identical, inserts present
+        assert got.where("key < 'k-000100' AND status <> 'old'") \
+            .count() == 0
+        assert got.where("key >= 'k-009000'").count() == 2
+        assert got.count() == 2000 - 30 + 2
+        # single atomic seq: pre-merge history fully intact
+        old = table.as_of(seq=pre).full_scan()
+        assert old.count() == 2000
+        # feeds carry the old versions of every touched group
+        assert table.deleted_rows_between(pre).count() == 60
+
+    def test_untouched_groups_keep_their_files(self, spark, table):
+        """A source whose clauses touch NOTHING must not rewrite any
+        file — conditional merge prunes to affected key groups."""
+        files_before = {r.filename for r in table.store.all_references()}
+        res = table.merge_when(
+            self._cond_src(spark).where("key < 'k-000160'"),
+            update_set={"status": "'x'"},
+            update_condition="s.value < 0",   # never true
+            delete_condition="s.value < 0",   # never true
+            insert=False)
+        assert res["groups_touched"] == 0
+        assert res["rows_replaced"] == 0 and res["rows_inserted"] == 0
+        assert {r.filename for r in table.store.all_references()} \
+            == files_before
+        assert table.full_scan().count() == 2000
+
+    def test_row_level_within_sort_keyed_group(self, spark, table):
+        """Duplicate-keyed group: only the rows meeting the delete
+        condition leave; the group's other rows survive (row-level,
+        not group-level, clauses)."""
+        # make key k-000500 a two-row group with distinct seq values
+        extra = spark.createDataFrame(
+            [("k-000500", 99, 77, "old2")],
+            "key string, seq long, value long, status string")
+        table.ingest(extra)
+        src = spark.createDataFrame(
+            [("k-000500", 0, 1, "s")],
+            "key string, seq long, value long, status string")
+        res = table.merge_when(
+            src, delete_condition="t.seq = 99", insert=False)
+        assert res["groups_deleted"] == 0  # group survives partially
+        assert res["groups_touched"] == 1
+        grp = table.exact_key_query(key="k-000500").collect()
+        assert [(r.seq, r.status) for r in grp] == [(500, "old")]
+
+    def test_guards(self, spark, table):
+        src = self._cond_src(spark)
+        with pytest.raises(ValueError, match="WHEN MATCHED"):
+            table.merge_when(src)
+        with pytest.raises(ValueError, match="update_condition"):
+            table.merge_when(src, update_condition="true")
+        with pytest.raises(ValueError, match="key column"):
+            table.merge_when(src, update_set={"key": "'x'"})
+        with pytest.raises(ValueError, match="unknown column"):
+            table.merge_when(src, update_set={"nope": "1"})
+        dup = src.union(src)
+        with pytest.raises(ValueError, match="multiple rows"):
+            table.merge_when(dup, delete_condition="true")
+
+    def test_idempotent_replay_by_job_id(self, spark, table):
+        src = self._cond_src(spark)
+        res = table.merge_when(src, delete_condition="s.value >= 1300",
+                               update_set={"status": "'b'"},
+                               update_condition="s.value < 1300",
+                               job_id="merge-mw-replay-1")
+        n = table.full_scan().count()
+        res2 = table.merge_when(src, delete_condition="s.value >= 1300",
+                                update_set={"status": "'b'"},
+                                update_condition="s.value < 1300",
+                                job_id="merge-mw-replay-1")
+        assert res2["replayed"] and table.full_scan().count() == n
+
+
 class TestStreamMerge:
     def test_cdc_stream_applies_exactly_once(self, spark, tmp_path,
                                              table):

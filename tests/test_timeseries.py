@@ -261,3 +261,75 @@ class TestRollingFeatures:
                                {"a": 10, "b": 100})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+class TestGapFill:
+    """timeseries.gap_fill: dense per-entity bucket spine + LOCF /
+    zero / none fills; n_rows=0 marks generated gap buckets."""
+
+    def _df(self, spark):
+        # user 1: buckets 0, 30 present (10,20 are gaps); user 2: one
+        # bucket with a NULL value and a later real value
+        return spark.createDataFrame(
+            [(1, 2, 5.0), (1, 8, 7.0),       # bucket 0 (max -> 7.0)
+             (1, 31, 9.0),                   # bucket 30
+             (2, 100, None), (2, 125, 3.0)],  # buckets 100, 120
+            "u long, t long, v double")
+
+    def test_locf_spine_and_gap_marking(self, spark):
+        from sleeper_spark.functions.timeseries import gap_fill
+        out = sorted(tuple(r) for r in gap_fill(
+            self._df(spark), ["u"], "t", 10, "v").collect())
+        assert out == [
+            (1, 0, 7.0, 2), (1, 10, 7.0, 0), (1, 20, 7.0, 0),
+            (1, 30, 9.0, 1),
+            (2, 100, None, 1), (2, 110, None, 0), (2, 120, 3.0, 1)]
+
+    def test_zero_and_none_fills(self, spark):
+        from sleeper_spark.functions.timeseries import gap_fill
+        z = {(r.u, r.bucket_ts): r.v for r in gap_fill(
+            self._df(spark), ["u"], "t", 10, "v",
+            fill="zero").collect()}
+        assert z[(1, 10)] == 0.0 and z[(1, 20)] == 0.0
+        assert z[(2, 100)] == 0.0  # NULL value also zero-filled
+        n = {(r.u, r.bucket_ts): r.v for r in gap_fill(
+            self._df(spark), ["u"], "t", 10, "v",
+            fill="none").collect()}
+        assert n[(1, 10)] is None and n[(1, 30)] == 9.0
+
+    def test_guards(self, spark):
+        from sleeper_spark.functions.timeseries import gap_fill
+        with pytest.raises(ValueError, match="fill"):
+            gap_fill(self._df(spark), ["u"], "t", 10, "v",
+                     fill="interp")
+        with pytest.raises(ValueError, match="step"):
+            gap_fill(self._df(spark), ["u"], "t", 0, "v")
+
+    def test_matches_duckdb(self, spark):
+        from sleeper_spark.functions.timeseries import gap_fill
+        import random
+        rng = random.Random(7)
+        rows = [(u, rng.randrange(0, 500),
+                 None if rng.random() < 0.2 else
+                 round(rng.uniform(0, 9), 3))
+                for u in range(1, 6) for _ in range(12)]
+        df = spark.createDataFrame(rows, "u long, t long, v double")
+        got = sorted(tuple(r) for r in gap_fill(
+            df, ["u"], "t", 50, "v").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(u BIGINT, t BIGINT, v DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute("""
+            WITH b AS (SELECT u, (t // 50) * 50 AS bt, max(v) AS v,
+                       count(*) AS n FROM e GROUP BY 1, 2),
+            span AS (SELECT u, min(bt) mn, max(bt) mx FROM b GROUP BY 1),
+            spine AS (SELECT u, unnest(generate_series(mn, mx, 50)) bt
+                      FROM span),
+            j AS (SELECT s.u, s.bt, b.v, b.n FROM spine s
+                  LEFT JOIN b USING (u, bt))
+            SELECT u, bt, last_value(v IGNORE NULLS) OVER (
+              PARTITION BY u ORDER BY bt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              CAST(coalesce(n, 0) AS BIGINT) FROM j
+        """).fetchall())
+        assert got == want and len(got) >= 5
