@@ -317,14 +317,19 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
                delete_condition: "str | None" = None,
                insert: bool = True,
                cap: int = 100_000,
-               job_id: str | None = None) -> dict:
+               job_id: str | None = None,
+               target_alias: str = "t",
+               source_alias: str = "s") -> dict:
     """Conditional MERGE — the full Delta/ANSI ``MERGE INTO`` clause
     surface, atomic in ONE ``MERGE_FILES`` commit:
 
     - ``WHEN MATCHED [AND update_condition] THEN UPDATE SET
       update_set`` — matched target rows get the assignments applied
       (expressions may reference target columns as ``t.<col>`` and
-      source columns as ``s.<col>``);
+      source columns as ``s.<col>``; when the table itself has a
+      column named ``t`` or ``s``, pass different
+      ``target_alias``/``source_alias`` — Spark's resolver cannot
+      disambiguate a qualifier that is also a column name);
     - ``WHEN MATCHED [AND delete_condition] THEN DELETE`` — matched
       target rows satisfying it are removed (evaluated BEFORE the
       update clause, Delta's clause-order semantics);
@@ -401,10 +406,21 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
         return res
     src_keys = [{k: r[k] for k in key_names} for r in head]
 
+    col_names = set(need)
+    for a, label in ((target_alias, "target_alias"),
+                     (source_alias, "source_alias")):
+        if a in col_names:
+            raise ValueError(
+                f"{label} {a!r} is also a table column name — Spark "
+                "cannot disambiguate the qualifier; pass a different "
+                f"{label}")
+    if target_alias == source_alias:
+        raise ValueError("target_alias and source_alias must differ")
+
     # matched target rows: only the files holding these keys are read
     matched = table.batch_exact_key_query(src_keys)
-    t = matched.alias("t")
-    s = source_df.alias("s")
+    t = matched.alias(target_alias)
+    s = source_df.alias(source_alias)
     joined = t.join(F.broadcast(s), on=key_names, how="inner")
     del_cond = (F.expr(delete_condition) if delete_condition
                 else F.lit(False))
@@ -417,7 +433,8 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
     affected = del_cond | upd_cond
 
     def out_col(c):
-        base = F.col(c) if c in key_names else F.col(f"t.{c}")
+        base = (F.col(c) if c in key_names
+                else F.col(f"{target_alias}.{c}"))
         if update_set and c in update_set:
             return F.when(upd_cond, F.expr(update_set[c])) \
                 .otherwise(base).alias(c)

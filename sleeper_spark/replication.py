@@ -339,6 +339,9 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
     # row-keys-only replay would delete EVERY sort-key group sharing
     # the row key, silently diverging the replica
     key_names = list(src.schema.key_names)
+    # merge replay matches by ROW keys (merge_upsert's unit), unlike
+    # the delete path's full key group
+    key_names_row = [f.name for f in src.schema.row_key_fields]
     progressed = {"any": False}
 
     def _apply_appends(a: int, b: int) -> None:
@@ -368,10 +371,28 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
         _apply_appends(cur, eseq - 1)
         if kind == "merge":
             # replays of a half-applied step dedupe via the merge
-            # replay contract (ingest_jobs_seen)
+            # replay contract (ingest_jobs_seen). The commit's insert
+            # rows replace their key groups — but a conditional merge
+            # (merge_when WHEN MATCHED DELETE) can tombstone groups
+            # with NO replacement rows; those keys must ship as
+            # delete_keys or they silently survive on the replica.
             ins = src.added_rows_between(eseq - 1, eseq)
-            dst.merge_upsert(ins, cap=merge_cap,
-                             job_id=f"merge-{prefix}{eseq - 1}-{eseq}")
+            old = src.deleted_rows_between(eseq - 1, eseq)
+            ins_keys = {tuple(r[k] for k in key_names_row) for r in
+                        ins.select(*key_names_row).distinct()
+                        .limit(merge_cap + 1).collect()}
+            old_keys = [tuple(r[k] for k in key_names_row) for r in
+                        old.select(*key_names_row).distinct()
+                        .limit(merge_cap + 1).collect()]
+            if len(old_keys) > merge_cap or len(ins_keys) > merge_cap:
+                raise ValueError(
+                    f"merge commit at seq {eseq} touched more than "
+                    f"{merge_cap} distinct keys — a mass restatement; "
+                    "re-seed the replica instead")
+            gone = sorted(k for k in old_keys if k not in ins_keys)
+            from sleeper_spark.merge import merge_upsert as _mu
+            _mu(dst, ins, cap=merge_cap, delete_keys=gone,
+                job_id=f"merge-{prefix}{eseq - 1}-{eseq}")
             _mark(eseq)
             summary["merges_applied"] += 1
         else:

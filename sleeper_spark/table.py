@@ -647,11 +647,15 @@ class SleeperTable:
                    delete_condition: str | None = None,
                    insert: bool = True,
                    cap: int = 100_000,
-                   job_id: str | None = None) -> dict:
+                   job_id: str | None = None,
+                   target_alias: str = "t",
+                   source_alias: str = "s") -> dict:
         """Conditional MERGE (merge.merge_when) — the Delta/ANSI
         ``MERGE INTO`` clause surface in ONE atomic commit: ``WHEN
         MATCHED [AND update_condition] THEN UPDATE SET update_set``
-        (expressions over ``t.<col>``/``s.<col>``), ``WHEN MATCHED
+        (expressions over ``t.<col>``/``s.<col>``; pass
+        ``target_alias``/``source_alias`` when a table column shares
+        those names), ``WHEN MATCHED
         [AND delete_condition] THEN DELETE`` (clause-ordered first),
         ``WHEN NOT MATCHED THEN INSERT`` (``insert=True``). Matching
         is by row key; the source must be unique per key; key groups
@@ -661,7 +665,9 @@ class SleeperTable:
         return _mw(self, source_df, update_set=update_set,
                    update_condition=update_condition,
                    delete_condition=delete_condition,
-                   insert=insert, cap=cap, job_id=job_id)
+                   insert=insert, cap=cap, job_id=job_id,
+                   target_alias=target_alias,
+                   source_alias=source_alias)
 
     def describe(self) -> dict:
         """Operator's one-call table summary — all driver-side metadata

@@ -311,6 +311,13 @@ class TestMergeWhen:
         dup = src.union(src)
         with pytest.raises(ValueError, match="multiple rows"):
             table.merge_when(dup, delete_condition="true")
+        # a table column named like an alias cannot be a qualifier
+        with pytest.raises(ValueError, match="also a table column"):
+            table.merge_when(src, delete_condition="true",
+                             source_alias="status")
+        with pytest.raises(ValueError, match="must differ"):
+            table.merge_when(src, delete_condition="true",
+                             target_alias="a", source_alias="a")
 
     def test_idempotent_replay_by_job_id(self, spark, table):
         src = self._cond_src(spark)

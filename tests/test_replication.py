@@ -499,6 +499,37 @@ class TestSyncCdc:
         assert canon(dst) == canon(src)
         assert all(k >= 10 for k, _v in canon(dst))
 
+    def test_conditional_merge_replays_pure_deletions(self, spark,
+                                                      tmp_path):
+        """A merge_when commit can tombstone key groups with NO
+        replacement rows (WHEN MATCHED DELETE): the CDC replay must
+        ship those as delete_keys, or the deleted groups silently
+        survive on the replica."""
+        src = SleeperTable.create(spark, str(tmp_path / "s"),
+                                  _full_schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "d"),
+                                  _full_schema())
+        src.ingest(_frows(spark, 0, 100))
+        replication.sync_to_head(src, dst)
+        # conditional merge: delete keys 10-19 outright, bump 20-29,
+        # insert 200-204 — one MERGE_FILES commit
+        # the table has a column literally named "s": the default
+        # source alias would be ambiguous, so pass explicit aliases
+        mw_src = _frows(spark, 10, 30, tag="s").unionByName(
+            _frows(spark, 200, 205, tag="new"))
+        res = src.merge_when(
+            mw_src,
+            update_set={"s": "'bumped'"},
+            update_condition="src.k >= 20",
+            delete_condition="src.k < 20",
+            target_alias="tgt", source_alias="src")
+        assert res["groups_deleted"] == 10
+        s = replication.sync_cdc(src, dst)
+        assert s["caught_up"] and s["merges_applied"] == 1
+        assert _fsorted(dst) == _fsorted(src)
+        assert dst.full_scan().where("k >= 10 AND k < 20").isEmpty()
+        assert dst.full_scan().where("s = 'bumped'").count() == 10
+
     def test_inflight_claim_is_barrier(self, spark, tmp_path):
         """A delete claim whose commit has not landed stops the step
         BEFORE its seq (caught_up False); after the commit lands the
