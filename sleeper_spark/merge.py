@@ -417,8 +417,12 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
     if target_alias == source_alias:
         raise ValueError("target_alias and source_alias must differ")
 
-    # matched target rows: only the files holding these keys are read
-    matched = table.batch_exact_key_query(src_keys)
+    # matched target rows: only the files holding these keys are read.
+    # The frame is consumed several times (clause join, touched-key
+    # probe, surviving-key probe, insert anti-join, the merge's write)
+    # — persist it so the pruned scan runs once, not five times; it is
+    # bounded by the capped key set's group sizes
+    matched = table.batch_exact_key_query(src_keys).persist()
     t = matched.alias(target_alias)
     s = source_df.alias(source_alias)
     joined = t.join(F.broadcast(s), on=key_names, how="inner")
@@ -467,8 +471,11 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
                          on=key_names, how="leftanti") \
             .select(*need)
         frame = replacement.unionByName(inserts)
-    res = merge_upsert(table, frame, cap=cap, job_id=job_id,
-                       delete_keys=delete_keys)
+    try:
+        res = merge_upsert(table, frame, cap=cap, job_id=job_id,
+                           delete_keys=delete_keys)
+    finally:
+        matched.unpersist()
     res["groups_deleted"] = len(delete_keys)
     res["groups_touched"] = len(touched_keys)
     return res

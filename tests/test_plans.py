@@ -738,3 +738,58 @@ def test_index_lookup_join_bounded_path_no_source_exchange(
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan, plan[:800]
     assert "Broadcast" in plan
+
+
+def test_gap_fill_no_nested_loop_window_reuses_spine_exchange(spark):
+    """gap_fill plans the textbook densify shape: the dense spine is a
+    Generate (sequence+explode) over the per-entity agg — never a
+    cartesian/nested-loop — and the LOCF window runs on the spine's
+    entity partitioning (no fourth exchange just for the fill)."""
+    from sleeper_spark.functions.timeseries import gap_fill
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .selectExpr("user_id", "value",
+                    "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+    df = gap_fill(ev, ["user_id"], "ts_us", 86_400_000_000, "value")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode(sequence" in plan
+    # densify + fill = at most 3 exchanges (bucket agg, spine agg,
+    # join side); the window must NOT add its own
+    assert plan.count("Exchange") <= 3, plan[:1200]
+
+
+def test_merge_when_replacement_no_cartesian(spark, tmp_path):
+    """merge_when's clause join broadcasts the (unique-per-key capped)
+    source frame — the replacement computation must never plan a
+    cartesian/nested-loop against the matched target rows."""
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    table = SleeperTable.create(spark, str(tmp_path / "mwp"), schema)
+    table.ingest(ev)
+    captured = {}
+    import sleeper_spark.merge as merge_mod
+    orig = merge_mod.merge_upsert
+
+    def spy(table_, frame, **kw):
+        captured["plan"] = plan_of(frame)
+        return orig(table_, frame, **kw)
+
+    merge_mod.merge_upsert = spy
+    try:
+        src = ev.where("event_id < 50").select(
+            "event_id", "user_id",
+            F.lit("src").alias("event_type"), "value")
+        table.merge_when(src, update_set={"event_type": "'u'"},
+                         update_condition="s.value IS NOT NULL")
+    finally:
+        merge_mod.merge_upsert = orig
+    plan = captured["plan"]
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan, plan[:800]
