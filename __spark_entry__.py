@@ -551,7 +551,10 @@ def q_update_where(spark: SparkSession, sf: str) -> DataFrame:
     res = table.update_where(
         {"event_type": "redacted", "value": None},
         regions=[Region.of(Range("event_id", 2000, 2500))])
-    assert res["rows_updated"] > 0
+    # the range holds rows at sf>=0.01 (the driver's oracle gate) and
+    # is empty at sf0.001 — the oracle equality holds either way
+    assert res["rows_updated"] > 0 or \
+        ev.where("event_id >= 2000 AND event_id < 2500").isEmpty()
     return table.full_scan()
 
 
@@ -657,7 +660,9 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
                    "user_id", F.lit("inserted").alias("event_type"),
                    "value")))
     res = table.merge_upsert(src)
-    assert res["rows_inserted"] > 0 and res["rows_replaced"] > 0
+    assert res["rows_inserted"] > 0
+    assert res["rows_replaced"] > 0 or \
+        ev.where("event_id >= 1000 AND event_id < 1500").isEmpty()
     return table.full_scan()
 
 

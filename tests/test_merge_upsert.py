@@ -445,3 +445,53 @@ def test_merge_sequence_matches_dict_model(spark, tmp_path_factory,
     got = sorted(tuple(r) for r in t.full_scan().collect())
     want = sorted(row for rows in model.values() for row in rows)
     assert got == want
+
+
+mw_batch_strategy = st.lists(
+    st.lists(st.tuples(st.integers(0, 30),        # key
+                       st.integers(-100, 100)),   # source value
+             min_size=0, max_size=12,
+             unique_by=lambda t: t[0]),           # unique per row key
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=mw_batch_strategy)
+def test_merge_when_sequence_matches_dict_model(spark,
+                                                tmp_path_factory,
+                                                batches):
+    """Property: any sequence of conditional merges (delete when the
+    source value is negative, update otherwise, insert unmatched keys)
+    leaves the table equal to the obvious dict model applied batch by
+    batch."""
+    tmp = tmp_path_factory.mktemp("mwprop")
+    schema = Schema(
+        row_key_fields=(Field("key", T.LongType()),),
+        sort_key_fields=(),
+        value_fields=(Field("value", T.LongType()),))
+    t = SleeperTable.create(spark, str(tmp / "t"), schema,
+                            split_points=[15])
+    t.ingest(spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 20)], "key long, value long"))
+    model = {k: k * 10 for k in range(0, 20)}
+    for batch in batches:
+        df = spark.createDataFrame(
+            [(k, v) for k, v in batch] or
+            spark.sparkContext.emptyRDD(),
+            "key long, value long")
+        t.merge_when(
+            df,
+            update_set={"value": "t.value + s.value"},
+            update_condition="s.value >= 0",
+            delete_condition="s.value < 0")
+        for k, v in batch:
+            if k in model:
+                if v < 0:
+                    del model[k]
+                else:
+                    model[k] = model[k] + v
+            else:
+                model[k] = v  # WHEN NOT MATCHED INSERT (as-is)
+    got = sorted((r.key, r.value) for r in t.full_scan().collect())
+    assert got == sorted(model.items())
