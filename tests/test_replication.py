@@ -651,6 +651,56 @@ class TestSyncCdcSchemaEvolution:
         with pytest.raises(ValueError, match="divergently"):
             replication.sync_cdc(src, dst)
 
+    def test_crash_between_log_record_and_table_json(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        """Log-first ordering makes the evolution crash-recoverable:
+        a source that dies between the EVOLVE_SCHEMA commit and the
+        table.json rewrite simply RE-RUNS add_value_column (its schema
+        check reads the old table.json, so it does not refuse) — the
+        log then holds two identical records, and the replica applies
+        the first and skips the second idempotently."""
+        import builtins
+
+        src = SleeperTable.create(spark, str(tmp_path / "s"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "d"), _schema())
+        src.ingest(_rows(spark, 0, 20))
+        replication.sync_to_head(src, dst)
+
+        f = Field("w", T.StringType(), True)
+        real_open = builtins.open
+
+        def crash_on_table_json(path, *a, **kw):
+            if str(path).endswith("table.json.tmp"):
+                raise RuntimeError("injected crash before table.json")
+            return real_open(path, *a, **kw)
+
+        monkeypatch.setattr(builtins, "open", crash_on_table_json)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            src.add_value_column(f)
+        monkeypatch.setattr(builtins, "open", real_open)
+        # the record is in the log; table.json (and the live schema)
+        # are still pre-evolution — the documented recovery is re-run
+        assert [x.name for x in src.schema.all_fields()] == ["k", "v"]
+        src.add_value_column(f)  # re-run does NOT refuse
+        assert [x.name for x in src.schema.all_fields()] \
+            == ["k", "v", "w"]
+        evo_count = sum(
+            1 for _s, tx in src.store.transactions_between(0)
+            if tx.get("type") == "EVOLVE_SCHEMA")
+        assert evo_count == 2  # duplicate records, by design
+        src.ingest(spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("w")))
+        s = replication.sync_cdc(src, dst)
+        assert s["caught_up"]
+        assert s["schema_evolutions_applied"] == 1  # second one skips
+
+        def rows(t):
+            return sorted((r.k, r.v, r.w)
+                          for r in t.full_scan().collect())
+        assert rows(dst) == rows(src)
+
     def test_unexplained_drift_still_refused(self, spark, tmp_path):
         """Replica-only drift (no EVOLVE record in the source window)
         keeps the strict refusal."""
