@@ -71,7 +71,13 @@ def test_every_query_has_an_oracle():
     # per-group sketch quantiles, C4 boilerplate line stripping,
     # streaming cohort retention, the time-travel snapshot read, and
     # copy-on-write update_where, atomic MERGE upsert, and CHECK
-    # constraints and the functional (expression) secondary index
+    # constraints and the functional (expression) secondary index —
+    # round 10 adds the index-nested-loop lookup_join, the split-point
+    # advisor, exact-row point deletes, CDC replication, the
+    # exactly-once streaming merge, and filtered vector search —
+    # round 11 adds conditional MERGE (merge_when), time-series gap
+    # filling, the schema-evolution lifecycle entry, and
+    # table-integrated filtered ANN (file-pruned scan)
     assert len(qk) == 188
 
 
