@@ -826,3 +826,42 @@ def test_lookup_join_composite_index(spark, tmp_path):
             probe, on={"event_type": "t", "user_id": "u"},
             hot_threshold=thr).collect())
         assert got == want and want, f"threshold {thr}"
+
+
+def test_classify_window_single_suffix_scan(spark, tmp_path):
+    """r10 ADVICE: resolving unmatched delete-/update-/merge- claims
+    must take ONE pass over the post-window suffix, not one
+    scan-to-head per claim — with many abandoned claims over a long
+    history a per-claim scan makes every mview/index refresh and
+    sync_cdc plan O(claims x log length)."""
+    from sleeper_spark.views import classify_window
+
+    schema = Schema((Field("k", T.LongType()),), (),
+                    (Field("v", T.LongType(), True),))
+    t = SleeperTable.create(spark, str(tmp_path / "t"), schema)
+    t.ingest(spark.range(40).selectExpr("id AS k", "id AS v"))
+    refs = list(t.store.all_references())
+    # plant MANY abandoned delete claims (claim then unassign)
+    n_claims = 6
+    for i in range(n_claims):
+        t.store.assign_job_ids(f"delete-abandoned-{i}", refs)
+        t.store.unassign_job_ids(f"delete-abandoned-{i}")
+    t.ingest(spark.range(40, 50).selectExpr("id AS k", "id AS v"))
+
+    store = t.store
+    calls = {"n": 0}
+    real = store.transactions_between
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    store.transactions_between = counting
+    try:
+        txs = real(0)
+        events, barrier = classify_window(store, txs, "refuse")
+    finally:
+        store.transactions_between = real
+    assert events == [] and barrier is None  # all claims abandoned
+    # ONE suffix scan resolves every claim (not one per claim)
+    assert calls["n"] <= 1, calls["n"]
