@@ -319,6 +319,39 @@ class TestMergeWhen:
             table.merge_when(src, delete_condition="true",
                              target_alias="a", source_alias="a")
 
+    def test_crash_atomicity_with_pure_deletions(self, spark, table,
+                                                 monkeypatch):
+        """Kill before the ONE commit of a merge_when whose clauses
+        include whole-group deletions: the old state stays fully
+        readable (delete_keys ride the same MERGE_FILES transaction),
+        and after claim recovery the retry lands exactly once."""
+        before = sorted(tuple(r) for r in table.full_scan().collect())
+        store = table.store
+        real = store.merge_files
+
+        def crashing(*a, **kw):
+            raise RuntimeError("injected crash before commit")
+
+        monkeypatch.setattr(store, "merge_files", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            table.merge_when(self._cond_src(spark),
+                             delete_condition="s.value >= 1300",
+                             update_set={"status": "'b'"},
+                             update_condition="s.value < 1300")
+        monkeypatch.setattr(store, "merge_files", real)
+        assert sorted(tuple(r) for r in table.full_scan().collect()) \
+            == before
+        jid = next(r.job_id for r in store.all_references()
+                   if r.job_id is not None)
+        store.unassign_job_ids(jid)
+        res = table.merge_when(self._cond_src(spark),
+                               delete_condition="s.value >= 1300",
+                               update_set={"status": "'b'"},
+                               update_condition="s.value < 1300")
+        assert res["groups_deleted"] == 30
+        assert table.full_scan().where(
+            "key >= 'k-000130' AND key < 'k-000160'").count() == 0
+
     def test_idempotent_replay_by_job_id(self, spark, table):
         src = self._cond_src(spark)
         res = table.merge_when(src, delete_condition="s.value >= 1300",

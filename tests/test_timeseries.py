@@ -305,6 +305,12 @@ class TestGapFill:
         with pytest.raises(ValueError, match="step"):
             gap_fill(self._df(spark), ["u"], "t", 0, "v")
 
+    def test_empty_frame_yields_empty_spine(self, spark):
+        from sleeper_spark.functions.timeseries import gap_fill
+        out = gap_fill(self._df(spark).limit(0), ["u"], "t", 10, "v")
+        assert out.count() == 0
+        assert out.columns == ["u", "bucket_ts", "v", "n_rows"]
+
     def test_matches_duckdb(self, spark):
         from sleeper_spark.functions.timeseries import gap_fill
         import random
