@@ -865,3 +865,29 @@ def test_classify_window_single_suffix_scan(spark, tmp_path):
     assert events == [] and barrier is None  # all claims abandoned
     # ONE suffix scan resolves every claim (not one per claim)
     assert calls["n"] <= 1, calls["n"]
+
+
+def test_mview_refresh_passes_through_evolve_records(spark, tmp_path):
+    """An EVOLVE_SCHEMA record in the refresh window is content-neutral
+    metadata for a materialized view: refresh neither refuses nor
+    skips data around it, and appends on both sides of the evolution
+    land exactly once."""
+    src_schema = Schema((Field("k", T.LongType()),), (),
+                        (Field("v", T.LongType(), True),))
+    view_schema = Schema((Field("k", T.LongType()),), (),
+                         (Field("n", T.LongType()),))
+    src = SleeperTable.create(spark, str(tmp_path / "s"), src_schema)
+    dest = SleeperTable.create(
+        spark, str(tmp_path / "view"), view_schema,
+        TableProperties(aggregations="sum(n)"))
+    mv = MaterializedView(
+        src, dest,
+        lambda b: b.select("k", F.lit(1).cast("long").alias("n")))
+    src.ingest(spark.range(0, 30).selectExpr("id AS k", "id AS v"))
+    src.add_value_column(Field("w", T.StringType(), True))
+    src.ingest(spark.range(30, 50).selectExpr(
+        "id AS k", "id AS v", "'x' AS w"))
+    assert mv.refresh() > 0
+    got = {r.k: r.n for r in dest.full_scan().collect()}
+    assert got == {k: 1 for k in range(50)}
+    assert mv.refresh() == 0  # caught up; no replay, no refusal
