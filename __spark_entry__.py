@@ -855,6 +855,51 @@ def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     return table.as_of(seq=pre_delete_seq).full_scan()
 
 
+def q_table_clone(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-copy table branch (table.clone, table.py:69 — the
+    Delta/Iceberg SHALLOW CLONE analog done the LSM way: metadata copy
+    with rewritten paths + hard-linked data files, O(files) not
+    O(bytes)). Build a table, branch it, then DIVERGE both sides —
+    delete_where + compact on the source (rewrites + retires the very
+    files the branch hard-links), ingest extra rows into the branch —
+    and return both branches' per-type counts tagged by branch name.
+    Isolation must hold in BOTH directions for the oracle to match:
+    the source must not see the branch's ingest, and the branch must
+    still read the pre-delete data through its own links after the
+    source compaction replaced them."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
+    tmp = tempfile.mkdtemp(prefix="sleeper_clone_")
+    src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
+                              TableProperties(),
+                              split_points=[3000, 6000])
+    src.ingest(ev)
+    branch = src.clone(os.path.join(tmp, "branch"))
+    # diverge: the source drops a key range and compacts (file rewrite
+    # + retire); the branch ingests shifted copies of the low keys
+    src.delete_where(
+        regions=[Region.of(Range("event_id", 2000, 3000))])
+    src.compact()
+    branch.ingest(ev.where(F.col("event_id") < 500).select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+        "user_id", "event_type", "value"))
+    _setup_done("table_clone", _t0)
+    out_src = (src.full_scan().groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("branch", F.lit("source")))
+    out_branch = (branch.full_scan().groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .withColumn("branch", F.lit("branch")))
+    return out_src.unionByName(out_branch).select(
+        "branch", "event_type", "n")
+
+
 def q_composite_index_range(spark: SparkSession, sf: str) -> DataFrame:
     """Leading-prefix RANGE lookup on the composite index
     (views.SecondaryIndex.lookup_prefix_range): exact value on the
@@ -1836,6 +1881,46 @@ def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
     )
+
+
+def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) event-time window — 1 h window, 15 min hop:
+    every event lands in size/hop = 4 overlapping windows (F.window's
+    slide form, the batch twin of a streaming hopping aggregation; the
+    oracle reproduces the window explosion with a 4-offset cross join
+    over the same floor-to-hop arithmetic). Output keyed by window
+    start in epoch micros. One shuffle on the window key; the 4×
+    fan-out happens map-side inside the partial aggregate, so the
+    exchange carries per-(window,task) partials, not 4× the events."""
+    ev = _load(spark, sf, "events").where(F.col("ts").isNotNull())
+    agg = ev.groupBy(
+        F.window(F.col("ts"), "1 hour", "15 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4)
+        .alias("sum_value"))
+    return agg.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("ws_us"),
+        "n_events", "sum_value")
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition model over each user's event
+    stream: lag() per user ordered by event time, transition counts and
+    row-normalised probabilities per predecessor state. One shuffle on
+    user_id for the lag; the (prev, next) re-aggregation is
+    |event_type|² rows — independent of corpus size, so the model fits
+    on one reducer at ANY scale."""
+    ev = _load(spark, sf, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = (ev.select("user_id", "event_type", "ts_us", "event_id")
+         .withColumn("prev_type", F.lag("event_type").over(w)))
+    c = (s.where(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("prev_type")
+    return (c.withColumn(
+        "prob", F.round(F.col("n") / F.sum("n").over(tot), 4))
+        .select("prev_type", "next_type", "n", "prob"))
 
 
 # ---------------------------------------------------------------------------
@@ -3186,6 +3271,30 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         emb, cents, threshold=_SEMDEDUP["threshold"])
 
 
+def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic cross-label negative sampling for every corpus row
+    (similarity.negative_sampling): Knuth-multiplicative bucket on the
+    vector id, negatives = same bucket + different label, k=3 chosen by
+    partner-id order. Bucket count scales with the corpus (occupancy
+    ~16 at any sf) so candidate pairs stay Θ(n·16), never Θ(n²); the
+    oracle derives the identical bucket count from its own corpus
+    count inline."""
+    emb = _load(spark, sf, "embeddings")
+    return similarity.negative_sampling(emb, per_bucket=16, k=3)
+
+
+def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_mining): for each
+    of 20 anchor vectors, the 5 corpus vectors MOST cosine-similar to
+    the anchor among those with a DIFFERENT label — broadcast anchors,
+    map-side scoring under the label-inequality theta join, partial
+    WindowGroupLimit prune before the exchange."""
+    emb = _load(spark, sf, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    return similarity.hard_negative_mining(emb, anchors, k=5)
+
+
 def _semdedup_centroids_from_parquet(sf_dir: str) -> list[list[float]]:
     """Oracle-side replica of _semdedup_centroids_memo: same bounded
     lowest-id sample, same numpy k-means (see
@@ -3396,6 +3505,30 @@ def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         "SELECT CAST(window_start AS DATE) AS day, n_events "
         "FROM q_streaming_window")
+
+
+def q_streaming_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming HOPPING-window aggregation (SURVEY §2.10
+    parity-plus; streaming.windowed_aggregate's slide form under a
+    watermark): 1 h windows every 15 min, each event feeding 4
+    overlapping windows' state. State is bounded by the watermark
+    horizon × 4 open windows regardless of stream length. Run to
+    completion with availableNow; must hash-match the BATCH hopping
+    oracle on the same data."""
+    from sleeper_spark import streaming as streaming_mod
+    stream = _events_stream(spark, sf).where(
+        F.col("ts").isNotNull()).withColumn(
+        "ts", F.timestamp_micros(F.col("ts")))
+    out = streaming_mod.windowed_aggregate(
+        stream, "ts", window="1 hour", slide="15 minutes",
+        watermark="1 hour",
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                      .cast("double"), 4).alias("sum_value")])
+    _run_stream_to_view(out, "q_streaming_hopping_window", "complete")
+    return spark.sql(
+        "SELECT unix_micros(CAST(window_start AS TIMESTAMP)) AS ws_us, "
+        "n_events, sum_value FROM q_streaming_hopping_window")
 
 
 def q_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -4272,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_index": q_composite_index,
         "composite_index_range": q_composite_index_range,
         "time_travel": q_time_travel,
+        "table_clone": q_table_clone,
         "update_where": q_update_where,
         "merge_upsert": q_merge_upsert,
         "merge_when": q_merge_when,
@@ -4325,6 +4459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "grouping_sets": q_grouping_sets,
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
+        "event_transitions": q_event_transitions,
         "stats_agg": q_stats_agg,
         # training-data pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -4421,12 +4557,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "semantic_dedup": q_semantic_dedup,
+        "negative_sampling": q_negative_sampling,
+        "hard_negative_mining": q_hard_negative_mining,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # streaming (availableNow, hash-checked against batch SQL)
         "streaming_upsert": q_streaming_upsert,
         "streaming_merge": q_streaming_merge,
         "streaming_window": q_streaming_window,
+        "streaming_hopping_window": q_streaming_hopping_window,
         "streaming_funnel": q_streaming_funnel,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_sessionize": q_streaming_sessionize,
@@ -5191,6 +5330,18 @@ def oracle_sql() -> dict[str, str]:
         # the pre-delete snapshot IS the full dataset
         "time_travel":
             "SELECT event_id, user_id, event_type, value FROM events",
+        # each branch recomputed from the raw data: source = survivors
+        # of the deleted range; branch = full data + the shifted ingest
+        "table_clone":
+            "SELECT 'source' AS branch, event_type, count(*) AS n "
+            "FROM events WHERE NOT (event_id >= 2000 AND event_id < 3000) "
+            "GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'branch' AS branch, event_type, count(*) AS n FROM ("
+            "SELECT event_type FROM events "
+            "UNION ALL "
+            "SELECT event_type FROM events WHERE event_id < 500"
+            ") GROUP BY event_type",
         # derived-day bucket recomputed in SQL over survivors
         "functional_index":
             "WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d "
@@ -5773,6 +5924,33 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": _ivfpq_oracle_sql(),
         "embedding_near_duplicates": _embedding_near_dup_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        # identical Knuth-multiplicative bucket arithmetic; the bucket
+        # count is derived from the oracle's own corpus row count (the
+        # same max(16, n // 16) the Spark side computes)
+        "negative_sampling":
+            "WITH b AS (SELECT greatest(16, count(*) // 16) AS nb "
+            "FROM embeddings), "
+            "d AS (SELECT vec_id, label, "
+            "(((vec_id % 1000003) * 2654435761) >> 16) "
+            "% (SELECT nb FROM b) AS bk FROM embeddings), "
+            "p AS (SELECT a.vec_id AS anchor_id, n.vec_id AS negative_id, "
+            "row_number() OVER (PARTITION BY a.vec_id "
+            "ORDER BY n.vec_id) AS rk "
+            "FROM d a JOIN d n ON a.bk = n.bk AND a.label <> n.label) "
+            "SELECT anchor_id, negative_id, CAST(rk AS INTEGER) AS rank "
+            "FROM p WHERE rk <= 3",
+        "hard_negative_mining":
+            "WITH c AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv "
+            "FROM c WHERE vec_id < 20), "
+            "s AS (SELECT query_id, vec_id, "
+            + _COS_SQL.format(a="c.v", b="q.qv") + " AS cosine "
+            "FROM c JOIN q ON c.label <> q.qlbl), "
+            "r AS (SELECT query_id, vec_id, cosine, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s) "
+            "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5",
         "multimodal_features": _multimodal_features_oracle_sql(),
         "multimodal_frames":
             "WITH t AS (SELECT doc_id, text, "
@@ -5812,6 +5990,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "
             "FROM events GROUP BY date_trunc('day', ts)",
+        # window explosion replayed as a 4-offset cross join over the
+        # same floor-to-hop arithmetic F.window(slide) uses: starts at
+        # floor(t/hop)-o for o in 0..3, all within (t - size, t]
+        "hopping_window":
+            "WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events "
+            "WHERE ts IS NOT NULL), "
+            "w AS (SELECT ((tus // 900000000) - o) * 900000000 AS ws_us, "
+            "value FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o)) "
+            "SELECT ws_us, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) "
+            "AS sum_value FROM w GROUP BY ws_us",
+        "event_transitions":
+            "WITH s AS (SELECT user_id, event_type, lag(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+            "AS prev_type FROM events WHERE ts IS NOT NULL), "
+            "c AS (SELECT prev_type, event_type AS next_type, count(*) "
+            "AS n FROM s WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type) "
+            "SELECT prev_type, next_type, n, "
+            "round(CAST(n AS DOUBLE) / sum(n) OVER "
+            "(PARTITION BY prev_type), 4) AS prob FROM c",
         "stats_agg":
             "SELECT event_type, round(avg(value), 4) AS avg_value, "
             "round(stddev_samp(value), 4) AS sd_value, "
@@ -6151,6 +6350,16 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window":
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events "
             "FROM events GROUP BY date_trunc('day', ts)",
+        # the availableNow hopping stream must converge to the batch
+        # hopping aggregation — same 4-offset window explosion
+        "streaming_hopping_window":
+            "WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events "
+            "WHERE ts IS NOT NULL), "
+            "w AS (SELECT ((tus // 900000000) - o) * 900000000 AS ws_us, "
+            "value FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o)) "
+            "SELECT ws_us, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) "
+            "AS sum_value FROM w GROUP BY ws_us",
         # the streaming funnel must converge to the BATCH funnel's
         # counts on the same data — the oracle IS the batch chain
         "streaming_funnel":

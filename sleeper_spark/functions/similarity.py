@@ -1308,3 +1308,111 @@ def _kmeans_micro(q: DataFrame, id_col: str, k: int, iterations: int):
             cents[c] = vec  # absent (empty) clusters keep their centroid
 
     return cents, assign
+
+
+# ---------------------------------------------------------------------------
+# contrastive-training negative sampling
+# ---------------------------------------------------------------------------
+
+def negative_sampling(
+    corpus: DataFrame,
+    per_bucket: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic cross-label negative sampling for EVERY row of the
+    corpus — the "in-batch negatives" a contrastive training pipeline
+    draws, reproduced as a bounded bucket join instead of an N² pair
+    enumeration.
+
+    Each row is assigned a pseudo-random bucket via Knuth multiplicative
+    hashing on its id (``(((id % 1000003) * 2654435761) >> 16) % B`` —
+    pure integer arithmetic, so any SQL engine reproduces it
+    bit-for-bit; the bounded product never overflows int64, and the
+    16-bit right shift discards the product's low bits, which are NOT
+    mixed: the multiplier is odd, so ``(id * C) % 2^k`` is a bijection
+    of ``id % 2^k`` and a low-bits bucket would just re-derive the id's
+    own residue — the classic multiplicative-hash trap; Knuth's scheme
+    takes HIGH bits). Negatives for an anchor are
+    the rows of the SAME bucket with a DIFFERENT label, and the k
+    surviving negatives per anchor are chosen by partner-id order —
+    fully deterministic, re-runnable, and auditable, which random
+    sampling is not.
+
+    Scale: the bucket count grows with the corpus (``B = max(16,
+    n // per_bucket)``) so expected bucket occupancy stays ~per_bucket at
+    ANY corpus size — candidate pairs are Θ(n · per_bucket), never
+    Θ(n²), and the bucket equi-join shuffles on a key whose cardinality
+    grows with n (no hot reducer). NULL labels never pair (SQL ``<>``),
+    and rows in singleton buckets simply yield no negatives — the same
+    contract a batch sampler has for a batch with one class.
+    """
+    n = corpus.count()
+    n_buckets = max(16, n // per_bucket)
+    bucket = F.shiftright(
+        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761),
+        16) % F.lit(n_buckets)
+    d = corpus.select(F.col(id_col), F.col(label_col)) \
+              .withColumn("__b", bucket)
+    a = d.select(F.col(id_col).alias("anchor_id"),
+                 F.col(label_col).alias("__albl"),
+                 F.col("__b").alias("__ab"))
+    neg = d.select(F.col(id_col).alias("negative_id"),
+                   F.col(label_col).alias("__nlbl"),
+                   F.col("__b").alias("__nb"))
+    pairs = a.join(neg, (F.col("__ab") == F.col("__nb"))
+                   & (F.col("__albl") != F.col("__nlbl")))
+    w = Window.partitionBy("anchor_id").orderBy("negative_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("anchor_id", "negative_id",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "query_id",
+    anchor_cap: int = 1024,
+) -> DataFrame:
+    """Hardest cross-label negatives per anchor: candidates whose label
+    DIFFERS from the anchor's, ranked by exact cosine descending — the
+    negatives most similar to the anchor yet of a different class, the
+    set contrastive losses learn the most from.
+
+    Shape: the anchor frame is small and broadcast (bounded loudly at
+    ``anchor_cap``, the same contract every broadcast operator in this
+    package enforces); the corpus is scored map-side against every
+    anchor under the label-inequality theta join, and the
+    WindowGroupLimit prune keeps the shuffle at <= k rows per
+    (partition, anchor) — candidates ∝ corpus × |anchors|, never
+    corpus². Ranks are computed on cosines rounded to 6 decimals with
+    id tiebreak (cross-engine stable, like every ANN operator here).
+    NULL labels never pair (SQL ``!=``)."""
+    n_anchor = anchors.limit(anchor_cap + 1).count()
+    if n_anchor > anchor_cap:
+        raise ValueError(
+            f"hard_negative_mining anchor set exceeds anchor_cap="
+            f"{anchor_cap}; mine in anchor batches or raise the cap "
+            f"knowingly — an unbounded anchor broadcast is an OOM, "
+            f"not a plan")
+    q = _with_norm(anchors.select(
+        F.col(anchor_id_col),
+        F.col(label_col).alias("__albl"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ), "__qvec", "__qnorm")
+    c = _with_norm(corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("__clbl"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ), "__cvec", "__cnorm")
+    scored = (
+        c.join(F.broadcast(q), F.col("__clbl") != F.col("__albl"))
+        .withColumn("cosine", _paired_cosine())
+    )
+    return _pruned_topk(scored, k, id_col, anchor_id_col)

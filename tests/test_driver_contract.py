@@ -76,9 +76,13 @@ def test_every_query_has_an_oracle():
     # advisor, exact-row point deletes, CDC replication, the
     # exactly-once streaming merge, and filtered vector search —
     # round 11 adds conditional MERGE (merge_when), time-series gap
-    # filling, the schema-evolution lifecycle entry, and
-    # table-integrated filtered ANN (file-pruned scan)
-    assert len(qk) == 188
+    # filling, the schema-evolution lifecycle entry,
+    # table-integrated filtered ANN (file-pruned scan), the zero-copy
+    # table clone (branch-divergence proof), hopping windows (batch +
+    # streaming twins), first-order Markov event transitions, and
+    # deterministic negative sampling + hard-negative mining for
+    # contrastive training
+    assert len(qk) == 194
 
 
 def test_entry_smoke(spark):

@@ -1808,3 +1808,82 @@ class TestFilteredAnn:
             attribute_filtered_topk(c, q, [], k=5)
         with pytest.raises(ValueError, match="lacks match"):
             attribute_filtered_topk(c, q, ["tenant"], k=5)
+
+
+class TestNegativeSampling:
+    def _frame(self, spark, n=60, n_labels=4):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_labels).cast("int").alias("label"))
+
+    def test_cross_label_bucket_scoped_deterministic(self, spark):
+        from sleeper_spark.functions.similarity import negative_sampling
+        df = self._frame(spark)
+        out = negative_sampling(df, per_bucket=8, k=2).collect()
+        assert out, "planted multi-label buckets must yield negatives"
+        nb = max(16, 60 // 8)
+
+        def bucket(i):
+            return (((i % 1_000_003) * 2654435761) >> 16) % nb
+
+        per_anchor = {}
+        for r in out:
+            assert r.anchor_id % 4 != r.negative_id % 4  # label differs
+            assert bucket(r.anchor_id) == bucket(r.negative_id)
+            assert 1 <= r.rank <= 2
+            per_anchor.setdefault(r.anchor_id, []).append(
+                (r.rank, r.negative_id))
+        # ranks are the partner-id order (deterministic choice)
+        for negs in per_anchor.values():
+            negs.sort()
+            assert [n for _, n in negs] == sorted(n for _, n in negs)
+        # re-run is bit-identical (no randomness anywhere)
+        again = negative_sampling(df, per_bucket=8, k=2).collect()
+        key = lambda r: (r.anchor_id, r.rank)
+        assert sorted(out, key=key) == sorted(again, key=key)
+
+    def test_null_labels_never_pair(self, spark):
+        from sleeper_spark.functions.similarity import negative_sampling
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, 1)],
+            "vec_id long, label int")
+        out = negative_sampling(df, per_bucket=16, k=3).collect()
+        for r in out:
+            assert r.anchor_id != r.negative_id
+            # a NULL on either side can never form a pair
+            assert r.anchor_id == 3 or r.negative_id == 3
+        # and NULL<->NULL specifically is absent
+        assert not [r for r in out
+                    if r.anchor_id in (1, 2) and r.negative_id in (1, 2)]
+
+
+class TestHardNegativeMining:
+    def test_matches_numpy_reference(self, spark, embeddings):
+        import numpy as np
+        from sleeper_spark.functions.similarity import hard_negative_mining
+        anchors = embeddings.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding")
+        got = hard_negative_mining(embeddings, anchors, k=4).collect()
+        rows = embeddings.select("vec_id", "label", "embedding").collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in rows}
+        labels = {r.vec_id: r.label for r in rows}
+        for qid in range(3):
+            qv = vecs[qid]
+            scored = sorted(
+                ((-round(float(np.dot(v, qv)
+                               / (np.linalg.norm(v) * np.linalg.norm(qv))),
+                         6), vid)
+                 for vid, v in vecs.items() if labels[vid] != labels[qid]),
+            )[:4]
+            want = [(vid, i + 1) for i, (_, vid) in enumerate(scored)]
+            have = sorted([(r.vec_id, r.rank) for r in got
+                           if r.query_id == qid], key=lambda t: t[1])
+            assert have == want
+
+    def test_anchor_cap_refused_loudly(self, spark, embeddings):
+        from sleeper_spark.functions.similarity import hard_negative_mining
+        anchors = embeddings.limit(30).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding")
+        with pytest.raises(ValueError, match="anchor_cap"):
+            hard_negative_mining(embeddings, anchors, k=2, anchor_cap=10)

@@ -793,3 +793,51 @@ def test_merge_when_replacement_no_cartesian(spark, tmp_path):
     plan = captured["plan"]
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan, plan[:800]
+
+
+def test_negative_sampling_is_bucket_equi_join(spark):
+    """The full-corpus negative sampler must pair rows through the
+    bucket EQUI-join — never a nested loop / cartesian over the corpus:
+    at 100 TB the theta form is the difference between Θ(n·occupancy)
+    and Θ(n²)."""
+    from sleeper_spark.functions.similarity import negative_sampling
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(negative_sampling(emb, per_bucket=16, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair space is pruned map-side before the rank exchange
+    assert any("WindowGroupLimit" in ln and "Partial" in ln
+               for ln in plan.splitlines()), plan
+
+
+def test_hard_negative_mining_broadcasts_anchors_and_pre_prunes(spark):
+    """Hard-negative mining scores the corpus map-side against the
+    BROADCAST anchor set (label-inequality theta join — nested loop is
+    correct here because one side is contract-bounded), and the rank
+    filter must plan the Partial WindowGroupLimit before the exchange
+    so the shuffle carries <= k rows per (partition, anchor)."""
+    from pyspark.sql import functions as F
+    from sleeper_spark.functions.similarity import hard_negative_mining
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    plan = plan_of(hard_negative_mining(emb, anchors, k=5))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:800]
+    ex = plan.index("Exchange hashpartitioning(query_id")
+    partial = [ln for ln in plan.splitlines()
+               if "WindowGroupLimit" in ln and "Partial" in ln]
+    assert partial, plan
+    assert plan.index(partial[0].strip()) > ex, plan
+
+
+def test_hopping_window_single_exchange_partial_agg(spark):
+    """The 4x window fan-out happens inside the map-side partial
+    aggregate: exactly ONE exchange (on the window key), carrying
+    per-(window, task) partials — not 4x the event rows."""
+    import sys
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as em
+    plan = plan_of(em.q_hopping_window(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "Partial" in plan, plan
