@@ -1873,6 +1873,28 @@ def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     return w.select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
 
 
+def q_cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cumulative distinct users per day — the growth-curve query
+    — via the FIRST-SEEN idiom: a user contributes to the running
+    distinct count only on their first-appearance day, so the answer is
+    a running SUM over per-day first-seen counts. The naive form
+    (re-COUNT DISTINCT over an ever-growing prefix per day) rescans
+    Θ(days × corpus); this shape is one distinct-shrink, one tiny
+    per-day aggregate, and a running sum over |days| rows — the only
+    full-data shuffle is the user-level distinct."""
+    ev = _load(spark, sf, "events").where(F.col("ts").isNotNull())
+    first = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
+             .groupBy("user_id").agg(F.min("day").alias("first_day")))
+    per_day = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (per_day.withColumn(
+        "cum_distinct_users", F.sum("new_users").over(w))
+        .select(F.col("first_day").alias("day"), "new_users",
+                "cum_distinct_users"))
+
+
 def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical aggregates (avg/stddev/variance) per event type."""
     ev = _load(spark, sf, "events")
@@ -4461,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "event_transitions": q_event_transitions,
+        "cumulative_distinct_users": q_cumulative_distinct_users,
         "stats_agg": q_stats_agg,
         # training-data pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -6001,6 +6024,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ws_us, count(*) AS n_events, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) "
             "AS sum_value FROM w GROUP BY ws_us",
+        # cumulative distinct == running sum of first-seen counts; the
+        # BIGINT running sum is cast before the window so DuckDB's
+        # HUGEINT never reaches the driver hash
+        "cumulative_distinct_users":
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day "
+            "FROM events WHERE ts IS NOT NULL GROUP BY user_id), "
+            "c AS (SELECT first_day, count(*) AS new_users FROM f "
+            "GROUP BY first_day) "
+            "SELECT first_day AS day, new_users, "
+            "CAST(sum(new_users) OVER (ORDER BY first_day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cum_distinct_users FROM c",
         "event_transitions":
             "WITH s AS (SELECT user_id, event_type, lag(event_type) "
             "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "

@@ -81,8 +81,9 @@ def test_every_query_has_an_oracle():
     # table clone (branch-divergence proof), hopping windows (batch +
     # streaming twins), first-order Markov event transitions, and
     # deterministic negative sampling + hard-negative mining for
-    # contrastive training
-    assert len(qk) == 194
+    # contrastive training, and the first-seen cumulative-distinct
+    # growth curve
+    assert len(qk) == 195
 
 
 def test_entry_smoke(spark):
