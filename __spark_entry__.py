@@ -1873,6 +1873,55 @@ def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     return w.select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
 
 
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation — all 2^2 grouping combinations of
+    (status, priority) in one pass (completes the GROUPING SETS /
+    ROLLUP family; Spark expands the cube map-side into the same
+    partial-aggregate shape, so it stays one shuffle)."""
+    orders = _load(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2).alias("total_price"))
+
+
+def q_source_lang_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-composition audit: Shannon entropy (bits) of each
+    source's language distribution — the mixing metric a pretraining
+    data pipeline tracks per domain (a source collapsing to one
+    language reads as entropy -> 0). Two tiny aggregates over
+    (source, lang) cells; nothing scales with document count except
+    the first groupBy."""
+    doc = _load(spark, sf, "documents")
+    c = doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("source")
+    p = c.withColumn("p", F.col("n") / F.sum("n").over(tot))
+    return (p.groupBy("source").agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 4)
+        .alias("lang_entropy_bits"),
+        F.sum("n").cast("bigint").alias("n_docs")))
+
+
+def q_path_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential pattern mining: the 20 most frequent consecutive
+    3-step event paths across user streams (two lead() steps per user,
+    then a count over at most |event_type|^3 distinct paths — the
+    final top-k window sorts a bounded model table, not the corpus)."""
+    ev = _load(spark, sf, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = (ev.select("user_id", "event_type", "ts_us", "event_id")
+         .withColumn("e2", F.lead("event_type", 1).over(w))
+         .withColumn("e3", F.lead("event_type", 2).over(w)))
+    c = (s.where(F.col("e3").isNotNull())
+         .groupBy(F.col("event_type").alias("step1"),
+                  F.col("e2").alias("step2"),
+                  F.col("e3").alias("step3"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    w2 = Window.orderBy(F.col("n").desc(), "step1", "step2", "step3")
+    return (c.withColumn("rank", F.row_number().over(w2).cast("int"))
+            .where(F.col("rank") <= 20))
+
+
 def q_cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cumulative distinct users per day — the growth-curve query
     — via the FIRST-SEEN idiom: a user contributes to the running
@@ -4484,6 +4533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": q_hopping_window,
         "event_transitions": q_event_transitions,
         "cumulative_distinct_users": q_cumulative_distinct_users,
+        "cube_agg": q_cube_agg,
+        "source_lang_entropy": q_source_lang_entropy,
+        "path_mining": q_path_mining,
         "stats_agg": q_stats_agg,
         # training-data pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -6024,6 +6076,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ws_us, count(*) AS n_events, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) "
             "AS sum_value FROM w GROUP BY ws_us",
+        "cube_agg":
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+            "AS DOUBLE), 2) AS total_price FROM orders "
+            "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+        "source_lang_entropy":
+            "WITH c AS (SELECT source, lang, count(*) AS n FROM documents "
+            "GROUP BY source, lang), "
+            "p AS (SELECT source, n, CAST(n AS DOUBLE) / "
+            "sum(n) OVER (PARTITION BY source) AS p FROM c) "
+            "SELECT source, round(-sum(p * log2(p)), 4) "
+            "AS lang_entropy_bits, "
+            "CAST(sum(n) AS BIGINT) AS n_docs FROM p GROUP BY source",
+        "path_mining":
+            "WITH s AS (SELECT user_id, event_type AS step1, "
+            "lead(event_type, 1) OVER w AS step2, "
+            "lead(event_type, 2) OVER w AS step3 FROM events "
+            "WHERE ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id)), "
+            "c AS (SELECT step1, step2, step3, count(*) AS n FROM s "
+            "WHERE step3 IS NOT NULL GROUP BY step1, step2, step3) "
+            "SELECT step1, step2, step3, n, CAST(row_number() OVER "
+            "(ORDER BY n DESC, step1, step2, step3) AS INTEGER) AS rank "
+            "FROM c QUALIFY rank <= 20",
         # cumulative distinct == running sum of first-seen counts; the
         # BIGINT running sum is cast before the window so DuckDB's
         # HUGEINT never reaches the driver hash

@@ -81,9 +81,10 @@ def test_every_query_has_an_oracle():
     # table clone (branch-divergence proof), hopping windows (batch +
     # streaming twins), first-order Markov event transitions, and
     # deterministic negative sampling + hard-negative mining for
-    # contrastive training, and the first-seen cumulative-distinct
-    # growth curve
-    assert len(qk) == 195
+    # contrastive training, the first-seen cumulative-distinct
+    # growth curve, CUBE aggregation, per-source language entropy,
+    # and consecutive 3-step path mining
+    assert len(qk) == 198
 
 
 def test_entry_smoke(spark):
