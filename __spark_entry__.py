@@ -900,6 +900,59 @@ def q_table_clone(spark: SparkSession, sf: str) -> DataFrame:
         "branch", "event_type", "n")
 
 
+def q_ctas(spark: SparkSession, sf: str) -> DataFrame:
+    """CTAS (SleeperTable.create_as, table.py): materialise an
+    aggregation result as a NEW pre-balanced sorted table — schema
+    derived from the frame, split points from the split-point advisor
+    over the frame's own key distribution, sorted bulk import — then
+    serve a key-range query from it (partition-pruned + sorted-scan,
+    like any native table). The derived table lands balanced across
+    its leaves on the FIRST import instead of splitting its way out of
+    one root leaf."""
+    ev = _load(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double"), 4).alias("sum_value"))
+    _t0 = _setup_start()
+    tmp = tempfile.mkdtemp(prefix="sleeper_ctas_")
+    t = SleeperTable.create_as(spark, os.path.join(tmp, "t"), agg,
+                               row_keys=["user_id"], n_partitions=4)
+    _setup_done("ctas", _t0)
+    return t.range_key_query([("user_id", 20, 60)])
+
+
+def q_table_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Files-metadata table (table.files_manifest, the Iceberg
+    ``.files`` analog) + metadata-only row count (table.count_rows):
+    ingest events under fixed split points, then answer a per-partition
+    row-count audit ENTIRELY from driver-side metadata — zero data
+    reads (count_rows is called with allow_scan=False to prove the
+    exactness gate opens for a plain table). Oracle recomputes the
+    same per-range counts from the raw rows."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
+    tmp = tempfile.mkdtemp(prefix="sleeper_manifest_")
+    t = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                            TableProperties(),
+                            split_points=[3000, 6000])
+    t.ingest(ev)
+    _setup_done("table_manifest", _t0)
+    man = t.files_manifest()
+    per_part = (man.groupBy("min_key")
+                .agg(F.sum("n_rows").alias("n_rows")))
+    # the metadata count must be exact here WITHOUT a scan fallback
+    total = t.count_rows(allow_scan=False)
+    assert total == ev.count(), (total, "metadata count diverged")
+    return per_part
+
+
 def q_composite_index_range(spark: SparkSession, sf: str) -> DataFrame:
     """Leading-prefix RANGE lookup on the composite index
     (views.SecondaryIndex.lookup_prefix_range): exact value on the
@@ -4477,6 +4530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_index_range": q_composite_index_range,
         "time_travel": q_time_travel,
         "table_clone": q_table_clone,
+        "ctas": q_ctas,
+        "table_manifest": q_table_manifest,
         "update_where": q_update_where,
         "merge_upsert": q_merge_upsert,
         "merge_when": q_merge_when,
@@ -5405,6 +5460,20 @@ def oracle_sql() -> dict[str, str]:
         # the pre-delete snapshot IS the full dataset
         "time_travel":
             "SELECT event_id, user_id, event_type, value FROM events",
+        # the CTAS table must serve the same aggregation back through
+        # its key-range read path (min-inclusive, max-exclusive)
+        "ctas":
+            "SELECT user_id, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) "
+            "AS sum_value FROM events WHERE user_id >= 20 AND user_id < 60 "
+            "GROUP BY user_id",
+        # per-partition metadata counts == per-range raw counts under
+        # the fixed [3000, 6000) split points; the root leaf's lower
+        # bound is unbounded (NULL min_key)
+        "table_manifest":
+            "SELECT CASE WHEN event_id < 3000 THEN NULL "
+            "WHEN event_id < 6000 THEN '3000' ELSE '6000' END AS min_key, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1",
         # each branch recomputed from the raw data: source = survivors
         # of the deleted range; branch = full data + the shifted ingest
         "table_clone":

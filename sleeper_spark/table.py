@@ -29,7 +29,7 @@ from sleeper_spark.partitions import PartitionTree
 from sleeper_spark.properties import TableProperties
 from sleeper_spark.query import Query, QueryExecutor
 from sleeper_spark.ranges import Range, Region
-from sleeper_spark.schema import Schema
+from sleeper_spark.schema import Field, Schema
 from sleeper_spark.statestore import FileReference, StateStore
 
 
@@ -65,6 +65,112 @@ class SleeperTable:
         t = SleeperTable(spark, path, schema, props, store)
         os.makedirs(t.data_dir, exist_ok=True)
         return t
+
+    @staticmethod
+    def create_as(
+        spark: SparkSession,
+        path: str,
+        df: "DataFrame",
+        row_keys: list[str],
+        sort_keys: list[str] | None = None,
+        props: TableProperties | None = None,
+        n_partitions: int = 8,
+        split_method: str = "exact",
+    ) -> "SleeperTable":
+        """CTAS — materialise a DataFrame (typically query results) as a
+        NEW pre-balanced sorted table in one call: the schema is derived
+        from the frame (``row_keys``/``sort_keys`` name key columns,
+        everything else becomes a value field), split points come from
+        the split-point advisor over the frame's own leading-key
+        distribution (maintenance.suggest_split_points — the
+        EstimateSplitPoints onboarding flow, clients/.../
+        EstimateSplitPoints.java:43-70, applied to derived data), and
+        the frame is bulk-ingested sorted-per-leaf. The first import
+        lands balanced across ``n_partitions`` leaves instead of
+        hammering one root leaf and splitting its way out — at 100 TB
+        the difference between a parallel bulk import and a sequential
+        split cascade. ``split_method="sketch"`` switches the advisor
+        to the mergeable-sketch tier for frames too wide for the exact
+        order-statistic pass."""
+        from sleeper_spark.maintenance import suggest_split_points
+
+        sort_keys = sort_keys or []
+        missing = [c for c in (*row_keys, *sort_keys)
+                   if c not in df.columns]
+        if missing:
+            raise ValueError(f"create_as key column(s) {missing} absent "
+                             f"from the frame ({df.columns})")
+        if not row_keys:
+            raise ValueError("create_as needs at least one row key")
+        dtypes = dict(zip(df.schema.names,
+                          [f.dataType for f in df.schema.fields]))
+        keyset = set(row_keys) | set(sort_keys)
+        schema = Schema(
+            tuple(Field(c, dtypes[c]) for c in row_keys),
+            tuple(Field(c, dtypes[c]) for c in sort_keys),
+            tuple(Field(c, dtypes[c], True) for c in df.columns
+                  if c not in keyset))
+        splits = suggest_split_points(
+            df, row_keys[0], n_partitions, method=split_method) \
+            if n_partitions > 1 else None
+        table = SleeperTable.create(spark, path, schema, props,
+                                    split_points=splits or None)
+        table.ingest(df.select(*[f.name for f in schema.all_fields()]))
+        return table
+
+    def files_manifest(self) -> "DataFrame":
+        """Files metadata as a queryable DataFrame (the Iceberg
+        ``.files`` metadata-table analog): one row per active file
+        REFERENCE with its partition id, the partition's leading-key
+        bounds, row count, exactness, and claim state. Driver-side
+        metadata only — never opens a data file, so it stays O(refs)
+        at any data size; feed it to SQL for compaction-debt, skew, or
+        claim-audit queries."""
+        tree = self.store.tree
+        lead = self.schema.row_key_fields[0].name
+        rows = []
+        for r in self.store.all_references():
+            part = tree[r.partition_id] \
+                if tree and r.partition_id in tree else None
+            rng = part.region.range_for(lead) if part else None
+            rows.append((
+                r.partition_id,
+                None if rng is None or rng.min is None else str(rng.min),
+                None if rng is None or rng.max is None else str(rng.max),
+                os.path.basename(r.filename),
+                int(r.number_of_rows),
+                bool(r.count_approximate),
+                r.job_id,
+            ))
+        return self.spark.createDataFrame(
+            rows, "partition_id string, min_key string, max_key string, "
+                  "filename string, n_rows long, approx boolean, "
+                  "job_id string")
+
+    def count_rows(self, allow_scan: bool = True) -> int:
+        """Metadata-only row count — O(references) driver arithmetic,
+        zero data reads. EXACT whenever every reference carries an
+        exact count AND nothing collapses or drops rows at read time
+        (aggregations merge same-key rows; filters/iterators drop
+        rows). When those conditions fail the metadata sum is an upper
+        bound, so this falls back to the real scan (or raises if
+        ``allow_scan=False`` — the caller asked for O(1) and must not
+        silently get O(data))."""
+        refs = self.store.all_references()
+        metadata_exact = (
+            not self.props.aggregations
+            and not self.props.filters
+            and not getattr(self.props, "iterators", "")
+            and not any(r.count_approximate for r in refs))
+        if metadata_exact:
+            return sum(r.number_of_rows for r in refs)
+        if not allow_scan:
+            raise ValueError(
+                "count_rows: metadata count is not exact here "
+                "(aggregation/filter/iterator config or approximate "
+                "references) and allow_scan=False — run with "
+                "allow_scan=True to pay for the scan knowingly")
+        return self.full_scan().count()
 
     def clone(self, dest_path: str) -> "SleeperTable":
         """Zero-copy table branch (Delta/Iceberg SHALLOW CLONE analog,

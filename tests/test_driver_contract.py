@@ -83,8 +83,10 @@ def test_every_query_has_an_oracle():
     # deterministic negative sampling + hard-negative mining for
     # contrastive training, the first-seen cumulative-distinct
     # growth curve, CUBE aggregation, per-source language entropy,
-    # and consecutive 3-step path mining
-    assert len(qk) == 198
+    # consecutive 3-step path mining, CTAS (create_as with
+    # advisor-derived split points), and the files-metadata manifest +
+    # metadata-only count
+    assert len(qk) == 200
 
 
 def test_entry_smoke(spark):
