@@ -4492,6 +4492,295 @@ def q_replication_cdc(spark: SparkSession, sf: str) -> DataFrame:
     return dst.full_scan()
 
 
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt: widen-to-long over the lineitem charge
+    components (base price, discount amount, tax amount), then
+    re-aggregate per (returnflag, charge). `DataFrame.unpivot` expands
+    map-side — no shuffle beyond the final hash aggregate, and the
+    expansion is a constant 3x regardless of corpus size. Amounts stay
+    exact decimals until the final round (the tpch_q1 idiom: decimal
+    products of the clean 2-decimal base columns are engine-exact)."""
+    li = _load(spark, sf, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    m = li.select(
+        "l_returnflag",
+        ep.cast("decimal(18,6)").alias("base_price"),
+        (ep * disc).cast("decimal(18,6)").alias("discount_amt"),
+        ((ep * (F.lit(1).cast("decimal(4,2)") - disc)) * tax)
+        .cast("decimal(18,6)").alias("tax_amt"))
+    up = m.unpivot(["l_returnflag"],
+                   ["base_price", "discount_amt", "tax_amt"],
+                   "charge", "amount")
+    return (up.groupBy("l_returnflag", "charge")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("amount"), 2).cast("double")
+                 .alias("total_amount")))
+
+
+def q_rolling_interval_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-range window frame: per-customer rolling 90-day spend at
+    every order (RANGE BETWEEN 89 PRECEDING AND CURRENT ROW on epoch
+    day — a frame by VALUE, not row count, so gaps in the order history
+    are handled correctly and peers on the same day share one frame).
+    One shuffle on o_custkey; the frame scan is per-partition
+    sequential. Completes the window-family coverage (rows frames:
+    window_running_sum / rolling_window; interval frames: here)."""
+    o = _load(spark, sf, "orders")
+    d = o.select(
+        "o_orderkey", "o_custkey",
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-89, 0))
+    return d.select(
+        "o_orderkey", "o_custkey", "day",
+        F.round(F.sum("price").over(w), 2).cast("double")
+        .alias("spend_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"))
+
+
+def q_graph_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure with min-hop distances over the event-type
+    transition graph — the iterative-algorithm class (semi-naive
+    datalog / BFS), oracle-checked against a recursive CTE.
+
+    The graph is STATE-scale, not data-scale: nodes are event types,
+    edges are transitions whose row-normalised probability is >= 0.05
+    (scale-invariant threshold — the distribution, not the count, picks
+    the edges). One data-scale pass builds the edges (lag + two tiny
+    aggregates); the closure then iterates frontier-join rounds on a
+    <=|V|^2-row DataFrame with `localCheckpoint` cutting lineage each
+    round. New pairs found in round k get hops=k (BFS ==> min), the
+    anti-join keeps the frontier monotone, and the loop stops on an
+    empty frontier or after 9 rounds (the oracle's recursion bound)."""
+    edges = _transition_edges(spark, sf)
+    dist = edges.withColumn("hops", F.lit(1))
+    frontier = dist
+    for _ in range(8):  # hops < 9, matching the oracle's bound
+        step = (frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                        (F.col("f.hops") + 1).alias("hops")))
+        frontier = (step
+                    .join(dist.select("src", "dst"), ["src", "dst"],
+                          "left_anti")
+                    .groupBy("src", "dst").agg(F.min("hops").alias("hops"))
+                    .localCheckpoint())
+        if frontier.isEmpty():
+            break
+        # both sides are themselves checkpointed, so the accumulated
+        # union stays <=9 nodes deep — checkpointing the union itself
+        # trips a Spark attribute-rebind bug (key not found: src#N)
+        dist = dist.unionByName(frontier)
+    return dist.select("src", "dst",
+                       F.col("hops").cast("int").alias("min_hops"))
+
+
+def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (retail price
+    down, size up) — a part is dominated if some part is <= on price,
+    >= on size, and strictly better on at least one. Computed WITHOUT
+    the O(n^2) self-join: collapse to one row per distinct price (max
+    size), take the running max over strictly-cheaper prices, and keep
+    rows that beat it — the group table is |distinct prices| rows
+    (value-domain-scale, not corpus-scale), so the single-partition
+    prefix window is safe at any corpus size. The oracle states the
+    same frontier as the naive NOT EXISTS, cross-checking the
+    reformulation, not just the arithmetic."""
+    p = _load(spark, sf, "part")
+    per_price = (p.groupBy("p_retailprice")
+                 .agg(F.max("p_size").alias("gmax")))
+    wp = (Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    pm = per_price.withColumn("prefix_max", F.max("gmax").over(wp))
+    return (p.join(F.broadcast(pm), "p_retailprice")
+            .where((F.col("p_size") == F.col("gmax"))
+                   & (F.col("prefix_max").isNull()
+                      | (F.col("prefix_max") < F.col("p_size"))))
+            .select("p_partkey", "p_brand", "p_size", "p_retailprice"))
+
+
+def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over user event baskets:
+    antecedent -> consequent support / confidence / lift for every
+    ordered pair of distinct event types co-occurring in a user's
+    history. The co-occurrence join is keyed on user_id after a
+    distinct (so each side is <=|types| rows per user); the rule table
+    that comes out is |types|^2 rows — constant in corpus size. Both
+    marginals and the total ride broadcast joins onto it."""
+    ev = _load(spark, sf, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    pairs = (ut.alias("a").join(ut.alias("b"), "user_id")
+             .where(F.col("a.event_type") != F.col("b.event_type"))
+             .groupBy(F.col("a.event_type").alias("antecedent"),
+                      F.col("b.event_type").alias("consequent"))
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    res = (pairs
+           .join(F.broadcast(per_type
+                             .withColumnRenamed("event_type", "antecedent")
+                             .withColumnRenamed("n_t", "n_a")), "antecedent")
+           .join(F.broadcast(per_type
+                             .withColumnRenamed("event_type", "consequent")
+                             .withColumnRenamed("n_t", "n_c")), "consequent")
+           .crossJoin(F.broadcast(tot)))
+    return res.select(
+        "antecedent", "consequent", "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("n_users"), 4)
+        .alias("support"),
+        F.round(F.col("n_both").cast("double") / F.col("n_a"), 4)
+        .alias("confidence"),
+        F.round(F.col("n_both").cast("double") * F.col("n_users")
+                / (F.col("n_a") * F.col("n_c")), 4).alias("lift"))
+
+
+def _transition_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared state-graph edge builder (graph_reachability /
+    pagerank_states): transitions whose row-normalised probability is
+    >= 0.05, self-loops excluded. One data-scale pass (lag + two tiny
+    aggregates); the result is <=|event types|^2 rows,
+    localCheckpointed so iterative callers don't re-lag the corpus."""
+    ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = (ev.select("user_id", "event_type", "ts_us", "event_id")
+         .withColumn("prev_type", F.lag("event_type").over(w)))
+    c = (s.where(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("src"),
+                  F.col("event_type").alias("dst"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("src")
+    return (c.withColumn("p", F.col("n") / F.sum("n").over(tot))
+            .where((F.col("p") >= 0.05) & (F.col("src") != F.col("dst")))
+            .select("src", "dst")
+            .localCheckpoint())
+
+
+def q_pagerank_states(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the event-type transition graph — the canonical
+    iterative fixpoint, made ORACLE-EXACT by integer micro arithmetic:
+    ranks live in micro units (1e-6), each step is
+    ``r' = 150000 div |V| + (85 * sum(r div outdeg)) div 100``
+    (damping 0.85, floor division throughout), so every iteration is
+    pure integer algebra — no float accumulation order to diverge
+    between Spark and the oracle's unrolled 10-step CTE chain.
+    Dangling-node leakage is accepted (not redistributed) on both
+    sides. The graph is state-scale (<=|event types| nodes), so the
+    ten join-aggregate rounds each touch a localCheckpointed
+    handful-of-rows DataFrame; only the edge build scans data."""
+    edges = _transition_edges(spark, sf)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    od = (edges.groupBy(F.col("src").alias("node"))
+          .agg(F.count(F.lit(1)).alias("d")))
+    nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    r = (nodes.crossJoin(F.broadcast(nn))
+         .select("node", F.expr("CAST(1000000 div nn AS BIGINT)")
+                 .alias("r")).localCheckpoint())
+    for _ in range(10):
+        contrib = (r.join(od, "node")
+                   .join(edges, F.col("node") == F.col("src"))
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.expr("r div d")).alias("c")))
+        r = (nodes.crossJoin(F.broadcast(nn))
+             .join(contrib, "node", "left")
+             .select("node",
+                     F.expr("CAST(150000 div nn + "
+                            "(85 * coalesce(c, 0)) div 100 AS BIGINT)")
+                     .alias("r"))
+             .localCheckpoint())
+    return r.select("node", F.col("r").alias("rank_micro"))
+
+
+def q_gini_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-user activity within each event type —
+    the inequality audit a pipeline runs to spot traffic concentrating
+    on few users (bot detection / skew watch). Sorted-index formula
+    ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` with i ranked ascending
+    by (count, user_id); equal counts commute in sum(i*x_i), so the
+    tiebreak cannot change the value. The rank window is partitioned
+    by event_type — parallel across types at any user count."""
+    ev = _load(spark, sf, "events")
+    cnt = (ev.groupBy("event_type", "user_id")
+           .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    r = cnt.withColumn("i", F.row_number().over(w))
+    return (r.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("x").alias("total_events"),
+                 F.sum(F.col("i").cast("long") * F.col("x")).alias("s"))
+            .select("event_type", "n_users", "total_events",
+                    F.round(F.lit(2.0) * F.col("s")
+                            / (F.col("n_users") * F.col("total_events"))
+                            - (F.col("n_users") + 1)
+                            / F.col("n_users").cast("double"), 4)
+                    .alias("gini")))
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'view' and 'purchase' events — the distribution-
+    drift gate a pipeline runs between two sources or time slices.
+    Collapse to distinct values first (per-value counts for each
+    side), then one cumulative window gives both ECDFs; D = max
+    |F_a - F_b| evaluated after ties are fully absorbed. The window
+    rides the VALUE DOMAIN (<= cents-grain distinct values), not the
+    event count, so the single-partition cumulative scan is bounded
+    at any corpus size; integer cumulative counts make each ECDF
+    step a single shared-double division — engine-exact."""
+    ev = (_load(spark, sf, "events")
+          .where(F.col("event_type").isin("view", "purchase")))
+    pv = (ev.groupBy("value")
+          .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                     .otherwise(0)).alias("ca"),
+               F.sum(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("cb")))
+    tot = pv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (pv.crossJoin(F.broadcast(tot))
+           .withColumn("fa", F.sum("ca").over(w).cast("double")
+                       / F.col("na"))
+           .withColumn("fb", F.sum("cb").over(w).cast("double")
+                       / F.col("nb")))
+    return cum.agg(F.max("na").alias("n_view"),
+                   F.max("nb").alias("n_purchase"),
+                   F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 4)
+                   .alias("ks_stat"))
+
+
+def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM drift series over daily event volume: cumulative sum of
+    deviations from the series mean, the classic change-point /
+    drift-detection statistic a pipeline watches to catch a source
+    silently changing volume. The series is calendar-grain (one row
+    per day — scale-free after the first aggregate), so the global
+    ordering window is safe. cusum_k = running_sum(n) - k * mean,
+    computed as integer running sum minus one shared-double product —
+    no float accumulation order to diverge across engines."""
+    ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
+    daily = (ev.groupBy(F.expr("ts_us div 86400000000").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = daily.agg(F.sum("n").alias("total"),
+                    F.count(F.lit(1)).alias("n_days"))
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d = (daily.crossJoin(F.broadcast(tot))
+         .withColumn("run", F.sum("n").over(wrun))
+         .withColumn("rn", F.row_number().over(Window.orderBy("day"))))
+    # + 0.0 collapses IEEE -0.0 (the final step is mathematically 0;
+    # either engine may round to the negative zero) to +0.0
+    return d.select(
+        "day", "n",
+        (F.round(F.col("run")
+                 - F.col("rn") * (F.col("total").cast("double")
+                                  / F.col("n_days")), 4)
+         + F.lit(0.0)).alias("cusum"))
+
+
 # ---------------------------------------------------------------------------
 # the driver contract
 # ---------------------------------------------------------------------------
@@ -4708,6 +4997,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_join": q_full_outer_join,
         "grouped_collect": q_grouped_collect,
         "value_histogram": q_value_histogram,
+        "unpivot": q_unpivot,
+        "rolling_interval_window": q_rolling_interval_window,
+        "graph_reachability": q_graph_reachability,
+        "pareto_frontier": q_pareto_frontier,
+        "assoc_rules": q_assoc_rules,
+        "cusum_drift": q_cusum_drift,
+        "pagerank_states": q_pagerank_states,
+        "gini_activity": q_gini_activity,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -5368,6 +5666,44 @@ def _multimodal_features_oracle_sql() -> str:
         f"f AS (SELECT doc_id, {features} AS features FROM bytes) "
         "SELECT doc_id, CAST(k AS INTEGER) AS i, features[CAST(k + 1 AS INTEGER)] AS value "
         "FROM f CROSS JOIN (SELECT unnest(range(0, 16)) AS k)")
+
+
+def _build_pagerank_oracle(n_iters: int = 10) -> str:
+    """Unrolled integer-micro PageRank as one CTE chain: pr0 .. prN
+    each apply ``r' = 150000 // nn + (85 * sum(r // d)) // 100`` over
+    the >=0.05-probability transition edges. Floor division on
+    non-negative integers matches Spark's ``div`` exactly, so the
+    whole fixpoint is engine-portable without a recursive CTE (whose
+    aggregate-in-recursion support varies)."""
+    base = (
+        "WITH s AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+        "AS prev_type FROM events WHERE ts IS NOT NULL), "
+        "c AS (SELECT prev_type AS src, event_type AS dst, count(*) "
+        "AS n FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "e AS (SELECT src, dst FROM (SELECT src, dst, "
+        "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p "
+        "FROM c) WHERE p >= 0.05 AND src <> dst), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)), "
+        "tot AS (SELECT count(*) AS nn FROM nodes), "
+        "od AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src), "
+        "pr0 AS (SELECT node, CAST(1000000 // nn AS BIGINT) AS r "
+        "FROM nodes CROSS JOIN tot)")
+    steps = []
+    for k in range(1, n_iters + 1):
+        steps.append(
+            f", pr{k} AS (SELECT n.node, CAST(150000 // tot.nn "
+            "+ (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r "
+            "FROM nodes n CROSS JOIN tot LEFT JOIN "
+            f"(SELECT e.dst AS node, sum(p.r // od.d) AS c FROM pr{k - 1} p "
+            "JOIN od ON od.node = p.node JOIN e ON e.src = p.node "
+            "GROUP BY e.dst) s ON s.node = n.node)")
+    return (base + "".join(steps)
+            + f" SELECT node, r AS rank_micro FROM pr{n_iters}")
+
+
+_PAGERANK_ORACLE = _build_pagerank_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7244,4 +7580,126 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id) "
             "SELECT p.event_id, p.user_id, s.user_events "
             "FROM p JOIN s USING (user_id)",
+        # decimal products of the clean 2-decimal base columns stay
+        # exact through the UNION-ALL melt; round-then-cast as in q1
+        "unpivot":
+            "WITH m AS (SELECT l_returnflag, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,6)) "
+            "AS base_price, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,6)) "
+            "AS discount_amt, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) "
+            "* CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS tax_amt "
+            "FROM lineitem), "
+            "u AS (SELECT l_returnflag, 'base_price' AS charge, "
+            "base_price AS amount FROM m "
+            "UNION ALL SELECT l_returnflag, 'discount_amt', discount_amt "
+            "FROM m "
+            "UNION ALL SELECT l_returnflag, 'tax_amt', tax_amt FROM m) "
+            "SELECT l_returnflag, charge, count(*) AS n, "
+            "CAST(round(sum(amount), 2) AS DOUBLE) AS total_amount "
+            "FROM u GROUP BY l_returnflag, charge",
+        "rolling_interval_window":
+            "WITH d AS (SELECT o_orderkey, o_custkey, "
+            "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) "
+            "AS day, CAST(o_totalprice AS DECIMAL(18,2)) AS price "
+            "FROM orders) "
+            "SELECT o_orderkey, o_custkey, day, "
+            "CAST(round(sum(price) OVER w, 2) AS DOUBLE) AS spend_90d, "
+            "count(*) OVER w AS n_orders_90d FROM d "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY day "
+            "RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)",
+        # recursive CTE with UNION (set) semantics: the accumulated
+        # (src, dst, hops) rows are bounded by |V|^2 * 9, so recursion
+        # terminates even on cycles; min(hops) = BFS distance
+        "graph_reachability":
+            "WITH RECURSIVE s AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS prev_type "
+            "FROM events WHERE ts IS NOT NULL), "
+            "c AS (SELECT prev_type AS src, event_type AS dst, count(*) "
+            "AS n FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+            "edges AS (SELECT src, dst FROM "
+            "(SELECT src, dst, CAST(n AS DOUBLE) / sum(n) "
+            "OVER (PARTITION BY src) AS p FROM c) "
+            "WHERE p >= 0.05 AND src <> dst), "
+            "r AS (SELECT src, dst, 1 AS hops FROM edges "
+            "UNION "
+            "SELECT r.src, e.dst, r.hops + 1 FROM r JOIN edges e "
+            "ON r.dst = e.src WHERE r.hops < 9) "
+            "SELECT src, dst, CAST(min(hops) AS INTEGER) AS min_hops "
+            "FROM r GROUP BY src, dst",
+        # O(n log n) prefix-max formulation (the naive quadratic
+        # NOT EXISTS would make the sf1 oracle sweep intractable);
+        # tests/test_entry_queries.py pins this form == NOT EXISTS
+        # on the small fixture, so the reformulation is still
+        # cross-checked against the textbook dominance definition
+        "pareto_frontier":
+            "WITH g AS (SELECT p_retailprice, max(p_size) AS gmax "
+            "FROM part GROUP BY p_retailprice), "
+            "pm AS (SELECT p_retailprice, gmax, max(gmax) OVER "
+            "(ORDER BY p_retailprice ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING) AS prefix_max FROM g) "
+            "SELECT p.p_partkey, p.p_brand, p.p_size, p.p_retailprice "
+            "FROM part p JOIN pm USING (p_retailprice) "
+            "WHERE p.p_size = pm.gmax "
+            "AND (prefix_max IS NULL OR prefix_max < p.p_size)",
+        "assoc_rules":
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "pt AS (SELECT event_type, count(*) AS n_t FROM ut "
+            "GROUP BY event_type), "
+            "tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut), "
+            "pr AS (SELECT a.event_type AS antecedent, "
+            "b.event_type AS consequent, count(*) AS n_both "
+            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "AND a.event_type <> b.event_type GROUP BY 1, 2) "
+            "SELECT antecedent, consequent, n_both, "
+            "round(CAST(n_both AS DOUBLE) / n_users, 4) AS support, "
+            "round(CAST(n_both AS DOUBLE) / pa.n_t, 4) AS confidence, "
+            "round(CAST(n_both AS DOUBLE) * n_users / (pa.n_t * pc.n_t), 4) "
+            "AS lift "
+            "FROM pr JOIN pt pa ON pa.event_type = antecedent "
+            "JOIN pt pc ON pc.event_type = consequent CROSS JOIN tot",
+        # integer-micro PageRank: every step is floor-division algebra,
+        # so the unrolled 10-step CTE chain is bit-identical to the
+        # Spark loop (no float accumulation anywhere)
+        "pagerank_states": _PAGERANK_ORACLE,
+        "gini_activity":
+            "WITH cnt AS (SELECT event_type, user_id, count(*) AS x "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, x, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY x, user_id) AS i "
+            "FROM cnt) "
+            "SELECT event_type, count(*) AS n_users, "
+            "CAST(sum(x) AS BIGINT) AS total_events, "
+            "round(2.0 * sum(i * x) / (count(*) * sum(x)) "
+            "- (count(*) + 1) / CAST(count(*) AS DOUBLE), 4) AS gini "
+            "FROM r GROUP BY event_type",
+        "ks_drift":
+            "WITH pv AS (SELECT value, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS cb FROM events "
+            "WHERE event_type IN ('view', 'purchase') GROUP BY value), "
+            "tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), "
+            "cum AS (SELECT na, nb, "
+            "CAST(sum(ca) OVER (ORDER BY value) AS DOUBLE) / na AS fa, "
+            "CAST(sum(cb) OVER (ORDER BY value) AS DOUBLE) / nb AS fb "
+            "FROM pv CROSS JOIN tot) "
+            "SELECT CAST(max(na) AS BIGINT) AS n_view, "
+            "CAST(max(nb) AS BIGINT) AS n_purchase, "
+            "round(max(abs(fa - fb)), 4) AS ks_stat FROM cum",
+        # integer running sum minus one shared-double product per row:
+        # no float accumulation order to diverge across engines
+        "cusum_drift":
+            "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS total, count(*) AS n_days "
+            "FROM daily), "
+            "d AS (SELECT day, n, sum(n) OVER (ORDER BY day) AS run, "
+            "row_number() OVER (ORDER BY day) AS rn FROM daily) "
+            "SELECT day, n, round(run - rn * (CAST(total AS DOUBLE) "
+            "/ n_days), 4) + 0.0 AS cusum FROM d CROSS JOIN tot",
     }

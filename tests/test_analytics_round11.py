@@ -1,0 +1,174 @@
+"""Round-11 analytics set: UNPIVOT, interval range frames, transitive
+closure, skyline, association rules, CUSUM drift. The oracle sweep
+(tools/check_oracle.py) is the hash gate; these tests pin the semantic
+invariants the hash alone doesn't explain — and the skyline test proves
+the O(n log n) prefix-max reformulation equals the textbook quadratic
+NOT EXISTS definition (the oracle uses the fast form for sf1 sweep
+tractability, so the cross-check lives here)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_unpivot_melt_is_3x_and_reconciles(spark):
+    out = {(r["l_returnflag"], r["charge"]): r
+           for r in em.queries()["unpivot"](spark, SF).collect()}
+    flags = {k[0] for k in out}
+    # every flag carries all three charge rows, each with the same n
+    for f in flags:
+        ns = {out[(f, c)]["n"] for c in
+              ("base_price", "discount_amt", "tax_amt")}
+        assert len(ns) == 1
+        # base price dominates its own discount and tax components
+        assert (out[(f, "base_price")]["total_amount"]
+                > out[(f, "discount_amt")]["total_amount"])
+        assert (out[(f, "base_price")]["total_amount"]
+                > out[(f, "tax_amt")]["total_amount"])
+
+
+def test_rolling_interval_window_bounds(spark):
+    rows = em.queries()["rolling_interval_window"](spark, SF).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    checked = 0
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: (r["day"], r["o_orderkey"]))
+        for i, r in enumerate(rs):
+            in_frame = [x for x in rs if r["day"] - 89 <= x["day"]
+                        <= r["day"]]
+            assert r["n_orders_90d"] == len(in_frame)
+            checked += 1
+    assert checked == len(rows) > 0
+
+
+def test_graph_reachability_closure_properties(spark):
+    dist = {(r["src"], r["dst"]): r["min_hops"]
+            for r in em.queries()["graph_reachability"](spark, SF)
+            .collect()}
+    assert dist, "state graph should not be empty at sf0.001"
+    direct = {k for k, h in dist.items() if h == 1}
+    # triangle inequality via composition: a 1-hop edge out of any
+    # reachable dst extends reachability by at most one hop
+    for (a, b), h in dist.items():
+        for (c, d) in direct:
+            if c == b and a != d:
+                assert dist.get((a, d), 10) <= h + 1
+    # multi-hop pairs are genuinely indirect: no multi-hop pair that is
+    # also a direct edge (min() would have kept 1)
+    assert all(h == 1 for (k, h) in dist.items() if k in direct)
+
+
+def test_pareto_window_form_equals_not_exists():
+    """The oracle's prefix-max skyline == the quadratic dominance
+    definition, on the real small fixture via DuckDB."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{SF}/part.parquet')")
+    naive = con.execute(
+        "SELECT p_partkey FROM part a WHERE NOT EXISTS ("
+        "SELECT 1 FROM part b WHERE b.p_retailprice <= a.p_retailprice "
+        "AND b.p_size >= a.p_size AND (b.p_retailprice < a.p_retailprice "
+        "OR b.p_size > a.p_size)) ORDER BY 1").fetchall()
+    fast = con.execute(
+        em.oracle_sql()["pareto_frontier"]
+        + " ORDER BY p_partkey").fetchall()
+    assert [r[0] for r in naive] == [r[0] for r in fast]
+    assert naive, "frontier should be non-empty"
+
+
+def test_pareto_frontier_is_undominated(spark):
+    sky = em.queries()["pareto_frontier"](spark, SF).collect()
+    assert sky
+    pts = [(r["p_retailprice"], r["p_size"]) for r in sky]
+    for (pa, sa) in pts:
+        for (pb, sb) in pts:
+            dominated = (pb <= pa and sb >= sa
+                         and (pb < pa or sb > sa))
+            assert not dominated
+
+
+def test_assoc_rules_identities(spark):
+    rows = em.queries()["assoc_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # symmetry of the joint: n_both(a,b) == n_both(b,a)
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+    joint = {(r["antecedent"], r["consequent"]): r["n_both"]
+             for r in rows}
+    for (a, b), n in joint.items():
+        assert joint[(b, a)] == n
+
+
+def test_pagerank_is_a_distribution_up_to_floor_loss(spark):
+    rows = em.queries()["pagerank_states"](spark, SF).collect()
+    assert rows
+    total = sum(r["rank_micro"] for r in rows)
+    # floor divisions and dangling leakage only ever LOSE micro units:
+    # the mass stays in (0.5, 1.0] of the initial 1e6
+    assert 500_000 < total <= 1_000_000
+    assert all(r["rank_micro"] > 0 for r in rows)
+
+
+def test_pagerank_matches_pure_python_model(spark):
+    """Independent re-implementation of the integer-micro fixpoint from
+    the same edge set — pins the Spark loop against a dict model."""
+    edges = [(r["src"], r["dst"]) for r in
+             em._transition_edges(spark, SF).collect()]
+    nodes = sorted({n for e in edges for n in e})
+    nn = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = {n: 1_000_000 // nn for n in nodes}
+    for _ in range(10):
+        contrib = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            share = r[s] // len(ds)
+            for d in ds:
+                contrib[d] += share
+        r = {n: 150_000 // nn + (85 * contrib[n]) // 100 for n in nodes}
+    got = {row["node"]: row["rank_micro"] for row in
+           em.queries()["pagerank_states"](spark, SF).collect()}
+    assert got == r
+
+
+def test_gini_bounds_and_uniform_zero(spark):
+    rows = em.queries()["gini_activity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["gini"] < 1
+        assert r["n_users"] > 0 and r["total_events"] >= r["n_users"]
+
+
+def test_ks_drift_bounds(spark):
+    [r] = em.queries()["ks_drift"](spark, SF).collect()
+    assert 0 <= r["ks_stat"] <= 1
+    assert r["n_view"] > 0 and r["n_purchase"] > 0
+
+
+def test_cusum_ends_near_zero(spark):
+    rows = sorted(em.queries()["cusum_drift"](spark, SF).collect(),
+                  key=lambda r: r["day"])
+    assert rows
+    # by construction sum(n) - n_days * mean == 0: the last cusum value
+    # is 0 up to the 1e-4 rounding the entry applies
+    assert math.isclose(rows[-1]["cusum"], 0.0, abs_tol=0.01)
+    # and the running sums are monotone consistent: cusum_k - cusum_{k-1}
+    # == n_k - mean, so reconstructed mean is constant across steps
+    if len(rows) >= 3:
+        means = [rows[i]["n"] - (rows[i]["cusum"] - rows[i - 1]["cusum"])
+                 for i in range(1, len(rows))]
+        assert max(means) - min(means) < 0.01

@@ -86,7 +86,13 @@ def test_every_query_has_an_oracle():
     # consecutive 3-step path mining, CTAS (create_as with
     # advisor-derived split points), and the files-metadata manifest +
     # metadata-only count
-    assert len(qk) == 200
+    # round 11 added the analytics set: UNPIVOT melt, value-range
+    # (interval) window frames, recursive-CTE-oracled transitive
+    # closure with min-hop BFS, the Pareto frontier (skyline), market-
+    # basket association rules, the CUSUM drift series, integer-micro
+    # PageRank (unrolled-CTE oracle), per-type Gini inequality, and
+    # the two-sample Kolmogorov–Smirnov drift statistic
+    assert len(qk) == 209
 
 
 def test_entry_smoke(spark):
