@@ -841,3 +841,62 @@ def test_hopping_window_single_exchange_partial_agg(spark):
     plan = plan_of(em.q_hopping_window(spark, SF))
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_unpivot_expands_without_extra_shuffle(spark, entry):
+    """The melt must plan as a map-side Expand feeding ONE partial+final
+    hash aggregate pair — a 3x row expansion is free; a second exchange
+    or a Python eval would not be."""
+    plan = plan_of(entry.queries()["unpivot"](spark, SF))
+    assert "Expand" in plan, plan[:800]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_rolling_interval_window_one_exchange(spark, entry):
+    """The 90-day RANGE frame runs per customer partition: exactly one
+    hash exchange on o_custkey, a specified window frame (value-range,
+    not rows), and no join anywhere."""
+    plan = plan_of(entry.queries()["rolling_interval_window"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "specifiedwindowframe(RangeFrame, -89, currentrow" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_assoc_rules_broadcasts_marginals(spark, entry):
+    """The |types|^2 rule table takes its marginals and the user total
+    via broadcast joins — no extra shuffle after the co-occurrence
+    aggregate; the only sort-merge-free shape that survives a corpus
+    scale-up."""
+    plan = plan_of(entry.queries()["assoc_rules"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_broadcasts_group_table(spark, entry):
+    """The skyline joins the corpus to the per-price group table via
+    BROADCAST (the group table is value-domain-scale) — never a
+    sort-merge join or a quadratic nested loop over parts."""
+    plan = plan_of(entry.queries()["pareto_frontier"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_collapses_before_global_window(spark, entry):
+    """The ECDF window must run AFTER the per-value collapse: the
+    single-partition exchange feeds the value-domain table, and the
+    data-scale aggregation keeps a map-side partial."""
+    plan = plan_of(entry.queries()["ks_drift"](spark, SF))
+    lines = plan.splitlines()
+    single = [i for i, ln in enumerate(lines)
+              if "Exchange SinglePartition" in ln]
+    assert single, plan
+    # partial aggregate (per-value counts) appears BELOW (after index)
+    # the single-partition exchange in the printed tree
+    partial = [i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "partial_sum" in ln]
+    assert partial and max(partial) > min(single), plan
