@@ -4753,6 +4753,59 @@ def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
                    .alias("ks_stat"))
 
 
+def q_wow_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week growth and 4-week moving average of event
+    volume — the reporting staple over the aggregated (calendar-grain,
+    scale-free) series: lag() for the WoW delta, a rows-frame for the
+    moving average, integer sums divided once so both engines share
+    one double op per row."""
+    ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
+    wk = (ev.groupBy(F.expr("ts_us div 604800000000").alias("week"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("week")
+    wma = Window.orderBy("week").rowsBetween(-3, 0)
+    return (wk.withColumn("prev_n", F.lag("n").over(w))
+            .select("week", "n",
+                    F.round((F.col("n") - F.col("prev_n")) * 100.0
+                            / F.col("prev_n"), 4).alias("wow_pct"),
+                    F.round(F.sum("n").over(wma).cast("double")
+                            / F.count(F.lit(1)).over(wma), 4)
+                    .alias("ma_4w")))
+
+
+def q_ks_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise distribution-drift matrix: the two-sample KS statistic
+    on the n_chars distribution for EVERY pair of document sources —
+    the audit that catches one crawl source shifting against the rest.
+    A dense (value x source) ECDF grid is built once (distinct values
+    cross sources, left-joined counts, cumulative window per source),
+    then a self-join on value + one max-aggregate yields all pairs.
+    Everything after the first aggregate rides the VALUE DOMAIN x
+    |sources| — independent of document count."""
+    doc = _load(spark, sf, "documents")
+    pv = (doc.groupBy("source", "n_chars")
+          .agg(F.count(F.lit(1)).alias("c")))
+    vals = pv.select("n_chars").distinct()
+    srcs = (pv.groupBy("source").agg(F.sum("c").alias("tot")))
+    grid = (vals.crossJoin(srcs)
+            .join(pv, ["source", "n_chars"], "left")
+            .select("source", "n_chars", "tot",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    wcum = (Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    ecdf = grid.select(
+        "source", "n_chars",
+        (F.sum("c").over(wcum).cast("double") / F.col("tot"))
+        .alias("f"))
+    a, b = ecdf.alias("a"), ecdf.alias("b")
+    return (a.join(b, (F.col("a.n_chars") == F.col("b.n_chars"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.round(F.max(F.abs(F.col("a.f") - F.col("b.f"))), 4)
+                 .alias("ks_stat")))
+
+
 def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM drift series over daily event volume: cumulative sum of
     deviations from the series mean, the classic change-point /
@@ -5006,6 +5059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_states": q_pagerank_states,
         "gini_activity": q_gini_activity,
         "ks_drift": q_ks_drift,
+        "wow_growth": q_wow_growth,
+        "ks_matrix": q_ks_matrix,
     }
 
 
@@ -7691,6 +7746,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(max(na) AS BIGINT) AS n_view, "
             "CAST(max(nb) AS BIGINT) AS n_purchase, "
             "round(max(abs(fa - fb)), 4) AS ks_stat FROM cum",
+        "wow_growth":
+            "WITH wk AS (SELECT epoch_us(ts) // 604800000000 AS week, "
+            "count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT week, n, lag(n) OVER (ORDER BY week) AS prev_n, "
+            "sum(n) OVER wma AS s, count(*) OVER wma AS k FROM wk "
+            "WINDOW wma AS (ORDER BY week "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) "
+            "SELECT week, n, round((n - prev_n) * 100.0 / prev_n, 4) "
+            "AS wow_pct, round(CAST(s AS DOUBLE) / k, 4) AS ma_4w FROM d",
+        # ECDF grid is (distinct n_chars) x sources; the pair join and
+        # max-aggregate never touch document-scale data
+        "ks_matrix":
+            "WITH pv AS (SELECT source, n_chars, count(*) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "vals AS (SELECT DISTINCT n_chars FROM pv), "
+            "srcs AS (SELECT source, sum(c) AS tot FROM pv "
+            "GROUP BY source), "
+            "grid AS (SELECT s.source, v.n_chars, s.tot, "
+            "coalesce(p.c, 0) AS c FROM vals v CROSS JOIN srcs s "
+            "LEFT JOIN pv p ON p.source = s.source "
+            "AND p.n_chars = v.n_chars), "
+            "ecdf AS (SELECT source, n_chars, "
+            "CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS DOUBLE) / tot AS f FROM grid) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "round(max(abs(a.f - b.f)), 4) AS ks_stat "
+            "FROM ecdf a JOIN ecdf b ON a.n_chars = b.n_chars "
+            "AND a.source < b.source GROUP BY 1, 2",
         # integer running sum minus one shared-double product per row:
         # no float accumulation order to diverge across engines
         "cusum_drift":

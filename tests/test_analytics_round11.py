@@ -159,6 +159,35 @@ def test_ks_drift_bounds(spark):
     assert r["n_view"] > 0 and r["n_purchase"] > 0
 
 
+def test_wow_growth_reconstructs(spark):
+    rows = sorted(em.queries()["wow_growth"](spark, SF).collect(),
+                  key=lambda r: r["week"])
+    assert rows
+    assert rows[0]["wow_pct"] is None  # no predecessor week
+    for i, r in enumerate(rows[1:], start=1):
+        prev = rows[i - 1]["n"]
+        assert math.isclose(r["wow_pct"],
+                            round((r["n"] - prev) * 100.0 / prev, 4),
+                            abs_tol=1e-9)
+        lo = max(0, i - 3)
+        window = [x["n"] for x in rows[lo:i + 1]]
+        assert math.isclose(r["ma_4w"],
+                            round(sum(window) / len(window), 4),
+                            abs_tol=1e-9)
+
+
+def test_ks_matrix_covers_all_pairs_and_is_bounded(spark):
+    rows = em.queries()["ks_matrix"](spark, SF).collect()
+    srcs = {r["source"] for r in
+            em._load(spark, SF, "documents").select("source")
+            .distinct().collect()}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["ks_stat"] <= 1
+
+
 def test_cusum_ends_near_zero(spark):
     rows = sorted(em.queries()["cusum_drift"](spark, SF).collect(),
                   key=lambda r: r["day"])

@@ -92,7 +92,9 @@ def test_every_query_has_an_oracle():
     # basket association rules, the CUSUM drift series, integer-micro
     # PageRank (unrolled-CTE oracle), per-type Gini inequality, and
     # the two-sample Kolmogorov–Smirnov drift statistic
-    assert len(qk) == 209
+    # plus week-over-week growth / 4-week moving average and the
+    # pairwise per-source KS drift matrix
+    assert len(qk) == 211
 
 
 def test_entry_smoke(spark):
