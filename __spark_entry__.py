@@ -344,12 +344,14 @@ def q_value_filter_skipping(spark: SparkSession, sf: str) -> DataFrame:
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True)),
     )
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_skip_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties())
     for lo, hi in ((0, 40), (40, 70), (70, 10**9)):
         band = ev.where((F.col("user_id") >= lo) & (F.col("user_id") < hi))
         table.ingest(band)
+    _setup_done("value_filter_skipping", _t0)
     return table.full_scan(
         value_ranges=[Range("user_id", 40, 70)]).select(
         "event_id", "user_id", "event_type")
@@ -400,6 +402,7 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
          Field("p_size", T.IntegerType(), True),
          Field("p_retailprice", T.DoubleType(), True)),
     )
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_diff_")
     base = SleeperTable.create(spark, os.path.join(tmp, "base"), schema,
                                TableProperties(),
@@ -410,6 +413,7 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     mod = part.where(F.col("p_partkey") <= 50).withColumn(
         "p_retailprice", F.round(F.col("p_retailprice") + 1000.0, 2))
     branch.ingest(mod)
+    _setup_done("table_diff", _t0)
     return base.diff(branch)
 
 
@@ -1009,6 +1013,7 @@ def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
     sb = Schema((Field("o_orderkey", T.LongType()),), (),
                 (Field("l_quantity", T.DoubleType(), True),
                  Field("l_extendedprice", T.DoubleType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_join_")
     splits = [15000, 30000, 45000]
     ta = SleeperTable.create(spark, os.path.join(tmp, "a"), sa,
@@ -1018,6 +1023,7 @@ def q_cokeyed_join(spark: SparkSession, sf: str) -> DataFrame:
     ta.ingest(orders)
     tb.ingest(li.where(F.col("o_orderkey") % 2 == 0))
     tb.ingest(li.where(F.col("o_orderkey") % 2 == 1))
+    _setup_done("cokeyed_join", _t0)
     from sleeper_spark.joins import cokeyed_join
     return cokeyed_join(ta, tb)
 
@@ -1064,10 +1070,12 @@ def q_sql_stage(spark: SparkSession, sf: str) -> DataFrame:
         (Field("event_type", T.StringType(), True),
          Field("value", T.DoubleType(), True)),
     )
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_sql_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties(), split_points=[5000])
     table.ingest(ev)
+    _setup_done("sql_stage", _t0)
     return table.sql(
         "SELECT event_type, count(*) AS n, "
         "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total "
@@ -1086,11 +1094,13 @@ def q_bulk_export(spark: SparkSession, sf: str) -> DataFrame:
         (Field("event_type", T.StringType()),),
         (Field("n", T.LongType()),),
     )
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_export_")
     table = SleeperTable.create(
         spark, os.path.join(tmp, "t"), schema,
         TableProperties(aggregations="sum(n)"), split_points=[250, 500, 750])
     table.ingest(ev)
+    _setup_done("bulk_export", _t0)
     files = output_mod.bulk_export(table, os.path.join(tmp, "export"))
     return spark.read.schema(schema.to_struct_type()).parquet(*files.values())
 
@@ -1108,10 +1118,12 @@ def q_security_iterator(spark: SparkSession, sf: str) -> DataFrame:
         (Field("event_type", T.StringType(), True),
          Field("user_id", T.LongType(), True)),
     )
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_security_")
     table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                                 TableProperties(), split_points=[5000])
     table.ingest(ev)
+    _setup_done("security_iterator", _t0)
     q = SQuery([Region.of(Range("event_id", 0, 6000))],
                query_time_iterators="securityFilter(event_type, click, purchase)")
     return table.query(q)
@@ -3062,6 +3074,7 @@ def q_table_ann_search(spark: SparkSession, sf: str) -> DataFrame:
         (Field("vec_id", T.LongType()),), (),
         (Field("embedding", T.ArrayType(T.FloatType()), True),
          Field("ann_cell", T.IntegerType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_ann_")
     t = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
                             TableProperties(), split_points=[1500])
@@ -3069,6 +3082,7 @@ def q_table_ann_search(spark: SparkSession, sf: str) -> DataFrame:
     t.build_ann_index("embedding", "ann_cell", nlist=_IVF["nlist"],
                       seed=_IVF["seed"], train_rows=_IVF["train_rows"],
                       files_per_leaf=4)
+    _setup_done("table_ann_search", _t0)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7)
           .select("embedding").collect()[0][0]]
     return t.ann_search(qv, k=10, nprobe=2)
@@ -4190,6 +4204,7 @@ def q_secondary_index_hot(spark: SparkSession, sf: str) -> DataFrame:
         (Field("event_id", T.LongType()),), (),
         (Field("user_id", T.LongType(), True),
          Field("event_type", T.StringType(), True)))
+    _t0 = _setup_start()
     tmp = tempfile.mkdtemp(prefix="sleeper_sidxh_")
     src = SleeperTable.create(spark, os.path.join(tmp, "src"), schema,
                               TableProperties(),
@@ -4198,6 +4213,7 @@ def q_secondary_index_hot(spark: SparkSession, sf: str) -> DataFrame:
                                 "user_id", split_points=[50])
     src.ingest(ev)
     idx.refresh()
+    _setup_done("secondary_index_hot", _t0)
     return idx.lookup(7, hot_threshold=100)
 
 
