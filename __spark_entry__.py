@@ -4769,6 +4769,165 @@ def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
                    .alias("ks_stat"))
 
 
+def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical — the classic
+    leakage-controlled feature op: ``te = (sum_y + m * global_mean) /
+    (n + m)`` with m=10. Category sums are exact decimals (value is
+    2-decimal), so the only float ops are the final shared-double
+    chain — engine-exact. One data-scale aggregate; the encoder table
+    is |categories| rows."""
+    ev = _load(spark, sf, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+    tot = g.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("event_type", "n",
+                    F.round((F.col("s").cast("double")
+                             + F.lit(10) * (F.col("st").cast("double")
+                                            / F.col("nt")))
+                            / (F.col("n") + F.lit(10)), 4).alias("te")))
+
+
+def q_chi2_source_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-squared independence statistic between document source and
+    language — the composition-shift alarm. Observed/expected cells
+    ride the |sources| x |langs| contingency table (schema-scale);
+    each cell's term rounds to micro-unit longs BEFORE the final sum,
+    so the statistic is an exact integer total regardless of
+    accumulation order (the repo-wide determinism idiom)."""
+    doc = _load(spark, sf, "documents")
+    c = doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rt = Window.partitionBy("source")
+    ct = Window.partitionBy("lang")
+    tot = c.agg(F.sum("o").alias("nn"))
+    cells = (c.withColumn("r", F.sum("o").over(rt))
+             .withColumn("k", F.sum("o").over(ct))
+             .crossJoin(F.broadcast(tot))
+             .withColumn("e", F.col("r") * F.col("k") / F.col("nn"))
+             .withColumn("term_micro",
+                         F.round((F.col("o") - F.col("e"))
+                                 * (F.col("o") - F.col("e"))
+                                 / F.col("e") * 1e6).cast("long")))
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.countDistinct("source") - 1).cast("long")
+         * (F.countDistinct("lang") - 1)).alias("dof"),
+        F.sum("term_micro").alias("chi2_micro"))
+
+
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information (bits) between document source and language —
+    the dependence-strength companion to the chi-squared alarm
+    (chi2 says WHETHER composition shifted; MI says how many bits of
+    lang are explained by source). Cell terms
+    ``p(s,l) * log2(p(s,l) / (p(s) p(l)))`` round to micro-bits longs
+    before the sum — exact integer total, any accumulation order."""
+    doc = _load(spark, sf, "documents")
+    c = doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    cells = (c.withColumn("r", F.sum("o").over(Window.partitionBy("source")))
+             .withColumn("k", F.sum("o").over(Window.partitionBy("lang")))
+             .crossJoin(F.broadcast(c.agg(F.sum("o").alias("nn"))))
+             .withColumn("term_micro",
+                         F.round((F.col("o") / F.col("nn"))
+                                 * F.log2(F.col("o") * F.col("nn")
+                                          / (F.col("r") * F.col("k")))
+                                 * 1e6).cast("long")))
+    return cells.agg(F.count(F.lit(1)).alias("n_cells"),
+                     F.sum("term_micro").alias("mi_micro_bits"))
+
+
+def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical entropy rate of the event process (bits/transition):
+    each prev-state's conditional next-state entropy weighted by its
+    transition share — ``sum over (s,t) of n_st/N * -log2(n_st/n_s)``.
+    The transition table is |states|^2 (schema-scale); per-cell terms
+    round to micro-bits longs before the sum. A memoryless stream
+    scores near log2(|states|); structure pulls it down."""
+    ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = (ev.select("user_id", "event_type", "ts_us", "event_id")
+         .withColumn("prev_type", F.lag("event_type").over(w)))
+    c = (s.where(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("n_st")))
+    cells = (c.withColumn("n_s", F.sum("n_st")
+                          .over(Window.partitionBy("prev_type")))
+             .crossJoin(F.broadcast(c.agg(F.sum("n_st").alias("nn"))))
+             .withColumn("term_micro",
+                         F.round((F.col("n_st") / F.col("nn"))
+                                 * -F.log2(F.col("n_st") / F.col("n_s"))
+                                 * 1e6).cast("long")))
+    return cells.agg(
+        F.max("nn").cast("long").alias("n_transitions"),
+        F.countDistinct("prev_type").alias("n_states"),
+        F.sum("term_micro").alias("entropy_rate_micro_bits"))
+
+
+def q_benford_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-numbers screen. The first significant digit comes from
+    INTEGER cents (decimal cast * 100 -> string head), never from
+    float formatting or log10 near power-of-ten boundaries, so both
+    engines bin identically; observed shares and the Benford
+    expectation log10(1 + 1/d) are micro-rounded per digit."""
+    o = _load(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).cast("int")
+                 .alias("digit"))
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.sum("n").alias("nn"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("nn") * 1e6).cast("long")
+                    .alias("obs_micro"),
+                    F.round(F.log(10.0,
+                                  F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                            * 1e6).cast("long").alias("benford_micro")))
+
+
+def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source quantile normalization: each document's n_chars is
+    replaced by the GLOBAL value at the same within-source rank
+    (ECDF matching) — the feature-alignment step that makes scores
+    comparable across crawl sources with different length profiles.
+    Both ECDFs live on the VALUE DOMAIN (per-source cumulative grid,
+    global position intervals via lag), the rank match is a bounded
+    broadcast interval join on the grids, and documents pick up their
+    normalized value through one broadcast equi-join on
+    (source, n_chars) — nothing data-scale is sorted globally."""
+    doc = _load(spark, sf, "documents")
+    ps = (doc.groupBy("source", "n_chars")
+          .agg(F.count(F.lit(1)).alias("c")))
+    wsrc = (Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    stot = Window.partitionBy("source")
+    sgrid = ps.select("source", "n_chars",
+                      F.sum("c").over(wsrc).alias("cum"),
+                      F.sum("c").over(stot).alias("ns"))
+    pg = doc.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wg = (Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    ggrid = (pg.select(F.col("n_chars").alias("g"),
+                       F.sum("c").over(wg).alias("ghi"))
+             .withColumn("glo", F.coalesce(
+                 F.lag("ghi").over(Window.orderBy("g")), F.lit(0)) + 1))
+    tot = pg.agg(F.sum("c").alias("nn"))
+    sq = (sgrid.crossJoin(F.broadcast(tot))
+          .withColumn("k", F.ceil(F.col("cum").cast("double")
+                                  / F.col("ns") * F.col("nn"))
+                      .cast("long")))
+    mapped = (sq.join(F.broadcast(ggrid),
+                      (F.col("k") >= F.col("glo"))
+                      & (F.col("k") <= F.col("ghi")))
+              .select("source", "n_chars",
+                      F.col("g").alias("norm_chars")))
+    return (doc.select("doc_id", "source", "n_chars")
+            .join(F.broadcast(mapped), ["source", "n_chars"])
+            .select("doc_id", "source", "n_chars", "norm_chars"))
+
+
 def q_wow_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Week-over-week growth and 4-week moving average of event
     volume — the reporting staple over the aggregated (calendar-grain,
@@ -5077,6 +5236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "wow_growth": q_wow_growth,
         "ks_matrix": q_ks_matrix,
+        "target_encoding": q_target_encoding,
+        "chi2_source_lang": q_chi2_source_lang,
+        "quantile_normalize": q_quantile_normalize,
+        "mutual_information": q_mutual_information,
+        "entropy_rate": q_entropy_rate,
+        "benford_deviation": q_benford_deviation,
     }
 
 
@@ -7762,6 +7927,97 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(max(na) AS BIGINT) AS n_view, "
             "CAST(max(nb) AS BIGINT) AS n_purchase, "
             "round(max(abs(fa - fb)), 4) AS ks_stat FROM cum",
+        "mutual_information":
+            "WITH c AS (SELECT source, lang, count(*) AS o "
+            "FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c), "
+            "cells AS (SELECT o, "
+            "sum(o) OVER (PARTITION BY source) AS r, "
+            "sum(o) OVER (PARTITION BY lang) AS k, nn "
+            "FROM c CROSS JOIN tot), "
+            "t AS (SELECT CAST(round((o / nn) "
+            "* log2(o * nn / (r * k)) * 1e6) AS BIGINT) AS term_micro "
+            "FROM cells) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+            "CAST(sum(term_micro) AS BIGINT) AS mi_micro_bits FROM t",
+        "entropy_rate":
+            "WITH s AS (SELECT user_id, event_type, lag(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+            "AS prev_type FROM events WHERE ts IS NOT NULL), "
+            "c AS (SELECT prev_type, event_type AS next_type, count(*) "
+            "AS n_st FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS nn FROM c), "
+            "cells AS (SELECT prev_type, n_st, "
+            "sum(n_st) OVER (PARTITION BY prev_type) AS n_s, nn "
+            "FROM c CROSS JOIN tot), "
+            "t AS (SELECT prev_type, nn, CAST(round((n_st / nn) "
+            "* -log2(n_st / n_s) * 1e6) AS BIGINT) AS term_micro "
+            "FROM cells) "
+            "SELECT CAST(max(nn) AS BIGINT) AS n_transitions, "
+            "CAST(count(DISTINCT prev_type) AS BIGINT) AS n_states, "
+            "CAST(sum(term_micro) AS BIGINT) AS entropy_rate_micro_bits "
+            "FROM t",
+        # first digit from INTEGER cents, never from float formatting
+        "benford_deviation":
+            "WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) "
+            "AS INTEGER) AS digit FROM orders), "
+            "g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g) "
+            "SELECT digit, n, "
+            "CAST(round(CAST(n AS DOUBLE) / nn * 1e6) AS BIGINT) "
+            "AS obs_micro, "
+            "CAST(round(log10(1.0 + 1.0 / digit) * 1e6) AS BIGINT) "
+            "AS benford_micro FROM g CROSS JOIN tot",
+        "target_encoding":
+            "WITH g AS (SELECT event_type, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(18,2))) AS s FROM events "
+            "GROUP BY event_type), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st "
+            "FROM g) "
+            "SELECT event_type, n, round((CAST(s AS DOUBLE) "
+            "+ 10 * (CAST(st AS DOUBLE) / nt)) / (n + 10), 4) AS te "
+            "FROM g CROSS JOIN tot",
+        # per-cell terms round to micro longs BEFORE the sum: the
+        # statistic is an exact integer total in both engines
+        "chi2_source_lang":
+            "WITH c AS (SELECT source, lang, count(*) AS o "
+            "FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c), "
+            "cells AS (SELECT o, "
+            "sum(o) OVER (PARTITION BY source) AS r, "
+            "sum(o) OVER (PARTITION BY lang) AS k, nn, "
+            "source, lang FROM c CROSS JOIN tot), "
+            "t AS (SELECT source, lang, CAST(round((o - e) * (o - e) "
+            "/ e * 1e6) AS BIGINT) AS term_micro FROM "
+            "(SELECT source, lang, o, r * k / nn AS e FROM cells)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+            "CAST((count(DISTINCT source) - 1) "
+            "* (count(DISTINCT lang) - 1) AS BIGINT) AS dof, "
+            "CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM t",
+        "quantile_normalize":
+            "WITH ps AS (SELECT source, n_chars, count(*) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "sgrid AS (SELECT source, n_chars, "
+            "sum(c) OVER (PARTITION BY source ORDER BY n_chars "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "sum(c) OVER (PARTITION BY source) AS ns FROM ps), "
+            "pg AS (SELECT n_chars AS g, count(*) AS c FROM documents "
+            "GROUP BY n_chars), "
+            "ggrid AS (SELECT g, ghi, coalesce(lag(ghi) "
+            "OVER (ORDER BY g), 0) + 1 AS glo FROM "
+            "(SELECT g, sum(c) OVER (ORDER BY g "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ghi "
+            "FROM pg)), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM pg), "
+            "sq AS (SELECT source, n_chars, "
+            "CAST(ceil(CAST(cum AS DOUBLE) / ns * nn) AS BIGINT) AS k "
+            "FROM sgrid CROSS JOIN tot), "
+            "mapped AS (SELECT source, n_chars, g AS norm_chars "
+            "FROM sq JOIN ggrid ON k >= glo AND k <= ghi) "
+            "SELECT d.doc_id, d.source, d.n_chars, m.norm_chars "
+            "FROM documents d JOIN mapped m ON d.source = m.source "
+            "AND d.n_chars = m.n_chars",
         "wow_growth":
             "WITH wk AS (SELECT epoch_us(ts) // 604800000000 AS week, "
             "count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1), "

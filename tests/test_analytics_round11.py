@@ -188,6 +188,99 @@ def test_ks_matrix_covers_all_pairs_and_is_bounded(spark):
         assert 0 <= r["ks_stat"] <= 1
 
 
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    rows = em.queries()["target_encoding"](spark, SF).collect()
+    assert rows
+    naive = {}
+    ev = em._load(spark, SF, "events").collect()
+    tot, cnt = 0.0, 0
+    for e in ev:
+        naive.setdefault(e["event_type"], []).append(e["value"])
+        tot += e["value"]
+        cnt += 1
+    gmean = tot / cnt
+    for r in rows:
+        vals = naive[r["event_type"]]
+        cat_mean = sum(vals) / len(vals)
+        # smoothed encoding lies between the category mean and the
+        # global mean (shrinkage direction)
+        lo, hi = sorted((cat_mean, gmean))
+        assert lo - 1e-6 <= r["te"] <= hi + 1e-6
+
+
+def test_chi2_statistic_reconstructs(spark):
+    [r] = em.queries()["chi2_source_lang"](spark, SF).collect()
+    docs = em._load(spark, SF, "documents").select("source",
+                                                   "lang").collect()
+    from collections import Counter
+    cells = Counter((d["source"], d["lang"]) for d in docs)
+    rt = Counter(d["source"] for d in docs)
+    ct = Counter(d["lang"] for d in docs)
+    n = len(docs)
+    chi2_micro = 0
+    for (s, l), o in cells.items():
+        e = rt[s] * ct[l] / n
+        chi2_micro += round((o - e) * (o - e) / e * 1e6)
+    assert r["chi2_micro"] == chi2_micro
+    assert r["n_cells"] == len(cells)
+    assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
+
+
+def test_quantile_normalize_invariants(spark):
+    rows = em.queries()["quantile_normalize"](spark, SF).collect()
+    doc = em._load(spark, SF, "documents").select("doc_id", "source",
+                                                  "n_chars").collect()
+    assert len(rows) == len(doc)
+    gvals = sorted(d["n_chars"] for d in doc)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        # normalized values come from the global value set and range
+        assert gvals[0] <= r["norm_chars"] <= gvals[-1]
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r["n_chars"])
+        # monotone: a longer doc never normalizes below a shorter one
+        for a, b in zip(rs, rs[1:]):
+            assert a["norm_chars"] <= b["norm_chars"]
+    # the top-ranked doc of every source maps to the global maximum
+    for rs in by_src.values():
+        assert rs[-1]["norm_chars"] == gvals[-1]
+
+
+def test_mutual_information_nonnegative_and_bounded(spark):
+    [r] = em.queries()["mutual_information"](spark, SF).collect()
+    # MI >= 0 (up to per-cell micro rounding) and <= min(H(S), H(L))
+    # <= log2(min(|sources|, |langs|)) bits
+    import math as m
+    doc = em._load(spark, SF, "documents").select("source",
+                                                  "lang").collect()
+    n_src = len({d["source"] for d in doc})
+    n_lang = len({d["lang"] for d in doc})
+    bound = m.log2(min(n_src, n_lang)) * 1e6
+    assert -r["n_cells"] <= r["mi_micro_bits"] <= bound + r["n_cells"]
+
+
+def test_entropy_rate_bounded_by_log_states(spark):
+    [r] = em.queries()["entropy_rate"](spark, SF).collect()
+    import math as m
+    assert 0 <= r["entropy_rate_micro_bits"] \
+        <= m.log2(r["n_states"] + 1) * 1e6 + r["n_states"] ** 2
+    assert r["n_transitions"] > 0
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = em.queries()["benford_deviation"](spark, SF).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    # observed shares sum to 1e6 micro up to per-digit rounding
+    assert abs(sum(r["obs_micro"] for r in rows) - 1_000_000) \
+        <= len(rows)
+    # the Benford column is the fixed expectation, independent of data
+    import math as m
+    for r in rows:
+        assert r["benford_micro"] == round(
+            m.log10(1.0 + 1.0 / r["digit"]) * 1e6)
+
+
 def test_cusum_ends_near_zero(spark):
     rows = sorted(em.queries()["cusum_drift"](spark, SF).collect(),
                   key=lambda r: r["day"])

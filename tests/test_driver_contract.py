@@ -92,9 +92,14 @@ def test_every_query_has_an_oracle():
     # basket association rules, the CUSUM drift series, integer-micro
     # PageRank (unrolled-CTE oracle), per-type Gini inequality, and
     # the two-sample Kolmogorov–Smirnov drift statistic
-    # plus week-over-week growth / 4-week moving average and the
-    # pairwise per-source KS drift matrix
-    assert len(qk) == 211
+    # plus week-over-week growth / 4-week moving average, the pairwise
+    # per-source KS drift matrix, smoothed target encoding, the
+    # chi-squared source/lang independence statistic, and cross-source
+    # quantile normalization (value-domain ECDF matching), plus the
+    # info-theory trio: source/lang mutual information, the Markov
+    # entropy rate of the event process, and the Benford first-digit
+    # audit over order totals
+    assert len(qk) == 217
 
 
 def test_entry_smoke(spark):
