@@ -4769,6 +4769,110 @@ def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
                    .alias("ks_stat"))
 
 
+def q_ewma_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily event
+    volume (alpha = 1/2, 20-day horizon) — trend smoothing with an
+    ENGINE-EXACT float story: weights are powers of two built from an
+    integer shift (1.0 / (1 << k)), counts are <= 2^13-scale integers,
+    and with the horizon capped at 20 the weighted terms span < 53
+    mantissa bits — every partial sum is exact, so accumulation order
+    cannot perturb the result (the reason the horizon is truncated
+    rather than infinite). Day-distance weights handle calendar gaps
+    correctly; the pair join rides the calendar-scale series."""
+    ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
+    daily = (ev.groupBy(F.expr("ts_us div 86400000000").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("b.day") <= F.col("a.day"))
+                    & (F.col("b.day") >= F.col("a.day") - 20))
+             .select(F.col("a.day").alias("day"),
+                     F.col("a.n").alias("n"),
+                     F.col("b.n").alias("bn"),
+                     (F.col("a.day") - F.col("b.day")).cast("int")
+                     .alias("k")))
+    two_k = "CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)"
+    return (pairs.groupBy("day")
+            .agg(F.max("n").alias("n"),
+                 F.round(F.sum(F.expr(f"CAST(bn AS DOUBLE) / {two_k}"))
+                         / F.sum(F.expr(f"1.0 / {two_k}")), 4)
+                 .alias("ewma")))
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation — the marketing-analytics classic:
+    per-customer Recency (latest order day), Frequency (order count),
+    Monetary (decimal-exact total spend), each cut into quartiles with
+    ntile(4) under a FULLY-ORDERED window (tiebreak on custkey, so the
+    assignment is deterministic in any engine), composed into a
+    3-digit segment code and aggregated to segment sizes. The ntile
+    windows ride the customer table — one shuffle each, no data-scale
+    sort wider than the customer dimension."""
+    o = _load(spark, sf, "orders")
+    rfm = (o.groupBy("o_custkey")
+           .agg(F.max(F.expr(
+               "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"))
+               .alias("r"),
+               F.count(F.lit(1)).alias("f"),
+               F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .alias("m")))
+    seg = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("r", "o_custkey")).alias("rq"),
+        F.ntile(4).over(Window.orderBy("f", "o_custkey")).alias("fq"),
+        F.ntile(4).over(Window.orderBy("m", "o_custkey")).alias("mq"))
+    return (seg.groupBy((F.col("rq") * 100 + F.col("fq") * 10
+                         + F.col("mq")).alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+def q_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D binned heatmap: order count and decimal-exact revenue per
+    (order month x totalprice decile-width band) cell — the
+    density-grid shape behind every heatmap dashboard. Bands come from
+    integer flooring against a fixed width (engine-exact), months from
+    date parts; the grid is bounded by the domain, the scan is one
+    aggregate."""
+    o = _load(spark, sf, "orders")
+    return (o.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).alias("month"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+               "AS BIGINT) div 5000000").alias("price_band"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+             .cast("double").alias("revenue")))
+
+
+def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift / cumulative-gains table for the DSIR English
+    selector — the model-eval staple: rank every document by its
+    importance weight, cut into score deciles (ntile ties broken on
+    doc_id), and report each decile's target rate and lift over the
+    base rate. Proves the selection signal end-to-end (top decile
+    should concentrate lang='en' well above base); all ratios are
+    single shared-double ops over exact integer counts."""
+    from sleeper_spark.functions import dsir
+    doc = _load(spark, sf, "documents")
+    target = doc.where(F.col("lang") == "en")
+    scored = dsir.dsir_logweights(doc, target, n_buckets=512, alpha=0.5)
+    lab = scored.join(
+        doc.select("doc_id",
+                   (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id")
+    d = lab.withColumn(
+        "decile", F.ntile(10).over(
+            Window.orderBy(F.col("logweight_micro").desc(), "doc_id")))
+    g = d.groupBy("decile").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").cast("long").alias("n_target"))
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("n_target").alias("nt"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("decile", "n", "n_target",
+                    F.round(F.col("n_target").cast("double")
+                            / F.col("n"), 4).alias("target_rate"),
+                    F.round(F.col("n_target").cast("double") * F.col("nn")
+                            / (F.col("n") * F.col("nt")), 4)
+                    .alias("lift")))
+
+
 def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """Smoothed target (mean) encoding of a categorical — the classic
     leakage-controlled feature op: ``te = (sum_y + m * global_mean) /
@@ -5242,6 +5346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "entropy_rate": q_entropy_rate,
         "benford_deviation": q_benford_deviation,
+        "ewma_volume": q_ewma_volume,
+        "rfm_segments": q_rfm_segments,
+        "histogram2d": q_histogram2d,
+        "decile_lift": q_decile_lift,
     }
 
 
@@ -7634,6 +7742,21 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights":
             _dsir_lw_sql() + "SELECT doc_id, n_grams, logweight_micro "
             "FROM lwts",
+        # composes the dsir CTE chain: rank by weight, decile, lift
+        "decile_lift":
+            _dsir_lw_sql()
+            + "SELECT decile, n, n_target, "
+            "round(CAST(n_target AS DOUBLE) / n, 4) AS target_rate, "
+            "round(CAST(n_target AS DOUBLE) * nn / (n * nt), 4) AS lift "
+            "FROM (SELECT decile, count(*) AS n, "
+            "CAST(sum(y) AS BIGINT) AS n_target FROM "
+            "(SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y, "
+            "ntile(10) OVER (ORDER BY l.logweight_micro DESC, l.doc_id) "
+            "AS decile FROM lwts l JOIN documents d USING (doc_id)) "
+            "GROUP BY decile) g CROSS JOIN "
+            "(SELECT CAST(count(*) AS BIGINT) AS nn, "
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS nt FROM documents) tot",
         "dsir_resample":
             _dsir_lw_sql() +
             "SELECT doc_id, n_grams, logweight_micro, "
@@ -7927,6 +8050,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(max(na) AS BIGINT) AS n_view, "
             "CAST(max(nb) AS BIGINT) AS n_purchase, "
             "round(max(abs(fa - fb)), 4) AS ks_stat FROM cum",
+        # weights are exact powers of two from an integer shift; with
+        # the 20-day horizon the weighted sums are exact doubles
+        "ewma_volume":
+            "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "pairs AS (SELECT a.day, a.n, b.n AS bn, "
+            "CAST(a.day - b.day AS INTEGER) AS k FROM daily a "
+            "JOIN daily b ON b.day <= a.day AND b.day >= a.day - 20) "
+            "SELECT day, max(n) AS n, "
+            "round(sum(CAST(bn AS DOUBLE) "
+            "/ CAST(CAST(1 AS BIGINT) << k AS DOUBLE)) "
+            "/ sum(1.0 / CAST(CAST(1 AS BIGINT) << k AS DOUBLE)), 4) "
+            "AS ewma FROM pairs GROUP BY day",
+        "rfm_segments":
+            "WITH rfm AS (SELECT o_custkey, "
+            "max(datediff('day', DATE '1970-01-01', "
+            "CAST(o_orderdate AS DATE))) AS r, count(*) AS f, "
+            "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m "
+            "FROM orders GROUP BY o_custkey), "
+            "seg AS (SELECT o_custkey, "
+            "ntile(4) OVER (ORDER BY r, o_custkey) AS rq, "
+            "ntile(4) OVER (ORDER BY f, o_custkey) AS fq, "
+            "ntile(4) OVER (ORDER BY m, o_custkey) AS mq FROM rfm) "
+            "SELECT rq * 100 + fq * 10 + mq AS segment, "
+            "count(*) AS n_customers FROM seg GROUP BY 1",
+        "histogram2d":
+            "SELECT month(CAST(o_orderdate AS DATE)) AS month, "
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "// 5000000 AS price_band, count(*) AS n, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS revenue FROM orders GROUP BY 1, 2",
         "mutual_information":
             "WITH c AS (SELECT source, lang, count(*) AS o "
             "FROM documents GROUP BY 1, 2), "

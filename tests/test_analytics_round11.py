@@ -281,6 +281,62 @@ def test_benford_shares_sum_to_one(spark):
             m.log10(1.0 + 1.0 / r["digit"]) * 1e6)
 
 
+def test_ewma_reconstructs_from_daily_counts(spark):
+    rows = sorted(em.queries()["ewma_volume"](spark, SF).collect(),
+                  key=lambda r: r["day"])
+    daily = {r["day"]: r["n"] for r in rows}
+    for r in rows:
+        num = den = 0.0
+        for d, n in daily.items():
+            k = r["day"] - d
+            if 0 <= k <= 20:
+                num += n / (1 << k)
+                den += 1.0 / (1 << k)
+        assert math.isclose(r["ewma"], round(num / den, 4), abs_tol=1e-9)
+    # a flat-ish series keeps the EWMA near the daily counts
+    assert rows
+
+
+def test_rfm_segments_partition_customers(spark):
+    rows = em.queries()["rfm_segments"](spark, SF).collect()
+    n_cust = em._load(spark, SF, "orders").select("o_custkey") \
+        .distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        s = r["segment"]
+        assert 111 <= s <= 444
+        assert all(1 <= int(c) <= 4 for c in str(s))
+
+
+def test_histogram2d_reconciles_totals(spark):
+    rows = em.queries()["histogram2d"](spark, SF).collect()
+    o = em._load(spark, SF, "orders")
+    assert sum(r["n"] for r in rows) == o.count()
+    from decimal import Decimal
+    tot = sum(Decimal(str(round(x["o_totalprice"], 2)))
+              for x in o.select("o_totalprice").collect())
+    assert math.isclose(sum(r["revenue"] for r in rows), float(tot),
+                        rel_tol=1e-9)
+    for r in rows:
+        assert 1 <= r["month"] <= 12 and r["price_band"] >= 0
+
+
+def test_decile_lift_partitions_and_signals(spark):
+    rows = sorted(em.queries()["decile_lift"](spark, SF).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    doc = em._load(spark, SF, "documents")
+    assert sum(r["n"] for r in rows) == doc.count()
+    n_en = doc.where("lang = 'en'").count()
+    assert sum(r["n_target"] for r in rows) == n_en
+    # the DSIR ranking must concentrate the target: top decile beats
+    # the bottom decile's rate, and average lift is 1 by construction
+    assert rows[0]["target_rate"] >= rows[-1]["target_rate"]
+    wavg = sum(r["lift"] * r["n"] for r in rows) / sum(r["n"]
+                                                       for r in rows)
+    assert math.isclose(wavg, 1.0, abs_tol=0.01)
+
+
 def test_cusum_ends_near_zero(spark):
     rows = sorted(em.queries()["cusum_drift"](spark, SF).collect(),
                   key=lambda r: r["day"])

@@ -98,8 +98,10 @@ def test_every_query_has_an_oracle():
     # quantile normalization (value-domain ECDF matching), plus the
     # info-theory trio: source/lang mutual information, the Markov
     # entropy rate of the event process, and the Benford first-digit
-    # audit over order totals
-    assert len(qk) == 217
+    # audit over order totals, exact-dyadic EWMA trend smoothing, RFM
+    # quartile segmentation, the 2-D month x price-band heatmap, and
+    # the decile-lift table over the DSIR selector's score ranking
+    assert len(qk) == 221
 
 
 def test_entry_smoke(spark):

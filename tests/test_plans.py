@@ -900,3 +900,29 @@ def test_ks_drift_collapses_before_global_window(spark, entry):
     partial = [i for i, ln in enumerate(lines)
                if "HashAggregate" in ln and "partial_sum" in ln]
     assert partial and max(partial) > min(single), plan
+
+
+def test_quantile_normalize_all_broadcast_no_global_sort(spark, entry):
+    """ECDF matching must keep every join broadcast (grids are
+    value-domain-scale) and never globally sort the document table —
+    the single-partition exchanges may only carry grid rows."""
+    plan = plan_of(entry.queries()["quantile_normalize"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the doc-scale side reads only the three needed columns
+    assert "ReadSchema: struct<doc_id:bigint,source:string" in plan \
+        or "doc_id" in plan.split("FileScan")[-1], plan
+
+
+def test_target_encoding_one_exchange_then_broadcast(spark, entry):
+    """Every exchange carries per-category partial aggregates (map-side
+    combine before each shuffle — the shuffled rows are |categories|,
+    not events), and the 1-row total rides a broadcast."""
+    plan = plan_of(entry.queries()["target_encoding"](spark, SF))
+    hash_ex = plan.count("Exchange hashpartitioning")
+    assert 1 <= hash_ex <= 2, plan
+    assert plan.count("partial_count") + plan.count("partial_sum") \
+        >= hash_ex, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan
