@@ -4842,6 +4842,101 @@ def q_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
              .cast("double").alias("revenue")))
 
 
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U rank-sum statistic between the 'view' and
+    'purchase' value samples — the nonparametric drift companion to
+    ks_drift (U reacts to location shift, KS to any shape change).
+    Tied values take the average rank of their block: with integer
+    cumulative counts that average is an exact half-integer, so rank
+    sums are exact dyadic doubles — no accumulation-order hazard. All
+    ranking happens on the value-domain grid; the corpus is touched by
+    one aggregate."""
+    ev = (_load(spark, sf, "events")
+          .where(F.col("event_type").isin("view", "purchase")))
+    pv = (ev.groupBy("value")
+          .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                     .otherwise(0)).alias("ca"),
+               F.sum(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("cb")))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    g = (pv.withColumn("hi", F.sum(F.col("ca") + F.col("cb")).over(w))
+         .withColumn("avg_rank",
+                     (2 * F.col("hi") - F.col("ca") - F.col("cb") + 1)
+                     / 2.0))
+    tot = (g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+                 F.sum(F.col("ca") * F.col("avg_rank")).alias("ra")))
+    return tot.select(
+        F.col("na").cast("long").alias("n_view"),
+        F.col("nb").cast("long").alias("n_purchase"),
+        (F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0)
+        .alias("u_view"),
+        (F.col("na").cast("double") * F.col("nb")
+         - (F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0))
+        .alias("u_purchase"))
+
+
+def q_ab_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test — the A/B-test readout: user-id parity
+    splits users into arms, conversion = the user ever fired a
+    'purchase'-heavier-than-'error' history (a ~50% outcome at every
+    scale — a has-any-purchase outcome saturates to rate 1.0 as events
+    per user grow, collapsing the pooled SE to zero). Counts are exact
+    integers; the z-score is one shared double chain (pooled rate,
+    sqrt of a product) rounded at the end. One aggregate over users;
+    the statistic is a single row."""
+    ev = _load(spark, sf, "events")
+    users = (ev.groupBy("user_id")
+             .agg((F.sum(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0))
+                   > F.sum(F.when(F.col("event_type") == "error", 1)
+                           .otherwise(0))).cast("int").alias("converted"))
+             .withColumn("arm", F.pmod(F.col("user_id"), F.lit(2))
+                         .cast("int")))
+    g = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"))
+    a = g.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = g.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(b)
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")))
+    se = F.sqrt(pool * (1 - pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return j.select("n_a", "conv_a", "n_b", "conv_b",
+                    F.round(p_a, 4).alias("rate_a"),
+                    F.round(p_b, 4).alias("rate_b"),
+                    F.round((p_a - p_b) / se, 4).alias("z_score"))
+
+
+def q_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality profile: mean daily volume per weekday
+    and each weekday's index vs the overall daily mean — the seasonal
+    decomposition a volume monitor removes before alerting. Weekday
+    from epoch day modulo 7 (1970-01-01 was a Thursday; no timezone
+    or calendar library in the hot path), integer sums divided once
+    per output row."""
+    ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
+    daily = (ev.groupBy(F.expr("ts_us div 86400000000").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    d = daily.withColumn("weekday",
+                         F.pmod(F.col("day") + 4, F.lit(7)).cast("int"))
+    g = d.groupBy("weekday").agg(F.count(F.lit(1)).alias("n_days"),
+                                 F.sum("n").alias("total"))
+    tot = g.agg(F.sum("n_days").alias("dd"), F.sum("total").alias("tt"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("weekday", "n_days",
+                    F.round(F.col("total").cast("double")
+                            / F.col("n_days"), 4).alias("mean_volume"),
+                    F.round((F.col("total").cast("double")
+                             / F.col("n_days"))
+                            / (F.col("tt").cast("double") / F.col("dd")),
+                            4).alias("seasonal_index")))
+
+
 def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
     """Decile lift / cumulative-gains table for the DSIR English
     selector — the model-eval staple: rank every document by its
@@ -5350,6 +5445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "histogram2d": q_histogram2d,
         "decile_lift": q_decile_lift,
+        "mann_whitney": q_mann_whitney,
+        "ab_ztest": q_ab_ztest,
+        "weekday_seasonality": q_weekday_seasonality,
     }
 
 
@@ -8050,6 +8148,59 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(max(na) AS BIGINT) AS n_view, "
             "CAST(max(nb) AS BIGINT) AS n_purchase, "
             "round(max(abs(fa - fb)), 4) AS ks_stat FROM cum",
+        # tied ranks are exact half-integers from integer cumulatives
+        "mann_whitney":
+            "WITH pv AS (SELECT value, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS cb FROM events "
+            "WHERE event_type IN ('view', 'purchase') GROUP BY value), "
+            "g AS (SELECT ca, cb, sum(ca + cb) OVER (ORDER BY value "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi "
+            "FROM pv), "
+            "r AS (SELECT ca, cb, (2 * hi - ca - cb + 1) / 2.0 "
+            "AS avg_rank FROM g), "
+            "tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, "
+            "sum(ca * avg_rank) AS ra FROM r) "
+            "SELECT CAST(na AS BIGINT) AS n_view, "
+            "CAST(nb AS BIGINT) AS n_purchase, "
+            "ra - na * (na + 1) / 2.0 AS u_view, "
+            "CAST(na AS DOUBLE) * nb - (ra - na * (na + 1) / 2.0) "
+            "AS u_purchase FROM tot",
+        "ab_ztest":
+            "WITH users AS (SELECT user_id, "
+            "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) > sum(CASE WHEN event_type = 'error' THEN 1 "
+            "ELSE 0 END) THEN 1 ELSE 0 END "
+            "AS converted FROM events GROUP BY user_id), "
+            "g AS (SELECT user_id % 2 AS arm, count(*) AS n, "
+            "CAST(sum(converted) AS BIGINT) AS conv FROM users "
+            "GROUP BY 1), "
+            "j AS (SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, "
+            "b.conv AS conv_b FROM (SELECT n, conv FROM g WHERE arm = 0) a "
+            "CROSS JOIN (SELECT n, conv FROM g WHERE arm = 1) b) "
+            "SELECT n_a, conv_a, n_b, conv_b, "
+            "round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a, "
+            "round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b, "
+            "round((CAST(conv_a AS DOUBLE) / n_a "
+            "- CAST(conv_b AS DOUBLE) / n_b) "
+            "/ sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+            "* (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+            "* (1.0 / n_a + 1.0 / n_b)), 4) AS z_score FROM j",
+        # weekday from epoch-day arithmetic (1970-01-01 + 4 mod 7)
+        "weekday_seasonality":
+            "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "g AS (SELECT CAST((day + 4) % 7 AS INTEGER) AS weekday, "
+            "count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total "
+            "FROM daily GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS dd, "
+            "CAST(sum(total) AS BIGINT) AS tt FROM g) "
+            "SELECT weekday, n_days, "
+            "round(CAST(total AS DOUBLE) / n_days, 4) AS mean_volume, "
+            "round((CAST(total AS DOUBLE) / n_days) "
+            "/ (CAST(tt AS DOUBLE) / dd), 4) AS seasonal_index "
+            "FROM g CROSS JOIN tot",
         # weights are exact powers of two from an integer shift; with
         # the 20-day horizon the weighted sums are exact doubles
         "ewma_volume":

@@ -337,6 +337,35 @@ def test_decile_lift_partitions_and_signals(spark):
     assert math.isclose(wavg, 1.0, abs_tol=0.01)
 
 
+def test_mann_whitney_u_identity(spark):
+    [r] = em.queries()["mann_whitney"](spark, SF).collect()
+    # U_a + U_b == n_a * n_b (exact, ranks are dyadic halves)
+    assert r["u_view"] + r["u_purchase"] \
+        == r["n_view"] * r["n_purchase"]
+    assert 0 <= r["u_view"] <= r["n_view"] * r["n_purchase"]
+
+
+def test_ab_ztest_reconstructs(spark):
+    [r] = em.queries()["ab_ztest"](spark, SF).collect()
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    p_a, p_b = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+    pool = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+    se = math.sqrt(pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"]))
+    assert math.isclose(r["z_score"], round((p_a - p_b) / se, 4),
+                        abs_tol=1e-9)
+    assert math.isclose(r["rate_a"], round(p_a, 4), abs_tol=1e-9)
+
+
+def test_weekday_seasonality_profile(spark):
+    rows = em.queries()["weekday_seasonality"](spark, SF).collect()
+    assert {r["weekday"] for r in rows} <= set(range(7))
+    # seasonal indices are positive and day-weighted-average to ~1
+    dd = sum(r["n_days"] for r in rows)
+    wavg = sum(r["seasonal_index"] * r["n_days"] for r in rows) / dd
+    assert all(r["seasonal_index"] > 0 for r in rows)
+    assert math.isclose(wavg, 1.0, rel_tol=0.02)
+
+
 def test_cusum_ends_near_zero(spark):
     rows = sorted(em.queries()["cusum_drift"](spark, SF).collect(),
                   key=lambda r: r["day"])

@@ -100,8 +100,10 @@ def test_every_query_has_an_oracle():
     # entropy rate of the event process, and the Benford first-digit
     # audit over order totals, exact-dyadic EWMA trend smoothing, RFM
     # quartile segmentation, the 2-D month x price-band heatmap, and
-    # the decile-lift table over the DSIR selector's score ranking
-    assert len(qk) == 221
+    # the decile-lift table over the DSIR selector's score ranking,
+    # the Mann-Whitney U rank-sum drift statistic, the two-proportion
+    # A/B z-test, and the weekday seasonality profile
+    assert len(qk) == 224
 
 
 def test_entry_smoke(spark):
