@@ -4842,6 +4842,48 @@ def q_histogram2d(spark: SparkSession, sf: str) -> DataFrame:
              .cast("double").alias("revenue")))
 
 
+def q_snapshot_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-path time travel (table.rollback): ingest events, capture
+    the head seq, then damage the table (range delete + a foreign
+    ingest + compaction rewrites) and RESTORE to the captured seq as
+    one atomic set-difference MERGE_FILES commit. The scan after
+    rollback must equal the original dataset exactly — and because
+    the rollback is itself a log entry, the damaged states stay
+    readable via as_of (asserted before returning). Oracle = the
+    original rows."""
+    ev = _load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    schema = Schema(
+        (Field("event_id", T.LongType()),), (),
+        (Field("user_id", T.LongType(), True),
+         Field("event_type", T.StringType(), True),
+         Field("value", T.DoubleType(), True)))
+    _t0 = _setup_start()
+    tmp = tempfile.mkdtemp(prefix="sleeper_rb_")
+    table = SleeperTable.create(spark, os.path.join(tmp, "t"), schema,
+                                TableProperties(),
+                                split_points=[3000, 6000])
+    table.ingest(ev)
+    good_seq = table.store.current_seq
+    table.delete_where(
+        regions=[Region.of(Range("event_id", 1000, 4000))])
+    table.ingest(ev.select(
+        (F.col("event_id") + 50_000_000).alias("event_id"), "user_id",
+        F.lit("junk").alias("event_type"), "value"))
+    table.compact()
+    damaged_seq = table.store.current_seq
+    _setup_done("snapshot_rollback", _t0)
+    stats = table.rollback(good_seq)
+    # the junk ingest is always rolled off; restored_refs is only
+    # nonzero when the delete/compact actually rewrote original files
+    # (the range holds rows at sf>=0.01, is empty at sf0.001)
+    assert stats["removed_refs"] > 0
+    # the damaged state is still time-travel-readable (history intact)
+    assert not table.as_of(seq=damaged_seq).full_scan().where(
+        "event_type = 'junk'").isEmpty()
+    return table.full_scan()
+
+
 def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     """Mann–Whitney U rank-sum statistic between the 'view' and
     'purchase' value samples — the nonparametric drift companion to
@@ -5448,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "ab_ztest": q_ab_ztest,
         "weekday_seasonality": q_weekday_seasonality,
+        "snapshot_rollback": q_snapshot_rollback,
     }
 
 
@@ -8148,6 +8191,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(max(na) AS BIGINT) AS n_view, "
             "CAST(max(nb) AS BIGINT) AS n_purchase, "
             "round(max(abs(fa - fb)), 4) AS ks_stat FROM cum",
+        # rollback restores the original ingest exactly
+        "snapshot_rollback":
+            "SELECT event_id, user_id, event_type, value FROM events",
         # tied ranks are exact half-integers from integer cumulatives
         "mann_whitney":
             "WITH pv AS (SELECT value, "

@@ -852,6 +852,65 @@ class SleeperTable:
             json.dump({"schema": json.loads(self.schema.to_json()),
                        "properties": json.loads(self.props.to_json())}, f)
 
+    def rollback(self, seq: int) -> dict[str, int]:
+        """Restore the table's FILE SET to transaction ``seq`` as a new
+        atomic commit (write-path time travel — the RESTORE analog of
+        the read-only :meth:`as_of`). History is preserved: the
+        rollback is itself a log entry, so the rolled-back-over states
+        remain readable via ``as_of`` and a rollback can be rolled
+        back.
+
+        Implementation: a set-difference MERGE_FILES commit — remove
+        exactly the (file, partition) references present now but not
+        at ``seq``, add exactly those present at ``seq`` but not now,
+        in ONE transaction (no reader ever sees an empty or half-
+        restored table, the hole a clear+re-add composition would
+        have). References common to both states are NOT touched:
+        removing-and-re-adding would enqueue still-referenced files
+        for garbage collection (gc_candidates does not re-check
+        references — pinned in tests/test_rollback.py). The partition
+        tree stays current (trees only ever extend; a restored
+        reference on a now-split parent flows through the O4 pre-split
+        machinery like any other parent reference).
+
+        Raises if any file the target state needs has already been
+        garbage-collected (same contract as ``as_of`` — the GC delay
+        bounds how far back rollback reaches), and on a read-only
+        view. Concurrent-writer caveat: the diff is computed against
+        the state read at call time; a concurrent commit between read
+        and commit surfaces as a conflict/validation error rather
+        than silent loss."""
+        import uuid as _uuid
+
+        self.store.check_writable()
+        target = self.store.state_at(seq)
+        missing = sorted({
+            r.filename for r in target.all_references()
+            if not os.path.exists(r.filename)})
+        if missing:
+            from sleeper_spark.statestore import StateStoreException
+            raise StateStoreException(
+                f"rollback to seq {seq} needs {len(missing)} "
+                f"garbage-collected file(s): {missing[:3]}... — raise "
+                "the GC delay to keep more history restorable")
+        cur = {(r.filename, r.partition_id): r
+               for r in self.store.all_references()}
+        tgt = {(r.filename, r.partition_id): r
+               for r in target.all_references()}
+        remove_keys = sorted(set(cur) - set(tgt))
+        add_refs = [tgt[k] for k in sorted(set(tgt) - set(cur))]
+        if not remove_keys and not add_refs:
+            return {"seq": seq, "removed_refs": 0, "restored_refs": 0}
+        by_pid: dict[str, list[str]] = {}
+        for fn, pid in remove_keys:
+            by_pid.setdefault(pid, []).append(fn)
+        replacements: list[tuple[str, list[str], list]] = [
+            (pid, fns, []) for pid, fns in sorted(by_pid.items())]
+        self.store.merge_files(replacements, add_refs,
+                               job_id=f"rollback-{_uuid.uuid4().hex}")
+        return {"seq": seq, "removed_refs": len(remove_keys),
+                "restored_refs": len(add_refs)}
+
     def split_file_references(self) -> int:
         return maintenance.split_file_references(self.store)
 

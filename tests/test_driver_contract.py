@@ -102,8 +102,10 @@ def test_every_query_has_an_oracle():
     # quartile segmentation, the 2-D month x price-band heatmap, and
     # the decile-lift table over the DSIR selector's score ranking,
     # the Mann-Whitney U rank-sum drift statistic, the two-proportion
-    # A/B z-test, and the weekday seasonality profile
-    assert len(qk) == 224
+    # A/B z-test, and the weekday seasonality profile, plus atomic
+    # snapshot rollback (write-path time travel via one set-difference
+    # MERGE_FILES commit)
+    assert len(qk) == 225
 
 
 def test_entry_smoke(spark):
