@@ -138,11 +138,17 @@ def portable_shingle_hashes(col: Column | str, k: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed s in 0..K-1, min over shingles of
-    xxhash64(shingle, s). Pure higher-order expressions."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s))))
-        for s in range(num_hashes)
-    ])
+    xxhash64(shingle, s). ONE nested higher-order expression (transform
+    over an int seed sequence) instead of K separate
+    array_min/transform trees: the per-seed values are identical
+    (xxhash64 of the same (shingle, int-seed) pair), but the plan
+    carries 2 lambda functions instead of 2K — K-proportional Catalyst
+    analysis was the dominant driver-side cost of every LSH entry
+    (guide §7.3, measured 1.13s -> 0.44s per pass at K=32)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))))
 
 
 def minhash_signatures(
@@ -162,20 +168,26 @@ def minhash_signatures(
     """
     # spread the RAW input first: projected-then-repartitioned would put
     # the Project below the Exchange and hash every shingle on the
-    # source's (possibly single) partition
-    sh = _spread(df).select(F.col(id_col).alias("__id"),
-                            shingle_hashes(text_col, shingle_k).alias("__sh"))
-    # per-row signature: K array_min/transform passes over the (distinct)
-    # shingle-hash column — no shuffle at all. The projection boundary
-    # keeps __sh materialised once (CollapseProject declines to inline a
-    # non-cheap expression referenced K times); rows with no shingles get
-    # null mins and are dropped — never candidates.
-    out = sh.select("__id", *[
-        F.array_min(F.transform(F.col("__sh"),
-                                lambda h: F.xxhash64(h, F.lit(s)))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ])
-    return out.where(F.col("mh0").isNotNull())
+    # source's (possibly single) partition. Shingle-less rows (fewer
+    # than k tokens — exactly the rows whose signature would be null)
+    # are dropped HERE on a cheap token-count test, so the null-drop
+    # filter never needs to reference (and with pushdown substitution,
+    # recompute) the signature expression itself.
+    sh = (_spread(df)
+          .where(F.size(tokens(text_col)) >= F.lit(shingle_k))
+          .select(F.col(id_col).alias("__id"),
+                  shingle_hashes(text_col, shingle_k).alias("__sh")))
+    # per-row signature: ONE nested transform over the (distinct)
+    # shingle-hash column (see minhash_signature: identical values,
+    # 2 lambdas instead of 2K in the plan) — no shuffle at all. The
+    # projection boundary keeps __sig materialised once per row; the
+    # mh{s} columns are plain element_at extractions, so the output
+    # schema (and every downstream consumer) is unchanged. Rows with
+    # no shingles get null mins and are dropped — never candidates.
+    w = sh.select("__id", minhash_signature(F.col("__sh"), num_hashes)
+                  .alias("__sig"))
+    return w.select("__id", *[F.col("__sig")[s].alias(f"mh{s}")
+                              for s in range(num_hashes)])
 
 
 def banded_buckets(
@@ -357,7 +369,12 @@ def verified_near_duplicates(
 ) -> DataFrame:
     """MinHash-LSH candidates filtered by exact n-gram Jaccard >= threshold.
     The expensive exact measure touches only LSH survivors."""
-    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes,
+                                   bands, shingle_k)
+    # spread the (tiny) candidate pair list before the exact verify:
+    # AQE coalesces it to one partition by byte size, serialising the
+    # CPU-bound array_intersect step (same fix as similarity_join)
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # localCheckpoint: the shingle table feeds BOTH join probes below;
     # without materialisation Catalyst re-tokenizes every document twice
     # (once per join side) — tokenization dominates, so this halves the
@@ -757,7 +774,15 @@ def similarity_join(
                & (remaining >= need))
         .select(F.col("l.__id").alias("id_a"),
                 F.col("r.__id").alias("id_b"))
-        .distinct())
+        .distinct()
+        # explicit numeric repartition (AQE keeps user-specified
+        # counts): the distinct's output is a few KB of id pairs, so
+        # AQE coalesces it to ONE partition — and the downstream exact
+        # verify (array_intersect over full shingle arrays, the
+        # expensive per-pair step) then runs serially (measured: a
+        # single 2.1s task while 31 cores idle). Shuffling the tiny
+        # pair list costs nothing; the verify is CPU-bound (guide §2.5).
+        .repartition(df.sparkSession.sparkContext.defaultParallelism))
     # verify: |a ∪ b| = |a| + |b| - |a ∩ b| (arrays are distinct), so one
     # array_intersect per pair — half the per-pair hash-set work of
     # intersect + union

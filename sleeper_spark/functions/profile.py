@@ -42,6 +42,17 @@ def profile_columns(df: DataFrame,
     for i, c in enumerate(names):
         aggs.append(F.count(F.col(c)).alias(f"__nn{i}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
+    # the multi-distinct EXPAND multiplies every input row by #cols
+    # BEFORE the first aggregate — a CPU-bound derivation that should
+    # run at cluster parallelism even when the source parquet arrives
+    # in a handful of row-group splits (measured: the EXPAND stage ran
+    # 3 tasks / 3.8s on the 16-column lineitem profile; spread, it
+    # rides 32 tasks). At real scale the scan already has >=
+    # parallelism partitions and this is a no-op (guide §2.5 input
+    # skew: repartition immediately after a too-coarse read).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     row = df.agg(*aggs).first()
     out = [(c, row["__n"], row["__n"] - row[f"__nn{i}"],
             row[f"__nd{i}"])

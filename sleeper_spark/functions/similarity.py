@@ -1280,8 +1280,18 @@ def _kmeans_micro(q: DataFrame, id_col: str, k: int, iterations: int):
              q.orderBy(id_col).limit(k).collect()]  # k×dim driver longs
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = [_sq_l2_micro(F.col("__v"), c) for c in cents]
-        withd = frame.select(id_col, "__v", F.array(*dists).alias("__ds"))
+        # ONE transform over a k×dim 2-D centroid literal instead of k
+        # separate zip_with/aggregate expressions: the distance values
+        # (and their order in __ds) are identical, but the plan carries
+        # 2 lambda functions instead of 2k — measured 1.34s -> 0.20s of
+        # driver-side analysis per assignment pass at k=8, dim=64
+        # (guide §7.3: very large expression trees spend their time in
+        # the Analyzer, and this plan is rebuilt every Lloyd iteration).
+        lit2 = F.lit([list(c) for c in cents]).cast("array<array<long>>")
+        dists = F.transform(lit2, lambda c: F.aggregate(
+            F.zip_with(F.col("__v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, d: acc + d))
+        withd = frame.select(id_col, "__v", dists.alias("__ds"))
         # argmin with ties to the LOWEST cluster id: array_position
         # returns the FIRST index holding the min (1-based). O(k) plan
         # nodes — the pairwise when-chain this replaces was O(k²),
