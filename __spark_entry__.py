@@ -3550,6 +3550,25 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     return df.withColumn("ts", F.expr(f"ts div {per_us}"))  # → epoch micros
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Cloned session (shared SparkContext, private conf + catalog)
+    whose shuffle partitioning — which for a streaming query fixes the
+    number of STATE STORES per micro-batch, locked in when the
+    checkpoint is created — tracks the harness's stream volume instead
+    of the batch core count. 32 near-empty state partitions are pure
+    per-batch commit/instantiation overhead at bench volume (measured
+    9.4s -> 2.4s on the stream-stream join when this was first applied
+    there in r7; the same shape holds for every applyInPandasWithState
+    entry: one 32-task stateful stage dominated its micro-batch). A
+    100 TB deployment sizes this to its real throughput the same way —
+    parameterised via $SPARK_GRAFT_STREAM_STATE_PARTITIONS (default 8,
+    scale-adaptive rather than a constant tuned to local[32])."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    return s2
+
+
 def _run_stream_to_view(out: DataFrame, name: str, mode: str) -> None:
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     q = (out.writeStream.format("memory").queryName(name).outputMode(mode)
@@ -3567,17 +3586,10 @@ def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     exactly."""
     from sleeper_spark import streaming as streaming_mod
 
-    # a streaming job sizes its state partitioning to its throughput
-    # when the checkpoint is created (the count is then locked in) —
     # a stream-stream join keeps FOUR state stores per partition, so
-    # 32 near-empty partitions are pure per-batch commit overhead at
-    # this volume (measured 9.4s -> 2.4s); a 100 TB deployment sets
-    # this to its real parallelism the same way. The override lives in
-    # a CLONED session (shared SparkContext, private conf + catalog),
-    # so a concurrent caller of the parent session never plans under
-    # the temporary value — closes the round-7 concurrency nit
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    # near-empty state partitions hurt 4x here — see _stream_session
+    # (measured 9.4s -> 2.4s when first applied in r7)
+    s2 = _stream_session(spark)
 
     def side(et: str, ts_name: str, id_name: str) -> DataFrame:
         s = _events_stream(s2, sf)
@@ -3635,12 +3647,13 @@ def q_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
     parity-plus), run to completion with availableNow and hash-checked
     against the batch SQL oracle."""
     from sleeper_spark import streaming as streaming_mod
-    stream = _events_stream(spark, sf).withColumn(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).withColumn(
         "ts", F.timestamp_micros(F.col("ts")))
     out = streaming_mod.windowed_aggregate(stream, "ts", window="1 day",
                                            watermark="1 hour")
     _run_stream_to_view(out, "q_streaming_window", "complete")
-    return spark.sql(
+    return s2.sql(
         "SELECT CAST(window_start AS DATE) AS day, n_events "
         "FROM q_streaming_window")
 
@@ -3654,7 +3667,8 @@ def q_streaming_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
     completion with availableNow; must hash-match the BATCH hopping
     oracle on the same data."""
     from sleeper_spark import streaming as streaming_mod
-    stream = _events_stream(spark, sf).where(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).where(
         F.col("ts").isNotNull()).withColumn(
         "ts", F.timestamp_micros(F.col("ts")))
     out = streaming_mod.windowed_aggregate(
@@ -3664,7 +3678,7 @@ def q_streaming_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
               F.round(F.sum(F.col("value").cast("decimal(18,4)"))
                       .cast("double"), 4).alias("sum_value")])
     _run_stream_to_view(out, "q_streaming_hopping_window", "complete")
-    return spark.sql(
+    return s2.sql(
         "SELECT unix_micros(CAST(window_start AS TIMESTAMP)) AS ws_us, "
         "n_events, sum_value FROM q_streaming_hopping_window")
 
@@ -3681,14 +3695,15 @@ def q_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from sleeper_spark import streaming as streaming_mod
 
     steps = ["view", "click", "purchase"]
-    stream = _events_stream(spark, sf).select(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).select(
         "user_id", "event_type", "ts")
     out = streaming_mod.streaming_funnel(
         stream, steps, user_col="user_id", step_col="event_type",
         ts_col="ts")
     _run_stream_to_view(out, "q_streaming_funnel", "update")
-    depth = spark.sql("SELECT user, max(depth) AS d "
-                      "FROM q_streaming_funnel GROUP BY user")
+    depth = s2.sql("SELECT user, max(depth) AS d "
+                   "FROM q_streaming_funnel GROUP BY user")
     row = depth.agg(*[
         F.sum((F.col("d") >= i + 1).cast("long")).alias(f"c{i}")
         for i in range(len(steps))]).first()
@@ -3716,17 +3731,18 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
                 os.path.join(d, "documents.parquet"))
     doc_schema = ("doc_id long, text string, lang string, "
                   "source string, n_chars long")
-    stream = (spark.readStream.schema(doc_schema).parquet(d)
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = (s2.readStream.schema(doc_schema).parquet(d)
               .select(F.explode(F.split(F.col("text"), " "))
                       .alias("tok"))
               .where(F.col("tok") != ""))
     out = streaming_mod.streaming_heavy_hitters(stream, "tok", k=40)
     _run_stream_to_view(out, "q_streaming_hh", "update")
-    batch = (_load(spark, sf, "documents")
+    batch = (_load(s2, sf, "documents")
              .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
              .where(F.col("tok") != ""))
     return streaming_mod.finalize_heavy_hitters(
-        spark.table("q_streaming_hh"), batch, "tok", k=40) \
+        s2.table("q_streaming_hh"), batch, "tok", k=40) \
         .select(F.col("v").alias("tok"), "n_rows")
 
 
@@ -3740,11 +3756,12 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     DISTINCT (user, ts) must hash-match. 30-minute gap."""
     from sleeper_spark import streaming as streaming_mod
 
-    stream = _events_stream(spark, sf).select("user_id", "ts")
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).select("user_id", "ts")
     out = streaming_mod.streaming_sessionize(
         stream, "user_id", "ts", gap=1_800_000_000)
     _run_stream_to_view(out, "q_streaming_sessionize", "update")
-    return (spark.table("q_streaming_sessionize").groupBy("key")
+    return (s2.table("q_streaming_sessionize").groupBy("key")
             .agg(F.max_by("n_sessions", "upd").alias("n_sessions"),
                  F.max_by("span_micros", "upd").alias("span_micros"),
                  F.max_by("max_session_len", "upd")
@@ -3767,11 +3784,12 @@ def q_streaming_retention(spark: SparkSession, sf: str) -> DataFrame:
     Day periods over epoch-micro timestamps."""
     from sleeper_spark import streaming as streaming_mod
 
-    stream = _events_stream(spark, sf).select("user_id", "ts")
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).select("user_id", "ts")
     out = streaming_mod.streaming_retention(
         stream, "user_id", "ts", period=86_400_000_000)
     _run_stream_to_view(out, "q_streaming_retention", "update")
-    return (spark.table("q_streaming_retention").groupBy("user")
+    return (s2.table("q_streaming_retention").groupBy("user")
             .agg(F.max_by("cohort", "upd").alias("cohort"),
                  F.max_by("offsets", "upd").alias("offsets"))
             .select("cohort",
@@ -3787,12 +3805,13 @@ def q_streaming_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     stateful float64 accumulation is integer-exact and order-independent
     — same determinism rule as the decimal scalar sums."""
     from sleeper_spark import streaming as streaming_mod
-    stream = _events_stream(spark, sf).withColumn(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).withColumn(
         "value", F.round(F.col("value") * 100).cast("double"))
     out = streaming_mod.stateful_running_totals(stream, "user_id", "value")
     _run_stream_to_view(out, "q_streaming_running", "update")
     # updates are monotone (cents are positive); final state = max
-    return (spark.sql("SELECT * FROM q_streaming_running")
+    return (s2.sql("SELECT * FROM q_streaming_running")
             .groupBy(F.col("key").alias("user_id"))
             .agg(F.max("n_total").alias("n_total"),
                  F.round(F.max("value_total") / 100.0, 4).alias("value_total")))
@@ -3805,12 +3824,13 @@ def q_streaming_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     to completion with availableNow; the oracle reproduces the daily
     register tables bit-for-bit from the same md5 string arithmetic."""
     from sleeper_spark import streaming as streaming_mod
-    stream = _events_stream(spark, sf).withColumn(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).withColumn(
         "ts", F.timestamp_micros(F.col("ts")))
     out = streaming_mod.windowed_approx_distinct(
         stream, "ts", "user_id", window="1 day", watermark="1 hour", p=8)
     _run_stream_to_view(out, "q_streaming_approx_distinct", "complete")
-    return spark.sql(
+    return s2.sql(
         "SELECT CAST(window_start AS DATE) AS day, register, rho_max "
         "FROM q_streaming_approx_distinct")
 
@@ -4256,7 +4276,8 @@ def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     a 30-min gap) run to completion — per (user, session): event count.
     The oracle derives identical sessions with the batch gaps-and-
     islands construction, proving the two formulations agree."""
-    stream = _events_stream(spark, sf).withColumn(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).withColumn(
         "ts", F.timestamp_micros(F.col("ts")))
     agged = (stream.withWatermark("ts", "1 hour")
              .groupBy(F.session_window("ts", "30 minutes").alias("w"),
@@ -4269,7 +4290,7 @@ def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     # complete mode: append would withhold sessions still open at the
     # final watermark (last-hour sessions never close on a finite file)
     _run_stream_to_view(out, "q_streaming_session", "complete")
-    return spark.sql(
+    return s2.sql(
         "SELECT user_id, session_start_us, n_events FROM q_streaming_session")
 
 
@@ -4371,14 +4392,15 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     batch DISTINCT, which is the oracle."""
     from sleeper_spark import streaming as streaming_mod
 
-    stream = _events_stream(spark, sf).withColumn(
+    s2 = _stream_session(spark)  # state partitions sized to volume
+    stream = _events_stream(s2, sf).withColumn(
         "ts", F.timestamp_micros(F.col("ts")))
     out = streaming_mod.dedup_stream(
         stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour")
     _run_stream_to_view(out, "q_streaming_dedup", "append")
     # DISTINCT guards the oracle against within-watermark semantics: a
     # key re-arriving after its state was evicted re-emits by design
-    return spark.sql(
+    return s2.sql(
         "SELECT DISTINCT user_id, event_type FROM q_streaming_dedup")
 
 
@@ -4620,6 +4642,19 @@ def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
             .select("p_partkey", "p_brand", "p_size", "p_retailprice"))
 
 
+def _ck(df: DataFrame) -> DataFrame:
+    """Materialise (localCheckpoint) a category-scale intermediate that
+    is referenced more than once downstream — typically a grouped
+    frame feeding both its own grand total and the final projection.
+    Catalyst shares no subtrees across references, so without the cut
+    the parent's full data-scale chain executes once PER REFERENCE
+    (guide §3.3: materialising an intermediate truncates the plan; at
+    100 TB each spare reference is a spare corpus pass). Every frame
+    passed here is |categories|-rows — executor-resident copies are
+    free next to the pass they remove."""
+    return df.localCheckpoint()
+
+
 def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket association rules over user event baskets:
     antecedent -> consequent support / confidence / lift for every
@@ -4629,7 +4664,7 @@ def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     that comes out is |types|^2 rows — constant in corpus size. Both
     marginals and the total ride broadcast joins onto it."""
     ev = _load(spark, sf, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    ut = _ck(ev.select("user_id", "event_type").distinct())
     per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     tot = ut.agg(F.countDistinct("user_id").alias("n_users"))
     pairs = (ut.alias("a").join(ut.alias("b"), "user_id")
@@ -4685,32 +4720,31 @@ def q_pagerank_states(spark: SparkSession, sf: str) -> DataFrame:
     pure integer algebra — no float accumulation order to diverge
     between Spark and the oracle's unrolled 10-step CTE chain.
     Dangling-node leakage is accepted (not redistributed) on both
-    sides. The graph is state-scale (<=|event types| nodes), so the
-    ten join-aggregate rounds each touch a localCheckpointed
-    handful-of-rows DataFrame; only the edge build scans data."""
-    edges = _transition_edges(spark, sf)
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
-    od = (edges.groupBy(F.col("src").alias("node"))
-          .agg(F.count(F.lit(1)).alias("d")))
-    nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
-    r = (nodes.crossJoin(F.broadcast(nn))
-         .select("node", F.expr("CAST(1000000 div nn AS BIGINT)")
-                 .alias("r")).localCheckpoint())
+    sides. Only the edge build scans data; the graph itself is
+    MODEL-state (<= |event types|^2 edges — a bounded enum domain, the
+    same boundedness class as k-means' k×dim centroid state), so the
+    ten fixpoint rounds run as driver integer arithmetic over the
+    collected edge list instead of ten join-aggregate Spark jobs each
+    fenced by an eager localCheckpoint (measured ~0.35s of pure
+    scheduling per round on an under-10-row frame; at ANY corpus scale
+    these rounds never touch data again, so there is nothing to
+    distribute — guide §1.2 step 1: don't run jobs that do no work)."""
+    edge_rows = [(r["src"], r["dst"])
+                 for r in _transition_edges(spark, sf).collect()]
+    nodes = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    nn = len(nodes)
+    od: dict[str, int] = {}
+    for s, _ in edge_rows:
+        od[s] = od.get(s, 0) + 1
+    r = {n: 1_000_000 // nn for n in nodes}
     for _ in range(10):
-        contrib = (r.join(od, "node")
-                   .join(edges, F.col("node") == F.col("src"))
-                   .groupBy(F.col("dst").alias("node"))
-                   .agg(F.sum(F.expr("r div d")).alias("c")))
-        r = (nodes.crossJoin(F.broadcast(nn))
-             .join(contrib, "node", "left")
-             .select("node",
-                     F.expr("CAST(150000 div nn + "
-                            "(85 * coalesce(c, 0)) div 100 AS BIGINT)")
-                     .alias("r"))
-             .localCheckpoint())
-    return r.select("node", F.col("r").alias("rank_micro"))
+        c: dict[str, int] = {}
+        for s, d in edge_rows:
+            c[d] = c.get(d, 0) + r[s] // od[s]
+        r = {n: 150_000 // nn + (85 * c.get(n, 0)) // 100
+             for n in nodes}
+    return spark.createDataFrame(
+        [(n, r[n]) for n in nodes], "node string, rank_micro long")
 
 
 def q_gini_activity(spark: SparkSession, sf: str) -> DataFrame:
@@ -4751,11 +4785,11 @@ def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     step a single shared-double division — engine-exact."""
     ev = (_load(spark, sf, "events")
           .where(F.col("event_type").isin("view", "purchase")))
-    pv = (ev.groupBy("value")
-          .agg(F.sum(F.when(F.col("event_type") == "view", 1)
-                     .otherwise(0)).alias("ca"),
-               F.sum(F.when(F.col("event_type") == "purchase", 1)
-                     .otherwise(0)).alias("cb")))
+    pv = _ck(ev.groupBy("value")
+             .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                        .otherwise(0)).alias("ca"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("cb")))
     tot = pv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     cum = (pv.crossJoin(F.broadcast(tot))
@@ -4966,8 +5000,8 @@ def q_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n")))
     d = daily.withColumn("weekday",
                          F.pmod(F.col("day") + 4, F.lit(7)).cast("int"))
-    g = d.groupBy("weekday").agg(F.count(F.lit(1)).alias("n_days"),
-                                 F.sum("n").alias("total"))
+    g = _ck(d.groupBy("weekday").agg(F.count(F.lit(1)).alias("n_days"),
+                                     F.sum("n").alias("total")))
     tot = g.agg(F.sum("n_days").alias("dd"), F.sum("total").alias("tt"))
     return (g.crossJoin(F.broadcast(tot))
             .select("weekday", "n_days",
@@ -4998,8 +5032,9 @@ def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
     d = lab.withColumn(
         "decile", F.ntile(10).over(
             Window.orderBy(F.col("logweight_micro").desc(), "doc_id")))
-    g = d.groupBy("decile").agg(F.count(F.lit(1)).alias("n"),
-                                F.sum("y").cast("long").alias("n_target"))
+    g = _ck(d.groupBy("decile").agg(F.count(F.lit(1)).alias("n"),
+                                    F.sum("y").cast("long")
+                                    .alias("n_target")))
     tot = g.agg(F.sum("n").alias("nn"), F.sum("n_target").alias("nt"))
     return (g.crossJoin(F.broadcast(tot))
             .select("decile", "n", "n_target",
@@ -5018,9 +5053,9 @@ def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
     chain — engine-exact. One data-scale aggregate; the encoder table
     is |categories| rows."""
     ev = _load(spark, sf, "events")
-    g = ev.groupBy("event_type").agg(
+    g = _ck(ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")))
     tot = g.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
     return (g.crossJoin(F.broadcast(tot))
             .select("event_type", "n",
@@ -5038,7 +5073,8 @@ def q_chi2_source_lang(spark: SparkSession, sf: str) -> DataFrame:
     so the statistic is an exact integer total regardless of
     accumulation order (the repo-wide determinism idiom)."""
     doc = _load(spark, sf, "documents")
-    c = doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    c = _ck(doc.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("o")))
     rt = Window.partitionBy("source")
     ct = Window.partitionBy("lang")
     tot = c.agg(F.sum("o").alias("nn"))
@@ -5117,7 +5153,7 @@ def q_benford_deviation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
     d = o.select(F.substring(cents.cast("string"), 1, 1).cast("int")
                  .alias("digit"))
-    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    g = _ck(d.groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
     tot = g.agg(F.sum("n").alias("nn"))
     return (g.crossJoin(F.broadcast(tot))
             .select("digit", "n",
@@ -5147,7 +5183,7 @@ def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     sgrid = ps.select("source", "n_chars",
                       F.sum("c").over(wsrc).alias("cum"),
                       F.sum("c").over(stot).alias("ns"))
-    pg = doc.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    pg = _ck(doc.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c")))
     wg = (Window.orderBy("n_chars")
           .rowsBetween(Window.unboundedPreceding, 0))
     ggrid = (pg.select(F.col("n_chars").alias("g"),
@@ -5232,8 +5268,8 @@ def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     computed as integer running sum minus one shared-double product —
     no float accumulation order to diverge across engines."""
     ev = _load(spark, sf, "events").where(F.col("ts_us").isNotNull())
-    daily = (ev.groupBy(F.expr("ts_us div 86400000000").alias("day"))
-             .agg(F.count(F.lit(1)).alias("n")))
+    daily = _ck(ev.groupBy(F.expr("ts_us div 86400000000").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n")))
     tot = daily.agg(F.sum("n").alias("total"),
                     F.count(F.lit(1)).alias("n_days"))
     wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)

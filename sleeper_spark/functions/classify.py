@@ -42,7 +42,17 @@ def nb_train(df: DataFrame, text_col: str = "text",
     ``nb_predict`` needs, all still-lazy DataFrames."""
     lab = F.col(label_col).alias("label")
     ex = df.select(lab, F.explode(tokens(text_col)).alias("token"))
-    counts = ex.groupBy("label", "token").agg(F.count("*").alias("c"))
+    # materialise the (label, token) count table: it is vocab×L-sized
+    # (tiny next to the corpus) but feeds THREE consumers — the totals
+    # aggregate, the vocabulary count, and nb_predict's likelihood
+    # join — and Catalyst shares no subtrees across actions, so
+    # without the cut every consumer re-tokenizes and re-aggregates
+    # the whole corpus (measured: the explode+count stage ran 4x per
+    # nb_classify call; at 100 TB that is 4 full corpus passes where
+    # one suffices). localCheckpoint keeps it executor-resident and
+    # truncates the plan (guide §3.3 / §5).
+    counts = (ex.groupBy("label", "token").agg(F.count("*").alias("c"))
+              .localCheckpoint())
     totals = counts.groupBy("label").agg(F.sum("c").alias("t_total"))
     ndocs = df.groupBy(lab).agg(F.count("*").alias("n_docs"))
     n = df.agg(F.count("*").alias("n_total"))
@@ -94,9 +104,14 @@ def nb_predict(df: DataFrame, counts: DataFrame, label_stats: DataFrame,
               .select(id_col, "label",
                       (F.col("ll_micro") + F.col("prior_micro"))
                       .alias("score_micro")))
-    # zero-token docs never appear in `ex`; give them prior-only scores
-    missing = (df.select(id_col).join(scored.select(id_col).distinct(),
-                                      id_col, "left_anti")
+    # zero-token docs never appear in `ex`; give them prior-only
+    # scores. "Never in ex" is exactly "tokens(text) is empty or
+    # null", so test THAT with one cheap scan instead of the previous
+    # left-anti join against scored's ids — which re-executed the
+    # whole explode/join/aggregate chain a second time just to find
+    # the handful of token-less documents (size() returns -1 for a
+    # null array, hence <= 0).
+    missing = (df.where(F.size(tokens(text_col)) <= 0).select(id_col)
                .crossJoin(F.broadcast(
                    label_stats.select("label",
                                       F.col("prior_micro")

@@ -85,8 +85,15 @@ def logweight_table_from_counts(target_counts: DataFrame,
     ≤ n_buckets rows), then score every future batch against them
     without re-reading either corpus (same pattern as the persisted
     MinHash band index, dedup.incremental_minhash_pairs)."""
-    tc = target_counts.withColumnRenamed("cnt", "tc")
-    rc = raw_counts.withColumnRenamed("cnt", "rc")
+    # materialise both count tables (≤ n_buckets rows each): every one
+    # is referenced TWICE below (its total and the full-outer join),
+    # and Catalyst shares no subtrees — without the cut each reference
+    # re-runs the full corpus explode+aggregate that produced the
+    # counts (measured: the fit stages executed twice per side at
+    # sf0.1; at 100 TB that is two spare corpus passes). A ≤B-row
+    # localCheckpoint is free by comparison (guide §3.3/§5).
+    tc = target_counts.withColumnRenamed("cnt", "tc").localCheckpoint()
+    rc = raw_counts.withColumnRenamed("cnt", "rc").localCheckpoint()
     # coalesce: an EMPTY count table (e.g. a target sample with no
     # grams yet) sums to NULL, which would NULL every weight — and the
     # scorer's final coalesce would then silently report 0 instead of
@@ -133,6 +140,14 @@ def score_with_weights(docs: DataFrame, weight_table: DataFrame,
     ex = docs.select(F.col(id_col),
                      F.explode(hashed_gram_buckets(text_col, n_buckets))
                      .alias("bucket"))
+    return _score_exploded(docs, ex, weight_table, id_col)
+
+
+def _score_exploded(docs: DataFrame, ex: DataFrame,
+                    weight_table: DataFrame, id_col: str) -> DataFrame:
+    """Scoring tail shared by :func:`score_with_weights` and
+    :func:`dsir_logweights`: ``ex`` is the pre-exploded ``(id_col,
+    bucket)`` gram stream of ``docs``."""
     scored = (ex.join(F.broadcast(weight_table), "bucket")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_grams"),
@@ -153,10 +168,23 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     logweight_micro)`` where ``logweight_micro`` is the exact integer
     sum of per-gram bucket log-weights (micro units). Documents with no
     grams score 0 over 0 features (weight-neutral, kept so the output
-    covers every raw document). Plan shape: explode → broadcast join to
+    covers every raw document). Plan shape: ONE gram-hashing pass over
+    ``raw`` — the exploded (id, bucket) stream is materialised
+    executor-local and feeds BOTH the raw-model fit and the scoring
+    join (previously the raw corpus was hashed once for the fit and
+    again for scoring; with the count tables' own double-evaluation
+    that made three raw passes per call). The materialisation is the
+    same byte volume a shuffle of the gram stream would spill, traded
+    for two full corpus re-reads at 100 TB. Then: broadcast join to
     the ≤B-row weight table → one hash aggregate."""
-    wt = dsir_logweight_table(target, raw, text_col, n_buckets, alpha)
-    return score_with_weights(raw, wt, text_col, id_col, n_buckets)
+    ex = raw.select(F.col(id_col),
+                    F.explode(hashed_gram_buckets(text_col, n_buckets))
+                    .alias("bucket")).localCheckpoint()
+    wt = logweight_table_from_counts(
+        fit_bucket_counts(target, text_col, n_buckets),
+        ex.groupBy("bucket").agg(F.count("*").alias("cnt")),
+        n_buckets, alpha)
+    return _score_exploded(raw, ex, wt, id_col)
 
 
 def deterministic_gumbel_micro(id_col: Column | str) -> Column:

@@ -446,11 +446,19 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
 
     survivors = joined.where(~del_cond)
     replacement = survivors.select(*[out_col(c) for c in need])
-    # key groups some clause actually touched: only they re-merge;
-    # untouched groups keep their physical files
-    touched = (joined.where(affected).select(*key_names).distinct()
-               .limit(cap + 1).collect())
-    touched_keys = {tuple(r[k] for k in key_names) for r in touched}
+    # touched groups (some clause fired) and fully-deleted groups
+    # (touched, no surviving row) in ONE aggregate pass over the
+    # pruned join — previously two sequential collects, the second of
+    # which re-executed the whole replacement chain just to list its
+    # distinct keys (guide §1.2: one pass where one pass suffices).
+    # Updates cannot assign keys, so replacement's key set == the
+    # survivor key set this computes.
+    stats = (joined.groupBy(*key_names)
+             .agg(F.max(affected.cast("int")).alias("__t"),
+                  F.max((~del_cond).cast("int")).alias("__sv"))
+             .limit(cap + 1).collect())
+    touched_keys = {tuple(r[k] for k in key_names) for r in stats
+                    if r["__t"] == 1}
     if touched_keys:
         touched_df = table.spark.createDataFrame(
             [dict(zip(key_names, kk)) for kk in sorted(touched_keys)],
@@ -459,11 +467,9 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
                                        on=key_names, how="leftsemi")
     else:
         replacement = replacement.limit(0)
-    # fully-deleted groups: touched but no surviving row
-    surviving_keys = {tuple(r[k] for k in key_names) for r in
-                      replacement.select(*key_names).distinct()
-                      .limit(cap + 1).collect()}
-    delete_keys = sorted(touched_keys - surviving_keys)
+    delete_keys = sorted(
+        tuple(r[k] for k in key_names) for r in stats
+        if r["__t"] == 1 and r["__sv"] == 0)
 
     frame = replacement
     if insert:

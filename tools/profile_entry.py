@@ -134,7 +134,12 @@ def main() -> None:
         tot_job = 0.0
         for jid in sorted(job_meta):
             jm = job_meta[jid]
-            if jm.get("desc") != label or "end" not in jm:
+            if "end" not in jm:
+                continue
+            # match by description OR (streaming micro-batch jobs carry
+            # their own description) by falling inside the rep window
+            if jm.get("desc") != label and not (
+                    w0 <= jm["start"] <= w1):
                 continue
             gap = (jm["start"] - prev_end) / 1000
             dur = (jm["end"] - jm["start"]) / 1000
