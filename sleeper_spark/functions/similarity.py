@@ -1034,17 +1034,6 @@ def train_pq_codebooks(
     ]
 
 
-def _sub_d2(vec: Column, start: int, cent: list[float]) -> Column:
-    """Sequential-fold squared L2 between vec[start:start+len(cent)] and
-    a centroid literal — F.aggregate's left fold matches the oracle's
-    list_sum order, keeping doubles bit-comparable."""
-    sub = F.slice(vec, start + 1, len(cent))
-    c = F.array(*[F.lit(x) for x in cent])
-    return F.aggregate(
-        F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1056,16 +1045,33 @@ def pq_encode(
     no shuffle, no UDF: encoding 100 TB is one scan that writes the
     4x-to-32x-smaller code table."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = []
-    for s, book in enumerate(codebooks):
-        dsub = len(book[0])
-        d2s = F.array(*[_sub_d2(v, s * dsub, cent) for cent in book])
-        # array_position is 1-based and returns the FIRST occurrence of
-        # the min -> lowest code wins ties, same as the oracle's
-        # row_number() ORDER BY d2, code
-        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1)
-                     .cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    # ONE nested transform over the m×ksub×dsub codebook literal
+    # instead of m·ksub separate slice/zip_with/aggregate trees: the
+    # per-(subspace, code) squared distances are the same doubles
+    # folded in the same order, but the plan carries a handful of
+    # lambda nodes instead of ~3·m·ksub — the m=4, ksub=8 entries spent
+    # seconds of driver-side analysis per call on the unrolled form
+    # (guide §7.3; same fix as _kmeans_micro / minhash_signature).
+    dsub = len(codebooks[0][0])
+    books = F.lit([[list(c) for c in book] for book in codebooks]) \
+        .cast("array<array<array<double>>>")
+
+    def _d2s(s):
+        sub = F.slice(v, s * dsub + F.lit(1), dsub)
+        return F.transform(
+            F.element_at(books, (s + F.lit(1)).cast("int")),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+
+    # array_position is 1-based and returns the FIRST occurrence of
+    # the min -> lowest code wins ties, same as the oracle's
+    # row_number() ORDER BY d2, code
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda s: (F.array_position(_d2s(s), F.array_min(_d2s(s))) - 1)
+        .cast("int"))
+    return df.select(F.col(id_col), codes.alias("codes"))
 
 
 def _query_lut_expr(codebooks, vec_col: str) -> Column:
@@ -1073,11 +1079,19 @@ def _query_lut_expr(codebooks, vec_col: str) -> Column:
     array expression; entries round to 6 decimals on BOTH engines so the
     m-term ADC sum is order-insensitive at the emitted 4 decimals."""
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return F.array(*[
-        F.array(*[
-            F.round(_sub_d2(qv, s * len(book[0]), cent), 6)
-            for cent in book])
-        for s, book in enumerate(codebooks)])
+    # same nested-literal collapse as pq_encode: identical doubles,
+    # identical left-fold order, O(1) lambda nodes instead of m·ksub
+    dsub = len(codebooks[0][0])
+    books = F.lit([[list(c) for c in book] for book in codebooks]) \
+        .cast("array<array<array<double>>>")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda s: F.transform(
+            F.element_at(books, (s + F.lit(1)).cast("int")),
+            lambda c: F.round(F.aggregate(
+                F.zip_with(F.slice(qv, s * dsub + F.lit(1), dsub), c,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x), 6)))
 
 
 def _adc_rank_topk(scored: DataFrame, k: int, id_col: str,
