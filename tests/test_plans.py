@@ -916,13 +916,16 @@ def test_quantile_normalize_all_broadcast_no_global_sort(spark, entry):
 
 
 def test_target_encoding_one_exchange_then_broadcast(spark, entry):
-    """Every exchange carries per-category partial aggregates (map-side
-    combine before each shuffle — the shuffled rows are |categories|,
-    not events), and the 1-row total rides a broadcast."""
+    """The category aggregate is materialised once (_ck), so the final
+    plan starts from the |categories|-row table (ExistingRDD) and never
+    re-shuffles event-scale rows: the only exchange is the
+    SinglePartition carrying the per-category partials of the 1-row
+    total, which then rides a broadcast onto the encoder table."""
     plan = plan_of(entry.queries()["target_encoding"](spark, SF))
-    hash_ex = plan.count("Exchange hashpartitioning")
-    assert 1 <= hash_ex <= 2, plan
-    assert plan.count("partial_count") + plan.count("partial_sum") \
-        >= hash_ex, plan
+    assert "Scan ExistingRDD" in plan, plan
+    # no event-scale shuffle survives in the final plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("partial_sum") >= 1, plan
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan
