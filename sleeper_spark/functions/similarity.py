@@ -142,13 +142,37 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def _planes_lit(planes: list[list[float]]) -> Column:
+    """The hyperplane matrix as ONE bits×dim 2-D literal (the k-means
+    centroid-literal idiom, guide §7.3): every consumer folds over it
+    with a single lambda instead of building a per-plane expression
+    tree, so plan size — and the Catalyst analysis time every LSH
+    entry pays per pass — stays O(1) in ``bits``."""
+    return F.lit([list(p) for p in planes]).cast("array<array<double>>")
+
+
+def _plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """array of dot(vec, plane_i) in plane order — the identical
+    zip_with/aggregate fold :func:`dot` runs per plane, under one
+    transform lambda."""
+    return F.transform(_planes_lit(planes), lambda p: dot(vec, p))
+
+
+def _bucket_from_dots(ds: Column, nbits: int) -> Column:
+    """sign-bit bucket from the per-plane dot array: sum of
+    ``1 << i`` over planes with ``d_i >= 0`` — term values and
+    summation order identical to the unrolled per-plane chain it
+    replaces (integer addition over disjoint bits)."""
+    weights = F.lit([1 << i for i in range(nbits)]).cast("array<long>")
+    return F.aggregate(
+        F.zip_with(ds, weights, lambda d, w: F.when(d >= 0, w)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id = sign-bit signature over the fixed hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = dot(vec, F.lit(plane).cast("array<double>"))
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    return _bucket_from_dots(_plane_dots(vec, planes), len(planes))
 
 
 def _probe_cells(qv: np.ndarray, cents: np.ndarray, nprobe: int) -> list[int]:
@@ -613,16 +637,18 @@ def query_probe_buckets(vec: Column, planes: list[list[float]],
     growing every bucket). Pure expressions; ties in margin break
     toward the lower plane index so probe sets are deterministic and
     oracle-reproducible."""
-    base = lsh_bucket(vec, planes)
     if nprobe <= 1:
-        return F.array(base)
-    ds = [dot(vec, F.lit(p).cast("array<double>")) for p in planes]
+        return F.array(lsh_bucket(vec, planes))
+    # ONE per-plane dot array feeds both the signature bucket and the
+    # flip margins (the unrolled form built 2·bits separate dot trees;
+    # values, margin ties and probe order are identical — guide §7.3)
+    ds = _plane_dots(vec, planes)
+    base = _bucket_from_dots(ds, len(planes))
     weights = F.array(*[F.lit(1 << i).cast("long")
                         for i in range(len(planes))])
     flips = F.slice(
-        F.array_sort(F.array(*[
-            F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
-            for i, d in enumerate(ds)])),
+        F.array_sort(F.transform(ds, lambda d, i: F.struct(
+            F.abs(d).alias("m"), i.alias("i")))),
         1, nprobe - 1)
     return F.concat(
         F.array(base),
