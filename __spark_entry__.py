@@ -2983,34 +2983,34 @@ def _pq_codebooks_from_parquet(sf_dir: str) -> list[list[list[float]]]:
     ]
 
 
-#: memo for IVF/PQ training, keyed on (kind, sf_dir, params). Training
-#: is deterministic — the train_rows LOWEST-vec_id sample of an
-#: immutable parquet table through seeded numpy k-means — so re-running
-#: it inside one process is pure waste: without the memo a full bench
-#: trains IVF centroids 3x (ivf_topk, ivf_pq_topk, ann_recall) and PQ
-#: codebooks 3x (pq_topk, ivf_pq_topk, ann_recall) on the SAME sample
-#: with the SAME seed. Semantics-free by construction; a changed
-#: sf_dir (different table) gets its own entry.
-_ANN_TRAIN_CACHE: dict = {}
-
-
-def _ivf_centroids_memo(emb: DataFrame, sf: str) -> list:
-    key = ("ivf", sf, _IVF["nlist"], _IVF["seed"], _IVF["train_rows"])
-    if key not in _ANN_TRAIN_CACHE:
-        _ANN_TRAIN_CACHE[key] = similarity.train_ivf_centroids(
+def _ivf_centroids(emb: DataFrame, cache: dict | None = None) -> list:
+    """IVF coarse-quantizer training. ``cache`` is an INVOCATION-LOCAL
+    dict for entries that consume the centroids more than once in one
+    plan build (ann_recall's tier thunks); it never outlives the
+    query invocation, so every bench rep and every entry retrains from
+    the parquet inputs."""
+    key = ("ivf", _IVF["nlist"], _IVF["seed"], _IVF["train_rows"])
+    if cache is None:
+        cache = {}
+    if key not in cache:
+        cache[key] = similarity.train_ivf_centroids(
             emb, _IVF["nlist"], seed=_IVF["seed"],
             train_rows=_IVF["train_rows"])
-    return _ANN_TRAIN_CACHE[key]
+    return cache[key]
 
 
-def _pq_codebooks_memo(emb: DataFrame, sf: str) -> list:
-    key = ("pq", sf, _PQ["dim"], _PQ["m"], _PQ["ksub"], _PQ["seed"],
+def _pq_codebooks(emb: DataFrame, cache: dict | None = None) -> list:
+    """PQ codebook training; same invocation-local cache contract as
+    :func:`_ivf_centroids`."""
+    key = ("pq", _PQ["dim"], _PQ["m"], _PQ["ksub"], _PQ["seed"],
            _PQ["train_rows"])
-    if key not in _ANN_TRAIN_CACHE:
-        _ANN_TRAIN_CACHE[key] = similarity.train_pq_codebooks(
+    if cache is None:
+        cache = {}
+    if key not in cache:
+        cache[key] = similarity.train_pq_codebooks(
             emb, dim=_PQ["dim"], m=_PQ["m"], ksub=_PQ["ksub"],
             seed=_PQ["seed"], train_rows=_PQ["train_rows"])
-    return _ANN_TRAIN_CACHE[key]
+    return cache[key]
 
 
 def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -3021,7 +3021,7 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    books = _pq_codebooks_memo(emb, sf)
+    books = _pq_codebooks(emb)
     return similarity.pq_topk(emb, queries, books, k=_PQ["k"])
 
 
@@ -3052,7 +3052,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    cents = _ivf_centroids_memo(emb, sf)
+    cents = _ivf_centroids(emb)
     return similarity.ivf_topk(
         emb, queries, dim=_IVF["dim"], k=_IVF["k"], nlist=_IVF["nlist"],
         nprobe=_IVF["nprobe"], centroids=cents)
@@ -3135,8 +3135,8 @@ def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    cents = _ivf_centroids_memo(emb, sf)
-    books = _pq_codebooks_memo(emb, sf)
+    cents = _ivf_centroids(emb)
+    books = _pq_codebooks(emb)
     return similarity.ivf_pq_topk(
         emb, queries, dim=_PQ["dim"], k=_PQ["k"], nlist=_IVF["nlist"],
         nprobe=_IVFPQ_NPROBE, m=_PQ["m"], ksub=_PQ["ksub"],
@@ -3168,24 +3168,27 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     q3 = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    # builder THUNKS, not DataFrames: constructing the five tier plans
-    # analyzes thousands of centroid/codebook literal expressions
-    # (measured 6.4s of pure driver-side plan building at sf0.1) —
-    # pointless when the memo below already holds the tier's rows
+    # invocation-local training cache: the ivf/ivf_pq/pq tiers share
+    # centroid/codebook training WITHIN this one plan build (that
+    # sharing is the algorithm — one index, many consumers); nothing
+    # survives the invocation, so every bench rep retrains from the
+    # parquet inputs.
+    tcache: dict = {}
     tiers = {
         "ivf": lambda: similarity.ivf_topk(
             emb, q5, dim=_IVF["dim"], k=_IVF["k"], nlist=_IVF["nlist"],
-            nprobe=_IVF["nprobe"], centroids=_ivf_centroids_memo(emb, sf)),
+            nprobe=_IVF["nprobe"],
+            centroids=_ivf_centroids(emb, tcache)),
         "ivf_pq": lambda: similarity.ivf_pq_topk(
             emb, q3, dim=_PQ["dim"], k=_PQ["k"], nlist=_IVF["nlist"],
             nprobe=_IVFPQ_NPROBE, m=_PQ["m"], ksub=_PQ["ksub"],
-            centroids=_ivf_centroids_memo(emb, sf),
-            codebooks=_pq_codebooks_memo(emb, sf)),
+            centroids=_ivf_centroids(emb, tcache),
+            codebooks=_pq_codebooks(emb, tcache)),
         "lsh": lambda: similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8),
         "lsh_multiprobe": lambda: similarity.lsh_topk(
             emb, q5, dim=64, k=10, bits=8, nprobe=3),
         "pq": lambda: similarity.pq_topk(
-            emb, q3, _pq_codebooks_memo(emb, sf), k=_PQ["k"]),
+            emb, q3, _pq_codebooks(emb, tcache), k=_PQ["k"]),
     }
 
     # every top-k table is Q×k rows BY CONSTRUCTION (Q<=5, k=10), so
@@ -3195,23 +3198,12 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # ground truth alone). Sequential actions beat a thread pool here:
     # concurrent py4j/pandas-UDF job submission contends on the driver
     # (measured 19s threaded vs 11s sequential at sf0.01).
-    #
-    # The collected rows are memoised per (tier, sf_dir): each tier is a
-    # deterministic function of an immutable parquet table and fixed
-    # params, and a production recall gate scores the OUTPUT of an
-    # already-built index — it does not rebuild all five indexes per
-    # evaluation. Only this gate consumes the memo: the standalone tier
-    # entries (q_ivf_topk etc.) always compute live, so their bench
-    # numbers remain honest per-operator costs. No coalesce(1) on the
-    # rebuilt frames: a single-partition Python-RDD task measured ~7s
-    # here, while 32 near-empty slices finish in scheduler noise.
+    # No coalesce(1) on the rebuilt frames: a single-partition
+    # Python-RDD task measured ~7s here, while 32 near-empty slices
+    # finish in scheduler noise.
     def materialize_topk(name, build):
-        key = ("topk", name, sf)
-        if key not in _ANN_TRAIN_CACHE:
-            df = build()
-            _ANN_TRAIN_CACHE[key] = (df.collect(), df.schema)
-        rows, schema = _ANN_TRAIN_CACHE[key]
-        return spark.createDataFrame(rows, schema)
+        df = build()
+        return spark.createDataFrame(df.collect(), df.schema)
 
     exact = materialize_topk(
         "exact", lambda: similarity.brute_force_topk(emb, q5, k=10))
@@ -3236,12 +3228,13 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     fraction (share of corpus scored per query, from the bucket/cell
     histograms), and choose the cheapest config meeting the 0.7 target —
     the decision a real embedding pipeline automates before deploying an
-    index. Tier top-k tables reuse the gate's memo; candidate fractions
-    are histogram-sized at any corpus scale."""
+    index. Tier top-k tables come from ONE stacked action per
+    invocation; candidate fractions are histogram-sized at any corpus
+    scale."""
     emb = _load(spark, sf, "embeddings")
     q5 = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    cents = _ivf_centroids_memo(emb, sf)
+    cents = _ivf_centroids(emb)
 
     configs = (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2), ("ivf", 4))
 
@@ -3253,14 +3246,16 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
             emb, q5, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
             nprobe=p, centroids=cents)
 
+    # invocation-local top-k store: the five configs are computed in
+    # ONE stacked action the first time the provider fires (sequential
+    # per-config collects pay 5x the job-submission + scan-scheduling
+    # latency; each output is Q x k rows by construction), then served
+    # per config within THIS invocation only.
+    seltopk: dict = {}
+
     def provider(tier, p):
-        key = ("seltopk", tier, p, sf)
-        if key not in _ANN_TRAIN_CACHE:
-            # ALL five configs in ONE action: a labeled union collected
-            # once. Sequential per-config collects pay 5x the
-            # job-submission + scan-scheduling latency for pipelines
-            # that run concurrently without contention inside a single
-            # job (each output is Q x k rows by construction).
+        key = (tier, p)
+        if key not in seltopk:
             stacked = None
             schemas = {}
             for t_, p_ in configs:
@@ -3276,49 +3271,39 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
                 by_cfg[(t_, int(p_))].append(
                     (r["query_id"], r["vec_id"], r["rank"]))
             for c, rows_ in by_cfg.items():
-                _ANN_TRAIN_CACHE[("seltopk",) + c + (sf,)] = (
-                    rows_, schemas[c])
-        rows, schema = _ANN_TRAIN_CACHE[key]
+                seltopk[c] = (rows_, schemas[c])
+        rows, schema = seltopk[key]
         return spark.createDataFrame(rows, schema)
 
-    ekey = ("topk", "exact", sf)   # shared with ann_recall's ground truth
-    if ekey not in _ANN_TRAIN_CACHE:
-        df = similarity.brute_force_topk(emb, q5, k=10)
-        _ANN_TRAIN_CACHE[ekey] = (df.collect(), df.schema)
-    rows, schema = _ANN_TRAIN_CACHE[ekey]
-    exact = spark.createDataFrame(rows, schema)
+    df = similarity.brute_force_topk(emb, q5, k=10)
+    exact = spark.createDataFrame(df.collect(), df.schema)
 
-    # histogram totals and corpus size are deterministic per (sf, params)
-    # — memoised scalars, same contract as the training/topk memos
-    ckey = ("selcand", sf)
-    if ckey not in _ANN_TRAIN_CACHE:
-        # ONE corpus scan per tier family: the occupancy histogram is
-        # independent of nprobe (only the query's probe set varies), so
-        # pricing 2 LSH + 3 IVF configs needs 2 histograms, not 5
-        # corpus-wide bucket/cell assignments. The collected histograms
-        # are 2^bits-/nlist-row small by construction.
-        hists = {}
-        for fam, build in (
-                ("lsh", lambda: similarity.lsh_bucket_histogram(
-                    emb, dim=64, bits=8)),
-                ("ivf", lambda: similarity.ivf_cell_histogram(emb, cents))):
-            h = build()
-            hists[fam] = (h.collect(), h.schema)
-        totals = {}
-        for tier, p in (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2),
-                        ("ivf", 4)):
-            hrows, hschema = hists[tier]
-            hdf = spark.createDataFrame(hrows, hschema)
-            if tier == "lsh":
-                cand = similarity.lsh_candidate_count(
-                    emb, q5, dim=64, bits=8, nprobe=p, histogram=hdf)
-            else:
-                cand = similarity.ivf_candidate_count(
-                    emb, q5, cents, nprobe=p, histogram=hdf)
-            totals[(tier, p)] = (
-                cand.agg(F.sum("n_candidates")).collect()[0][0] or 0)
-        _ANN_TRAIN_CACHE[ckey] = (totals, emb.count())
-    totals, n_corpus = _ANN_TRAIN_CACHE[ckey]
+    # ONE corpus scan per tier family: the occupancy histogram is
+    # independent of nprobe (only the query's probe set varies), so
+    # pricing 2 LSH + 3 IVF configs needs 2 histograms, not 5
+    # corpus-wide bucket/cell assignments. The collected histograms
+    # are 2^bits-/nlist-row small by construction.
+    hists = {}
+    for fam, build in (
+            ("lsh", lambda: similarity.lsh_bucket_histogram(
+                emb, dim=64, bits=8)),
+            ("ivf", lambda: similarity.ivf_cell_histogram(emb, cents))):
+        h = build()
+        hists[fam] = (h.collect(), h.schema)
+    totals = {}
+    for tier, p in (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2),
+                    ("ivf", 4)):
+        hrows, hschema = hists[tier]
+        hdf = spark.createDataFrame(hrows, hschema)
+        if tier == "lsh":
+            cand = similarity.lsh_candidate_count(
+                emb, q5, dim=64, bits=8, nprobe=p, histogram=hdf)
+        else:
+            cand = similarity.ivf_candidate_count(
+                emb, q5, cents, nprobe=p, histogram=hdf)
+        totals[(tier, p)] = (
+            cand.agg(F.sum("n_candidates")).collect()[0][0] or 0)
+    n_corpus = emb.count()
     return similarity.select_ann_tier(
         emb, q5, dim=64, k=10, recall_target=_ANN_SELECT_TARGET,
         lsh_bits=8, lsh_probes=(1, 3), ivf_nlist=_IVF["nlist"],
@@ -3382,14 +3367,10 @@ def q_embedding_near_duplicates(spark: SparkSession, sf: str) -> DataFrame:
 _SEMDEDUP = dict(nlist=64, seed=42, train_rows=2048, threshold=0.35)
 
 
-def _semdedup_centroids_memo(emb: DataFrame, sf: str) -> list:
-    key = ("semdedup", sf, _SEMDEDUP["nlist"], _SEMDEDUP["seed"],
-           _SEMDEDUP["train_rows"])
-    if key not in _ANN_TRAIN_CACHE:
-        _ANN_TRAIN_CACHE[key] = similarity.train_ivf_centroids(
-            emb, _SEMDEDUP["nlist"], seed=_SEMDEDUP["seed"],
-            train_rows=_SEMDEDUP["train_rows"])
-    return _ANN_TRAIN_CACHE[key]
+def _semdedup_centroids(emb: DataFrame) -> list:
+    return similarity.train_ivf_centroids(
+        emb, _SEMDEDUP["nlist"], seed=_SEMDEDUP["seed"],
+        train_rows=_SEMDEDUP["train_rows"])
 
 
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -3404,7 +3385,7 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     The oracle recomputes identical centroids from the same sample and
     replays assignment + pairwise drop in SQL."""
     emb = _load(spark, sf, "embeddings")
-    cents = _semdedup_centroids_memo(emb, sf)
+    cents = _semdedup_centroids(emb)
     return similarity.semantic_dedup(
         emb, cents, threshold=_SEMDEDUP["threshold"])
 
@@ -3434,7 +3415,7 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _semdedup_centroids_from_parquet(sf_dir: str) -> list[list[float]]:
-    """Oracle-side replica of _semdedup_centroids_memo: same bounded
+    """Oracle-side replica of _semdedup_centroids: same bounded
     lowest-id sample, same numpy k-means (see
     _ivf_centroids_from_parquet for why this round-trips exactly)."""
     import duckdb
