@@ -87,6 +87,40 @@ def sibling_spark_procs() -> int:
     return max(0, n - 1)  # our own driver JVM is one of them
 
 
+def _spin_n(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i
+    return x
+
+
+def parallel_capacity(n_procs: int | None = None,
+                      n_iter: int = 20_000_000) -> float:
+    """All-cores throughput as a fraction of nominal: run the same
+    pure-Python spin once single-threaded and once on ``n_procs``
+    forked workers; return single_wall / parallel_wall (1.0 = the box
+    delivers every core at single-thread speed). The single-thread
+    probes (spin/arrow) CANNOT see host-level steal that only appears
+    under full fan-out — measured on this VM: single-thread probes at
+    reference speed while 32-way spin ran at 0.55 efficiency, exactly
+    the regime that halves every 32-core throughput headline. Recording
+    it turns a slow-looking record into attributable machine-state
+    evidence (same rationale as arrow_probe_ms)."""
+    import multiprocessing as mp
+
+    procs = n_procs or (os.cpu_count() or 1)
+    t0 = time.perf_counter()
+    _spin_n(n_iter)
+    single = time.perf_counter() - t0
+    ctx = mp.get_context("fork")
+    with ctx.Pool(procs) as pool:
+        pool.map(_spin_n, [1000] * procs)          # warm the pool
+        t0 = time.perf_counter()
+        pool.map(_spin_n, [n_iter] * procs)
+        par = time.perf_counter() - t0
+    return round(single / par, 3) if par > 0 else -1.0
+
+
 def arrow_probe_ms() -> float:
     """Fixed single-thread pyarrow sort+merge workload (~100ms idle):
     the same kernel class the Arrow compaction engine runs. The
@@ -572,6 +606,7 @@ def main() -> None:
         "loadavg_start": [round(v, 1) for v in os.getloadavg()],
         "spin_ms_start": spin_probe_ms(),
         "arrow_probe_ms_start": arrow_probe_ms(),
+        "parallel_capacity_start": parallel_capacity(),
         "sibling_spark_procs_start": sibling_spark_procs(),
         "per_query": {},
     }
@@ -605,6 +640,7 @@ def main() -> None:
                 "query_sec": round(max(0.0, timings[name] - setup), 3)}
     noise["spin_ms_after_queries"] = spin_probe_ms()
     noise["arrow_probe_ms_after_queries"] = arrow_probe_ms()
+    noise["parallel_capacity_after_queries"] = parallel_capacity()
 
     # phase 2 (exclusive): lifecycle ingest + compaction, min-of-2,
     # LOAD-GATED like the compaction phases (r10 VERDICT Next #1 — the
@@ -666,6 +702,7 @@ def main() -> None:
     noise["loadavg_end"] = [round(v, 1) for v in os.getloadavg()]
     noise["spin_ms_end"] = spin_probe_ms()
     noise["arrow_probe_ms_end"] = arrow_probe_ms()
+    noise["parallel_capacity_end"] = parallel_capacity()
     noise["sibling_spark_procs_end"] = sibling_spark_procs()
 
     cores = int(cpus)
