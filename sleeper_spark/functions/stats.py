@@ -65,8 +65,12 @@ def _cumhist(df: DataFrame, col: str,
     sess = df.sparkSession
     if n_parts is None:
         n_parts = sess.sparkContext.defaultParallelism
+    # materialise the histogram BEFORE the range exchange: the range
+    # bounds sampling executes its child, so an unmaterialised
+    # histogram pays the scan + hash aggregation twice (guide §1.2)
     hist = (df.where(F.col(col).isNotNull())
-            .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+            .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint())
     ranged = hist.repartitionByRange(n_parts, F.col(col)).withColumn(
         "__part", F.spark_partition_id())
     # cache: the per-partition totals pass and the cumsum pass must see
@@ -96,18 +100,66 @@ def exact_quantiles(df: DataFrame, col: str,
     """The exact q-th order statistics of ``col``: for each q, the
     smallest value whose cumulative count reaches ``ceil(q * n)``
     (percentile_disc semantics — an actual data value, never an
-    interpolation). One aggregation job answers every q at once;
-    driver transfer is len(qs) scalars."""
-    ch, n = _cumhist(df, col)
-    if not n:
-        return [None for _ in qs]
-    aggs = []
-    for i, q in enumerate(qs):
+    interpolation). Driver transfer is P + len(qs) scalars.
+
+    Same histogram + range-partitioned prefix-sum design as
+    :func:`_cumhist`, with two structural trims over calling it
+    directly (guide §1.2 — don't compute things you throw away):
+
+    - the histogram is materialised BEFORE ``repartitionByRange``:
+      the range exchange's bounds sampling executes its child, so an
+      unmaterialised histogram pays the scan + hash aggregation twice
+      (once sampled, once shuffled);
+    - the per-partition totals collected for the offsets already tell
+      the driver WHICH range partition answers each rank, so the final
+      window + min-filter job reads only those <= len(qs) partitions
+      instead of windowing the whole histogram. Values in earlier
+      partitions can never reach the rank (cum <= offset < rank) and
+      later partitions only hold larger values, so the answer per q is
+      unchanged.
+    """
+    for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
-        rank = max(1, math.ceil(q * n))
-        aggs.append(F.min(F.when(F.col("cum") >= rank,
-                                 F.col("value"))).alias(f"q{i}"))
+    if col in ("cnt", "cum", "__part"):
+        raise ValueError(
+            f"column name {col!r} collides with the histogram's "
+            "internal cnt/cum/__part columns — alias it first")
+    sess = df.sparkSession
+    n_parts = sess.sparkContext.defaultParallelism
+    hist = (df.where(F.col(col).isNotNull())
+            .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint())
+    ranged = hist.repartitionByRange(n_parts, F.col(col)).withColumn(
+        "__part", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    totals = {r["__part"]: r["t"] for r in
+              ranged.groupBy("__part").agg(F.sum("cnt").alias("t"))
+              .collect()}  # P scalars on the driver
+    if not totals:
+        return [None for _ in qs]
+    offsets, acc = {}, 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    n = acc
+    ranks = [max(1, math.ceil(q * n)) for q in qs]
+    # the partition whose [offset, offset+total] interval contains the
+    # rank answers it; the final job touches only those partitions
+    targets = set()
+    for rank in ranks:
+        for p in sorted(totals):
+            if offsets[p] < rank <= offsets[p] + totals[p]:
+                targets.add(p)
+                break
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(targets) for x in (p, offsets[p])])
+    w = Window.partitionBy("__part").orderBy(col)
+    ch = (ranged.where(F.col("__part").isin(list(targets)))
+          .withColumn("cum", F.sum("cnt").over(w)
+                      + off_map[F.col("__part")]))
+    aggs = [F.min(F.when(F.col("cum") >= rank, F.col(col)))
+            .alias(f"q{i}") for i, rank in enumerate(ranks)]
     row = ch.agg(*aggs).first()
     return [row[f"q{i}"] for i in range(len(qs))]
 
