@@ -73,7 +73,21 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     half-boundaries like -3.37205 where engines disagree — truncation
     of one shared double never does). Documents shorter than two
     tokens score NULL (no transitions to judge)."""
-    uni, bi = train_bigram_counts(df, text_col)
+    # ONE bigram tokenization feeds BOTH the count model and the
+    # scoring join (the unmaterialised form tokenized the corpus three
+    # times: unigram counts, bigram counts, scoring stream — guide
+    # §1.2). The exploded stream is executor-resident
+    # (MEMORY_AND_DISK), the same recompute-vs-store trade dsir.py
+    # makes for its hashed-gram stream; the unigram count table is
+    # vocabulary-sized and feeds two consumers (the V count and the
+    # conditional's denominator join), so it is materialised too.
+    ex = df.select(F.col(id_col),
+                   F.explode(_bigrams(F.col(text_col))).alias("bg")) \
+        .localCheckpoint()
+    uni = (df.select(F.explode(tokens(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1"))
+           .localCheckpoint())
+    bi = ex.groupBy("bg").agg(F.count("*").alias("c12"))
     vocab = uni.agg(F.count("*").alias("__v"))
     logprob = bi.join(
         uni, F.split(bi.bg, " ").getItem(0) == uni.w) \
@@ -85,8 +99,6 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                 / (F.col("c1").cast("double")
                    + F.lit(alpha) * F.col("__v").cast("double"))) * 1e6)
             .cast("long").alias("__lp_micro"))
-    ex = df.select(F.col(id_col),
-                   F.explode(_bigrams(F.col(text_col))).alias("bg"))
     scored = (ex.join(logprob, "bg")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
