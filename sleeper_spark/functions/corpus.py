@@ -80,10 +80,17 @@ def tfidf_top_terms(
     """
     terms = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # ONE tokenization: document frequency derives from the tf table
+    # (its rows are distinct (doc, term) pairs, so a plain count per
+    # term IS countDistinct(doc)) instead of re-exploding the corpus
+    # for a second aggregation over the raw term stream (guide §1.2);
+    # tf is materialised for its two consumers. n_docs must still come
+    # from the raw frame — a document with no tokens has no tf row but
+    # counts toward N.
     tf = terms.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"))
-    docfreq = terms.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint()
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
         tf.join(docfreq, "term")
