@@ -166,6 +166,17 @@ def minhash_signatures(
     Documents with no shingles (shorter than k words) produce no
     signature and are never candidates.
     """
+    w = _signature_array(df, text_col, id_col, num_hashes, shingle_k)
+    return w.select("__id", *[F.col("__sig")[s].alias(f"mh{s}")
+                              for s in range(num_hashes)])
+
+
+def _signature_array(df, text_col, id_col, num_hashes,
+                     shingle_k) -> DataFrame:
+    """``(__id, __sig)`` with the signature kept as ONE array column —
+    the internal shape banding folds over without ever projecting K
+    separate mh columns (K-proportional plan width was the dominant
+    driver-side cost of every LSH entry; guide §7.3)."""
     # spread the RAW input first: projected-then-repartitioned would put
     # the Project below the Exchange and hash every shingle on the
     # source's (possibly single) partition. Shingle-less rows (fewer
@@ -180,14 +191,32 @@ def minhash_signatures(
     # per-row signature: ONE nested transform over the (distinct)
     # shingle-hash column (see minhash_signature: identical values,
     # 2 lambdas instead of 2K in the plan) — no shuffle at all. The
-    # projection boundary keeps __sig materialised once per row; the
-    # mh{s} columns are plain element_at extractions, so the output
-    # schema (and every downstream consumer) is unchanged. Rows with
-    # no shingles get null mins and are dropped — never candidates.
-    w = sh.select("__id", minhash_signature(F.col("__sh"), num_hashes)
-                  .alias("__sig"))
-    return w.select("__id", *[F.col("__sig")[s].alias(f"mh{s}")
-                              for s in range(num_hashes)])
+    # projection boundary keeps __sig materialised once per row. Rows
+    # with no shingles get null mins and are dropped — never
+    # candidates.
+    return sh.select("__id", minhash_signature(F.col("__sh"), num_hashes)
+                     .alias("__sig"))
+
+
+def _band_bucket_rows(sig_df: DataFrame, id_out: str, num_hashes: int,
+                      bands: int) -> DataFrame:
+    """Explode ``(__id, __sig)`` into ``(id_out, band, bucket)`` rows.
+    bucket = xxhash64 over the band's r-element signature SLICE — the
+    multi-argument and array forms of xxhash64 fold elements through
+    the identical accumulator, so bucket values (and therefore every
+    collision) are bit-identical to hashing the r extracted mh columns,
+    while the plan carries one transform lambda instead of K column
+    extractions + bands hash expressions."""
+    r = num_hashes // bands
+    return sig_df.select(
+        F.col("__id").alias(id_out),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(F.slice(F.col("__sig"), b * r + 1, F.lit(r)))
+                 .alias("bucket")))).alias("bb"),
+    ).select(id_out, "bb.band", "bb.bucket")
 
 
 def banded_buckets(
@@ -206,20 +235,8 @@ def banded_buckets(
     joins only its own bands against the index
     (:func:`incremental_minhash_pairs`)."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    return sig.select(
-        F.col("__id").alias(id_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                # band bucket = one hash over the band's r signature values
-                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-                 .alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    sig = _signature_array(df, text_col, id_col, num_hashes, shingle_k)
+    return _band_bucket_rows(sig, id_col, num_hashes, bands)
 
 
 def incremental_minhash_pairs(
@@ -300,20 +317,8 @@ def _banded_buckets(df, text_col, id_col, num_hashes, bands,
     """``(__id, band, bucket)`` rows — B per document: the shared
     banding step behind the candidate join and the band audit."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    return sig.select(
-        "__id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                # band bucket = one hash over the band's r signature values
-                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-                 .alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
+    sig = _signature_array(df, text_col, id_col, num_hashes, shingle_k)
+    return _band_bucket_rows(sig, "__id", num_hashes, bands)
 
 
 def lsh_band_audit(
