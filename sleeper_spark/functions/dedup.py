@@ -426,12 +426,18 @@ def connected_components(
     with adversarially deep chain graphs should raise the cap (rounds
     are cheap) or pre-contract the graph.
     """
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism
+    # partition the edge table by the join key ONCE: every round's
+    # edges⋈labels join then reuses this layout (localCheckpoint
+    # preserves outputPartitioning), so the per-round shuffle moves only
+    # the label table — at scale the edge table is the heavy side and
+    # re-shuffling it O(rounds) times was the dominant per-round cost
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    edges = edges.localCheckpoint()
+    edges = edges.repartition(n_part, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -440,20 +446,30 @@ def connected_components(
     changed = None
     prev_ck = None  # the previous round's CHECKPOINTED df (not a .drop view)
     for _ in range(max_iterations):
-        neighbour_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src").agg(F.min("label").alias("nmin"))
+        # one union-aggregate computes the new label AND whether it
+        # changed: each node contributes its own (label, own=label) row;
+        # each in-edge contributes the neighbour's label. min(label) is
+        # the propagation step, min(own) recovers the node's previous
+        # label (exactly one own row per node), and label < own is the
+        # change flag — the old neighbour_min + left-join-back shape
+        # paid a second shuffle of the label table per round for the
+        # same answer.
+        contrib = (
+            edges.join(labels.repartition(n_part, "node"),
+                       edges.dst == labels.node)
+            .select("src", "label", F.lit(None).cast("long").alias("own"))
         )
         new_labels = (
-            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
+            contrib.unionByName(
+                labels.select(F.col("node").alias("src"), "label",
+                              F.col("label").alias("own")))
+            .groupBy("src")
+            .agg(F.min("label").alias("label"), F.min("own").alias("own"))
             .select(
-                "node",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.col("src").alias("node"), "label",
                 # a node's label only ever decreases; it changed this
-                # round iff a neighbour's label beat the current one
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
-                .cast("int").alias("__chg"),
+                # round iff a neighbour's label beat the previous one
+                (F.col("label") < F.col("own")).cast("int").alias("__chg"),
             )
         ).localCheckpoint(eager=False)
         # ONE job: the aggregate both materialises the lazy checkpoint
