@@ -3192,27 +3192,32 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     }
 
     # every top-k table is Q×k rows BY CONSTRUCTION (Q<=5, k=10), so
-    # collecting each is bounded at any corpus scale; WITHOUT the
-    # collect, each union branch + each recall join re-evaluates its
-    # full corpus scan (measured 10 brute-force evaluations of the
-    # ground truth alone). Sequential actions beat a thread pool here:
-    # concurrent py4j/pandas-UDF job submission contends on the driver
-    # (measured 19s threaded vs 11s sequential at sf0.01).
-    # No coalesce(1) on the rebuilt frames: a single-partition
-    # Python-RDD task measured ~7s here, while 32 near-empty slices
-    # finish in scheduler noise.
-    def materialize_topk(name, build):
-        df = build()
-        return spark.createDataFrame(df.collect(), df.schema)
-
-    exact = materialize_topk(
-        "exact", lambda: similarity.brute_force_topk(emb, q5, k=10))
-    # stack all tiers under a tier label and evaluate recall in ONE
-    # join+aggregate pass (tier_col) — per-tier recall_at_k calls cost
-    # 5x the stage-scheduling overhead for identical results
-    approx_all = None
+    # collecting is bounded at any corpus scale; WITHOUT the collect,
+    # each union branch + each recall join re-evaluates its full corpus
+    # scan (measured 10 brute-force evaluations of the ground truth
+    # alone). All six tables (5 tiers + exact) come back from ONE
+    # stacked action — the previous shape ran six sequential collects,
+    # paying 6x the job-submission + scan-scheduling latency for the
+    # same bounded rows.
+    stacked = similarity.brute_force_topk(emb, q5, k=10).select(
+        F.lit("exact").alias("tier"), "query_id", "vec_id", "rank")
+    schema = stacked.drop("tier").schema
     for name, build in tiers.items():
-        t = (materialize_topk(name, build)
+        stacked = stacked.unionByName(build().select(
+            F.lit(name).alias("tier"), "query_id", "vec_id", "rank"))
+    by_tier: dict = {n: [] for n in ("exact", *tiers)}
+    for r in stacked.collect():
+        by_tier[r["tier"]].append((r["query_id"], r["vec_id"], r["rank"]))
+    exact = spark.createDataFrame(by_tier["exact"], schema)
+    # re-stack the materialized rows under the tier label and evaluate
+    # recall in ONE join+aggregate pass (tier_col) — per-tier
+    # recall_at_k calls cost 5x the stage-scheduling overhead for
+    # identical results. No coalesce(1) on the rebuilt frames: a
+    # single-partition Python-RDD task measured ~7s here, while 32
+    # near-empty slices finish in scheduler noise.
+    approx_all = None
+    for name in tiers:
+        t = (spark.createDataFrame(by_tier[name], schema)
              .select(F.lit(name).alias("tier"), "query_id", "vec_id",
                      "rank"))
         approx_all = t if approx_all is None else approx_all.unionByName(t)
@@ -3228,8 +3233,13 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     fraction (share of corpus scored per query, from the bucket/cell
     histograms), and choose the cheapest config meeting the 0.7 target —
     the decision a real embedding pipeline automates before deploying an
-    index. Tier top-k tables come from ONE stacked action per
-    invocation; candidate fractions are histogram-sized at any corpus
+    index. One materialized index table per tier family feeds every
+    config, the histogram and the corpus count (the assignment is
+    nprobe-independent — rebuilding it per consumer paid ~8 corpus
+    passes for one index); all six top-k tables (5 configs + exact
+    ground truth) come from ONE stacked action, the two histograms +
+    corpus/query counts from a second, the five candidate totals from
+    a third. Candidate fractions are histogram-sized at any corpus
     scale."""
     emb = _load(spark, sf, "embeddings")
     q5 = emb.where(F.col("vec_id") < 5).select(
@@ -3238,19 +3248,34 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
 
     configs = (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2), ("ivf", 4))
 
+    # index build, once per family: bucket/cell assignment + vector
+    # norms, materialized so the stacked sweep and the histograms read
+    # it instead of re-deriving the corpus side per consumer
+    # lazy checkpoints: the first (stacked) action materializes both in
+    # the same job instead of paying two standalone materialization jobs
+    c_lsh = similarity.lsh_index_corpus(emb, dim=64, bits=8) \
+        .localCheckpoint(eager=False)
+    c_ivf = similarity.ivf_index_corpus(emb, cents) \
+        .localCheckpoint(eager=False)
+
+    # one query-set collect shared by every config's probe derivation
+    # (each ivf_topk/ivf_candidate_count otherwise re-collects it)
+    qrows = q5.collect()
+    q5_local = spark.createDataFrame(qrows, q5.schema)
+
     def _build(tier, p):
         if tier == "lsh":
-            return similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8,
-                                       nprobe=p)
+            return similarity.lsh_topk(emb, q5_local, dim=64, k=10, bits=8,
+                                       nprobe=p, indexed=c_lsh)
         return similarity.ivf_topk(
-            emb, q5, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
-            nprobe=p, centroids=cents)
+            emb, q5_local, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
+            nprobe=p, centroids=cents, indexed=c_ivf, query_rows=qrows)
 
-    # invocation-local top-k store: the five configs are computed in
-    # ONE stacked action the first time the provider fires (sequential
-    # per-config collects pay 5x the job-submission + scan-scheduling
-    # latency; each output is Q x k rows by construction), then served
-    # per config within THIS invocation only.
+    # invocation-local top-k store: the five configs AND the exact
+    # ground truth are computed in ONE stacked action the first time
+    # the provider fires (sequential per-config collects pay 6x the
+    # job-submission latency; each output is Q x k rows by
+    # construction), then served per config within THIS invocation.
     seltopk: dict = {}
 
     def provider(tier, p):
@@ -3258,14 +3283,16 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
         if key not in seltopk:
             stacked = None
             schemas = {}
-            for t_, p_ in configs:
-                d = _build(t_, p_)
+            for t_, p_ in configs + (("exact", 0),):
+                d = (similarity.brute_force_topk(
+                        emb, q5_local, k=10, indexed=c_lsh)
+                     if t_ == "exact" else _build(t_, p_))
                 schemas[(t_, p_)] = d.select("query_id", "vec_id",
                                              "rank").schema
                 d = d.select(F.lit(f"{t_}@{p_}").alias("__cfg"),
                              "query_id", "vec_id", "rank")
                 stacked = d if stacked is None else stacked.unionByName(d)
-            by_cfg = {c: [] for c in configs}
+            by_cfg = {c: [] for c in configs + (("exact", 0),)}
             for r in stacked.collect():
                 t_, p_ = r["__cfg"].split("@")
                 by_cfg[(t_, int(p_))].append(
@@ -3275,40 +3302,71 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
         rows, schema = seltopk[key]
         return spark.createDataFrame(rows, schema)
 
-    df = similarity.brute_force_topk(emb, q5, k=10)
-    exact = spark.createDataFrame(df.collect(), df.schema)
+    exact = provider("exact", 0)
 
-    # ONE corpus scan per tier family: the occupancy histogram is
-    # independent of nprobe (only the query's probe set varies), so
-    # pricing 2 LSH + 3 IVF configs needs 2 histograms, not 5
-    # corpus-wide bucket/cell assignments. The collected histograms
-    # are 2^bits-/nlist-row small by construction.
-    hists = {}
-    for fam, build in (
-            ("lsh", lambda: similarity.lsh_bucket_histogram(
-                emb, dim=64, bits=8)),
-            ("ivf", lambda: similarity.ivf_cell_histogram(emb, cents))):
-        h = build()
-        hists[fam] = (h.collect(), h.schema)
-    totals = {}
-    for tier, p in (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2),
-                    ("ivf", 4)):
-        hrows, hschema = hists[tier]
-        hdf = spark.createDataFrame(hrows, hschema)
+    # histograms + corpus count in ONE action off the materialized
+    # index tables (the histogram is groupBy(bucket/cell).count() on
+    # the index frame — nprobe-independent, <=2^bits/nlist rows)
+    stat_rows = (
+        c_lsh.groupBy(F.col("__bucket").alias("key"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.lit("lsh").alias("fam"), "key", "count")
+        .unionByName(
+            c_ivf.groupBy(F.col("__cell").cast("long").alias("key"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(F.lit("ivf").alias("fam"), "key", "count"))
+        .unionByName(
+            emb.agg(F.count(F.lit(1)).alias("count"))
+            .select(F.lit("n").alias("fam"),
+                    F.lit(0).cast("long").alias("key"), "count"))
+    ).collect()
+    n_corpus = next(int(r["count"]) for r in stat_rows if r["fam"] == "n")
+    hists = {
+        "lsh": [(r["key"], r["count"]) for r in stat_rows
+                if r["fam"] == "lsh"],
+        "ivf": [(int(r["key"]), r["count"]) for r in stat_rows
+                if r["fam"] == "ivf"],
+    }
+
+    # five candidate totals in ONE action: each config's count plan
+    # joins the query probe set against its <=2^bits-row collected
+    # histogram — corpus-independent plans, stacked under a config
+    # label
+    hdfs = {
+        "lsh": spark.createDataFrame(
+            hists["lsh"], T.StructType([
+                T.StructField("__bucket", T.LongType()),
+                T.StructField("count", T.LongType(), False)])),
+        "ivf": spark.createDataFrame(
+            hists["ivf"], T.StructType([
+                T.StructField("__cell", T.IntegerType()),
+                T.StructField("count", T.LongType(), False)])),
+    }
+    cand_stack = None
+    for tier, p in configs:
         if tier == "lsh":
             cand = similarity.lsh_candidate_count(
-                emb, q5, dim=64, bits=8, nprobe=p, histogram=hdf)
+                emb, q5_local, dim=64, bits=8, nprobe=p,
+                histogram=hdfs["lsh"])
         else:
             cand = similarity.ivf_candidate_count(
-                emb, q5, cents, nprobe=p, histogram=hdf)
-        totals[(tier, p)] = (
-            cand.agg(F.sum("n_candidates")).collect()[0][0] or 0)
-    n_corpus = emb.count()
+                emb, q5_local, cents, nprobe=p, histogram=hdfs["ivf"],
+                query_rows=qrows)
+        cand = cand.agg(F.sum("n_candidates").alias("t")).select(
+            F.lit(f"{tier}@{p}").alias("__cfg"), "t")
+        cand_stack = cand if cand_stack is None \
+            else cand_stack.unionByName(cand)
+    totals = {}
+    for r in cand_stack.collect():
+        t_, p_ = r["__cfg"].split("@")
+        totals[(t_, int(p_))] = r["t"] or 0
+
     return similarity.select_ann_tier(
         emb, q5, dim=64, k=10, recall_target=_ANN_SELECT_TARGET,
         lsh_bits=8, lsh_probes=(1, 3), ivf_nlist=_IVF["nlist"],
         ivf_probes=(1, 2, 4), centroids=cents, topk_provider=provider,
-        exact=exact, candidate_totals=totals, n_corpus=n_corpus)
+        exact=exact, candidate_totals=totals, n_corpus=n_corpus,
+        n_queries=len(qrows))
 
 
 def q_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:

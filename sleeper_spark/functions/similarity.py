@@ -117,15 +117,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast queries, score map-side,
     per-partition pre-prune then global top-k. Ties broken by corpus id
-    for determinism."""
+    for determinism. ``indexed`` injects any prebuilt ``(id_col,
+    __cvec, __cnorm, ...)`` corpus frame (:func:`lsh_index_corpus` /
+    :func:`ivf_index_corpus`) so a recall sweep shares one corpus
+    projection; extra index columns are dropped by the top-k select."""
     q = _with_norm(queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ), "__qvec", "__qnorm")
-    c = _with_norm(corpus.select(
+    c = indexed if indexed is not None else _with_norm(corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
     ), "__cvec", "__cnorm")
@@ -142,13 +146,35 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def _array_lit(values, sql_type: str) -> Column:
+    """Nested numeric array literal via ONE ``F.expr`` parse.
+
+    ``F.lit(nested_list)`` issues a py4j call PER ELEMENT — a 512-double
+    planes matrix cost ~0.5s of pure driver time to construct, paid on
+    every plan build of every LSH/PQ consumer. Rendering the literal as
+    SQL text and parsing it JVM-side is one round trip (~1ms).
+    Bit-exact: ``repr`` of a finite double is the shortest decimal that
+    round-trips, and the SQL parser's ``Double.parseDouble`` is
+    correctly rounded, so the parsed literal holds the identical IEEE
+    bits ``F.lit`` would have."""
+    def render(v):
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        if isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise ValueError(f"non-finite literal {v!r}")
+            return repr(v) + "D"
+        return f"{int(v)}L"
+    return F.expr(f"CAST({render(values)} AS {sql_type})")
+
+
 def _planes_lit(planes: list[list[float]]) -> Column:
     """The hyperplane matrix as ONE bits×dim 2-D literal (the k-means
     centroid-literal idiom, guide §7.3): every consumer folds over it
     with a single lambda instead of building a per-plane expression
     tree, so plan size — and the Catalyst analysis time every LSH
     entry pays per pass — stays O(1) in ``bits``."""
-    return F.lit([list(p) for p in planes]).cast("array<array<double>>")
+    return _array_lit([list(p) for p in planes], "array<array<double>>")
 
 
 def _plane_dots(vec: Column, planes: list[list[float]]) -> Column:
@@ -447,9 +473,17 @@ def ivf_topk(
     seed: int = 42,
     train_rows: int | None = None,
     centroids: list[list[float]] | None = None,
+    indexed: DataFrame | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second classic ANN
     scale path next to hyperplane LSH.
+
+    ``indexed`` injects a prebuilt :func:`ivf_index_corpus` frame
+    (build the cell assignment once per sweep, not once per config);
+    ``query_rows`` injects already-collected ``(query_id, vec)`` rows
+    so a config sweep collects the query set once instead of once per
+    config.
 
     Train: k-means over a BOUNDED sample (``train_rows`` rows, never the
     full corpus — see :func:`train_ivf_centroids`) gives ``nlist``
@@ -472,16 +506,14 @@ def ivf_topk(
             corpus, nlist, id_col=id_col, vec_col=vec_col, seed=seed,
             train_rows=train_rows)
     cents = np.asarray(centroids, dtype=np.float64)
-    assign_udf = _assign_cells_udf(centroids)
 
-    c = _with_norm(corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ), "__cvec", "__cnorm").withColumn("__cell", assign_udf(F.col("__cvec")))
+    c = indexed if indexed is not None else ivf_index_corpus(
+        corpus, centroids, id_col, vec_col)
 
     # queries probe their nprobe nearest cells (driver-side: queries are
     # small by contract, same as the broadcast in brute_force_topk)
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = (query_rows if query_rows is not None
+             else queries.select(query_id_col, vec_col).collect())
     probe_rows = [
         (r[0], cell, [float(x) for x in r[1]])
         for r in qrows
@@ -656,6 +688,48 @@ def query_probe_buckets(vec: Column, planes: list[list[float]],
             F.element_at(weights, s["i"] + 1))))
 
 
+def lsh_index_corpus(
+    corpus: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LSH tier's corpus-side index table: ``(id_col, __cvec,
+    __cnorm, __bucket)`` — exactly what :func:`lsh_topk` derives
+    internally. Build (and optionally materialize) it ONCE, then pass
+    it to ``lsh_topk(..., indexed=...)`` for every probe configuration:
+    the bucket assignment is the corpus-scan-sized cost and is
+    independent of ``nprobe``, so a config sweep that rebuilds it per
+    config pays N corpus passes for one index. ``groupBy("__bucket")
+    .count()`` on this frame IS :func:`lsh_bucket_histogram`."""
+    planes = _hyperplanes(dim, bits, seed)
+    return _with_norm(corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ), "__cvec", "__cnorm").withColumn(
+        "__bucket", lsh_bucket(F.col("__cvec"), planes))
+
+
+def ivf_index_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF tier's corpus-side index table: ``(id_col, __cvec,
+    __cnorm, __cell)`` — the cell assignment :func:`ivf_topk` derives
+    internally; same build-once contract as :func:`lsh_index_corpus`
+    (the assignment depends only on the centroids, never ``nprobe``)."""
+    assign_udf = _assign_cells_udf(centroids)
+    return _with_norm(corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ), "__cvec", "__cnorm").withColumn(
+        "__cell", assign_udf(F.col("__cvec")))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -667,6 +741,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     nprobe: int = 1,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket. ~2^bits-fold candidate reduction at the cost of recall.
@@ -678,11 +753,8 @@ def lsh_topk(
     and a corpus vector still lives in exactly one bucket so candidates
     never duplicate."""
     planes = _hyperplanes(dim, bits, seed)
-    c = _with_norm(corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ), "__cvec", "__cnorm").withColumn(
-        "__bucket", lsh_bucket(F.col("__cvec"), planes))
+    c = indexed if indexed is not None else lsh_index_corpus(
+        corpus, dim, bits, seed, id_col, vec_col)
     q = _with_norm(queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
@@ -822,16 +894,19 @@ def ivf_candidate_count(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     histogram: DataFrame | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Per-query candidate count of the IVF tier (probed cells' sizes,
     self excluded) from the nlist-row cell histogram — same shape and
     scale contract as :func:`lsh_candidate_count`. Pass ``histogram``
     (:func:`ivf_cell_histogram`) to price many nprobe configs off one
-    corpus scan."""
+    corpus scan, and ``query_rows`` (already-collected ``(query_id,
+    vec)`` rows) to price many configs off one query collect."""
     cents = np.asarray(centroids, dtype=np.float64)
     counts = histogram if histogram is not None else \
         ivf_cell_histogram(corpus, centroids, vec_col)
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = (query_rows if query_rows is not None
+             else queries.select(query_id_col, vec_col).collect())
     probe_rows = [
         (r[0], cell)
         for r in qrows
@@ -869,6 +944,7 @@ def select_ann_tier(
     exact: DataFrame | None = None,
     candidate_totals: dict | None = None,
     n_corpus: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Recall-gated index selection — the decision a real embedding
     pipeline automates before deploying an ANN index: evaluate each
@@ -932,7 +1008,8 @@ def select_ann_tier(
 
     if n_corpus is None:
         n_corpus = corpus.count()
-    n_queries = queries.count()
+    if n_queries is None:
+        n_queries = queries.count()
     rows = []
     for tier, p in configs:
         total = (candidate_totals or {}).get((tier, p))
@@ -1079,8 +1156,8 @@ def pq_encode(
     # seconds of driver-side analysis per call on the unrolled form
     # (guide §7.3; same fix as _kmeans_micro / minhash_signature).
     dsub = len(codebooks[0][0])
-    books = F.lit([[list(c) for c in book] for book in codebooks]) \
-        .cast("array<array<array<double>>>")
+    books = _array_lit([[list(c) for c in book] for book in codebooks],
+                       "array<array<array<double>>>")
 
     def _d2s(s):
         sub = F.slice(v, s * dsub + F.lit(1), dsub)
@@ -1108,8 +1185,8 @@ def _query_lut_expr(codebooks, vec_col: str) -> Column:
     # same nested-literal collapse as pq_encode: identical doubles,
     # identical left-fold order, O(1) lambda nodes instead of m·ksub
     dsub = len(codebooks[0][0])
-    books = F.lit([[list(c) for c in book] for book in codebooks]) \
-        .cast("array<array<array<double>>>")
+    books = _array_lit([[list(c) for c in book] for book in codebooks],
+                       "array<array<array<double>>>")
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
         lambda s: F.transform(
@@ -1280,7 +1357,7 @@ def _sq_l2_micro(vec: Column, centroid: list[int]) -> Column:
     """Squared L2 distance between a micro-long vector column and a
     literal micro centroid. Bounds: |diff| ≤ ~4e6 ⇒ diff² ≤ 1.6e13;
     × 4096 dims ≤ 6.6e16 < 2^63 — int64-safe at any realistic dim."""
-    lit = F.lit(centroid).cast("array<long>")
+    lit = _array_lit(list(centroid), "array<long>")
     return F.aggregate(
         F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, d: acc + d)
@@ -1327,7 +1404,7 @@ def _kmeans_micro(q: DataFrame, id_col: str, k: int, iterations: int):
         # driver-side analysis per assignment pass at k=8, dim=64
         # (guide §7.3: very large expression trees spend their time in
         # the Analyzer, and this plan is rebuilt every Lloyd iteration).
-        lit2 = F.lit([list(c) for c in cents]).cast("array<array<long>>")
+        lit2 = _array_lit([list(c) for c in cents], "array<array<long>>")
         dists = F.transform(lit2, lambda c: F.aggregate(
             F.zip_with(F.col("__v"), c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, d: acc + d))
