@@ -4690,8 +4690,12 @@ def _ck(df: DataFrame) -> DataFrame:
     (guide §3.3: materialising an intermediate truncates the plan; at
     100 TB each spare reference is a spare corpus pass). Every frame
     passed here is |categories|-rows — executor-resident copies are
-    free next to the pass they remove."""
-    return df.localCheckpoint()
+    free next to the pass they remove. Lazy: the first consuming action
+    materialises the blocks (the checkpoint RDD is marked persistent at
+    creation, so a second reference inside the same job reads the cache
+    instead of recomputing) — an eager checkpoint paid one standalone
+    materialisation job per entry for the same reuse."""
+    return df.localCheckpoint(eager=False)
 
 
 def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:

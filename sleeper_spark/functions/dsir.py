@@ -92,8 +92,14 @@ def logweight_table_from_counts(target_counts: DataFrame,
     # counts (measured: the fit stages executed twice per side at
     # sf0.1; at 100 TB that is two spare corpus passes). A ≤B-row
     # localCheckpoint is free by comparison (guide §3.3/§5).
-    tc = target_counts.withColumnRenamed("cnt", "tc").localCheckpoint()
-    rc = raw_counts.withColumnRenamed("cnt", "rc").localCheckpoint()
+    # lazy: the first consuming action materialises both (the RDDs are
+    # marked persistent at creation, so the second reference in the
+    # same job reads the cache) — eager checkpoints paid two extra
+    # standalone jobs per call for the same reuse
+    tc = target_counts.withColumnRenamed("cnt", "tc") \
+        .localCheckpoint(eager=False)
+    rc = raw_counts.withColumnRenamed("cnt", "rc") \
+        .localCheckpoint(eager=False)
     # coalesce: an EMPTY count table (e.g. a target sample with no
     # grams yet) sums to NULL, which would NULL every weight — and the
     # scorer's final coalesce would then silently report 0 instead of
@@ -179,7 +185,7 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     the ≤B-row weight table → one hash aggregate."""
     ex = raw.select(F.col(id_col),
                     F.explode(hashed_gram_buckets(text_col, n_buckets))
-                    .alias("bucket")).localCheckpoint()
+                    .alias("bucket")).localCheckpoint(eager=False)
     wt = logweight_table_from_counts(
         fit_bucket_counts(target, text_col, n_buckets),
         ex.groupBy("bucket").agg(F.count("*").alias("cnt")),
