@@ -2983,6 +2983,51 @@ def _pq_codebooks_from_parquet(sf_dir: str) -> list[list[list[float]]]:
     ]
 
 
+def _lsh_query_probes(spark: SparkSession, q_local: DataFrame,
+                      planes: list, max_probe: int) -> list:
+    """Per-query LSH probe buckets, evaluated ONCE with the LARGEST
+    nprobe of a sweep: ``query_probe_buckets`` orders probes [signature
+    bucket, then flips by ascending margin], so every smaller nprobe's
+    probe set is a PREFIX of this list — one tiny evaluation prices and
+    probes every config. Returns collected rows ``(query_id, embedding,
+    __probes)``; bucket values come from the exact Spark expressions the
+    per-config plans would have evaluated."""
+    return (similarity._with_norm(
+        q_local.select("query_id",
+                       F.col("embedding").alias("__emb"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("__qvec")),
+        "__qvec", "__qnorm")
+        .select("query_id", "__emb",
+                similarity.query_probe_buckets(
+                    F.col("__qvec"), planes, max_probe).alias("__probes"))
+        .collect())
+
+
+def _family_probe_topk(c_indexed: DataFrame, probe_df: DataFrame,
+                       join_col: str, k: int) -> DataFrame:
+    """One labeled top-k branch for a WHOLE config family: the probe
+    frame carries (``__cfg``, query_id, join bucket/cell, raw
+    embedding) rows for every config — configs are DATA, not plan
+    branches, so a 5-config sweep plans 2 joins instead of 5. The
+    scoring join, cosine, self-exclusion and per-(cfg, query) window
+    are the exact expressions of the per-config plans, so each config's
+    slice of the output is bit-identical to its standalone tier."""
+    q = similarity._with_norm(
+        probe_df.select("__cfg", "query_id", join_col,
+                        F.col("embedding").cast("array<double>")
+                        .alias("__qvec")),
+        "__qvec", "__qnorm")
+    scored = (c_indexed.join(F.broadcast(q), join_col)
+              .withColumn("cosine", similarity._paired_cosine()))
+    scored = similarity._exclude_self(scored, "vec_id", "query_id")
+    w = Window.partitionBy("__cfg", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("__cfg", "query_id", "vec_id", "rank"))
+
+
 def _ivf_centroids(emb: DataFrame, cache: dict | None = None) -> list:
     """IVF coarse-quantizer training. ``cache`` is an INVOCATION-LOCAL
     dict for entries that consume the centroids more than once in one
@@ -3174,38 +3219,79 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # survives the invocation, so every bench rep retrains from the
     # parquet inputs.
     tcache: dict = {}
-    tiers = {
-        "ivf": lambda: similarity.ivf_topk(
-            emb, q5, dim=_IVF["dim"], k=_IVF["k"], nlist=_IVF["nlist"],
-            nprobe=_IVF["nprobe"],
-            centroids=_ivf_centroids(emb, tcache)),
-        "ivf_pq": lambda: similarity.ivf_pq_topk(
-            emb, q3, dim=_PQ["dim"], k=_PQ["k"], nlist=_IVF["nlist"],
-            nprobe=_IVFPQ_NPROBE, m=_PQ["m"], ksub=_PQ["ksub"],
-            centroids=_ivf_centroids(emb, tcache),
-            codebooks=_pq_codebooks(emb, tcache)),
-        "lsh": lambda: similarity.lsh_topk(emb, q5, dim=64, k=10, bits=8),
-        "lsh_multiprobe": lambda: similarity.lsh_topk(
-            emb, q5, dim=64, k=10, bits=8, nprobe=3),
-        "pq": lambda: similarity.pq_topk(
-            emb, q3, _pq_codebooks(emb, tcache), k=_PQ["k"]),
-    }
+    cents = _ivf_centroids(emb, tcache)
+    books = _pq_codebooks(emb, tcache)
+
+    # one materialized index table per family (assignment + norms built
+    # once, shared by the lsh tiers / the ivf tier / the ground truth);
+    # lazy: the stacked action materializes both
+    c_lsh = similarity.lsh_index_corpus(emb, dim=64, bits=8) \
+        .localCheckpoint(eager=False)
+    c_ivf = similarity.ivf_index_corpus(emb, cents) \
+        .localCheckpoint(eager=False)
+
+    # one query collect with the nprobe=3 probe superset: the lsh tier's
+    # probe set (nprobe=1) is its prefix, so BOTH lsh tiers are rows of
+    # one probe frame feeding a single scoring join (configs as data,
+    # same trick as ann_index_selection)
+    planes = similarity._hyperplanes(64, 8, 42)
+    qx = _lsh_query_probes(spark, q5, planes, max_probe=3)
+    q5_local = spark.createDataFrame(
+        [(r["query_id"], r["__emb"]) for r in qx], q5.schema)
+    q3_local = spark.createDataFrame(
+        [(r["query_id"], r["__emb"]) for r in qx if r["query_id"] < 3],
+        q5.schema)
+    qrows5 = [(r["query_id"], r["__emb"]) for r in qx]
+    qid_t = q5.schema["query_id"].dataType
+    emb_t = q5.schema["embedding"].dataType
+    lsh_probe = spark.createDataFrame(
+        [(name, r["query_id"], b, r["__emb"])
+         for name, p in (("lsh", 1), ("lsh_multiprobe", 3))
+         for r in qx for b in r["__probes"][:p]],
+        T.StructType([
+            T.StructField("__cfg", T.StringType(), False),
+            T.StructField("query_id", qid_t),
+            T.StructField("__bucket", T.LongType()),
+            T.StructField("embedding", emb_t)]))
+
+    tier_names = ("ivf", "ivf_pq", "lsh", "lsh_multiprobe", "pq")
 
     # every top-k table is Q×k rows BY CONSTRUCTION (Q<=5, k=10), so
     # collecting is bounded at any corpus scale; WITHOUT the collect,
     # each union branch + each recall join re-evaluates its full corpus
     # scan (measured 10 brute-force evaluations of the ground truth
     # alone). All six tables (5 tiers + exact) come back from ONE
-    # stacked action — the previous shape ran six sequential collects,
-    # paying 6x the job-submission + scan-scheduling latency for the
-    # same bounded rows.
-    stacked = similarity.brute_force_topk(emb, q5, k=10).select(
-        F.lit("exact").alias("tier"), "query_id", "vec_id", "rank")
-    schema = stacked.drop("tier").schema
-    for name, build in tiers.items():
-        stacked = stacked.unionByName(build().select(
-            F.lit(name).alias("tier"), "query_id", "vec_id", "rank"))
-    by_tier: dict = {n: [] for n in ("exact", *tiers)}
+    # stacked action — sequential per-tier collects paid 6x the
+    # job-submission + scan-scheduling latency for the same bounded
+    # rows.
+    stacked = (
+        similarity.brute_force_topk(emb, q5_local, k=10, indexed=c_lsh)
+        .select(F.lit("exact").alias("tier"), "query_id", "vec_id",
+                "rank")
+        .unionByName(
+            _family_probe_topk(c_lsh, lsh_probe, "__bucket", 10)
+            .withColumnRenamed("__cfg", "tier"))
+        .unionByName(similarity.ivf_topk(
+            emb, q5_local, dim=_IVF["dim"], k=_IVF["k"],
+            nlist=_IVF["nlist"], nprobe=_IVF["nprobe"], centroids=cents,
+            indexed=c_ivf, query_rows=qrows5).select(
+                F.lit("ivf").alias("tier"), "query_id", "vec_id",
+                "rank"))
+        .unionByName(similarity.ivf_pq_topk(
+            emb, q3_local, dim=_PQ["dim"], k=_PQ["k"],
+            nlist=_IVF["nlist"], nprobe=_IVFPQ_NPROBE, m=_PQ["m"],
+            ksub=_PQ["ksub"], centroids=cents, codebooks=books).select(
+                F.lit("ivf_pq").alias("tier"), "query_id", "vec_id",
+                "rank"))
+        .unionByName(similarity.pq_topk(
+            emb, q3_local, books, k=_PQ["k"]).select(
+                F.lit("pq").alias("tier"), "query_id", "vec_id",
+                "rank")))
+    schema = T.StructType([
+        T.StructField("query_id", qid_t),
+        T.StructField("vec_id", emb.schema["vec_id"].dataType),
+        T.StructField("rank", T.IntegerType(), False)])
+    by_tier: dict = {n: [] for n in ("exact", *tier_names)}
     for r in stacked.collect():
         by_tier[r["tier"]].append((r["query_id"], r["vec_id"], r["rank"]))
     exact = spark.createDataFrame(by_tier["exact"], schema)
@@ -3216,7 +3302,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # single-partition Python-RDD task measured ~7s here, while 32
     # near-empty slices finish in scheduler noise.
     approx_all = None
-    for name in tiers:
+    for name in tier_names:
         t = (spark.createDataFrame(by_tier[name], schema)
              .select(F.lit(name).alias("tier"), "query_id", "vec_id",
                      "rank"))
@@ -3258,49 +3344,72 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     c_ivf = similarity.ivf_index_corpus(emb, cents) \
         .localCheckpoint(eager=False)
 
-    # one query-set collect shared by every config's probe derivation
-    # (each ivf_topk/ivf_candidate_count otherwise re-collects it)
-    qrows = q5.collect()
-    q5_local = spark.createDataFrame(qrows, q5.schema)
+    # one query-set collect (with the nprobe=3 probe superset — every
+    # smaller nprobe's probe set is a prefix) shared by every config's
+    # probe derivation, the candidate pricing and the brute-force query
+    # side
+    planes = similarity._hyperplanes(64, 8, 42)
+    qx = _lsh_query_probes(spark, q5, planes, max_probe=3)
+    q5_local = spark.createDataFrame(
+        [(r["query_id"], r["__emb"]) for r in qx], q5.schema)
+    qid_t = q5.schema["query_id"].dataType
+    vid_t = emb.schema["vec_id"].dataType
+    emb_t = q5.schema["embedding"].dataType
 
-    def _build(tier, p):
-        if tier == "lsh":
-            return similarity.lsh_topk(emb, q5_local, dim=64, k=10, bits=8,
-                                       nprobe=p, indexed=c_lsh)
-        return similarity.ivf_topk(
-            emb, q5_local, dim=_IVF["dim"], k=10, nlist=_IVF["nlist"],
-            nprobe=p, centroids=cents, indexed=c_ivf, query_rows=qrows)
+    # IVF probe cells per query at the LARGEST nprobe (stable argsort:
+    # smaller nprobe = prefix), driver-side numpy exactly as ivf_topk
+    # derives them
+    cents_np = similarity.np.asarray(cents, dtype="float64")
+    ivf_cells = {
+        r["query_id"]: similarity._probe_cells(
+            similarity.np.asarray(r["__emb"], dtype="float64"),
+            cents_np, 4)
+        for r in qx}
 
-    # invocation-local top-k store: the five configs AND the exact
-    # ground truth are computed in ONE stacked action the first time
-    # the provider fires (sequential per-config collects pay 6x the
-    # job-submission latency; each output is Q x k rows by
-    # construction), then served per config within THIS invocation.
-    seltopk: dict = {}
+    # configs are DATA, not plan branches: one probe frame per family
+    # carries every config's (cfg, query, bucket/cell) rows, so the
+    # stacked sweep plans 2 scoring joins + brute force instead of 6
+    # separate tier plans
+    lsh_probe = spark.createDataFrame(
+        [(f"lsh@{p}", r["query_id"], b, r["__emb"])
+         for p in (1, 3) for r in qx for b in r["__probes"][:p]],
+        T.StructType([
+            T.StructField("__cfg", T.StringType(), False),
+            T.StructField("query_id", qid_t),
+            T.StructField("__bucket", T.LongType()),
+            T.StructField("embedding", emb_t)]))
+    ivf_probe = spark.createDataFrame(
+        [(f"ivf@{p}", r["query_id"], c, r["__emb"])
+         for p in (1, 2, 4) for r in qx
+         for c in ivf_cells[r["query_id"]][:p]],
+        T.StructType([
+            T.StructField("__cfg", T.StringType(), False),
+            T.StructField("query_id", qid_t),
+            T.StructField("__cell", T.IntegerType()),
+            T.StructField("embedding", emb_t)]))
+
+    # all six top-k tables (5 configs + exact ground truth) from ONE
+    # stacked action; per-(cfg, query) windows reproduce each config's
+    # standalone tier rows bit-for-bit
+    stacked = (
+        _family_probe_topk(c_lsh, lsh_probe, "__bucket", 10)
+        .unionByName(_family_probe_topk(c_ivf, ivf_probe, "__cell", 10))
+        .unionByName(
+            similarity.brute_force_topk(emb, q5_local, k=10, indexed=c_lsh)
+            .select(F.lit("exact@0").alias("__cfg"), "query_id",
+                    "vec_id", "rank")))
+    topk_schema = T.StructType([
+        T.StructField("query_id", qid_t),
+        T.StructField("vec_id", vid_t),
+        T.StructField("rank", T.IntegerType(), False)])
+    by_cfg: dict = {c: [] for c in configs + (("exact", 0),)}
+    for r in stacked.collect():
+        t_, p_ = r["__cfg"].split("@")
+        by_cfg[(t_, int(p_))].append(
+            (r["query_id"], r["vec_id"], r["rank"]))
 
     def provider(tier, p):
-        key = (tier, p)
-        if key not in seltopk:
-            stacked = None
-            schemas = {}
-            for t_, p_ in configs + (("exact", 0),):
-                d = (similarity.brute_force_topk(
-                        emb, q5_local, k=10, indexed=c_lsh)
-                     if t_ == "exact" else _build(t_, p_))
-                schemas[(t_, p_)] = d.select("query_id", "vec_id",
-                                             "rank").schema
-                d = d.select(F.lit(f"{t_}@{p_}").alias("__cfg"),
-                             "query_id", "vec_id", "rank")
-                stacked = d if stacked is None else stacked.unionByName(d)
-            by_cfg = {c: [] for c in configs + (("exact", 0),)}
-            for r in stacked.collect():
-                t_, p_ = r["__cfg"].split("@")
-                by_cfg[(t_, int(p_))].append(
-                    (r["query_id"], r["vec_id"], r["rank"]))
-            for c, rows_ in by_cfg.items():
-                seltopk[c] = (rows_, schemas[c])
-        rows, schema = seltopk[key]
-        return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(by_cfg[(tier, p)], topk_schema)
 
     exact = provider("exact", 0)
 
@@ -3321,52 +3430,33 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
                     F.lit(0).cast("long").alias("key"), "count"))
     ).collect()
     n_corpus = next(int(r["count"]) for r in stat_rows if r["fam"] == "n")
-    hists = {
-        "lsh": [(r["key"], r["count"]) for r in stat_rows
-                if r["fam"] == "lsh"],
-        "ivf": [(int(r["key"]), r["count"]) for r in stat_rows
-                if r["fam"] == "ivf"],
-    }
+    hist_lsh = {r["key"]: r["count"] for r in stat_rows
+                if r["fam"] == "lsh"}
+    hist_ivf = {int(r["key"]): r["count"] for r in stat_rows
+                if r["fam"] == "ivf"}
 
-    # five candidate totals in ONE action: each config's count plan
-    # joins the query probe set against its <=2^bits-row collected
-    # histogram — corpus-independent plans, stacked under a config
-    # label
-    hdfs = {
-        "lsh": spark.createDataFrame(
-            hists["lsh"], T.StructType([
-                T.StructField("__bucket", T.LongType()),
-                T.StructField("count", T.LongType(), False)])),
-        "ivf": spark.createDataFrame(
-            hists["ivf"], T.StructType([
-                T.StructField("__cell", T.IntegerType()),
-                T.StructField("count", T.LongType(), False)])),
-    }
-    cand_stack = None
-    for tier, p in configs:
-        if tier == "lsh":
-            cand = similarity.lsh_candidate_count(
-                emb, q5_local, dim=64, bits=8, nprobe=p,
-                histogram=hdfs["lsh"])
-        else:
-            cand = similarity.ivf_candidate_count(
-                emb, q5_local, cents, nprobe=p, histogram=hdfs["ivf"],
-                query_rows=qrows)
-        cand = cand.agg(F.sum("n_candidates").alias("t")).select(
-            F.lit(f"{tier}@{p}").alias("__cfg"), "t")
-        cand_stack = cand if cand_stack is None \
-            else cand_stack.unionByName(cand)
+    # candidate totals priced driver-side from the collected histograms
+    # (the exact integer arithmetic of lsh_/ivf_candidate_count: per
+    # query, sum of probed buckets'/cells' occupancies minus self, then
+    # summed over queries) — the stacked count plans this replaces were
+    # corpus-independent joins of <=5-row probe sets against <=2^bits-row
+    # histograms, a full Spark action for bounded-driver arithmetic
     totals = {}
-    for r in cand_stack.collect():
-        t_, p_ = r["__cfg"].split("@")
-        totals[(t_, int(p_))] = r["t"] or 0
+    for p in (1, 3):
+        totals[("lsh", p)] = sum(
+            sum(hist_lsh.get(b, 0) for b in r["__probes"][:p]) - 1
+            for r in qx)
+    for p in (1, 2, 4):
+        totals[("ivf", p)] = sum(
+            sum(hist_ivf.get(c, 0) for c in ivf_cells[r["query_id"]][:p])
+            - 1 for r in qx)
 
     return similarity.select_ann_tier(
         emb, q5, dim=64, k=10, recall_target=_ANN_SELECT_TARGET,
         lsh_bits=8, lsh_probes=(1, 3), ivf_nlist=_IVF["nlist"],
         ivf_probes=(1, 2, 4), centroids=cents, topk_provider=provider,
         exact=exact, candidate_totals=totals, n_corpus=n_corpus,
-        n_queries=len(qrows))
+        n_queries=len(qx))
 
 
 def q_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
