@@ -150,13 +150,6 @@ def contamination_check(
         F.col(id_col).alias("train_id"),
         F.explode(shingles(text_col, ngram)).alias("sh"))
     if max_train_df is not None:
-        # ONE explode + ONE exchange of the train shingle stream: the
-        # df aggregation and the contamination join both need the
-        # stream hash-partitioned by shingle, so an explicit
-        # repartition("sh") lets ReuseExchange serve both consumers
-        # from the same shuffle — the unshared form tokenized and
-        # shingled the train corpus twice (guide §1.2/§2.4).
-        tr = tr.repartition("sh")
         # shingles() is distinct-per-doc, so count == document frequency
         hot = (tr.groupBy("sh")
                .agg(F.count(F.lit(1)).alias("__df"))
@@ -212,9 +205,6 @@ def containment_pairs(
         F.col(id_col).alias("train_id"),
         F.explode(shingles(text_col, ngram)).alias("sh"))
     if max_train_df is not None:
-        # same ReuseExchange sharing as contamination_check: one
-        # explode + one shuffle serves the df aggregation and the join
-        tr = tr.repartition("sh")
         hot = (tr.groupBy("sh")
                .agg(F.count(F.lit(1)).alias("__df"))
                .where(F.col("__df") > max_train_df)
