@@ -3229,6 +3229,11 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)
     c_ivf = similarity.ivf_index_corpus(emb, cents) \
         .localCheckpoint(eager=False)
+    # codes + cell in ONE corpus projection, shared by BOTH PQ tiers
+    # (pq_topk drops the cell column; the old shape encoded the corpus
+    # once per tier and ivf_pq additionally joined codes to cells on id)
+    c_pq = similarity.pq_index_corpus(emb, cents, books) \
+        .localCheckpoint(eager=False)
 
     # one query collect with the nprobe=3 probe superset: the lsh tier's
     # probe set (nprobe=1) is its prefix, so BOTH lsh tiers are rows of
@@ -3280,11 +3285,13 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(similarity.ivf_pq_topk(
             emb, q3_local, dim=_PQ["dim"], k=_PQ["k"],
             nlist=_IVF["nlist"], nprobe=_IVFPQ_NPROBE, m=_PQ["m"],
-            ksub=_PQ["ksub"], centroids=cents, codebooks=books).select(
+            ksub=_PQ["ksub"], centroids=cents, codebooks=books,
+            indexed=c_pq,
+            query_rows=[r for r in qrows5 if r[0] < 3]).select(
                 F.lit("ivf_pq").alias("tier"), "query_id", "vec_id",
                 "rank"))
         .unionByName(similarity.pq_topk(
-            emb, q3_local, books, k=_PQ["k"]).select(
+            emb, q3_local, books, k=_PQ["k"], indexed=c_pq).select(
                 F.lit("pq").alias("tier"), "query_id", "vec_id",
                 "rank")))
     schema = T.StructType([

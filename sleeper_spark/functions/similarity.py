@@ -1177,6 +1177,48 @@ def pq_encode(
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
+def pq_index_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ/IVF-PQ serving index in ONE corpus projection:
+    ``(id_col, codes, __cell)``. :func:`ivf_pq_topk` previously built
+    this by JOINING the code table against a separate cell-assignment
+    projection on ``id_col`` — at corpus scale that join is a full
+    double-shuffle of two corpus-sized sides for rows that came from
+    the SAME scan. Here cell and codes are two expressions over one
+    scan: no join, no shuffle, identical values. Also feeds
+    :func:`pq_topk` via ``indexed=`` (the extra ``__cell`` column is
+    dropped by the top-k select) so a recall sweep encodes the corpus
+    once for both PQ tiers."""
+    assign_udf = _assign_cells_udf(centroids)
+    # pq_encode's codes expression plus the cell column, one select
+    # over the same scan
+    v_cell = assign_udf(F.col(vec_col).cast("array<double>"))
+    dsub = len(codebooks[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    books = _array_lit([[list(c) for c in book] for book in codebooks],
+                       "array<array<array<double>>>")
+
+    def _d2s(s):
+        sub = F.slice(v, s * dsub + F.lit(1), dsub)
+        return F.transform(
+            F.element_at(books, (s + F.lit(1)).cast("int")),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda s: (F.array_position(_d2s(s), F.array_min(_d2s(s))) - 1)
+        .cast("int"))
+    return corpus.select(F.col(id_col), codes.alias("codes"),
+                         v_cell.alias("__cell"))
+
+
 def _query_lut_expr(codebooks, vec_col: str) -> Column:
     """Per-query (m x ksub) squared-distance lookup table as one nested
     array expression; entries round to 6 decimals on BOTH engines so the
@@ -1225,6 +1267,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: encode the corpus once, build each query's
     (m x ksub) distance lookup table map-side, then score a vector with
@@ -1235,7 +1278,8 @@ def pq_topk(
     LUT entries are rounded to 6 decimals on BOTH engines so the final
     m-term sum is order-insensitive at the emitted 4-decimal precision.
     """
-    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    enc = indexed if indexed is not None \
+        else pq_encode(corpus, codebooks, vec_col, id_col)
     q = queries.select(F.col(query_id_col),
                        _query_lut_expr(codebooks, vec_col).alias("__lut"))
     scored = _exclude_self(enc.crossJoin(F.broadcast(q)),
@@ -1259,6 +1303,8 @@ def ivf_pq_topk(
     train_rows: int = 2048,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    indexed: DataFrame | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style at-scale serving composition — IVF prunes
     WHICH vectors a query touches (~nlist/nprobe-fold), PQ shrinks WHAT
@@ -1303,17 +1349,18 @@ def ivf_pq_topk(
             corpus, dim, m=m, ksub=ksub, seed=seed, train_rows=train_rows,
             id_col=id_col, vec_col=vec_col)
     cents = np.asarray(centroids, dtype=np.float64)
-    assign_udf = _assign_cells_udf(centroids)
 
-    enc = pq_encode(corpus, codebooks, vec_col, id_col).join(
-        corpus.select(
-            F.col(id_col),
-            assign_udf(F.col(vec_col).cast("array<double>")).alias("__cell")),
-        id_col)
+    # codes + cell as ONE projection over one scan (pq_index_corpus):
+    # the previous code-table x cell-assignment join on id_col was a
+    # full double shuffle of two corpus-sized sides at scale, for rows
+    # that come from the same scan
+    enc = indexed if indexed is not None else pq_index_corpus(
+        corpus, centroids, codebooks, id_col, vec_col)
 
     # probes driver-side (queries are small by contract), LUT via the
     # same expression tree as pq_topk so the oracle reproduces it
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = (query_rows if query_rows is not None
+             else queries.select(query_id_col, vec_col).collect())
     probe_rows = [
         (r[0], cell)
         for r in qrows
