@@ -3330,10 +3330,13 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     config, the histogram and the corpus count (the assignment is
     nprobe-independent — rebuilding it per consumer paid ~8 corpus
     passes for one index); all six top-k tables (5 configs + exact
-    ground truth) come from ONE stacked action, the two histograms +
-    corpus/query counts from a second, the five candidate totals from
-    a third. Candidate fractions are histogram-sized at any corpus
-    scale."""
+    ground truth) come from ONE stacked action (configs ride the probe
+    frame as data — probe lists are prefix-ordered so one evaluation at
+    the largest nprobe serves every config), the two histograms +
+    corpus count from a second, and the five candidate totals are
+    priced driver-side from the collected histograms with the identical
+    integer arithmetic. Candidate fractions are histogram-sized at any
+    corpus scale."""
     emb = _load(spark, sf, "embeddings")
     q5 = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
