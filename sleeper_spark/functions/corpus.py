@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sleeper_spark.functions.dedup import shingles
-from sleeper_spark.functions.text import tokens
+from sleeper_spark.functions.text import bind_once, tokens
 
 
 def chunk_documents(
@@ -39,16 +39,22 @@ def chunk_documents(
 
     Output: ``id_col, chunk_id, n_chunk_tokens, chunk_text``.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # token-start positions: 0, stride, 2*stride, ... < max(n, 1)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
-    chunks = F.transform(starts, lambda s: F.array_join(
-        F.slice(toks, s + 1, window), " "))
+    # the token array is a lambda-bound value (bind_once), never an
+    # expression captured inside the transform lambda: a captured tree
+    # would re-run the tokenizer regex for EVERY chunk — O(tokens^2)
+    # per document instead of O(tokens)
+    def _chunks(t: Column) -> Column:
+        # token-start positions: 0, stride, 2*stride, ... < max(n, 1)
+        starts = F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)),
+                            F.lit(stride))
+        return F.transform(starts, lambda s: F.array_join(
+            F.slice(t, s + 1, window), " "))
+
     out = df.select(
         F.col(id_col),
-        n.alias("__n_tokens"),
-        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        F.size(tokens(text_col)).alias("__n_tokens"),
+        F.posexplode(bind_once(tokens(text_col), _chunks))
+        .alias("chunk_id", "chunk_text"),
     )
     return out.select(
         id_col,
@@ -277,14 +283,19 @@ def dedup_lines(
 def ngrams(col: Column | str, n: int = 2) -> Column:
     """ALL token n-grams (with repeats — counting wants the multiset,
     unlike dedup's distinct ``shingles``)."""
-    toks = tokens(col)
-    sz = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), sz - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(sz >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    # bind the token array once (bind_once): captured inside the lambda
+    # it would re-tokenize per gram — O(tokens^2) per document. The
+    # when() guard stays INSIDE the binding so sequence(1, 0) is never
+    # evaluated for short documents (it would run DESCENDING).
+    def _grams(t: Column) -> Column:
+        sz = F.size(t)
+        return F.when(
+            sz >= n,
+            F.transform(F.sequence(F.lit(1), sz - n + 1),
+                        lambda i: F.array_join(F.slice(t, i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(col), _grams)
 
 
 def ngram_top_counts(
@@ -324,21 +335,24 @@ def repetition_scores(
 
     Output: ``id_col, n_ngrams, dup_ngram_frac, dup_line_frac``.
     """
-    g = ngrams(text_col, ngram)
-    total = F.size(g)
-    uniq = F.size(F.array_distinct(g))
-    lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines)
-    u_lines = F.size(F.array_distinct(lines))
+    # the gram and line arrays are lambda-bound (bind_once) inside each
+    # output column: the dup fractions reference them ~4 times each,
+    # and every captured-tree reference would rebuild the gram array
+    # (tokenize + join) or re-split the text per row
+    def _dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(arr))).cast("double")
+                    / n, 4)).otherwise(F.lit(0.0))
+
     return df.select(
         F.col(id_col),
-        total.alias("n_ngrams"),
-        F.when(total > 0,
-               F.round((total - uniq).cast("double") / total, 4))
-        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
-        F.when(n_lines > 0,
-               F.round((n_lines - u_lines).cast("double") / n_lines, 4))
-        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.size(ngrams(text_col, ngram)).alias("n_ngrams"),
+        bind_once(ngrams(text_col, ngram), _dup_frac)
+        .alias("dup_ngram_frac"),
+        bind_once(F.split(F.col(text_col), "\n"), _dup_frac)
+        .alias("dup_line_frac"),
     )
 
 
@@ -419,14 +433,19 @@ def document_spans(
     of the corpus token count — the 100 TB shape is linear, unlike
     suffix-array substring dedup which needs a global sort of every
     suffix."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - window, F.lit(stride))
-    spans = F.transform(
-        starts, lambda s: F.md5(F.array_join(F.slice(toks, s + 1, window),
-                                             " ")))
-    return (df.where(n >= window)
-            .select(F.col(id_col), F.posexplode(spans)
+    # the token array is lambda-bound (bind_once): captured inside the
+    # transform lambda it would re-run the tokenizer regex per SPAN —
+    # O(tokens^2 / stride) per document instead of the linear shape the
+    # paragraph above promises
+    def _spans(t: Column) -> Column:
+        starts = F.sequence(F.lit(0), F.size(t) - window, F.lit(stride))
+        return F.transform(
+            starts, lambda s: F.md5(F.array_join(F.slice(t, s + 1, window),
+                                                 " ")))
+
+    return (df.where(F.size(tokens(text_col)) >= window)
+            .select(F.col(id_col),
+                    F.posexplode(bind_once(tokens(text_col), _spans))
                     .alias("span_idx", "span_md5"))
             .select(id_col,
                     (F.col("span_idx") * stride).alias("span_start"),

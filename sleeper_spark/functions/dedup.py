@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sleeper_spark.functions.text import content_md5, tokens
+from sleeper_spark.functions.text import bind_once, content_md5, tokens
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -91,15 +91,19 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     Guarded with when(): Spark's sequence() runs DESCENDING when start >
     stop, so short documents need an explicit empty array, not sequence(1,0).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    return F.array_distinct(
-        F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
-    )
+    # the token array is lambda-bound (bind_once): captured inside the
+    # transform lambda it would re-run the tokenizer regex per SHINGLE
+    # — O(tokens^2) per document. The when() guard stays inside the
+    # binding so sequence(1, 0) never evaluates for short documents.
+    def _grams(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - k + 1),
+                        lambda i: F.array_join(F.slice(t, i, k), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.array_distinct(bind_once(tokens(col), _grams))
 
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
@@ -108,16 +112,23 @@ def shingle_hashes(col: Column | str, k: int = 3) -> Column:
     ``xxhash64(acc, next)`` (zip_with over shifted slices). For LSH-style
     consumers only the shingle's hash matters, and skipping the string
     build makes shingling ~8x faster at document scale."""
-    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    n = F.size(th)
-    combined = th
-    for j in range(1, k):
-        combined = F.zip_with(
-            combined, F.slice(th, j + 1, F.greatest(n - j, F.lit(0))),
-            lambda a, b: F.xxhash64(a, b))
-    valid = F.slice(combined, 1, F.greatest(n - k + 1, F.lit(0)))
+    # the per-token hash array is lambda-bound (bind_once): the fold
+    # below references it k+2 times, and each reference to a captured
+    # tree would re-tokenize and re-hash the whole document — binding
+    # makes tokenization + hashing run exactly once per row
+    def _fold(th: Column) -> Column:
+        n = F.size(th)
+        combined = th
+        for j in range(1, k):
+            combined = F.zip_with(
+                combined, F.slice(th, j + 1, F.greatest(n - j, F.lit(0))),
+                lambda a, b: F.xxhash64(a, b))
+        valid = F.slice(combined, 1, F.greatest(n - k + 1, F.lit(0)))
+        return F.when(n >= k, valid).otherwise(
+            F.array().cast("array<bigint>"))
+
     return F.array_distinct(
-        F.when(n >= k, valid).otherwise(F.array().cast("array<bigint>")))
+        bind_once(F.transform(tokens(col), lambda t: F.xxhash64(t)), _fold))
 
 
 def portable_shingle_hashes(col: Column | str, k: int = 3) -> Column:
@@ -126,14 +137,41 @@ def portable_shingle_hashes(col: Column | str, k: int = 3) -> Column:
     than :func:`shingle_hashes` (materialises shingle strings + a crypto
     hash) but reproducible in any SQL engine that has md5 — used by the
     oracle-verified driver query so DuckDB can recompute identical SimHash
-    fingerprints. Production default stays the xxhash64 flavor."""
-    sh = shingles(col, k)
+    fingerprints. Production default stays the xxhash64 flavor.
+
+    The gram strings are built with the same zip_with fold over shifted
+    slices as :func:`shingle_hashes` — NOT with :func:`shingles` — for
+    two reasons: (1) no expression is captured inside a lambda, so the
+    token array is never re-tokenized per gram, and (2) this column
+    feeds :func:`simhash_fingerprints`'s Arrow UDF, and a nested lambda
+    CAPTURING an outer lambda variable in a Python UDF's input breaks
+    ExtractPythonUDFs on a deduplicated self-join branch (the relation
+    dedup re-aliases attributes but not lambda-variable ids, the
+    variable reads as a free reference, extraction skips the UDF, and
+    the interpreted projection then cannot evaluate it — reproduced on
+    Spark 4.1). zip_with's tail positions pair with null and concat_ws
+    skips nulls, but every such position is sliced away by the n-k+1
+    truncation, exactly as in shingle_hashes. Gram values and
+    first-occurrence order (array_distinct) are identical to the
+    shingles() form."""
+    toks = tokens(col)
+    n = F.size(toks)
+
     def _h(s: Column) -> Column:
         hx = F.md5(s)
         hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
         lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
         return F.shiftleft(hi, 32).bitwiseOR(lo)
-    return F.transform(sh, _h)
+
+    combined = toks
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined, F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b))
+    valid = F.slice(combined, 1, F.greatest(n - k + 1, F.lit(0)))
+    grams = F.array_distinct(
+        F.when(n >= k, valid).otherwise(F.array().cast("array<string>")))
+    return F.transform(grams, _h)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
@@ -538,15 +576,24 @@ def simhash(col: Column | str, k_shingle: int = 2) -> Column:
     fingerprint's bit i = 1 iff the vote is positive. Implemented with
     higher-order functions over the shingle array — per-row, no shuffle.
     """
-    hashes = F.transform(shingles(col, k_shingle), lambda sh: F.xxhash64(sh))
-    n = F.size(hashes)
-    bits = F.array(*[
-        (
-            F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(_bit64(i))) != 0)) * 2 > n
-        ).cast("long") * F.lit(_bit64(i))
-        for i in range(64)
-    ])
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+    # the shingle-hash array is lambda-bound (bind_once): the 64 per-bit
+    # votes each reference it, and a captured tree would re-shingle and
+    # re-hash the document 65 times per row — binding makes the
+    # (already expensive) shingle build run exactly once
+    def _vote(hashes: Column) -> Column:
+        n = F.size(hashes)
+        bits = F.array(*[
+            (
+                F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(_bit64(i))) != 0)) * 2 > n
+            ).cast("long") * F.lit(_bit64(i))
+            for i in range(64)
+        ])
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda a, b: a.bitwiseOR(b))
+
+    return bind_once(
+        F.transform(shingles(col, k_shingle), lambda sh: F.xxhash64(sh)),
+        _vote)
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:

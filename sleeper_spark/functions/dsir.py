@@ -37,8 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sleeper_spark.functions.lm import _bigrams
-from sleeper_spark.functions.text import tokens
+from sleeper_spark.functions.lm import _bigrams_given
+from sleeper_spark.functions.text import bind_once, tokens
 
 #: default feature-space size: 1024 buckets — the paper's 10k hashed
 #: n-gram dimensionality scaled down for test corpora (pass
@@ -54,8 +54,11 @@ def hashed_gram_buckets(col: Column | str,
     16 hex chars) and folded into [0, n_buckets) with pmod. NOT
     distinct — multiplicity is the multinomial count. Portable: the
     oracle recomputes identical buckets from the same md5 arithmetic."""
-    grams = F.concat(tokens(col), _bigrams(F.col(col) if isinstance(col, str)
-                                           else col))
+    # one tokenizer pass feeds BOTH the unigram and the bigram stream:
+    # the token array is lambda-bound (bind_once) and the bigram
+    # builder consumes the bound variable directly
+    grams = bind_once(tokens(col),
+                      lambda t: F.concat(t, _bigrams_given(t)))
 
     def _bucket(g: Column) -> Column:
         hx = F.md5(g)

@@ -23,19 +23,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sleeper_spark.functions.text import tokens
+from sleeper_spark.functions.text import bind_once, tokens
+
+
+def _bigrams_given(t: Column) -> Column:
+    """:func:`_bigrams` over an ALREADY-BOUND token array (a lambda
+    variable) — callers that also need the unigram array share one
+    tokenizer pass by binding it themselves (see dsir.py)."""
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                          F.element_at(t, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _bigrams(col: Column) -> Column:
     """Adjacent token pairs as 'w1 w2' strings (order preserved, NOT
-    distinct — counts weight repeated transitions)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1)))
-    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+    distinct — counts weight repeated transitions). The token array is
+    lambda-bound (bind_once): captured inside the transform lambda it
+    would re-run the tokenizer regex per bigram — O(tokens^2)."""
+    return bind_once(tokens(col), _bigrams_given)
 
 
 def train_bigram_counts(df: DataFrame,

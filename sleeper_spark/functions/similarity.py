@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sleeper_spark.functions.text import bind_once
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -54,8 +56,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+    # operands and denominator are lambda-bound (bind_once): the guard
+    # + division reference the denominator twice and each operand three
+    # times, and captured trees (callers pass casts) would re-evaluate
+    # O(dim) work per reference
+    return bind_once(a, lambda av: bind_once(b, lambda bv: bind_once(
+        l2_norm(av) * l2_norm(bv),
+        lambda denom: F.when(denom > 0, dot(av, bv) / denom)
+        .otherwise(F.lit(0.0)))))
 
 
 def _pruned_topk(scored: DataFrame, k: int, id_col: str,
@@ -180,8 +188,11 @@ def _planes_lit(planes: list[list[float]]) -> Column:
 def _plane_dots(vec: Column, planes: list[list[float]]) -> Column:
     """array of dot(vec, plane_i) in plane order — the identical
     zip_with/aggregate fold :func:`dot` runs per plane, under one
-    transform lambda."""
-    return F.transform(_planes_lit(planes), lambda p: dot(vec, p))
+    transform lambda. ``vec`` is lambda-bound (bind_once) so a computed
+    vector expression (e.g. a cast) evaluates once, not once per
+    plane."""
+    return bind_once(vec, lambda v: F.transform(_planes_lit(planes),
+                                                lambda p: dot(v, p)))
 
 
 def _bucket_from_dots(ds: Column, nbits: int) -> Column:
@@ -316,12 +327,17 @@ def train_ivf_centroids(
     sample misses whole modes, at the price of ``iterations``
     full-corpus passes instead of one bounded collect."""
     if method == "distributed":
+        # the norm scalar is lambda-bound (bind_once): captured inside
+        # the division lambda it would re-run the O(dim) aggregate for
+        # every element — O(dim^2) per row
         norm = F.sqrt(F.aggregate(
             F.transform(F.col(vec_col), lambda x: x * x),
             F.lit(0.0), lambda a, x: a + x))
-        unit = F.transform(
-            F.col(vec_col),
-            lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        unit = bind_once(
+            norm,
+            lambda nrm: F.transform(
+                F.col(vec_col),
+                lambda x: x / F.greatest(nrm, F.lit(1e-12))))
         q = corpus.select(F.col(id_col),
                           quantize_micro(unit).alias("__v"))
         cents_micro, _ = _kmeans_micro(q, id_col, nlist, iterations)
@@ -673,19 +689,27 @@ def query_probe_buckets(vec: Column, planes: list[list[float]],
         return F.array(lsh_bucket(vec, planes))
     # ONE per-plane dot array feeds both the signature bucket and the
     # flip margins (the unrolled form built 2·bits separate dot trees;
-    # values, margin ties and probe order are identical — guide §7.3)
-    ds = _plane_dots(vec, planes)
-    base = _bucket_from_dots(ds, len(planes))
+    # values, margin ties and probe order are identical — guide §7.3).
+    # Both the dot array and the base bucket are lambda-bound
+    # (bind_once): captured inside the flip lambda, the base bucket —
+    # and through it the whole bits×dim dot fold — would re-evaluate
+    # once per probe.
     weights = F.array(*[F.lit(1 << i).cast("long")
                         for i in range(len(planes))])
-    flips = F.slice(
-        F.array_sort(F.transform(ds, lambda d, i: F.struct(
-            F.abs(d).alias("m"), i.alias("i")))),
-        1, nprobe - 1)
-    return F.concat(
-        F.array(base),
-        F.transform(flips, lambda s: base.bitwiseXOR(
-            F.element_at(weights, s["i"] + 1))))
+
+    def _probes(ds: Column) -> Column:
+        flips = F.slice(
+            F.array_sort(F.transform(ds, lambda d, i: F.struct(
+                F.abs(d).alias("m"), i.alias("i")))),
+            1, nprobe - 1)
+        return bind_once(
+            _bucket_from_dots(ds, len(planes)),
+            lambda base: F.concat(
+                F.array(base),
+                F.transform(flips, lambda s: base.bitwiseXOR(
+                    F.element_at(weights, s["i"] + 1)))))
+
+    return bind_once(_plane_dots(vec, planes), _probes)
 
 
 def lsh_index_corpus(
@@ -1137,6 +1161,50 @@ def train_pq_codebooks(
     ]
 
 
+def _pq_codes_expr(codebooks: list[list[list[float]]],
+                   vec_col: str) -> Column:
+    """The m sub-codes of one vector (nearest centroid per subspace,
+    ties to the lowest code) as ONE nested transform over the
+    m×ksub×dsub codebook literal instead of m·ksub separate
+    slice/zip_with/aggregate trees (guide §7.3: the m=4, ksub=8
+    entries spent seconds of driver-side analysis per call on the
+    unrolled form; same fix as _kmeans_micro / minhash_signature).
+
+    Every intermediate the fold consumes more than once is
+    lambda-bound (bind_once): the cast vector, each subspace slice,
+    and each per-subspace distance array. A tree captured inside the
+    inner lambdas would re-evaluate per element — the O(dim) cast
+    alone ~2·m·ksub times per row. Values and fold order are
+    identical to the unrolled form.
+
+    array_position is 1-based and returns the FIRST occurrence of the
+    min -> lowest code wins ties, same as the oracle's row_number()
+    ORDER BY d2, code."""
+    dsub = len(codebooks[0][0])
+    books = _array_lit([[list(c) for c in book] for book in codebooks],
+                       "array<array<array<double>>>")
+
+    def _codes(v: Column) -> Column:
+        def _d2s(s: Column) -> Column:
+            return bind_once(
+                F.slice(v, s * dsub + F.lit(1), dsub),
+                lambda sub: F.transform(
+                    F.element_at(books, (s + F.lit(1)).cast("int")),
+                    lambda c: F.aggregate(
+                        F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x)))
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+            lambda s: (bind_once(_d2s(s),
+                                 lambda ds: F.array_position(
+                                     ds, F.array_min(ds))) - 1)
+            .cast("int"))
+
+    return bind_once(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), _codes)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1147,34 +1215,8 @@ def pq_encode(
     subspace, ties to the lowest code). Pure codegen'd expressions —
     no shuffle, no UDF: encoding 100 TB is one scan that writes the
     4x-to-32x-smaller code table."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # ONE nested transform over the m×ksub×dsub codebook literal
-    # instead of m·ksub separate slice/zip_with/aggregate trees: the
-    # per-(subspace, code) squared distances are the same doubles
-    # folded in the same order, but the plan carries a handful of
-    # lambda nodes instead of ~3·m·ksub — the m=4, ksub=8 entries spent
-    # seconds of driver-side analysis per call on the unrolled form
-    # (guide §7.3; same fix as _kmeans_micro / minhash_signature).
-    dsub = len(codebooks[0][0])
-    books = _array_lit([[list(c) for c in book] for book in codebooks],
-                       "array<array<array<double>>>")
-
-    def _d2s(s):
-        sub = F.slice(v, s * dsub + F.lit(1), dsub)
-        return F.transform(
-            F.element_at(books, (s + F.lit(1)).cast("int")),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x))
-
-    # array_position is 1-based and returns the FIRST occurrence of
-    # the min -> lowest code wins ties, same as the oracle's
-    # row_number() ORDER BY d2, code
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-        lambda s: (F.array_position(_d2s(s), F.array_min(_d2s(s))) - 1)
-        .cast("int"))
-    return df.select(F.col(id_col), codes.alias("codes"))
+    return df.select(F.col(id_col),
+                     _pq_codes_expr(codebooks, vec_col).alias("codes"))
 
 
 def pq_index_corpus(
@@ -1198,24 +1240,8 @@ def pq_index_corpus(
     # pq_encode's codes expression plus the cell column, one select
     # over the same scan
     v_cell = assign_udf(F.col(vec_col).cast("array<double>"))
-    dsub = len(codebooks[0][0])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    books = _array_lit([[list(c) for c in book] for book in codebooks],
-                       "array<array<array<double>>>")
-
-    def _d2s(s):
-        sub = F.slice(v, s * dsub + F.lit(1), dsub)
-        return F.transform(
-            F.element_at(books, (s + F.lit(1)).cast("int")),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x))
-
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-        lambda s: (F.array_position(_d2s(s), F.array_min(_d2s(s))) - 1)
-        .cast("int"))
-    return corpus.select(F.col(id_col), codes.alias("codes"),
+    return corpus.select(F.col(id_col),
+                         _pq_codes_expr(codebooks, vec_col).alias("codes"),
                          v_cell.alias("__cell"))
 
 
@@ -1223,20 +1249,28 @@ def _query_lut_expr(codebooks, vec_col: str) -> Column:
     """Per-query (m x ksub) squared-distance lookup table as one nested
     array expression; entries round to 6 decimals on BOTH engines so the
     m-term ADC sum is order-insensitive at the emitted 4 decimals."""
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # same nested-literal collapse as pq_encode: identical doubles,
-    # identical left-fold order, O(1) lambda nodes instead of m·ksub
+    # identical left-fold order, O(1) lambda nodes instead of m·ksub;
+    # the cast vector and each subspace slice are lambda-bound
+    # (bind_once) so neither re-evaluates per codebook entry
     dsub = len(codebooks[0][0])
     books = _array_lit([[list(c) for c in book] for book in codebooks],
                        "array<array<array<double>>>")
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-        lambda s: F.transform(
-            F.element_at(books, (s + F.lit(1)).cast("int")),
-            lambda c: F.round(F.aggregate(
-                F.zip_with(F.slice(qv, s * dsub + F.lit(1), dsub), c,
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x), 6)))
+
+    def _lut(qv: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+            lambda s: bind_once(
+                F.slice(qv, s * dsub + F.lit(1), dsub),
+                lambda sub: F.transform(
+                    F.element_at(books, (s + F.lit(1)).cast("int")),
+                    lambda c: F.round(F.aggregate(
+                        F.zip_with(sub, c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x), 6))))
+
+    return bind_once(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), _lut)
 
 
 def _adc_rank_topk(scored: DataFrame, k: int, id_col: str,

@@ -25,6 +25,25 @@ STOPWORDS = {
 }
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and hand the value to
+    ``fn`` as a higher-order-function lambda variable.
+
+    Why this exists: naming an expensive expression with a projection
+    alias does NOT guarantee single evaluation — Catalyst re-inlines
+    project aliases into every consumer (measured in corpus.py's
+    quality filter: 17.8s vs sub-second at sf0.1) — and an expression
+    tree captured inside a higher-order lambda BODY is re-evaluated
+    interpreted for EVERY array element (higher-order functions are
+    CodegenFallback with no common-subexpression elimination), turning
+    a per-row tokenize into a per-element one. A lambda VARIABLE, by
+    contrast, is bound to its value exactly once by construction, so
+    wrapping the value in a one-element array and transforming it makes
+    any expression a true let-binding; ``element_at(.., 1)`` unwraps.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokens(col: Column | str) -> Column:
     """Array of word tokens (BPE-ish regex split)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -55,42 +74,57 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({
         "n_chars_computed": n_chars,
         "n_tokens": n_toks,
-        "mean_token_len": F.when(
-            n_toks > 0,
-            F.round(F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-                    .cast("double") / n_toks, 4)
-        ).otherwise(F.lit(0.0)),
+        # the token array is lambda-bound (bind_once): the three
+        # references below (guard, fold, divisor) would otherwise each
+        # re-run the tokenizer regex per row
+        "mean_token_len": bind_once(toks, lambda t: F.when(
+            F.size(t) > 0,
+            F.round(F.aggregate(t, F.lit(0), lambda a, tk: a + F.length(tk))
+                    .cast("double") / F.size(t), 4)
+        ).otherwise(F.lit(0.0))),
         "punct_ratio": F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
         "distinct_stopwords": stop_hits,
     })
 
 
+def _language_scores_given(t: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over an ALREADY-BOUND token
+    array (a lambda variable) — consumers that reference several
+    scores share one tokenizer pass by binding it themselves."""
+    return {
+        lang: F.size(
+            F.filter(t, lambda tok: tok.isin(words))  # noqa: B023 — words bound per iteration
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
 def language_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit counts over the token multiset."""
-    toks = tokens(col)
-    out = {}
-    for lang, words in STOPWORDS.items():
-        out[lang] = F.size(
-            F.filter(toks, lambda t: t.isin(words))  # noqa: B023 — words bound per iteration
-        )
-    return out
+    return _language_scores_given(tokens(col))
 
 
 def language_id(df: DataFrame, text_col: str = "text",
                 out_col: str = "predicted_lang") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     'und' (undetermined) when no list scores > 0. Pure expressions —
-    no UDF, no shuffle."""
-    scores = language_scores(F.col(text_col))
-    langs = list(scores)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    pred = F.lit("und")
-    # later langs win ties in reverse build order; iterate reversed so that
-    # earlier (more common) languages take precedence on equal score
-    for lang in reversed(langs):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.withColumn(out_col, pred)
+    no UDF, no shuffle. The token array is lambda-bound (bind_once):
+    the argmax when-chain references each language's score several
+    times, and each captured-tree reference would re-run the tokenizer
+    regex."""
+    def _pred(t: Column) -> Column:
+        scores = _language_scores_given(t)
+        langs = list(scores)
+        best = F.greatest(*[scores[lang] for lang in langs])
+        pred = F.lit("und")
+        # later langs win ties in reverse build order; iterate reversed
+        # so that earlier (more common) languages take precedence on
+        # equal score
+        for lang in reversed(langs):
+            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+    return df.withColumn(out_col, bind_once(tokens(text_col), _pred))
 
 
 def fingerprint(col: Column | str, normalize: bool = True) -> Column:

@@ -1887,3 +1887,75 @@ class TestHardNegativeMining:
             F.col("vec_id").alias("query_id"), "label", "embedding")
         with pytest.raises(ValueError, match="anchor_cap"):
             hard_negative_mining(embeddings, anchors, k=2, anchor_cap=10)
+
+
+class TestBindOnceRewrites:
+    """Round-11 optimization: expensive expressions re-evaluated inside
+    higher-order lambda bodies (tokenizer per gram/span — quadratic per
+    document) were rewritten onto text.bind_once lambda-variable
+    bindings. These tests pin (1) value identity of the rewritten
+    builders on the edge shapes (null / empty / below-k / duplicate
+    grams), and (2) the PythonUDF-input constraint the rewrite exposed:
+    a nested lambda CAPTURING an outer lambda variable inside an Arrow
+    UDF's input breaks ExtractPythonUDFs on a deduplicated self-join
+    branch, so portable_shingle_hashes must stay capture-free."""
+
+    EDGE_TEXTS = [
+        (1, None),
+        (2, ""),
+        (3, "one"),
+        (4, "one two"),
+        (5, "a b c a b c a b c"),          # duplicate shingles: distinct order
+        (6, "The  quick   brown fox, fox! jumps-over the lazy dog 42 x"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.EDGE_TEXTS, "doc_id long, text string")
+
+    def test_bind_once_null_and_value_semantics(self, spark):
+        from sleeper_spark.functions.text import bind_once
+        df = spark.createDataFrame([(None,), ("a b",)], "text string")
+        got = df.select(
+            bind_once(F.split("text", " "),
+                      lambda t: F.size(t)).alias("bound"),
+            F.size(F.split("text", " ")).alias("direct")).collect()
+        for r in got:
+            assert r.bound == r.direct  # incl. size(NULL) = -1 legacy
+
+    def test_portable_gram_hashes_match_shingles_form(self, spark):
+        # reference: md5-fold over shingles() — the pre-rewrite
+        # construction; the zip_with chain must produce identical
+        # hashes in identical (first-occurrence distinct) order
+        from sleeper_spark.functions.dedup import (portable_shingle_hashes,
+                                                   shingles)
+
+        def _h(s):
+            hx = F.md5(s)
+            hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+        for k in (2, 3):
+            rows = self._df(spark).select(
+                portable_shingle_hashes("text", k).alias("got"),
+                F.transform(shingles("text", k), _h).alias("want")).collect()
+            for r in rows:
+                assert r.got == r.want, (k, r)
+
+    def test_simhash_portable_selfjoin_executes(self, spark):
+        # regression: the portable hasher feeds the Arrow vote UDF and
+        # is self-joined by the banding; a capture-carrying input makes
+        # ExtractPythonUDFs skip the deduplicated branch and the job
+        # dies with INTERNAL_ERROR "Cannot evaluate expression: _udf"
+        from sleeper_spark.functions.dedup import simhash_near_duplicates
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill in the sun")
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("warm", "cold")),
+             (3, "totally different content about spark executors")],
+            ["doc_id", "text"])
+        got = {(r.id_a, r.id_b) for r in
+               simhash_near_duplicates(df, max_hamming=12,
+                                       portable_hash=True).collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
