@@ -3004,30 +3004,6 @@ def _lsh_query_probes(spark: SparkSession, q_local: DataFrame,
         .collect())
 
 
-def _family_probe_topk(c_indexed: DataFrame, probe_df: DataFrame,
-                       join_col: str, k: int) -> DataFrame:
-    """One labeled top-k branch for a WHOLE config family: the probe
-    frame carries (``__cfg``, query_id, join bucket/cell, raw
-    embedding) rows for every config — configs are DATA, not plan
-    branches, so a 5-config sweep plans 2 joins instead of 5. The
-    scoring join, cosine, self-exclusion and per-(cfg, query) window
-    are the exact expressions of the per-config plans, so each config's
-    slice of the output is bit-identical to its standalone tier."""
-    q = similarity._with_norm(
-        probe_df.select("__cfg", "query_id", join_col,
-                        F.col("embedding").cast("array<double>")
-                        .alias("__qvec")),
-        "__qvec", "__qnorm")
-    scored = (c_indexed.join(F.broadcast(q), join_col)
-              .withColumn("cosine", similarity._paired_cosine()))
-    scored = similarity._exclude_self(scored, "vec_id", "query_id")
-    w = Window.partitionBy("__cfg", "query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("__cfg", "query_id", "vec_id", "rank"))
-
-
 def _ivf_centroids(emb: DataFrame, cache: dict | None = None) -> list:
     """IVF coarse-quantizer training. ``cache`` is an INVOCATION-LOCAL
     dict for entries that consume the centroids more than once in one
@@ -3222,78 +3198,76 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     cents = _ivf_centroids(emb, tcache)
     books = _pq_codebooks(emb, tcache)
 
-    # one materialized index table per family (assignment + norms built
-    # once, shared by the lsh tiers / the ivf tier / the ground truth);
-    # lazy: the stacked action materializes both
-    c_lsh = similarity.lsh_index_corpus(emb, dim=64, bits=8) \
-        .localCheckpoint(eager=False)
-    c_ivf = similarity.ivf_index_corpus(emb, cents) \
-        .localCheckpoint(eager=False)
-    # codes + cell in ONE corpus projection, shared by BOTH PQ tiers
-    # (pq_topk drops the cell column; the old shape encoded the corpus
-    # once per tier and ivf_pq additionally joined codes to cells on id)
-    c_pq = similarity.pq_index_corpus(emb, cents, books) \
-        .localCheckpoint(eager=False)
+    # ONE materialized index table for EVERY tier (vector + norm + LSH
+    # bucket + IVF cell + PQ codes in one projection): the per-family
+    # index tables each paid their own scan/checkpoint of the corpus
+    # for assignments that all key off the same vector
+    c_all = similarity.ann_index_corpus(emb, cents, books, dim=64,
+                                        bits=8).localCheckpoint(
+                                            eager=False)
 
     # one query collect with the nprobe=3 probe superset: the lsh tier's
     # probe set (nprobe=1) is its prefix, so BOTH lsh tiers are rows of
     # one probe frame feeding a single scoring join (configs as data,
-    # same trick as ann_index_selection)
+    # same trick as ann_index_selection); IVF probe cells driver-side at
+    # the LARGEST nprobe of the sweep (stable argsort: smaller nprobe =
+    # prefix), exactly as ivf_topk derives them
     planes = similarity._hyperplanes(64, 8, 42)
     qx = _lsh_query_probes(spark, q5, planes, max_probe=3)
-    q5_local = spark.createDataFrame(
-        [(r["query_id"], r["__emb"]) for r in qx], q5.schema)
-    q3_local = spark.createDataFrame(
-        [(r["query_id"], r["__emb"]) for r in qx if r["query_id"] < 3],
-        q5.schema)
-    qrows5 = [(r["query_id"], r["__emb"]) for r in qx]
+    cents_np = similarity.np.asarray(cents, dtype="float64")
+    max_nprobe = max(_IVF["nprobe"], _IVFPQ_NPROBE)
+    ivf_cells = {
+        r["query_id"]: similarity._probe_cells(
+            similarity.np.asarray(r["__emb"], dtype="float64"),
+            cents_np, max_nprobe)
+        for r in qx}
     qid_t = q5.schema["query_id"].dataType
     emb_t = q5.schema["embedding"].dataType
-    lsh_probe = spark.createDataFrame(
-        [(name, r["query_id"], b, r["__emb"])
-         for name, p in (("lsh", 1), ("lsh_multiprobe", 3))
-         for r in qx for b in r["__probes"][:p]],
-        T.StructType([
-            T.StructField("__cfg", T.StringType(), False),
-            T.StructField("query_id", qid_t),
-            T.StructField("__bucket", T.LongType()),
-            T.StructField("embedding", emb_t)]))
+    probe_schema = T.StructType([
+        T.StructField("__cfg", T.StringType(), False),
+        T.StructField("query_id", qid_t),
+        T.StructField("__fam", T.StringType(), False),
+        T.StructField("__jkey", T.LongType()),
+        T.StructField("embedding", emb_t)])
 
     tier_names = ("ivf", "ivf_pq", "lsh", "lsh_multiprobe", "pq")
+
+    # configs AND families as probe-frame DATA (VALUES LocalRelations —
+    # no Python-RDD slices): the exact-scoring tiers (brute force,
+    # both lsh probes, ivf) are rows of ONE cosine probe join against
+    # c_all, the two PQ tiers rows of ONE ADC join — 2 scoring joins +
+    # 2 windows where the stacked plan had 5 branches + 4 windows
+    # (the branch count was the dominant Catalyst-analysis cost here)
+    cos_probe = similarity.local_rows_df(spark, (
+        [("exact", r["query_id"], "all", 0, r["__emb"]) for r in qx]
+        + [(name, r["query_id"], "lsh", b, r["__emb"])
+           for name, p in (("lsh", 1), ("lsh_multiprobe", 3))
+           for r in qx for b in r["__probes"][:p]]
+        + [("ivf", r["query_id"], "ivf", c, r["__emb"])
+           for r in qx
+           for c in ivf_cells[r["query_id"]][:_IVF["nprobe"]]]),
+        probe_schema)
+    adc_probe = similarity.local_rows_df(spark, (
+        [("ivf_pq", r["query_id"], "ivfpq", c, r["__emb"])
+         for r in qx if r["query_id"] < 3
+         for c in ivf_cells[r["query_id"]][:_IVFPQ_NPROBE]]
+        + [("pq", r["query_id"], "all", 0, r["__emb"])
+           for r in qx if r["query_id"] < 3]),
+        probe_schema)
 
     # every top-k table is Q×k rows BY CONSTRUCTION (Q<=5, k=10), so
     # collecting is bounded at any corpus scale; WITHOUT the collect,
     # each union branch + each recall join re-evaluates its full corpus
     # scan (measured 10 brute-force evaluations of the ground truth
     # alone). All six tables (5 tiers + exact) come back from ONE
-    # stacked action — sequential per-tier collects paid 6x the
-    # job-submission + scan-scheduling latency for the same bounded
-    # rows.
+    # stacked action over the two fused joins.
     stacked = (
-        similarity.brute_force_topk(emb, q5_local, k=10, indexed=c_lsh)
-        .select(F.lit("exact").alias("tier"), "query_id", "vec_id",
-                "rank")
+        similarity.multi_family_topk(c_all, cos_probe, k=10)
+        .withColumnRenamed("__cfg", "tier")
         .unionByName(
-            _family_probe_topk(c_lsh, lsh_probe, "__bucket", 10)
-            .withColumnRenamed("__cfg", "tier"))
-        .unionByName(similarity.ivf_topk(
-            emb, q5_local, dim=_IVF["dim"], k=_IVF["k"],
-            nlist=_IVF["nlist"], nprobe=_IVF["nprobe"], centroids=cents,
-            indexed=c_ivf, query_rows=qrows5).select(
-                F.lit("ivf").alias("tier"), "query_id", "vec_id",
-                "rank"))
-        .unionByName(similarity.ivf_pq_topk(
-            emb, q3_local, dim=_PQ["dim"], k=_PQ["k"],
-            nlist=_IVF["nlist"], nprobe=_IVFPQ_NPROBE, m=_PQ["m"],
-            ksub=_PQ["ksub"], centroids=cents, codebooks=books,
-            indexed=c_pq,
-            query_rows=[r for r in qrows5 if r[0] < 3]).select(
-                F.lit("ivf_pq").alias("tier"), "query_id", "vec_id",
-                "rank"))
-        .unionByName(similarity.pq_topk(
-            emb, q3_local, books, k=_PQ["k"], indexed=c_pq).select(
-                F.lit("pq").alias("tier"), "query_id", "vec_id",
-                "rank")))
+            similarity.multi_family_adc_topk(c_all, adc_probe, books,
+                                             k=10)
+            .withColumnRenamed("__cfg", "tier")))
     schema = T.StructType([
         T.StructField("query_id", qid_t),
         T.StructField("vec_id", emb.schema["vec_id"].dataType),
@@ -3301,19 +3275,21 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     by_tier: dict = {n: [] for n in ("exact", *tier_names)}
     for r in stacked.collect():
         by_tier[r["tier"]].append((r["query_id"], r["vec_id"], r["rank"]))
-    exact = spark.createDataFrame(by_tier["exact"], schema)
     # re-stack the materialized rows under the tier label and evaluate
     # recall in ONE join+aggregate pass (tier_col) — per-tier
     # recall_at_k calls cost 5x the stage-scheduling overhead for
-    # identical results. No coalesce(1) on the rebuilt frames: a
-    # single-partition Python-RDD task measured ~7s here, while 32
-    # near-empty slices finish in scheduler noise.
-    approx_all = None
-    for name in tier_names:
-        t = (spark.createDataFrame(by_tier[name], schema)
-             .select(F.lit(name).alias("tier"), "query_id", "vec_id",
-                     "rank"))
-        approx_all = t if approx_all is None else approx_all.unionByName(t)
+    # identical results. The rebuilt tables are VALUES LocalRelations
+    # (similarity.local_rows_df), NOT createDataFrame: parallelizing
+    # six Q×k-row lists to defaultParallelism slices scheduled two
+    # 160-task Python-RDD stages (measured 1.4s + 2.5s) in the final
+    # action for ~280 rows of driver data.
+    exact = similarity.local_rows_df(spark, by_tier["exact"], schema)
+    tier_schema = T.StructType(
+        [T.StructField("tier", T.StringType(), False), *schema.fields])
+    approx_all = similarity.local_rows_df(
+        spark,
+        [(name, *t) for name in tier_names for t in by_tier[name]],
+        tier_schema)
     out = similarity.recall_at_k(exact, approx_all, k=10,
                                  tier_col="tier")
     return out.select("tier", "query_id", "n_exact", "n_hits", "recall")
@@ -3344,15 +3320,14 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
 
     configs = (("lsh", 1), ("lsh", 3), ("ivf", 1), ("ivf", 2), ("ivf", 4))
 
-    # index build, once per family: bucket/cell assignment + vector
-    # norms, materialized so the stacked sweep and the histograms read
-    # it instead of re-deriving the corpus side per consumer
-    # lazy checkpoints: the first (stacked) action materializes both in
-    # the same job instead of paying two standalone materialization jobs
-    c_lsh = similarity.lsh_index_corpus(emb, dim=64, bits=8) \
-        .localCheckpoint(eager=False)
-    c_ivf = similarity.ivf_index_corpus(emb, cents) \
-        .localCheckpoint(eager=False)
+    # ONE materialized index table for every family (bucket + cell +
+    # norms over one scan/checkpoint): the stacked sweep AND the
+    # histograms read it instead of re-deriving the corpus side per
+    # consumer; lazy checkpoint — the first (stacked) action
+    # materializes it
+    c_all = similarity.ann_index_corpus(emb, cents, None, dim=64,
+                                        bits=8).localCheckpoint(
+                                            eager=False)
 
     # one query-set collect (with the nprobe=3 probe superset — every
     # smaller nprobe's probe set is a prefix) shared by every config's
@@ -3360,8 +3335,6 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     # side
     planes = similarity._hyperplanes(64, 8, 42)
     qx = _lsh_query_probes(spark, q5, planes, max_probe=3)
-    q5_local = spark.createDataFrame(
-        [(r["query_id"], r["__emb"]) for r in qx], q5.schema)
     qid_t = q5.schema["query_id"].dataType
     vid_t = emb.schema["vec_id"].dataType
     emb_t = q5.schema["embedding"].dataType
@@ -3376,38 +3349,30 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
             cents_np, 4)
         for r in qx}
 
-    # configs are DATA, not plan branches: one probe frame per family
-    # carries every config's (cfg, query, bucket/cell) rows, so the
-    # stacked sweep plans 2 scoring joins + brute force instead of 6
-    # separate tier plans
-    lsh_probe = spark.createDataFrame(
-        [(f"lsh@{p}", r["query_id"], b, r["__emb"])
-         for p in (1, 3) for r in qx for b in r["__probes"][:p]],
-        T.StructType([
-            T.StructField("__cfg", T.StringType(), False),
-            T.StructField("query_id", qid_t),
-            T.StructField("__bucket", T.LongType()),
-            T.StructField("embedding", emb_t)]))
-    ivf_probe = spark.createDataFrame(
-        [(f"ivf@{p}", r["query_id"], c, r["__emb"])
-         for p in (1, 2, 4) for r in qx
-         for c in ivf_cells[r["query_id"]][:p]],
-        T.StructType([
-            T.StructField("__cfg", T.StringType(), False),
-            T.StructField("query_id", qid_t),
-            T.StructField("__cell", T.IntegerType()),
-            T.StructField("embedding", emb_t)]))
+    # configs AND families are DATA, not plan branches: one probe frame
+    # (a VALUES LocalRelation — no Python-RDD slices) carries every
+    # config's (cfg, query, family, bucket/cell) rows plus the
+    # brute-force ground truth as the 'all' family, so the stacked
+    # sweep plans ONE scoring join instead of 6 separate tier plans
+    probe_schema = T.StructType([
+        T.StructField("__cfg", T.StringType(), False),
+        T.StructField("query_id", qid_t),
+        T.StructField("__fam", T.StringType(), False),
+        T.StructField("__jkey", T.LongType()),
+        T.StructField("embedding", emb_t)])
+    probe = similarity.local_rows_df(spark, (
+        [("exact@0", r["query_id"], "all", 0, r["__emb"]) for r in qx]
+        + [(f"lsh@{p}", r["query_id"], "lsh", b, r["__emb"])
+           for p in (1, 3) for r in qx for b in r["__probes"][:p]]
+        + [(f"ivf@{p}", r["query_id"], "ivf", c, r["__emb"])
+           for p in (1, 2, 4) for r in qx
+           for c in ivf_cells[r["query_id"]][:p]]),
+        probe_schema)
 
     # all six top-k tables (5 configs + exact ground truth) from ONE
-    # stacked action; per-(cfg, query) windows reproduce each config's
-    # standalone tier rows bit-for-bit
-    stacked = (
-        _family_probe_topk(c_lsh, lsh_probe, "__bucket", 10)
-        .unionByName(_family_probe_topk(c_ivf, ivf_probe, "__cell", 10))
-        .unionByName(
-            similarity.brute_force_topk(emb, q5_local, k=10, indexed=c_lsh)
-            .select(F.lit("exact@0").alias("__cfg"), "query_id",
-                    "vec_id", "rank")))
+    # stacked action over ONE fused join; per-(cfg, query) windows
+    # reproduce each config's standalone tier rows bit-for-bit
+    stacked = similarity.multi_family_topk(c_all, probe, k=10)
     topk_schema = T.StructType([
         T.StructField("query_id", qid_t),
         T.StructField("vec_id", vid_t),
@@ -3419,7 +3384,11 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
             (r["query_id"], r["vec_id"], r["rank"]))
 
     def provider(tier, p):
-        return spark.createDataFrame(by_cfg[(tier, p)], topk_schema)
+        # VALUES LocalRelation, not createDataFrame: six 32-slice
+        # Python-RDD frames union into 160-task stages inside the
+        # recall pass for <=300 rows of driver data (see q_ann_recall)
+        return similarity.local_rows_df(spark, by_cfg[(tier, p)],
+                                        topk_schema)
 
     exact = provider("exact", 0)
 
@@ -3427,15 +3396,15 @@ def q_ann_index_selection(spark: SparkSession, sf: str) -> DataFrame:
     # index tables (the histogram is groupBy(bucket/cell).count() on
     # the index frame — nprobe-independent, <=2^bits/nlist rows)
     stat_rows = (
-        c_lsh.groupBy(F.col("__bucket").alias("key"))
+        c_all.groupBy(F.col("__bucket").alias("key"))
         .agg(F.count(F.lit(1)).alias("count"))
         .select(F.lit("lsh").alias("fam"), "key", "count")
         .unionByName(
-            c_ivf.groupBy(F.col("__cell").cast("long").alias("key"))
+            c_all.groupBy(F.col("__cell").cast("long").alias("key"))
             .agg(F.count(F.lit(1)).alias("count"))
             .select(F.lit("ivf").alias("fam"), "key", "count"))
         .unionByName(
-            emb.agg(F.count(F.lit(1)).alias("count"))
+            c_all.agg(F.count(F.lit(1)).alias("count"))
             .select(F.lit("n").alias("fam"),
                     F.lit(0).cast("long").alias("key"), "count"))
     ).collect()

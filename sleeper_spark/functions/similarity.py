@@ -176,6 +176,57 @@ def _array_lit(values, sql_type: str) -> Column:
     return F.expr(f"CAST({render(values)} AS {sql_type})")
 
 
+def local_rows_df(spark, rows, schema: T.StructType) -> DataFrame:
+    """A small collected row set as ONE parsed ``VALUES`` LocalRelation
+    — the :func:`_array_lit` idiom applied to whole frames.
+
+    ``spark.createDataFrame(rows)`` wraps even a 50-row list in a
+    Python RDD parallelized to ``defaultParallelism`` slices, so a plan
+    that unions several rebuilt tables schedules hundreds of near-empty
+    Python-worker tasks (measured: two 160-task stages, 1.4s + 2.5s, in
+    ann_recall's final action at sf0.1). Rendering the rows as a SQL
+    ``VALUES`` literal parses JVM-side in one round trip and plans as a
+    LocalRelation: zero tasks, zero Python workers, identical values.
+
+    Bit-exact by the same argument as :func:`_array_lit` (repr doubles
+    round-trip through the parser's correctly-rounded parseDouble);
+    ints, strings, booleans and NULLs are exact trivially. Intended for
+    CONTRACT-BOUNDED row sets only (top-k tables, config matrices) —
+    the VALUES text is driver-built, so callers must pass row counts
+    that are already driver-sized."""
+    def scalar(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise ValueError(f"non-finite literal {v!r}")
+            return repr(v) + "D"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(scalar(x) for x in v) + ")"
+        raise TypeError(f"unsupported VALUES scalar {type(v)}")
+
+    fields = schema.fields
+    casts = ", ".join(
+        f"CAST(c{i} AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for i, f in enumerate(fields))
+    alias = ", ".join(f"c{i}" for i in range(len(fields)))
+    if rows:
+        vals = ", ".join(
+            "(" + ", ".join(scalar(v) for v in r) + ")" for r in rows)
+        tail = ""
+    else:
+        vals = "(" + ", ".join("NULL" for _ in fields) + ")"
+        tail = " WHERE 1=0"
+    return spark.sql(
+        f"SELECT {casts} FROM (VALUES {vals}) AS t({alias}){tail}")
+
+
 def _planes_lit(planes: list[list[float]]) -> Column:
     """The hyperplane matrix as ONE bits×dim 2-D literal (the k-means
     centroid-literal idiom, guide §7.3): every consumer folds over it
@@ -754,6 +805,130 @@ def ivf_index_corpus(
         "__cell", assign_udf(F.col("__cvec")))
 
 
+def ann_index_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EVERY ANN tier's corpus-side index in ONE projection over one
+    scan: ``(id_col, __cvec, __cnorm, __bucket, __cell[, codes])`` —
+    the union of :func:`lsh_index_corpus`, :func:`ivf_index_corpus`
+    and (with ``codebooks``) :func:`pq_index_corpus`, column for
+    column. A recall sweep that materializes per-family index tables
+    pays one corpus scan per family for assignments that all key off
+    the same vector; here the bucket, cell and code expressions ride
+    one scan and one checkpoint. Each column's expression tree is the
+    per-family builder's, so every assignment is bit-identical."""
+    planes = _hyperplanes(dim, bits, seed)
+    assign_udf = _assign_cells_udf(centroids)
+    out = _with_norm(corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ), "__cvec", "__cnorm").withColumn(
+        "__bucket", lsh_bucket(F.col("__cvec"), planes)).withColumn(
+        "__cell", assign_udf(F.col("__cvec")))
+    if codebooks is not None:
+        # __cvec is the same cast-to-double array _pq_codes_expr builds
+        # internally from the raw vector; casting a double is identity,
+        # so codes match pq_index_corpus bit for bit
+        out = out.withColumn("codes", _pq_codes_expr(codebooks, "__cvec"))
+    return out
+
+
+def _explode_family_keys(c_indexed: DataFrame, id_col: str,
+                         payload: list, fams: list) -> DataFrame:
+    """Corpus index rows exploded over their (family, join-key) pairs:
+    ``fams`` maps family label -> key Column (``__bucket``, ``__cell``,
+    or a constant for scan-everything tiers). One map-side explode of
+    the checkpointed index replaces one scan of it PER FAMILY — bytes
+    read drop |fams|-fold while the join membership per family is
+    untouched (each corpus row appears exactly once under each family
+    key, null keys drop in the equi-join exactly as they did in the
+    per-family joins)."""
+    pairs = F.array(*[
+        F.struct(F.lit(fam).alias("f"), key.cast("long").alias("j"))
+        for fam, key in fams])
+    return (c_indexed.select(F.col(id_col), *payload,
+                             F.explode(pairs).alias("__jk"))
+            .select(F.col(id_col), *payload,
+                    F.col("__jk.f").alias("__fam"),
+                    F.col("__jk.j").alias("__jkey")))
+
+
+def multi_family_topk(
+    c_indexed: DataFrame,
+    probe_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k for EVERY config of EVERY exact-scoring family in
+    one probe join. ``probe_df`` carries ``(__cfg, query_id, __fam,
+    __jkey, embedding)`` rows — configs AND families are data, so a
+    sweep over LSH probes, IVF probes and brute-force ground truth
+    plans ONE join + ONE window instead of a plan branch per family
+    (the branch count was the dominant Catalyst-analysis cost of the
+    recall-sweep entries). Join families: ``lsh`` = the corpus row's
+    LSH bucket, ``ivf`` = its IVF cell, ``all`` = a constant (every
+    corpus row — brute force as an equi-join). Scoring, self-exclusion
+    and the per-(cfg, query) rank rule are the exact expressions of
+    the per-family plans, so each config's slice of the output is
+    bit-identical to its standalone tier."""
+    c = _explode_family_keys(
+        c_indexed, id_col, [F.col("__cvec"), F.col("__cnorm")],
+        [("lsh", F.col("__bucket")), ("ivf", F.col("__cell")),
+         ("all", F.lit(0))])
+    q = _with_norm(
+        probe_df.select("__cfg", query_id_col, "__fam", "__jkey",
+                        F.col(vec_col).cast("array<double>")
+                        .alias("__qvec")),
+        "__qvec", "__qnorm")
+    scored = (c.join(F.broadcast(q), ["__fam", "__jkey"])
+              .withColumn("cosine", _paired_cosine()))
+    scored = _exclude_self(scored, id_col, query_id_col)
+    w = Window.partitionBy("__cfg", query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("__cfg", query_id_col, id_col, "rank"))
+
+
+def multi_family_adc_topk(
+    c_indexed: DataFrame,
+    probe_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k for the PQ families in the same configs-as-data shape
+    as :func:`multi_family_topk`: ``ivfpq`` probe rows join the probed
+    cells' codes, ``all`` probe rows join every code row (PQ-ADC full
+    scan as an equi-join on a constant). One LUT expression serves
+    every probe row; the fold and the ascending-distance rank rule are
+    :func:`_adc_rank_topk`'s expressions per (cfg, query)."""
+    c = _explode_family_keys(
+        c_indexed, id_col, [F.col("codes")],
+        [("ivfpq", F.col("__cell")), ("all", F.lit(0))])
+    q = probe_df.select("__cfg", query_id_col, "__fam", "__jkey",
+                        _query_lut_expr(codebooks, vec_col).alias("__lut"))
+    scored = c.join(F.broadcast(q), ["__fam", "__jkey"])
+    scored = _exclude_self(scored, id_col, query_id_col)
+    scored = scored.withColumn("adc", _adc_score())
+    w = Window.partitionBy("__cfg", query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("__cfg", query_id_col, id_col, "rank"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1058,7 +1233,8 @@ def select_ann_tier(
         chosen = min(rows, key=lambda r: (-r[2], r[3], r[0], r[1]))
     out = [(t, p, rec, frac, (t, p) == (chosen[0], chosen[1]))
            for t, p, rec, frac in rows]
-    return spark.createDataFrame(out, T.StructType([
+    # a |configs|-row decision table: VALUES LocalRelation, zero tasks
+    return local_rows_df(spark, out, T.StructType([
         T.StructField("tier", T.StringType()),
         T.StructField("nprobe", T.IntegerType()),
         T.StructField("recall", T.DoubleType()),
@@ -1273,16 +1449,23 @@ def _query_lut_expr(codebooks, vec_col: str) -> Column:
         F.transform(F.col(vec_col), lambda x: x.cast("double")), _lut)
 
 
+def _adc_score() -> Column:
+    """The ADC distance fold over (codes, __lut) — ONE expression
+    shared by every ADC consumer (pq_topk, ivf_pq_topk,
+    multi_family_adc_topk) so the scoring contract cannot drift."""
+    return F.round(F.aggregate(
+        F.zip_with(F.col("codes"), F.col("__lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 4)
+
+
 def _adc_rank_topk(scored: DataFrame, k: int, id_col: str,
                    query_id_col: str) -> DataFrame:
     """ADC fold over (codes, __lut) + per-query ascending-distance
     top-k (Partial WindowGroupLimit shape; ties to the lower id) —
     shared by pq_topk and ivf_pq_topk so the scoring contract cannot
     drift between tiers."""
-    scored = scored.withColumn("adc", F.round(F.aggregate(
-        F.zip_with(F.col("codes"), F.col("__lut"),
-                   lambda c, l: F.element_at(l, c + 1)),
-        F.lit(0.0), lambda acc, x: acc + x), 4))
+    scored = scored.withColumn("adc", _adc_score())
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc").asc(), F.col(id_col).asc())
     return (

@@ -152,3 +152,163 @@ def test_pq_index_corpus_matches_join_shape(spark, emb):
         centroids=cents, codebooks=books, indexed=idx)
     assert sorted(map(tuple, base_ivfpq.collect())) == \
         sorted(map(tuple, via_ivfpq.collect()))
+
+
+def test_local_rows_df_values_and_schema(spark):
+    """local_rows_df's VALUES LocalRelation returns the exact rows and
+    column types createDataFrame would, including None/bool/float/str
+    scalars and the empty-row-set case — and plans zero RDD stages."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("r", T.IntegerType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("b", T.BooleanType())])
+    rows = [("a'b\\c", 1 << 40, 3, 0.1, True),
+            ("lsh@3", -7, None, -2.5e-300, False),
+            (None, 0, 0, -0.0, None)]
+    got = similarity.local_rows_df(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert [f.dataType for f in got.schema.fields] == \
+        [f.dataType for f in ref.schema.fields]
+    assert sorted(map(tuple, got.collect()), key=str) == \
+        sorted(map(tuple, ref.collect()), key=str)
+    empty = similarity.local_rows_df(spark, [], schema)
+    assert empty.count() == 0
+    assert [f.dataType for f in empty.schema.fields] == \
+        [f.dataType for f in ref.schema.fields]
+    # LocalRelation end to end: no scan, no exchange, no python worker
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "Exchange" not in plan
+
+
+def test_multi_family_topk_matches_standalone_tiers(spark, emb):
+    """Every config slice of the fused multi-family cosine join equals
+    the standalone tier it replaced (brute force / lsh_topk at each
+    nprobe / ivf_topk), row for row — the ann_recall /
+    ann_index_selection restructure's bit-identity contract."""
+    from pyspark.sql import types as T
+    cents = similarity.train_ivf_centroids(emb, 8, seed=42,
+                                           train_rows=256)
+    c_all = similarity.ann_index_corpus(emb, cents, None, dim=64, bits=8)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    planes = similarity._hyperplanes(64, 8, 42)
+    qx = (similarity._with_norm(
+        q.select("query_id", F.col("embedding").alias("__emb"),
+                 F.col("embedding").cast("array<double>").alias("__qvec")),
+        "__qvec", "__qnorm")
+        .select("query_id", "__emb",
+                similarity.query_probe_buckets(
+                    F.col("__qvec"), planes, 3).alias("__probes"))
+        .collect())
+    cents_np = similarity.np.asarray(cents, dtype="float64")
+    cells = {r["query_id"]: similarity._probe_cells(
+        similarity.np.asarray(r["__emb"], dtype="float64"), cents_np, 2)
+        for r in qx}
+    probe_schema = T.StructType([
+        T.StructField("__cfg", T.StringType(), False),
+        T.StructField("query_id", T.LongType()),
+        T.StructField("__fam", T.StringType(), False),
+        T.StructField("__jkey", T.LongType()),
+        T.StructField("embedding",
+                      T.ArrayType(T.FloatType(), True), True)])
+    probe = similarity.local_rows_df(spark, (
+        [("exact", r["query_id"], "all", 0, list(r["__emb"]))
+         for r in qx]
+        + [(f"lsh@{p}", r["query_id"], "lsh", b, list(r["__emb"]))
+           for p in (1, 3) for r in qx for b in r["__probes"][:p]]
+        + [(f"ivf@{p}", r["query_id"], "ivf", c, list(r["__emb"]))
+           for p in (1, 2) for r in qx
+           for c in cells[r["query_id"]][:p]]), probe_schema)
+    fused = similarity.multi_family_topk(c_all, probe, k=5)
+    by_cfg: dict = {}
+    for r in fused.collect():
+        by_cfg.setdefault(r["__cfg"], []).append(
+            (r["query_id"], r["vec_id"], r["rank"]))
+
+    def rows_of(df):
+        return sorted((r["query_id"], r["vec_id"], r["rank"])
+                      for r in df.collect())
+
+    assert sorted(by_cfg["exact"]) == rows_of(
+        similarity.brute_force_topk(emb, q, k=5))
+    for p in (1, 3):
+        assert sorted(by_cfg[f"lsh@{p}"]) == rows_of(
+            similarity.lsh_topk(emb, q, dim=64, k=5, bits=8, nprobe=p))
+    for p in (1, 2):
+        assert sorted(by_cfg[f"ivf@{p}"]) == rows_of(
+            similarity.ivf_topk(emb, q, dim=64, k=5, nlist=8, nprobe=p,
+                                centroids=cents))
+
+
+def test_multi_family_adc_topk_matches_pq_tiers(spark, emb):
+    """The fused ADC join's config slices equal pq_topk (the 'all'
+    family) and ivf_pq_topk (the probed-cell family) row for row."""
+    from pyspark.sql import types as T
+    cents = similarity.train_ivf_centroids(emb, 8, seed=42,
+                                           train_rows=256)
+    books = similarity.train_pq_codebooks(emb, dim=64, m=4, ksub=8,
+                                          seed=42, train_rows=256)
+    c_all = similarity.ann_index_corpus(emb, cents, books, dim=64,
+                                        bits=8)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    qrows = q.collect()
+    cents_np = similarity.np.asarray(cents, dtype="float64")
+    probe_schema = T.StructType([
+        T.StructField("__cfg", T.StringType(), False),
+        T.StructField("query_id", T.LongType()),
+        T.StructField("__fam", T.StringType(), False),
+        T.StructField("__jkey", T.LongType()),
+        T.StructField("embedding",
+                      T.ArrayType(T.FloatType(), True), True)])
+    probe = similarity.local_rows_df(spark, (
+        [("pq", r["query_id"], "all", 0, list(r["embedding"]))
+         for r in qrows]
+        + [("ivf_pq", r["query_id"], "ivfpq", c, list(r["embedding"]))
+           for r in qrows
+           for c in similarity._probe_cells(
+               similarity.np.asarray(r["embedding"], dtype="float64"),
+               cents_np, 2)]), probe_schema)
+    fused = similarity.multi_family_adc_topk(c_all, probe, books, k=5)
+    by_cfg: dict = {}
+    for r in fused.collect():
+        by_cfg.setdefault(r["__cfg"], []).append(
+            (r["query_id"], r["vec_id"], r["rank"]))
+
+    def rows_of(df):
+        return sorted((r["query_id"], r["vec_id"], r["rank"])
+                      for r in df.collect())
+
+    assert sorted(by_cfg["pq"]) == rows_of(
+        similarity.pq_topk(emb, q, books, k=5))
+    assert sorted(by_cfg["ivf_pq"]) == rows_of(
+        similarity.ivf_pq_topk(emb, q, dim=64, k=5, nlist=8, nprobe=2,
+                               m=4, ksub=8, centroids=cents,
+                               codebooks=books))
+
+
+def test_ann_index_corpus_matches_family_indexes(spark, emb):
+    """The combined index's bucket/cell/codes columns equal the
+    per-family index builders' column for column."""
+    cents = similarity.train_ivf_centroids(emb, 8, seed=42,
+                                           train_rows=256)
+    books = similarity.train_pq_codebooks(emb, dim=64, m=4, ksub=8,
+                                          seed=42, train_rows=256)
+    combined = {r["vec_id"]: (r["__bucket"], r["__cell"],
+                              tuple(r["codes"]))
+                for r in similarity.ann_index_corpus(
+                    emb, cents, books, dim=64, bits=8).collect()}
+    lsh = {r["vec_id"]: r["__bucket"]
+           for r in similarity.lsh_index_corpus(emb, dim=64,
+                                                bits=8).collect()}
+    ivf = {r["vec_id"]: r["__cell"]
+           for r in similarity.ivf_index_corpus(emb, cents).collect()}
+    pq = {r["vec_id"]: tuple(r["codes"])
+          for r in similarity.pq_index_corpus(emb, cents,
+                                              books).collect()}
+    assert set(combined) == set(lsh) == set(ivf) == set(pq)
+    for vid, (b, c, codes) in combined.items():
+        assert b == lsh[vid] and c == ivf[vid] and codes == pq[vid]
