@@ -168,8 +168,8 @@ def q_batch_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     predicate (N-invariant plan; SleeperTable.batch_exact_key_query is
     the table-backed form, pinned in lifecycle tests)."""
     ev = _load(spark, sf, "events")
-    keys = spark.createDataFrame(
-        [(i * 37,) for i in range(200)], "event_id long")
+    keys = similarity.local_rows_df(
+        spark, [(i * 37,) for i in range(200)], "event_id long")
     return ev.join(F.broadcast(keys), "event_id").select(*_EVENTS_COLS)
 
 
@@ -787,8 +787,8 @@ def q_split_point_advisor(spark: SparkSession, sf: str) -> DataFrame:
     from sleeper_spark.maintenance import suggest_split_points
     li = _load(spark, sf, "lineitem").select("l_orderkey")
     pts = suggest_split_points(li, "l_orderkey", 8)
-    return spark.createDataFrame(
-        [(i + 1, int(p)) for i, p in enumerate(pts)],
+    return similarity.local_rows_df(
+        spark, [(i + 1, int(p)) for i, p in enumerate(pts)],
         "rank int, split_point long")
 
 
@@ -3815,8 +3815,8 @@ def q_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
     row = depth.agg(*[
         F.sum((F.col("d") >= i + 1).cast("long")).alias(f"c{i}")
         for i in range(len(steps))]).first()
-    return spark.createDataFrame(
-        [(s, i, int(row[f"c{i}"] or 0)) for i, s in enumerate(steps)],
+    return similarity.local_rows_df(
+        spark, [(s, i, int(row[f"c{i}"] or 0)) for i, s in enumerate(steps)],
         "step string, step_index int, n_users long")
 
 
@@ -4050,9 +4050,9 @@ def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         ok = (row[f"le{i}"] >= target - budget
               and row[f"lt{i}"] < target + budget)
         out.append((qname, n, target, budget, bool(ok)))
-    return spark.createDataFrame(
-        out, "qname string, n long, target_rank long, budget long, "
-             "ok boolean")
+    return similarity.local_rows_df(
+        spark, out, "qname string, n long, target_rank long, budget long, "
+                    "ok boolean")
 
 
 def q_grouped_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -4105,9 +4105,9 @@ def q_grouped_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
                   and row[f"lt{i}_{qn}"] < target + budget)
             out.append((r.l_returnflag, qn, n, target, budget,
                         bool(ok)))
-    return spark.createDataFrame(
-        out, "l_returnflag string, qname string, n long, "
-             "target_rank long, budget long, ok boolean")
+    return similarity.local_rows_df(
+        spark, out, "l_returnflag string, qname string, n long, "
+                    "target_rank long, budget long, ok boolean")
 
 
 def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -4855,8 +4855,8 @@ def q_pagerank_states(spark: SparkSession, sf: str) -> DataFrame:
             c[d] = c.get(d, 0) + r[s] // od[s]
         r = {n: 150_000 // nn + (85 * c.get(n, 0)) // 100
              for n in nodes}
-    return spark.createDataFrame(
-        [(n, r[n]) for n in nodes], "node string, rank_micro long")
+    return similarity.local_rows_df(
+        spark, [(n, r[n]) for n in nodes], "node string, rank_micro long")
 
 
 def q_gini_activity(spark: SparkSession, sf: str) -> DataFrame:

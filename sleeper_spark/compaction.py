@@ -213,7 +213,11 @@ def _tag_rows_with_jobs(spark: SparkSession, jobs: list[CompactionJob],
                 row.append(rng.min if rng is not None else None)
                 row.append(rng.max if rng is not None else None)
             rows.append(tuple(row))
-    mapping = spark.createDataFrame(rows, T.StructType(map_fields))
+    # VALUES LocalRelation: the map is rows-sized-in-jobs (driver
+    # data); createDataFrame would evaluate it as a 32-slice Python
+    # RDD inside every compaction action
+    from sleeper_spark.functions.similarity import local_rows_df
+    mapping = local_rows_df(spark, rows, T.StructType(map_fields))
 
     scan = (
         spark.read.schema(struct).parquet(*all_files)

@@ -176,7 +176,7 @@ def _array_lit(values, sql_type: str) -> Column:
     return F.expr(f"CAST({render(values)} AS {sql_type})")
 
 
-def local_rows_df(spark, rows, schema: T.StructType) -> DataFrame:
+def local_rows_df(spark, rows, schema: "T.StructType | str") -> DataFrame:
     """A small collected row set as ONE parsed ``VALUES`` LocalRelation
     — the :func:`_array_lit` idiom applied to whole frames.
 
@@ -207,10 +207,15 @@ def local_rows_df(spark, rows, schema: T.StructType) -> DataFrame:
             return f"{v}L"
         if isinstance(v, str):
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (bytes, bytearray)):
+            return "X'" + bytes(v).hex() + "'"
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(scalar(x) for x in v) + ")"
         raise TypeError(f"unsupported VALUES scalar {type(v)}")
 
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        schema = _parse_datatype_string(schema)
     fields = schema.fields
     casts = ", ".join(
         f"CAST(c{i} AS {f.dataType.simpleString()}) AS `{f.name}`"
@@ -588,8 +593,11 @@ def ivf_topk(
                                  cents, nprobe)
     ]
     qid_t = queries.schema[query_id_col].dataType
-    q = _with_norm(corpus.sparkSession.createDataFrame(
-        probe_rows, T.StructType([
+    # VALUES LocalRelation (local_rows_df): the probe frame is bounded
+    # by contract; createDataFrame would evaluate it as a 32-slice
+    # Python RDD inside every consuming action
+    q = _with_norm(local_rows_df(
+        corpus.sparkSession, probe_rows, T.StructType([
             T.StructField(query_id_col, qid_t),
             T.StructField("__cell", T.IntegerType()),
             T.StructField("__qvec", T.ArrayType(T.DoubleType())),
@@ -1112,8 +1120,8 @@ def ivf_candidate_count(
         for cell in _probe_cells(np.asarray(r[1], dtype=np.float64),
                                  cents, nprobe)]
     qid_t = queries.schema[query_id_col].dataType
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, T.StructType([
+    probes = local_rows_df(
+        corpus.sparkSession, probe_rows, T.StructType([
             T.StructField(query_id_col, qid_t),
             T.StructField("__cell", T.IntegerType())]))
     return (probes.join(F.broadcast(counts), "__cell", "left")
@@ -1584,8 +1592,8 @@ def ivf_pq_topk(
         for cell in _probe_cells(np.asarray(r[1], dtype=np.float64),
                                  cents, nprobe)
     ]
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, T.StructType([
+    probes = local_rows_df(
+        corpus.sparkSession, probe_rows, T.StructType([
             T.StructField(query_id_col, queries.schema[query_id_col].dataType),
             T.StructField("__cell", T.IntegerType()),
         ]))

@@ -186,8 +186,7 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
            .groupBy(user_col)
            .agg(F.min(ts_col).alias("__reach")))
     spark = df.sparkSession
-    out_rows = [(str(steps[0]), 0)]
-    counts = [cur.count()]
+    stages = [cur]
     for s in steps[1:]:
         after = F.col(ts_col) > F.col("__reach")
         if max_gap is not None:
@@ -201,10 +200,19 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
         # re-runs every earlier join (k^2 scans of the event table)
         nxt = nxt.localCheckpoint(eager=False)
         cur = nxt
-        out_rows.append((str(s), len(out_rows)))
-        counts.append(cur.count())
-    return spark.createDataFrame(
-        [(s, i, int(c)) for (s, i), c in zip(out_rows, counts)],
+        stages.append(cur)
+    # all k stage counts from ONE stacked action (the sequential
+    # per-stage count() paid k job round-trips; stage k's checkpoint
+    # materializes inside this job and later stages' branches reuse it)
+    stat = None
+    for i, st in enumerate(stages):
+        t = st.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).alias("i"), "n")
+        stat = t if stat is None else stat.unionByName(t)
+    counts = {r["i"]: r["n"] for r in stat.collect()}
+    from sleeper_spark.functions.similarity import local_rows_df
+    return local_rows_df(
+        spark, [(str(s), i, int(counts[i])) for i, s in enumerate(steps)],
         "step string, step_index int, n_users long")
 
 

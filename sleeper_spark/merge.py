@@ -133,11 +133,20 @@ def _rewrite_merge_one(desc: dict) -> tuple:
 
 def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
                  cap: int = 100_000, job_id: str | None = None,
-                 delete_keys: "list[tuple] | None" = None) -> dict:
+                 delete_keys: "list[tuple] | None" = None,
+                 known_keys: "list[tuple] | None" = None) -> dict:
     """See the module doc. ``delete_keys`` (key tuples in row-key
     order) names key groups to REPLACE WITH NOTHING in the same atomic
     commit — the building block :func:`merge_when`'s WHEN MATCHED ...
-    DELETE clause rides; counted against the same ``cap``."""
+    DELETE clause rides; counted against the same ``cap``.
+
+    ``known_keys``: the caller GUARANTEES this list equals
+    ``source_df``'s distinct row-key tuples (in row-key order). Skips
+    the distinct-key collect — for a caller like :func:`merge_when`
+    that already derived the key set driver-side, that collect was a
+    full re-execution of the source plan purely to list keys it
+    already knew. Same null/cap/noop checks, applied to the given
+    list."""
     from sleeper_spark.ingest import write_sorted_files
 
     schema = table.schema
@@ -182,27 +191,30 @@ def merge_upsert(table: "SleeperTable", source_df: "DataFrame",
     if job_id is not None and job_id in store.ingest_jobs_seen:
         return _noop_result(job_id, replayed=True)
 
-    head = (source_df.select(*key_names).distinct()
-            .limit(cap + 1).collect())
-    if not head and not delete_keys:
+    def norm(v):
+        return bytes(v) if isinstance(v, bytearray) else v
+
+    if known_keys is None:
+        head = (source_df.select(*key_names).distinct()
+                .limit(cap + 1).collect())
+        key_rows = [tuple(row[k] for k in key_names) for row in head]
+    else:
+        key_rows = [tuple(kk) for kk in known_keys]
+    if not key_rows and not delete_keys:
         return _noop_result(job_id, replayed=False)
-    if len(head) + len(delete_keys or ()) > cap:
+    if len(key_rows) + len(delete_keys or ()) > cap:
         raise ValueError(
             f"merge source has more than {cap} distinct row keys — "
             "MERGE is the CDC-batch tool; bulk restatements should "
             "ingest and collapse with last-writer-wins aggregation "
             "(max_by) instead")
-    for row in head:
-        for k in key_names:
-            if row[k] is None:
-                raise ValueError(
-                    "null row key in merge source — key fields are "
-                    "non-nullable; filter or quarantine first")
+    for kk in key_rows:
+        if any(v is None for v in kk):
+            raise ValueError(
+                "null row key in merge source — key fields are "
+                "non-nullable; filter or quarantine first")
 
-    def norm(v):
-        return bytes(v) if isinstance(v, bytearray) else v
-
-    keys = [tuple(norm(row[k]) for k in key_names) for row in head]
+    keys = [tuple(norm(v) for v in kk) for kk in key_rows]
     seen_keys = set(keys)
     for kk in delete_keys or ():
         if len(kk) != len(key_names) or any(v is None for v in kk):
@@ -457,11 +469,18 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
              .agg(F.max(affected.cast("int")).alias("__t"),
                   F.max((~del_cond).cast("int")).alias("__sv"))
              .limit(cap + 1).collect())
+
+    def _norm(v):
+        return bytes(v) if isinstance(v, bytearray) else v
+
     touched_keys = {tuple(r[k] for k in key_names) for r in stats
                     if r["__t"] == 1}
     if touched_keys:
-        touched_df = table.spark.createDataFrame(
-            [dict(zip(key_names, kk)) for kk in sorted(touched_keys)],
+        # VALUES LocalRelation (bounded by cap); createDataFrame would
+        # re-evaluate the list as a 32-slice Python RDD per action
+        from sleeper_spark.functions.similarity import local_rows_df
+        touched_df = local_rows_df(
+            table.spark, sorted(touched_keys),
             matched.select(*key_names).schema)
         replacement = replacement.join(F.broadcast(touched_df),
                                        on=key_names, how="leftsemi")
@@ -472,14 +491,28 @@ def merge_when(table: "SleeperTable", source_df: "DataFrame",
         if r["__t"] == 1 and r["__sv"] == 0)
 
     frame = replacement
+    # the frame's distinct key set is fully known driver-side —
+    # replacement keys are the touched groups with >=1 survivor, insert
+    # keys are the source keys absent from the matched table (stats
+    # lists exactly the matched keys: the clause join is inner on the
+    # key columns and the source carries every source key) — so
+    # merge_upsert can skip its distinct-key collect, which re-executed
+    # this whole replacement chain purely to list these keys
+    frame_keys = {tuple(_norm(r[k]) for k in key_names) for r in stats
+                  if r["__t"] == 1 and r["__sv"] == 1}
     if insert:
         inserts = s.join(matched.select(*key_names).distinct(),
                          on=key_names, how="leftanti") \
             .select(*need)
         frame = replacement.unionByName(inserts)
+        matched_keys = {tuple(_norm(r[k]) for k in key_names)
+                        for r in stats}
+        frame_keys |= {tuple(_norm(r[k]) for k in key_names)
+                       for r in head} - matched_keys
     try:
         res = merge_upsert(table, frame, cap=cap, job_id=job_id,
-                           delete_keys=delete_keys)
+                           delete_keys=delete_keys,
+                           known_keys=sorted(frame_keys, key=repr))
     finally:
         matched.unpersist()
     res["groups_deleted"] = len(delete_keys)

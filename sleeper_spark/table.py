@@ -142,10 +142,12 @@ class SleeperTable:
                 bool(r.count_approximate),
                 r.job_id,
             ))
-        return self.spark.createDataFrame(
-            rows, "partition_id string, min_key string, max_key string, "
-                  "filename string, n_rows long, approx boolean, "
-                  "job_id string")
+        from sleeper_spark.functions.similarity import local_rows_df
+        return local_rows_df(
+            self.spark, rows,
+            "partition_id string, min_key string, max_key string, "
+            "filename string, n_rows long, approx boolean, "
+            "job_id string")
 
     def count_rows(self, allow_scan: bool = True) -> int:
         """Metadata-only row count — O(references) driver arithmetic,
@@ -594,7 +596,13 @@ class SleeperTable:
         scan = self.spark.read.schema(self.schema.to_struct_type()).parquet(*files)
         from pyspark.sql import types as T
 
-        kdf = self.spark.createDataFrame(
+        # VALUES LocalRelation: the key set is caller-bounded; a
+        # createDataFrame here evaluated a 32-slice Python RDD inside
+        # every consuming action (key types are Int/Long/String/Binary
+        # by the schema contract — all literal-renderable)
+        from sleeper_spark.functions.similarity import local_rows_df
+        kdf = local_rows_df(
+            self.spark,
             [tuple(key[k] for k in key_names) for key in keys],
             T.StructType([T.StructField(f.name, f.dtype, False)
                           for f in self.schema.row_key_fields]))

@@ -459,8 +459,9 @@ class SecondaryIndex:
         # exact-row path is one is_in prefilter + tuple-set compare per
         # file and plans from the same Bloom/min-max sidecars
         # (guide §1.2: fix the algorithm, not the constants).
-        rows_df = self.index.spark.createDataFrame(
-            [vv + kk for vv, kk in drop],
+        from sleeper_spark.functions.similarity import local_rows_df
+        rows_df = local_rows_df(
+            self.index.spark, [vv + kk for vv, kk in drop],
             self.index.schema.to_struct_type())
         self.index.delete_exact_rows(rows_df, cap=cap)
 

@@ -528,3 +528,79 @@ def test_merge_when_sequence_matches_dict_model(spark,
                 model[k] = v  # WHEN NOT MATCHED INSERT (as-is)
     got = sorted((r.key, r.value) for r in t.full_scan().collect())
     assert got == sorted(model.items())
+
+
+class TestKnownKeys:
+    def test_known_keys_equals_collected_path(self, spark, tmp_path):
+        """merge_upsert(known_keys=...) produces the identical table
+        state, result dict and file plan as the distinct-key-collect
+        path it skips (the merge_when caller optimization)."""
+        from sleeper_spark.merge import merge_upsert
+        tables = []
+        for name in ("a", "b"):
+            t = SleeperTable.create(spark, str(tmp_path / name),
+                                    _schema(),
+                                    split_points=["k-001000"])
+            t.ingest(_rows(spark, 0, 2000))
+            tables.append(t)
+        ta, tb = tables
+        src = _src(spark)
+        ra = merge_upsert(ta, src, job_id="merge-kk-test")
+        kk = sorted((f"k-{i:06d}",)
+                    for i in list(range(100, 200))
+                    + list(range(5000, 5050)))
+        rb = merge_upsert(tb, src, job_id="merge-kk-test",
+                          known_keys=kk)
+        for k in ("rows_inserted", "rows_replaced", "files_rewritten",
+                  "files_removed", "files_untouched",
+                  "tombstone_files"):
+            assert ra[k] == rb[k], k
+        assert sorted(map(tuple, ta.full_scan().collect())) == \
+            sorted(map(tuple, tb.full_scan().collect()))
+
+    def test_known_keys_checks_null_cap_noop(self, spark, tmp_path):
+        """The known-keys path applies the same null / cap / noop
+        contract checks as the collected path."""
+        from sleeper_spark.merge import merge_upsert
+        t = SleeperTable.create(spark, str(tmp_path / "t"), _schema(),
+                                split_points=["k-001000"])
+        t.ingest(_rows(spark, 0, 10))
+        src = _src(spark)
+        with pytest.raises(ValueError, match="null row key"):
+            merge_upsert(t, src, known_keys=[("k-000100",), (None,)])
+        with pytest.raises(ValueError, match="more than 2 distinct"):
+            merge_upsert(t, src, cap=2,
+                         known_keys=[("a",), ("b",), ("c",)])
+        res = merge_upsert(t, src.limit(0), known_keys=[])
+        assert res["rows_inserted"] == 0 and res["files_rewritten"] == 0
+
+    def test_merge_when_result_unchanged(self, spark, tmp_path):
+        """merge_when (which now derives known_keys driver-side) still
+        applies update/delete/insert clauses correctly end to end."""
+        from sleeper_spark.merge import merge_when
+        t = SleeperTable.create(spark, str(tmp_path / "t"), _schema(),
+                                split_points=["k-001000"])
+        t.ingest(_rows(spark, 0, 20))
+        src = spark.range(5, 30).select(
+            F.format_string("k-%06d", F.col("id")).alias("key"),
+            F.lit(0).cast("long").alias("seq"),
+            (F.col("id") * 100).alias("value"),
+            F.lit("src").alias("status"))
+        res = merge_when(
+            t, src,
+            update_set={"status": "concat(t.status, '+', s.status)"},
+            update_condition="s.value >= 1000",
+            delete_condition="s.value < 700",
+            insert=True)
+        rows = {r["key"]: (r["value"], r["status"])
+                for r in t.full_scan().collect()}
+        # keys 5..6 deleted (value<700); 7..9 matched, neither clause
+        # (700<=s.value<1000, update cond false) -> untouched; 10..19
+        # updated; 20..29 inserted
+        assert res["groups_deleted"] == 2
+        assert "k-000005" not in rows and "k-000006" not in rows
+        assert rows["k-000007"] == (7, "old")
+        assert rows["k-000010"] == (10, "old+src")
+        assert rows["k-000019"] == (19, "old+src")
+        assert rows["k-000025"] == (2500, "src")
+        assert len(rows) == 20 - 2 + 10
