@@ -176,6 +176,13 @@ def _array_lit(values, sql_type: str) -> Column:
     return F.expr(f"CAST({render(values)} AS {sql_type})")
 
 
+#: VALUES-literal row-count ceiling: above this the SQL text is multi-MB
+#: and the single-threaded ANTLR parse is slower (and more OOM-prone)
+#: than distributing the rows — delete/batch-lookup callers legally pass
+#: up to their 1M-row caps (ADVICE r11).
+LOCAL_ROWS_VALUES_MAX = 10_000
+
+
 def local_rows_df(spark, rows, schema: "T.StructType | str") -> DataFrame:
     """A small collected row set as ONE parsed ``VALUES`` LocalRelation
     — the :func:`_array_lit` idiom applied to whole frames.
@@ -190,18 +197,61 @@ def local_rows_df(spark, rows, schema: "T.StructType | str") -> DataFrame:
 
     Bit-exact by the same argument as :func:`_array_lit` (repr doubles
     round-trip through the parser's correctly-rounded parseDouble);
-    ints, strings, booleans and NULLs are exact trivially. Intended for
+    ints, strings, booleans and NULLs are exact trivially. Non-finite
+    doubles render as ``CAST('NaN'/'Infinity' AS DOUBLE)`` so probe
+    frames keep createDataFrame's accepted-input surface. Intended for
     CONTRACT-BOUNDED row sets only (top-k tables, config matrices) —
     the VALUES text is driver-built, so callers must pass row counts
-    that are already driver-sized."""
+    that are already driver-sized; above
+    :data:`LOCAL_ROWS_VALUES_MAX` rows (a multi-MB literal is a
+    known-slow/OOM-prone ANTLR path) the call falls back to
+    ``createDataFrame``, which distributes.
+
+    Note the returned schema is all-NULLABLE: every column is a CAST
+    output, so StructField.nullable on the requested schema is not
+    preserved (createDataFrame honored it). Downstream schema-equality
+    checks must compare names/types, not nullability.
+
+    String escaping (backslash + ``\\'``) is only correct under the
+    default ``spark.sql.parser.escapedStringLiterals=false``; in the
+    Hive-compat mode backslashes are literal and the rendered text
+    would silently mis-parse — string-carrying frames fall back to
+    ``createDataFrame`` there (checked once per call)."""
+    rows = list(rows)
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        schema = _parse_datatype_string(schema)
+    if len(rows) > LOCAL_ROWS_VALUES_MAX:
+        return spark.createDataFrame(rows, schema)
+
+    def _has_str(v):
+        if isinstance(v, str):
+            return True
+        if isinstance(v, (list, tuple)):
+            return any(_has_str(x) for x in v)
+        return False
+
+    if any(_has_str(v) for r in rows for v in r) and \
+            spark.conf.get("spark.sql.parser.escapedStringLiterals",
+                           "false").lower() == "true":
+        # Hive-compat literal mode: our backslash escaping would parse
+        # to DIFFERENT strings (and mutating callers — merge_when's
+        # touched-key semi-join, secondary-index deletes — would then
+        # touch the wrong rows). The row path is mode-independent.
+        return spark.createDataFrame(rows, schema)
+
     def scalar(v):
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, float):
-            if v != v or v in (float("inf"), float("-inf")):
-                raise ValueError(f"non-finite literal {v!r}")
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
             return repr(v) + "D"
         if isinstance(v, int):
             return f"{v}L"
@@ -213,9 +263,6 @@ def local_rows_df(spark, rows, schema: "T.StructType | str") -> DataFrame:
             return "array(" + ",".join(scalar(x) for x in v) + ")"
         raise TypeError(f"unsupported VALUES scalar {type(v)}")
 
-    if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-        schema = _parse_datatype_string(schema)
     fields = schema.fields
     casts = ", ".join(
         f"CAST(c{i} AS {f.dataType.simpleString()}) AS `{f.name}`"
