@@ -467,7 +467,8 @@ def run_jobs(
     # sketch sidecars before the reference swap, so a split planned right
     # after commit sees them (compact.rs writes file + sketch together)
     sketches.write_sidecars_distributed(
-        spark, new_paths, list(schema.key_names), props.sketch_size)
+        spark, new_paths, list(schema.key_names), props.sketch_size,
+        first_key_sorted=True)  # merge outputs are key-sorted per file
     # ONE transaction for the whole batch (the reference's transaction
     # carries a job list; 1000 jobs != 1000 log appends)
     store.replace_file_references_batch(replacements)
@@ -931,6 +932,7 @@ def run_zorder_rewrite(
 
     sketches.write_sidecars_distributed(
         spark, [r.filename for r in new_refs],
-        list(schema.key_names), props.sketch_size)
+        list(schema.key_names), props.sketch_size,
+        first_key_sorted=True)  # zorder files keep the key-sort invariant
     store.replace_file_references_batch(replacements)
     return new_refs

@@ -249,10 +249,12 @@ def write_sorted_files(
 
     refs = _manifest_from_written_dir(out_dir)
     # quantile sketch sidecar per file (Sketches.java:45-62), computed on
-    # executors so splitting later never re-reads data
+    # executors so splitting later never re-reads data; every strategy
+    # above writes each file sorted by the key fields, so the first row
+    # key column skips its sketch sort (verified, sketches.py)
     sketches.write_sidecars_distributed(
         df.sparkSession, [r.filename for r in refs],
-        schema.key_names, props.sketch_size)
+        schema.key_names, props.sketch_size, first_key_sorted=True)
     return refs
 
 

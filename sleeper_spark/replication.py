@@ -182,11 +182,121 @@ def sync(src: Any, dst: Any, max_seqs: int | None = None,
                 "files_ingested": 0, "caught_up": True}
     _refuse_destructive(src, from_seq, to_seq)
     job = f"{prefix}{from_seq}-{to_seq}"
-    refs = dst.ingest(rows, job_id=job)
+    # file-shipping fast path (see _ship_append_window): copy the
+    # committed files + sidecars instead of re-sorting the rows
+    refs = _ship_append_window(
+        src, dst, src.store.transactions_between(from_seq, to_seq), job)
+    if refs is None:
+        refs = dst.ingest(rows, job_id=job)
     head = src.store.current_seq
     return {"from_seq": from_seq, "to_seq": to_seq,
             "files_ingested": len(refs),
             "caught_up": to_seq >= head}
+
+
+def _ship_append_window(src: Any, dst: Any, window: list, job_id: str):
+    """Fast path for one append window: replicate the source's
+    committed data files by COPYING file + sketch sidecar into the
+    replica's data dir and committing the references — instead of
+    re-reading, re-shuffling and re-sorting every appended row through
+    ``dst.ingest`` (guide §8: the heavy bytes move exactly once; the
+    placement decision runs on sidecar metadata). At 100 TB this turns
+    per-window replication cost from a full sort job over the new data
+    into an object-store copy.
+
+    Returns the committed references, ``[]`` for a replayed job id, or
+    ``None`` when ANY precondition fails — the caller then falls back
+    to the row-replay ingest for the WHOLE window (all-or-nothing, so
+    rows can never double-apply). Preconditions, each checked before a
+    single byte is copied:
+
+    - every ``ADD_FILES`` reference is leaf-pure with an exact count;
+    - the file and its sketch sidecar still exist, and the sidecar's
+      row count matches the reference (the sidecar also ships, so the
+      replica keeps split planning / Bloom skipping without a re-read);
+    - the file's physical columns equal the replica's CURRENT schema
+      (pre-evolution files lack replayed columns and take the row path,
+      which projects through the source's head schema);
+    - the file's per-row-key [min, max] box (sidecar endpoints are
+      exact) fits inside ONE replica leaf — the shipped file keeps the
+      one-leaf-per-file invariant under ANY replica split tree, or the
+      window falls back.
+
+    Durability/idempotency are the ingest path's own: bytes land under
+    an uncommitted job dir (a crash leaves orphan bytes, not state),
+    the commit is ``add_files(job_id=...)`` with the SAME job id the
+    row path would use, so replays dedupe and the watermark parses
+    identically."""
+    import os
+    import shutil
+    import uuid
+    from dataclasses import replace
+
+    import pyarrow.parquet as pq
+
+    from sleeper_spark import sketches as sk
+    from sleeper_spark.statestore import FileReference
+
+    refs = [FileReference.from_json(f)
+            for _s, tx in window if tx.get("type") == "ADD_FILES"
+            for f in tx.get("files", [])]
+    if not refs:
+        return None
+    if job_id in dst.store.ingest_jobs_seen:
+        return []  # replayed window: committed previously
+    dst.store.check_writable()
+    dst_fields = sorted(f.name for f in dst.schema.all_fields())
+    row_key_names = [f.name for f in dst.schema.row_key_fields]
+    plans = []
+    for r in refs:
+        if not r.only_contains_data_for_this_partition \
+                or r.count_approximate or not os.path.exists(r.filename):
+            return None
+        sc = sk.load_sidecar(r.filename)
+        if sc is None or sc.get("rows") != r.number_of_rows:
+            return None
+        try:
+            names = sorted(pq.read_schema(r.filename).names)
+        except Exception:  # noqa: BLE001 - unreadable footer -> row path
+            return None
+        if names != dst_fields:
+            return None
+        fields = sc.get("fields", {})
+        lo, hi = {}, {}
+        for kn in row_key_names:
+            e = fields.get(kn)
+            if not e or not e.get("values"):
+                return None
+            lo[kn] = sk._dec(e["values"][0])
+            hi[kn] = sk._dec(e["values"][-1])
+        leaf = dst.store.tree.leaf_for_row(lo)
+        if not (leaf.region.contains_point(lo)
+                and leaf.region.contains_point(hi)):
+            return None  # box straddles replica leaves
+        plans.append((r, leaf.id))
+    out_dir = os.path.join(dst.data_dir,
+                           f"{job_id}-ship-{uuid.uuid4().hex[:8]}")
+    os.makedirs(out_dir, exist_ok=True)
+    new_refs = []
+    try:
+        for i, (r, leaf_id) in enumerate(plans):
+            path = os.path.join(
+                out_dir, f"s{i}-{os.path.basename(r.filename)}")
+            shutil.copyfile(r.filename, path)
+            shutil.copyfile(sk.sidecar_path(r.filename),
+                            sk.sidecar_path(path))
+            new_refs.append(replace(r, filename=path, partition_id=leaf_id,
+                                    job_id=None))
+    except OSError:
+        # a source file/sidecar vanished mid-copy (concurrent GC):
+        # nothing is committed — clean the partial dir, take the row
+        # path, which reads through the statestore and raises loudly
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return None
+    if not dst.store.add_files(new_refs, job_id=job_id):
+        shutil.rmtree(out_dir, ignore_errors=True)  # lost the replay race
+        return []
+    return new_refs
 
 
 _CDC_REFUSE_MSG = (
@@ -356,8 +466,13 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
         # advances the watermark (see below)
         if not any(tx.get("type") == "ADD_FILES" for _s, tx in window):
             return
-        rows = src.added_rows_between(a, b)
-        refs = dst.ingest(rows, job_id=f"{prefix}{a}-{b}")
+        # file-shipping fast path: copy the committed files + sidecars
+        # instead of re-sorting the rows (falls back to the row replay
+        # when schemas/leaf boxes don't line up — see the helper)
+        refs = _ship_append_window(src, dst, window, f"{prefix}{a}-{b}")
+        if refs is None:
+            rows = src.added_rows_between(a, b)
+            refs = dst.ingest(rows, job_id=f"{prefix}{a}-{b}")
         progressed["any"] = True
         summary["files_ingested"] += len(refs)
 
@@ -378,12 +493,22 @@ def sync_cdc(src: Any, dst: Any, max_seqs: int | None = None,
             # delete_keys or they silently survive on the replica.
             ins = src.added_rows_between(eseq - 1, eseq)
             old = src.deleted_rows_between(eseq - 1, eseq)
-            ins_keys = {tuple(r[k] for k in key_names_row) for r in
-                        ins.select(*key_names_row).distinct()
-                        .limit(merge_cap + 1).collect()}
-            old_keys = [tuple(r[k] for k in key_names_row) for r in
+            # ONE action for both key sets (guide §1.2 — these were two
+            # sequential collects over two tiny distinct frames): each
+            # side keeps its own pre-union cap, so truncation semantics
+            # are unchanged
+            from pyspark.sql import functions as _F
+            both = (ins.select(*key_names_row).distinct()
+                    .limit(merge_cap + 1).withColumn("__ins", _F.lit(True))
+                    .unionByName(
                         old.select(*key_names_row).distinct()
-                        .limit(merge_cap + 1).collect()]
+                        .limit(merge_cap + 1)
+                        .withColumn("__ins", _F.lit(False)))
+                    .collect())
+            ins_keys = {tuple(r[k] for k in key_names_row)
+                        for r in both if r["__ins"]}
+            old_keys = [tuple(r[k] for k in key_names_row)
+                        for r in both if not r["__ins"]]
             if len(old_keys) > merge_cap or len(ins_keys) > merge_cap:
                 raise ValueError(
                     f"merge commit at seq {eseq} touched more than "

@@ -779,3 +779,91 @@ def test_sync_cdc_to_head_and_blocked_claim(spark, tmp_path):
     steps2 = replication.sync_cdc_to_head(src, dst)
     assert steps2[-1]["caught_up"]
     assert _fsorted(dst) == _fsorted(src)
+
+
+class TestFileShipping:
+    """The append-window file-shipping fast path (_ship_append_window):
+    committed source files copy byte-for-byte into the replica instead
+    of re-sorting rows through an ingest shuffle — with all-or-nothing
+    fallback to the row replay."""
+
+    def test_fast_path_copies_files(self, spark, tmp_path):
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema(),
+                                  split_points=[100])
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema(),
+                                  split_points=[100])
+        refs = src.ingest(_rows(spark, 0, 200))
+        s = replication.sync(src, dst)
+        assert s["files_ingested"] == len(refs)
+        dfiles = [r for refs_ in dst.store.files.values()
+                  for r in refs_.values()]
+        # shipped, not re-ingested: one replica file per source file,
+        # under the replica's data dir, with its sidecar alongside
+        from sleeper_spark import sketches as sk
+        import os
+        assert len(dfiles) == len(refs)
+        for r in dfiles:
+            assert r.filename.startswith(dst.data_dir)
+            assert "-ship-" in r.filename
+            assert os.path.exists(sk.sidecar_path(r.filename))
+        assert _sorted_rows(dst) == _sorted_rows(src)
+        # the shipped sidecars keep split planning alive on the replica
+        from sleeper_spark.sketches import find_split_point_from_sketches
+        leaf = dst.store.tree.leaf_for_row({"k": 150})
+        lfiles = [r.filename for r in
+                  dst.store.references_for_partition(leaf.id)]
+        assert find_split_point_from_sketches(
+            dst.schema, lfiles, leaf.region) is not None
+
+    def test_falls_back_when_replica_tree_differs(self, spark, tmp_path):
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        # replica splits INSIDE the source's single leaf: a source file
+        # straddles replica leaves -> row-replay path
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema(),
+                                  split_points=[50])
+        src.ingest(_rows(spark, 0, 100))
+        s = replication.sync(src, dst)
+        assert s["files_ingested"] >= 1
+        assert all("-ship-" not in fn for fn in dst.store.files)
+        assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_fast_path_ships_into_finer_tree_when_contained(self, spark,
+                                                            tmp_path):
+        # per-leaf source files fit inside MATCHING replica leaves even
+        # though the replica has an extra split elsewhere
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema(),
+                                  split_points=[100])
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema(),
+                                  split_points=[100, 5000])
+        src.ingest(_rows(spark, 0, 200))  # values < 2000: leaves map 1:1
+        replication.sync(src, dst)
+        assert any("-ship-" in fn for fn in dst.store.files)
+        assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema())
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema())
+        src.ingest(_rows(spark, 0, 80))
+        replication.sync(src, dst)
+        n_files = len(dst.store.files)
+        # a crashed-then-replayed window dedupes on the job id
+        window = src.store.transactions_between(0, src.store.current_seq)
+        job = f"{replication.source_prefix(src)}0-{src.store.current_seq}"
+        assert replication._ship_append_window(src, dst, window, job) == []
+        assert len(dst.store.files) == n_files
+        assert _sorted_rows(dst) == _sorted_rows(src)
+
+    def test_cdc_appends_ship_and_events_still_replay(self, spark,
+                                                      tmp_path):
+        src = SleeperTable.create(spark, str(tmp_path / "src"), _schema(),
+                                  split_points=[100])
+        dst = SleeperTable.create(spark, str(tmp_path / "dst"), _schema(),
+                                  split_points=[100])
+        src.ingest(_rows(spark, 0, 200))
+        from sleeper_spark.ranges import Range, Region
+        src.delete_where(regions=[Region.of(Range("k", 20, 40))])
+        src.ingest(_rows(spark, 200, 260))
+        s = replication.sync_cdc(src, dst)
+        assert s["caught_up"] and s["deletes_applied"] == 1
+        assert any("-ship-" in fn for fn in dst.store.files)
+        assert _sorted_rows(dst) == _sorted_rows(src)
