@@ -165,6 +165,12 @@ def _array_lit(values, sql_type: str) -> Column:
     round-trips, and the SQL parser's ``Double.parseDouble`` is
     correctly rounded, so the parsed literal holds the identical IEEE
     bits ``F.lit`` would have."""
+    return F.expr(_array_lit_sql(values, sql_type))
+
+
+def _array_lit_sql(values, sql_type: str) -> str:
+    """The SQL text behind :func:`_array_lit`, for embedding inside a
+    larger single-parse expression (see :func:`_pq_codes_expr`)."""
     def render(v):
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(render(x) for x in v) + ")"
@@ -173,7 +179,7 @@ def _array_lit(values, sql_type: str) -> Column:
                 raise ValueError(f"non-finite literal {v!r}")
             return repr(v) + "D"
         return f"{int(v)}L"
-    return F.expr(f"CAST({render(values)} AS {sql_type})")
+    return f"CAST({render(values)} AS {sql_type})"
 
 
 #: VALUES-literal row-count ceiling: above this the SQL text is multi-MB
@@ -1410,30 +1416,29 @@ def _pq_codes_expr(codebooks: list[list[list[float]]],
 
     array_position is 1-based and returns the FIRST occurrence of the
     min -> lowest code wins ties, same as the oracle's row_number()
-    ORDER BY d2, code."""
+    ORDER BY d2, code.
+
+    Rendered as ONE SQL text parse (the `_array_lit` idiom applied to
+    the whole expression): the Column-DSL build of this tree cost
+    ~90ms of py4j round trips per plan, paid on every (re)build of
+    every PQ consumer; the text parses JVM-side in one call. The
+    lambda structure — including every bind_once let-binding — is
+    written out verbatim, so values and fold order are unchanged."""
     dsub = len(codebooks[0][0])
-    books = _array_lit([[list(c) for c in book] for book in codebooks],
-                       "array<array<array<double>>>")
-
-    def _codes(v: Column) -> Column:
-        def _d2s(s: Column) -> Column:
-            return bind_once(
-                F.slice(v, s * dsub + F.lit(1), dsub),
-                lambda sub: F.transform(
-                    F.element_at(books, (s + F.lit(1)).cast("int")),
-                    lambda c: F.aggregate(
-                        F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, x: acc + x)))
-
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-            lambda s: (bind_once(_d2s(s),
-                                 lambda ds: F.array_position(
-                                     ds, F.array_min(ds))) - 1)
-            .cast("int"))
-
-    return bind_once(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")), _codes)
+    m = len(codebooks)
+    books = _array_lit_sql([[list(c) for c in book] for book in codebooks],
+                           "array<array<array<double>>>")
+    d2s = (f"element_at(transform(array("
+           f"slice(v, (s * {dsub}) + 1, {dsub})), sub -> "
+           f"transform(element_at({books}, CAST(s + 1 AS INT)), c -> "
+           f"aggregate(zip_with(sub, c, (a, b) -> (a - b) * (a - b)), "
+           f"0.0D, (acc, x) -> acc + x))), 1)")
+    return F.expr(
+        f"element_at(transform(array("
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))), v -> "
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"CAST(element_at(transform(array({d2s}), ds -> "
+        f"array_position(ds, array_min(ds))), 1) - 1 AS INT))), 1)")
 
 
 def pq_encode(
@@ -1483,25 +1488,21 @@ def _query_lut_expr(codebooks, vec_col: str) -> Column:
     # same nested-literal collapse as pq_encode: identical doubles,
     # identical left-fold order, O(1) lambda nodes instead of m·ksub;
     # the cast vector and each subspace slice are lambda-bound
-    # (bind_once) so neither re-evaluates per codebook entry
+    # (bind_once) so neither re-evaluates per codebook entry. Rendered
+    # as one SQL text parse for the same reason as _pq_codes_expr.
     dsub = len(codebooks[0][0])
-    books = _array_lit([[list(c) for c in book] for book in codebooks],
-                       "array<array<array<double>>>")
-
-    def _lut(qv: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-            lambda s: bind_once(
-                F.slice(qv, s * dsub + F.lit(1), dsub),
-                lambda sub: F.transform(
-                    F.element_at(books, (s + F.lit(1)).cast("int")),
-                    lambda c: F.round(F.aggregate(
-                        F.zip_with(sub, c,
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, x: acc + x), 6))))
-
-    return bind_once(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")), _lut)
+    m = len(codebooks)
+    books = _array_lit_sql([[list(c) for c in book] for book in codebooks],
+                           "array<array<array<double>>>")
+    return F.expr(
+        f"element_at(transform(array("
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))), qv -> "
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"element_at(transform(array("
+        f"slice(qv, (s * {dsub}) + 1, {dsub})), sub -> "
+        f"transform(element_at({books}, CAST(s + 1 AS INT)), c -> "
+        f"round(aggregate(zip_with(sub, c, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, x) -> acc + x), 6))), 1))), 1)")
 
 
 def _adc_score() -> Column:
