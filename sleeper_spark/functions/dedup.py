@@ -182,11 +182,21 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     (xxhash64 of the same (shingle, int-seed) pair), but the plan
     carries 2 lambda functions instead of 2K — K-proportional Catalyst
     analysis was the dominant driver-side cost of every LSH entry
-    (guide §7.3, measured 1.13s -> 0.44s per pass at K=32)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))))
+    (guide §7.3, measured 1.13s -> 0.44s per pass at K=32).
+
+    The shingle column is lambda-BOUND (bind_once): a projection alias
+    does not survive CollapseProject, so a raw ``shingle_col`` captured
+    inside the per-seed lambda re-inlines the whole tokenize+shingle
+    tree and re-evaluates it for every one of the K seeds — the exact
+    O(K·tokens) class the r12 plan lint
+    (tests/test_r12_optim.py::test_bind_once_invariant_across_text_operators)
+    exists to catch, and where it first fired."""
+    return bind_once(
+        shingle_col,
+        lambda shs: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(shs, lambda sh: F.xxhash64(sh, s)))))
 
 
 def minhash_signatures(
@@ -246,14 +256,18 @@ def _band_bucket_rows(sig_df: DataFrame, id_out: str, num_hashes: int,
     while the plan carries one transform lambda instead of K column
     extractions + bands hash expressions."""
     r = num_hashes // bands
+    # __sig is lambda-bound: when CollapseProject folds the upstream
+    # signature projection into this select, a bare col("__sig") inside
+    # the per-band lambda would re-inline (and re-evaluate) the entire
+    # K-seed signature tree once PER BAND (see minhash_signature)
     return sig_df.select(
         F.col("__id").alias(id_out),
-        F.explode(F.transform(
+        F.explode(bind_once(F.col("__sig"), lambda sig: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.cast("int").alias("band"),
-                F.xxhash64(F.slice(F.col("__sig"), b * r + 1, F.lit(r)))
-                 .alias("bucket")))).alias("bb"),
+                F.xxhash64(F.slice(sig, b * r + 1, F.lit(r)))
+                 .alias("bucket"))))).alias("bb"),
     ).select(id_out, "bb.band", "bb.bucket")
 
 

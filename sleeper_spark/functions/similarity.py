@@ -408,6 +408,7 @@ def train_ivf_centroids(
     train_rows: int | None = None,
     method: str = "sample",
     iterations: int = 4,
+    cache_quantized: bool = False,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer.
 
@@ -449,6 +450,10 @@ def train_ivf_centroids(
                 lambda x: x / F.greatest(nrm, F.lit(1e-12))))
         q = corpus.select(F.col(id_col),
                           quantize_micro(unit).alias("__v"))
+        if cache_quantized:
+            # one source scan for iterations+1 Lloyd passes (see
+            # kmeans_distributed) — identical centroids
+            q = q.localCheckpoint(eager=False)
         cents_micro, _ = _kmeans_micro(q, id_col, nlist, iterations)
         out = []
         for c in cents_micro:
@@ -1685,7 +1690,8 @@ def _sq_l2_micro(vec: Column, centroid: list[int]) -> Column:
 
 def kmeans_distributed(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", k: int = 8,
-                       iterations: int = 2) -> DataFrame:
+                       iterations: int = 2,
+                       cache_quantized: bool = False) -> DataFrame:
     """Lloyd's k-means over the WHOLE corpus as Spark aggregates —
     the scale path when a bounded-sample fit (train_ivf_centroids)
     isn't representative enough. Per iteration: one codegen'd
@@ -1700,8 +1706,20 @@ def kmeans_distributed(df: DataFrame, vec_col: str = "embedding",
     as the bounded-sample trainers). New centroid coordinate =
     ``trunc(sum / count)`` of one shared IEEE double — engine-agreed.
     Empty clusters keep their previous centroid. Returns
-    ``(id_col, cluster)`` assignments after ``iterations`` rounds."""
+    ``(id_col, cluster)`` assignments after ``iterations`` rounds.
+
+    ``cache_quantized=True`` localCheckpoints the quantized projection
+    so Lloyd's ``iterations + 1`` passes scan the source ONCE instead
+    of once per pass (guide §5) — centroids and assignments are
+    identical (the quantized longs are a deterministic projection);
+    caller-controlled because it pins the k-dim long vectors in
+    executor storage for the training's duration, a memory-for-IO
+    trade the caller must size at corpus scale."""
     q = df.select(F.col(id_col), quantize_micro(vec_col).alias("__v"))
+    if cache_quantized:
+        # lazy: the first assignment pass materialises it, every later
+        # pass (and the final assignment) reads the checkpoint
+        q = q.localCheckpoint(eager=False)
     cents, assign = _kmeans_micro(q, id_col, k, iterations)
     return assign(q).select(id_col, "cluster")
 
