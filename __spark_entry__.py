@@ -4424,6 +4424,30 @@ def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
         "dup_ngram_frac", "dup_line_frac")
 
 
+def q_longdoc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-document repetition scores: the corpus regrouped into 64
+    synthetic multi-kilotoken documents (doc_id residue groups, texts
+    joined in doc_id order — deterministic on both engines), then the
+    Gopher duplicate-trigram / duplicate-line signals. Added in r12 so
+    the bind_once class of wins — O(tokens) vs O(tokens^2) per doc,
+    invisible on the ~100-token sf docs — is a TIMED, regressable
+    number (r11 VERDICT Next #6): a tokenizer tree captured inside any
+    HOF lambda makes this entry quadratically slower, and the r12 plan
+    lint pins the invariant structurally."""
+    from sleeper_spark.functions import corpus
+
+    doc = _load(spark, sf, "documents")
+    long_docs = (
+        doc.groupBy((F.col("doc_id") % 64).alias("gid"))
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"]), "\n").alias("text")))
+    out = corpus.repetition_scores(long_docs, "text", "gid", ngram=3)
+    return out.select(
+        "gid", F.col("n_ngrams").cast("int").alias("n_ngrams"),
+        "dup_ngram_frac", "dup_line_frac")
+
+
 def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mixing sample (functions/sampling.py mix_sample): each
     source keeps a target percentage (10/30/50% cycling by source id) —
@@ -5639,6 +5663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_ztest": q_ab_ztest,
         "weekday_seasonality": q_weekday_seasonality,
         "snapshot_rollback": q_snapshot_rollback,
+        # r12 (APPEND-ONLY from here: the driver samples the first 50
+        # entries for its correctness gate — see
+        # tests/test_driver_contract.py::test_registry_order_append_only)
+        "longdoc_repetition": q_longdoc_repetition,
     }
 
 
@@ -8557,4 +8585,23 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY day) AS rn FROM daily) "
             "SELECT day, n, round(run - rn * (CAST(total AS DOUBLE) "
             "/ n_days), 4) + 0.0 AS cusum FROM d CROSS JOIN tot",
+        # r12: long-doc regroup (deterministic doc_id-ordered join)
+        # then the repetition_scores shape verbatim over it
+        "longdoc_repetition":
+            "WITH ld AS (SELECT doc_id % 64 AS gid, "
+            "string_agg(text, chr(10) ORDER BY doc_id) AS text "
+            "FROM documents GROUP BY doc_id % 64), "
+            "t AS (SELECT gid, CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), "
+            "i -> array_to_string(tk[i:i+2], ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END AS g, "
+            "string_split(text, chr(10)) AS lines "
+            f"FROM (SELECT gid, text, {_TOKS} AS tk FROM ld)) "
+            "SELECT gid, CAST(len(g) AS INTEGER) AS n_ngrams, "
+            "CASE WHEN len(g) > 0 THEN "
+            "round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE) "
+            "/ len(g), 4) ELSE 0.0 END AS dup_ngram_frac, "
+            "CASE WHEN len(lines) > 0 THEN round(CAST(len(lines) - "
+            "len(list_distinct(lines)) AS DOUBLE) / len(lines), 4) "
+            "ELSE 0.0 END AS dup_line_frac FROM t",
     }

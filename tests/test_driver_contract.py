@@ -104,8 +104,10 @@ def test_every_query_has_an_oracle():
     # the Mann-Whitney U rank-sum drift statistic, the two-proportion
     # A/B z-test, and the weekday seasonality profile, plus atomic
     # snapshot rollback (write-path time travel via one set-difference
-    # MERGE_FILES commit)
-    assert len(qk) == 225
+    # MERGE_FILES commit);
+    # round 12 appends longdoc_repetition (synthetic multi-kilotoken
+    # documents so the bind_once O(tokens^2)-class is a timed number)
+    assert len(qk) == 226
 
 
 def test_registry_order_append_only():
