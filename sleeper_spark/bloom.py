@@ -232,13 +232,24 @@ class BloomAccumulator:
     sorted output batches here so compacted files get blooms with zero
     extra passes; ``build_bloom`` below is the one-shot form."""
 
-    def __init__(self, field: str, expected_rows: int):
+    def __init__(self, field: str, expected_rows: int,
+                 _reuse_bits: bool = False):
         self.field = field
         self.disabled = expected_rows > MAX_USEFUL_ROWS
         self.m = _size_bits(expected_rows)
         self.k = _num_hashes(self.m, expected_rows)
-        self._bits = (np.zeros(0, dtype=bool) if self.disabled
-                      else np.zeros(self.m, dtype=bool))
+        if self.disabled:
+            self._bits = np.zeros(0, dtype=bool)
+        elif _reuse_bits:
+            # one-shot builds (build_bloom) borrow a per-thread arena:
+            # a fresh np.zeros(m) faults m new pages per FILE, and on a
+            # memory-pressured host that first-touch measured ~1s for a
+            # 2MB bitmap; re-zeroing resident pages is memset-fast.
+            # NOT safe for long-lived streaming accumulators (two live
+            # borrowers would share bits), hence opt-in.
+            self._bits = _borrow_bits(self.m)
+        else:
+            self._bits = np.zeros(self.m, dtype=bool)
         self.n = 0
 
     #: hash+scatter chunk: keeps every intermediate (byte windows,
@@ -251,13 +262,24 @@ class BloomAccumulator:
             return
         total = len(values)
         is_arrow = hasattr(values, "slice")
+        mask = np.uint64(self.m - 1)
         for lo in range(0, total, self._CHUNK):
             sz = min(self._CHUNK, total - lo)
             part = (values.slice(lo, sz) if is_arrow
                     else values[lo:lo + sz])
             h = _hash_array(part)
             if len(h):
-                self._bits[_positions(h, self.k, self.m)] = True
+                # incremental double-hash scatter: bits[(h1 + i*h2) & mask]
+                # per i, identical positions to the one-shot _positions()
+                # matrix but with O(n) temporaries instead of O(n*k) —
+                # fresh multi-MB allocations fault pages, and on a
+                # memory-pressured host a single first-touch of the n*k
+                # matrix measured >1s (the chronic "cold bloom" stall)
+                acc = h & np.uint64(0xFFFFFFFF)
+                h2 = (h >> np.uint64(32)) | np.uint64(1)
+                for _ in range(self.k):
+                    self._bits[acc & mask] = True
+                    acc += h2  # uint64 wrap == (h1 + i*h2) mod 2^64
                 self.n += len(h)
 
     def to_dict(self) -> dict | None:
@@ -279,11 +301,27 @@ class BloomAccumulator:
         }
 
 
+_ARENA = __import__("threading").local()
+
+
+def _borrow_bits(m: int) -> np.ndarray:
+    """Per-thread reusable bitmap: grown to the largest m seen, zeroed
+    in place per borrow. Valid only within one one-shot build (the
+    caller finishes with the slice before the next borrow)."""
+    buf = getattr(_ARENA, "bits", None)
+    if buf is None or buf.size < m:
+        buf = np.zeros(m, dtype=bool)
+        _ARENA.bits = buf
+    else:
+        buf[:m] = False
+    return buf[:m]
+
+
 def build_bloom(field: str, values, n_rows: int | None = None) -> dict | None:
     """One-shot build; None above MAX_USEFUL_ROWS (no bloom beats a
     useless one)."""
     acc = BloomAccumulator(field, n_rows if n_rows is not None
-                           else len(values))
+                           else len(values), _reuse_bits=True)
     acc.update(values)
     return acc.to_dict()
 
